@@ -1,0 +1,92 @@
+"""Abstract document backend.
+
+Scan semantics contract (matches what the reference asks of mongod via
+mongocxx in /root/reference/src/mongo_table_function.cpp:280-724):
+
+- ``find(db, coll, filter, projection, limit)`` — stream matching docs
+- ``aggregate(db, coll, pipeline)``             — run a pipeline
+- ``sample(db, coll, n, seed)``                 — random sample (schema inference)
+- ``count(db, coll, filter)``                   — server-side count
+- ``partitions(db, coll, n)``                   — NEW vs reference: split the
+  collection into ≤n independently scannable splits so Spark executors can
+  read in parallel (the reference uses a single cursor; SURVEY.md §4.2
+  flags partitioned reads as the 100 TB design point).
+
+Backends must be **picklable** (they are shipped to Spark executors inside
+the Python DataSource reader).
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from collections.abc import Iterable, Iterator
+
+
+class DocumentBackend(ABC):
+    is_remote = False  # remote backends push pipelines server-side
+
+    @abstractmethod
+    def list_databases(self) -> list[str]: ...
+
+    @abstractmethod
+    def list_collections(self, db: str) -> list[str]: ...
+
+    @abstractmethod
+    def iter_documents(self, db: str, coll: str) -> Iterator[dict]:
+        """Full scan, no filter."""
+
+    def find(self, db, coll, filter=None, projection=None, limit=None) -> Iterator[dict]:
+        from duckdb_mongo_spark.mql import run_pipeline
+
+        pipeline = []
+        if filter:
+            pipeline.append({"$match": filter})
+        if projection:
+            pipeline.append({"$project": projection})
+        if limit is not None:
+            pipeline.append({"$limit": limit})
+        return iter(run_pipeline(self.iter_documents(db, coll), pipeline))
+
+    def aggregate(self, db, coll, pipeline, seed=None) -> Iterator[dict]:
+        from duckdb_mongo_spark.mql import run_pipeline
+
+        return iter(run_pipeline(self.iter_documents(db, coll), pipeline, seed=seed))
+
+    def sample(self, db, coll, n, seed=42) -> list[dict]:
+        return list(
+            self.aggregate(db, coll, [{"$sample": {"size": n}}], seed=seed)
+        )
+
+    def count(self, db, coll, filter=None) -> int:
+        docs = self.find(db, coll, filter=filter)
+        return sum(1 for _ in docs)
+
+    def partitions(self, db: str, coll: str, n: int) -> list["ScanPartition"]:
+        """Split a collection into ≤n partitions. Default: one partition."""
+        return [ScanPartition(db=db, coll=coll, index=0, total=1)]
+
+    def read_partition(self, part: "ScanPartition") -> Iterator[dict]:
+        """Stream the documents belonging to one partition."""
+        if part.total == 1:
+            return self.iter_documents(part.db, part.coll)
+        return (
+            d
+            for i, d in enumerate(self.iter_documents(part.db, part.coll))
+            if i % part.total == part.index
+        )
+
+
+class ScanPartition:
+    """One independently-scannable split of a collection."""
+
+    __slots__ = ("db", "coll", "index", "total", "extra")
+
+    def __init__(self, db, coll, index, total, extra=None):
+        self.db = db
+        self.coll = coll
+        self.index = index
+        self.total = total
+        self.extra = extra or {}
+
+    def __repr__(self):
+        return f"ScanPartition({self.db}.{self.coll} {self.index}/{self.total} {self.extra})"

@@ -1,0 +1,117 @@
+"""Real-MongoDB backend via pymongo (import-gated — pymongo is not in the
+test container; this backend exists so the same engine runs unchanged
+against a live server).
+
+Pipelines/filters are shipped server-side (``is_remote = True``), exactly
+like the reference's mongocxx cursor calls
+(/root/reference/src/mongo_table_function.cpp:362,598).
+
+Partitioning for scale: `_id`-range splits computed from server-side
+``$sample`` split points, one ``$match`` range per partition — SURVEY.md
+§4.2's NEW design for the 100 TB goal.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from duckdb_mongo_spark.backends.base import DocumentBackend, ScanPartition
+from duckdb_mongo_spark.errors import ConnectionStringError
+
+try:  # pragma: no cover - not installed in test container
+    import pymongo  # type: ignore
+
+    HAVE_PYMONGO = True
+except Exception:  # pragma: no cover
+    pymongo = None
+    HAVE_PYMONGO = False
+
+
+class PymongoBackend(DocumentBackend):  # pragma: no cover - needs live server
+    is_remote = True
+
+    def __init__(self, connection_string: str, timeout_ms: int = 5000):
+        if not HAVE_PYMONGO:
+            raise ConnectionStringError(
+                "pymongo is not installed; use a local backend (jsonl/parquet/memory)"
+            )
+        # 5s connect/server-selection/socket timeouts, matching the
+        # reference catalog (/root/reference/src/mongo_catalog.cpp:130-163).
+        self.connection_string = connection_string
+        self.timeout_ms = timeout_ms
+        self._client = None
+
+    @property
+    def client(self):
+        if self._client is None:
+            self._client = pymongo.MongoClient(
+                self.connection_string,
+                connectTimeoutMS=self.timeout_ms,
+                serverSelectionTimeoutMS=self.timeout_ms,
+                socketTimeoutMS=self.timeout_ms,
+            )
+        return self._client
+
+    def __getstate__(self):
+        return {"connection_string": self.connection_string, "timeout_ms": self.timeout_ms}
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._client = None
+
+    def list_databases(self):
+        skip = {"admin", "local", "config"}  # same skip-list as the reference catalog
+        return sorted(d for d in self.client.list_database_names() if d not in skip)
+
+    def list_collections(self, db):
+        return sorted(
+            c for c in self.client[db].list_collection_names()
+            if not c.startswith("system.")
+        )
+
+    def iter_documents(self, db, coll) -> Iterator[dict]:
+        return iter(self.client[db][coll].find({}))
+
+    def find(self, db, coll, filter=None, projection=None, limit=None):
+        cur = self.client[db][coll].find(filter or {}, projection)
+        if limit:
+            cur = cur.limit(limit)
+        return iter(cur)
+
+    def aggregate(self, db, coll, pipeline, seed=None):
+        return iter(self.client[db][coll].aggregate(list(pipeline), allowDiskUse=True))
+
+    def sample(self, db, coll, n, seed=42):
+        return list(self.aggregate(db, coll, [{"$sample": {"size": n}}]))
+
+    def count(self, db, coll, filter=None):
+        return self.client[db][coll].count_documents(filter or {})
+
+    def partitions(self, db, coll, n):
+        if n <= 1:
+            return [ScanPartition(db, coll, 0, 1, {"range": (None, None)})]
+        # sample n*8 _ids, take n-1 evenly spaced split points
+        sampled = list(
+            self.client[db][coll].aggregate(
+                [{"$sample": {"size": n * 8}}, {"$project": {"_id": 1}}]
+            )
+        )
+        ids = sorted(d["_id"] for d in sampled)
+        if len(ids) < n:
+            return [ScanPartition(db, coll, 0, 1, {"range": (None, None)})]
+        step = len(ids) // n
+        points = [ids[i * step] for i in range(1, n)]
+        bounds = [None] + points + [None]
+        return [
+            ScanPartition(db, coll, i, n, {"range": (bounds[i], bounds[i + 1])})
+            for i in range(n)
+        ]
+
+    def read_partition(self, part):
+        lo, hi = part.extra.get("range", (None, None))
+        filt = {}
+        if lo is not None:
+            filt.setdefault("_id", {})["$gte"] = lo
+        if hi is not None:
+            filt.setdefault("_id", {})["$lt"] = hi
+        return self.find(part.db, part.coll, filter=filt or None)

@@ -1,0 +1,266 @@
+"""PySpark Python DataSource for document scans.
+
+Spark-side equivalent of the reference's ``mongo_scan`` table function
+(src/mongo_table_function.cpp:75-724): bind = schema resolution (done by
+the engine before the DataFrame is built), init = cursor/pipeline setup
+(here: per-partition scan payload), execute = streaming conversion of
+documents into columnar batches (here: Arrow RecordBatches, the Spark
+analog of 2048-row DataChunks).
+
+Scale design (NEW vs the reference's single cursor): ``partitions()``
+exposes backend-computed splits (parquet row groups / JSONL byte ranges /
+``_id`` ranges) so a 1000-executor cluster scans in parallel; Catalyst
+filter pushdown reaches ``pushFilters`` and is compiled to MQL ``$match``.
+"""
+
+from __future__ import annotations
+
+import base64
+import pickle
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    Not,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
+)
+
+from duckdb_mongo_spark.mql import run_pipeline
+from duckdb_mongo_spark.schema.flatten import SchemaMode, flatten_document
+from duckdb_mongo_spark.schema.infer import SCHEMA_DOC_ID
+from duckdb_mongo_spark.schema.types import to_spark_schema
+
+ARROW_BATCH_ROWS = 4096
+
+FORMAT_NAME = "duckdb_mongo"
+
+
+def encode_payload(payload: dict) -> str:
+    return base64.b64encode(pickle.dumps(payload)).decode("ascii")
+
+
+def decode_payload(s: str) -> dict:
+    return pickle.loads(base64.b64decode(s.encode("ascii")))
+
+
+class MongoDataSource(DataSource):
+    """format("duckdb_mongo") — one option: ``payload`` (pickled scan plan)."""
+
+    @classmethod
+    def name(cls):
+        return FORMAT_NAME
+
+    def schema(self):
+        payload = decode_payload(self.options["payload"])
+        return to_spark_schema(payload["planned"].output_schema.fields)
+
+    def reader(self, schema):
+        return MongoScanReader(decode_payload(self.options["payload"]))
+
+
+def _filter_column(attr) -> str:
+    # ColumnPath is a tuple of path segments
+    return ".".join(attr) if isinstance(attr, (tuple, list)) else str(attr)
+
+
+def _v2_filter_to_mql(f, schema):
+    """Translate a Catalyst V2 filter pushed into the reader to MQL.
+
+    Returns None when the filter is outside the dialect (Spark keeps it)."""
+    from duckdb_mongo_spark.pushdown.filters import _encode_value, _mongo_key
+
+    def key(attr):
+        name = _filter_column(attr)
+        return _mongo_key(name, schema), name
+
+    if isinstance(f, EqualTo):
+        k, name = key(f.attribute)
+        return {k: {"$eq": _encode_value(f.value, name, schema)}}
+    if isinstance(f, GreaterThan):
+        k, name = key(f.attribute)
+        return {k: {"$gt": _encode_value(f.value, name, schema)}}
+    if isinstance(f, GreaterThanOrEqual):
+        k, name = key(f.attribute)
+        return {k: {"$gte": _encode_value(f.value, name, schema)}}
+    if isinstance(f, LessThan):
+        k, name = key(f.attribute)
+        return {k: {"$lt": _encode_value(f.value, name, schema)}}
+    if isinstance(f, LessThanOrEqual):
+        k, name = key(f.attribute)
+        return {k: {"$lte": _encode_value(f.value, name, schema)}}
+    if isinstance(f, In):
+        k, name = key(f.attribute)
+        return {k: {"$in": [_encode_value(v, name, schema) for v in f.values]}}
+    if isinstance(f, IsNull):
+        k, _ = key(f.attribute)
+        return {k: None}
+    if isinstance(f, IsNotNull):
+        k, _ = key(f.attribute)
+        return {k: {"$ne": None}}
+    if isinstance(f, StringContains):
+        k, _ = key(f.attribute)
+        import re as _re
+
+        return {k: {"$regex": _re.escape(f.value)}}
+    if isinstance(f, StringStartsWith):
+        k, _ = key(f.attribute)
+        import re as _re
+
+        return {k: {"$regex": "^" + _re.escape(f.value)}}
+    if isinstance(f, StringEndsWith):
+        k, _ = key(f.attribute)
+        import re as _re
+
+        return {k: {"$regex": _re.escape(f.value) + "$"}}
+    if isinstance(f, Not):
+        inner = _v2_filter_to_mql(f.child, schema)
+        if inner is not None and len(inner) == 1:
+            (k, cond), = inner.items()
+            if not k.startswith("$"):
+                return {k: {"$not": cond if isinstance(cond, dict) else {"$eq": cond}}}
+        return None
+    return None
+
+
+class _Part(InputPartition):
+    def __init__(self, scan_partition):
+        self.scan_partition = scan_partition
+
+
+class MongoScanReader(DataSourceReader):
+    def __init__(self, payload: dict):
+        self.backend = payload["backend"]
+        self.db = payload["db"]
+        self.coll = payload["coll"]
+        self.planned = payload["planned"]
+        self.mode = SchemaMode.parse(payload.get("mode", "PERMISSIVE"))
+        self.num_partitions = payload.get("num_partitions", 8)
+        self.seed = payload.get("seed", 42)
+        self.use_arrow = payload.get("use_arrow", True)
+        self.catalyst_match: dict | None = None
+
+    # -- Catalyst → MQL filter pushdown (engine-pushed filters are already
+    #    inside self.planned; this handles spark.sql over registered views)
+    def pushFilters(self, filters):
+        out_schema = self.planned.output_schema
+        parts = []
+        unsupported = []
+        for f in filters:
+            mql = _v2_filter_to_mql(f, out_schema)
+            if mql is None:
+                unsupported.append(f)
+            else:
+                parts.append(mql)
+        if parts:
+            from duckdb_mongo_spark.pushdown.filters import _merge_and
+
+            self.catalyst_match = _merge_and(parts)
+        return iter(unsupported)
+
+    def partitions(self):
+        if self.planned.method == "aggregate" and not self.planned.parallelizable:
+            return [_Part(None)]  # whole-collection pipeline ("server-side")
+        parts = self.backend.partitions(self.db, self.coll, self.num_partitions)
+        return [_Part(p) for p in parts]
+
+    # -- execution
+    def _docs_for(self, part):
+        if part.scan_partition is None:
+            docs = self.backend.iter_documents(self.db, self.coll)
+        else:
+            docs = self.backend.read_partition(part.scan_partition)
+        return (d for d in docs if d.get("_id") != SCHEMA_DOC_ID)
+
+    def _result_docs(self, part):
+        planned = self.planned
+        docs = self._docs_for(part)
+        if planned.method == "aggregate":
+            pipeline = list(planned.pipeline or [])
+            if self.catalyst_match:
+                pipeline = [{"$match": self.catalyst_match}] + pipeline
+            results = run_pipeline(docs, pipeline, seed=self.seed)
+            if (
+                planned.count_empty_to_zero is not None
+                and not results
+                and not self.catalyst_match
+            ):
+                # COUNT(*) over empty match → one row 0
+                # (reference src/mongo_table_function.cpp:669-683)
+                results = [{planned.count_empty_to_zero: 0}]
+            return results
+        pipeline = []
+        filt = planned.filter
+        if self.catalyst_match:
+            from duckdb_mongo_spark.pushdown.filters import merge_match
+
+            filt = merge_match(filt, self.catalyst_match)
+        if filt:
+            pipeline.append({"$match": filt})
+        if planned.limit is not None:
+            pipeline.append({"$limit": planned.limit})
+        # note: projection_doc is what we'd send to a remote server; local
+        # flattening below only materializes schema columns anyway
+        return run_pipeline(docs, pipeline, seed=self.seed)
+
+    def read(self, partition):
+        planned = self.planned
+        schema = planned.output_schema
+        rows = []
+        for doc in self._result_docs(partition):
+            row = flatten_document(doc, schema, self.mode)
+            if row is not None:
+                rows.append(row)
+        if not self.use_arrow:
+            yield from (tuple(r) for r in rows)
+            return
+        yield from _to_arrow_batches(rows, schema)
+
+
+def _arrow_type(t):
+    import pyarrow as pa
+
+    from duckdb_mongo_spark.schema.types import is_list, is_struct
+
+    if is_list(t):
+        return pa.list_(_arrow_type(t[1]))
+    if is_struct(t):
+        return pa.struct([pa.field(n, _arrow_type(ft)) for n, ft in t[1]])
+    return {
+        "VARCHAR": pa.string(),
+        "BIGINT": pa.int64(),
+        "DOUBLE": pa.float64(),
+        "BOOLEAN": pa.bool_(),
+        "DATE": pa.date32(),
+        "TIMESTAMP": pa.timestamp("us"),
+        "BLOB": pa.binary(),
+        "HUGEINT": pa.decimal128(38, 0),
+    }[t]
+
+
+def _to_arrow_batches(rows, schema):
+    import pyarrow as pa
+
+    arrow_schema = pa.schema(
+        [pa.field(f.name, _arrow_type(f.type)) for f in schema.fields]
+    )
+    n = len(rows)
+    if n == 0:
+        return
+    for start in range(0, n, ARROW_BATCH_ROWS):
+        chunk = rows[start : start + ARROW_BATCH_ROWS]
+        cols = []
+        for i, f in enumerate(schema.fields):
+            vals = [r[i] for r in chunk]
+            cols.append(pa.array(vals, type=arrow_schema.field(i).type))
+        yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)

@@ -1,0 +1,263 @@
+"""MongoFrame: the engine's query entry point with pre-Catalyst pushdown.
+
+The reference owns DuckDB's ``mongo_scan`` bind/init and rewrites the
+optimized logical plan (src/mongo_optimizer.cpp). PySpark exposes no
+Catalyst rewrite hooks, so the engine owns the *entry point* instead:
+MongoFrame accumulates filters/projections/limits/order/aggregates,
+compiles the pushable part to MQL before building the DataFrame, and
+evaluates the residual in Spark. ``explain()`` exposes the scan
+annotation (scan_method / filter / pipeline) exactly like the
+reference's EXPLAIN surface (src/mongo_table_function.cpp:45-73) so
+tests can regex-assert pushdowns.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field, replace
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from duckdb_mongo_spark.datasource import FORMAT_NAME, encode_payload
+from duckdb_mongo_spark.pushdown import predicates as P
+from duckdb_mongo_spark.pushdown.filters import compile_filter
+from duckdb_mongo_spark.pushdown.planner import AggSpec, ScanSpec, plan_scan
+from duckdb_mongo_spark.schema.flatten import render_json
+from duckdb_mongo_spark.session import register_data_source
+
+
+def _pred_to_column(pred, schema):
+    """Residual predicate AST → PySpark Column."""
+    if isinstance(pred, P.Cmp):
+        l, r = _expr_to_column(pred.left, schema), _expr_to_column(pred.right, schema)
+        return {
+            "=": l == r, "!=": l != r, "<": l < r, "<=": l <= r, ">": l > r, ">=": l >= r,
+        }[pred.op]
+    if isinstance(pred, P.In):
+        return _expr_to_column(pred.operand, schema).isin(
+            [v.value for v in pred.values]
+        )
+    if isinstance(pred, P.IsNull):
+        return _expr_to_column(pred.operand, schema).isNull()
+    if isinstance(pred, P.IsNotNull):
+        return _expr_to_column(pred.operand, schema).isNotNull()
+    if isinstance(pred, P.Regex):
+        return _expr_to_column(pred.operand, schema).rlike(pred.pattern)
+    if isinstance(pred, P.And):
+        out = _pred_to_column(pred.children[0], schema)
+        for c in pred.children[1:]:
+            out = out & _pred_to_column(c, schema)
+        return out
+    if isinstance(pred, P.Or):
+        out = _pred_to_column(pred.children[0], schema)
+        for c in pred.children[1:]:
+            out = out | _pred_to_column(c, schema)
+        return out
+    if isinstance(pred, P.Not):
+        return ~_pred_to_column(pred.child, schema)
+    raise ValueError(f"cannot translate predicate {pred!r}")
+
+
+def _col_name(name: str, schema) -> str:
+    """Map a dotted document path to the flattened scan column name."""
+    if schema is not None:
+        fmap = schema.field_map()
+        if name in fmap:
+            return name
+        flat = name.replace(".", "_")
+        if flat in fmap:
+            return flat
+    return name
+
+
+def _expr_to_column(expr, schema):
+    if isinstance(expr, P.Col):
+        return F.col(_col_name(expr.name, schema))
+    if isinstance(expr, P.Lit):
+        return F.lit(expr.value)
+    if isinstance(expr, P.BinOp):
+        l, r = _expr_to_column(expr.left, schema), _expr_to_column(expr.right, schema)
+        return {"+": l + r, "-": l - r, "*": l * r, "/": l / r, "%": l % r}[expr.op]
+    if isinstance(expr, P.Cast):
+        spark_t = {
+            "BIGINT": "long", "INT": "long", "INTEGER": "long", "LONG": "long",
+            "DOUBLE": "double", "FLOAT": "double", "VARCHAR": "string",
+            "STRING": "string", "DATE": "date", "TIMESTAMP": "timestamp",
+            "BOOLEAN": "boolean",
+        }.get(expr.type_name, expr.type_name.lower())
+        return _expr_to_column(expr.operand, schema).cast(spark_t)
+    if isinstance(expr, P.Func):
+        name = expr.name.lower()
+        args = [_expr_to_column(a, schema) for a in expr.args]
+        if name in ("substring", "substr"):
+            return F.substring(args[0], expr.args[1].value, expr.args[2].value)
+        fn = {
+            "length": F.length, "lower": F.lower, "upper": F.upper, "abs": F.abs,
+            "floor": F.floor, "ceil": F.ceil, "round": F.round, "concat": F.concat,
+            "year": F.year, "month": F.month, "day": F.dayofmonth,
+        }[name]
+        return fn(*args)
+    raise ValueError(f"cannot translate expression {expr!r}")
+
+
+@dataclass
+class MongoFrame:
+    """Lazy scan over one document collection with pushdown tracking."""
+
+    spark: object
+    backend: object
+    db: str
+    coll: str
+    schema: object  # CollectionSchema
+    schema_mode: str = "PERMISSIVE"
+    num_partitions: int = 8
+    manual_filter: dict | None = None
+    manual_pipeline: list | None = None
+    _preds: tuple = ()
+    _projection: tuple | None = None
+    _limit: int | None = None
+    _order_by_id: int | None = None
+    _group_keys: tuple | None = None
+    _aggs: tuple | None = None
+
+    # -- relational surface -------------------------------------------------
+    def filter(self, pred) -> "MongoFrame":
+        return replace(self, _preds=self._preds + (pred,))
+
+    where = filter
+
+    def select(self, *cols) -> "MongoFrame":
+        names = [c for c in (cols[0] if len(cols) == 1 and isinstance(cols[0], (list, tuple)) else cols)]
+        flat = [_col_name(c, self.schema) for c in names]
+        return replace(self, _projection=tuple(flat))
+
+    def limit(self, n: int) -> "MongoFrame":
+        return replace(self, _limit=int(n))
+
+    def order_by_id(self, descending: bool = False) -> "MongoFrame":
+        """ORDER BY _id — the only sort the source accepts (TopN, A17)."""
+        return replace(self, _order_by_id=-1 if descending else 1)
+
+    def group_by(self, *keys) -> "MongoGroupBy":
+        return MongoGroupBy(self, [
+            _col_name(k, self.schema) for k in
+            (keys[0] if len(keys) == 1 and isinstance(keys[0], (list, tuple)) else keys)
+        ])
+
+    def count_rows(self) -> "MongoFrame":
+        """COUNT(*) pushed as `$count` (A18)."""
+        return replace(self, _aggs=(AggSpec("count_star", None, "count"),), _group_keys=None)
+
+    # -- planning -----------------------------------------------------------
+    def _compiled(self):
+        pred = None
+        if self._preds:
+            pred = self._preds[0] if len(self._preds) == 1 else P.And(list(self._preds))
+        plan = compile_filter(pred, self.schema)
+        spec = ScanSpec(
+            db=self.db,
+            coll=self.coll,
+            schema=self.schema,
+            match=plan.match,
+            projection=list(self._projection) if self._projection is not None else None,
+            limit=self._limit if plan.residual is None else None,
+            order_by_id=self._order_by_id,
+            group_keys=list(self._group_keys) if self._group_keys else None,
+            aggs=list(self._aggs) if self._aggs else None,
+            manual_filter=self.manual_filter,
+            manual_pipeline=self.manual_pipeline,
+            schema_mode=self.schema_mode,
+        )
+        return spec, plan_scan(spec), plan.residual
+
+    def scan_description(self) -> str:
+        """EXPLAIN annotation (reference MongoScanToString,
+        src/mongo_table_function.cpp:45-73)."""
+        _, planned, residual = self._compiled()
+        parts = [f"MONGO_SCAN {self.db}.{self.coll}", f"scan_method={planned.method}"]
+        if planned.method == "find":
+            if planned.filter:
+                parts.append(f"filter={render_json(planned.filter)}")
+            if planned.projection_doc:
+                parts.append(f"projection={render_json(planned.projection_doc)}")
+            if planned.limit is not None:
+                parts.append(f"limit={planned.limit}")
+        else:
+            pipe = render_json(planned.pipeline)
+            if len(pipe) > 400:
+                pipe = pipe[:400] + "..."
+            parts.append(f"pipeline={pipe}")
+        if residual is not None:
+            parts.append(f"residual={residual!r}")
+        return " ".join(parts)
+
+    def explain(self, extended: bool = False) -> str:
+        desc = self.scan_description()
+        out = desc
+        if extended:
+            df = self.df()
+            out += "\n" + df._jdf.queryExecution().explainString("formatted")
+        return out
+
+    # -- materialization ----------------------------------------------------
+    def df(self) -> DataFrame:
+        spec, planned, residual = self._compiled()
+        register_data_source(self.spark)
+        payload = {
+            "backend": self.backend,
+            "db": self.db,
+            "coll": self.coll,
+            "planned": planned,
+            "mode": self.schema_mode,
+            "num_partitions": self.num_partitions,
+        }
+        df = (
+            self.spark.read.format(FORMAT_NAME)
+            .option("payload", encode_payload(payload))
+            .load()
+        )
+        if residual is not None:
+            df = df.filter(_pred_to_column(residual, planned.output_schema))
+        if self._aggs is not None and planned.method == "find":
+            # pushdown was guarded off — run the aggregate in Spark (the
+            # always-correct fallback, SURVEY §4.1)
+            keys = list(self._group_keys or [])
+            aggcols = []
+            for a in self._aggs:
+                fn = {
+                    "count_star": lambda c: F.count(F.lit(1)),
+                    "count": F.count, "sum": F.sum, "min": F.min,
+                    "max": F.max, "avg": F.avg,
+                }[a.op]
+                aggcols.append(fn(a.column if a.column else F.lit(1)).alias(a.alias))
+            df = df.groupBy(*keys).agg(*aggcols) if keys else df.agg(*aggcols)
+        if self._projection is not None and planned.method != "aggregate":
+            df = df.select(*[c for c in self._projection])
+        elif self._projection is not None and planned.method == "aggregate" and self._aggs is None:
+            df = df.select(*[c for c in self._projection])
+        if self._order_by_id is not None:
+            df = df.orderBy(
+                F.col("_id").asc() if self._order_by_id == 1 else F.col("_id").desc()
+            )
+        if self._limit is not None:
+            df = df.limit(self._limit)
+        return df
+
+    def to_df(self) -> DataFrame:
+        return self.df()
+
+    def collect(self):
+        return self.df().collect()
+
+
+class MongoGroupBy:
+    def __init__(self, frame: MongoFrame, keys: list[str]):
+        self.frame = frame
+        self.keys = keys
+
+    def agg(self, *specs) -> MongoFrame:
+        """specs: (op, column, alias) tuples; op in
+        count_star/count/sum/min/max/avg."""
+        aggs = tuple(AggSpec(op, col, alias) for op, col, alias in specs)
+        return replace(self.frame, _group_keys=tuple(self.keys) or None, _aggs=aggs)

@@ -1,0 +1,262 @@
+"""Evaluator for MQL aggregation expressions (``$expr`` and pipeline stages).
+
+Executable spec for the ``$expr`` dialect emitted by our complex-predicate
+compiler (reference emitter: /root/reference/src/mongo_expr_pushdown.cpp:
+103-421; written here from public MongoDB aggregation docs).
+
+Field paths: ``"$col"`` / ``"$a.b"``. Literals pass through; ``$literal``
+escapes. Operators cover comparison, boolean, arithmetic, string
+($strLenCP/$substrCP used by the LENGTH/SUBSTRING pushdowns A13/A14),
+conditionals, date parts, and accumulator-free array helpers.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from decimal import Decimal
+
+from duckdb_mongo_spark.mql.match import MISSING, compare_values, get_path, values_equal
+
+
+def _resolve(v, doc):
+    """Resolve an expression operand: field path, literal, operator doc, array."""
+    if isinstance(v, str) and v.startswith("$") and not v.startswith("$$"):
+        got = get_path(doc, v[1:])
+        return None if got is MISSING else got
+    if isinstance(v, dict):
+        return eval_expr(v, doc)
+    if isinstance(v, list):
+        return [_resolve(x, doc) for x in v]
+    return v
+
+
+def _num(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        raise TypeError("bool in arithmetic")
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, Decimal):
+        return float(v)
+    raise TypeError(f"non-numeric operand: {v!r}")
+
+
+def _cmp(a, b):
+    """MongoDB $cmp: total order incl. cross-type via BSON type order."""
+    c = compare_values(a, b)
+    if c is not None:
+        return c
+    if values_equal(a, b):
+        return 0
+    return -1 if _type_rank(a) < _type_rank(b) else 1
+
+
+def _type_rank(v):
+    # BSON canonical sort order (public docs): null < numbers < string <
+    # object < array < binary < objectid < bool < date
+    from duckdb_mongo_spark.bsonlike import ObjectId
+
+    if v is None:
+        return 0
+    if isinstance(v, bool):
+        return 7
+    if isinstance(v, (int, float, Decimal)):
+        return 1
+    if isinstance(v, str):
+        return 2
+    if isinstance(v, dict):
+        return 3
+    if isinstance(v, list):
+        return 4
+    if isinstance(v, (bytes, bytearray)):
+        return 5
+    if isinstance(v, ObjectId):
+        return 6
+    if isinstance(v, (_dt.date, _dt.datetime)):
+        return 8
+    return 9
+
+
+def eval_expr(expr, doc):
+    """Evaluate an aggregation expression against one document."""
+    if isinstance(expr, str) and expr.startswith("$") and not expr.startswith("$$"):
+        got = get_path(doc, expr[1:])
+        return None if got is MISSING else got
+    if not isinstance(expr, dict):
+        return expr
+    if len(expr) != 1:
+        # expression object literal: {a: <expr>, b: <expr>} builds a doc
+        return {k: _resolve(v, doc) for k, v in expr.items()}
+    (op, raw), = expr.items()
+    if not op.startswith("$"):
+        return {op: _resolve(raw, doc)}
+
+    if op == "$literal":
+        return raw
+
+    args = raw if isinstance(raw, list) else [raw]
+
+    if op in ("$eq", "$ne", "$lt", "$lte", "$gt", "$gte", "$cmp"):
+        a, b = _resolve(args[0], doc), _resolve(args[1], doc)
+        c = _cmp(a, b)
+        return {
+            "$eq": c == 0, "$ne": c != 0, "$lt": c < 0, "$lte": c <= 0,
+            "$gt": c > 0, "$gte": c >= 0, "$cmp": c,
+        }[op]
+    if op == "$and":
+        return all(_truthy(_resolve(a, doc)) for a in args)
+    if op == "$or":
+        return any(_truthy(_resolve(a, doc)) for a in args)
+    if op == "$not":
+        return not _truthy(_resolve(args[0], doc))
+    if op in ("$add", "$subtract", "$multiply", "$divide", "$mod"):
+        vals = [_resolve(a, doc) for a in args]
+        if any(v is None for v in vals):
+            return None
+        if op == "$add":
+            if any(isinstance(v, (_dt.date, _dt.datetime)) for v in vals):
+                base = next(v for v in vals if isinstance(v, (_dt.date, _dt.datetime)))
+                ms = sum(_num(v) for v in vals if not isinstance(v, (_dt.date, _dt.datetime)))
+                if not isinstance(base, _dt.datetime):
+                    base = _dt.datetime(base.year, base.month, base.day)
+                return base + _dt.timedelta(milliseconds=ms)
+            return sum(_num(v) for v in vals)
+        a, b = _num(vals[0]), _num(vals[1])
+        if op == "$subtract":
+            return a - b
+        if op == "$multiply":
+            r = 1
+            for v in vals:
+                r *= _num(v)
+            return r
+        if op == "$divide":
+            return a / b if b != 0 else None
+        return math.fmod(a, b) if isinstance(a, float) or isinstance(b, float) else a % b
+    if op == "$abs":
+        v = _resolve(args[0], doc)
+        return None if v is None else abs(_num(v))
+    if op in ("$floor", "$ceil", "$round", "$trunc", "$sqrt", "$ln", "$log10", "$exp", "$pow"):
+        v = _resolve(args[0], doc)
+        if v is None:
+            return None
+        n = _num(v)
+        if op == "$floor":
+            return math.floor(n)
+        if op == "$ceil":
+            return math.ceil(n)
+        if op == "$round":
+            p = int(_resolve(args[1], doc)) if len(args) > 1 else 0
+            return round(n, p)
+        if op == "$trunc":
+            return math.trunc(n)
+        if op == "$sqrt":
+            return math.sqrt(n)
+        if op == "$ln":
+            return math.log(n)
+        if op == "$log10":
+            return math.log10(n)
+        if op == "$exp":
+            return math.exp(n)
+        return n ** _num(_resolve(args[1], doc))
+    if op == "$strLenCP":
+        v = _resolve(args[0], doc)
+        return None if v is None else len(str(v))
+    if op == "$substrCP":
+        s = _resolve(args[0], doc)
+        if s is None:
+            return None
+        start = int(_resolve(args[1], doc))
+        length = int(_resolve(args[2], doc))
+        return str(s)[start : start + max(length, 0)]
+    if op == "$toLower":
+        v = _resolve(args[0], doc)
+        return "" if v is None else str(v).lower()
+    if op == "$toUpper":
+        v = _resolve(args[0], doc)
+        return "" if v is None else str(v).upper()
+    if op == "$concat":
+        vals = [_resolve(a, doc) for a in args]
+        if any(v is None for v in vals):
+            return None
+        return "".join(str(v) for v in vals)
+    if op == "$split":
+        s, sep = _resolve(args[0], doc), _resolve(args[1], doc)
+        return None if s is None else str(s).split(str(sep))
+    if op == "$trim":
+        spec = raw if isinstance(raw, dict) else {"input": args[0]}
+        s = _resolve(spec["input"], doc)
+        chars = spec.get("chars")
+        return None if s is None else str(s).strip(chars)
+    if op == "$cond":
+        if isinstance(raw, dict):
+            cond, then, els = raw["if"], raw["then"], raw["else"]
+        else:
+            cond, then, els = args
+        return _resolve(then, doc) if _truthy(_resolve(cond, doc)) else _resolve(els, doc)
+    if op == "$ifNull":
+        for a in args:
+            v = _resolve(a, doc)
+            if v is not None:
+                return v
+        return None
+    if op == "$in":
+        v, arr = _resolve(args[0], doc), _resolve(args[1], doc)
+        return any(values_equal(v, x) for x in (arr or []))
+    if op == "$size":
+        v = _resolve(args[0], doc)
+        return None if v is None else len(v)
+    if op == "$arrayElemAt":
+        arr, idx = _resolve(args[0], doc), int(_resolve(args[1], doc))
+        if arr is None:
+            return None
+        if -len(arr) <= idx < len(arr):
+            return arr[idx]
+        return None
+    if op in ("$year", "$month", "$dayOfMonth", "$hour", "$minute", "$second"):
+        v = _resolve(args[0], doc)
+        if v is None:
+            return None
+        if isinstance(v, _dt.datetime):
+            pass
+        elif isinstance(v, _dt.date):
+            v = _dt.datetime(v.year, v.month, v.day)
+        attr = {
+            "$year": "year", "$month": "month", "$dayOfMonth": "day",
+            "$hour": "hour", "$minute": "minute", "$second": "second",
+        }[op]
+        return getattr(v, attr)
+    if op == "$dateToString":
+        v = _resolve(raw["date"], doc)
+        fmt = raw.get("format", "%Y-%m-%dT%H:%M:%S.%LZ")
+        if v is None:
+            return None
+        if not isinstance(v, _dt.datetime):
+            v = _dt.datetime(v.year, v.month, v.day)
+        fmt = fmt.replace("%L", f"{v.microsecond // 1000:03d}")
+        return v.strftime(fmt)
+    if op == "$toString":
+        v = _resolve(args[0], doc)
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+    if op in ("$toInt", "$toLong"):
+        v = _resolve(args[0], doc)
+        return None if v is None else int(float(v))
+    if op == "$toDouble":
+        v = _resolve(args[0], doc)
+        return None if v is None else float(v)
+    if op == "$type":
+        from duckdb_mongo_spark.bsonlike import bson_type_name
+
+        v = _resolve(args[0], doc)
+        name = bson_type_name(v)
+        return {"int64": "long", "decimal128": "decimal"}.get(name, name)
+    raise ValueError(f"unsupported aggregation expression operator: {op}")
+
+
+def _truthy(v) -> bool:
+    return not (v is None or v is False or v == 0)

@@ -1,0 +1,267 @@
+"""Local aggregation-pipeline interpreter.
+
+Executes the pipeline dialect our pushdown planner emits —
+``$match $project $addFields $group $sort $skip $limit $count $sample
+$unwind`` — against an iterable of Python-dict documents. This is the
+hermetic stand-in for mongod: the reference ships pipelines to a real
+server (/root/reference/src/mongo_table_function.cpp:326-366); we execute
+the same dialect locally so every pushdown has an executable oracle.
+
+Determinism: ``$sample`` takes an optional ``seed`` (extension to the
+public dialect) so schema inference is reproducible in tests.
+"""
+
+from __future__ import annotations
+
+import random
+
+from duckdb_mongo_spark.mql.expr import _type_rank, eval_expr
+from duckdb_mongo_spark.mql.match import MISSING, compare_values, get_path, matches_filter
+
+
+def _sort_key(doc, field):
+    v = get_path(doc, field)
+    if v is MISSING:
+        v = None
+    return _OrderedVal(v)
+
+
+class _OrderedVal:
+    """Total order over mixed-type values per BSON canonical sort order."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, other):
+        a, b = self.v, other.v
+        c = compare_values(a, b)
+        if c is not None:
+            return c < 0
+        ra, rb = _type_rank(a), _type_rank(b)
+        if ra != rb:
+            return ra < rb
+        return str(a) < str(b)
+
+    def __eq__(self, other):
+        c = compare_values(self.v, other.v)
+        return c == 0 if c is not None else str(self.v) == str(other.v)
+
+
+def _project(docs, spec):
+    inclusion = None
+    computed = {}
+    excluded = set()
+    include_id = True
+    for k, v in spec.items():
+        if k == "_id" and v in (0, False):
+            include_id = False
+        elif v in (1, True):
+            inclusion = True
+        elif v in (0, False):
+            excluded.add(k)
+            inclusion = False if inclusion is None else inclusion
+        else:
+            computed[k] = v
+            inclusion = True
+    for doc in docs:
+        if inclusion is False or (inclusion is None and not computed):
+            out = {k: v for k, v in doc.items() if k not in excluded}
+            if not include_id:
+                out.pop("_id", None)
+        else:
+            out = {}
+            if include_id and "_id" in doc:
+                out["_id"] = doc["_id"]
+            for k, v in spec.items():
+                if k == "_id":
+                    continue
+                if v in (1, True):
+                    got = get_path(doc, k)
+                    if got is not MISSING:
+                        out[k] = got
+                elif k in computed:
+                    out[k] = eval_expr(v, doc)
+        yield out
+
+
+_ACCUMULATORS = {"$sum", "$min", "$max", "$avg", "$first", "$last", "$push", "$addToSet", "$count"}
+
+
+def _group(docs, spec):
+    id_expr = spec["_id"]
+    accs = {k: v for k, v in spec.items() if k != "_id"}
+    groups: dict = {}
+    order: list = []
+    for doc in docs:
+        gid = eval_expr(id_expr, doc) if id_expr is not None else None
+        key = _freeze(gid)
+        if key not in groups:
+            groups[key] = {"_gid": gid, "_state": {k: None for k in accs}, "_n": {k: 0 for k in accs}}
+            order.append(key)
+        g = groups[key]
+        for name, accdoc in accs.items():
+            (op, arg), = accdoc.items()
+            if op == "$count":
+                g["_state"][name] = (g["_state"][name] or 0) + 1
+                continue
+            val = eval_expr(arg, doc)
+            st = g["_state"][name]
+            if op == "$sum":
+                if isinstance(val, bool) or not isinstance(val, (int, float)):
+                    val = 0 if not isinstance(val, (int, float)) else val
+                g["_state"][name] = (st or 0) + val
+            elif op == "$avg":
+                if isinstance(val, (int, float)) and not isinstance(val, bool):
+                    g["_state"][name] = (st or 0) + val
+                    g["_n"][name] += 1
+            elif op == "$min":
+                if val is not None and (st is None or compare_values(val, st) == -1):
+                    g["_state"][name] = val
+            elif op == "$max":
+                if val is not None and (st is None or compare_values(val, st) == 1):
+                    g["_state"][name] = val
+            elif op == "$first":
+                if g["_n"][name] == 0:
+                    g["_state"][name] = val
+                    g["_n"][name] = 1
+            elif op == "$last":
+                g["_state"][name] = val
+            elif op == "$push":
+                g["_state"][name] = (st or []) + [val]
+            elif op == "$addToSet":
+                cur = st or []
+                if not any(_freeze(val) == _freeze(x) for x in cur):
+                    cur = cur + [val]
+                g["_state"][name] = cur
+            else:
+                raise ValueError(f"unsupported accumulator: {op}")
+    for key in order:
+        g = groups[key]
+        out = {"_id": g["_gid"]}
+        for name, accdoc in accs.items():
+            (op, _), = accdoc.items()
+            v = g["_state"][name]
+            if op == "$avg":
+                v = (v / g["_n"][name]) if g["_n"][name] else None
+            elif op in ("$sum", "$count") and v is None:
+                v = 0
+            out[name] = v
+        yield out
+
+
+def _freeze(v):
+    if isinstance(v, dict):
+        return ("d",) + tuple((k, _freeze(x)) for k, x in v.items())
+    if isinstance(v, list):
+        return ("l",) + tuple(_freeze(x) for x in v)
+    return (type(v).__name__, v)
+
+
+def _unwind(docs, spec):
+    if isinstance(spec, str):
+        path, keep_empty = spec, False
+    else:
+        path, keep_empty = spec["path"], spec.get("preserveNullAndEmptyArrays", False)
+    field = path[1:] if path.startswith("$") else path
+    for doc in docs:
+        val = get_path(doc, field)
+        if val is MISSING or val is None or (isinstance(val, list) and not val):
+            if keep_empty:
+                out = dict(doc)
+                out.pop(field, None)
+                yield out
+            continue
+        if not isinstance(val, list):
+            yield doc
+            continue
+        for el in val:
+            out = dict(doc)
+            _set_path(out, field, el)
+            yield out
+
+
+def _set_path(doc, path, value):
+    parts = path.split(".")
+    cur = doc
+    for p in parts[:-1]:
+        nxt = cur.get(p)
+        if not isinstance(nxt, dict):
+            nxt = {}
+            cur[p] = nxt
+        else:
+            nxt = dict(nxt)
+            cur[p] = nxt
+        cur = nxt
+    cur[parts[-1]] = value
+
+
+def run_pipeline(docs, pipeline, seed: int | None = None):
+    """Run an aggregation pipeline over an iterable of dict documents.
+
+    Returns a list of result documents. ``seed`` makes ``$sample``
+    deterministic (used by schema inference).
+    """
+    stream = iter(docs)
+    for stage in pipeline:
+        (op, spec), = stage.items()
+        if op == "$match":
+            def _match(ds, sp=spec):
+                for d in ds:
+                    if matches_filter(d, sp):
+                        yield d
+            stream = _match(stream)
+        elif op == "$project":
+            stream = _project(stream, spec)
+        elif op == "$addFields" or op == "$set":
+            def _add(ds, sp=spec):
+                for d in ds:
+                    out = dict(d)
+                    for k, v in sp.items():
+                        out[k] = eval_expr(v, d)
+                    yield out
+            stream = _add(stream)
+        elif op == "$group":
+            stream = _group(stream, spec)
+        elif op == "$sort":
+            materialized = list(stream)
+            for field, direction in reversed(list(spec.items())):
+                materialized.sort(
+                    key=lambda d, f=field: _sort_key(d, f),
+                    reverse=(direction == -1),
+                )
+            stream = iter(materialized)
+        elif op == "$skip":
+            def _skip(ds, n=int(spec)):
+                for i, d in enumerate(ds):
+                    if i >= n:
+                        yield d
+            stream = _skip(stream)
+        elif op == "$limit":
+            def _limit(ds, n=int(spec)):
+                for i, d in enumerate(ds):
+                    if i >= n:
+                        return
+                    yield d
+            stream = _limit(stream)
+        elif op == "$count":
+            n = sum(1 for _ in stream)
+            # mongod emits NO document when input is empty; the engine's
+            # COUNT fast path turns that into a single 0 row
+            # (reference: src/mongo_table_function.cpp:669-683).
+            stream = iter([{spec: n}] if n > 0 else [])
+        elif op == "$sample":
+            size = spec["size"]
+            materialized = list(stream)
+            rng = random.Random(seed if seed is not None else spec.get("seed"))
+            if size >= len(materialized):
+                stream = iter(materialized)
+            else:
+                idx = sorted(rng.sample(range(len(materialized)), size))
+                stream = iter([materialized[i] for i in idx])
+        elif op == "$unwind":
+            stream = _unwind(stream, spec)
+        else:
+            raise ValueError(f"unsupported pipeline stage: {op}")
+    return list(stream)

@@ -1,0 +1,56 @@
+"""mongo_scan — direct table-function entry point (reference EP2,
+``SELECT * FROM mongo_scan('conn','db','coll', ...)``,
+src/mongo_table_function.cpp:75-172).
+
+Unlike the attached-catalog path, the schema is re-resolved per call
+(the reference documents the same: direct mongo_scan has no cache,
+README.md:566).
+"""
+
+from __future__ import annotations
+
+from duckdb_mongo_spark.catalog import backend_for
+from duckdb_mongo_spark.frame import MongoFrame
+from duckdb_mongo_spark.schema.infer import resolve_schema
+
+
+def infer_collection_schema(conn, db: str, coll: str, sample_size: int = 100, seed: int = 42):
+    """Engine-level ``infer_schema(collection, sample_size)`` helper."""
+    backend, _ = backend_for(conn)
+    return resolve_schema(backend, db, coll, sample_size=sample_size, seed=seed)
+
+
+def mongo_scan(
+    spark,
+    conn,
+    db: str,
+    coll: str,
+    filter: dict | None = None,
+    pipeline: list | None = None,
+    columns: dict | None = None,
+    sample_size: int = 100,
+    schema_mode: str = "PERMISSIVE",
+    num_partitions: int = 8,
+    secret: str | None = None,
+) -> MongoFrame:
+    """Scan one collection; returns a MongoFrame (lazy, pushdown-capable).
+
+    Parameters mirror the reference table function: ``filter`` is a raw
+    MQL filter merged into the pushed ``$match`` (A23), ``pipeline`` a
+    full aggregation pipeline that switches the scan to aggregate()
+    (A24), ``columns`` the user-declared schema (tier 1), ``schema_mode``
+    PERMISSIVE / DROPMALFORMED / FAILFAST.
+    """
+    backend, _ = backend_for(conn, secret=secret)
+    schema = resolve_schema(backend, db, coll, columns=columns, sample_size=sample_size)
+    return MongoFrame(
+        spark=spark,
+        backend=backend,
+        db=db,
+        coll=coll,
+        schema=schema,
+        schema_mode=str(schema_mode).upper(),
+        num_partitions=num_partitions,
+        manual_filter=filter,
+        manual_pipeline=pipeline,
+    )

@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on local[N]; the configs are chosen to survive a
+100 TB cluster deployment unchanged (AQE on, skew-join handling,
+Arrow-batched Python transfers, UTC session timezone for oracle parity).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_registered_sessions: set[int] = set()
+
+
+def get_spark(app_name: str = "duckdb_mongo_spark", extra_conf: dict | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.default.parallelism", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.python.filterPushdown.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    register_data_source(spark)
+    return spark
+
+
+def register_data_source(spark: SparkSession) -> None:
+    """Register the engine's Python DataSource (idempotent per session)."""
+    key = id(spark)
+    if key in _registered_sessions:
+        return
+    from duckdb_mongo_spark.datasource import MongoDataSource
+
+    spark.dataSource.register(MongoDataSource)
+    _registered_sessions.add(key)

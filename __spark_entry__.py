@@ -1,10 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (TPC-H Q1 shape) at sf0.001.
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (engine pushdown paths, Spark SQL surface, NEW
+dedup/similarity/text/multimodal operators). ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for the driver's correctness gate.
+
+Oracle-parity design notes:
+- money/quantity aggregates go through ``CAST(SUM(CAST(x AS
+  DECIMAL(18,s))) AS DOUBLE)`` — decimal sums are exact, so Spark and
+  DuckDB agree bit-for-bit regardless of summation order;
+- every hash is md5-based (portable across engines);
+- time arithmetic uses integer microseconds (``unix_micros`` /
+  ``epoch_us``);
+- ranked outputs break ties on a key column so LIMIT sets are stable.
 """
 
 from __future__ import annotations
@@ -13,26 +22,759 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _load_table(spark: SparkSession, sf_dir: str, t: str) -> DataFrame:
+    path = f"{sf_dir}/{t}.parquet"
+    try:
+        df = spark.read.parquet(path)
+        # force schema resolution now so TIMESTAMP(NANOS) surfaces here
+        df.schema
+        return df
+    except Exception:
+        pass
+    # Spark can't read parquet TIMESTAMP(NANOS) (events.ts): read nanos as
+    # long and truncate to micros (exactly DuckDB's read behavior).
+    from pyspark.sql import functions as F
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        for field in df.schema.fields:
+            if field.name == "ts" and field.dataType.simpleString() == "bigint":
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+
+
+def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        _load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def _register(name: str, fn, oracle: str | None = None) -> None:
+    _QUERIES[name] = fn
+    if oracle is not None:
+        _ORACLES[name] = oracle
+
+
+def _sql_query(name: str, tables: list[str], spark_sql: str, oracle: str | None = None) -> None:
+    """Register a query given as SQL (oracle defaults to the same text —
+    most of the surface is expressed in the common ANSI subset)."""
+
+    def fn(spark: SparkSession, sf_dir: str, _sql=spark_sql, _tables=tuple(tables)) -> DataFrame:
+        _views(spark, sf_dir, *_tables)
+        return spark.sql(_sql)
+
+    _register(name, fn, oracle if oracle is not None else spark_sql)
+
+
+def _dsum(expr: str, scale: int = 4) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+# ===========================================================================
+# A. TPC-H-shape relational surface (SURVEY §2B — Spark SQL built-ins)
+# ===========================================================================
+
+_sql_query(
+    "q1_pricing_summary",
+    ["lineitem"],
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum('l_quantity', 2)} AS sum_qty,
+           {_dsum('l_extendedprice', 2)} AS sum_base_price,
+           {_dsum('l_extendedprice * (1 - l_discount)', 6)} AS sum_disc_price,
+           {_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           {_dsum('l_quantity', 2)} / COUNT(*) AS avg_qty,
+           {_dsum('l_extendedprice', 2)} / COUNT(*) AS avg_price,
+           {_dsum('l_discount', 2)} / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+
+_sql_query(
+    "q3_shipping_priority",
+    ["customer", "orders", "lineitem"],
+    f"""
+    SELECT o.o_orderkey, {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+
+_sql_query(
+    "q5_local_supplier_volume",
+    ["customer", "orders", "lineitem", "supplier", "nation", "region"],
+    f"""
+    SELECT n.n_name, {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+)
+
+_sql_query(
+    "q6_forecast_revenue",
+    ["lineitem"],
+    f"""
+    SELECT {_dsum('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+
+_sql_query(
+    "q10_returned_items",
+    ["customer", "orders", "lineitem", "nation"],
+    f"""
+    SELECT c.c_custkey, c.c_name, {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+
+_sql_query(
+    "q4_order_priority_semi",
+    ["orders", "lineitem"],
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+
+_sql_query(
+    "q_anti_join_inactive",
+    ["customer", "orders"],
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n_inactive
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+
+_sql_query(
+    "q18_large_orders",
+    ["customer", "orders", "lineitem"],
+    f"""
+    SELECT c.c_custkey, o.o_orderkey, {_dsum('l.l_quantity', 2)} AS total_qty
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, o.o_orderkey
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 150
+    ORDER BY total_qty DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+
+_sql_query(
+    "q19_brand_revenue",
+    ["lineitem", "part"],
+    f"""
+    SELECT p.p_brand, COUNT(*) AS n, {_dsum('l.l_extendedprice', 2)} AS total
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_type = 'PROMO' AND l.l_quantity >= 10
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+)
+
+_sql_query(
+    "q_window_topk_per_customer",
+    ["orders"],
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) t
+    WHERE rn <= 3 AND o_custkey <= 200
+    ORDER BY o_custkey, rn
+    """,
+)
+
+_sql_query(
+    "q_rollup_lineitem",
+    ["lineitem"],
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {_dsum('l_quantity', 2)} AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+
+_sql_query(
+    "q_count_distinct",
+    ["customer"],
+    """
+    SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+
+_sql_query(
+    "q_intersect_nations",
+    ["customer"],
+    """
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    ORDER BY c_nationkey
+    """,
+)
+
+_sql_query(
+    "q_except_nations",
+    ["customer", "supplier"],
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+
+_sql_query(
+    "q_cte_above_avg_balance",
+    ["customer"],
+    """
+    WITH nation_stats AS (
+        SELECT c_nationkey,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT c.c_custkey, c.c_name, c.c_acctbal
+    FROM customer c JOIN nation_stats ns ON c.c_nationkey = ns.c_nationkey
+    WHERE c.c_acctbal > 2 * ns.avg_bal
+    ORDER BY c.c_custkey
+    """,
+)
+
+_sql_query(
+    "q_pivot_conditional",
+    ["lineitem"],
+    """
+    SELECT l_returnflag,
+           COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_open,
+           COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_filled
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+
+_sql_query(
+    "q_unnest_word_counts",
+    ["documents"],
+    """
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT explode(split(lower(text), ' ')) AS word FROM documents) t
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) t
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+)
+
+_sql_query(
+    "q_json_extract",
+    ["events"],
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+
+_sql_query(
+    "q_time_bucket",
+    ["events"],
+    f"""
+    SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n,
+           {_dsum('value', 6)} AS v
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+    GROUP BY date_trunc('hour', ts), event_type
+    ORDER BY h, event_type
+    """,
+)
+
+_sql_query(
+    "q_sessionize",
+    ["events"],
+    """
+    WITH g AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR unix_micros(ts) - unix_micros(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM g GROUP BY user_id ORDER BY user_id
+    """,
+    oracle="""
+    WITH g AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM g GROUP BY user_id ORDER BY user_id
+    """,
+)
+
+# ===========================================================================
+# B. Engine pushdown paths (SURVEY §2A — the federation layer itself,
+#    running over the parquet tables exposed as a document backend)
+# ===========================================================================
+
+
+def _pq_backend(sf_dir: str, id_field: str | None = None):
+    from duckdb_mongo_spark.backends import ParquetBackend
+
+    return ParquetBackend(sf_dir, db_name="main", id_field=id_field)
+
+
+def _mongo_filter_projection(spark, sf_dir):
+    from duckdb_mongo_spark import mongo_scan
+    from duckdb_mongo_spark.pushdown import C
+
+    mf = mongo_scan(spark, _pq_backend(sf_dir), "main", "orders")
+    return (
+        mf.filter((C("o_totalprice") > 400000.0) & C("o_orderstatus").isin("O", "F"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .df()
+    )
+
+
+_register(
+    "mongo_filter_projection",
+    _mongo_filter_projection,
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders
+    WHERE o_totalprice > 400000.0 AND o_orderstatus IN ('O', 'F')
+    """,
+)
+
+
+def _mongo_expr_pushdown(spark, sf_dir):
+    from duckdb_mongo_spark import mongo_scan
+    from duckdb_mongo_spark.pushdown import C
+
+    mf = mongo_scan(spark, _pq_backend(sf_dir), "main", "customer")
+    return (
+        mf.filter(C("c_mktsegment").substring(1, 4) == "AUTO")
+        .select("c_custkey", "c_mktsegment")
+        .df()
+    )
+
+
+_register(
+    "mongo_expr_pushdown",
+    _mongo_expr_pushdown,
+    "SELECT c_custkey, c_mktsegment FROM customer WHERE substring(c_mktsegment, 1, 4) = 'AUTO'",
+)
+
+
+def _mongo_agg_pushdown(spark, sf_dir):
+    from duckdb_mongo_spark import mongo_scan
+
+    mf = mongo_scan(spark, _pq_backend(sf_dir), "main", "orders")
+    return (
+        mf.group_by("o_orderstatus")
+        .agg(
+            ("count_star", None, "n_orders"),
+            ("min", "o_totalprice", "min_price"),
+            ("max", "o_totalprice", "max_price"),
+        )
+        .df()
+    )
+
+
+_register(
+    "mongo_agg_pushdown",
+    _mongo_agg_pushdown,
+    """
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+
+
+def _mongo_count_pushdown(spark, sf_dir):
+    from duckdb_mongo_spark import mongo_scan
+
+    return mongo_scan(spark, _pq_backend(sf_dir), "main", "supplier").count_rows().df()
+
+
+_register(
+    "mongo_count_pushdown",
+    _mongo_count_pushdown,
+    "SELECT COUNT(*) AS count FROM supplier",
+)
+
+
+def _mongo_topn_pushdown(spark, sf_dir):
+    from duckdb_mongo_spark import mongo_scan
+
+    mf = mongo_scan(spark, _pq_backend(sf_dir, id_field="o_orderkey"), "main", "orders")
+    return mf.order_by_id(descending=True).limit(10).select("_id", "o_totalprice").df()
+
+
+_register(
+    "mongo_topn_pushdown",
+    _mongo_topn_pushdown,
+    "SELECT o_orderkey AS _id, o_totalprice FROM orders ORDER BY o_orderkey DESC LIMIT 10",
+)
+
+# ===========================================================================
+# C. NEW operators (dedup / similarity / text / multimodal)
+# ===========================================================================
+
+_SHINGLE_TOKS_SQL = (
+    "list_filter(string_split_regex(trim(regexp_replace(lower(text), "
+    "'[^a-z0-9\\s]', ' ', 'g')), '\\s+'), x -> x <> '')"
+)
+_SHINGLE_GRAMS_SQL = f"""
+    WITH tk AS (SELECT doc_id, {_SHINGLE_TOKS_SQL} AS t FROM documents),
+    grams AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_transform(generate_series(1, len(t) - 2),
+                                        i -> array_to_string(t[i:i+2], ' '))
+                    ELSE [array_to_string(t, ' ')] END AS g
+        FROM tk)
+"""
+
+
+def _dedup_exact_groups(spark, sf_dir):
+    from duckdb_mongo_spark.ops.dedup import exact_duplicate_groups
+
+    _views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    return exact_duplicate_groups(docs, ["lang", "n_chars"], "doc_id").orderBy("lang", "n_chars")
+
+
+_register(
+    "dedup_exact_groups",
+    _dedup_exact_groups,
+    """
+    SELECT lang, n_chars, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+    FROM documents GROUP BY lang, n_chars HAVING COUNT(*) > 1
+    ORDER BY lang, n_chars
+    """,
+)
+
+
+def _dedup_minhash(spark, sf_dir):
+    from duckdb_mongo_spark.ops.dedup import minhash_signatures
+
+    _views(spark, sf_dir, "documents")
+    return minhash_signatures(spark.table("documents"), "doc_id", "text", k=4).orderBy("doc_id")
+
+
+_register(
+    "dedup_minhash_signatures",
+    _dedup_minhash,
+    _SHINGLE_GRAMS_SQL
+    + """
+    SELECT doc_id,
+           list_min(list_transform(g, s -> md5('0:' || s))) AS minhash_0,
+           list_min(list_transform(g, s -> md5('1:' || s))) AS minhash_1,
+           list_min(list_transform(g, s -> md5('2:' || s))) AS minhash_2,
+           list_min(list_transform(g, s -> md5('3:' || s))) AS minhash_3
+    FROM grams ORDER BY doc_id
+    """,
+)
+
+
+def _dedup_jaccard_pairs(spark, sf_dir):
+    from duckdb_mongo_spark.ops.dedup import near_dup_pairs_jaccard
+
+    _views(spark, sf_dir, "documents")
+    return near_dup_pairs_jaccard(
+        spark.table("documents"), "doc_id", "text", threshold=0.2
+    ).orderBy("a", "b")
+
+
+_register(
+    "dedup_jaccard_pairs",
+    _dedup_jaccard_pairs,
+    _SHINGLE_GRAMS_SQL
+    + """
+    , sh AS (SELECT doc_id AS doc, unnest(list_distinct(g)) AS shingle FROM grams),
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+    inter AS (SELECT a.doc AS a, b.doc AS b, COUNT(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+              GROUP BY a.doc, b.doc)
+    SELECT i.a, i.b, i.inter, sa.sz AS size_a, sb.sz AS size_b,
+           round(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) AS jaccard
+    FROM inter i JOIN sizes sa ON i.a = sa.doc JOIN sizes sb ON i.b = sb.doc
+    WHERE round(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) >= 0.2
+    ORDER BY i.a, i.b
+    """,
+)
+
+
+def _dedup_simhash(spark, sf_dir):
+    from duckdb_mongo_spark.ops.dedup import simhash
+
+    _views(spark, sf_dir, "documents")
+    return simhash(spark.table("documents"), "doc_id", "text", bits=16).orderBy("doc_id")
+
+
+def _simhash_oracle() -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(16)
+    )
+    simexpr = " + ".join(f"(CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(16))
+    return f"""
+    WITH tk AS (SELECT doc_id, {_SHINGLE_TOKS_SQL} AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM tk),
+    h AS (SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 4) AS INTEGER) AS hv FROM tok),
+    v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({simexpr} AS BIGINT) AS simhash FROM v ORDER BY doc_id
+    """
+
+
+_register("dedup_simhash", _dedup_simhash, _simhash_oracle())
+
+_COSINE_SQL = (
+    "round(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * cv[i]))"
+    " / (sqrt(list_sum(list_transform(qv, x -> x * x)))"
+    " * sqrt(list_sum(list_transform(cv, x -> x * x)))), 6)"
+)
+
+
+def _sim_cosine_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from duckdb_mongo_spark.ops.similarity import cosine_topk
+
+    _views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return cosine_topk(queries, emb, k=5).orderBy("q_id", "rank")
+
+
+_register(
+    "sim_cosine_topk",
+    _sim_cosine_topk,
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (SELECT q_id, c_id, {_COSINE_SQL} AS score FROM q, c),
+    ranked AS (SELECT q_id, c_id, score,
+                      ROW_NUMBER() OVER (PARTITION BY q_id
+                                         ORDER BY score DESC, c_id) AS rank
+               FROM scored)
+    SELECT q_id, c_id AS vec_id, score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+    """,
+)
+
+
+def _sim_embedding_near_dup(spark, sf_dir):
+    from duckdb_mongo_spark.ops.similarity import embedding_near_dup_pairs
+
+    _views(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        spark.table("embeddings"), threshold=0.8, exact=True
+    ).orderBy("a", "b")
+
+
+_register(
+    "sim_embedding_near_dup",
+    _sim_embedding_near_dup,
+    f"""
+    WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS (SELECT l.id AS a, r.id AS b, l.v AS qv, r.v AS cv
+              FROM c l JOIN c r ON l.id < r.id)
+    SELECT a, b, {_COSINE_SQL} AS score
+    FROM pairs WHERE {_COSINE_SQL} >= 0.8 ORDER BY a, b
+    """,
+)
+
+
+def _sim_lsh_topk(spark, sf_dir):
+    """ANN variant — no SQL oracle (approximate by construction); the
+    driver records a rows-only check. Recall vs exact is covered in
+    tests/test_ops_similarity.py."""
+    from pyspark.sql import functions as F
+
+    from duckdb_mongo_spark.ops.similarity import lsh_topk
+
+    _views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return lsh_topk(queries, emb, k=5, n_planes=4, dim=64).orderBy("q_id", "rank")
+
+
+_register("sim_lsh_topk", _sim_lsh_topk, None)
+
+
+def _text_analysis(spark, sf_dir):
+    from duckdb_mongo_spark.ops.text import with_analysis
+
+    _views(spark, sf_dir, "documents")
+    out = with_analysis(spark.table("documents"))
+    return out.select(
+        "doc_id", "n_tokens", "n_bpe_tokens", "punct_ratio", "stopword_ratio",
+        "avg_token_len", "quality", "lang_id", "fingerprint",
+    ).orderBy("doc_id")
+
+
+def _text_oracle() -> str:
+    from duckdb_mongo_spark.ops import text as tx
+
+    toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    return f"""
+    SELECT doc_id,
+           CAST({tx.token_count_sql()} AS INTEGER) AS n_tokens,
+           CAST({tx.bpe_token_count_sql()} AS INTEGER) AS n_bpe_tokens,
+           {tx.punct_ratio_sql()} AS punct_ratio,
+           {tx.stopword_ratio_sql()} AS stopword_ratio,
+           CASE WHEN len({toks}) > 0
+                THEN list_sum(list_transform({toks}, t -> length(t))) / CAST(len({toks}) AS DOUBLE)
+                ELSE 0.0 END AS avg_token_len,
+           {tx.quality_score_sql()} AS quality,
+           {tx.language_id_sql()} AS lang_id,
+           {tx.fingerprint_sql()} AS fingerprint
+    FROM documents ORDER BY doc_id
+    """
+
+
+_register("text_analysis", _text_analysis, _text_oracle())
+
+
+def _multimodal_meta(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from duckdb_mongo_spark.ops.multimodal import attach_media_column, fake_decode_meta
+
+    _views(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "text")
+    media = attach_media_column(docs, F.col("text"), mime="text/plain").drop("text")
+    return fake_decode_meta(media).select(
+        "doc_id", "mime", "n_bytes", "checksum", "width", "height", "n_frames"
+    ).orderBy("doc_id")
+
+
+_register(
+    "multimodal_meta",
+    _multimodal_meta,
+    """
+    SELECT doc_id, 'text/plain' AS mime,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum,
+           CAST(64 + CAST('0x' || substring(md5(text), 1, 4) AS INTEGER) % 1985 AS BIGINT) AS width,
+           CAST(64 + CAST('0x' || substring(md5(text), 5, 4) AS INTEGER) % 1985 AS BIGINT) AS height,
+           CAST(1 + CAST('0x' || substring(md5(text), 9, 4) AS INTEGER) % 300 AS BIGINT) AS n_frames
+    FROM documents ORDER BY doc_id
+    """,
+)
+
+
+# ===========================================================================
+# driver contract
+# ===========================================================================
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 shape) on /root/testdata/sf0.001."""
+    return _QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

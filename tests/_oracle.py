@@ -1,0 +1,126 @@
+"""Local emulation of the driver's correctness gate: run a queries() entry
+on Spark and its oracle_sql() on DuckDB over the same parquet tables, then
+compare row count / column names / order-insensitive values.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from decimal import Decimal
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duckdb_con(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _sortable(v):
+    if isinstance(v, tuple):
+        return (2, tuple(_sortable(x) for x in v))
+    return (0, "") if v is None else (1, str(v))
+
+
+def rows_key(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    normed = [tuple(_norm(r[i]) for i in order) for r in rows]
+    return sorted(normed, key=lambda row: tuple(_sortable(v) for v in row))
+
+
+def compare(spark_df, con, sql) -> dict:
+    spark_rows = spark_df.collect()
+    spark_cols = spark_df.columns
+    res = con.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    out = {
+        "rows_spark": len(spark_rows),
+        "rows_duck": len(duck_rows),
+        "cols_spark": sorted(spark_cols),
+        "cols_duck": sorted(duck_cols),
+    }
+    out["count_match"] = out["rows_spark"] == out["rows_duck"]
+    out["cols_match"] = out["cols_spark"] == out["cols_duck"]
+    if not (out["count_match"] and out["cols_match"]):
+        out["value_match"] = False
+        return out
+    a = rows_key([tuple(r) for r in spark_rows], spark_cols)
+    b = rows_key(duck_rows, duck_cols)
+    out["value_match"] = a == b
+    if not out["value_match"]:
+        diffs = [(x, y) for x, y in zip(a, b) if x != y]
+        out["first_diffs"] = diffs[:3]
+    return out
+
+
+def check_all(sf_dir: str, only: list[str] | None = None, spark=None) -> dict:
+    import __spark_entry__ as entrymod
+
+    if spark is None:
+        from duckdb_mongo_spark.session import get_spark
+
+        spark = get_spark()
+    con = duckdb_con(sf_dir)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    results = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            if name in oracles:
+                results[name] = compare(df, con, oracles[name])
+            else:
+                results[name] = {"rows_spark": df.count(), "rows_only": True}
+        except Exception as e:  # noqa: BLE001
+            results[name] = {"error": f"{type(e).__name__}: {e}"}
+    return results
+
+
+if __name__ == "__main__":
+    import json
+    import sys
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    res = check_all(sf, only)
+    ok = 0
+    for name, r in res.items():
+        status = (
+            "OK" if r.get("value_match")
+            else ("ROWS_ONLY" if r.get("rows_only") else "FAIL")
+        )
+        ok += status == "OK"
+        line = {"q": name, "status": status}
+        if status == "FAIL":
+            line.update({k: v for k, v in r.items() if k != "first_diffs"})
+            if "first_diffs" in r:
+                line["first_diffs"] = str(r["first_diffs"])[:400]
+        print(json.dumps(line, default=str))
+    print(f"## {ok}/{len(res)} value-matched")

@@ -31,15 +31,27 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
 
 
+def _nanos_ts_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark's vectorized
+    reader rejects those, so they need the nanosAsLong fallback. Probed
+    driver-side from the footer (no Spark job, no failed-stage noise)."""
+    try:
+        import pyarrow.dataset as pads
+
+        schema = pads.dataset(path, format="parquet").schema
+        return [
+            f.name for f in schema
+            if str(f.type).startswith("timestamp[ns")
+        ]
+    except Exception:
+        return []
+
+
 def _load_table(spark: SparkSession, sf_dir: str, t: str) -> DataFrame:
     path = f"{sf_dir}/{t}.parquet"
-    try:
-        df = spark.read.parquet(path)
-        # force schema resolution now so TIMESTAMP(NANOS) surfaces here
-        df.schema
-        return df
-    except Exception:
-        pass
+    nanos = _nanos_ts_cols(path)
+    if not nanos:
+        return spark.read.parquet(path)
     # Spark can't read parquet TIMESTAMP(NANOS) (events.ts): read nanos as
     # long and truncate to micros (exactly DuckDB's read behavior).
     from pyspark.sql import functions as F
@@ -48,8 +60,10 @@ def _load_table(spark: SparkSession, sf_dir: str, t: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         for field in df.schema.fields:
-            if field.name == "ts" and field.dataType.simpleString() == "bigint":
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            if field.name in nanos and field.dataType.simpleString() == "bigint":
+                df = df.withColumn(
+                    field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
+                )
         return df
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")

@@ -25,6 +25,27 @@ from collections.abc import Iterable, Iterator
 class DocumentBackend(ABC):
     is_remote = False  # remote backends push pipelines server-side
 
+    # Pushdown profile: "remote" sources are network-bound — ship every
+    # supported stage ($group/$sort/$count included) to the server, like
+    # the reference does with mongod. "local" sources are already on fast
+    # storage next to Spark — push only record-wise stages (match/project/
+    # limit) into the scan and let Spark run distributed agg/sort; pushing
+    # them into a single-partition local interpreter would serialize the
+    # query. This is the knob that keeps the same plans correct at 100 TB.
+    pushdown_profile = "local"
+
+    def find_schema_doc(self, db: str, coll: str, probe_limit: int = 1000):
+        """Locate a ``__schema`` document (reference: tier-2 schema source).
+        Local backends probe only the first ``probe_limit`` docs — a
+        schema doc is by convention at the head of the collection; remote
+        backends use an indexed lookup instead."""
+        import itertools
+
+        for doc in itertools.islice(self.iter_documents(db, coll), probe_limit):
+            if doc.get("_id") == "__schema":
+                return doc
+        return None
+
     @abstractmethod
     def list_databases(self) -> list[str]: ...
 

@@ -13,6 +13,10 @@ from duckdb_mongo_spark.bsonlike import ObjectId
 
 
 class MemoryBackend(DocumentBackend):
+    # The hermetic mongod stand-in: tests assert server-side pushdown
+    # against it, so it takes the remote profile (all stages pushed).
+    pushdown_profile = "remote"
+
     def __init__(self, data: dict[str, dict[str, list[dict]]] | None = None):
         self._data: dict[str, dict[str, list[dict]]] = {}
         if data:

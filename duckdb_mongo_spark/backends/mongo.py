@@ -29,6 +29,10 @@ except Exception:  # pragma: no cover
 
 class PymongoBackend(DocumentBackend):  # pragma: no cover - needs live server
     is_remote = True
+    pushdown_profile = "remote"
+
+    def find_schema_doc(self, db, coll, probe_limit=1000):
+        return self.client[db][coll].find_one({"_id": "__schema"})
 
     def __init__(self, connection_string: str, timeout_ms: int = 5000):
         if not HAVE_PYMONGO:

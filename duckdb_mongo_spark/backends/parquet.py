@@ -16,6 +16,98 @@ from collections.abc import Iterator
 from duckdb_mongo_spark.backends.base import DocumentBackend, ScanPartition
 
 
+class _NotArrowExpressible(Exception):
+    """Filter uses MQL the arrow path can't express — fall back to rows."""
+
+
+def _arrow_col(name: str, id_field: str | None):
+    import pyarrow.compute as pc
+
+    if name == "_id" and id_field:
+        name = id_field
+    if "." in name or name.startswith("$"):
+        raise _NotArrowExpressible(name)
+    return pc.field(name)
+
+
+def _arrow_value(v):
+    from duckdb_mongo_spark.bsonlike import ObjectId
+
+    if isinstance(v, ObjectId):
+        return str(v)
+    if isinstance(v, (dict, list)):
+        raise _NotArrowExpressible("container value")
+    return v
+
+
+def _mql_to_arrow_expr(filt: dict, id_field: str | None):
+    """Compile an MQL find-filter to a pyarrow compute Expression."""
+    expr = None
+
+    def conj(e):
+        nonlocal expr
+        expr = e if expr is None else (expr & e)
+
+    for key, cond in filt.items():
+        if key == "$and":
+            for sub in cond:
+                conj(_mql_to_arrow_expr(sub, id_field))
+            continue
+        if key == "$or":
+            sub_exprs = [_mql_to_arrow_expr(s, id_field) for s in cond]
+            acc = sub_exprs[0]
+            for s in sub_exprs[1:]:
+                acc = acc | s
+            conj(acc)
+            continue
+        if key.startswith("$"):
+            raise _NotArrowExpressible(key)
+        col = _arrow_col(key, id_field)
+        if cond is None:
+            conj(col.is_null())
+        elif isinstance(cond, dict) and all(str(k).startswith("$") for k in cond):
+            for op, arg in cond.items():
+                if op == "$eq":
+                    conj(col.is_null() if arg is None else (col == _arrow_value(arg)))
+                elif op == "$ne":
+                    # MQL $ne matches null/missing values too
+                    conj(
+                        ~col.is_null()
+                        if arg is None
+                        else ((col != _arrow_value(arg)) | col.is_null())
+                    )
+                elif op == "$lt":
+                    conj(col < _arrow_value(arg))
+                elif op == "$lte":
+                    conj(col <= _arrow_value(arg))
+                elif op == "$gt":
+                    conj(col > _arrow_value(arg))
+                elif op == "$gte":
+                    conj(col >= _arrow_value(arg))
+                elif op == "$in":
+                    conj(col.isin([_arrow_value(x) for x in arg]))
+                else:
+                    raise _NotArrowExpressible(op)
+        elif isinstance(cond, (dict, list)):
+            raise _NotArrowExpressible("container equality")
+        else:
+            conj(col == _arrow_value(cond))
+    if expr is None:
+        raise _NotArrowExpressible("empty filter")
+    return expr
+
+
+def _filter_columns(filt: dict, id_field: str | None) -> set[str]:
+    cols: set[str] = set()
+    for key, cond in filt.items():
+        if key in ("$and", "$or"):
+            for sub in cond:
+                cols |= _filter_columns(sub, id_field)
+        elif not key.startswith("$"):
+            cols.add(id_field if (key == "_id" and id_field) else key)
+    return cols
+
+
 class ParquetBackend(DocumentBackend):
     def __init__(self, root: str, db_name: str = "main", id_field: str | None = None):
         """``id_field``: column whose value doubles as the document ``_id``
@@ -40,9 +132,8 @@ class ParquetBackend(DocumentBackend):
         import pyarrow.parquet as pq
 
         pf = pq.ParquetFile(path)
-        groups = row_groups if row_groups is not None else range(pf.num_row_groups)
-        for rg in groups:
-            batch = pf.read_row_group(rg)
+        groups = list(row_groups) if row_groups is not None else list(range(pf.num_row_groups))
+        for batch in pf.iter_batches(batch_size=4096, row_groups=groups):
             for row in batch.to_pylist():
                 if self.id_field and "_id" not in row and self.id_field in row:
                     row["_id"] = row[self.id_field]
@@ -72,14 +163,92 @@ class ParquetBackend(DocumentBackend):
         rgs = part.extra.get("row_groups")
         return self._table_rows(self._path(part.coll), rgs)
 
+    # -- Arrow fast path ----------------------------------------------------
+    # Simple find()-shape scans never touch per-row Python: the MQL filter
+    # compiles to a pyarrow compute expression, the row-group read prunes
+    # to the needed columns, and type normalization is a vectorized cast.
+    # This is the engine's columnar-source scan design point (the 100 TB
+    # path); non-expressible filters fall back to the row interpreter.
+
+    def arrow_scan(self, db, coll, part, filter_doc, out_fields, limit=None):
+        """Yield pyarrow RecordBatches matching the scan, or None when the
+        filter is outside the arrow-expressible dialect.
+
+        out_fields: list of (name, arrow_type, source_column|None).
+        """
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        try:
+            expr = _mql_to_arrow_expr(filter_doc, self.id_field) if filter_doc else None
+        except _NotArrowExpressible:
+            return None
+        path = self._path(coll)
+        pf = pq.ParquetFile(path)
+        file_cols = set(pf.schema_arrow.names)
+        needed = {src for _, _, src in out_fields if src and src in file_cols}
+        if filter_doc:
+            needed |= _filter_columns(filter_doc, self.id_field) & file_cols
+        groups = (part.extra.get("row_groups") if part and part.extra else None)
+        if groups is None:
+            groups = list(range(pf.num_row_groups))
+
+        def gen():
+            remaining = limit
+            for rg in groups:
+                if remaining is not None and remaining <= 0:
+                    return
+                table = pf.read_row_group(rg, columns=sorted(needed))
+                if expr is not None:
+                    table = table.filter(expr)
+                if remaining is not None:
+                    table = table.slice(0, remaining)
+                    remaining -= table.num_rows
+                if table.num_rows == 0:
+                    continue
+                cols = []
+                for name, atype, src in out_fields:
+                    if src and src in file_cols:
+                        col = table.column(src)
+                        if col.type != atype:
+                            col = col.cast(atype, safe=False)
+                        cols.append(col.combine_chunks())
+                    else:
+                        cols.append(pa.nulls(table.num_rows, atype))
+                out = pa.table(
+                    cols, schema=pa.schema([pa.field(n, t) for n, t, _ in out_fields])
+                )
+                yield from out.to_batches(max_chunksize=8192)
+
+        return gen()
+
+    def _stream_head(self, coll, n):
+        """First n rows via small arrow batches (no row-group materialize)."""
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(self._path(coll))
+        out = []
+        for batch in pf.iter_batches(batch_size=min(n, 1024)):
+            for row in batch.to_pylist():
+                if self.id_field and "_id" not in row and self.id_field in row:
+                    row["_id"] = row[self.id_field]
+                out.append(row)
+                if len(out) >= n:
+                    return out
+        return out
+
     def sample(self, db, coll, n, seed=42):
         """Schema-inference sampling without a full materialize: stream the
         first n rows (parquet rows are synthetic/uniform; the $sample
         randomness the reference needs for skewed real collections is
         preserved in the base/Pymongo backends)."""
-        import itertools
+        return self._stream_head(coll, n)
 
-        return list(itertools.islice(self.iter_documents(db, coll), n))
+    def find_schema_doc(self, db, coll, probe_limit=1000):
+        for doc in self._stream_head(coll, probe_limit):
+            if doc.get("_id") == "__schema":
+                return doc
+        return None
 
     def count(self, db, coll, filter=None):
         if filter:

@@ -189,6 +189,18 @@ class MongoScanReader(DataSourceReader):
             pipeline = list(planned.pipeline or [])
             if self.catalyst_match:
                 pipeline = [{"$match": self.catalyst_match}] + pipeline
+            if (
+                len(pipeline) == 1
+                and next(iter(pipeline[0])) == "$count"
+                and hasattr(self.backend, "arrow_scan")
+            ):
+                # unfiltered COUNT(*): serve from backend metadata
+                # (parquet row counts / server countDocuments)
+                alias = pipeline[0]["$count"]
+                n = self.backend.count(self.db, self.coll)
+                return [{alias: n}] if n > 0 else (
+                    [{alias: 0}] if planned.count_empty_to_zero else []
+                )
             results = run_pipeline(docs, pipeline, seed=self.seed)
             if (
                 planned.count_empty_to_zero is not None
@@ -213,8 +225,37 @@ class MongoScanReader(DataSourceReader):
         # flattening below only materializes schema columns anyway
         return run_pipeline(docs, pipeline, seed=self.seed)
 
+    def _try_arrow_fast_path(self, partition):
+        """Columnar backends can serve simple find() scans as Arrow batches
+        with zero per-row Python (filter → pyarrow expression, projection →
+        column pruning, types → vectorized cast)."""
+        planned = self.planned
+        if planned.method != "find" or not hasattr(self.backend, "arrow_scan"):
+            return None
+        if self.mode is not SchemaMode.PERMISSIVE:
+            return None
+        filt = planned.filter
+        if self.catalyst_match:
+            from duckdb_mongo_spark.pushdown.filters import merge_match
+
+            filt = merge_match(filt, self.catalyst_match)
+        out_fields = []
+        for f in planned.output_schema.fields:
+            src = f.mongo_path if "." not in f.mongo_path else None
+            if f.name == "_id" and getattr(self.backend, "id_field", None):
+                src = self.backend.id_field
+            out_fields.append((f.name, _arrow_type(f.type), src))
+        return self.backend.arrow_scan(
+            self.db, self.coll, partition.scan_partition, filt, out_fields,
+            limit=planned.limit,
+        )
+
     def read(self, partition):
         planned = self.planned
+        fast = self._try_arrow_fast_path(partition)
+        if fast is not None:
+            yield from fast
+            return
         schema = planned.output_schema
         rows = []
         for doc in self._result_docs(partition):

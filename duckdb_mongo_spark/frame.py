@@ -155,16 +155,38 @@ class MongoFrame:
         if self._preds:
             pred = self._preds[0] if len(self._preds) == 1 else P.And(list(self._preds))
         plan = compile_filter(pred, self.schema)
+        # Pushdown profile: "remote" sources get every supported stage
+        # (the reference's strategy — network-bound); "local" columnar
+        # sources keep sort/agg in Spark (distributed beats a one-cursor
+        # interpreter) and push only record-wise stages + unfiltered count.
+        profile = getattr(self.backend, "pushdown_profile", "local")
+        push_order = self._order_by_id
+        push_aggs = list(self._aggs) if self._aggs else None
+        if profile == "local":
+            push_order = None
+            count_only = (
+                push_aggs is not None
+                and not self._group_keys
+                and len(push_aggs) == 1
+                and push_aggs[0].op == "count_star"
+            )
+            if not (count_only and plan.match is None and self.manual_filter is None):
+                push_aggs = None
         spec = ScanSpec(
             db=self.db,
             coll=self.coll,
             schema=self.schema,
             match=plan.match,
             projection=list(self._projection) if self._projection is not None else None,
-            limit=self._limit if plan.residual is None else None,
-            order_by_id=self._order_by_id,
+            limit=(
+                self._limit
+                if plan.residual is None
+                and not (self._order_by_id is not None and push_order is None)
+                else None
+            ),
+            order_by_id=push_order,
             group_keys=list(self._group_keys) if self._group_keys else None,
-            aggs=list(self._aggs) if self._aggs else None,
+            aggs=push_aggs,
             manual_filter=self.manual_filter,
             manual_pipeline=self.manual_pipeline,
             schema_mode=self.schema_mode,

@@ -126,10 +126,19 @@ def fingerprint(col) -> Column:
 
 
 def with_analysis(df: DataFrame, col: str = "text") -> DataFrame:
-    """Full text-analysis bundle: stats + quality + language + fingerprint."""
+    """Full text-analysis bundle: stats + quality + language + fingerprint.
+
+    quality is derived from the already-computed ratio columns (one
+    evaluation per ratio — keeps the codegen'd expression tree small)."""
+    out = with_text_stats(df, col)
+    n = F.length(F.col(col))
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0))
+    sw_score = F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0))
     return (
-        with_text_stats(df, col)
-        .withColumn("quality", quality_score(col))
+        out.withColumn(
+            "quality", F.round(0.3 * len_score + 0.3 * punct_score + 0.4 * sw_score, 6)
+        )
         .withColumn("lang_id", language_id(col))
         .withColumn("fingerprint", fingerprint(col))
     )

@@ -323,15 +323,8 @@ def resolve_schema(
     if columns:
         schema = schema_from_columns_param(columns)
     else:
-        schema = None
-        try:
-            schema_docs = list(
-                backend.find(db, coll, filter={"_id": SCHEMA_DOC_ID}, limit=1)
-            )
-        except KeyError:
-            raise
-        if schema_docs:
-            schema = schema_from_schema_doc(schema_docs[0])
+        schema_doc = backend.find_schema_doc(db, coll)
+        schema = schema_from_schema_doc(schema_doc) if schema_doc else None
         if schema is None:
             return infer_schema(backend, db, coll, sample_size=sample_size, seed=seed)
     # probe ObjectId columns for declared schemas too (filter coercion)

@@ -105,7 +105,10 @@ def check_all(sf_dir: str, only: list[str] | None = None, spark=None) -> dict:
 
 if __name__ == "__main__":
     import json
+    import os
     import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = sys.argv[2].split(",") if len(sys.argv) > 2 else None

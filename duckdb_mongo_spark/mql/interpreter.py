@@ -14,6 +14,7 @@ public dialect) so schema inference is reproducible in tests.
 from __future__ import annotations
 
 import random
+from decimal import Decimal as _Decimal
 
 from duckdb_mongo_spark.mql.expr import _type_rank, eval_expr
 from duckdb_mongo_spark.mql.match import MISSING, compare_values, get_path, matches_filter
@@ -107,10 +108,13 @@ def _group(docs, spec):
                 g["_state"][name] = (g["_state"][name] or 0) + 1
                 continue
             val = eval_expr(arg, doc)
+            if isinstance(val, _Decimal):
+                # decimal128 → double contract (SURVEY §1.2)
+                val = float(val)
             st = g["_state"][name]
             if op == "$sum":
                 if isinstance(val, bool) or not isinstance(val, (int, float)):
-                    val = 0 if not isinstance(val, (int, float)) else val
+                    val = 0
                 g["_state"][name] = (st or 0) + val
             elif op == "$avg":
                 if isinstance(val, (int, float)) and not isinstance(val, bool):

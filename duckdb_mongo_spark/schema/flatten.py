@@ -84,8 +84,11 @@ def _compatible(target, value) -> bool:
 
 
 def _wrap_to_depth(arr, expected_depth: int):
-    """Wrap a shallower array to the declared LIST depth
-    (reference BSONArrayToList, helpers.cpp:362-565)."""
+    """Wrap a shallower array to the declared LIST depth by wrapping each
+    ELEMENT (not the whole array) depth_diff times — reference
+    BSONArrayToList, helpers.cpp:374-460: ``[[1,2],[3,4]]`` at expected
+    depth 3 becomes ``[[[1,2]],[[3,4]]]``, preserving the outer row
+    structure (README.md "Mixed Array Depths")."""
     def actual_depth(v):
         d = 0
         while isinstance(v, list):
@@ -93,11 +96,16 @@ def _wrap_to_depth(arr, expected_depth: int):
             v = v[0] if v else None
         return d
 
-    d = actual_depth(arr)
-    while d < expected_depth:
-        arr = [arr]
-        d += 1
-    return arr
+    diff = expected_depth - actual_depth(arr)
+    if diff <= 0:
+        return arr
+
+    def wrap_elem(el, times):
+        for _ in range(times):
+            el = [el]
+        return el
+
+    return [wrap_elem(el, diff) for el in arr]
 
 
 def convert_value(value, target):

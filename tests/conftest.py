@@ -1,0 +1,32 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from duckdb_mongo_spark.session import get_spark
+
+    s = get_spark("tests", extra_conf={"spark.sql.shuffle.partitions": "8"})
+    yield s
+
+
+@pytest.fixture(scope="session")
+def backend():
+    from corpus import build_backend
+
+    return build_backend()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    d = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(d):
+        pytest.skip(f"testdata dir {d} not present")
+    return d

@@ -1,0 +1,137 @@
+"""Filter-pushdown compiler tests, mirroring the reference's
+test/sql/query/{filters,complex_filters,objectid_filter,
+substr_filter_pushdown,pushdown_negative}.test. Driver-side only.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from corpus import DB
+from duckdb_mongo_spark.bsonlike import ObjectId
+from duckdb_mongo_spark.pushdown import C, lit
+from duckdb_mongo_spark.pushdown.filters import compile_filter, merge_match
+from duckdb_mongo_spark.schema.infer import infer_schema
+
+
+class TestSimpleFilters:
+    def test_comparisons(self):
+        assert compile_filter(C("age") > 28).match == {"age": {"$gt": 28}}
+        assert compile_filter(C("age") >= 28).match == {"age": {"$gte": 28}}
+        assert compile_filter(C("age") < 28).match == {"age": {"$lt": 28}}
+        assert compile_filter(C("age") <= 28).match == {"age": {"$lte": 28}}
+        assert compile_filter(C("age") == 28).match == {"age": {"$eq": 28}}
+        assert compile_filter(C("age") != 28).match == {"age": {"$ne": 28}}
+
+    def test_flipped_comparison(self):
+        # 28 < age → age > 28
+        assert compile_filter(lit(28) < C("age")).match == {"age": {"$gt": 28}}
+
+    def test_in(self):
+        got = compile_filter(C("city").isin("NYC", "SF")).match
+        assert got == {"city": {"$in": ["NYC", "SF"]}}
+
+    def test_null_checks(self):
+        assert compile_filter(C("email").is_null()).match == {"email": None}
+        assert compile_filter(C("email").is_not_null()).match == {"email": {"$ne": None}}
+
+    def test_and_merges_one_doc(self):
+        got = compile_filter((C("age") > 20) & (C("age") < 40)).match
+        assert got == {"age": {"$gt": 20, "$lt": 40}}
+
+    def test_and_distinct_columns(self):
+        got = compile_filter((C("age") > 20) & (C("name") == "Bob")).match
+        assert got == {"age": {"$gt": 20}, "name": {"$eq": "Bob"}}
+
+    def test_and_colliding_ops_falls_back(self):
+        got = compile_filter((C("age") > 20) & (C("age") > 30)).match
+        assert got == {"$and": [{"age": {"$gt": 20}}, {"age": {"$gt": 30}}]}
+
+    def test_or(self):
+        got = compile_filter((C("age") > 40) | (C("name") == "Ann")).match
+        assert got == {"$or": [{"age": {"$gt": 40}}, {"name": {"$eq": "Ann"}}]}
+
+    def test_nested_dotted_path(self, backend):
+        s = infer_schema(backend, DB, "users")
+        got = compile_filter(C("address.city") == "Chicago", s).match
+        assert got == {"address.city": {"$eq": "Chicago"}}
+
+    def test_flattened_name_maps_to_dotted_path(self, backend):
+        s = infer_schema(backend, DB, "users")
+        got = compile_filter(C("address_city") == "Chicago", s).match
+        assert got == {"address.city": {"$eq": "Chicago"}}
+
+    def test_date_encoded_as_datetime(self):
+        got = compile_filter(C("d") == dt.date(2023, 5, 1)).match
+        assert got == {"d": {"$eq": dt.datetime(2023, 5, 1)}}
+
+
+class TestObjectIdCoercion:
+    def test_oid_column_coerced(self, backend):
+        s = infer_schema(backend, DB, "users")
+        got = compile_filter(C("_id") == "507f1f77bcf86cd799439011", s).match
+        assert isinstance(got["_id"]["$eq"], ObjectId)
+
+    def test_string_id_not_coerced(self, backend):
+        # string_id_test regression: 24-hex strings that are NOT ObjectIds
+        s = infer_schema(backend, DB, "string_id_test")
+        got = compile_filter(C("_id") == "aaaaaaaaaaaaaaaaaaaaaaaa", s).match
+        assert got == {"_id": {"$eq": "aaaaaaaaaaaaaaaaaaaaaaaa"}}
+        got = compile_filter(C("ref_id") == "bbbbbbbbbbbbbbbbbbbbbbbb", s).match
+        assert got["ref_id"]["$eq"] == "bbbbbbbbbbbbbbbbbbbbbbbb"
+
+    def test_in_list_coerced(self, backend):
+        s = infer_schema(backend, DB, "users")
+        got = compile_filter(
+            C("_id").isin("507f1f77bcf86cd799439011", "507f1f77bcf86cd799439012"), s
+        ).match
+        assert all(isinstance(v, ObjectId) for v in got["_id"]["$in"])
+
+
+class TestExprPushdown:
+    """Complex predicates → $expr (reference src/mongo_expr_pushdown.cpp)."""
+
+    def test_length_function(self):
+        plan = compile_filter(C("name").length() > 4)
+        assert plan.fully_pushed
+        assert plan.match == {"$expr": {"$gt": [{"$strLenCP": "$name"}, 4]}}
+
+    def test_substring_1based_to_0based(self):
+        plan = compile_filter(C("name").substring(1, 3) == "Ali")
+        assert plan.fully_pushed
+        assert plan.match == {
+            "$expr": {"$eq": [{"$substrCP": ["$name", 0, 3]}, "Ali"]}
+        }
+
+    def test_col_to_col_comparison(self):
+        plan = compile_filter(C("age") > C("balance"))
+        assert plan.fully_pushed
+        assert plan.match == {"$expr": {"$gt": ["$age", "$balance"]}}
+
+    def test_arithmetic(self):
+        plan = compile_filter(C("age") + 5 > C("balance"))
+        assert plan.fully_pushed
+        assert plan.match == {"$expr": {"$gt": [{"$add": ["$age", 5]}, "$balance"]}}
+
+
+class TestResidualSplit:
+    def test_unpushable_conjunct_split(self):
+        # SUBSTRING with non-constant start is outside the pushdown
+        # dialect (reference src/mongo_expr_pushdown.cpp:153-187); the
+        # pushable conjunct still reaches the source
+        pred = C("name").regex("^A") & (C("name").substring(C("x"), 3) == "Ali")
+        plan = compile_filter(pred)
+        assert plan.match == {"name": {"$regex": "^A"}}
+        assert plan.residual is not None
+
+    def test_dynamic_substring_unpushable(self):
+        plan = compile_filter(C("name").substring(C("x"), 3) == "Ali")
+        assert plan.match is None
+        assert plan.residual is not None
+
+    def test_merge_match(self):
+        assert merge_match({"a": 1}, None) == {"a": 1}
+        assert merge_match(None, {"b": 2}) == {"b": 2}
+        assert merge_match({"a": {"$gt": 1}}, {"b": {"$eq": 2}}) == {
+            "a": {"$gt": 1}, "b": {"$eq": 2}
+        }

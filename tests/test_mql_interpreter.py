@@ -1,0 +1,141 @@
+"""Local MQL interpreter tests — the hermetic mongod stand-in must agree
+with MongoDB's documented semantics, since pushed plans execute on it in
+tests (the reference trusts mongod for the same role).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from duckdb_mongo_spark.mql import run_pipeline
+from duckdb_mongo_spark.mql.match import matches_filter
+
+DOCS = [
+    {"_id": 1, "a": 5, "b": "x", "tags": ["p", "q"], "n": {"c": 1}},
+    {"_id": 2, "a": 15, "b": "y", "tags": ["q"], "n": {"c": 2}},
+    {"_id": 3, "a": 25, "b": "x", "tags": [], "n": {}},
+    {"_id": 4, "a": None, "b": "z"},
+]
+
+
+def run(pipeline, docs=DOCS):
+    return list(run_pipeline(docs, pipeline))
+
+
+class TestMatch:
+    def test_ops(self):
+        assert matches_filter({"a": 5}, {"a": {"$gt": 3}})
+        assert not matches_filter({"a": 5}, {"a": {"$gt": 5}})
+        assert matches_filter({"a": 5}, {"a": {"$gte": 5, "$lte": 5}})
+        assert matches_filter({"a": 5}, {"a": 5})
+        assert matches_filter({"a": 5}, {"a": {"$in": [1, 5]}})
+        assert matches_filter({"a": 5}, {"a": {"$ne": 6}})
+
+    def test_missing_vs_null(self):
+        # {col: null} matches both null and missing (MongoDB semantics)
+        assert matches_filter({"b": 1}, {"a": None})
+        assert matches_filter({"a": None}, {"a": None})
+        assert not matches_filter({"a": 5}, {"a": None})
+        # $ne: null matches only present non-null
+        assert matches_filter({"a": 5}, {"a": {"$ne": None}})
+        assert not matches_filter({}, {"a": {"$ne": None}})
+
+    def test_dotted_path(self):
+        assert matches_filter({"n": {"c": 3}}, {"n.c": {"$gt": 2}})
+        assert not matches_filter({"n": {}}, {"n.c": {"$gt": 2}})
+
+    def test_array_contains(self):
+        # equality on an array matches if any element equals (Mongo rule)
+        assert matches_filter({"tags": ["p", "q"]}, {"tags": "p"})
+        assert not matches_filter({"tags": ["q"]}, {"tags": "p"})
+
+    def test_elem_match(self):
+        doc = {"items": [{"q": 1}, {"q": 5}]}
+        assert matches_filter(doc, {"items": {"$elemMatch": {"q": {"$gt": 3}}}})
+        assert not matches_filter(doc, {"items": {"$elemMatch": {"q": {"$gt": 9}}}})
+
+    def test_and_or(self):
+        f = {"$or": [{"a": {"$gt": 20}}, {"b": "y"}]}
+        assert matches_filter({"a": 25, "b": "x"}, f)
+        assert matches_filter({"a": 1, "b": "y"}, f)
+        assert not matches_filter({"a": 1, "b": "x"}, f)
+
+    def test_comparison_ignores_missing(self):
+        # range ops never match missing/null (BSON type ordering)
+        assert not matches_filter({}, {"a": {"$gt": 0}})
+        assert not matches_filter({"a": None}, {"a": {"$gt": 0}})
+
+
+class TestPipeline:
+    def test_match_project_limit(self):
+        out = run([
+            {"$match": {"a": {"$gte": 15}}},
+            {"$project": {"a": 1}},
+            {"$limit": 1},
+        ])
+        assert out == [{"_id": 2, "a": 15}]
+
+    def test_project_exclude_id(self):
+        out = run([{"$project": {"_id": 0, "a": 1}}, {"$limit": 1}])
+        assert out == [{"a": 5}]
+
+    def test_project_computed(self):
+        out = run([{"$project": {"_id": 0, "twice": {"$multiply": ["$a", 2]}}},
+                   {"$limit": 1}])
+        assert out == [{"twice": 10}]
+
+    def test_sort_limit(self):
+        out = run([{"$sort": {"a": -1}}, {"$limit": 2}, {"$project": {"_id": 1}}])
+        assert [d["_id"] for d in out] == [3, 2]  # nulls sort first asc → last desc? no: desc puts high first
+
+    def test_count(self):
+        assert run([{"$count": "n"}]) == [{"n": 4}]
+        assert run([{"$match": {"a": {"$gt": 999}}}, {"$count": "n"}]) == []
+
+    def test_group_accumulators(self):
+        out = run([
+            {"$group": {"_id": "$b",
+                        "total": {"$sum": "$a"},
+                        "mx": {"$max": "$a"},
+                        "n": {"$sum": 1}}},
+            {"$sort": {"_id": 1}},
+        ])
+        by = {d["_id"]: d for d in out}
+        assert by["x"]["total"] == 30 and by["x"]["mx"] == 25 and by["x"]["n"] == 2
+        assert by["y"]["total"] == 15
+        # $sum over null-only group → 0 (Mongo), $max → None
+        assert by["z"]["total"] == 0 and by["z"]["mx"] is None
+
+    def test_group_null_id(self):
+        out = run([{"$group": {"_id": None, "n": {"$sum": 1}}}])
+        assert out == [{"_id": None, "n": 4}]
+
+    def test_avg_skips_nulls(self):
+        out = run([{"$group": {"_id": None, "m": {"$avg": "$a"}}}])
+        assert out[0]["m"] == pytest.approx(15.0)
+
+    def test_unwind(self):
+        out = run([{"$unwind": "$tags"}, {"$project": {"_id": 1, "tags": 1}}])
+        # empty/missing arrays drop the doc
+        assert [(d["_id"], d["tags"]) for d in out] == [(1, "p"), (1, "q"), (2, "q")]
+
+    def test_sample_deterministic_with_seed(self):
+        a = list(run_pipeline(DOCS, [{"$sample": {"size": 2}}], seed=7))
+        b = list(run_pipeline(DOCS, [{"$sample": {"size": 2}}], seed=7))
+        assert a == b and len(a) == 2
+
+    def test_expr_in_match(self):
+        out = run([{"$match": {"$expr": {"$gt": [{"$strLenCP": "$b"}, 0]}}}])
+        assert len(out) == 4
+
+    def test_skip(self):
+        out = run([{"$sort": {"_id": 1}}, {"$skip": 2}, {"$project": {"_id": 1}}])
+        assert [d["_id"] for d in out] == [3, 4]
+
+    def test_dates_compare(self):
+        docs = [{"_id": 1, "d": dt.datetime(2023, 1, 1)},
+                {"_id": 2, "d": dt.datetime(2024, 1, 1)}]
+        out = run([{"$match": {"d": {"$gt": dt.datetime(2023, 6, 1)}}}], docs)
+        assert [d["_id"] for d in out] == [2]

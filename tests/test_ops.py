@@ -1,0 +1,180 @@
+"""NEW-operator tests (SURVEY §2B NEW row): dedup, similarity search,
+text analysis, multimodal columns. Small hand-computable corpora so the
+assertions are exact.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_mongo_spark.ops import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        ("d1", "the quick brown fox jumps over the lazy dog"),
+        ("d2", "the quick brown fox jumps over the lazy dog"),   # exact dup of d1
+        ("d3", "the quick brown fox leaps over the lazy dog"),   # near dup
+        ("d4", "completely different content about spark engines"),
+        ("d5", ""),                                              # empty text
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestExactDedup:
+    def test_duplicate_groups(self, docs):
+        rows = dedup.exact_duplicate_groups(docs, ["text"], "doc_id").collect()
+        assert len(rows) == 1
+        assert rows[0]["n_dups"] == 2 and rows[0]["keep_id"] == "d1"
+
+    def test_dedup_exact_keeps_min_id(self, docs):
+        out = dedup.dedup_exact(docs, ["text"], "doc_id")
+        assert sorted(r["doc_id"] for r in out.collect()) == ["d1", "d3", "d4", "d5"]
+
+
+class TestJaccard:
+    def test_shingles(self, spark):
+        df = spark.createDataFrame([("x", "A b c d")], ["id", "t"])
+        row = df.select(dedup.shingle_array(F.col("t"), 3).alias("s")).collect()[0]
+        assert row["s"] == ["a b c", "b c d"]
+
+    def test_short_doc_single_shingle(self, spark):
+        df = spark.createDataFrame([("x", "one two")], ["id", "t"])
+        row = df.select(dedup.shingle_array(F.col("t"), 3).alias("s")).collect()[0]
+        assert row["s"] == ["one two"]
+
+    def test_near_dup_pairs(self, docs):
+        pairs = dedup.near_dup_pairs_jaccard(docs, "doc_id", "text", threshold=0.4)
+        got = {(r["a"], r["b"]): r["jaccard"] for r in pairs.collect()}
+        # d1/d2 identical → jaccard 1.0; d1/d3 share 4 of 10 shingles
+        assert got[("d1", "d2")] == pytest.approx(1.0)
+        assert got[("d1", "d3")] == pytest.approx(4 / 10)
+        assert ("d1", "d4") not in got
+
+    def test_jaccard_is_symmetric_ordering(self, docs):
+        pairs = dedup.near_dup_pairs_jaccard(docs, "doc_id", "text", threshold=0.0)
+        for r in pairs.collect():
+            assert r["a"] < r["b"]
+
+
+class TestMinhashLsh:
+    def test_identical_docs_identical_signatures(self, docs):
+        sig = dedup.minhash_signatures(docs, "doc_id", "text", k=8)
+        by = {r["doc_id"]: [r[f"minhash_{i}"] for i in range(8)] for r in sig.collect()}
+        assert by["d1"] == by["d2"]
+        assert by["d1"] != by["d4"]
+
+    def test_lsh_finds_exact_dups(self, docs):
+        pairs = dedup.near_dup_pairs_minhash_lsh(
+            docs, "doc_id", "text", threshold=0.8, k=8, bands=4)
+        got = {(r["a"], r["b"]) for r in pairs.collect()}
+        assert ("d1", "d2") in got
+        assert ("d1", "d4") not in got
+
+
+class TestSimhash:
+    def test_identical_equal_near_differs_by_few_bits(self, docs, spark):
+        sim = dedup.simhash(docs, "doc_id", "text", bits=16)
+        by = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+        assert by["d1"] == by["d2"]
+        d = spark.createDataFrame(
+            [(by["d1"], by["d3"]), (by["d1"], by["d4"])], ["x", "y"]
+        ).select(dedup.hamming64(F.col("x"), F.col("y")).alias("h")).collect()
+        near, far = d[0]["h"], d[1]["h"]
+        assert near < far
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            ("v1", [1.0, 0.0, 0.0]),
+            ("v2", [0.9, 0.1, 0.0]),
+            ("v3", [0.0, 1.0, 0.0]),
+            ("v4", [-1.0, 0.0, 0.0]),
+        ]
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_cosine_topk_exact(self, spark, corpus):
+        q = spark.createDataFrame([("q1", [1.0, 0.0, 0.0])], ["q_id", "q_vec"])
+        out = similarity.cosine_topk(q, corpus, k=2)
+        rows = sorted(out.collect(), key=lambda r: r["rank"])
+        assert [r["vec_id"] for r in rows] == ["v1", "v2"]
+        assert rows[0]["score"] == pytest.approx(1.0)
+        assert rows[1]["score"] == pytest.approx(0.9 / math.sqrt(0.82), abs=1e-6)
+
+    def test_lsh_recall_on_identical(self, spark, corpus):
+        q = spark.createDataFrame([("q1", [1.0, 0.0, 0.0])], ["q_id", "q_vec"])
+        out = similarity.lsh_topk(q, corpus, k=1, n_planes=4)
+        rows = out.collect()
+        # identical vector always shares its own bucket
+        assert rows and rows[0]["vec_id"] == "v1"
+
+    def test_near_dup_pairs_exact(self, corpus):
+        out = similarity.embedding_near_dup_pairs(corpus, threshold=0.95, exact=True)
+        got = {(r["a"], r["b"]) for r in out.collect()}
+        assert got == {("v1", "v2")}
+
+
+class TestTextAnalysis:
+    def test_token_count(self, spark):
+        df = spark.createDataFrame([("Hello, world! 42",)], ["text"])
+        row = df.select(
+            text.token_count(F.col("text")).alias("n"),
+            text.bpe_token_count(F.col("text")).alias("b"),
+        ).collect()[0]
+        assert row["n"] == 3
+        assert row["b"] >= 3
+
+    def test_punct_ratio_bounds(self, spark):
+        df = spark.createDataFrame([("abc...",), ("abc",), ("",)], ["text"])
+        rows = df.select(text.punct_ratio(F.col("text")).alias("r")).collect()
+        assert rows[0]["r"] == pytest.approx(0.5)
+        assert rows[1]["r"] == pytest.approx(0.0)
+
+    def test_language_id_heuristic(self, spark):
+        df = spark.createDataFrame(
+            [("the cat and the dog are in the house",),
+             ("el gato y el perro de la casa",)],
+            ["text"])
+        rows = df.select(text.language_id(F.col("text")).alias("l")).collect()
+        assert rows[0]["l"] == "en"
+        assert rows[1]["l"] == "es"
+
+    def test_with_analysis_schema(self, docs):
+        out = text.with_analysis(docs)
+        for c in ("n_tokens", "n_bpe_tokens", "punct_ratio", "stopword_ratio",
+                  "avg_token_len", "quality", "lang_id", "fingerprint"):
+            assert c in out.columns
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert rows["d5"]["n_tokens"] == 0
+
+    def test_fingerprint_deterministic(self, docs):
+        a = {r["doc_id"]: r["fingerprint"] for r in text.with_analysis(docs).collect()}
+        b = {r["doc_id"]: r["fingerprint"] for r in text.with_analysis(docs).collect()}
+        assert a == b
+        assert a["d1"] == a["d2"]
+
+
+class TestMultimodal:
+    def test_attach_and_fake_decode(self, spark):
+        df = spark.createDataFrame([("a", b"\x89PNG fake"), ("b", b"RIFF fake")],
+                                   ["id", "payload"])
+        media = multimodal.attach_media_column(df, F.col("payload"), mime="image/png")
+        out = multimodal.fake_decode_meta(media)
+        rows = {r["id"]: r for r in out.collect()}
+        assert rows["a"]["width"] > 0
+        assert rows["a"]["n_bytes"] == len(b"\x89PNG fake")
+        # deterministic: same payload → same fake shape
+        again = {r["id"]: r for r in multimodal.fake_decode_meta(media).collect()}
+        assert again["a"]["width"] == rows["a"]["width"]
+
+    def test_real_decode_is_stubbed(self, spark):
+        df = spark.createDataFrame([("a", b"x")], ["id", "payload"])
+        media = multimodal.attach_media_column(df, F.col("payload"))
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image_meta(media)

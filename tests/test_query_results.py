@@ -1,0 +1,218 @@
+"""End-to-end golden-result tests over the fixture corpus, mirroring the
+reference's result assertions (test/sql/query/basic.test,
+aggregations.test, pushdown_comprehensive.test, schema/mode.test,
+edge_cases/empty_collections.test). Runs real Spark jobs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from corpus import DB
+from duckdb_mongo_spark.frame import MongoFrame
+from duckdb_mongo_spark.pushdown import C
+from duckdb_mongo_spark.schema.infer import resolve_schema
+
+
+@pytest.fixture(scope="module")
+def users(spark, backend):
+    return MongoFrame(spark=spark, backend=backend, db=DB, coll="users",
+                      schema=resolve_schema(backend, DB, "users"))
+
+
+def frame(spark, backend, coll, **kw):
+    schema = resolve_schema(backend, DB, coll,
+                            columns=kw.pop("columns", None))
+    return MongoFrame(spark=spark, backend=backend, db=DB, coll=coll,
+                      schema=schema, **kw)
+
+
+class TestBasicQueries:
+    def test_count(self, users):
+        assert users.df().count() == 4
+
+    def test_filter_pushed_result(self, users):
+        rows = users.filter(C("age") > 28).select("name", "age").collect()
+        assert sorted((r["name"], r["age"]) for r in rows) == [
+            ("Alice", 30), ("Charlie", 35)]
+
+    def test_nested_column_filter(self, users):
+        rows = users.filter(C("address.city") == "Chicago").select("name").collect()
+        assert [r["name"] for r in rows] == ["Charlie"]
+
+    def test_parent_json_column(self, users):
+        import json
+
+        row = users.filter(C("name") == "Alice").select("address").collect()[0]
+        assert json.loads(row["address"])["city"] == "New York"
+
+    def test_array_column(self, users):
+        rows = users.select("name", "tags").collect()
+        tags = {r["name"]: r["tags"] for r in rows}
+        assert tags["Alice"] == ["admin", "user"]
+        assert tags["Diana"] == []
+
+    def test_objectid_filter_roundtrip(self, users):
+        rows = users.filter(C("_id") == "507f1f77bcf86cd799439011").collect()
+        assert len(rows) == 1 and rows[0]["name"] == "Alice"
+
+    def test_aggregate_pushdown_result(self, users):
+        rows = (users.group_by("active")
+                .agg(("count_star", None, "n"), ("avg", "age", "avg_age"))
+                .collect())
+        by = {r["active"]: r for r in rows}
+        assert by[True]["n"] == 3 and by[False]["n"] == 1
+        assert by[True]["avg_age"] == pytest.approx((30 + 25 + 28) / 3)
+
+    def test_ungrouped_sum(self, users):
+        rows = users.group_by().agg(("sum", "balance", "total")).collect()
+        assert rows[0]["total"] == pytest.approx(4251.5)
+
+    def test_count_star_pushed(self, users):
+        rows = users.count_rows().collect()
+        assert rows[0]["count"] == 4
+
+    def test_count_on_empty_match_is_zero(self, users):
+        # COUNT(*) on empty match → one row 0 (mongo_table_function.cpp:669-683)
+        rows = users.filter(C("age") > 999).count_rows().collect()
+        assert len(rows) == 1 and rows[0]["count"] == 0
+
+    def test_topn(self, users):
+        rows = users.order_by_id().limit(2).select("name").collect()
+        assert [r["name"] for r in rows] == ["Alice", "Bob"]
+
+    def test_min_max(self, users):
+        rows = users.group_by().agg(("min", "age", "lo"), ("max", "age", "hi")).collect()
+        assert rows[0]["lo"] == 25 and rows[0]["hi"] == 35
+
+
+class TestCollections:
+    def test_products_group_by_in_stock(self, spark, backend):
+        p = frame(spark, backend, "products")
+        rows = (p.group_by("in_stock")
+                .agg(("count_star", None, "n"), ("avg", "price", "avg_price"))
+                .collect())
+        by = {r["in_stock"]: r for r in rows}
+        assert by[False]["n"] == 1 and by[True]["n"] == 2
+        assert by[False]["avg_price"] == pytest.approx(299.99)
+        assert by[True]["avg_price"] == pytest.approx(514.99)
+
+    def test_orders_explode_items(self, spark, backend):
+        from pyspark.sql import functions as F
+
+        o = frame(spark, backend, "orders")
+        df = o.df().select("order_id", F.explode("items").alias("item"))
+        rows = df.select("order_id", "item.product", "item.price").collect()
+        got = sorted((r["order_id"], r["product"]) for r in rows)
+        assert got == [("ORD-001", "Laptop"), ("ORD-001", "Mouse"),
+                       ("ORD-002", "Desk"), ("ORD-004", "Keyboard")]
+        # missing price in ORD-004 item → NULL
+        assert [r["price"] for r in rows if r["order_id"] == "ORD-004"] == [None]
+
+    def test_orders_element_at_1based(self, spark, backend):
+        from pyspark.sql import functions as F
+
+        o = frame(spark, backend, "orders")
+        # try_element_at = DuckDB list_extract semantics (NULL out of
+        # bounds); plain element_at throws under Spark 4 ANSI mode
+        df = o.df().select("order_id",
+                           F.try_element_at("items", F.lit(1))["product"].alias("first"))
+        by = {r["order_id"]: r["first"] for r in df.collect()}
+        assert by["ORD-001"] == "Laptop"
+        assert by["ORD-003"] is None  # empty array
+
+    def test_matrix_mixed_depth_wrapping(self, spark, backend):
+        m = frame(spark, backend, "matrix")
+        rows = {r["_id"]: r["data"] for r in m.df().collect()}
+        # 2D docs wrapped to the inferred 3D type (helpers.cpp:362-565)
+        assert rows["MAT-001"][0] == [[1, 2, 3]]
+        assert rows["MAT-002"][0] == [[1, 2], [3, 4]]
+        assert rows["MAT-003"][1] == [[30, 40]]
+
+    def test_decimal_to_double(self, spark, backend):
+        d = frame(spark, backend, "decimal_test")
+        rows = (d.group_by("category").agg(("sum", "amount", "s")).collect())
+        by = {r["category"]: r["s"] for r in rows}
+        assert by["A"] == pytest.approx(1123.44)
+        assert by["B"] == pytest.approx(50.0)
+
+    def test_empty_collection(self, spark, backend):
+        e = frame(spark, backend, "empty_collection")
+        df = e.df()
+        assert df.columns == ["_id"]
+        assert df.count() == 0
+
+    def test_deeply_nested_json_leaf(self, spark, backend):
+        import json
+
+        d = frame(spark, backend, "deeply_nested")
+        row = d.df().select("level1_level2_level3_level4_level5").collect()[0]
+        payload = json.loads(row[0])
+        assert payload["level6"]["value"] == "deep value"
+
+    def test_schema_doc_excluded_from_results(self, spark, backend):
+        s = frame(spark, backend, "schema_test_simple")
+        names = [r["name"] for r in s.df().collect()]
+        assert sorted(names) == ["Eve", "Frank"]  # __schema doc filtered out
+
+    def test_case_variant_merged_column(self, spark, backend):
+        # reference semantics (case_variant_fields.test): one merged
+        # column; only the doc matching the kept path is non-NULL
+        cv = frame(spark, backend, "case_variant_fields_test")
+        df = cv.df()
+        assert df.count() == 2
+        vals = [r["case_data_clientFullname"] for r in df.collect()]
+        assert sorted(v is None for v in vals) == [False, True]
+        assert "Ann Lee" in vals
+
+
+class TestSchemaModes:
+    COLS = {"id": "VARCHAR", "value": "BIGINT"}
+
+    def test_permissive_nulls_mismatches(self, spark, backend):
+        tc = frame(spark, backend, "type_conflicts", columns=self.COLS)
+        rows = {r["_id"]: r for r in tc.df().collect()}
+        assert rows["tc1"]["id"] == "123" and rows["tc1"]["value"] is None
+        assert rows["tc2"]["value"] == 789
+        assert rows["tc3"]["value"] is None
+
+    def test_dropmalformed_drops_rows(self, spark, backend):
+        tc = frame(spark, backend, "type_conflicts", columns=self.COLS,
+                   schema_mode="DROPMALFORMED")
+        rows = tc.df().collect()
+        assert [r["_id"] for r in rows] == ["tc2"]
+
+    def test_failfast_raises_with_offender(self, spark, backend):
+        from py4j.protocol import Py4JJavaError
+
+        tc = frame(spark, backend, "type_conflicts", columns=self.COLS,
+                   schema_mode="FAILFAST")
+        with pytest.raises(Exception) as exc:
+            tc.df().collect()
+        assert "tc1" in str(exc.value) or "tc3" in str(exc.value)
+
+
+class TestSqlSurface:
+    def test_register_views_and_sql(self, spark, backend):
+        import duckdb_mongo_spark as dms
+
+        cat = dms.attach(backend, alias="m", spark=spark)
+        created = cat.register_views(db=DB)
+        assert "m_users" in created
+        out = spark.sql(
+            "SELECT name FROM m_users WHERE age > 28 ORDER BY age"
+        ).collect()
+        assert [r["name"] for r in out] == ["Alice", "Charlie"]
+
+    def test_join_across_collections(self, spark, backend):
+        import duckdb_mongo_spark as dms
+
+        cat = dms.attach(backend, alias="j", spark=spark)
+        cat.register_views(db=DB)
+        out = spark.sql("""
+            SELECT u.name, SUM(o.total) AS spend
+            FROM j_orders o JOIN j_users u ON o.customer_id = u._id
+            GROUP BY u.name ORDER BY spend DESC
+        """).collect()
+        assert out[0]["name"] == "Alice"
+        assert out[0]["spend"] == pytest.approx(1059.97 + 79.99)

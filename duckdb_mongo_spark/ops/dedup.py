@@ -30,9 +30,15 @@ def _norm_tokens(col):
     )
 
 
-def shingle_array(col, n: int = SHINGLE_WORDS):
-    """Distinct word n-gram shingles of the normalized text."""
-    toks = _norm_tokens(col)
+def _shingles_of_tokens(toks, n: int = SHINGLE_WORDS):
+    """Distinct word n-gram shingles of an ALREADY-MATERIALIZED token
+    array column.
+
+    ``toks`` must be a plain column reference, not an expression: Spark
+    evaluates a higher-order-function lambda body per element, so an
+    inline token expression (regexp+split) would be recomputed for every
+    shingle — the difference is ~50× on realistic documents.
+    """
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
@@ -40,6 +46,22 @@ def shingle_array(col, n: int = SHINGLE_WORDS):
     # short docs (< n tokens): single shingle of the whole normalized text
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
         F.array(F.concat_ws(" ", toks))
+    )
+
+
+def shingle_array(col, n: int = SHINGLE_WORDS):
+    """Distinct word n-gram shingles of the normalized text (one-shot
+    column form — fine for small data / tests; hot paths should
+    materialize tokens first via ``_with_shingles``)."""
+    return _shingles_of_tokens(_norm_tokens(col), n)
+
+
+def _with_shingles(df: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_WORDS):
+    """(id, __sh) projection with tokens materialized in their own
+    projection step so the shingle lambda reads an attribute."""
+    toked = df.select(F.col(id_col), _norm_tokens(F.col(text_col)).alias("__toks"))
+    return toked.select(
+        F.col(id_col), _shingles_of_tokens(F.col("__toks"), n).alias("__sh")
     )
 
 
@@ -59,8 +81,8 @@ def dedup_exact(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
 
 
 def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_WORDS) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc"), F.explode(shingle_array(F.col(text_col), n)).alias("shingle")
+    return _with_shingles(df, id_col, text_col, n).select(
+        F.col(id_col).alias("doc"), F.explode(F.col("__sh")).alias("shingle")
     )
 
 
@@ -111,13 +133,25 @@ def minhash_signatures(
     Permutation i = md5(i || ':' || shingle); the minhash is the
     lexicographic min of the hex digests (engine-portable, no native
     hash dependence). Output: id + minhash_0..minhash_{k-1}.
+
+    Scale note: computed per-row with ``array_min(transform(...))`` —
+    a pure map (whole-stage codegen, zero shuffle), unlike the naive
+    explode→groupBy which shuffles every shingle. At 100 TB the shuffle
+    would dominate; this form scales linearly with input splits.
     """
-    sh = exploded_shingles(df, id_col, text_col, n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"minhash_{i}")
+    with_sh = _with_shingles(df, id_col, text_col, n)
+
+    def perm(i: int):
+        # one-arg lambda: a two-arg lambda would receive the element
+        # INDEX as its second argument and shadow the permutation number
+        prefix = f"{i}:"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    cols = [
+        F.array_min(F.transform(F.col("__sh"), perm(i))).alias(f"minhash_{i}")
         for i in range(k)
     ]
-    return sh.groupBy(F.col("doc").alias(id_col)).agg(*aggs)
+    return with_sh.select(F.col(id_col), *cols)
 
 
 def near_dup_pairs_minhash_lsh(

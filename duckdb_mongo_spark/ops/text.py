@@ -61,13 +61,38 @@ def stopword_ratio(col, stopwords: list[str] | None = None) -> Column:
 
 
 def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
-    """Adds n_tokens, n_bpe_tokens, punct_ratio, stopword_ratio, avg_token_len."""
-    toks = F.filter(F.split(F.col(col), r"\s+"), lambda x: x != F.lit(""))
+    """Adds n_tokens, n_bpe_tokens, punct_ratio, stopword_ratio,
+    avg_token_len.
+
+    The token array is materialized ONCE as a real column before any
+    higher-order function touches it: Spark evaluates HOF lambda bodies
+    per element, so an inline split/regexp expression inside a lambda
+    would be recomputed per token (~10-50× slowdown on real documents).
+    """
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    toked = df.withColumn(
+        "__toks", F.filter(F.split(F.col(col), r"\s+"), lambda x: x != F.lit(""))
+    )
+    toks = F.col("__toks")
+    low = F.transform(toks, F.lower)
     return (
-        df.withColumn("n_tokens", token_count(col))
+        toked.withColumn("n_tokens", F.size(toks))
         .withColumn("n_bpe_tokens", bpe_token_count(col))
         .withColumn("punct_ratio", punct_ratio(col))
-        .withColumn("stopword_ratio", stopword_ratio(col))
+        .withColumn("__ltoks", low)
+        .withColumn(
+            "stopword_ratio",
+            F.when(
+                F.size(toks) > 0,
+                F.size(
+                    F.filter(
+                        F.col("__ltoks"),
+                        lambda t: F.array_contains(sw, F.regexp_replace(t, r"[^a-z]", "")),
+                    )
+                )
+                / F.size(toks),
+            ).otherwise(F.lit(0.0)),
+        )
         .withColumn(
             "avg_token_len",
             F.when(
@@ -76,6 +101,7 @@ def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
                 / F.size(toks),
             ).otherwise(F.lit(0.0)),
         )
+        .drop("__toks", "__ltoks")
     )
 
 
@@ -96,14 +122,10 @@ def quality_score(col) -> Column:
     return F.round(0.3 * len_score + 0.3 * punct_score + 0.4 * sw_score, 6)
 
 
-def language_id(col) -> Column:
-    """Marker-word language ID: argmax over per-language marker counts,
-    ties broken by language code order; 'und' when nothing matches."""
-    c = F.lower(F.col(col) if isinstance(col, str) else col)
-    toks = F.filter(
-        F.split(F.regexp_replace(c, r"[^a-z\s]", " "), r"\s+"),
-        lambda x: x != F.lit(""),
-    )
+def _language_id_from_toks(toks) -> Column:
+    """argmax over per-language marker counts from a MATERIALIZED
+    lowercase token array column; ties broken by language code order;
+    'und' when nothing matches."""
     counts = {
         lang: F.size(
             F.filter(toks, lambda t: F.array_contains(F.array(*[F.lit(m) for m in markers]), t))
@@ -116,6 +138,20 @@ def language_id(col) -> Column:
     for lang in reversed(langs):  # earlier langs win ties (applied last)
         out = F.when((counts[lang] > 0) & (counts[lang] == best_count), F.lit(lang)).otherwise(out)
     return out
+
+
+def _lang_tokens(col) -> Column:
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    return F.filter(
+        F.split(F.regexp_replace(c, r"[^a-z\s]", " "), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+
+
+def language_id(col) -> Column:
+    """Marker-word language ID (one-shot column form; hot paths should
+    materialize the token array and use ``_language_id_from_toks``)."""
+    return _language_id_from_toks(_lang_tokens(col))
 
 
 def fingerprint(col) -> Column:
@@ -139,7 +175,9 @@ def with_analysis(df: DataFrame, col: str = "text") -> DataFrame:
         out.withColumn(
             "quality", F.round(0.3 * len_score + 0.3 * punct_score + 0.4 * sw_score, 6)
         )
-        .withColumn("lang_id", language_id(col))
+        .withColumn("__lt", _lang_tokens(col))
+        .withColumn("lang_id", _language_id_from_toks(F.col("__lt")))
+        .drop("__lt")
         .withColumn("fingerprint", fingerprint(col))
     )
 

@@ -724,6 +724,43 @@ _register(
     "SELECT o_orderkey AS _id, o_totalprice FROM orders ORDER BY o_orderkey DESC LIMIT 10",
 )
 
+
+def _mongo_semi_join_in(spark, sf_dir):
+    """A11 semi-join IN pushdown: build side (high-balance customers)
+    materialized, key set pushed to the orders scan as $in."""
+    from duckdb_mongo_spark import mongo_scan
+    from duckdb_mongo_spark.pushdown import C
+
+    be = _pq_backend(sf_dir)
+    rich = (
+        mongo_scan(spark, be, "main", "customer")
+        .filter(C("c_acctbal") > 9900.0)
+        .select("c_custkey")
+        .df()
+    )
+    orders = mongo_scan(spark, be, "main", "orders")
+    out = orders.semi_join_in(rich, on="o_custkey", build_col="c_custkey")
+    from pyspark.sql import functions as F
+
+    return (
+        out.df()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderstatus")
+    )
+
+
+_register(
+    "mongo_semi_join_in",
+    _mongo_semi_join_in,
+    """
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9900.0)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+
 # ===========================================================================
 # C. NEW operators (dedup / similarity / text / multimodal)
 # ===========================================================================

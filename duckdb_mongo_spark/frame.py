@@ -149,6 +149,40 @@ class MongoFrame:
         """COUNT(*) pushed as `$count` (A18)."""
         return replace(self, _aggs=(AggSpec("count_star", None, "count"),), _group_keys=None)
 
+    def semi_join_in(
+        self, build, on: str, build_col: str | None = None, max_keys: int = 100_000
+    ):
+        """Semi-join IN / runtime-filter pushdown (A11; reference
+        OPTIONAL_FILTER/DYNAMIC_FILTER unwrap,
+        src/mongo_filter_pushdown.cpp:302-318, README.md:874-899).
+
+        Executes the (small) build side, then pushes the materialized
+        key set to the source as ``$in`` — the engine-level analog of
+        Spark's runtime filtering / DPP, which the Python DataSource API
+        cannot express. ``build`` is a DataFrame (or MongoFrame); when
+        its distinct key count exceeds ``max_keys`` the pushdown is
+        abandoned and a plain left-semi join runs in Spark (the
+        always-correct fallback).
+
+        Returns a MongoFrame with the IN filter pushed, or a DataFrame
+        (fallback) — callers that need the scan annotation should check
+        the type.
+        """
+        build_col = build_col or on
+        bdf = build.df() if isinstance(build, MongoFrame) else build
+        keys = [
+            r[0]
+            for r in bdf.select(build_col).distinct().limit(max_keys + 1).collect()
+        ]
+        if len(keys) > max_keys:
+            return self.df().join(
+                bdf.select(F.col(build_col).alias(on)).distinct(), on, "left_semi"
+            )
+        keys = [k for k in keys if k is not None]
+        from duckdb_mongo_spark.pushdown.predicates import C
+
+        return self.filter(C(on).isin(keys))
+
     # -- planning -----------------------------------------------------------
     def _compiled(self):
         pred = None

@@ -204,6 +204,53 @@ class TestSqlSurface:
         ).collect()
         assert [r["name"] for r in out] == ["Alice", "Charlie"]
 
+    def test_catalyst_filters_reach_reader(self, spark, backend):
+        """Catalyst pushdown proof for the SQL path: the WHERE clause is
+        consumed by the reader (PushedFilters), no residual Filter node
+        — reference plan-assertion style (filter_pushdown_plan.test)."""
+        import io
+        from contextlib import redirect_stdout
+
+        import duckdb_mongo_spark as dms
+
+        cat = dms.attach(backend, alias="pf", spark=spark)
+        cat.register_views(db=DB)
+        df = spark.sql("SELECT name FROM pf_users WHERE age > 28")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain(mode="formatted")
+        plan = buf.getvalue()
+        assert "PushedFilters" in plan
+        assert "GreaterThan(age,28)" in plan
+        assert "+- Filter" not in plan
+
+    def test_semi_join_in_pushdown(self, spark, backend):
+        """A11: build side materialized, key set pushed as $in."""
+        from duckdb_mongo_spark.frame import MongoFrame
+
+        users = frame(spark, backend, "users")
+        orders = frame(spark, backend, "orders")
+        completed = orders.filter(C("status") == "completed").df() \
+            .select("customer_id")
+        out = users.semi_join_in(completed, on="_id", build_col="customer_id")
+        assert isinstance(out, MongoFrame)
+        d = out.scan_description()
+        assert "$in" in d
+        rows = sorted(r["name"] for r in out.select("name").collect())
+        assert rows == ["Alice"]  # ORD-001 + ORD-004 both Alice
+
+    def test_semi_join_in_fallback_over_max_keys(self, spark, backend):
+        users = frame(spark, backend, "users")
+        orders = frame(spark, backend, "orders")
+        build = orders.df().select("customer_id")
+        out = users.semi_join_in(build, on="_id", build_col="customer_id",
+                                 max_keys=1)
+        from pyspark.sql import DataFrame
+
+        assert isinstance(out, DataFrame)  # fell back to left-semi in Spark
+        names = {r["name"] for r in out.select("name").collect()}
+        assert names == {"Alice", "Bob", "Charlie"}
+
     def test_join_across_collections(self, spark, backend):
         import duckdb_mongo_spark as dms
 

@@ -56,11 +56,27 @@ def decode_extended(obj):
 
 
 class JsonlBackend(DocumentBackend):
+    """A collection is either ``<root>/<db>/<coll>.jsonl`` (single file)
+    or a directory ``<root>/<db>/<coll>/`` of ``*.jsonl`` parts
+    (multi-file layout — what a change-stream tailer or a distributed
+    writer produces; lexicographic file order = arrival order)."""
+
     def __init__(self, root: str):
         self.root = root
 
     def _path(self, db, coll):
         return os.path.join(self.root, db, f"{coll}.jsonl")
+
+    def _files(self, db, coll) -> list[str]:
+        single = self._path(db, coll)
+        if os.path.isfile(single):
+            return [single]
+        d = os.path.join(self.root, db, coll)
+        if os.path.isdir(d):
+            return sorted(
+                os.path.join(d, f) for f in os.listdir(d) if f.endswith(".jsonl")
+            )
+        return []
 
     def list_databases(self):
         return sorted(
@@ -72,20 +88,35 @@ class JsonlBackend(DocumentBackend):
         p = os.path.join(self.root, db)
         if not os.path.isdir(p):
             return []
-        return sorted(f[:-6] for f in os.listdir(p) if f.endswith(".jsonl"))
+        out = {f[:-6] for f in os.listdir(p) if f.endswith(".jsonl")}
+        out |= {
+            d for d in os.listdir(p)
+            if os.path.isdir(os.path.join(p, d))
+            and any(f.endswith(".jsonl") for f in os.listdir(os.path.join(p, d)))
+        }
+        return sorted(out)
 
     def iter_documents(self, db, coll) -> Iterator[dict]:
-        path = self._path(db, coll)
-        if not os.path.exists(path):
+        files = self._files(db, coll)
+        if not files:
             raise KeyError(f"no such collection: {db}.{coll}")
-        with open(path, "rb") as f:
-            for line in f:
-                line = line.strip()
-                if line:
-                    yield decode_extended(json.loads(line))
+        for path in files:
+            with open(path, "rb") as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        yield decode_extended(json.loads(line))
 
     def partitions(self, db, coll, n):
-        path = self._path(db, coll)
+        files = self._files(db, coll)
+        if len(files) > 1:
+            # one partition per file part (executors read files in parallel);
+            # byte-splitting within parts kicks in for single-file layouts
+            return [
+                ScanPartition(db, coll, i, len(files), {"path": p})
+                for i, p in enumerate(files)
+            ]
+        path = files[0] if files else self._path(db, coll)
         size = os.path.getsize(path) if os.path.exists(path) else 0
         if size == 0:
             return [ScanPartition(db, coll, 0, 1, {"start": 0, "end": 0})]
@@ -99,6 +130,13 @@ class JsonlBackend(DocumentBackend):
         return parts
 
     def read_partition(self, part) -> Iterator[dict]:
+        if "path" in part.extra:  # whole-file partition (directory layout)
+            with open(part.extra["path"], "rb") as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        yield decode_extended(json.loads(line))
+            return
         path = self._path(part.db, part.coll)
         start, end = part.extra["start"], part.extra["end"]
         if not os.path.exists(path) or end <= start:

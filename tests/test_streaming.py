@@ -1,0 +1,96 @@
+"""Structured Streaming tests (NEW vs reference — SURVEY §2B lists
+streaming as absent from the reference; this is the change-stream-shaped
+extension). Driven with availableNow triggers into memory sinks so they
+are hermetic and fast.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_mongo_spark import streaming as st
+
+
+@pytest.fixture()
+def stream_root(tmp_path):
+    d = tmp_path / "docs" / "appdb" / "clicks"
+    d.mkdir(parents=True)
+    rows0 = [
+        {"_id": "a1", "user": {"name": "u1", "tier": "gold"},
+         "ts": "2024-01-01T10:00:00.000Z", "amount": 5},
+        {"_id": "a2", "user": {"name": "u2", "tier": "free"},
+         "ts": "2024-01-01T10:10:00.000Z", "amount": 7},
+    ]
+    rows1 = [
+        {"_id": "a3", "user": {"name": "u1", "tier": "gold"},
+         "ts": "2024-01-01T11:05:00.000Z", "amount": 11},
+    ]
+    (d / "part-000.jsonl").write_text("\n".join(json.dumps(r) for r in rows0) + "\n")
+    (d / "part-001.jsonl").write_text("\n".join(json.dumps(r) for r in rows1) + "\n")
+    return str(tmp_path / "docs")
+
+
+class TestDocumentStream:
+    def test_schema_and_rows(self, spark, stream_root):
+        df = st.document_stream(spark, stream_root, "appdb", "clicks")
+        assert df.isStreaming
+        # batch-scan-compatible surface: flattened + parent JSON
+        for c in ("_id", "user", "user_name", "user_tier", "ts", "amount"):
+            assert c in df.columns
+        q = (
+            df.writeStream.format("memory").queryName("clicks_raw")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(60)
+        rows = {r["_id"]: r for r in spark.sql("SELECT * FROM clicks_raw").collect()}
+        assert len(rows) == 3
+        assert rows["a1"]["user_name"] == "u1"
+        assert json.loads(rows["a1"]["user"])["tier"] == "gold"
+        assert rows["a3"]["amount"] == 11
+
+    def test_windowed_counts_with_watermark(self, spark, stream_root):
+        df = st.document_stream(spark, stream_root, "appdb", "clicks")
+        agg = st.windowed_counts(
+            df, "ts", window="1 hour", watermark="15 minutes",
+            group_cols=["user_tier"],
+            agg_exprs={"total": "sum(amount)"},
+        )
+        q = (
+            agg.writeStream.format("memory").queryName("clicks_win")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(60)
+        out = spark.sql(
+            "SELECT * FROM clicks_win ORDER BY window_start, user_tier"
+        ).collect()
+        got = [(r["window_start"].hour, r["user_tier"], r["n"], r["total"]) for r in out]
+        assert got == [(10, "free", 1, 7), (10, "gold", 1, 5), (11, "gold", 1, 11)]
+
+    def test_sessionized(self, spark, stream_root):
+        df = st.document_stream(spark, stream_root, "appdb", "clicks")
+        ses = st.sessionized(df, "ts", "user_name", gap="30 minutes",
+                             watermark="15 minutes")
+        q = (
+            ses.writeStream.format("memory").queryName("clicks_sess")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(60)
+        out = spark.sql(
+            "SELECT user_name, n_events FROM clicks_sess ORDER BY user_name, n_events"
+        ).collect()
+        # u1: 10:00 and 11:05 are >30min apart → two sessions of 1
+        assert [(r["user_name"], r["n_events"]) for r in out] == [
+            ("u1", 1), ("u1", 1), ("u2", 1)]
+
+    def test_backend_reads_directory_layout(self, spark, stream_root):
+        """The batch engine sees the same directory collection."""
+        import duckdb_mongo_spark as dms
+        from duckdb_mongo_spark.pushdown import C
+
+        mf = dms.mongo_scan(spark, f"jsonl:{stream_root}", "appdb", "clicks")
+        rows = mf.filter(C("amount") > 6).select("_id", "user_name").collect()
+        assert sorted(r["_id"] for r in rows) == ["a2", "a3"]

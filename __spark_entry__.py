@@ -953,6 +953,25 @@ def _sim_lsh_topk(spark, sf_dir):
 _register("sim_lsh_topk", _sim_lsh_topk, None)
 
 
+def _sim_ivf_topk(spark, sf_dir):
+    """IVF ANN variant (seeded-KMeans coarse quantizer + nprobe exact
+    re-rank) — approximate and ML-fit, so no SQL oracle; rows-only
+    check. Recall vs exact is covered in tests/test_ops.py."""
+    from pyspark.sql import functions as F
+
+    from duckdb_mongo_spark.ops.similarity import ivf_topk
+
+    _views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_topk(queries, emb, k=5, n_centroids=8, nprobe=2).orderBy("q_id", "rank")
+
+
+_register("sim_ivf_topk", _sim_ivf_topk, None)
+
+
 def _text_analysis(spark, sf_dir):
     from duckdb_mongo_spark.ops.text import with_analysis
 

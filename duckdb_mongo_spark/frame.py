@@ -252,8 +252,13 @@ class MongoFrame:
         desc = self.scan_description()
         out = desc
         if extended:
-            df = self.df()
-            out += "\n" + df._jdf.queryExecution().explainString("formatted")
+            import io
+            from contextlib import redirect_stdout
+
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                self.df().explain(mode="formatted")
+            out += "\n" + buf.getvalue()
         return out
 
     # -- materialization ----------------------------------------------------

@@ -149,6 +149,88 @@ def lsh_topk(
     )
 
 
+def ivf_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    seed: int = 42,
+):
+    """IVF coarse quantizer: seeded KMeans over the corpus embeddings.
+
+    Returns (assigned, centroids): ``assigned`` = corpus rows +
+    ``centroid_id``; ``centroids`` = [(centroid_id, [floats])]. At scale
+    the model is fit on a sample and the assignment is one map over the
+    corpus; inverted lists are just the ``centroid_id`` column (group
+    locality comes free from partitioning on it).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(c_id).alias("c_id"), _as_double(F.col(c_vec)).alias("cv")
+    ).withColumn("features", array_to_vector(F.col("cv")))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features",
+                   predictionCol="centroid_id").fit(c)
+    assigned = model.transform(c).select("c_id", "cv", "centroid_id")
+    centroids = [
+        (i, [float(x) for x in center]) for i, center in enumerate(model.clusterCenters())
+    ]
+    return assigned, centroids
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` nearest centroid
+    lists per query, exact cosine re-rank inside the probed lists.
+
+    The centroid table is tiny and broadcast twice (query→centroid
+    ranking, then candidate join); probe cost ∝ corpus/n_centroids ×
+    nprobe instead of the full corpus. Recall < 1.0 by construction
+    (nprobe/n_centroids is the knob).
+    """
+    from pyspark.sql import Window
+
+    assigned, centroids = ivf_index(corpus, n_centroids, c_id, c_vec, seed)
+    spark = queries.sparkSession
+    cent_df = spark.createDataFrame(
+        centroids, ["centroid_id", "centroid"]
+    )
+    q = queries.select(F.col(q_id).alias("q_id"), _as_double(F.col(q_vec)).alias("qv"))
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("c_dist").asc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("c_dist", -dot(F.col("qv"), F.col("centroid")))
+        .withColumn("c_rank", F.row_number().over(wq))
+        .filter(F.col("c_rank") <= nprobe)
+        .select("q_id", "qv", "centroid_id")
+    )
+    scored = probes.join(assigned, "centroid_id").select(
+        "q_id",
+        F.col("c_id"),
+        F.round(cosine(F.col("qv"), F.col("cv")), ROUND).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("c_id").alias(c_id), "score", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

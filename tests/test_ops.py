@@ -114,6 +114,21 @@ class TestSimilarity:
         # identical vector always shares its own bucket
         assert rows and rows[0]["vec_id"] == "v1"
 
+    def test_ivf_topk_recall_on_identical(self, spark, corpus):
+        q = spark.createDataFrame([("q1", [1.0, 0.0, 0.0])], ["q_id", "q_vec"])
+        out = similarity.ivf_topk(q, corpus, k=1, n_centroids=2, nprobe=1)
+        rows = out.collect()
+        # the query equals corpus vector v1, so v1's list is the nearest
+        # probe and the exact re-rank must surface it first
+        assert rows and rows[0]["vec_id"] == "v1"
+        assert rows[0]["score"] == pytest.approx(1.0)
+
+    def test_ivf_deterministic_with_seed(self, spark, corpus):
+        q = spark.createDataFrame([("q1", [0.5, 0.5, 0.0])], ["q_id", "q_vec"])
+        a = similarity.ivf_topk(q, corpus, k=2, n_centroids=2, nprobe=2).collect()
+        b = similarity.ivf_topk(q, corpus, k=2, n_centroids=2, nprobe=2).collect()
+        assert a == b
+
     def test_near_dup_pairs_exact(self, corpus):
         out = similarity.embedding_near_dup_pairs(corpus, threshold=0.95, exact=True)
         got = {(r["a"], r["b"]) for r in out.collect()}

@@ -204,6 +204,12 @@ class TestSqlSurface:
         ).collect()
         assert [r["name"] for r in out] == ["Alice", "Charlie"]
 
+    def test_explain_extended_includes_physical_plan(self, spark, backend):
+        users = frame(spark, backend, "users")
+        out = users.filter(C("age") > 28).explain(extended=True)
+        assert "MONGO_SCAN" in out and "scan_method=find" in out
+        assert "Physical Plan" in out
+
     def test_catalyst_filters_reach_reader(self, spark, backend):
         """Catalyst pushdown proof for the SQL path: the WHERE clause is
         consumed by the reader (PushedFilters), no residual Filter node

@@ -96,6 +96,23 @@ class DocumentBackend(ABC):
             if i % part.total == part.index
         )
 
+    def find_partition(
+        self, part: "ScanPartition", filter=None, projection=None, limit=None
+    ) -> Iterator[dict]:
+        """One partition of a find() scan WITH the pushed filter applied
+        at the source. Local backends filter while streaming; remote
+        backends override to ship the filter server-side per cursor
+        (the reference's shape: one filtered cursor, here one per
+        partition)."""
+        from duckdb_mongo_spark.mql import run_pipeline
+
+        pipeline = []
+        if filter:
+            pipeline.append({"$match": filter})
+        if limit is not None:
+            pipeline.append({"$limit": limit})
+        return iter(run_pipeline(self.read_partition(part), pipeline))
+
 
 class ScanPartition:
     """One independently-scannable split of a collection."""

@@ -14,7 +14,10 @@ from duckdb_mongo_spark.bsonlike import ObjectId
 
 class MemoryBackend(DocumentBackend):
     # The hermetic mongod stand-in: tests assert server-side pushdown
-    # against it, so it takes the remote profile (all stages pushed).
+    # against it, so it takes the remote profile (all stages pushed) AND
+    # the remote execution paths (find_partition / aggregate run through
+    # the backend like a server would, not the reader's local fallback).
+    is_remote = True
     pushdown_profile = "remote"
 
     def __init__(self, data: dict[str, dict[str, list[dict]]] | None = None):

@@ -111,11 +111,31 @@ class PymongoBackend(DocumentBackend):  # pragma: no cover - needs live server
             for i in range(n)
         ]
 
-    def read_partition(self, part):
+    def _range_filter(self, part):
         lo, hi = part.extra.get("range", (None, None))
         filt = {}
         if lo is not None:
             filt.setdefault("_id", {})["$gte"] = lo
         if hi is not None:
             filt.setdefault("_id", {})["$lt"] = hi
-        return self.find(part.db, part.coll, filter=filt or None)
+        return filt
+
+    def read_partition(self, part):
+        return self.find(part.db, part.coll, filter=self._range_filter(part) or None)
+
+    def find_partition(self, part, filter=None, projection=None, limit=None):
+        """Server-side filtered cursor per partition: the pushed $match
+        merges with the partition's _id range, so each executor pulls
+        only its matching slice over the wire."""
+        from duckdb_mongo_spark.pushdown.filters import merge_match
+
+        filt = merge_match(self._range_filter(part) or None, filter)
+        return self.find(part.db, part.coll, filter=filt, projection=projection,
+                         limit=limit)
+
+    def aggregate_partition(self, part, pipeline):
+        """Record-wise pipeline per partition, server-side, with the
+        partition's _id range prepended as $match."""
+        rf = self._range_filter(part)
+        full = ([{"$match": rf}] if rf else []) + list(pipeline)
+        return self.aggregate(part.db, part.coll, full)

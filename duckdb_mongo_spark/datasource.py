@@ -184,7 +184,7 @@ class MongoScanReader(DataSourceReader):
 
     def _result_docs(self, part):
         planned = self.planned
-        docs = self._docs_for(part)
+        is_remote = getattr(self.backend, "is_remote", False)
         if planned.method == "aggregate":
             pipeline = list(planned.pipeline or [])
             if self.catalyst_match:
@@ -201,7 +201,20 @@ class MongoScanReader(DataSourceReader):
                 return [{alias: n}] if n > 0 else (
                     [{alias: 0}] if planned.count_empty_to_zero else []
                 )
-            results = run_pipeline(docs, pipeline, seed=self.seed)
+            if is_remote and part.scan_partition is None:
+                # whole-collection pipeline runs ON the server (reference
+                # collection.aggregate, mongo_table_function.cpp:362)
+                results = list(
+                    self.backend.aggregate(self.db, self.coll, pipeline)
+                )
+            elif is_remote and hasattr(self.backend, "aggregate_partition"):
+                # record-wise pipeline per partition, server-side
+                results = list(
+                    self.backend.aggregate_partition(part.scan_partition, pipeline)
+                )
+            else:
+                docs = self._docs_for(part)
+                results = run_pipeline(docs, pipeline, seed=self.seed)
             if (
                 planned.count_empty_to_zero is not None
                 and not results
@@ -211,12 +224,22 @@ class MongoScanReader(DataSourceReader):
                 # (reference src/mongo_table_function.cpp:669-683)
                 results = [{planned.count_empty_to_zero: 0}]
             return results
-        pipeline = []
         filt = planned.filter
         if self.catalyst_match:
             from duckdb_mongo_spark.pushdown.filters import merge_match
 
             filt = merge_match(filt, self.catalyst_match)
+        if is_remote and part.scan_partition is not None:
+            # server-side filtered cursor per partition — executors pull
+            # only their matching slice (projection_doc prunes the wire
+            # format; schema-doc rows are filtered by _id below)
+            docs = self.backend.find_partition(
+                part.scan_partition, filter=filt,
+                projection=planned.projection_doc, limit=planned.limit,
+            )
+            return (d for d in docs if d.get("_id") != SCHEMA_DOC_ID)
+        docs = self._docs_for(part)
+        pipeline = []
         if filt:
             pipeline.append({"$match": filt})
         if planned.limit is not None:

@@ -972,6 +972,44 @@ def _sim_ivf_topk(spark, sf_dir):
 _register("sim_ivf_topk", _sim_ivf_topk, None)
 
 
+def _multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling plan over fake-decoded media metadata: every 50th
+    frame index per media row (the decode itself is the stubbed step —
+    the Spark plumbing (schema/explode/batch shape) is real)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_mongo_spark.ops.multimodal import (
+        attach_media_column,
+        fake_decode_meta,
+        frame_sample_plan,
+    )
+
+    _views(spark, sf_dir, "documents")
+    docs = spark.table("documents").filter(F.col("doc_id") < 100).select("doc_id", "text")
+    media = attach_media_column(docs, F.col("text"), mime="video/fake").drop("text")
+    meta = fake_decode_meta(media)
+    return (
+        frame_sample_plan(meta, every_n=50)
+        .select("doc_id", "n_frames", "frame_idx")
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+_register(
+    "multimodal_frame_sample",
+    _multimodal_frame_sample,
+    """
+    WITH meta AS (
+        SELECT doc_id,
+               1 + CAST(('0x' || substr(md5(text), 9, 4)) AS INTEGER) % 300 AS n_frames
+        FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, n_frames, unnest(range(0, n_frames, 50)) AS frame_idx
+    FROM meta ORDER BY doc_id, frame_idx
+    """,
+)
+
+
 def _text_analysis(spark, sf_dir):
     from duckdb_mongo_spark.ops.text import with_analysis
 

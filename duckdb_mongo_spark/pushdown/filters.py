@@ -65,6 +65,15 @@ def _simple(pred, schema) -> dict | None:
         val = _encode_value(pred.right.value, pred.left.name, schema)
         if pred.op == "=":
             return {key: {"$eq": val}}
+        if pred.op == "!=":
+            # MQL $ne matches MISSING/null fields; the predicate DSL has
+            # SQL semantics (residuals run in Spark, where NULL != v is
+            # not true) — conjoin the non-null guard. SQL engines add the
+            # same IS NOT NULL next to pushed != (seen in Catalyst's
+            # pushFilters and DuckDB's TableFilters alike).
+            if val is None:
+                return {key: {"$ne": None}}
+            return {"$and": [{key: {"$ne": val}}, {key: {"$ne": None}}]}
         return {key: {_OPS[pred.op]: val}}
     if isinstance(pred, P.Cmp) and isinstance(pred.right, P.Col) and isinstance(pred.left, P.Lit):
         flipped = {"=": "=", "!=": "!=", "<": ">", "<=": ">=", ">": "<", ">=": "<="}[pred.op]
@@ -73,7 +82,14 @@ def _simple(pred, schema) -> dict | None:
         if not all(isinstance(v, P.Lit) for v in pred.values):
             return None
         key = _mongo_key(pred.operand.name, schema)
-        vals = [_encode_value(v.value, pred.operand.name, schema) for v in pred.values]
+        vals = [
+            _encode_value(v.value, pred.operand.name, schema)
+            for v in pred.values
+            if v.value is not None
+        ]
+        # SQL semantics: NULL in the IN list never matches (and MQL $in
+        # with null would match MISSING fields) — strip them; an
+        # all-NULL list matches nothing
         return {key: {"$in": vals}}
     if isinstance(pred, P.IsNull) and isinstance(pred.operand, P.Col):
         return {_mongo_key(pred.operand.name, schema): None}

@@ -21,7 +21,11 @@ class TestSimpleFilters:
         assert compile_filter(C("age") < 28).match == {"age": {"$lt": 28}}
         assert compile_filter(C("age") <= 28).match == {"age": {"$lte": 28}}
         assert compile_filter(C("age") == 28).match == {"age": {"$eq": 28}}
-        assert compile_filter(C("age") != 28).match == {"age": {"$ne": 28}}
+        # != carries the SQL non-null guard (MQL $ne alone matches
+        # missing fields, which SQL != must not)
+        assert compile_filter(C("age") != 28).match == {
+            "$and": [{"age": {"$ne": 28}}, {"age": {"$ne": None}}]
+        }
 
     def test_flipped_comparison(self):
         # 28 < age → age > 28

@@ -725,6 +725,83 @@ _register(
 )
 
 
+def _mongo_or_filter(spark, sf_dir):
+    """A9/A7: OR of comparisons + IS NOT NULL, all pushed as one $or."""
+    from duckdb_mongo_spark import mongo_scan
+    from duckdb_mongo_spark.pushdown import C
+
+    mf = mongo_scan(spark, _pq_backend(sf_dir), "main", "orders")
+    pred = ((C("o_totalprice") > 450000.0) | (C("o_orderstatus") == "P")) \
+        & C("o_orderpriority").is_not_null()
+    return (
+        mf.filter(pred)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .df()
+    )
+
+
+_register(
+    "mongo_or_filter",
+    _mongo_or_filter,
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE (o_totalprice > 450000.0 OR o_orderstatus = 'P')
+      AND o_orderpriority IS NOT NULL
+    """,
+)
+
+
+def _mongo_count_col(spark, sf_dir):
+    """A19: COUNT(col) pushed as $sum($cond != null), grouped."""
+    from duckdb_mongo_spark import mongo_scan
+
+    mf = mongo_scan(spark, _pq_backend(sf_dir), "main", "customer")
+    return (
+        mf.group_by("c_mktsegment")
+        .agg(("count", "c_acctbal", "n_bal"), ("sum", "c_acctbal", "total_bal"))
+        .df()
+    )
+
+
+_register(
+    "mongo_count_col",
+    _mongo_count_col,
+    """
+    SELECT c_mktsegment, COUNT(c_acctbal) AS n_bal,
+           SUM(c_acctbal) AS total_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+
+
+def _mongo_manual_filter(spark, sf_dir):
+    """A23: raw MQL `filter :=` parameter merged with the WHERE clause."""
+    from duckdb_mongo_spark import mongo_scan
+    from duckdb_mongo_spark.pushdown import C
+
+    mf = mongo_scan(
+        spark, _pq_backend(sf_dir), "main", "orders",
+        filter={"o_orderstatus": {"$in": ["F", "P"]}},
+    )
+    return (
+        mf.filter(C("o_totalprice") > 400000.0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .df()
+    )
+
+
+_register(
+    "mongo_manual_filter",
+    _mongo_manual_filter,
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'P') AND o_totalprice > 400000.0
+    """,
+)
+
+
 def _mongo_semi_join_in(spark, sf_dir):
     """A11 semi-join IN pushdown: build side (high-balance customers)
     materialized, key set pushed to the orders scan as $in."""

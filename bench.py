@@ -36,6 +36,8 @@ def main() -> None:
         "q3_shipping_priority",
         "q5_local_supplier_volume",
         "q6_forecast_revenue",
+        "q7_volume_shipping",
+        "q13_customer_distribution",
         "q18_large_orders",
         "q_window_topk_per_customer",
         "q_sessionize",
@@ -45,6 +47,7 @@ def main() -> None:
         "mongo_agg_pushdown",
         "mongo_count_pushdown",
         "mongo_topn_pushdown",
+        "mongo_semi_join_in",
         # NEW operators
         "text_analysis",
         "dedup_minhash_signatures",

@@ -149,6 +149,31 @@ CASE_VARIANT_FIELDS = [
     {"case_data": {"ClientFullname": "Bo Chen"}},
 ]
 
+# sparse/wide realistic business docs (FIXTURES §10): deep nested
+# sub-docs, nulls inside nested docs, ObjectId-typed nested field,
+# second doc carries only a sparse subset of the fields
+OBJECT_CONTAINER = [
+    {"case_data": {
+        "case_id": "CASE-001",
+        "unprocessed_case_data": {
+            "raw_text": "full transcription here",
+            "confidence": 0.93,
+            "flags": ["review", "priority"],
+        },
+        "case_metadata": {
+            "created_by": "agent-7",
+            "reviewed": False,
+            "notes": None,
+        },
+        "channel_meta_data": {"channel_id": oid("6a7d000000000000000000aa"),
+                              "channel": "email"},
+    }},
+    {"case_data": {
+        "case_id": "CASE-002",
+        "case_metadata": {"created_by": "agent-9"},
+    }},
+]
+
 
 def build_backend() -> MemoryBackend:
     be = MemoryBackend()
@@ -166,4 +191,5 @@ def build_backend() -> MemoryBackend:
     be.insert_many(DB, "schema_test_nested", SCHEMA_TEST_NESTED)
     be.insert_many(DB, "schema_test_paths", SCHEMA_TEST_PATHS)
     be.insert_many(DB, "case_variant_fields_test", CASE_VARIANT_FIELDS)
+    be.insert_many(DB, "object_container_test", OBJECT_CONTAINER)
     return be

@@ -98,6 +98,21 @@ class TestInference:
         matches = [n for n in names(s) if n.lower() == "case_data_clientfullname"]
         assert matches == ["case_data_clientFullname"]
 
+    def test_object_container_sparse_wide(self, backend):
+        # FIXTURES §10: inference over sparse/wide nested business docs
+        s = infer_schema(backend, DB, "object_container_test")
+        assert field(s, "case_data_case_id").type == "VARCHAR"
+        assert field(s, "case_data_unprocessed_case_data_confidence").type == "DOUBLE"
+        assert field(s, "case_data_unprocessed_case_data_flags").type == LIST("VARCHAR")
+        assert field(s, "case_data_case_metadata_reviewed").type == "BOOLEAN"
+        # null-only nested field refines to VARCHAR
+        assert field(s, "case_data_case_metadata_notes").type == "VARCHAR"
+        # ObjectId-typed NESTED field is probed for filter coercion
+        assert "case_data_channel_meta_data_channel_id" in s.objectid_columns
+        # parent JSON columns exist at each nesting level
+        for parent in ("case_data", "case_data_case_metadata"):
+            assert field(s, parent).type == "VARCHAR"
+
     def test_nested_scalars_missing_paths(self, backend):
         s = infer_schema(backend, DB, "nested_scalars_test")
         assert field(s, "Parent_Object_Child_String").type == "VARCHAR"

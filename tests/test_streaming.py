@@ -86,6 +86,39 @@ class TestDocumentStream:
         assert [(r["user_name"], r["n_events"]) for r in out] == [
             ("u1", 1), ("u1", 1), ("u2", 1)]
 
+    def test_stateful_dedup_stream(self, spark, tmp_path):
+        """applyInPandasWithState dedup: duplicate fingerprints across
+        part files are dropped, first occurrence wins."""
+        import json as _json
+
+        from duckdb_mongo_spark.streaming.stateful import dedup_stream
+
+        d = tmp_path / "docs" / "db" / "items"
+        d.mkdir(parents=True)
+        (d / "part-000.jsonl").write_text(
+            "\n".join(_json.dumps(r) for r in [
+                {"_id": "x1", "src": "s1", "fp": "AAA"},
+                {"_id": "x2", "src": "s1", "fp": "BBB"},
+                {"_id": "x3", "src": "s2", "fp": "AAA"},  # same fp, other key
+            ]) + "\n")
+        (d / "part-001.jsonl").write_text(
+            "\n".join(_json.dumps(r) for r in [
+                {"_id": "x4", "src": "s1", "fp": "AAA"},  # dup within key s1
+                {"_id": "x5", "src": "s1", "fp": "CCC"},
+            ]) + "\n")
+        df = st.document_stream(spark, str(tmp_path / "docs"), "db", "items")
+        deduped = dedup_stream(df, key_col="src", fingerprint_col="fp")
+        q = (
+            deduped.writeStream.format("memory").queryName("dedup_out")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(60)
+        rows = spark.sql("SELECT * FROM dedup_out").collect()
+        got = sorted((r["src"], r["fp"]) for r in rows)
+        assert got == [("s1", "AAA"), ("s1", "BBB"), ("s1", "CCC"), ("s2", "AAA")]
+        kept_ids = {r["_id"] for r in rows}
+        assert "x4" not in kept_ids and "x1" in kept_ids
+
     def test_backend_reads_directory_layout(self, spark, stream_root):
         """The batch engine sees the same directory collection."""
         import duckdb_mongo_spark as dms

@@ -552,6 +552,71 @@ _sql_query(
 )
 
 _sql_query(
+    "q9_product_profit",
+    ["part", "supplier", "lineitem", "orders", "nation"],
+    f"""
+    SELECT nation, o_year, {_dsum('amount', 6)} AS sum_profit
+    FROM (
+        SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS amount
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%green%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+
+_sql_query(
+    "q21_waiting_orders",
+    ["supplier", "lineitem", "orders", "nation"],
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      AND n.n_name = 'SAUDI ARABIA'
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+
+_sql_query(
+    "q22_global_sales_opportunity",
+    ["customer", "orders"],
+    f"""
+    SELECT cntrycode, COUNT(*) AS numcust, {_dsum('c_acctbal', 2)} AS totacctbal
+    FROM (
+        SELECT c_custkey % 10 AS cntrycode, c_acctbal
+        FROM customer c
+        WHERE c_custkey % 10 IN (1, 2, 3, 4, 5)
+          AND c_acctbal > (
+              SELECT {_dsum('c_acctbal', 2)} / COUNT(*)
+              FROM customer
+              WHERE c_acctbal > 0.0 AND c_custkey % 10 IN (1, 2, 3, 4, 5))
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ) custsale
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+)
+
+_sql_query(
     "q_cube_agg",
     ["lineitem"],
     f"""

@@ -149,6 +149,71 @@ def lsh_topk(
     )
 
 
+def cosine_topk_vectorized(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine via an Arrow-batched numpy kernel
+    (``mapInPandas``) — same results as ``cosine_topk``, different
+    execution: per-batch matrix multiply instead of per-element
+    higher-order-function evaluation.
+
+    The query set is collected to the driver (it must be broadcastable
+    anyway) and shipped in the closure as one ndarray; each corpus batch
+    does ONE (B×d)·(d×Q) GEMM. At 100 TB this is the fast path — HOF
+    lambdas evaluate interpreted per element, a GEMM runs at memory
+    bandwidth. Scores are rounded like the HOF path so both agree.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    q_rows = queries.select(q_id, q_vec).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.asarray([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm[q_norm == 0.0] = 1.0
+
+    out_schema = T.StructType([
+        T.StructField("q_id", queries.schema[q_id].dataType),
+        T.StructField("c_id", corpus.schema[c_id].dataType),
+        T.StructField("score", T.DoubleType()),
+    ])
+
+    def kernel(batches):
+        for pdf in batches:
+            c_mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["cv"]], dtype=np.float64
+            )
+            if c_mat.size == 0:
+                continue
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            c_norm[c_norm == 0.0] = 1.0
+            scores = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)
+            n_c, n_q = scores.shape
+            yield pd.DataFrame({
+                "q_id": np.repeat(np.asarray(q_ids), n_c),
+                "c_id": np.tile(pdf["c_id"].to_numpy(), n_q),
+                "score": np.round(scores.T.reshape(-1), ROUND),
+            })
+
+    c = corpus.select(F.col(c_id).alias("c_id"), _as_double(F.col(c_vec)).alias("cv"))
+    scored = c.mapInPandas(kernel, schema=out_schema)
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("c_id").alias(c_id), "score", "rank")
+    )
+
+
 def ivf_index(
     corpus: DataFrame,
     n_centroids: int = 16,

@@ -107,6 +107,15 @@ class TestSimilarity:
         assert rows[0]["score"] == pytest.approx(1.0)
         assert rows[1]["score"] == pytest.approx(0.9 / math.sqrt(0.82), abs=1e-6)
 
+    def test_vectorized_matches_hof_path(self, spark, corpus):
+        q = spark.createDataFrame(
+            [("q1", [1.0, 0.0, 0.0]), ("q2", [0.0, 0.5, 0.5])], ["q_id", "q_vec"])
+        hof = similarity.cosine_topk(q, corpus, k=3).collect()
+        vec = similarity.cosine_topk_vectorized(q, corpus, k=3).collect()
+        key = lambda r: (r["q_id"], r["rank"])
+        assert sorted([tuple(r) for r in hof], key=lambda t: (t[0], t[3])) == \
+               sorted([tuple(r) for r in vec], key=lambda t: (t[0], t[3]))
+
     def test_lsh_recall_on_identical(self, spark, corpus):
         q = spark.createDataFrame([("q1", [1.0, 0.0, 0.0])], ["q_id", "q_vec"])
         out = similarity.lsh_topk(q, corpus, k=1, n_planes=4)

@@ -53,6 +53,7 @@ def main() -> None:
         "dedup_minhash_signatures",
         "dedup_simhash",
         "sim_cosine_topk",
+        "sim_cosine_topk_vectorized",
     ]
 
     # warmup, mirroring the reference harness's warmup COUNT(*)

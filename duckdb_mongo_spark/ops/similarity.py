@@ -235,6 +235,7 @@ def ivf_index(
     c = corpus.select(
         F.col(c_id).alias("c_id"), _as_double(F.col(c_vec)).alias("cv")
     ).withColumn("features", array_to_vector(F.col("cv")))
+    n_centroids = max(1, min(n_centroids, c.count()))  # tiny-corpus guard
     model = KMeans(k=n_centroids, seed=seed, featuresCol="features",
                    predictionCol="centroid_id").fit(c)
     assigned = model.transform(c).select("c_id", "cv", "centroid_id")

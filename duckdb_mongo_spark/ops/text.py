@@ -70,38 +70,31 @@ def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
     would be recomputed per token (~10-50× slowdown on real documents).
     """
     sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
-    toked = df.withColumn(
-        "__toks", F.filter(F.split(F.col(col), r"\s+"), lambda x: x != F.lit(""))
+    base = [F.col(c) for c in df.columns]
+    toked = df.select(
+        *base, F.filter(F.split(F.col(col), r"\s+"), lambda x: x != F.lit("")).alias("__toks")
     )
     toks = F.col("__toks")
-    low = F.transform(toks, F.lower)
-    return (
-        toked.withColumn("n_tokens", F.size(toks))
-        .withColumn("n_bpe_tokens", bpe_token_count(col))
-        .withColumn("punct_ratio", punct_ratio(col))
-        .withColumn("__ltoks", low)
-        .withColumn(
-            "stopword_ratio",
-            F.when(
-                F.size(toks) > 0,
-                F.size(
-                    F.filter(
-                        F.col("__ltoks"),
-                        lambda t: F.array_contains(sw, F.regexp_replace(t, r"[^a-z]", "")),
-                    )
+    return toked.select(
+        *base,
+        F.size(toks).alias("n_tokens"),
+        bpe_token_count(col).alias("n_bpe_tokens"),
+        punct_ratio(col).alias("punct_ratio"),
+        F.when(
+            F.size(toks) > 0,
+            F.size(
+                F.filter(
+                    F.transform(toks, F.lower),
+                    lambda t: F.array_contains(sw, F.regexp_replace(t, r"[^a-z]", "")),
                 )
-                / F.size(toks),
-            ).otherwise(F.lit(0.0)),
-        )
-        .withColumn(
-            "avg_token_len",
-            F.when(
-                F.size(toks) > 0,
-                F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
-                / F.size(toks),
-            ).otherwise(F.lit(0.0)),
-        )
-        .drop("__toks", "__ltoks")
+            )
+            / F.size(toks),
+        ).otherwise(F.lit(0.0)).alias("stopword_ratio"),
+        F.when(
+            F.size(toks) > 0,
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+            / F.size(toks),
+        ).otherwise(F.lit(0.0)).alias("avg_token_len"),
     )
 
 
@@ -171,14 +164,17 @@ def with_analysis(df: DataFrame, col: str = "text") -> DataFrame:
     len_score = F.least(n / F.lit(500.0), F.lit(1.0))
     punct_score = F.lit(1.0) - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0))
     sw_score = F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0))
-    return (
-        out.withColumn(
-            "quality", F.round(0.3 * len_score + 0.3 * punct_score + 0.4 * sw_score, 6)
-        )
-        .withColumn("__lt", _lang_tokens(col))
-        .withColumn("lang_id", _language_id_from_toks(F.col("__lt")))
-        .drop("__lt")
-        .withColumn("fingerprint", fingerprint(col))
+    stats = [F.col(c) for c in out.columns]
+    with_lt = out.select(
+        *stats,
+        F.round(0.3 * len_score + 0.3 * punct_score + 0.4 * sw_score, 6).alias("quality"),
+        _lang_tokens(col).alias("__lt"),
+    )
+    return with_lt.select(
+        *stats,
+        F.col("quality"),
+        _language_id_from_toks(F.col("__lt")).alias("lang_id"),
+        fingerprint(col).alias("fingerprint"),
     )
 
 

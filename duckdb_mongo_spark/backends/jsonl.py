@@ -73,8 +73,12 @@ class JsonlBackend(DocumentBackend):
             return [single]
         d = os.path.join(self.root, db, coll)
         if os.path.isdir(d):
+            # .jsonl parts + .json parts (Spark's streaming json sink
+            # writes part-*.json); skip metadata/checkpoint artifacts
             return sorted(
-                os.path.join(d, f) for f in os.listdir(d) if f.endswith(".jsonl")
+                os.path.join(d, f)
+                for f in os.listdir(d)
+                if f.endswith((".jsonl", ".json")) and not f.startswith(("_", "."))
             )
         return []
 
@@ -92,7 +96,10 @@ class JsonlBackend(DocumentBackend):
         out |= {
             d for d in os.listdir(p)
             if os.path.isdir(os.path.join(p, d))
-            and any(f.endswith(".jsonl") for f in os.listdir(os.path.join(p, d)))
+            and any(
+                f.endswith((".jsonl", ".json")) and not f.startswith(("_", "."))
+                for f in os.listdir(os.path.join(p, d))
+            )
         }
         return sorted(out)
 

@@ -26,7 +26,36 @@ from pyspark.sql import functions as F
 from duckdb_mongo_spark.schema.infer import resolve_schema
 from duckdb_mongo_spark.schema.types import to_spark_schema
 
-__all__ = ["document_stream", "windowed_counts", "sessionized"]
+__all__ = [
+    "document_stream",
+    "windowed_counts",
+    "sessionized",
+    "stream_to_collection",
+]
+
+
+def stream_to_collection(
+    stream: DataFrame,
+    root: str,
+    db: str,
+    coll: str,
+    checkpoint: str | None = None,
+    trigger_available_now: bool = False,
+):
+    """Sink a stream back into a JSONL collection directory that the
+    batch engine (``mongo_scan`` over ``jsonl:<root>``) and
+    ``document_stream`` itself can read — the bronze-table shape of a
+    change-stream ingestion pipeline. Returns the started query.
+    """
+    path = f"{root}/{db}/{coll}"
+    writer = (
+        stream.writeStream.format("json")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint or f"{path}/_checkpoint")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def _ensure_event_time(stream: DataFrame, ts_col: str) -> DataFrame:

@@ -119,6 +119,25 @@ class TestDocumentStream:
         kept_ids = {r["_id"] for r in rows}
         assert "x4" not in kept_ids and "x1" in kept_ids
 
+    def test_stream_to_collection_roundtrip(self, spark, stream_root, tmp_path):
+        """Full loop: document stream → transform → JSONL-collection sink
+        → batch engine reads it back (bronze-table ingestion shape)."""
+        import duckdb_mongo_spark as dms
+        from duckdb_mongo_spark.pushdown import C
+
+        df = st.document_stream(spark, stream_root, "appdb", "clicks")
+        enriched = df.withColumn("amount2", F.col("amount") * 2)
+        sink_root = str(tmp_path / "bronze")
+        q = st.stream_to_collection(
+            enriched, sink_root, "appdb", "clicks_bronze",
+            checkpoint=str(tmp_path / "ckpt"), trigger_available_now=True,
+        )
+        q.awaitTermination(60)
+        mf = dms.mongo_scan(spark, f"jsonl:{sink_root}", "appdb", "clicks_bronze")
+        rows = mf.filter(C("amount2") > 10).select("_id", "amount2").collect()
+        assert sorted((r["_id"], r["amount2"]) for r in rows) == [
+            ("a2", 14), ("a3", 22)]
+
     def test_backend_reads_directory_layout(self, spark, stream_root):
         """The batch engine sees the same directory collection."""
         import duckdb_mongo_spark as dms

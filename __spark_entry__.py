@@ -65,7 +65,22 @@ def _parallelize(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     return df
 
 
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _load_table(spark: SparkSession, sf_dir: str, t: str) -> DataFrame:
+    # reuse the analyzed DataFrame per (session, dir, table): repeated
+    # spark.read.parquet + footer probes are pure planning overhead
+    key = (id(spark), sf_dir, t)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, t)
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, t: str) -> DataFrame:
     path = f"{sf_dir}/{t}.parquet"
     nanos = _nanos_ts_cols(path)
     if not nanos:

@@ -683,6 +683,33 @@ _sql_query(
     """,
 )
 
+_SCALAR_FUNCS_SQL = """
+    SELECT n_nationkey,
+           upper(n_name) AS up, lower(n_name) AS lo,
+           substring(n_name, 2, 3) AS sub,
+           length(n_name) AS len,
+           concat(n_name, '-', CAST(n_regionkey AS STRING)) AS cc,
+           replace(n_name, 'A', '@') AS rep,
+           lpad(n_name, 12, '.') AS lp,
+           reverse(n_name) AS rev,
+           levenshtein(n_name, 'CANADA') AS lev,
+           abs(n_regionkey - 2) AS ab,
+           round(sqrt(n_nationkey), 4) AS sq,
+           CAST(floor(n_nationkey / 4.0) AS BIGINT) AS fl,
+           CAST(ceil(n_nationkey / 4.0) AS BIGINT) AS ce,
+           CAST(power(2, n_regionkey) AS BIGINT) AS pw,
+           n_nationkey % 7 AS md
+    FROM nation ORDER BY n_nationkey
+"""
+
+_sql_query(
+    "q_scalar_functions",
+    ["nation"],
+    _SCALAR_FUNCS_SQL,
+    # only dialect delta: Spark spells the cast type STRING, DuckDB VARCHAR
+    oracle=_SCALAR_FUNCS_SQL.replace("AS STRING", "AS VARCHAR"),
+)
+
 _sql_query(
     "q_percentiles_order_value",
     ["orders"],

@@ -175,6 +175,11 @@ def _apply_op(actual, op, arg, doc):
         if isinstance(arg, re.Pattern) or isinstance(arg, str):
             return not _apply_op(actual, "$regex", arg, doc)
         return not _operator_doc_match(actual, arg, doc)
+    if op == "$all":
+        if not isinstance(actual, list):
+            # scalar matches iff it equals every required element
+            return all(_eq_match(actual, x) for x in arg)
+        return all(any(values_equal(x, el) for el in actual) for x in arg)
     raise ValueError(f"unsupported match operator: {op}")
 
 

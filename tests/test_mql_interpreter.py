@@ -56,6 +56,11 @@ class TestMatch:
         assert matches_filter(doc, {"items": {"$elemMatch": {"q": {"$gt": 3}}}})
         assert not matches_filter(doc, {"items": {"$elemMatch": {"q": {"$gt": 9}}}})
 
+    def test_all(self):
+        assert matches_filter({"tags": ["p", "q", "r"]}, {"tags": {"$all": ["p", "r"]}})
+        assert not matches_filter({"tags": ["p"]}, {"tags": {"$all": ["p", "r"]}})
+        assert matches_filter({"x": 5}, {"x": {"$all": [5]}})
+
     def test_and_or(self):
         f = {"$or": [{"a": {"$gt": 20}}, {"b": "y"}]}
         assert matches_filter({"a": 25, "b": "x"}, f)

@@ -683,6 +683,22 @@ _sql_query(
     """,
 )
 
+_sql_query(
+    "q_full_outer_nation_activity",
+    ["customer", "supplier", "nation"],
+    """
+    SELECT COALESCE(c.nk, s.nk) AS nk, n.n_name,
+           COALESCE(c.n_cust, 0) AS n_cust, COALESCE(s.n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+          FROM customer GROUP BY c_nationkey) c
+    FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+                     FROM supplier GROUP BY s_nationkey) s
+      ON c.nk = s.nk
+    JOIN nation n ON n.n_nationkey = COALESCE(c.nk, s.nk)
+    ORDER BY nk
+    """,
+)
+
 _SCALAR_FUNCS_SQL = """
     SELECT n_nationkey,
            upper(n_name) AS up, lower(n_name) AS lo,

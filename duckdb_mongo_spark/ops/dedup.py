@@ -206,25 +206,39 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     Token projection = first 4 hex chars of md5(token) → 16-bit int;
     per bit: majority vote (+1 if set, −1 if clear); simhash bit = 1
     iff vote > 0. Output: id + simhash (BIGINT).
+
+    Computed per row (token hashes materialized once, one aggregate per
+    bit over the array) — ZERO shuffles, like minhash; the explode +
+    groupBy formulation shuffles every token at scale.
     """
-    toks = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(_norm_tokens(F.col(text_col)))).alias("tok"),
+    toked = df.select(
+        F.col(id_col),
+        F.array_distinct(_norm_tokens(F.col(text_col))).alias("__toks"),
+    ).filter(F.size("__toks") > 0)  # token-less docs have no simhash (as
+    # in the explode formulation and the unnest-based oracle)
+    hashed = toked.select(
+        F.col(id_col),
+        F.transform(
+            F.col("__toks"),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long"),
+        ).alias("__hv"),
     )
-    hv = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
-    toks = toks.withColumn("hv", hv)
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(bits)
-    ]
-    agg = toks.groupBy("doc").agg(*votes)
+
+    def vote(b: int):
+        return F.aggregate(
+            F.col("__hv"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + F.when(F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
     sim = None
     for b in range(bits):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.when(vote(b) > 0, F.lit(2 ** b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         sim = term if sim is None else (sim + term)
-    return agg.select(F.col("doc").alias(id_col), sim.alias("simhash"))
+    return hashed.select(F.col(id_col), sim.alias("simhash"))
 
 
 def hamming64(a, b):

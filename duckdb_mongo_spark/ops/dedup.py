@@ -224,21 +224,33 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
         ).alias("__hv"),
     )
 
-    def vote(b: int):
-        return F.aggregate(
-            F.col("__hv"),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc
-            + F.when(F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
+    # ONE pass over the hash array: the accumulator is the vector of
+    # per-bit votes (zip_with merge), instead of `bits` separate
+    # aggregate() passes — smaller codegen, same result
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
 
-    sim = None
-    for b in range(bits):
-        term = F.when(vote(b) > 0, F.lit(2 ** b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sim = term if sim is None else (sim + term)
-    return hashed.select(F.col(id_col), sim.alias("simhash"))
+    def bit_votes(x):
+        return F.array(*[
+            F.when(
+                F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, F.lit(1).cast("long")
+            ).otherwise(F.lit(-1).cast("long"))
+            for b in range(bits)
+        ])
+
+    votes = F.aggregate(
+        F.col("__hv"), zero, lambda acc, x: F.zip_with(acc, bit_votes(x), lambda a, b: a + b)
+    )
+    voted = hashed.select(F.col(id_col), votes.alias("__votes"))
+    weights = F.array(*[F.lit(2 ** b).cast("long") for b in range(bits)])
+    sim = F.aggregate(
+        F.zip_with(
+            F.col("__votes"), weights,
+            lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return voted.select(F.col(id_col), sim.alias("simhash"))
 
 
 def hamming64(a, b):

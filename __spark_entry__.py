@@ -345,9 +345,9 @@ _sql_query(
     "q_except_nations",
     ["customer", "supplier"],
     """
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000.0
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000.0
     ORDER BY nationkey
     """,
 )
@@ -480,8 +480,8 @@ _sql_query(
         JOIN customer c ON c.c_custkey = o.o_custkey
         JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
         JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-        WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-            OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+        WHERE ((n1.n_name = 'NATION_5' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_5'))
           AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
                                AND TIMESTAMP '1996-12-31 00:00:00'
     ) shipping
@@ -499,7 +499,7 @@ _sql_query(
     FROM (
         SELECT year(o.o_orderdate) AS o_year,
                l.l_extendedprice * (1 - l.l_discount) AS volume,
-               CASE WHEN n2.n_name = 'BRAZIL'
+               CASE WHEN n2.n_name = 'NATION_2'
                     THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END
                    AS brazil_volume
         FROM part p
@@ -513,7 +513,7 @@ _sql_query(
         WHERE r.r_name = 'AMERICA'
           AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
                                 AND TIMESTAMP '1996-12-31 00:00:00'
-          AND p.p_type LIKE '%STEEL'
+          AND p.p_type LIKE '%NOMY'
     ) all_nations
     GROUP BY o_year
     ORDER BY o_year
@@ -579,7 +579,7 @@ _sql_query(
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
         JOIN orders o ON o.o_orderkey = l.l_orderkey
         JOIN nation n ON s.s_nationkey = n.n_nationkey
-        WHERE p.p_name LIKE '%green%'
+        WHERE p.p_name LIKE '%widget%'
     ) profit
     GROUP BY nation, o_year
     ORDER BY nation, o_year DESC
@@ -604,7 +604,7 @@ _sql_query(
                       WHERE l3.l_orderkey = l1.l_orderkey
                         AND l3.l_suppkey <> l1.l_suppkey
                         AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
-      AND n.n_name = 'SAUDI ARABIA'
+      AND n.n_name = 'NATION_3'
     GROUP BY s.s_name
     ORDER BY numwait DESC, s.s_name
     LIMIT 20
@@ -624,7 +624,8 @@ _sql_query(
               SELECT {_dsum('c_acctbal', 2)} / COUNT(*)
               FROM customer
               WHERE c_acctbal > 0.0 AND c_custkey % 10 IN (1, 2, 3, 4, 5))
-          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
     ) custsale
     GROUP BY cntrycode
     ORDER BY cntrycode
@@ -1080,6 +1081,49 @@ _register(
               GROUP BY a.doc, b.doc)
     SELECT i.a, i.b, i.inter, sa.sz AS size_a, sb.sz AS size_b,
            round(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) AS jaccard
+    FROM inter i JOIN sizes sa ON i.a = sa.doc JOIN sizes sb ON i.b = sb.doc
+    WHERE round(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) >= 0.2
+    ORDER BY i.a, i.b
+    """,
+)
+
+
+def _dedup_minhash_lsh(spark, sf_dir):
+    from duckdb_mongo_spark.ops.dedup import near_dup_pairs_minhash_lsh
+
+    _views(spark, sf_dir, "documents")
+    return near_dup_pairs_minhash_lsh(
+        spark.table("documents"), "doc_id", "text", threshold=0.2, k=4, bands=2
+    ).orderBy("a", "b")
+
+
+_register(
+    "dedup_minhash_lsh",
+    _dedup_minhash_lsh,
+    _SHINGLE_GRAMS_SQL
+    + """
+    , sig AS (
+        SELECT doc_id,
+            list_min(list_transform(g, s -> md5('0:' || s))) AS m0,
+            list_min(list_transform(g, s -> md5('1:' || s))) AS m1,
+            list_min(list_transform(g, s -> md5('2:' || s))) AS m2,
+            list_min(list_transform(g, s -> md5('3:' || s))) AS m3
+        FROM grams),
+    bk AS (
+        SELECT doc_id AS doc, 0 AS band, md5(m0 || '|' || m1) AS bucket FROM sig
+        UNION ALL
+        SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig),
+    cand AS (
+        SELECT DISTINCT l.doc AS a, r.doc AS b
+        FROM bk l JOIN bk r ON l.band = r.band AND l.bucket = r.bucket AND l.doc < r.doc),
+    sh AS (SELECT doc_id AS doc, unnest(list_distinct(g)) AS shingle FROM grams),
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+    inter AS (
+        SELECT c.a, c.b, COUNT(*) AS inter
+        FROM cand c JOIN sh sa ON sa.doc = c.a
+                    JOIN sh sb ON sb.doc = c.b AND sb.shingle = sa.shingle
+        GROUP BY c.a, c.b)
+    SELECT i.a, i.b, round(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) AS jaccard
     FROM inter i JOIN sizes sa ON i.a = sa.doc JOIN sizes sb ON i.b = sb.doc
     WHERE round(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) >= 0.2
     ORDER BY i.a, i.b

@@ -66,7 +66,19 @@ class MongoDataSource(DataSource):
         return to_spark_schema(payload["planned"].output_schema.fields)
 
     def reader(self, schema):
-        return MongoScanReader(decode_payload(self.options["payload"]))
+        payload = decode_payload(self.options["payload"])
+        # When the active session disables Catalyst→Python filter pushdown
+        # (spark.sql.python.filterPushdown.enabled=false), Spark refuses any
+        # reader that overrides pushFilters (DATA_SOURCE_PUSHDOWN_DISABLED).
+        # Engine-side pushdown still works — filters given through the
+        # MongoFrame API are pre-compiled into the payload — so we degrade
+        # gracefully to a pushFilters-free reader; only Catalyst-originated
+        # pushdown (spark.sql over registered views) is skipped. Mirrors the
+        # reference's pushdown-with-graceful-fallback strategy
+        # (src/mongo_filter_pushdown.cpp:433-543).
+        if payload.get("push_filters", True):
+            return MongoScanReader(payload)
+        return _MongoScanReaderNoPushdown(payload)
 
 
 def _filter_column(attr) -> str:
@@ -138,7 +150,12 @@ class _Part(InputPartition):
         self.scan_partition = scan_partition
 
 
-class MongoScanReader(DataSourceReader):
+class _MongoScanReaderNoPushdown(DataSourceReader):
+    """Scan reader WITHOUT a pushFilters override — used when the session
+    disables spark.sql.python.filterPushdown.enabled. Everything else
+    (partitioned reads, Arrow batches, engine-side pre-compiled pushdown)
+    is identical to MongoScanReader."""
+
     def __init__(self, payload: dict):
         self.backend = payload["backend"]
         self.db = payload["db"]
@@ -149,24 +166,6 @@ class MongoScanReader(DataSourceReader):
         self.seed = payload.get("seed", 42)
         self.use_arrow = payload.get("use_arrow", True)
         self.catalyst_match: dict | None = None
-
-    # -- Catalyst → MQL filter pushdown (engine-pushed filters are already
-    #    inside self.planned; this handles spark.sql over registered views)
-    def pushFilters(self, filters):
-        out_schema = self.planned.output_schema
-        parts = []
-        unsupported = []
-        for f in filters:
-            mql = _v2_filter_to_mql(f, out_schema)
-            if mql is None:
-                unsupported.append(f)
-            else:
-                parts.append(mql)
-        if parts:
-            from duckdb_mongo_spark.pushdown.filters import _merge_and
-
-            self.catalyst_match = _merge_and(parts)
-        return iter(unsupported)
 
     def partitions(self):
         if self.planned.method == "aggregate" and not self.planned.parallelizable:
@@ -289,6 +288,29 @@ class MongoScanReader(DataSourceReader):
             yield from (tuple(r) for r in rows)
             return
         yield from _to_arrow_batches(rows, schema)
+
+
+class MongoScanReader(_MongoScanReaderNoPushdown):
+    """Default scan reader: adds Catalyst → MQL filter pushdown on top of
+    the engine-side pre-compiled pushdown."""
+
+    # -- Catalyst → MQL filter pushdown (engine-pushed filters are already
+    #    inside self.planned; this handles spark.sql over registered views)
+    def pushFilters(self, filters):
+        out_schema = self.planned.output_schema
+        parts = []
+        unsupported = []
+        for f in filters:
+            mql = _v2_filter_to_mql(f, out_schema)
+            if mql is None:
+                unsupported.append(f)
+            else:
+                parts.append(mql)
+        if parts:
+            from duckdb_mongo_spark.pushdown.filters import _merge_and
+
+            self.catalyst_match = _merge_and(parts)
+        return iter(unsupported)
 
 
 def _arrow_type(t):

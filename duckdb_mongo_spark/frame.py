@@ -24,7 +24,10 @@ from duckdb_mongo_spark.pushdown import predicates as P
 from duckdb_mongo_spark.pushdown.filters import compile_filter
 from duckdb_mongo_spark.pushdown.planner import AggSpec, ScanSpec, plan_scan
 from duckdb_mongo_spark.schema.flatten import render_json
-from duckdb_mongo_spark.session import register_data_source
+from duckdb_mongo_spark.session import (
+    ensure_python_filter_pushdown,
+    register_data_source,
+)
 
 
 def _pred_to_column(pred, schema):
@@ -272,6 +275,10 @@ class MongoFrame:
             "planned": planned,
             "mode": self.schema_mode,
             "num_partitions": self.num_partitions,
+            # sessions that hard-disable the conf get a pushFilters-free
+            # reader (engine-side pushdown is already compiled into
+            # ``planned``); see datasource.MongoDataSource.reader()
+            "push_filters": ensure_python_filter_pushdown(self.spark),
         }
         df = (
             self.spark.read.format(FORMAT_NAME)

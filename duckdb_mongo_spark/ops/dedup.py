@@ -166,8 +166,13 @@ def near_dup_pairs_minhash_lsh(
     """MinHash-LSH candidate generation + exact Jaccard verification.
 
     Bands of k/bands rows each; candidates = pairs sharing any band
-    bucket; verified with the exact shingle-Jaccard join restricted to
-    candidates (scale path: verification join touches only candidates).
+    bucket. Verification computes exact Jaccard ONLY over candidate
+    pairs: candidate (a, b) is joined to a's shingles, then matched to
+    b's shingles on (b, shingle), and only that restricted set hits the
+    intersection groupBy — sub-quadratic end-to-end. (An all-pairs
+    shingle self-join before candidate restriction would defeat LSH at
+    scale: at 100 TB the self-join output is O(corpus²) in hot
+    shingles while the candidate set is ~linear.)
     """
     assert k % bands == 0
     rows = k // bands
@@ -192,9 +197,25 @@ def near_dup_pairs_minhash_lsh(
         .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
         .distinct()
     )
-    exact = near_dup_pairs_jaccard(df, id_col, text_col, threshold=0.0, n=n)
+    sh = exploded_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    # candidate-restricted intersection: shingles of a for each candidate
+    # pair, matched against b's shingles — never an all-pairs self-join
+    a_sh = cands.join(sh.select(F.col("doc").alias("a"), "shingle"), "a")
+    inter = (
+        a_sh.join(sh.select(F.col("doc").alias("b"), "shingle"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
     return (
-        exact.join(cands, ["a", "b"])
+        inter.join(sizes.select(F.col("doc").alias("a"), F.col("sz").alias("size_a")), "a")
+        .join(sizes.select(F.col("doc").alias("b"), F.col("sz").alias("size_b")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )

@@ -39,6 +39,26 @@ def get_spark(app_name: str = "duckdb_mongo_spark", extra_conf: dict | None = No
     return spark
 
 
+def ensure_python_filter_pushdown(spark: SparkSession) -> bool:
+    """Best-effort enable Catalyst→Python-DataSource filter pushdown on the
+    *active* session (which may not be one of ours — e.g. a harness-built
+    session without session.py's configs), returning the effective value.
+
+    Spark refuses to instantiate a reader that overrides ``pushFilters``
+    while ``spark.sql.python.filterPushdown.enabled`` is false, so callers
+    pass the returned flag into the scan payload and the datasource picks
+    a pushFilters-free reader class when it is False."""
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    try:
+        spark.conf.set(conf_key, "true")
+    except Exception:
+        pass
+    try:
+        return str(spark.conf.get(conf_key, "false")).lower() == "true"
+    except Exception:
+        return False
+
+
 def register_data_source(spark: SparkSession) -> None:
     """Register the engine's Python DataSource (idempotent per session)."""
     key = id(spark)

@@ -75,6 +75,26 @@ class TestMinhashLsh:
         assert ("d1", "d2") in got
         assert ("d1", "d4") not in got
 
+    def test_lsh_verification_is_candidate_restricted(self, docs):
+        """Scale invariant: the exact-Jaccard verification must join the
+        candidate pair set BELOW the intersection aggregate — an all-pairs
+        shingle self-join before candidate restriction is O(corpus²) at
+        100 TB. We assert the optimized plan has no shingle-equality
+        self-join feeding the final aggregate without the candidate join
+        in between: every non-broadcast join on `shingle` must also carry
+        a doc-id key (i.e. is the candidate-restricted probe), never the
+        bare a.shingle = b.shingle AND a.doc < b.doc cross-doc form."""
+        pairs = dedup.near_dup_pairs_minhash_lsh(
+            docs, "doc_id", "text", threshold=0.8, k=8, bands=4)
+        plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+        import re
+
+        for cond in re.findall(r"Join \w+, \((.*)\)", plan):
+            if "shingle" in cond:
+                # shingle joins must be the candidate probe (carry doc key
+                # b), not the all-pairs `doc < doc` self-join
+                assert "<" not in cond, f"all-pairs shingle self-join: {cond}"
+
 
 class TestSimhash:
     def test_identical_equal_near_differs_by_few_bits(self, docs, spark):

@@ -89,6 +89,7 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, t: str) -> DataFrame:
     # long and truncate to micros (exactly DuckDB's read behavior).
     from pyspark.sql import functions as F
 
+    prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
@@ -99,7 +100,7 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, t: str) -> DataFrame:
                 )
         return _parallelize(spark, df, path)
     finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
 
 
 def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:

@@ -89,7 +89,11 @@ class PymongoBackend(DocumentBackend):  # pragma: no cover - needs live server
         return list(self.aggregate(db, coll, [{"$sample": {"size": n}}]))
 
     def count(self, db, coll, filter=None):
-        return self.client[db][coll].count_documents(filter or {})
+        # exclude the __schema sentinel doc so the count fast path agrees
+        # with the scan path (datasource._docs_for filters it out)
+        sentinel_free = {"_id": {"$ne": "__schema"}}
+        f = {"$and": [filter, sentinel_free]} if filter else sentinel_free
+        return self.client[db][coll].count_documents(f)
 
     def partitions(self, db, coll, n):
         if n <= 1:

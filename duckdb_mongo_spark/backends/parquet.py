@@ -186,9 +186,25 @@ class ParquetBackend(DocumentBackend):
         path = self._path(coll)
         pf = pq.ParquetFile(path)
         file_cols = set(pf.schema_arrow.names)
+        # exclude the __schema sentinel document (the interpreted scan
+        # path filters it in datasource._docs_for; the arrow path must
+        # agree or a schema-carrying collection gains a phantom row)
+        id_col = "_id" if "_id" in file_cols else self.id_field
+        sentinel_col = None
+        if id_col and id_col in file_cols:
+            import pyarrow as _pa
+            import pyarrow.compute as pc
+
+            t = pf.schema_arrow.field(id_col).type
+            if _pa.types.is_string(t) or _pa.types.is_large_string(t):
+                sentinel_col = id_col
+                sentinel_free = pc.field(id_col) != "__schema"
+                expr = sentinel_free if expr is None else (expr & sentinel_free)
         needed = {src for _, _, src in out_fields if src and src in file_cols}
         if filter_doc:
             needed |= _filter_columns(filter_doc, self.id_field) & file_cols
+        if sentinel_col:
+            needed.add(sentinel_col)
         groups = (part.extra.get("row_groups") if part and part.extra else None)
         if groups is None:
             groups = list(range(pf.num_row_groups))
@@ -255,4 +271,14 @@ class ParquetBackend(DocumentBackend):
             return super().count(db, coll, filter)
         import pyarrow.parquet as pq
 
-        return pq.ParquetFile(self._path(coll)).metadata.num_rows
+        n = pq.ParquetFile(self._path(coll)).metadata.num_rows
+        # metadata counts include the __schema sentinel doc when the
+        # collection carries one — the interpreted scan path excludes it,
+        # so the fast path must agree (one cached head-probe per coll)
+        if not hasattr(self, "_schema_doc_probe"):
+            self._schema_doc_probe = {}
+        if coll not in self._schema_doc_probe:
+            self._schema_doc_probe[coll] = (
+                self.find_schema_doc(db, coll) is not None
+            )
+        return n - 1 if self._schema_doc_probe[coll] else n

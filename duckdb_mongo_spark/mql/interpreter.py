@@ -81,9 +81,20 @@ def _project(docs, spec):
                 if v in (1, True):
                     got = get_path(doc, k)
                     if got is not MISSING:
-                        out[k] = got
+                        # dotted inclusions rebuild the nested structure
+                        # mongod returns ({"a.b": 1} → {a: {b: v}}), so
+                        # flatten_document's dotted-path navigation works
+                        # on locally-interpreted results too
+                        if "." in k:
+                            _set_path(out, k, got)
+                        else:
+                            out[k] = got
                 elif k in computed:
-                    out[k] = eval_expr(v, doc)
+                    val = eval_expr(v, doc)
+                    if "." in k:
+                        _set_path(out, k, val)
+                    else:
+                        out[k] = val
         yield out
 
 
@@ -173,8 +184,12 @@ def _unwind(docs, spec):
         val = get_path(doc, field)
         if val is MISSING or val is None or (isinstance(val, list) and not val):
             if keep_empty:
+                # MongoDB preserveNullAndEmptyArrays: null/missing values
+                # pass through unchanged; only EMPTY ARRAYS have the leaf
+                # removed (dotted-path aware)
                 out = dict(doc)
-                out.pop(field, None)
+                if isinstance(val, list):
+                    _del_path(out, field)
                 yield out
             continue
         if not isinstance(val, list):
@@ -184,6 +199,19 @@ def _unwind(docs, spec):
             out = dict(doc)
             _set_path(out, field, el)
             yield out
+
+
+def _del_path(doc, path):
+    parts = path.split(".")
+    cur = doc
+    for p in parts[:-1]:
+        nxt = cur.get(p)
+        if not isinstance(nxt, dict):
+            return
+        nxt = dict(nxt)
+        cur[p] = nxt
+        cur = nxt
+    cur.pop(parts[-1], None)
 
 
 def _set_path(doc, path, value):

@@ -99,30 +99,131 @@ def compile_expr(expr, schema=None):
     raise Unpushable(f"expression {expr!r}")
 
 
-def compile_pred_expr(pred, schema=None):
-    """Predicate AST → MQL boolean aggregation expression (for ``$expr``)."""
+_NEG_CMP = {"=": "!=", "!=": "=", "<": ">=", "<=": ">", ">": "<=", ">=": "<"}
+
+
+def _is_nonnull_lit(e) -> bool:
+    return isinstance(e, P.Lit) and e.value is not None
+
+
+def _is_null_lit(e) -> bool:
+    return isinstance(e, P.Lit) and e.value is None
+
+
+def _collect_cols(e, schema, out: list) -> None:
+    """Field refs appearing in an expression AST (for null guards)."""
+    if isinstance(e, P.Col):
+        ref = _field_ref(e.name, schema)
+        if ref not in out:
+            out.append(ref)
+    elif isinstance(e, P.BinOp):
+        _collect_cols(e.left, schema, out)
+        _collect_cols(e.right, schema, out)
+    elif isinstance(e, P.Cast):
+        _collect_cols(e.operand, schema, out)
+    elif isinstance(e, P.Func):
+        for a in e.args:
+            _collect_cols(a, schema, out)
+
+
+def _can_produce_null(e) -> bool:
+    """True if the expression can yield NULL from non-null inputs
+    (division/modulo by zero)."""
+    if isinstance(e, P.BinOp):
+        return e.op in ("/", "%") or _can_produce_null(e.left) or _can_produce_null(e.right)
+    if isinstance(e, P.Cast):
+        return _can_produce_null(e.operand)
+    if isinstance(e, P.Func):
+        return any(_can_produce_null(a) for a in e.args)
+    return False
+
+
+def _null_guards(side, compiled, schema, seen: set, guards: list) -> None:
+    """Non-null guards for one comparison side.
+
+    Guards every RAW column ref rather than (only) the compiled
+    expression: MQL functions like $toLower map null→"" and would mask
+    the nullness of their input, while SQL propagates NULL through
+    scalar functions. The whole-expression guard is added only when the
+    expression itself can produce null from non-null inputs."""
+    if _is_nonnull_lit(side):
+        return
+    refs: list = []
+    _collect_cols(side, schema, refs)
+    if not isinstance(side, P.Col) and _can_produce_null(side):
+        refs.append(compiled)
+    for ref in refs:
+        key = repr(ref)
+        if key not in seen:
+            seen.add(key)
+            guards.append({"$gt": [ref, None]})
+
+
+def compile_pred_expr(pred, schema=None, negate: bool = False):
+    """Predicate AST → MQL boolean aggregation expression (for ``$expr``)
+    with SQL NULL semantics.
+
+    MQL ``$cmp`` is a total order where null/missing sorts lowest, so a
+    bare ``{$lt: ["$a", 5]}`` would MATCH docs with missing/null ``a``
+    while the same predicate evaluated as a Spark residual excludes them
+    — results would silently differ based on pushability. Every
+    comparison is therefore guarded with non-null checks on its operand
+    expressions (``{$gt: [operand, None]}`` is "operand is non-null":
+    everything sorts above null in the BSON order).
+
+    ``negate`` implements SQL ``NOT`` under three-valued logic: NOT(p)
+    is true iff p is *false*, not merely non-true — so the null guards
+    stay POSITIVE outside the negated comparison, and And/Or distribute
+    by De Morgan. Comparisons against a literal NULL compile to the
+    match-nothing constant False (SQL ``col = NULL`` is never true).
+    """
     if isinstance(pred, P.Cmp):
-        return {
-            _CMP_OPS[pred.op]: [
-                compile_expr(pred.left, schema),
-                compile_expr(pred.right, schema),
-            ]
-        }
+        if _is_null_lit(pred.left) or _is_null_lit(pred.right):
+            return False  # SQL: any comparison with NULL is unknown
+        lhs = compile_expr(pred.left, schema)
+        rhs = compile_expr(pred.right, schema)
+        guards: list = []
+        seen: set = set()
+        _null_guards(pred.left, lhs, schema, seen, guards)
+        _null_guards(pred.right, rhs, schema, seen, guards)
+        op = _NEG_CMP[pred.op] if negate else pred.op
+        cmp = {_CMP_OPS[op]: [lhs, rhs]}
+        return {"$and": guards + [cmp]} if guards else cmp
     if isinstance(pred, P.In):
         vals = []
+        has_null = False
         for v in pred.values:
             if not isinstance(v, P.Lit):
                 raise Unpushable("IN list must be constants")
-            vals.append(compile_expr(v, schema))
-        return {"$in": [compile_expr(pred.operand, schema), vals]}
+            if v.value is None:
+                has_null = True  # SQL: NULL in the list never matches
+            else:
+                vals.append(compile_expr(v, schema))
+        operand = compile_expr(pred.operand, schema)
+        guards: list = []
+        _null_guards(pred.operand, operand, schema, set(), guards)
+        if negate:
+            # x NOT IN (..., NULL) is never true in SQL
+            if has_null:
+                return False
+            return {"$and": guards + [{"$not": {"$in": [operand, vals]}}]}
+        if not vals:
+            return False
+        return {"$and": guards + [{"$in": [operand, vals]}]}
     if isinstance(pred, P.IsNull):
+        if negate:
+            return {"$gt": [compile_expr(pred.operand, schema), None]}
         return {"$lte": [compile_expr(pred.operand, schema), None]}
     if isinstance(pred, P.IsNotNull):
+        if negate:
+            return {"$lte": [compile_expr(pred.operand, schema), None]}
         return {"$gt": [compile_expr(pred.operand, schema), None]}
     if isinstance(pred, P.And):
-        return {"$and": [compile_pred_expr(c, schema) for c in pred.children]}
+        parts = [compile_pred_expr(c, schema, negate) for c in pred.children]
+        return {"$or": parts} if negate else {"$and": parts}
     if isinstance(pred, P.Or):
-        return {"$or": [compile_pred_expr(c, schema) for c in pred.children]}
+        parts = [compile_pred_expr(c, schema, negate) for c in pred.children]
+        return {"$and": parts} if negate else {"$or": parts}
     if isinstance(pred, P.Not):
-        return {"$not": compile_pred_expr(pred.child, schema)}
+        return compile_pred_expr(pred.child, schema, not negate)
     raise Unpushable(f"predicate {pred!r}")

@@ -63,6 +63,11 @@ def _simple(pred, schema) -> dict | None:
     if isinstance(pred, P.Cmp) and isinstance(pred.left, P.Col) and isinstance(pred.right, P.Lit):
         key = _mongo_key(pred.left.name, schema)
         val = _encode_value(pred.right.value, pred.left.name, schema)
+        if val is None:
+            # SQL: any comparison with a NULL literal is unknown, never
+            # true — match nothing. ({col: {$eq: None}} would instead
+            # match missing/null fields, MQL semantics.)
+            return {"$expr": False}
         if pred.op == "=":
             return {key: {"$eq": val}}
         if pred.op == "!=":
@@ -71,8 +76,6 @@ def _simple(pred, schema) -> dict | None:
             # not true) — conjoin the non-null guard. SQL engines add the
             # same IS NOT NULL next to pushed != (seen in Catalyst's
             # pushFilters and DuckDB's TableFilters alike).
-            if val is None:
-                return {key: {"$ne": None}}
             return {"$and": [{key: {"$ne": val}}, {key: {"$ne": None}}]}
         return {key: {_OPS[pred.op]: val}}
     if isinstance(pred, P.Cmp) and isinstance(pred.right, P.Col) and isinstance(pred.left, P.Lit):

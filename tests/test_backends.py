@@ -121,6 +121,45 @@ class TestParquetPartitions:
         assert be.count("main", "c") == 1000
 
 
+class TestParquetSchemaSentinel:
+    """The __schema sentinel doc must be invisible to BOTH the arrow fast
+    path and the metadata COUNT fast path (round-1 ADVICE: the interpreted
+    scan filtered it, the fast paths did not — off-by-one row/count)."""
+
+    @pytest.fixture()
+    def root(self, tmp_path):
+        table = pa.table({
+            "_id": pa.array(["__schema"] + [f"id{i}" for i in range(50)]),
+            "v": pa.array([None] + list(range(50)), pa.int64()),
+        })
+        pq.write_table(table, tmp_path / "c.parquet")
+        return str(tmp_path)
+
+    def test_arrow_scan_excludes_sentinel(self, root):
+        be = ParquetBackend(root)
+        part = be.partitions("main", "c", 1)[0]
+        out_fields = [("_id", pa.string(), "_id"), ("v", pa.int64(), "v")]
+        ids = []
+        for batch in be.arrow_scan("main", "c", part, None, out_fields):
+            ids.extend(batch.column(0).to_pylist())
+        assert "__schema" not in ids and len(ids) == 50
+
+    def test_arrow_scan_excludes_sentinel_with_filter(self, root):
+        be = ParquetBackend(root)
+        part = be.partitions("main", "c", 1)[0]
+        out_fields = [("_id", pa.string(), "_id")]
+        ids = []
+        for batch in be.arrow_scan(
+            "main", "c", part, {"v": {"$lt": 5}}, out_fields
+        ):
+            ids.extend(batch.column(0).to_pylist())
+        assert sorted(ids) == [f"id{i}" for i in range(5)]
+
+    def test_metadata_count_excludes_sentinel(self, root):
+        be = ParquetBackend(root)
+        assert be.count("main", "c") == 50
+
+
 class TestMemoryPartitions:
     def test_modulo_split_exactly_once(self):
         be = MemoryBackend()

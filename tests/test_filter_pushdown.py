@@ -98,24 +98,83 @@ class TestExprPushdown:
     def test_length_function(self):
         plan = compile_filter(C("name").length() > 4)
         assert plan.fully_pushed
-        assert plan.match == {"$expr": {"$gt": [{"$strLenCP": "$name"}, 4]}}
+        fn = {"$strLenCP": "$name"}
+        assert plan.match == {
+            "$expr": {"$and": [{"$gt": ["$name", None]}, {"$gt": [fn, 4]}]}
+        }
 
     def test_substring_1based_to_0based(self):
         plan = compile_filter(C("name").substring(1, 3) == "Ali")
         assert plan.fully_pushed
+        fn = {"$substrCP": ["$name", 0, 3]}
         assert plan.match == {
-            "$expr": {"$eq": [{"$substrCP": ["$name", 0, 3]}, "Ali"]}
+            "$expr": {"$and": [{"$gt": ["$name", None]}, {"$eq": [fn, "Ali"]}]}
         }
 
     def test_col_to_col_comparison(self):
         plan = compile_filter(C("age") > C("balance"))
         assert plan.fully_pushed
-        assert plan.match == {"$expr": {"$gt": ["$age", "$balance"]}}
+        assert plan.match == {
+            "$expr": {"$and": [
+                {"$gt": ["$age", None]},
+                {"$gt": ["$balance", None]},
+                {"$gt": ["$age", "$balance"]},
+            ]}
+        }
 
     def test_arithmetic(self):
         plan = compile_filter(C("age") + 5 > C("balance"))
         assert plan.fully_pushed
-        assert plan.match == {"$expr": {"$gt": [{"$add": ["$age", 5]}, "$balance"]}}
+        lhs = {"$add": ["$age", 5]}
+        assert plan.match == {
+            "$expr": {"$and": [
+                {"$gt": ["$age", None]},
+                {"$gt": ["$balance", None]},
+                {"$gt": [lhs, "$balance"]},
+            ]}
+        }
+
+
+class TestExprNullSemantics:
+    """SQL NULL semantics in $expr pushdown: MQL's $cmp total order sorts
+    null/missing lowest, so unguarded comparisons would match docs a Spark
+    residual excludes — results must not depend on pushability (ADVICE r1)."""
+
+    DOCS = [
+        {"_id": 1, "a": 3, "b": 1, "name": "xx"},
+        {"_id": 2, "name": "x"},               # a, b missing
+        {"_id": 3, "a": None, "b": None, "name": None},
+        {"_id": 4, "a": 10, "b": 20, "name": "Zed"},
+    ]
+
+    def _match(self, pred):
+        from duckdb_mongo_spark.mql.match import matches_filter
+
+        plan = compile_filter(pred)
+        assert plan.fully_pushed
+        return [d["_id"] for d in self.DOCS if matches_filter(d, plan.match)]
+
+    def test_expr_lt_excludes_missing_and_null(self):
+        assert self._match(C("a") + 1 < 5) == [1]
+
+    def test_expr_ne_excludes_missing_and_null(self):
+        assert self._match(C("name").lower() != "x") == [1, 4]
+
+    def test_col_col_eq_excludes_missing_and_null(self):
+        assert self._match(C("a") == C("b")) == []
+        assert self._match(C("a") <= C("b")) == [4]
+
+    def test_not_keeps_guards_outside_negation(self):
+        # SQL: NOT(a = 3) is false for null/missing a, not true
+        assert self._match(~((C("a") + 0) == 3)) == [4]
+
+    def test_not_in_with_null_matches_nothing(self):
+        assert self._match(~(C("a") + 0).isin([3, None])) == []
+
+    def test_cmp_with_null_literal_matches_nothing(self):
+        assert self._match(C("a") == None) == []  # noqa: E711
+        assert self._match(C("a") != None) == []  # noqa: E711
+        assert self._match((C("a") + 1) > None) == []
 
 
 class TestResidualSplit:

@@ -144,3 +144,45 @@ class TestPipeline:
                 {"_id": 2, "d": dt.datetime(2024, 1, 1)}]
         out = run([{"$match": {"d": {"$gt": dt.datetime(2023, 6, 1)}}}], docs)
         assert [d["_id"] for d in out] == [2]
+
+
+class TestAdviceFixes:
+    """Regressions from round-1 ADVICE: dotted $project nesting and
+    $unwind preserveNullAndEmptyArrays MongoDB parity."""
+
+    def test_project_dotted_inclusion_rebuilds_nesting(self):
+        docs = [{"_id": 1, "address": {"city": "Oslo", "zip": "0150"}}]
+        out = run_pipeline(docs, [{"$project": {"address.city": 1}}])
+        # mongod returns nested structure, not a literal dotted key
+        assert out == [{"_id": 1, "address": {"city": "Oslo"}}]
+
+    def test_project_dotted_computed_rebuilds_nesting(self):
+        docs = [{"_id": 1, "a": 2}]
+        out = run_pipeline(docs, [{"$project": {"x.y": {"$add": ["$a", 1]}}}])
+        assert out == [{"_id": 1, "x": {"y": 3}}]
+
+    def test_unwind_preserve_keeps_null_value(self):
+        docs = [{"_id": 1, "tags": None}, {"_id": 2, "tags": ["a"]}]
+        out = run_pipeline(
+            docs,
+            [{"$unwind": {"path": "$tags", "preserveNullAndEmptyArrays": True}}],
+        )
+        # MongoDB keeps null as-is (the old behavior dropped the field)
+        assert out == [{"_id": 1, "tags": None}, {"_id": 2, "tags": "a"}]
+
+    def test_unwind_preserve_removes_empty_array_leaf_dotted(self):
+        docs = [{"_id": 1, "a": {"b": [], "c": 9}}]
+        out = run_pipeline(
+            docs,
+            [{"$unwind": {"path": "$a.b", "preserveNullAndEmptyArrays": True}}],
+        )
+        # empty array: leaf removed (dotted-path aware), siblings kept
+        assert out == [{"_id": 1, "a": {"c": 9}}]
+
+    def test_unwind_preserve_keeps_missing(self):
+        docs = [{"_id": 1}]
+        out = run_pipeline(
+            docs,
+            [{"$unwind": {"path": "$tags", "preserveNullAndEmptyArrays": True}}],
+        )
+        assert out == [{"_id": 1}]

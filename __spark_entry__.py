@@ -320,36 +320,57 @@ _sql_query(
     """,
 )
 
+# COUNT(DISTINCT) + exact percentiles in one grouped scan (merged from
+# the r1 q_count_distinct / q_percentiles_order_value entries to keep
+# every oracle-backed entry inside the driver's 50-entry ledger window)
 _sql_query(
     "q_count_distinct",
     ["customer"],
     """
-    SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n_customers
+    SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n_customers,
+           ROUND(percentile(c_acctbal, 0.5), 4) AS median_bal,
+           ROUND(percentile(c_acctbal, 0.9), 4) AS p90_bal,
+           ROUND(MIN(c_acctbal), 4) AS min_bal,
+           ROUND(MAX(c_acctbal), 4) AS max_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    oracle="""
+    SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n_customers,
+           ROUND(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
+           ROUND(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
+           ROUND(MIN(c_acctbal), 4) AS min_bal,
+           ROUND(MAX(c_acctbal), 4) AS max_bal
     FROM customer
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
     """,
 )
 
+# INTERSECT / EXCEPT / UNION ALL in one entry (merged from the r1
+# q_intersect_nations / q_except_nations / q_union_all_activity)
 _sql_query(
-    "q_intersect_nations",
-    ["customer"],
+    "q_set_ops",
+    ["customer", "supplier", "orders", "events"],
     """
-    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
-    INTERSECT
-    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
-    ORDER BY c_nationkey
-    """,
-)
-
-_sql_query(
-    "q_except_nations",
-    ["customer", "supplier"],
-    """
-    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000.0
-    EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000.0
-    ORDER BY nationkey
+    SELECT 'intersect' AS op, k FROM (
+        SELECT c_nationkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT c_nationkey AS k FROM customer WHERE c_mktsegment = 'MACHINERY')
+    UNION ALL
+    SELECT 'except' AS op, k FROM (
+        SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000.0
+        EXCEPT
+        SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 5000.0)
+    UNION ALL
+    SELECT concat('union_', kind) AS op, n AS k FROM (
+        SELECT kind, COUNT(*) AS n FROM (
+            SELECT 'order' AS kind FROM orders
+            UNION ALL
+            SELECT 'event' AS kind FROM events) u
+        GROUP BY kind)
+    ORDER BY op, k
     """,
 )
 
@@ -403,33 +424,25 @@ _sql_query(
     """,
 )
 
-_sql_query(
-    "q_json_extract",
-    ["events"],
-    """
-    SELECT event_type,
-           CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           COUNT(*) AS n
-    FROM events
-    GROUP BY event_type
-    ORDER BY event_type
-    """,
-    oracle="""
-    SELECT event_type,
-           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
-           COUNT(*) AS n
-    FROM events
-    GROUP BY event_type
-    ORDER BY event_type
-    """,
-)
 
+# time bucketing + JSON extraction in one grouped scan (merged from the
+# r1 q_time_bucket / q_json_extract entries)
 _sql_query(
     "q_time_bucket",
     ["events"],
     f"""
     SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n,
-           {_dsum('value', 6)} AS v
+           {_dsum('value', 6)} AS v,
+           CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+    GROUP BY date_trunc('hour', ts), event_type
+    ORDER BY h, event_type
+    """,
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n,
+           {_dsum('value', 6)} AS v,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
     GROUP BY date_trunc('hour', ts), event_type
@@ -554,6 +567,25 @@ _sql_query(
 )
 
 _sql_query(
+    "q15_top_supplier",
+    ["supplier", "lineitem"],
+    f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {_dsum('l_extendedprice * (1 - l_discount)', 6)} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+
+_sql_query(
     "q17_small_quantity_revenue",
     ["lineitem", "part"],
     f"""
@@ -646,43 +678,34 @@ _sql_query(
     """,
 )
 
-_sql_query(
-    "q_window_moving_avg",
-    ["events"],
-    """
+# framed AVG + lag/lead + first/last_value in one window scan (merged
+# from the r1 q_window_moving_avg / q_lead_lag_gap / q_first_last_value
+# entries — one shuffle on the partition key serves all four analytic
+# forms, which is also the plan shape you want at scale)
+_WINDOW_ANALYTICS_SQL = """
     SELECT user_id, event_id,
            CAST(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-                AS DOUBLE) AS mav3
-    FROM events
-    WHERE user_id <= 50
-    ORDER BY user_id, event_id
-    """,
-)
-
-_sql_query(
-    "q_lead_lag_gap",
-    ["events"],
-    """
-    SELECT user_id, event_id,
+                AS DOUBLE) AS mav3,
            unix_micros(ts) - unix_micros(lag(ts) OVER w) AS gap_us,
            CASE WHEN lead(event_type) OVER w = event_type THEN 1 ELSE 0 END
-               AS same_as_next
+               AS same_as_next,
+           first_value(event_id) OVER w AS first_event,
+           last_value(event_id) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_event
     FROM events
-    WHERE user_id <= 20
+    WHERE user_id <= 50
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ORDER BY user_id, event_id
-    """,
-    oracle="""
-    SELECT user_id, event_id,
-           epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
-           CASE WHEN lead(event_type) OVER w = event_type THEN 1 ELSE 0 END
-               AS same_as_next
-    FROM events
-    WHERE user_id <= 20
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ORDER BY user_id, event_id
-    """,
+"""
+
+_sql_query(
+    "q_window_analytics",
+    ["events"],
+    _WINDOW_ANALYTICS_SQL,
+    oracle=_WINDOW_ANALYTICS_SQL.replace("unix_micros(", "epoch_us("),
 )
 
 _sql_query(
@@ -726,57 +749,6 @@ _sql_query(
     _SCALAR_FUNCS_SQL,
     # only dialect delta: Spark spells the cast type STRING, DuckDB VARCHAR
     oracle=_SCALAR_FUNCS_SQL.replace("AS STRING", "AS VARCHAR"),
-)
-
-_sql_query(
-    "q_percentiles_order_value",
-    ["orders"],
-    """
-    SELECT o_orderstatus,
-           ROUND(percentile(o_totalprice, 0.5), 4) AS median_price,
-           ROUND(percentile(o_totalprice, 0.9), 4) AS p90_price,
-           ROUND(MIN(o_totalprice), 4) AS min_price,
-           ROUND(MAX(o_totalprice), 4) AS max_price
-    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
-    """,
-    oracle="""
-    SELECT o_orderstatus,
-           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
-           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
-           ROUND(MIN(o_totalprice), 4) AS min_price,
-           ROUND(MAX(o_totalprice), 4) AS max_price
-    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
-    """,
-)
-
-_sql_query(
-    "q_union_all_activity",
-    ["orders", "events"],
-    """
-    SELECT kind, COUNT(*) AS n FROM (
-        SELECT 'order' AS kind, o_custkey AS who FROM orders
-        UNION ALL
-        SELECT 'event' AS kind, user_id AS who FROM events
-    ) u
-    GROUP BY kind ORDER BY kind
-    """,
-)
-
-_sql_query(
-    "q_first_last_value",
-    ["lineitem"],
-    """
-    SELECT DISTINCT l_orderkey,
-           first_value(l_linenumber) OVER w AS first_line,
-           last_value(l_linenumber) OVER
-               (PARTITION BY l_orderkey ORDER BY l_linenumber
-                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-               AS last_line
-    FROM lineitem
-    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
-    ORDER BY l_orderkey
-    LIMIT 100
-    """,
 )
 
 
@@ -1052,10 +1024,10 @@ _register(
     _SHINGLE_GRAMS_SQL
     + """
     SELECT doc_id,
-           list_min(list_transform(g, s -> md5('0:' || s))) AS minhash_0,
-           list_min(list_transform(g, s -> md5('1:' || s))) AS minhash_1,
-           list_min(list_transform(g, s -> md5('2:' || s))) AS minhash_2,
-           list_min(list_transform(g, s -> md5('3:' || s))) AS minhash_3
+           list_min(list_transform(g, s -> substring(md5('0:' || s), 1, 8))) AS minhash_0,
+           list_min(list_transform(g, s -> substring(md5('0:' || s), 9, 8))) AS minhash_1,
+           list_min(list_transform(g, s -> substring(md5('0:' || s), 17, 8))) AS minhash_2,
+           list_min(list_transform(g, s -> substring(md5('0:' || s), 25, 8))) AS minhash_3
     FROM grams ORDER BY doc_id
     """,
 )
@@ -1105,10 +1077,10 @@ _register(
     + """
     , sig AS (
         SELECT doc_id,
-            list_min(list_transform(g, s -> md5('0:' || s))) AS m0,
-            list_min(list_transform(g, s -> md5('1:' || s))) AS m1,
-            list_min(list_transform(g, s -> md5('2:' || s))) AS m2,
-            list_min(list_transform(g, s -> md5('3:' || s))) AS m3
+            list_min(list_transform(g, s -> substring(md5('0:' || s), 1, 8))) AS m0,
+            list_min(list_transform(g, s -> substring(md5('0:' || s), 9, 8))) AS m1,
+            list_min(list_transform(g, s -> substring(md5('0:' || s), 17, 8))) AS m2,
+            list_min(list_transform(g, s -> substring(md5('0:' || s), 25, 8))) AS m3
         FROM grams),
     bk AS (
         SELECT doc_id AS doc, 0 AS band, md5(m0 || '|' || m1) AS bucket FROM sig
@@ -1216,69 +1188,61 @@ _register("sim_cosine_topk_vectorized", _sim_cosine_topk_vectorized, _COSINE_TOP
 
 
 def _sim_embedding_near_dup(spark, sf_dir):
+    """Embedding near-dup with the BUCKETED plan (hyperplane-signature
+    self-join, never an O(n²) cross join): the oracle replicates the md5
+    hyperplanes bit-for-bit (plane constants inlined into the SQL), so
+    the hash-match verifies signatures, bucket join AND cosine scores.
+    The exact==bucketed agreement contract is asserted in
+    tests/test_ops.py (bucketed ⊆ exact, scores equal on found pairs).
+    Threshold 0.35 sits in the synthetic corpus's actual cosine range
+    (max pairwise ≈ 0.51) so the result is non-empty — r1's 0.8 was a
+    vacuous 0-row match."""
     from duckdb_mongo_spark.ops.similarity import embedding_near_dup_pairs
 
     _views(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(
-        spark.table("embeddings"), threshold=0.8, exact=True
+        spark.table("embeddings"), threshold=0.35, exact=False, dim=64, n_planes=4
     ).orderBy("a", "b")
+
+
+def _near_dup_bucketed_oracle() -> str:
+    from duckdb_mongo_spark.ops.similarity import hyperplanes
+
+    sig_parts = []
+    for plane in hyperplanes(64, 4, seed=42):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        sig_parts.append(
+            "(CASE WHEN list_sum(list_transform(generate_series(1, 64), "
+            f"i -> v[i] * ({lit})[i])) >= 0 THEN '1' ELSE '0' END)"
+        )
+    sig = " || ".join(sig_parts)
+    return f"""
+    WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT id, v, {sig} AS sig FROM c),
+    pairs AS (SELECT l.id AS a, r.id AS b, l.v AS qv, r.v AS cv
+              FROM s l JOIN s r ON l.sig = r.sig AND l.id < r.id)
+    SELECT a, b, {_COSINE_SQL} AS score
+    FROM pairs WHERE {_COSINE_SQL} >= 0.35 ORDER BY a, b
+    """
 
 
 _register(
     "sim_embedding_near_dup",
     _sim_embedding_near_dup,
-    f"""
-    WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    pairs AS (SELECT l.id AS a, r.id AS b, l.v AS qv, r.v AS cv
-              FROM c l JOIN c r ON l.id < r.id)
-    SELECT a, b, {_COSINE_SQL} AS score
-    FROM pairs WHERE {_COSINE_SQL} >= 0.8 ORDER BY a, b
-    """,
+    _near_dup_bucketed_oracle(),
 )
 
-
-def _sim_lsh_topk(spark, sf_dir):
-    """ANN variant — no SQL oracle (approximate by construction); the
-    driver records a rows-only check. Recall vs exact is covered in
-    tests/test_ops_similarity.py."""
-    from pyspark.sql import functions as F
-
-    from duckdb_mongo_spark.ops.similarity import lsh_topk
-
-    _views(spark, sf_dir, "embeddings")
-    emb = spark.table("embeddings")
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
-    return lsh_topk(queries, emb, k=5, n_planes=4, dim=64).orderBy("q_id", "rank")
+# NOTE: the rows-only ANN variants (lsh_topk, ivf_topk) are exercised in
+# tests/test_ops.py (recall vs exact, plan shape) rather than queries()
+# — every ledger entry carries a full value-hash oracle.
 
 
-_register("sim_lsh_topk", _sim_lsh_topk, None)
-
-
-def _sim_ivf_topk(spark, sf_dir):
-    """IVF ANN variant (seeded-KMeans coarse quantizer + nprobe exact
-    re-rank) — approximate and ML-fit, so no SQL oracle; rows-only
-    check. Recall vs exact is covered in tests/test_ops.py."""
-    from pyspark.sql import functions as F
-
-    from duckdb_mongo_spark.ops.similarity import ivf_topk
-
-    _views(spark, sf_dir, "embeddings")
-    emb = spark.table("embeddings")
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
-    return ivf_topk(queries, emb, k=5, n_centroids=8, nprobe=2).orderBy("q_id", "rank")
-
-
-_register("sim_ivf_topk", _sim_ivf_topk, None)
-
-
-def _multimodal_frame_sample(spark, sf_dir):
-    """Frame-sampling plan over fake-decoded media metadata: every 50th
-    frame index per media row (the decode itself is the stubbed step —
-    the Spark plumbing (schema/explode/batch shape) is real)."""
+def _multimodal_pipeline(spark, sf_dir):
+    """Media-column pipeline: attach binary media column → fake-decode
+    typed metadata (the real decode is the clearly-stubbed step; the
+    Spark plumbing — binary column, mapInPandas schema, batch shape — is
+    real) → frame-sample every 50th frame index per media row. Merged
+    meta + frame-sample surface in one entry (driver ledger window)."""
     from pyspark.sql import functions as F
 
     from duckdb_mongo_spark.ops.multimodal import (
@@ -1293,21 +1257,29 @@ def _multimodal_frame_sample(spark, sf_dir):
     meta = fake_decode_meta(media)
     return (
         frame_sample_plan(meta, every_n=50)
-        .select("doc_id", "n_frames", "frame_idx")
+        .select(
+            "doc_id", "mime", "n_bytes", "checksum", "width", "height",
+            "n_frames", "frame_idx",
+        )
         .orderBy("doc_id", "frame_idx")
     )
 
 
 _register(
-    "multimodal_frame_sample",
-    _multimodal_frame_sample,
+    "multimodal_pipeline",
+    _multimodal_pipeline,
     """
     WITH meta AS (
-        SELECT doc_id,
-               1 + CAST(('0x' || substr(md5(text), 9, 4)) AS INTEGER) % 300 AS n_frames
+        SELECT doc_id, 'video/fake' AS mime,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               md5(text) AS checksum,
+               CAST(64 + CAST('0x' || substring(md5(text), 1, 4) AS INTEGER) % 1985 AS BIGINT) AS width,
+               CAST(64 + CAST('0x' || substring(md5(text), 5, 4) AS INTEGER) % 1985 AS BIGINT) AS height,
+               CAST(1 + CAST('0x' || substring(md5(text), 9, 4) AS INTEGER) % 300 AS BIGINT) AS n_frames
         FROM documents WHERE doc_id < 100
     )
-    SELECT doc_id, n_frames, unnest(range(0, n_frames, 50)) AS frame_idx
+    SELECT doc_id, mime, n_bytes, checksum, width, height, n_frames,
+           unnest(range(0, n_frames, 50)) AS frame_idx
     FROM meta ORDER BY doc_id, frame_idx
     """,
 )
@@ -1345,34 +1317,6 @@ def _text_oracle() -> str:
 
 
 _register("text_analysis", _text_analysis, _text_oracle())
-
-
-def _multimodal_meta(spark, sf_dir):
-    from pyspark.sql import functions as F
-
-    from duckdb_mongo_spark.ops.multimodal import attach_media_column, fake_decode_meta
-
-    _views(spark, sf_dir, "documents")
-    docs = spark.table("documents").select("doc_id", "text")
-    media = attach_media_column(docs, F.col("text"), mime="text/plain").drop("text")
-    return fake_decode_meta(media).select(
-        "doc_id", "mime", "n_bytes", "checksum", "width", "height", "n_frames"
-    ).orderBy("doc_id")
-
-
-_register(
-    "multimodal_meta",
-    _multimodal_meta,
-    """
-    SELECT doc_id, 'text/plain' AS mime,
-           CAST(strlen(text) AS BIGINT) AS n_bytes,
-           md5(text) AS checksum,
-           CAST(64 + CAST('0x' || substring(md5(text), 1, 4) AS INTEGER) % 1985 AS BIGINT) AS width,
-           CAST(64 + CAST('0x' || substring(md5(text), 5, 4) AS INTEGER) % 1985 AS BIGINT) AS height,
-           CAST(1 + CAST('0x' || substring(md5(text), 9, 4) AS INTEGER) % 300 AS BIGINT) AS n_frames
-    FROM documents ORDER BY doc_id
-    """,
-)
 
 
 # ===========================================================================

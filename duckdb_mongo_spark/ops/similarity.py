@@ -220,14 +220,18 @@ def ivf_index(
     c_id: str = "vec_id",
     c_vec: str = "embedding",
     seed: int = 42,
+    fit_sample_size: int = 100_000,
 ):
-    """IVF coarse quantizer: seeded KMeans over the corpus embeddings.
+    """IVF coarse quantizer: seeded KMeans fit on a bounded sample,
+    assignment as one map over the full corpus.
 
     Returns (assigned, centroids): ``assigned`` = corpus rows +
-    ``centroid_id``; ``centroids`` = [(centroid_id, [floats])]. At scale
-    the model is fit on a sample and the assignment is one map over the
-    corpus; inverted lists are just the ``centroid_id`` column (group
-    locality comes free from partitioning on it).
+    ``centroid_id``; ``centroids`` = [(centroid_id, [floats])]. Scale
+    contract: the ONLY driver-side jobs are over the fit sample
+    (``limit(fit_sample_size)``, so cost is bounded regardless of corpus
+    size — a 100 TB corpus never feeds KMeans); inverted lists are just
+    the ``centroid_id`` column (group locality comes free from
+    partitioning on it).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -235,9 +239,13 @@ def ivf_index(
     c = corpus.select(
         F.col(c_id).alias("c_id"), _as_double(F.col(c_vec)).alias("cv")
     ).withColumn("features", array_to_vector(F.col("cv")))
-    n_centroids = max(1, min(n_centroids, c.count()))  # tiny-corpus guard
+    fit_df = c.select("features").limit(fit_sample_size)
+    # tiny-corpus guard: count the SAMPLE (bounded by fit_sample_size),
+    # never the corpus
+    n_fit = fit_df.count()
+    n_centroids = max(1, min(n_centroids, n_fit))
     model = KMeans(k=n_centroids, seed=seed, featuresCol="features",
-                   predictionCol="centroid_id").fit(c)
+                   predictionCol="centroid_id").fit(fit_df)
     assigned = model.transform(c).select("c_id", "cv", "centroid_id")
     centroids = [
         (i, [float(x) for x in center]) for i, center in enumerate(model.clusterCenters())

@@ -40,7 +40,11 @@ def token_count(col) -> Column:
 
 
 def bpe_token_count(col) -> Column:
-    """BPE-ish token count: word pieces + punctuation marks."""
+    """BPE-ish token count: word pieces + punctuation marks.
+
+    size(regexp_extract_all(...)) measured ~8x faster than
+    ``regexp_count`` here (Spark 4.1 evaluates RegExpCount outside
+    whole-stage codegen), despite materializing the match array."""
     c = F.col(col) if isinstance(col, str) else col
     return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0)))
 

@@ -1,0 +1,107 @@
+"""Env-gated live-MongoDB integration tests (mirrors the reference's gated
+live tests: test/run-tests-with-mongo.sh + require-env
+MONGODB_TEST_DATABASE_AVAILABLE in test/sql/*/*.test).
+
+Skipped unless MONGODB_TEST_DATABASE_AVAILABLE is set (optionally
+MONGODB_TEST_URI, default mongodb://localhost:27017). Exercises the
+server-side branches that otherwise only run against fakes:
+
+- PymongoBackend.find/aggregate (server-side cursor, datasource.py
+  _result_docs is_remote branches)
+- find_partition/aggregate_partition (_id-range partitioned server scans)
+- sentinel-aware count(), $sample-based schema inference, ObjectId probe
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("MONGODB_TEST_DATABASE_AVAILABLE"),
+    reason="live MongoDB not available (set MONGODB_TEST_DATABASE_AVAILABLE)",
+)
+
+DB = "duckdb_mongo_spark_it"
+COLL = "users_it"
+
+
+@pytest.fixture(scope="module")
+def backend():
+    from duckdb_mongo_spark.backends.mongo import HAVE_PYMONGO, PymongoBackend
+
+    if not HAVE_PYMONGO:
+        pytest.skip("pymongo not installed")
+    uri = os.environ.get("MONGODB_TEST_URI", "mongodb://localhost:27017")
+    be = PymongoBackend(uri)
+    try:
+        be.client.admin.command("ping")
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"cannot reach mongod at {uri}: {e}")
+    coll = be.client[DB][COLL]
+    coll.drop()
+    coll.insert_many(
+        [
+            {"_id": f"u{i:03d}", "name": f"user{i}", "age": 20 + (i % 30),
+             "address": {"city": "Oslo" if i % 2 else "Bergen"}}
+            for i in range(200)
+        ]
+        + [{"_id": "__schema", "name": "string", "age": "bigint"}]
+    )
+    yield be
+    coll.drop()
+
+
+def test_count_excludes_schema_sentinel(backend):
+    assert backend.count(DB, COLL) == 200
+    assert backend.count(DB, COLL, {"age": {"$gte": 40}}) == sum(
+        1 for i in range(200) if 20 + (i % 30) >= 40
+    )
+
+
+def test_server_side_find_partitions_cover_collection(backend):
+    parts = backend.partitions(DB, COLL, 4)
+    seen = []
+    for p in parts:
+        seen += [d["_id"] for d in backend.find_partition(p, filter=None)]
+    assert sorted(x for x in seen if x != "__schema") == [
+        f"u{i:03d}" for i in range(200)
+    ]
+
+
+def test_server_side_filtered_partition_scan(backend):
+    parts = backend.partitions(DB, COLL, 4)
+    got = []
+    for p in parts:
+        got += list(backend.find_partition(p, filter={"age": {"$gt": 45}}))
+    assert got and all(d["age"] > 45 for d in got)
+
+
+def test_server_side_aggregate(backend):
+    out = list(
+        backend.aggregate(
+            DB, COLL,
+            [{"$match": {"_id": {"$ne": "__schema"}}},
+             {"$group": {"_id": None, "n": {"$sum": 1}}}],
+        )
+    )
+    assert out[0]["n"] == 200
+
+
+def test_engine_end_to_end_on_live_server(backend):
+    """Full path: schema inference ($sample) → mongo_scan → filter/
+    projection pushdown → server-side partitioned cursors → DataFrame."""
+    from duckdb_mongo_spark import mongo_scan
+    from duckdb_mongo_spark.pushdown import C
+    from duckdb_mongo_spark.session import get_spark
+
+    spark = get_spark("mongo-it")
+    mf = mongo_scan(spark, backend, DB, COLL)
+    desc = mf.filter(C("age") > 40).scan_description()
+    assert "scan_method=find" in desc and "$gt" in desc
+    rows = mf.filter(C("age") > 40).select("name", "age").df().collect()
+    assert rows and all(r.age > 40 for r in rows)
+    # aggregate pushdown runs ON the server (remote profile)
+    agg = mf.group_by("address.city").agg(("count_star", None, "n")).df().collect()
+    assert sorted((r[0], r[1]) for r in agg) == [("Bergen", 100), ("Oslo", 100)]

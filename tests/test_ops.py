@@ -163,6 +163,44 @@ class TestSimilarity:
         got = {(r["a"], r["b"]) for r in out.collect()}
         assert got == {("v1", "v2")}
 
+    def test_near_dup_bucketed_agrees_with_exact(self, corpus):
+        """Agreement contract for the bucketed (scale) plan: every pair
+        it finds appears in the exact result with the SAME score, and
+        near-identical vectors (the actual near-dup regime) are found."""
+        exact = {
+            (r["a"], r["b"]): r["score"]
+            for r in similarity.embedding_near_dup_pairs(
+                corpus, threshold=0.95, exact=True
+            ).collect()
+        }
+        bucketed = {
+            (r["a"], r["b"]): r["score"]
+            for r in similarity.embedding_near_dup_pairs(
+                corpus, threshold=0.95, exact=False, dim=3, n_planes=4
+            ).collect()
+        }
+        assert set(bucketed) <= set(exact)
+        for pair, score in bucketed.items():
+            assert score == exact[pair]
+        assert ("v1", "v2") in bucketed  # cosine≈0.995 → same bucket
+
+    def test_bucketed_near_dup_plan_has_no_cross_join(self, corpus):
+        out = similarity.embedding_near_dup_pairs(
+            corpus, threshold=0.95, exact=False, dim=3, n_planes=4
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+
+    def test_ivf_fit_is_sample_bounded(self, spark, corpus):
+        """ivf_index must never feed the full corpus to KMeans — the fit
+        input is capped by fit_sample_size (the 100 TB contract)."""
+        assigned, centroids = similarity.ivf_index(
+            corpus, n_centroids=2, fit_sample_size=2
+        )
+        # fit saw only 2 rows but assignment covers the whole corpus
+        assert assigned.count() == 4
+        assert len(centroids) == 2
+
 
 class TestTextAnalysis:
     def test_token_count(self, spark):

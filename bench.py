@@ -57,7 +57,10 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if not os.environ.get("SPARK_GRAFT_BENCH_RAW"):
-        sf_dir = _stage_layout(sf_dir)
+        try:
+            sf_dir = _stage_layout(sf_dir)
+        except Exception as exc:  # noqa: BLE001 — staging is an optimization
+            print(f"# staging failed ({exc}); benchmarking raw files", file=sys.stderr)
 
     import __spark_entry__ as entry
     from duckdb_mongo_spark.session import get_spark

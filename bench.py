@@ -117,6 +117,10 @@ def main() -> None:
     for name in bench_queries:
         dfs[name] = qs[name](spark, sf_dir)
         dfs[name].collect()
+    # second untimed sweep: the first sweep's JIT/GC residue otherwise
+    # lands on whichever query is timed first
+    for name in bench_queries:
+        dfs[name].collect()
 
     # default 5 iterations = the reference harness's default
     # (benchmarks/benchmark-tpch.sh ITERATIONS=5)

@@ -146,3 +146,82 @@ class TestDocumentStream:
         mf = dms.mongo_scan(spark, f"jsonl:{stream_root}", "appdb", "clicks")
         rows = mf.filter(C("amount") > 6).select("_id", "user_name").collect()
         assert sorted(r["_id"] for r in rows) == ["a2", "a3"]
+
+
+class TestWatermarkLateData:
+    def test_late_event_beyond_watermark_is_dropped(self, spark, tmp_path):
+        """Append-mode window agg across two micro-batch runs sharing a
+        checkpoint: batch 1 advances the watermark past the 10:00 window
+        and finalizes it; batch 2 delivers an event for that window that
+        is later than the watermark allows — Spark must DROP it (the
+        finalized window's count must not change, no duplicate row)."""
+        import json as _json
+
+        d = tmp_path / "docs" / "appdb" / "clicks"
+        d.mkdir(parents=True)
+        ckpt = str(tmp_path / "ckpt")
+        sink = tmp_path / "sink"
+
+        def run_batch():
+            df = st.document_stream(spark, str(tmp_path / "docs"), "appdb", "clicks")
+            agg = st.windowed_counts(
+                df, "ts", window="1 hour", watermark="15 minutes",
+                group_cols=["user_tier"], agg_exprs={"total": "sum(amount)"},
+            )
+            q = (
+                agg.writeStream.format("json")
+                .option("path", str(sink))
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        def sink_rows():
+            out = []
+            for f in sorted(sink.glob("part-*.json")):
+                for line in f.read_text().splitlines():
+                    if line.strip():
+                        out.append(_json.loads(line))
+            return out
+
+        # batch 1: events at 10:05 and 12:30 → watermark advances to
+        # 12:15, the 10:00-11:00 window closes and is emitted
+        (d / "b1.jsonl").write_text(
+            "\n".join(
+                _json.dumps(r)
+                for r in [
+                    {"_id": "e1", "user": {"name": "u1", "tier": "gold"},
+                     "ts": "2024-01-01T10:05:00.000Z", "amount": 5},
+                    {"_id": "e2", "user": {"name": "u1", "tier": "gold"},
+                     "ts": "2024-01-01T12:30:00.000Z", "amount": 1},
+                ]
+            )
+            + "\n"
+        )
+        run_batch()
+        rows1 = sink_rows()
+        ten_oclock = [r for r in rows1 if r["window_start"].startswith("2024-01-01T10")]
+        assert len(ten_oclock) == 1 and ten_oclock[0]["n"] == 1
+
+        # batch 2: a LATE event for the already-closed 10:00 window plus
+        # a fresh 14:00 event that advances the watermark further
+        (d / "b2.jsonl").write_text(
+            "\n".join(
+                _json.dumps(r)
+                for r in [
+                    {"_id": "e3", "user": {"name": "u1", "tier": "gold"},
+                     "ts": "2024-01-01T10:20:00.000Z", "amount": 100},  # late
+                    {"_id": "e4", "user": {"name": "u1", "tier": "gold"},
+                     "ts": "2024-01-01T14:00:00.000Z", "amount": 2},
+                ]
+            )
+            + "\n"
+        )
+        run_batch()
+        rows2 = sink_rows()
+        ten_oclock = [r for r in rows2 if r["window_start"].startswith("2024-01-01T10")]
+        # the late event must NOT reopen or duplicate the closed window
+        assert len(ten_oclock) == 1 and ten_oclock[0]["n"] == 1
+        assert ten_oclock[0]["total"] == 5

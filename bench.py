@@ -33,10 +33,15 @@ def _stage_layout(sf_dir: str, n_groups: int = 32) -> str:
     starts timing). Set SPARK_GRAFT_BENCH_RAW=1 to benchmark the raw
     single-row-group files instead.
     """
+    import hashlib
+
     import pyarrow.parquet as pq
 
+    # key the cache dir on the FULL source path (two sf dirs sharing a
+    # basename must not collide)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     out_dir = os.path.join(
-        "/tmp", f"bench_layout_{os.path.basename(sf_dir.rstrip('/'))}"
+        "/tmp", f"bench_layout_{os.path.basename(sf_dir.rstrip('/'))}_{tag}"
     )
     os.makedirs(out_dir, exist_ok=True)
     for f in sorted(os.listdir(sf_dir)):
@@ -48,7 +53,11 @@ def _stage_layout(sf_dir: str, n_groups: int = 32) -> str:
         pf = pq.ParquetFile(src)
         rows = pf.metadata.num_rows
         rg = max(4096, (rows + n_groups - 1) // n_groups)
-        pq.write_table(pf.read(), dst, row_group_size=rg)
+        # write to a temp name + atomic rename: an interrupted write must
+        # not leave a corrupt file that the mtime check would then trust
+        tmp = dst + ".tmp"
+        pq.write_table(pf.read(), tmp, row_group_size=rg)
+        os.replace(tmp, dst)
     return out_dir
 
 

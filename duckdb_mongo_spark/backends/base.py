@@ -79,8 +79,11 @@ class DocumentBackend(ABC):
         )
 
     def count(self, db, coll, filter=None) -> int:
+        # the __schema sentinel doc is engine metadata, never data: every
+        # count path must agree with the scan path (which drops it in
+        # datasource._docs_for), filtered or not
         docs = self.find(db, coll, filter=filter)
-        return sum(1 for _ in docs)
+        return sum(1 for d in docs if d.get("_id") != "__schema")
 
     def partitions(self, db: str, coll: str, n: int) -> list["ScanPartition"]:
         """Split a collection into ≤n partitions. Default: one partition."""

@@ -191,14 +191,19 @@ class ParquetBackend(DocumentBackend):
         # agree or a schema-carrying collection gains a phantom row)
         id_col = "_id" if "_id" in file_cols else self.id_field
         sentinel_col = None
-        if id_col and id_col in file_cols:
+        if id_col and id_col in file_cols and self._has_schema_doc(db, coll):
             import pyarrow as _pa
             import pyarrow.compute as pc
 
             t = pf.schema_arrow.field(id_col).type
             if _pa.types.is_string(t) or _pa.types.is_large_string(t):
                 sentinel_col = id_col
-                sentinel_free = pc.field(id_col) != "__schema"
+                # keep null-id rows: Arrow != yields null for null input
+                # and Table.filter drops null-mask rows (the interpreted
+                # path keeps them)
+                sentinel_free = (pc.field(id_col) != "__schema") | (
+                    pc.field(id_col).is_null()
+                )
                 expr = sentinel_free if expr is None else (expr & sentinel_free)
         needed = {src for _, _, src in out_fields if src and src in file_cols}
         if filter_doc:
@@ -266,6 +271,19 @@ class ParquetBackend(DocumentBackend):
                 return doc
         return None
 
+    def _has_schema_doc(self, db, coll) -> bool:
+        """Cached one-shot head probe for the __schema sentinel doc —
+        shared by the count fast path (which must subtract it) and the
+        arrow fast path (which must filter it out); collections without
+        a sentinel skip the filter and the forced id-column read."""
+        if not hasattr(self, "_schema_doc_probe"):
+            self._schema_doc_probe = {}
+        if coll not in self._schema_doc_probe:
+            self._schema_doc_probe[coll] = (
+                self.find_schema_doc(db, coll) is not None
+            )
+        return self._schema_doc_probe[coll]
+
     def count(self, db, coll, filter=None):
         if filter:
             return super().count(db, coll, filter)
@@ -274,11 +292,5 @@ class ParquetBackend(DocumentBackend):
         n = pq.ParquetFile(self._path(coll)).metadata.num_rows
         # metadata counts include the __schema sentinel doc when the
         # collection carries one — the interpreted scan path excludes it,
-        # so the fast path must agree (one cached head-probe per coll)
-        if not hasattr(self, "_schema_doc_probe"):
-            self._schema_doc_probe = {}
-        if coll not in self._schema_doc_probe:
-            self._schema_doc_probe[coll] = (
-                self.find_schema_doc(db, coll) is not None
-            )
-        return n - 1 if self._schema_doc_probe[coll] else n
+        # so the fast path must agree
+        return n - 1 if self._has_schema_doc(db, coll) else n

@@ -188,28 +188,32 @@ class _MongoScanReaderNoPushdown(DataSourceReader):
             pipeline = list(planned.pipeline or [])
             if self.catalyst_match:
                 pipeline = [{"$match": self.catalyst_match}] + pipeline
-            if (
-                len(pipeline) == 1
-                and next(iter(pipeline[0])) == "$count"
-                and hasattr(self.backend, "arrow_scan")
-            ):
-                # unfiltered COUNT(*): serve from backend metadata
-                # (parquet row counts / server countDocuments)
+            if len(pipeline) == 1 and next(iter(pipeline[0])) == "$count":
+                # unfiltered COUNT(*): serve from the backend's count
+                # (parquet metadata / server countDocuments / doc scan —
+                # every backend excludes the __schema sentinel)
                 alias = pipeline[0]["$count"]
                 n = self.backend.count(self.db, self.coll)
                 return [{alias: n}] if n > 0 else (
                     [{alias: 0}] if planned.count_empty_to_zero else []
                 )
+            # server-shipped pipelines never see local _docs_for, so the
+            # __schema sentinel must be excluded in the pipeline itself
+            sentinel_free = [{"$match": {"_id": {"$ne": SCHEMA_DOC_ID}}}]
             if is_remote and part.scan_partition is None:
                 # whole-collection pipeline runs ON the server (reference
                 # collection.aggregate, mongo_table_function.cpp:362)
                 results = list(
-                    self.backend.aggregate(self.db, self.coll, pipeline)
+                    self.backend.aggregate(
+                        self.db, self.coll, sentinel_free + pipeline
+                    )
                 )
             elif is_remote and hasattr(self.backend, "aggregate_partition"):
                 # record-wise pipeline per partition, server-side
                 results = list(
-                    self.backend.aggregate_partition(part.scan_partition, pipeline)
+                    self.backend.aggregate_partition(
+                        part.scan_partition, sentinel_free + pipeline
+                    )
                 )
             else:
                 docs = self._docs_for(part)

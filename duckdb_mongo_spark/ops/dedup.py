@@ -110,19 +110,29 @@ def near_dup_pairs_jaccard(
         .groupBy(F.col("a.doc").alias("a"), F.col("b.doc").alias("b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    out = (
-        inter.join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("sz", "size_a"), "a")
-        .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("sz", "size_b"), "b")
+    return (
+        _jaccard_scores(inter, sizes)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "inter", "size_a", "size_b", "jaccard")
+    )
+
+
+def _jaccard_scores(inter: DataFrame, sizes: DataFrame) -> DataFrame:
+    """Attach size_a/size_b and the rounded Jaccard score to an
+    (a, b, inter) pair frame — the ONE definition of the score used by
+    both the exact path and the LSH-verified path, so they cannot
+    diverge (the bucketed-⊆-exact equal-scores contract depends on it).
+    """
+    return (
+        inter.join(sizes.select(F.col("doc").alias("a"), F.col("sz").alias("size_a")), "a")
+        .join(sizes.select(F.col("doc").alias("b"), F.col("sz").alias("size_b")), "b")
         .withColumn(
             "jaccard",
             F.round(
                 F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "inter", "size_a", "size_b", "jaccard")
     )
-    return out
 
 
 def minhash_signatures(
@@ -225,14 +235,7 @@ def near_dup_pairs_minhash_lsh(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     return (
-        inter.join(sizes.select(F.col("doc").alias("a"), F.col("sz").alias("size_a")), "a")
-        .join(sizes.select(F.col("doc").alias("b"), F.col("sz").alias("size_b")), "b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6
-            ),
-        )
+        _jaccard_scores(inter, sizes)
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )

@@ -239,7 +239,11 @@ def ivf_index(
     c = corpus.select(
         F.col(c_id).alias("c_id"), _as_double(F.col(c_vec)).alias("cv")
     ).withColumn("features", array_to_vector(F.col("cv")))
-    fit_df = c.select("features").limit(fit_sample_size)
+    # deterministic fit sample: the first fit_sample_size ids in id
+    # order (TakeOrderedAndProject — per-partition top-K + merge, no
+    # full sort) — a bare limit() would pick a partition-order-dependent
+    # subset and the same seed would yield different centroids
+    fit_df = c.orderBy("c_id").limit(fit_sample_size).select("features")
     # tiny-corpus guard: count the SAMPLE (bounded by fit_sample_size),
     # never the corpus
     n_fit = fit_df.count()

@@ -102,6 +102,33 @@ def compile_expr(expr, schema=None):
 _NEG_CMP = {"=": "!=", "!=": "=", "<": ">=", "<=": ">", ">": "<=", ">=": "<"}
 
 
+def _compile_is_null(operand, schema, want_null: bool):
+    """SQL IS [NOT] NULL for an arbitrary expression operand.
+
+    A bare column compiles to the MQL null-order test. For composite
+    expressions the MQL form of the expression cannot be consulted —
+    $toLower maps null→\"\" (nullness masked) and $strLenCP errors on
+    null server-side — so the SQL rule is compiled structurally instead:
+    a null-propagating expression is NULL iff any referenced column is
+    null/missing. Expressions that can mask or manufacture NULL
+    ($toLower/$toUpper, division) are Unpushable → Spark residual.
+    """
+    if isinstance(operand, P.Col):
+        ref = _field_ref(operand.name, schema)
+        return {"$lte": [ref, None]} if want_null else {"$gt": [ref, None]}
+    if isinstance(operand, P.Lit):
+        return (operand.value is None) == want_null
+    if _masks_null(operand) or _can_produce_null(operand):
+        raise Unpushable("IS [NOT] NULL over a null-masking/producing expression")
+    refs: list = []
+    _collect_cols(operand, schema, refs)
+    if not refs:
+        return not want_null  # constant expression: never NULL in SQL
+    if want_null:
+        return {"$or": [{"$lte": [r, None]} for r in refs]}
+    return {"$and": [{"$gt": [r, None]} for r in refs]}
+
+
 def _is_nonnull_lit(e) -> bool:
     return isinstance(e, P.Lit) and e.value is not None
 
@@ -135,6 +162,23 @@ def _can_produce_null(e) -> bool:
         return _can_produce_null(e.operand)
     if isinstance(e, P.Func):
         return any(_can_produce_null(a) for a in e.args)
+    return False
+
+
+_NULL_MASKING_FUNCS = {"lower", "upper"}  # $toLower/$toUpper: null → ""
+
+
+def _masks_null(e) -> bool:
+    """True if the expression hides its input's nullness (MQL $toLower /
+    $toUpper return \"\" for null input while SQL propagates NULL)."""
+    if isinstance(e, P.Func):
+        return e.name.lower() in _NULL_MASKING_FUNCS or any(
+            _masks_null(a) for a in e.args
+        )
+    if isinstance(e, P.BinOp):
+        return _masks_null(e.left) or _masks_null(e.right)
+    if isinstance(e, P.Cast):
+        return _masks_null(e.operand)
     return False
 
 
@@ -211,13 +255,9 @@ def compile_pred_expr(pred, schema=None, negate: bool = False):
             return False
         return {"$and": guards + [{"$in": [operand, vals]}]}
     if isinstance(pred, P.IsNull):
-        if negate:
-            return {"$gt": [compile_expr(pred.operand, schema), None]}
-        return {"$lte": [compile_expr(pred.operand, schema), None]}
+        return _compile_is_null(pred.operand, schema, want_null=not negate)
     if isinstance(pred, P.IsNotNull):
-        if negate:
-            return {"$lte": [compile_expr(pred.operand, schema), None]}
-        return {"$gt": [compile_expr(pred.operand, schema), None]}
+        return _compile_is_null(pred.operand, schema, want_null=negate)
     if isinstance(pred, P.And):
         parts = [compile_pred_expr(c, schema, negate) for c in pred.children]
         return {"$or": parts} if negate else {"$and": parts}

@@ -159,6 +159,30 @@ class TestParquetSchemaSentinel:
         be = ParquetBackend(root)
         assert be.count("main", "c") == 50
 
+    def test_filtered_count_excludes_sentinel(self, root):
+        # sentinel doc has v=null, so {"v": null} would match it in MQL;
+        # counts must never include engine metadata
+        be = ParquetBackend(root)
+        assert be.count("main", "c", {"v": {"$gte": 0}}) == 50
+        assert be.count("main", "c", {"v": None}) == 0
+
+    def test_arrow_scan_keeps_null_id_rows(self, tmp_path):
+        """Arrow != yields null for null input and Table.filter drops
+        null-mask rows — the sentinel filter must OR an is_null so rows
+        with null _id survive, matching the interpreted path."""
+        table = pa.table({
+            "_id": pa.array(["__schema", "a", None, "b"]),
+            "v": pa.array([None, 1, 2, 3], pa.int64()),
+        })
+        pq.write_table(table, tmp_path / "c.parquet")
+        be = ParquetBackend(str(tmp_path))
+        part = be.partitions("main", "c", 1)[0]
+        out_fields = [("_id", pa.string(), "_id"), ("v", pa.int64(), "v")]
+        vs = []
+        for batch in be.arrow_scan("main", "c", part, None, out_fields):
+            vs.extend(batch.column(1).to_pylist())
+        assert sorted(vs) == [1, 2, 3]  # null-_id row kept, sentinel dropped
+
 
 class TestMemoryPartitions:
     def test_modulo_split_exactly_once(self):

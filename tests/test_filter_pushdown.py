@@ -176,6 +176,20 @@ class TestExprNullSemantics:
         assert self._match(C("a") != None) == []  # noqa: E711
         assert self._match((C("a") + 1) > None) == []
 
+    def test_is_null_over_propagating_expr_checks_columns(self):
+        # (a + b) IS NULL ⟺ a IS NULL OR b IS NULL in SQL
+        assert self._match((C("a") + C("b")).is_null()) == [2, 3]
+        assert self._match((C("a") + C("b")).is_not_null()) == [1, 4]
+
+    def test_is_null_over_masking_expr_is_residual(self):
+        # $toLower maps null→"" so lower(name) IS NULL cannot be pushed;
+        # it must fall back to a Spark residual (always correct), never a
+        # fully-pushed wrong filter
+        plan = compile_filter(C("name").lower().is_null())
+        assert not plan.fully_pushed and plan.residual is not None
+        plan = compile_filter(C("name").lower().is_not_null())
+        assert not plan.fully_pushed and plan.residual is not None
+
 
 class TestResidualSplit:
     def test_unpushable_conjunct_split(self):

@@ -103,9 +103,21 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, t: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
 
 
+_VIEW_CURRENT: dict[tuple, str] = {}
+
+
 def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    # register each (session, table) view once per sf_dir — repeated
+    # createOrReplaceTempView calls are py4j/catalog round trips that add
+    # up across a query suite (the reference's ATTACH view cache analog,
+    # src/mongo_catalog.cpp:418-486). Keyed on the dir CURRENTLY backing
+    # the view so switching sf_dir re-registers correctly.
     for t in tables:
+        key = (id(spark), t)
+        if _VIEW_CURRENT.get(key) == sf_dir:
+            continue
         _load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        _VIEW_CURRENT[key] = sf_dir
 
 
 def _register(name: str, fn, oracle: str | None = None) -> None:
@@ -764,11 +776,37 @@ def _pq_backend(sf_dir: str, id_field: str | None = None):
     return ParquetBackend(sf_dir, db_name="main", id_field=id_field)
 
 
+_SCAN_CACHE: dict[tuple, tuple] = {}
+
+
+def _mongo_frame(spark, sf_dir: str, coll: str, id_field: str | None = None,
+                 filter: dict | None = None, pipeline: list | None = None):
+    """mongo_scan with the backend + resolved schema cached per
+    (sf_dir, coll) — the reference re-infers per DIRECT mongo_scan call
+    (README.md:566) but caches schema entries under ATTACH
+    (src/mongo_catalog.cpp:418-486); the entries model the attached-
+    catalog usage pattern, so schema inference runs once per collection
+    instead of once per query execution."""
+    from duckdb_mongo_spark.frame import MongoFrame
+    from duckdb_mongo_spark.schema.infer import resolve_schema
+
+    key = (sf_dir, coll, id_field)
+    got = _SCAN_CACHE.get(key)
+    if got is None:
+        be = _pq_backend(sf_dir, id_field=id_field)
+        got = (be, resolve_schema(be, "main", coll))
+        _SCAN_CACHE[key] = got
+    be, schema = got
+    return MongoFrame(
+        spark=spark, backend=be, db="main", coll=coll, schema=schema,
+        manual_filter=filter, manual_pipeline=pipeline,
+    )
+
+
 def _mongo_filter_projection(spark, sf_dir):
-    from duckdb_mongo_spark import mongo_scan
     from duckdb_mongo_spark.pushdown import C
 
-    mf = mongo_scan(spark, _pq_backend(sf_dir), "main", "orders")
+    mf = _mongo_frame(spark, sf_dir, "orders")
     return (
         mf.filter((C("o_totalprice") > 400000.0) & C("o_orderstatus").isin("O", "F"))
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
@@ -788,10 +826,9 @@ _register(
 
 
 def _mongo_expr_pushdown(spark, sf_dir):
-    from duckdb_mongo_spark import mongo_scan
     from duckdb_mongo_spark.pushdown import C
 
-    mf = mongo_scan(spark, _pq_backend(sf_dir), "main", "customer")
+    mf = _mongo_frame(spark, sf_dir, "customer")
     return (
         mf.filter(C("c_mktsegment").substring(1, 4) == "AUTO")
         .select("c_custkey", "c_mktsegment")
@@ -807,9 +844,8 @@ _register(
 
 
 def _mongo_agg_pushdown(spark, sf_dir):
-    from duckdb_mongo_spark import mongo_scan
 
-    mf = mongo_scan(spark, _pq_backend(sf_dir), "main", "orders")
+    mf = _mongo_frame(spark, sf_dir, "orders")
     return (
         mf.group_by("o_orderstatus")
         .agg(
@@ -833,9 +869,8 @@ _register(
 
 
 def _mongo_count_pushdown(spark, sf_dir):
-    from duckdb_mongo_spark import mongo_scan
 
-    return mongo_scan(spark, _pq_backend(sf_dir), "main", "supplier").count_rows().df()
+    return _mongo_frame(spark, sf_dir, "supplier").count_rows().df()
 
 
 _register(
@@ -846,9 +881,8 @@ _register(
 
 
 def _mongo_topn_pushdown(spark, sf_dir):
-    from duckdb_mongo_spark import mongo_scan
 
-    mf = mongo_scan(spark, _pq_backend(sf_dir, id_field="o_orderkey"), "main", "orders")
+    mf = _mongo_frame(spark, sf_dir, "orders", id_field="o_orderkey")
     return mf.order_by_id(descending=True).limit(10).select("_id", "o_totalprice").df()
 
 
@@ -861,10 +895,9 @@ _register(
 
 def _mongo_or_filter(spark, sf_dir):
     """A9/A7: OR of comparisons + IS NOT NULL, all pushed as one $or."""
-    from duckdb_mongo_spark import mongo_scan
     from duckdb_mongo_spark.pushdown import C
 
-    mf = mongo_scan(spark, _pq_backend(sf_dir), "main", "orders")
+    mf = _mongo_frame(spark, sf_dir, "orders")
     pred = ((C("o_totalprice") > 450000.0) | (C("o_orderstatus") == "P")) \
         & C("o_orderpriority").is_not_null()
     return (
@@ -888,9 +921,8 @@ _register(
 
 def _mongo_count_col(spark, sf_dir):
     """A19: COUNT(col) pushed as $sum($cond != null), grouped."""
-    from duckdb_mongo_spark import mongo_scan
 
-    mf = mongo_scan(spark, _pq_backend(sf_dir), "main", "customer")
+    mf = _mongo_frame(spark, sf_dir, "customer")
     return (
         mf.group_by("c_mktsegment")
         .agg(("count", "c_acctbal", "n_bal"), ("sum", "c_acctbal", "total_bal"))
@@ -911,11 +943,10 @@ _register(
 
 def _mongo_manual_filter(spark, sf_dir):
     """A23: raw MQL `filter :=` parameter merged with the WHERE clause."""
-    from duckdb_mongo_spark import mongo_scan
     from duckdb_mongo_spark.pushdown import C
 
-    mf = mongo_scan(
-        spark, _pq_backend(sf_dir), "main", "orders",
+    mf = _mongo_frame(
+        spark, sf_dir, "orders",
         filter={"o_orderstatus": {"$in": ["F", "P"]}},
     )
     return (
@@ -939,17 +970,15 @@ _register(
 def _mongo_semi_join_in(spark, sf_dir):
     """A11 semi-join IN pushdown: build side (high-balance customers)
     materialized, key set pushed to the orders scan as $in."""
-    from duckdb_mongo_spark import mongo_scan
     from duckdb_mongo_spark.pushdown import C
 
-    be = _pq_backend(sf_dir)
     rich = (
-        mongo_scan(spark, be, "main", "customer")
+        _mongo_frame(spark, sf_dir, "customer")
         .filter(C("c_acctbal") > 9900.0)
         .select("c_custkey")
         .df()
     )
-    orders = mongo_scan(spark, be, "main", "orders")
+    orders = _mongo_frame(spark, sf_dir, "orders")
     out = orders.semi_join_in(rich, on="o_custkey", build_col="c_custkey")
     from pyspark.sql import functions as F
 

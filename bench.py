@@ -113,35 +113,43 @@ def main() -> None:
     # iterations per query — the same warm-measurement methodology the
     # DuckDB baseline in BASELINE.md uses (warm pass first, then timed),
     # and the reference harness's warmup-then-iterate shape
-    # (benchmarks/benchmark-tpch.sh). The warmup absorbs two costs that
-    # are CONSTANT in data size and therefore noise for a
-    # 100 TB-oriented throughput number: Catalyst analysis of wide
-    # expression trees (~0.5 s/query) and the one-time Janino compile
-    # of whole-stage-codegen'd code (up to ~10 s for the text-analysis
-    # expression tree — compiled once per JVM, cached by generated
-    # source). Timed iterations re-execute the warmed DataFrame (plan
-    # reuse, like a prepared statement) and measure steady-state
-    # engine throughput end-to-end including the scan.
-    dfs = {}
+    # (benchmarks/benchmark-tpch.sh). The warmup absorbs the one-time
+    # Janino compile of whole-stage-codegen'd code (up to ~10 s for the
+    # text-analysis expression tree — cached per JVM by generated
+    # source, which is identical across plan rebuilds) and JVM JIT.
+    #
+    # Timed iterations REBUILD the DataFrame from scratch: a fresh plan
+    # means a fresh RDD lineage, so every stage re-executes — re-running
+    # collect() on a cached DataFrame would silently reuse shuffle map
+    # outputs and skip the scan side of joins/aggregations, overstating
+    # throughput. Catalyst re-analysis is therefore included in every
+    # timed sample, exactly as DuckDB's (~1 ms) planning is included in
+    # the baseline's samples.
     for name in bench_queries:
-        dfs[name] = qs[name](spark, sf_dir)
-        dfs[name].collect()
+        qs[name](spark, sf_dir).collect()
     # second untimed sweep: the first sweep's JIT/GC residue otherwise
     # lands on whichever query is timed first
     for name in bench_queries:
-        dfs[name].collect()
+        qs[name](spark, sf_dir).collect()
 
     # default 5 iterations = the reference harness's default
-    # (benchmarks/benchmark-tpch.sh ITERATIONS=5)
+    # (benchmarks/benchmark-tpch.sh ITERATIONS=5); per-query statistic is
+    # the MEDIAN of the samples — each sample is a complete fresh
+    # execution, the median just keeps one GC/load straggler from
+    # defining the query's number (the DuckDB baseline is measured with
+    # the same statistic)
+    import statistics
+
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
     timings: dict[str, float] = {}
     for name in bench_queries:
         samples = []
         for _ in range(iters):
             t0 = time.perf_counter()
-            dfs[name].collect()  # full materialization, no count shortcuts
+            # fresh build every iteration — full end-to-end re-execution
+            qs[name](spark, sf_dir).collect()
             samples.append(time.perf_counter() - t0)
-        timings[name] = round(sum(samples) / len(samples), 3)
+        timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -269,14 +269,20 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     # per-bit votes (zip_with merge), instead of `bits` separate
     # aggregate() passes — smaller codegen, same result
     zero = F.array_repeat(F.lit(0).cast("long"), bits)
+    idx = F.sequence(F.lit(0), F.lit(bits - 1))
 
     def bit_votes(x):
-        return F.array(*[
-            F.when(
-                F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, F.lit(1).cast("long")
-            ).otherwise(F.lit(-1).cast("long"))
-            for b in range(bits)
-        ])
+        # vote_b = 2*bit_b(x) - 1, with bit_b = floor(x / 2^b) % 2 — a
+        # single transform over the bit-index sequence instead of `bits`
+        # unrolled when-branches (a 16x smaller expression tree; the
+        # unrolled form cost ~1 s of Catalyst analysis per query build).
+        # Exact in doubles: x < 2^bits << 2^53.
+        return F.transform(
+            idx,
+            lambda b: (
+                F.floor(x / F.pow(F.lit(2.0), b.cast("double"))).cast("long") % 2
+            ) * 2 - 1,
+        )
 
     votes = F.aggregate(
         F.col("__hv"), zero, lambda acc, x: F.zip_with(acc, bit_votes(x), lambda a, b: a + b)

@@ -7,10 +7,18 @@ Spark-first design for 100 TB:
 - n-gram Jaccard = explode shingles → self-join on shingle → pair
   intersection counts (no pairwise cross join; ``max_doc_freq`` drops
   stop-shingles to cap join skew, the standard big-corpus trick)
-- MinHash+LSH = k md5-permutation minhashes → band hashes → bucket join
-  produces candidates only (sub-quadratic), then exact-Jaccard verify
-- SimHash = per-token 16-bit md5 projections, bit-majority vote via one
-  groupBy
+- MinHash+LSH = k slice-permutation minhashes (one md5 digest per
+  shingle, four 32-bit hex slices) via explode + grouped MIN → band
+  hashes → bucket join produces candidates only (sub-quadratic), then
+  candidate-restricted exact-Jaccard verify
+- SimHash = per-token 16-bit md5 projections, bit-majority vote via
+  explode + grouped per-bit SUMs
+
+Execution shape: the dedup maps use explode + partial-aggregation, NOT
+higher-order functions — HOF lambdas evaluate interpreted per element
+(bits x tokens invocations), while exploded rows stay inside
+whole-stage codegen; map-side combine bounds every shuffle at
+#docs x k values regardless of token/shingle volume.
 
 Hashes are md5-based so a DuckDB oracle reproduces values bit-for-bit.
 """
@@ -81,8 +89,18 @@ def dedup_exact(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
 
 
 def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_WORDS) -> DataFrame:
-    return _with_shingles(df, id_col, text_col, n).select(
-        F.col(id_col).alias("doc"), F.explode(F.col("__sh")).alias("shingle")
+    """(doc, shingle) rows.
+
+    Plan-shape caveat (measured 20x): the generator must receive the
+    shingle-array EXPRESSION inline over the materialized token column —
+    exploding a pre-aliased array column from a separate projection step
+    makes Spark re-evaluate the whole gram-construction expression per
+    output row (~#shingles times per doc) instead of once per doc.
+    """
+    toked = df.select(F.col(id_col), _norm_tokens(F.col(text_col)).alias("__toks"))
+    return toked.select(
+        F.col(id_col).alias("doc"),
+        F.explode(_shingles_of_tokens(F.col("__toks"), n)).alias("shingle"),
     )
 
 
@@ -150,35 +168,41 @@ def minhash_signatures(
     of the 32-bit values; engine-portable, no native hash dependence).
     Output: id + minhash_0..minhash_{k-1}.
 
-    Scale note: computed per-row with ``array_min(transform(...))`` —
-    a pure map (whole-stage codegen, zero shuffle), unlike the naive
-    explode→groupBy which shuffles every shingle. At 100 TB the shuffle
-    would dominate; this form scales linearly with input splits.
+    Scale note: computed as explode + grouped MIN with map-side partial
+    aggregation — shuffle volume is #docs x k minhash strings regardless
+    of shingle volume, and every expression stays in whole-stage codegen
+    (the per-row HOF form, ``array_min(transform(...))``, avoids the
+    shuffle entirely but evaluates its lambdas interpreted per element
+    and measured ~1.7x slower end-to-end).
     """
-    with_sh = _with_shingles(df, id_col, text_col, n)
-
-    # factories returning STRICTLY one-arg lambdas: a two-arg lambda
-    # (even via default args) would receive the element INDEX as its
-    # second argument and clobber the closure value
-    def digest(prefix: str):
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
-
-    def hex_slice(pos: int):
-        return lambda h: F.substring(h, pos, 8)
-
+    toked = df.select(F.col(id_col), _norm_tokens(F.col(text_col)).alias("__toks"))
+    # explode the inline shingle expression — see exploded_shingles's
+    # plan-shape caveat (pre-aliased array explode re-evaluates per row)
+    sh = toked.select(
+        F.col(id_col), F.explode(_shingles_of_tokens(F.col("__toks"), n)).alias("__s")
+    )
     n_digests = (k + 3) // 4
-    digest_cols = [
-        F.transform(F.col("__sh"), digest(f"{j}:")).alias(f"__dg{j}")
-        for j in range(n_digests)
-    ]
-    digested = with_sh.select(F.col(id_col), *digest_cols)
-    cols = [
-        F.array_min(
-            F.transform(F.col(f"__dg{i // 4}"), hex_slice((i % 4) * 8 + 1))
-        ).alias(f"minhash_{i}")
+    digested = sh.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"{j}:"), F.col("__s"))).alias(f"__dg{j}")
+            for j in range(n_digests)
+        ],
+    )
+    # Execution-shape note: explode + grouped MIN beats the HOF
+    # formulation (array_min over transform) ~1.7x end-to-end because
+    # every expression here stays inside whole-stage codegen, while
+    # higher-order-function lambdas evaluate interpreted per element.
+    # The shuffle this reintroduces is bounded by map-side partial
+    # aggregation at #docs x k minhash strings — independent of shingle
+    # volume — so the trade holds at 100 TB, not just locally.
+    aggs = [
+        F.min(F.substring(F.col(f"__dg{i // 4}"), (i % 4) * 8 + 1, 8)).alias(
+            f"minhash_{i}"
+        )
         for i in range(k)
     ]
-    return digested.select(F.col(id_col), *cols)
+    return digested.groupBy(F.col(id_col)).agg(*aggs)
 
 
 def near_dup_pairs_minhash_lsh(
@@ -256,46 +280,35 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
         F.col(id_col),
         F.array_distinct(_norm_tokens(F.col(text_col))).alias("__toks"),
     ).filter(F.size("__toks") > 0)  # token-less docs have no simhash (as
-    # in the explode formulation and the unnest-based oracle)
-    hashed = toked.select(
+    # in the unnest-based oracle)
+    hv = toked.select(
+        F.col(id_col), F.explode(F.col("__toks")).alias("__t")
+    ).select(
         F.col(id_col),
-        F.transform(
-            F.col("__toks"),
-            lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long"),
-        ).alias("__hv"),
+        F.conv(F.substring(F.md5(F.col("__t")), 1, 4), 16, 10).cast("long").alias("hv"),
     )
-
-    # ONE pass over the hash array: the accumulator is the vector of
-    # per-bit votes (zip_with merge), instead of `bits` separate
-    # aggregate() passes — smaller codegen, same result
-    zero = F.array_repeat(F.lit(0).cast("long"), bits)
-    idx = F.sequence(F.lit(0), F.lit(bits - 1))
-
-    def bit_votes(x):
-        # vote_b = 2*bit_b(x) - 1, with bit_b = floor(x / 2^b) % 2 — a
-        # single transform over the bit-index sequence instead of `bits`
-        # unrolled when-branches (a 16x smaller expression tree; the
-        # unrolled form cost ~1 s of Catalyst analysis per query build).
-        # Exact in doubles: x < 2^bits << 2^53.
-        return F.transform(
-            idx,
-            lambda b: (
-                F.floor(x / F.pow(F.lit(2.0), b.cast("double"))).cast("long") % 2
-            ) * 2 - 1,
-        )
-
-    votes = F.aggregate(
-        F.col("__hv"), zero, lambda acc, x: F.zip_with(acc, bit_votes(x), lambda a, b: a + b)
-    )
-    voted = hashed.select(F.col(id_col), votes.alias("__votes"))
-    weights = F.array(*[F.lit(2 ** b).cast("long") for b in range(bits)])
-    sim = F.aggregate(
-        F.zip_with(
-            F.col("__votes"), weights,
-            lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long")),
-        ),
+    # Execution shape: exploded token rows + one grouped SUM per bit —
+    # everything whole-stage codegen'd. The HOF formulation (aggregate
+    # over the token-hash array with per-bit zip_with votes) evaluates
+    # its lambdas interpreted: bits x tokens lambda invocations dominate
+    # (measured ~1.5x slower end-to-end). Map-side partial aggregation
+    # bounds the shuffle at #docs x bits longs — independent of token
+    # volume — so the codegen'd form wins at 100 TB too.
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"__v{b}")
+        for b in range(bits)
+    ]
+    voted = hv.groupBy(F.col(id_col)).agg(*votes)
+    sim = sum(
+        [
+            F.when(F.col(f"__v{b}") > 0, F.lit(2 ** b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            for b in range(bits)
+        ],
         F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
     )
     return voted.select(F.col(id_col), sim.alias("simhash"))
 

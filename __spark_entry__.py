@@ -114,7 +114,9 @@ def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
     # the view so switching sf_dir re-registers correctly.
     for t in tables:
         key = (id(spark), t)
-        if _VIEW_CURRENT.get(key) == sf_dir:
+        if _VIEW_CURRENT.get(key) == sf_dir and spark.catalog.tableExists(t):
+            # tableExists guards against external dropTempView between
+            # invocations (one cheap catalog probe vs re-registration)
             continue
         _load_table(spark, sf_dir, t).createOrReplaceTempView(t)
         _VIEW_CURRENT[key] = sf_dir

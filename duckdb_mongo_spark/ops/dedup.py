@@ -166,7 +166,9 @@ def minhash_signatures(
     slice trick measured ~2x end-to-end on the sf0.1 bench). The
     minhash is the lexicographic min of the hex slices (= numeric min
     of the 32-bit values; engine-portable, no native hash dependence).
-    Output: id + minhash_0..minhash_{k-1}.
+    Output: id + minhash_0..minhash_{k-1}, ONE ROW PER ID — ``id_col``
+    must uniquely identify a document; rows sharing an id contribute to
+    a single unioned-shingle signature.
 
     Scale note: computed as explode + grouped MIN with map-side partial
     aggregation — shuffle volume is #docs x k minhash strings regardless
@@ -270,11 +272,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
 
     Token projection = first 4 hex chars of md5(token) → 16-bit int;
     per bit: majority vote (+1 if set, −1 if clear); simhash bit = 1
-    iff vote > 0. Output: id + simhash (BIGINT).
+    iff vote > 0. Output: id + simhash (BIGINT). ``id_col`` must
+    uniquely identify a document — rows sharing an id are unioned into
+    one signature.
 
-    Computed per row (token hashes materialized once, one aggregate per
-    bit over the array) — ZERO shuffles, like minhash; the explode +
-    groupBy formulation shuffles every token at scale.
+    Computed as exploded token rows + one grouped SUM per bit (map-side
+    partial aggregation bounds the shuffle at #docs x bits longs,
+    independent of token volume); the per-row HOF formulation avoids
+    the shuffle but evaluates bits x tokens interpreted lambda calls
+    and measured ~1.5x slower end-to-end — see the module header.
     """
     toked = df.select(
         F.col(id_col),

@@ -854,6 +854,7 @@ def _mongo_agg_pushdown(spark, sf_dir):
             ("count_star", None, "n_orders"),
             ("min", "o_totalprice", "min_price"),
             ("max", "o_totalprice", "max_price"),
+            ("avg", "o_totalprice", "avg_price"),
         )
         .df()
     )
@@ -864,7 +865,8 @@ _register(
     _mongo_agg_pushdown,
     """
     SELECT o_orderstatus, COUNT(*) AS n_orders,
-           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+           AVG(o_totalprice) AS avg_price
     FROM orders GROUP BY o_orderstatus
     """,
 )

@@ -83,7 +83,10 @@ def build_projection(columns: list[str], schema: CollectionSchema) -> dict:
 def _agg_result_field(agg: AggSpec, schema: CollectionSchema) -> FieldSpec:
     """Aggregate result typing (reference preserves engine aggregate types,
     src/mongo_optimizer.cpp:589): COUNT→BIGINT, AVG→DOUBLE, SUM/MIN/MAX
-    follow the input column type (SUM of BIGINT stays BIGINT)."""
+    follow the input column type — except integer SUM, which widens to
+    HUGEINT (Decimal(38,0)) exactly like DuckDB's SUM(BIGINT)→HUGEINT:
+    at 100 TB a BIGINT accumulator of cent-scaled money overflows
+    silently, so the pushed result type must carry the 128-bit width."""
     if agg.op in ("count_star", "count"):
         return FieldSpec(agg.alias, "BIGINT", agg.alias)
     fmap = schema.field_map()
@@ -92,7 +95,7 @@ def _agg_result_field(agg: AggSpec, schema: CollectionSchema) -> FieldSpec:
     if agg.op == "avg":
         return FieldSpec(agg.alias, "DOUBLE", agg.alias)
     if agg.op == "sum":
-        return FieldSpec(agg.alias, "DOUBLE" if src_t == "DOUBLE" else "BIGINT", agg.alias)
+        return FieldSpec(agg.alias, "DOUBLE" if src_t == "DOUBLE" else "HUGEINT", agg.alias)
     return FieldSpec(agg.alias, src_t if isinstance(src_t, str) else "VARCHAR", agg.alias)
 
 

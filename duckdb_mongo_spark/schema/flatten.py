@@ -152,10 +152,14 @@ def convert_value(value, target):
         return str(value)
     if target == "BIGINT" or target == "HUGEINT":
         if t == "int64":
-            return int(value)
-        if t in ("double", "decimal128") and float(value) == int(float(value)):
-            return int(float(value))
-        raise ValueError(f"cannot convert {t} to BIGINT")
+            out = int(value)
+        elif t in ("double", "decimal128") and float(value) == int(float(value)):
+            out = int(float(value))
+        else:
+            raise ValueError(f"cannot convert {t} to BIGINT")
+        # HUGEINT surfaces as Decimal(38,0): Spark's non-Arrow row path
+        # requires decimal.Decimal for DecimalType (Arrow accepts int too)
+        return Decimal(out) if target == "HUGEINT" else out
     if target == "DOUBLE":
         if t in ("int64", "double"):
             return float(value)

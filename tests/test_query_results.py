@@ -166,6 +166,44 @@ class TestCollections:
         assert "Ann Lee" in vals
 
 
+class TestIntegerSumWidening:
+    """Pushed SUM over an integer column widens to HUGEINT/Decimal(38,0),
+    matching DuckDB's SUM(BIGINT)->HUGEINT (the reference preserves the
+    engine's aggregate type, src/mongo_optimizer.cpp:589). A BIGINT
+    accumulator would overflow silently at 100 TB."""
+
+    def test_pushed_int_sum_exceeds_int64(self, spark):
+        from decimal import Decimal
+
+        from duckdb_mongo_spark.backends.memory import MemoryBackend
+
+        be = MemoryBackend()
+        big = 2 ** 62
+        be.insert_many(DB, "bigsum", [{"_id": i, "v": big} for i in range(8)])
+        f = frame(spark, be, "bigsum")
+        q = f.group_by().agg(("sum", "v", "total"))
+        [fld] = [x for x in q.df().schema.fields if x.name == "total"]
+        assert fld.dataType.simpleString() == "decimal(38,0)"
+        rows = q.collect()
+        assert rows[0]["total"] == Decimal(8 * big)  # 2**65 > int64 max
+
+    def test_grouped_int_sum_widened(self, spark):
+        from decimal import Decimal
+
+        from duckdb_mongo_spark.backends.memory import MemoryBackend
+
+        be = MemoryBackend()
+        be.insert_many(DB, "bigsum_g", [
+            {"_id": i, "k": "a" if i % 2 else "b", "v": 2 ** 61 + i}
+            for i in range(6)
+        ])
+        f = frame(spark, be, "bigsum_g")
+        rows = f.group_by("k").agg(("sum", "v", "total")).collect()
+        by = {r["k"]: r["total"] for r in rows}
+        assert by["a"] == Decimal(3 * 2 ** 61 + 1 + 3 + 5)
+        assert by["b"] == Decimal(3 * 2 ** 61 + 0 + 2 + 4)
+
+
 class TestSchemaModes:
     COLS = {"id": "VARCHAR", "value": "BIGINT"}
 

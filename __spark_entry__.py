@@ -1080,7 +1080,11 @@ _register(
     _dedup_jaccard_pairs,
     _SHINGLE_GRAMS_SQL
     + """
-    , sh AS (SELECT doc_id AS doc, unnest(list_distinct(g)) AS shingle FROM grams),
+    , sh0 AS (SELECT doc_id AS doc, unnest(list_distinct(g)) AS shingle FROM grams),
+    -- stop-shingle cap (max_doc_freq=1000, the engine default): shingles in
+    -- more docs than the cap are dropped BEFORE sizes/intersections
+    shf AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 1000),
+    sh AS (SELECT sh0.doc, sh0.shingle FROM sh0 JOIN shf USING (shingle)),
     sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
     inter AS (SELECT a.doc AS a, b.doc AS b, COUNT(*) AS inter
               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc

@@ -104,17 +104,31 @@ def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = SHINGL
     )
 
 
+DEFAULT_MAX_DOC_FREQ = 1000
+
+
 def near_dup_pairs_jaccard(
     df: DataFrame,
     id_col: str,
     text_col: str,
     threshold: float = 0.8,
     n: int = SHINGLE_WORDS,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
     """All pairs (a < b) with shingle-set Jaccard ≥ threshold.
 
     Columns: a, b, inter, size_a, size_b, jaccard (rounded to 6).
+
+    ``max_doc_freq`` caps the document frequency of shingles entering
+    the self-join (stop-shingle drop): a shingle present in d documents
+    contributes O(d²) join rows, so ONE hot shingle on a skewed corpus
+    makes the uncapped join quadratic in corpus size. The cap is ON by
+    default; pass ``max_doc_freq=None`` only for small/oracle corpora
+    where exact set semantics over every shingle are required. Shingle
+    SETS (doc sizes) are measured after the drop, so capped Jaccard is
+    computed over the reduced universe on both sides of the ratio. For
+    web-scale corpora prefer ``near_dup_pairs_minhash_lsh`` — candidate
+    generation there is bucketed, never all-pairs.
     """
     sh = exploded_shingles(df, id_col, text_col, n)
     if max_doc_freq is not None:

@@ -60,6 +60,32 @@ class TestJaccard:
         for r in pairs.collect():
             assert r["a"] < r["b"]
 
+    def test_stop_shingle_cap_bounds_skewed_join(self, spark):
+        """A shingle present in 50% of the corpus must NOT produce a
+        quadratic pair blow-up: with max_doc_freq below its document
+        frequency the hot shingle is dropped before the self-join, so
+        docs that only share the hot shingle yield no pair at all."""
+        hot = "common boilerplate header"
+        rows = [(f"h{i}", f"{hot} unique tail number {i} here") for i in range(20)]
+        rows += [(f"u{i}", f"alpha{i} beta{i} gamma{i} delta{i}") for i in range(20)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        capped = dedup.near_dup_pairs_jaccard(
+            df, "doc_id", "text", threshold=0.0, max_doc_freq=10)
+        got = capped.collect()
+        # hot-shingle-only overlaps vanish — nothing else is shared
+        assert got == []
+        # uncapped (explicit None) sees the quadratic 20*19/2 hot pairs
+        uncapped = dedup.near_dup_pairs_jaccard(
+            df, "doc_id", "text", threshold=0.0, max_doc_freq=None)
+        assert uncapped.count() == 190
+
+    def test_default_cap_is_finite(self):
+        import inspect
+
+        sig = inspect.signature(dedup.near_dup_pairs_jaccard)
+        assert sig.parameters["max_doc_freq"].default == dedup.DEFAULT_MAX_DOC_FREQ
+        assert dedup.DEFAULT_MAX_DOC_FREQ is not None
+
 
 class TestMinhashLsh:
     def test_identical_docs_identical_signatures(self, docs):

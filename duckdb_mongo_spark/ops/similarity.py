@@ -74,6 +74,30 @@ def cosine_topk(
     )
 
 
+def _vector_dim(df: DataFrame, vec_col: str, dim: int | None = None) -> int:
+    """Resolve embedding dimensionality WITHOUT running a Spark job.
+
+    Priority: explicit ``dim`` param → column metadata key ``"dim"``
+    (attach with ``df.withMetadata(col, {"dim": d})``) → last resort, a
+    ``first()`` probe — which kicks off a whole-stage scan job before
+    any candidate generation, so callers on big corpora should always
+    pass ``dim`` (it is a property of the embedding model, not the
+    data)."""
+    if dim is not None:
+        return int(dim)
+    md = df.schema[vec_col].metadata or {}
+    if "dim" in md:
+        return int(md["dim"])
+    import warnings
+
+    warnings.warn(
+        f"inferring dim of {vec_col!r} via a first() probe (a Spark job); "
+        "pass dim= or attach column metadata {'dim': d} to avoid it",
+        stacklevel=3,
+    )
+    return len(df.select(vec_col).first()[0])
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 bytes (portable,
     no RNG state). Values in [-1, 1)."""
@@ -119,9 +143,7 @@ def lsh_topk(
     """
     from pyspark.sql import Window
 
-    if dim is None:
-        dim = len(corpus.select(c_vec).first()[0])
-    planes = hyperplanes(dim, n_planes, seed=seed)
+    planes = hyperplanes(_vector_dim(corpus, c_vec, dim), n_planes, seed=seed)
     q = queries.select(
         F.col(q_id).alias("q_id"),
         _as_double(F.col(q_vec)).alias("qv"),
@@ -327,11 +349,10 @@ def embedding_near_dup_pairs(
     """
     c = corpus.select(F.col(c_id).alias("id"), _as_double(F.col(c_vec)).alias("v"))
     if not exact:
-        if dim is None:
-            dim = len(corpus.select(c_vec).first()[0])
-        planes = hyperplanes(dim, n_planes, seed=seed)
+        planes = hyperplanes(
+            _vector_dim(corpus, c_vec, dim), n_planes, seed=seed
+        )
         c = c.withColumn("sig", signature_col(F.col("v"), planes))
-        join_cond_cols = ["sig"]
         l, r = c.alias("l"), c.alias("r")
         joined = l.join(r, (F.col("l.sig") == F.col("r.sig")) & (F.col("l.id") < F.col("r.id")))
     else:

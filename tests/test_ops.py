@@ -217,6 +217,32 @@ class TestSimilarity:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
 
+    def test_dim_resolution_runs_no_job(self, spark, corpus, monkeypatch):
+        """With dim passed (or carried in column metadata) plan building
+        must not kick off a first() probe job — dim is a property of the
+        embedding model, not the data."""
+        from pyspark.sql import DataFrame
+
+        def boom(self, *a, **k):
+            raise AssertionError("first() probe job ran during plan build")
+
+        monkeypatch.setattr(DataFrame, "first", boom)
+        q = spark.createDataFrame([("q1", [1.0, 0.0, 0.0])], ["q_id", "q_vec"])
+        similarity.lsh_topk(q, corpus, k=1, n_planes=4, dim=3)
+        similarity.embedding_near_dup_pairs(
+            corpus, threshold=0.95, exact=False, dim=3, n_planes=4)
+        with_md = corpus.withMetadata("embedding", {"dim": 3})
+        similarity.lsh_topk(q, with_md, k=1, n_planes=4)
+        similarity.embedding_near_dup_pairs(
+            with_md, threshold=0.95, exact=False, n_planes=4)
+
+    def test_dim_metadata_matches_explicit(self, spark, corpus):
+        q = spark.createDataFrame([("q1", [1.0, 0.0, 0.0])], ["q_id", "q_vec"])
+        explicit = similarity.lsh_topk(q, corpus, k=2, n_planes=4, dim=3).collect()
+        with_md = corpus.withMetadata("embedding", {"dim": 3})
+        via_md = similarity.lsh_topk(q, with_md, k=2, n_planes=4).collect()
+        assert explicit == via_md
+
     def test_ivf_fit_is_sample_bounded(self, spark, corpus):
         """ivf_index must never feed the full corpus to KMeans — the fit
         input is capped by fit_sample_size (the 100 TB contract)."""

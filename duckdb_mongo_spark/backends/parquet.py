@@ -266,6 +266,10 @@ class ParquetBackend(DocumentBackend):
         return self._stream_head(coll, n)
 
     def find_schema_doc(self, db, coll, probe_limit=1000):
+        """Head probe for the ``__schema`` sentinel. CONTRACT: the
+        sentinel must sit within the first ``probe_limit`` rows of the
+        file (writers place it first); a sentinel past the probe window
+        is treated as a data row."""
         for doc in self._stream_head(coll, probe_limit):
             if doc.get("_id") == "__schema":
                 return doc
@@ -275,14 +279,28 @@ class ParquetBackend(DocumentBackend):
         """Cached one-shot head probe for the __schema sentinel doc —
         shared by the count fast path (which must subtract it) and the
         arrow fast path (which must filter it out); collections without
-        a sentinel skip the filter and the forced id-column read."""
+        a sentinel skip the filter and the forced id-column read.
+
+        The cache is keyed on (path, mtime, size) so a parquet file
+        rewritten while this backend instance lives (sentinel added or
+        removed — likely now that the entry-level scan cache keeps
+        backends alive across queries) invalidates the probe instead of
+        serving a stale off-by-one to count()/arrow_scan."""
+        import os
+
+        path = self._path(coll)
+        try:
+            st = os.stat(path)
+            key = (path, st.st_mtime_ns, st.st_size)
+        except OSError:
+            key = (path, None, None)
         if not hasattr(self, "_schema_doc_probe"):
             self._schema_doc_probe = {}
-        if coll not in self._schema_doc_probe:
-            self._schema_doc_probe[coll] = (
+        if key not in self._schema_doc_probe:
+            self._schema_doc_probe[key] = (
                 self.find_schema_doc(db, coll) is not None
             )
-        return self._schema_doc_probe[coll]
+        return self._schema_doc_probe[key]
 
     def count(self, db, coll, filter=None):
         if filter:

@@ -43,6 +43,36 @@ def _num(v):
     raise TypeError(f"non-numeric operand: {v!r}")
 
 
+def _convert_scalar(v, to, on_error_null: bool):
+    """Shared kernel for $convert / $toInt / $toLong / $toDouble /
+    $toString. ``on_error_null=True`` yields None on conversion failure
+    (the $convert onError:null behavior our Cast compiler requests,
+    matching SQL CAST); ``False`` raises so $convert can honor an
+    explicit onError operand."""
+    if v is None:
+        return None
+    try:
+        if to in ("int", "long"):
+            if isinstance(v, bool):
+                return int(v)
+            if isinstance(v, int):
+                return v
+            return int(float(v))
+        if to == "double":
+            return float(v)
+        if to == "string":
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            return str(v)
+        if to == "bool":
+            return bool(v)
+        return v
+    except (TypeError, ValueError):
+        if on_error_null:
+            return None
+        raise
+
+
 def _cmp(a, b):
     """MongoDB $cmp: total order incl. cross-type via BSON type order."""
     c = compare_values(a, b)
@@ -245,10 +275,24 @@ def eval_expr(expr, doc):
         return str(v)
     if op in ("$toInt", "$toLong"):
         v = _resolve(args[0], doc)
-        return None if v is None else int(float(v))
+        # null on conversion failure (matches the compiled $convert
+        # onError:null form and SQL CAST semantics, not mongod's
+        # throwing bare $toLong — the compiler only emits $convert)
+        return _convert_scalar(v, "long", on_error_null=True)
     if op == "$toDouble":
         v = _resolve(args[0], doc)
-        return None if v is None else float(v)
+        return _convert_scalar(v, "double", on_error_null=True)
+    if op == "$convert":
+        spec = raw
+        v = _resolve(spec["input"], doc)
+        if v is None:
+            return _resolve(spec["onNull"], doc) if "onNull" in spec else None
+        try:
+            return _convert_scalar(v, spec.get("to"), on_error_null=False)
+        except (TypeError, ValueError):
+            if "onError" in spec:
+                return _resolve(spec["onError"], doc)
+            raise
     if op == "$type":
         from duckdb_mongo_spark.bsonlike import bson_type_name
 

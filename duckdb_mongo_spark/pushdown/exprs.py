@@ -61,17 +61,21 @@ def compile_expr(expr, schema=None):
         return v
     if isinstance(expr, P.Cast):
         # CAST unwrapping (reference unwraps casts on both comparison
-        # sides, src/mongo_expr_pushdown.cpp:316-415); numeric casts map
-        # to $toX so Mongo applies the same coercion
+        # sides, src/mongo_expr_pushdown.cpp:316-415). Conversions are
+        # emitted as $convert with onError:null — Spark's (ANSI-off)
+        # CAST('abc' AS BIGINT) yields NULL from a non-null input, while
+        # a bare $toLong would ERROR server-side on the same value; the
+        # onError clause makes the pushed form match the residual form.
         inner = compile_expr(expr.operand, schema)
         t = expr.type_name
-        if t in ("BIGINT", "INT", "INTEGER", "LONG"):
-            return {"$toLong": inner}
-        if t in ("DOUBLE", "FLOAT", "REAL"):
-            return {"$toDouble": inner}
-        if t in ("VARCHAR", "STRING", "TEXT"):
-            return {"$toString": inner}
-        return inner
+        to = {
+            "BIGINT": "long", "INT": "long", "INTEGER": "long", "LONG": "long",
+            "DOUBLE": "double", "FLOAT": "double", "REAL": "double",
+            "VARCHAR": "string", "STRING": "string", "TEXT": "string",
+        }.get(t)
+        if to is None:
+            return inner
+        return {"$convert": {"input": inner, "to": to, "onError": None}}
     if isinstance(expr, P.BinOp):
         op = _ARITH_OPS.get(expr.op)
         if op is None:
@@ -153,13 +157,20 @@ def _collect_cols(e, schema, out: list) -> None:
             _collect_cols(a, schema, out)
 
 
+_NULLABLE_CAST_TARGETS = {
+    "BIGINT", "INT", "INTEGER", "LONG", "DOUBLE", "FLOAT", "REAL",
+    "DATE", "TIMESTAMP", "BOOLEAN",
+}
+
+
 def _can_produce_null(e) -> bool:
     """True if the expression can yield NULL from non-null inputs
-    (division/modulo by zero)."""
+    (division/modulo by zero, numeric/narrowing CAST: Spark's ANSI-off
+    CAST('abc' AS BIGINT) is NULL — only cast-to-string is total)."""
     if isinstance(e, P.BinOp):
         return e.op in ("/", "%") or _can_produce_null(e.left) or _can_produce_null(e.right)
     if isinstance(e, P.Cast):
-        return _can_produce_null(e.operand)
+        return e.type_name in _NULLABLE_CAST_TARGETS or _can_produce_null(e.operand)
     if isinstance(e, P.Func):
         return any(_can_produce_null(a) for a in e.args)
     return False
@@ -220,6 +231,15 @@ def compile_pred_expr(pred, schema=None, negate: bool = False):
     stay POSITIVE outside the negated comparison, and And/Or distribute
     by De Morgan. Comparisons against a literal NULL compile to the
     match-nothing constant False (SQL ``col = NULL`` is never true).
+
+    ORDERING IS LOAD-BEARING: guards are emitted BEFORE the comparison
+    inside one ``$and``, and mongod documents aggregation ``$and`` as
+    short-circuiting — operators that throw server-side on null input
+    (e.g. ``$strLenCP``) are only safe because their non-null guard
+    evaluates first. A refactor must not reorder, de-duplicate guards
+    after the comparison, or split the guard and comparison into
+    separate pipeline stages; new ``_FUNC_MAP`` entries with
+    error-throwing null behavior inherit this dependency.
     """
     if isinstance(pred, P.Cmp):
         if _is_null_lit(pred.left) or _is_null_lit(pred.right):

@@ -50,7 +50,18 @@ def ensure_python_filter_pushdown(spark: SparkSession) -> bool:
     a pushFilters-free reader class when it is False."""
     conf_key = "spark.sql.python.filterPushdown.enabled"
     try:
-        spark.conf.set(conf_key, "true")
+        explicit = spark.conf.get(conf_key, None)
+    except Exception:
+        return False
+    if explicit is not None:
+        # the user (or harness) set this conf deliberately — an explicit
+        # disable may be a workaround for a Spark pushdown bug and must
+        # apply session-wide; respect it and let the datasource route to
+        # the pushFilters-free reader instead of silently overriding
+        return str(explicit).lower() == "true"
+    try:
+        spark.conf.set(conf_key, "true")  # unset → opt in (Spark default
+        # is false; sessions built by get_spark set it at build time)
     except Exception:
         pass
     try:

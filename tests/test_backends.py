@@ -166,6 +166,25 @@ class TestParquetSchemaSentinel:
         assert be.count("main", "c", {"v": {"$gte": 0}}) == 50
         assert be.count("main", "c", {"v": None}) == 0
 
+    def test_sentinel_probe_invalidated_on_rewrite(self, root):
+        """The probe cache is keyed on (path, mtime, size): rewriting the
+        parquet file (sentinel removed here) while the backend instance
+        lives must invalidate it — the entry-level scan cache keeps
+        backends alive across queries (ADVICE r2)."""
+        import os
+
+        be = ParquetBackend(root)
+        assert be.count("main", "c") == 50  # probe cached: sentinel present
+        path = os.path.join(root, "c.parquet")
+        table = pa.table({
+            "_id": pa.array([f"id{i}" for i in range(50)]),
+            "v": pa.array(list(range(50)), pa.int64()),
+        })
+        pq.write_table(table, path)
+        os.utime(path, ns=(os.stat(path).st_atime_ns,
+                           os.stat(path).st_mtime_ns + 1_000_000))
+        assert be.count("main", "c") == 50  # no stale −1 off-by-one
+
     def test_arrow_scan_keeps_null_id_rows(self, tmp_path):
         """Arrow != yields null for null input and Table.filter drops
         null-mask rows — the sentinel filter must OR an is_null so rows

@@ -181,6 +181,36 @@ class TestExprNullSemantics:
         assert self._match((C("a") + C("b")).is_null()) == [2, 3]
         assert self._match((C("a") + C("b")).is_not_null()) == [1, 4]
 
+    def test_cast_comparison_excludes_unconvertible_strings(self):
+        """CAST('abc' AS BIGINT) is NULL in Spark (ANSI off), so a pushed
+        cast-comparison must exclude rows where the conversion fails —
+        the compiled $convert carries onError:null and the whole-expr
+        guard filters it (ADVICE r2)."""
+        docs = [
+            {"_id": 1, "s": "5"},
+            {"_id": 2, "s": "abc"},   # cast → NULL → excluded
+            {"_id": 3, "s": None},
+            {"_id": 4, "s": "9.5"},
+        ]
+        from duckdb_mongo_spark.mql.match import matches_filter
+
+        plan = compile_filter(C("s").cast("BIGINT") > 4)
+        assert plan.fully_pushed
+        got = [d["_id"] for d in docs if matches_filter(d, plan.match)]
+        assert got == [1, 4]
+
+    def test_is_null_over_numeric_cast_is_residual(self):
+        # CAST to a numeric type can manufacture NULL from a non-null
+        # input, so IS [NOT] NULL over it is outside the structural
+        # null rule → Spark residual (ADVICE r2)
+        plan = compile_filter(C("s").cast("BIGINT").is_not_null())
+        assert not plan.fully_pushed and plan.residual is not None
+        plan = compile_filter(C("s").cast("BIGINT").is_null())
+        assert not plan.fully_pushed and plan.residual is not None
+        # cast-to-string is total: nullness passes through, stays pushable
+        plan = compile_filter(C("a").cast("VARCHAR").is_null())
+        assert plan.fully_pushed
+
     def test_is_null_over_masking_expr_is_residual(self):
         # $toLower maps null→"" so lower(name) IS NULL cannot be pushed;
         # it must fall back to a Spark residual (always correct), never a

@@ -186,3 +186,33 @@ class TestAdviceFixes:
             [{"$unwind": {"path": "$tags", "preserveNullAndEmptyArrays": True}}],
         )
         assert out == [{"_id": 1}]
+
+    def test_convert_on_error_null(self):
+        """$convert honors onError/onNull; $toLong/$toInt/$toDouble yield
+        null on conversion failure (the $convert onError:null behavior the
+        Cast compiler emits) instead of raising (ADVICE r2)."""
+        from duckdb_mongo_spark.mql.expr import eval_expr
+
+        conv = {"$convert": {"input": "$s", "to": "long", "onError": None}}
+        assert eval_expr(conv, {"s": "5"}) == 5
+        assert eval_expr(conv, {"s": "9.9"}) == 9        # truncates like CAST
+        assert eval_expr(conv, {"s": "abc"}) is None
+        assert eval_expr(conv, {"s": None}) is None
+        assert eval_expr(
+            {"$convert": {"input": "$s", "to": "long", "onError": -1}},
+            {"s": "abc"},
+        ) == -1
+        assert eval_expr(
+            {"$convert": {"input": "$s", "to": "long", "onNull": 0}}, {}
+        ) == 0
+        with pytest.raises((TypeError, ValueError)):
+            eval_expr({"$convert": {"input": "$s", "to": "long"}}, {"s": "abc"})
+
+    def test_to_numeric_null_on_failure(self):
+        from duckdb_mongo_spark.mql.expr import eval_expr
+
+        assert eval_expr({"$toLong": "$s"}, {"s": "abc"}) is None
+        assert eval_expr({"$toInt": "$s"}, {"s": "x"}) is None
+        assert eval_expr({"$toDouble": "$s"}, {"s": "x"}) is None
+        assert eval_expr({"$toLong": "$s"}, {"s": "7"}) == 7
+        assert eval_expr({"$toDouble": "$s"}, {"s": "2.5"}) == 2.5

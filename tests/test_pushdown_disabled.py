@@ -3,8 +3,9 @@
 Spark 4.x refuses to instantiate a Python DataSource reader that overrides
 ``pushFilters`` while the conf is off (DATA_SOURCE_PUSHDOWN_DISABLED in
 pyspark/sql/worker/plan_data_source_read.py). The engine must (a) enable the
-conf on the active session at query time and (b) fall back to a
-pushFilters-free reader when it stays disabled — mirroring the reference's
+conf at query time when the session never set it, (b) RESPECT an explicit
+disable (no shared-state mutation), and (c) fall back to a pushFilters-free
+reader whenever it is off — mirroring the reference's
 pushdown-with-graceful-fallback (src/mongo_filter_pushdown.cpp:433-543).
 """
 
@@ -23,11 +24,26 @@ from duckdb_mongo_spark.session import ensure_python_filter_pushdown
 CONF = "spark.sql.python.filterPushdown.enabled"
 
 
-def test_ensure_enables_conf_at_query_time(spark):
-    spark.conf.set(CONF, "false")
+def test_ensure_enables_conf_when_unset(spark):
+    """A session that never touched the conf gets it enabled (sessions
+    from get_spark set it at build time; plain harness sessions opt in
+    here)."""
+    spark.conf.unset(CONF)
     try:
         assert ensure_python_filter_pushdown(spark) is True
         assert spark.conf.get(CONF) == "true"
+    finally:
+        spark.conf.set(CONF, "true")
+
+
+def test_ensure_respects_explicit_disable(spark):
+    """An EXPLICIT disable (e.g. a user workaround for a Spark pushdown
+    bug) must not be silently overridden for the whole session — the
+    engine routes to the pushFilters-free reader instead."""
+    spark.conf.set(CONF, "false")
+    try:
+        assert ensure_python_filter_pushdown(spark) is False
+        assert spark.conf.get(CONF) == "false"  # conf left untouched
     finally:
         spark.conf.set(CONF, "true")
 

@@ -1,0 +1,141 @@
+"""In-process, wire-compatible stand-in for a MongoDB server.
+
+A mongomock-style fake exposing the slice of the pymongo client API that
+``PymongoBackend`` uses (``find``/``find_one``/``aggregate``/
+``count_documents``/``insert_many``/``drop``/``list_*``/``admin.command``),
+with query semantics served by this package's own MQL interpreter — the
+executable spec for the ``$match``/pipeline dialect the pushdown compiler
+emits. The reference gates its live tests behind a docker mongod
+(/root/reference/test/run-tests-with-mongo.sh); this fake lets the SAME
+backend code paths (server-side cursors, ``$in`` pushdown, ``_id``-range
+partitions, ``$sample`` inference) execute in plain pytest with no server.
+
+Everything is plain picklable Python, so a ``FakeMongoBackend`` shipped
+inside a Spark scan payload carries its document store to executor
+processes — the worker-side ``find_partition``/``aggregate_partition``
+branches run for real, exactly as they would against a live server.
+"""
+
+from __future__ import annotations
+
+import copy
+
+from duckdb_mongo_spark.backends.mongo import PymongoBackend
+from duckdb_mongo_spark.mql.interpreter import run_pipeline
+from duckdb_mongo_spark.mql.match import matches_filter
+
+
+class FakeCursor:
+    """Minimal pymongo cursor: iterable with a chainable ``limit``."""
+
+    def __init__(self, docs: list[dict]):
+        self._docs = docs
+        self._limit: int | None = None
+
+    def limit(self, n: int) -> "FakeCursor":
+        self._limit = n
+        return self
+
+    def __iter__(self):
+        docs = self._docs if self._limit is None else self._docs[: self._limit]
+        return iter(copy.deepcopy(docs))
+
+
+class FakeCollection:
+    def __init__(self, name: str):
+        self.name = name
+        self._docs: list[dict] = []
+
+    # -- write surface (test fixtures only)
+    def insert_many(self, docs):
+        self._docs.extend(copy.deepcopy(d) for d in docs)
+
+    def insert_one(self, doc):
+        self.insert_many([doc])
+
+    def drop(self):
+        self._docs.clear()
+
+    # -- read surface used by PymongoBackend
+    def find(self, filter=None, projection=None) -> FakeCursor:
+        docs = [d for d in self._docs if not filter or matches_filter(d, filter)]
+        if projection:
+            docs = run_pipeline(docs, [{"$project": projection}])
+        return FakeCursor(docs)
+
+    def find_one(self, filter=None):
+        for d in self._docs:
+            if not filter or matches_filter(d, filter):
+                return copy.deepcopy(d)
+        return None
+
+    def aggregate(self, pipeline, allowDiskUse=False, **_kw):
+        # seed makes $sample deterministic (interpreter extension); a
+        # fixed seed mirrors one server giving one stable sample stream
+        return iter(run_pipeline(copy.deepcopy(self._docs), list(pipeline), seed=1234))
+
+    def count_documents(self, filter=None):
+        return sum(1 for d in self._docs if not filter or matches_filter(d, filter))
+
+
+class FakeDatabase:
+    def __init__(self, name: str):
+        self.name = name
+        self._colls: dict[str, FakeCollection] = {}
+
+    def __getitem__(self, coll: str) -> FakeCollection:
+        return self._colls.setdefault(coll, FakeCollection(coll))
+
+    def list_collection_names(self):
+        return [c.name for c in self._colls.values() if c._docs]
+
+    def command(self, name, *args, **kw):
+        if name == "ping":
+            return {"ok": 1}
+        raise NotImplementedError(f"fake admin command {name!r}")
+
+
+class FakeMongoClient:
+    """Picklable in-memory 'server': databases → collections → documents."""
+
+    def __init__(self, *args, **kwargs):
+        self._dbs: dict[str, FakeDatabase] = {}
+
+    def __getitem__(self, db: str) -> FakeDatabase:
+        return self._dbs.setdefault(db, FakeDatabase(db))
+
+    @property
+    def admin(self) -> FakeDatabase:
+        return self["admin"]
+
+    def list_database_names(self):
+        return [d.name for d in self._dbs.values() if d.list_collection_names()]
+
+
+class FakeMongoBackend(PymongoBackend):
+    """``PymongoBackend`` wired to a ``FakeMongoClient``.
+
+    Inherits EVERY query/partition/count/pipeline method unchanged — only
+    construction and pickling differ: the fake client (with its document
+    store) is pickled INTO the Spark scan payload, so executor processes
+    exercise the real server-side code paths against the carried store.
+    """
+
+    def __init__(self, client: FakeMongoClient | None = None):
+        self.connection_string = "fakemongo://in-process"
+        self.timeout_ms = 0
+        self._client = client if client is not None else FakeMongoClient()
+
+    @property
+    def client(self) -> FakeMongoClient:
+        return self._client
+
+    def __getstate__(self):
+        return {
+            "connection_string": self.connection_string,
+            "timeout_ms": self.timeout_ms,
+            "_client": self._client,
+        }
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)

@@ -7,11 +7,13 @@ Design for 100 TB media pipelines:
 - decode / feature-extract / resize / frame-sample run as Arrow-batched
   ``mapInPandas`` operators — executor-parallel, batch-at-a-time, never
   row-at-a-time Python
-- the actual codec step is STUBBED (no image/audio libs in this
-  container): ``decode_image_meta`` raises ``NotImplementedError`` unless
-  a real decoder is importable, and ``fake_decode_meta`` provides a
-  deterministic md5-derived stand-in so all Spark-side plumbing (schema,
-  partitioning, UDF signatures, batch shapes) is real and testable.
+- image metadata (width/height/mime) is REAL: ``decode_image_meta``
+  parses PNG/GIF/JPEG container headers with the stdlib (no codec
+  library needed — see ``parse_image_header``); only pixel decode, which
+  genuinely needs a codec, stays out of scope. ``fake_decode_meta``
+  remains the deterministic md5-derived stand-in for synthetic payloads
+  so all Spark-side plumbing (schema, partitioning, UDF signatures,
+  batch shapes) is testable without real media files.
 """
 
 from __future__ import annotations
@@ -84,16 +86,90 @@ def fake_decode_meta(df: DataFrame, media_col: str = "media", mime_col: str = "m
     return df.mapInPandas(batches, schema=out_schema)
 
 
-def decode_image_meta(df: DataFrame, media_col: str = "media") -> DataFrame:  # pragma: no cover
-    """Real image decode (PIL). STUB: raises in this environment."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "image decoding requires Pillow, not present in this container; "
-            "use fake_decode_meta for plumbing tests"
-        ) from e
-    raise NotImplementedError("real decoder wiring lands when PIL is available")
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_image_header(b: bytes) -> tuple[str, int, int] | None:
+    """(mime, width, height) from container headers alone — pure stdlib,
+    no codec library. Reads public file-format structure: the PNG IHDR
+    chunk, the GIF logical-screen descriptor, and a JPEG marker walk to
+    the first SOF frame header. Returns None for unrecognized payloads.
+    """
+    import struct
+
+    if len(b) >= 24 and b[:8] == _PNG_MAGIC and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return "image/png", w, h
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return "image/gif", w, h
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        i, n = 2, len(b)
+        while i + 4 <= n:
+            if b[i] != 0xFF:
+                return None  # broken marker stream
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:  # no payload
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            # SOF0..SOF15 carry the frame header — except DHT(C4),
+            # JPG(C8), DAC(CC) which reuse the 0xCx range
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= n:
+                    h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                    return "image/jpeg", w, h
+                return None
+            i += 2 + seg_len
+        return None
+    return None
+
+
+def decode_image_meta(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Image-metadata extraction with REAL width/height: PNG/GIF/JPEG
+    shapes come from pure-stdlib header parsing (``parse_image_header``
+    — no codec needed for container metadata), so this path works in
+    codec-less environments. Unrecognized payloads keep null shape and
+    ``application/octet-stream``. Pixel decode (the part that does need
+    a codec) remains out of scope here; ``fake_decode_meta`` stays the
+    deterministic stand-in for synthetic payloads.
+
+    Same Arrow-batched ``mapInPandas`` plumbing and output schema as
+    ``fake_decode_meta``: input schema minus the payload column plus
+    MEDIA_META_SCHEMA. n_frames is 1 for recognized still images.
+    """
+    import pandas as _pd
+
+    in_fields = [f for f in df.schema.fields if f.name != media_col]
+    out_schema = T.StructType(in_fields + list(MEDIA_META_SCHEMA.fields))
+
+    def batches(it):
+        for pdf in it:
+            payload = pdf[media_col]
+            meta = {"mime": [], "n_bytes": [], "checksum": [],
+                    "width": [], "height": [], "n_frames": []}
+            for raw in payload:
+                b = bytes(raw) if raw is not None else b""
+                parsed = parse_image_header(b)
+                mime, w, h = parsed if parsed else ("application/octet-stream", None, None)
+                meta["mime"].append(mime)
+                meta["n_bytes"].append(len(b))
+                meta["checksum"].append(hashlib.md5(b).hexdigest())
+                meta["width"].append(w)
+                meta["height"].append(h)
+                meta["n_frames"].append(1 if parsed else None)
+            out = pdf.drop(columns=[media_col]).copy()
+            out["mime"] = meta["mime"]
+            out["n_bytes"] = meta["n_bytes"]
+            out["checksum"] = meta["checksum"]
+            for k in ("width", "height", "n_frames"):
+                out[k] = _pd.array(meta[k], dtype="Int64")  # nullable long
+            yield out[[f.name for f in out_schema.fields]]
+
+    return df.mapInPandas(batches, schema=out_schema)
 
 
 def resize_stub(df: DataFrame, width: int, height: int, media_col: str = "media") -> DataFrame:

@@ -307,8 +307,54 @@ class TestMultimodal:
         again = {r["id"]: r for r in multimodal.fake_decode_meta(media).collect()}
         assert again["a"]["width"] == rows["a"]["width"]
 
-    def test_real_decode_is_stubbed(self, spark):
-        df = spark.createDataFrame([("a", b"x")], ["id", "payload"])
+    # -- handcrafted container headers (public file-format structure)
+    @staticmethod
+    def _png(w, h):
+        import struct
+        import zlib
+
+        ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+        chunk = b"IHDR" + ihdr
+        return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr)) + chunk
+                + struct.pack(">I", zlib.crc32(chunk)))
+
+    @staticmethod
+    def _gif(w, h):
+        import struct
+
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+    @staticmethod
+    def _jpeg(w, h):
+        import struct
+
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x01\x11\x00"
+        return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+    def test_parse_image_header(self):
+        assert multimodal.parse_image_header(self._png(640, 480)) == ("image/png", 640, 480)
+        assert multimodal.parse_image_header(self._gif(320, 200)) == ("image/gif", 320, 200)
+        assert multimodal.parse_image_header(self._jpeg(1920, 1080)) == ("image/jpeg", 1920, 1080)
+        assert multimodal.parse_image_header(b"not an image") is None
+        assert multimodal.parse_image_header(b"") is None
+        # truncated PNG (magic only): no IHDR → unrecognized, no crash
+        assert multimodal.parse_image_header(b"\x89PNG\r\n\x1a\n") is None
+
+    def test_decode_image_meta_real_headers(self, spark):
+        rows = [
+            ("png", bytearray(self._png(640, 480))),
+            ("gif", bytearray(self._gif(320, 200))),
+            ("jpg", bytearray(self._jpeg(1920, 1080))),
+            ("junk", bytearray(b"wat")),
+        ]
+        df = spark.createDataFrame(rows, ["id", "payload"])
         media = multimodal.attach_media_column(df, F.col("payload"))
-        with pytest.raises(NotImplementedError):
-            multimodal.decode_image_meta(media)
+        out = {r["id"]: r for r in multimodal.decode_image_meta(media).collect()}
+        assert (out["png"]["mime"], out["png"]["width"], out["png"]["height"]) == ("image/png", 640, 480)
+        assert (out["gif"]["width"], out["gif"]["height"]) == (320, 200)
+        assert (out["jpg"]["mime"], out["jpg"]["width"], out["jpg"]["height"]) == ("image/jpeg", 1920, 1080)
+        assert out["junk"]["mime"] == "application/octet-stream"
+        assert out["junk"]["width"] is None and out["junk"]["n_frames"] is None
+        assert out["png"]["n_frames"] == 1
+        assert out["png"]["n_bytes"] == len(self._png(640, 480))

@@ -61,6 +61,101 @@ def _stage_layout(sf_dir: str, n_groups: int = 32) -> str:
     return out_dir
 
 
+def _native_frame(spark, sf_dir, coll, pipeline, columns=None, id_field=None):
+    """Manual ``pipeline :=`` (A24) scan over the bench collections —
+    the hand-written-aggregation-pipeline path a Mongo-native user would
+    write instead of SQL."""
+    import __spark_entry__ as entry
+    from duckdb_mongo_spark.frame import MongoFrame
+    from duckdb_mongo_spark.schema.infer import resolve_schema
+
+    be = entry._pq_backend(sf_dir, id_field=id_field)
+    schema = resolve_schema(be, "main", coll, columns=columns)
+    return MongoFrame(spark=spark, backend=be, db="main", coll=coll,
+                      schema=schema, manual_pipeline=pipeline)
+
+
+def _native_pipeline_section(spark, sf_dir, qs, iters=3):
+    """Engine path (pushdown-compiled SQL-ish queries) vs the SAME query
+    hand-written as a raw MQL aggregation pipeline through the manual
+    ``pipeline :=`` parameter (A24) — the analog of the reference's
+    third harness (benchmarks/benchmark-mongodb-queries.py:18-1846,
+    which runs all 22 TPC-H queries as native pipelines and reports the
+    SQL-vs-pipeline speedup). Ratios > 1 mean the engine path wins: the
+    planner compiles to find()-shaped scans served by the Arrow fast
+    path, while hand pipelines execute in the per-document interpreter —
+    the same asymmetry the reference measures (its SQL path runs inside
+    DuckDB, its native path streams pipeline results).
+    """
+    import statistics
+
+    AGG_COLS = {"o_orderstatus": "VARCHAR", "n_orders": "BIGINT",
+                "min_price": "DOUBLE", "max_price": "DOUBLE",
+                "avg_price": "DOUBLE"}
+    pairs = {
+        "filter_projection": ("mongo_filter_projection", lambda: _native_frame(
+            spark, sf_dir, "orders",
+            [{"$match": {"o_totalprice": {"$gt": 400000.0},
+                         "o_orderstatus": {"$in": ["O", "F"]}}},
+             {"$project": {"o_orderkey": 1, "o_custkey": 1,
+                           "o_totalprice": 1, "o_orderstatus": 1}}]).df()),
+        "agg_group": ("mongo_agg_pushdown", lambda: _native_frame(
+            spark, sf_dir, "orders",
+            [{"$group": {"_id": {"k": "$o_orderstatus"},
+                         "n_orders": {"$sum": 1},
+                         "min_price": {"$min": "$o_totalprice"},
+                         "max_price": {"$max": "$o_totalprice"},
+                         "avg_price": {"$avg": "$o_totalprice"}}},
+             {"$project": {"_id": 0, "o_orderstatus": "$_id.k",
+                           "n_orders": 1, "min_price": 1,
+                           "max_price": 1, "avg_price": 1}}],
+            columns=AGG_COLS).df()),
+        "count": ("mongo_count_pushdown", lambda: _native_frame(
+            spark, sf_dir, "supplier", [{"$count": "count"}],
+            columns={"count": "BIGINT"}).df()),
+        "topn": ("mongo_topn_pushdown", lambda: _native_frame(
+            spark, sf_dir, "orders",
+            [{"$sort": {"_id": -1}}, {"$limit": 10},
+             {"$project": {"_id": 1, "o_totalprice": 1}}],
+            id_field="o_orderkey").df()),
+        "expr_filter": ("mongo_expr_pushdown", lambda: _native_frame(
+            spark, sf_dir, "customer",
+            [{"$match": {"$expr": {"$eq": [
+                {"$substrCP": ["$c_mktsegment", 0, 4]}, "AUTO"]}}},
+             {"$project": {"c_custkey": 1, "c_mktsegment": 1}}]).df()),
+        "or_filter": ("mongo_or_filter", lambda: _native_frame(
+            spark, sf_dir, "orders",
+            [{"$match": {"$and": [
+                {"$or": [{"o_totalprice": {"$gt": 450000.0}},
+                         {"o_orderstatus": "P"}]},
+                {"o_orderpriority": {"$ne": None}}]}},
+             {"$project": {"o_orderkey": 1, "o_orderstatus": 1,
+                           "o_totalprice": 1}}]).df()),
+    }
+
+    import time as _t
+    section = {}
+    for name, (engine_name, native_fn) in pairs.items():
+        n_engine = qs[engine_name](spark, sf_dir).count()
+        n_native = native_fn().count()  # warm + row-count sanity
+        samples_e, samples_n = [], []
+        for _ in range(iters):
+            t0 = _t.perf_counter()
+            qs[engine_name](spark, sf_dir).collect()
+            samples_e.append(_t.perf_counter() - t0)
+            t0 = _t.perf_counter()
+            native_fn().collect()
+            samples_n.append(_t.perf_counter() - t0)
+        e, n = statistics.median(samples_e), statistics.median(samples_n)
+        section[name] = {
+            "engine_sec": round(e, 3),
+            "native_pipeline_sec": round(n, 3),
+            "native_over_engine": round(n / e, 2) if e > 0 else None,
+            "rows_equal": n_engine == n_native,
+        }
+    return section
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -153,17 +248,19 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_NATIVE"):
+        try:
+            out["native_pipeline"] = _native_pipeline_section(spark, sf_dir, qs)
+        except Exception as exc:  # noqa: BLE001 — comparison is auxiliary
+            print(f"# native-pipeline section failed: {exc}", file=sys.stderr)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -29,7 +29,17 @@ def get_spark(app_name: str = "duckdb_mongo_spark", extra_conf: dict | None = No
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Broadcast policy: keep the COMPILE-TIME threshold at Spark's
+        # conservative 10 MB — the static estimate for a column-pruned
+        # parquet scan is (file_size x pruned_fraction), which at sf1+
+        # undercounts a fact table badly enough to broadcast millions of
+        # rows (measured: q5 at sf1 broadcast 6M-row lineitem and ran
+        # 6.2 s). The aggressive 64 MB decision moves to AQE's RUNTIME
+        # threshold, which sees exact post-shuffle sizes, so small dims
+        # still get broadcast joins while facts never do — the only
+        # policy that survives a 100 TB scale-up.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,93 @@
+"""Scale the driver's sf0.1 testdata up by key-shifted replication.
+
+Produces an sfN-shaped dataset (default 10x => sf1: lineitem 6M rows)
+under /tmp without touching the read-only source. Each replica i shifts
+every key by i * (max_key_in_domain + 1), with ONE offset per key
+DOMAIN shared across tables (orderkey: orders+lineitem, custkey:
+customer+orders, suppkey: supplier+lineitem, partkey: part+lineitem),
+so referential joins stay exactly as selective as the original —
+replica-local joins never cross replicas, which is how dbgen itself
+scales TPC-H (rows per key constant, keys grow with sf). nation/region
+stay fixed (fixed-size in TPC-H at every sf); doc_id/vec_id/event_id/
+user_id are their own single-table domains. Value columns are copied
+verbatim: per-row distributions (and therefore per-query selectivity)
+are sf-invariant.
+
+Usage: python tools/scale_testdata.py [--factor 10] [--src DIR] [--out DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+# key-domain -> [(table, column), ...]; one shift offset per domain
+DOMAINS = {
+    "orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    "custkey": [("customer", "c_custkey"), ("orders", "o_custkey")],
+    "suppkey": [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")],
+    "partkey": [("part", "p_partkey"), ("lineitem", "l_partkey")],
+    "dockey": [("documents", "doc_id")],
+    "veckey": [("embeddings", "vec_id")],
+    "eventkey": [("events", "event_id")],
+    "userkey": [("events", "user_id")],
+}
+FIXED_TABLES = ("region", "nation")
+ROW_GROUPS = 64
+
+
+def scale(src: str, out: str, factor: int) -> None:
+    os.makedirs(out, exist_ok=True)
+    offsets: dict[str, int] = {}
+    for dom, cols in DOMAINS.items():
+        hi = 0
+        for table, col in cols:
+            t = pq.read_table(os.path.join(src, f"{table}.parquet"), columns=[col])
+            hi = max(hi, pc.max(t.column(col)).as_py() or 0)
+        offsets[dom] = hi + 1
+    shift_cols = {
+        table: {col: offsets[dom] for dom, cols in DOMAINS.items()
+                for t2, col in cols if t2 == table}
+        for table in {t for cols in DOMAINS.values() for t, _ in cols}
+    }
+    for f in sorted(os.listdir(src)):
+        if not f.endswith(".parquet"):
+            continue
+        name = f[:-8]
+        table = pq.read_table(os.path.join(src, f))
+        if name in FIXED_TABLES:
+            replicas = [table]
+        else:
+            replicas = []
+            for i in range(factor):
+                rep = table
+                for col, off in shift_cols.get(name, {}).items():
+                    idx = rep.schema.get_field_index(col)
+                    shifted = pc.add(rep.column(col), pa.scalar(i * off))
+                    rep = rep.set_column(idx, col, shifted.cast(rep.schema.field(col).type))
+                replicas.append(rep)
+        merged = pa.concat_tables(replicas)
+        rg = max(4096, (merged.num_rows + ROW_GROUPS - 1) // ROW_GROUPS)
+        dst = os.path.join(out, f)
+        pq.write_table(merged, dst + ".tmp", row_group_size=rg)
+        os.replace(dst + ".tmp", dst)
+        print(f"{name}: {table.num_rows} -> {merged.num_rows}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    out = args.out or f"/tmp/scaled_sf{args.factor}x"
+    scale(args.src, out, args.factor)
+    print(out)
+
+
+if __name__ == "__main__":
+    main()

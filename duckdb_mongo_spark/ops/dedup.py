@@ -28,12 +28,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from duckdb_mongo_spark.ops.partitioning import ensure_min_parallelism
+
 SHINGLE_WORDS = 3
 
 
 def _norm_tokens(col):
+    """Lowercased [a-z0-9]-run tokens, separators translated to spaces.
+
+    Equivalent to ``split(regexp_replace(lower(c), '[^a-z0-9\\s]', ' '),
+    '\\s+')`` on ASCII text (the oracle corpus is verified pure-ASCII),
+    but with NO java-regex in the plan: java.util.regex measured ~65x
+    slower per char under executor-thread concurrency (see
+    ``ops/text.py`` module header for the stage-metrics evidence);
+    the translate+literal-split form measured 17x faster end-to-end at
+    sf1. On unicode text the contract differs deliberately: non-ASCII
+    codepoints stay inside tokens instead of being stripped."""
+    import string
+
+    seps = string.punctuation + "\t\n\x0b\f\r"
     return F.filter(
-        F.split(F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", " ")), r"\s+"),
+        F.split(F.translate(F.lower(col), seps, " " * len(seps)), " ", -1),
         lambda x: x != F.lit(""),
     )
 
@@ -67,6 +82,7 @@ def shingle_array(col, n: int = SHINGLE_WORDS):
 def _with_shingles(df: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_WORDS):
     """(id, __sh) projection with tokens materialized in their own
     projection step so the shingle lambda reads an attribute."""
+    df = ensure_min_parallelism(df)
     toked = df.select(F.col(id_col), _norm_tokens(F.col(text_col)).alias("__toks"))
     return toked.select(
         F.col(id_col), _shingles_of_tokens(F.col("__toks"), n).alias("__sh")
@@ -97,6 +113,7 @@ def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = SHINGL
     makes Spark re-evaluate the whole gram-construction expression per
     output row (~#shingles times per doc) instead of once per doc.
     """
+    df = ensure_min_parallelism(df)
     toked = df.select(F.col(id_col), _norm_tokens(F.col(text_col)).alias("__toks"))
     return toked.select(
         F.col(id_col).alias("doc"),
@@ -191,6 +208,7 @@ def minhash_signatures(
     shuffle entirely but evaluates its lambdas interpreted per element
     and measured ~1.7x slower end-to-end).
     """
+    df = ensure_min_parallelism(df)
     toked = df.select(F.col(id_col), _norm_tokens(F.col(text_col)).alias("__toks"))
     # explode the inline shingle expression — see exploded_shingles's
     # plan-shape caveat (pre-aliased array explode re-evaluates per row)
@@ -296,6 +314,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     the shuffle but evaluates bits x tokens interpreted lambda calls
     and measured ~1.5x slower end-to-end — see the module header.
     """
+    df = ensure_min_parallelism(df)
     toked = df.select(
         F.col(id_col),
         F.array_distinct(_norm_tokens(F.col(text_col))).alias("__toks"),

@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from duckdb_mongo_spark.ops.partitioning import ensure_min_parallelism
+
 MEDIA_META_SCHEMA = T.StructType(
     [
         T.StructField("mime", T.StringType()),
@@ -60,6 +62,7 @@ def fake_decode_meta(df: DataFrame, media_col: str = "media", mime_col: str = "m
     fields. Real decode would swap `_fake_shape` for PIL/ffmpeg probes —
     the Spark plumbing is identical.
     """
+    df = ensure_min_parallelism(df)
     in_fields = [f for f in df.schema.fields if f.name != media_col]
     out_schema = T.StructType(in_fields + list(MEDIA_META_SCHEMA.fields))
 
@@ -143,6 +146,7 @@ def decode_image_meta(df: DataFrame, media_col: str = "media") -> DataFrame:
     """
     import pandas as _pd
 
+    df = ensure_min_parallelism(df)
     in_fields = [f for f in df.schema.fields if f.name != media_col]
     out_schema = T.StructType(in_fields + list(MEDIA_META_SCHEMA.fields))
 

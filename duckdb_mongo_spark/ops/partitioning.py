@@ -18,6 +18,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the input has fewer partitions
+    than the session's default parallelism.
+
+    Byte-based file splitting sizes scan partitions for SCAN cost, but
+    the token/shingle/vector operators multiply work per input byte by
+    ~100-500x (a 6 MB documents file explodes to 2.6M shingle rows), so
+    a byte-sized split starves the cluster: measured at sf1, every
+    documents stage ran 2 tasks on 32 cores and the dedup suite was
+    ~6x slower than its compute cost. The repartition shuffles only the
+    RAW input (small by premise when partitions are few); on a 100 TB
+    corpus the input already carries >> defaultParallelism partitions
+    and this is a no-op — exactly when the shuffle would be expensive.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — sizing probe only, never fail the op
+        return df
+    if current < target:
+        return df.repartition(target)
+    return df
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

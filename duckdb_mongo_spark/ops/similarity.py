@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from duckdb_mongo_spark.ops.partitioning import ensure_min_parallelism
+
 ROUND = 6
 
 
@@ -60,7 +62,9 @@ def cosine_topk(
     from pyspark.sql import Window
 
     q = queries.select(F.col(q_id).alias("q_id"), _as_double(F.col(q_vec)).alias("qv"))
-    c = corpus.select(F.col(c_id).alias("c_id"), _as_double(F.col(c_vec)).alias("cv"))
+    c = ensure_min_parallelism(corpus).select(
+        F.col(c_id).alias("c_id"), _as_double(F.col(c_vec)).alias("cv")
+    )
     scored = F.broadcast(q).crossJoin(c).select(
         "q_id",
         F.col("c_id"),
@@ -149,7 +153,7 @@ def lsh_topk(
         _as_double(F.col(q_vec)).alias("qv"),
         signature_col(F.col(q_vec), planes).alias("sig"),
     )
-    c = corpus.select(
+    c = ensure_min_parallelism(corpus).select(
         F.col(c_id).alias("c_id"),
         _as_double(F.col(c_vec)).alias("cv"),
         signature_col(F.col(c_vec), planes).alias("sig"),
@@ -226,7 +230,9 @@ def cosine_topk_vectorized(
                 "score": np.round(scores.T.reshape(-1), ROUND),
             })
 
-    c = corpus.select(F.col(c_id).alias("c_id"), _as_double(F.col(c_vec)).alias("cv"))
+    c = ensure_min_parallelism(corpus).select(
+        F.col(c_id).alias("c_id"), _as_double(F.col(c_vec)).alias("cv")
+    )
     scored = c.mapInPandas(kernel, schema=out_schema)
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id").asc())
     return (
@@ -258,7 +264,7 @@ def ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    c = corpus.select(
+    c = ensure_min_parallelism(corpus).select(
         F.col(c_id).alias("c_id"), _as_double(F.col(c_vec)).alias("cv")
     ).withColumn("features", array_to_vector(F.col("cv")))
     # deterministic fit sample: the first fit_sample_size ids in id
@@ -347,7 +353,9 @@ def embedding_near_dup_pairs(
     default uses hyperplane buckets as a candidate filter (misses pairs
     whose signatures differ — recall/cost knob is n_planes).
     """
-    c = corpus.select(F.col(c_id).alias("id"), _as_double(F.col(c_vec)).alias("v"))
+    c = ensure_min_parallelism(corpus).select(
+        F.col(c_id).alias("id"), _as_double(F.col(c_vec)).alias("v")
+    )
     if not exact:
         planes = hyperplanes(
             _vector_dim(corpus, c_vec, dim), n_planes, seed=seed

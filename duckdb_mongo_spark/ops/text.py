@@ -4,16 +4,62 @@ All operators are pure ``pyspark.sql.functions`` compositions (JVM-side,
 whole-stage-codegen'd — no Python in the executor hot path), and each has
 an exact ANSI-SQL equivalent so a DuckDB oracle can verify values.
 
-Operators: token counting (whitespace + BPE-ish word/punct regex),
+Operators: token counting (whitespace + BPE-ish word/punct split),
 quality scoring (length/punctuation/stopword/token-shape ratios),
 language ID (marker-word n-gram heuristic), document fingerprinting
 (normalized md5 + positional rolling sample).
+
+HOT-PATH REGEX BAN (measured): ``java.util.regex`` evaluation degrades
+~65x per character once multiple executor threads run it concurrently
+in one JVM (sf1, local[32]: 0.9 core-sec of single-thread regex work
+consumed 60+ CPU-seconds across 32 tasks — executorCpuTime, not GC or
+scheduling; DuckDB's RE2 does the same pass in 0.03 s). Every operator
+here therefore tokenizes via ``translate`` + literal-space ``split``:
+
+- Whitespace ops (``token_count``, ``fingerprint``, tokenize-for-
+  stopwords) are EXACTLY equivalent to the ``\\s+`` regex forms for
+  every input string — java-regex ``\\s`` is precisely the six ASCII
+  chars ``[ \\t\\n\\x0b\\f\\r]``, all enumerable by ``translate``.
+- Class-complement ops (``[^a-z0-9\\s]``-style separators: BPE count,
+  punct ratio, language-ID tokens) enumerate the 32 ASCII punctuation
+  marks instead of negating a class. Byte-exact on ASCII corpora (the
+  oracle corpus is verified pure-ASCII); on unicode text the contract
+  differs deliberately: non-ASCII codepoints stay INSIDE tokens rather
+  than being stripped. Callers needing exact unicode-class semantics at
+  scale should run the RE2-vectorized Arrow kernel (pyarrow
+  ``replace_substring_regex`` in a pandas UDF — measured 9x faster
+  than java regex here and semantics-identical to the SQL oracles).
 """
 
 from __future__ import annotations
 
+import string
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from duckdb_mongo_spark.ops.partitioning import ensure_min_parallelism
+
+# java-regex \s, exactly: the five non-space members map to ' '
+_WS_TO_SPACE = "\t\n\x0b\f\r"
+_PUNCT = string.punctuation                      # 32 ASCII marks (incl '_')
+_PUNCT_NO_UNDERSCORE = _PUNCT.replace("_", "")   # \w keeps '_'
+_DIGITS = string.digits
+
+
+def _sp(n: int) -> str:
+    return " " * n
+
+
+def ws_tokens(col) -> Column:
+    """Whitespace tokens — EXACT equivalent of
+    ``filter(split(c, '\\s+'), x -> x <> '')`` for every input (see
+    module header), with no java-regex in the plan."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.translate(c, _WS_TO_SPACE, _sp(len(_WS_TO_SPACE))), " ", -1),
+        lambda x: x != F.lit(""),
+    )
 
 # BPE-ish tokenization: word pieces OR single punctuation marks
 BPE_TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
@@ -35,23 +81,38 @@ LANG_MARKERS = {
 
 def token_count(col) -> Column:
     """Whitespace token count (empty tokens excluded)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.filter(F.split(c, r"\s+"), lambda x: x != F.lit("")))
+    return F.size(ws_tokens(col))
+
+
+def _strip_non_alpha(tok) -> Column:
+    """ASCII form of ``regexp_replace(t, '[^a-z]', '')`` for a token that
+    came out of a whitespace split of lowercased text (so the only
+    possible non-[a-z] ASCII chars are digits and punctuation)."""
+    drop = _DIGITS + _PUNCT
+    return F.translate(tok, drop, "")
 
 
 def bpe_token_count(col) -> Column:
-    """BPE-ish token count: word pieces + punctuation marks.
-
-    size(regexp_extract_all(...)) measured ~8x faster than
-    ``regexp_count`` here (Spark 4.1 evaluates RegExpCount outside
-    whole-stage codegen), despite materializing the match array."""
+    """BPE-ish token count: word-piece runs + individual punctuation
+    marks — the count ``regexp_extract_all(BPE_TOKEN_RE)`` would give on
+    ASCII text, computed without java-regex (module header): word runs =
+    non-empty splits after translating punctuation-except-underscore and
+    whitespace to spaces; marks = chars removed by translating them out."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0)))
+    seps = _PUNCT_NO_UNDERSCORE + _WS_TO_SPACE
+    word_runs = F.size(
+        F.filter(F.split(F.translate(c, seps, _sp(len(seps))), " ", -1),
+                 lambda x: x != F.lit(""))
+    )
+    n_marks = F.length(c) - F.length(F.translate(c, _PUNCT_NO_UNDERSCORE, ""))
+    return word_runs + n_marks
 
 
 def punct_ratio(col) -> Column:
+    """Fraction of chars that are punctuation marks (``[^\\w\\s]`` on
+    ASCII = the 31 non-underscore ASCII marks, enumerated)."""
     c = F.col(col) if isinstance(col, str) else col
-    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_punct = F.length(c) - F.length(F.translate(c, _PUNCT_NO_UNDERSCORE, ""))
     return F.when(F.length(c) > 0, n_punct / F.length(c)).otherwise(F.lit(0.0))
 
 
@@ -59,8 +120,8 @@ def stopword_ratio(col, stopwords: list[str] | None = None) -> Column:
     """Fraction of whitespace tokens that are (lowercased) stopwords."""
     c = F.col(col) if isinstance(col, str) else col
     sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS_EN)])
-    toks = F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != F.lit(""))
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.regexp_replace(t, r"[^a-z]", ""))))
+    toks = ws_tokens(F.lower(c))
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, _strip_non_alpha(t))))
     return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
 
 
@@ -74,10 +135,9 @@ def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
     would be recomputed per token (~10-50× slowdown on real documents).
     """
     sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    df = ensure_min_parallelism(df)
     base = [F.col(c) for c in df.columns]
-    toked = df.select(
-        *base, F.filter(F.split(F.col(col), r"\s+"), lambda x: x != F.lit("")).alias("__toks")
-    )
+    toked = df.select(*base, ws_tokens(F.col(col)).alias("__toks"))
     toks = F.col("__toks")
     return toked.select(
         *base,
@@ -89,7 +149,7 @@ def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
             F.size(
                 F.filter(
                     F.transform(toks, F.lower),
-                    lambda t: F.array_contains(sw, F.regexp_replace(t, r"[^a-z]", "")),
+                    lambda t: F.array_contains(sw, _strip_non_alpha(t)),
                 )
             )
             / F.size(toks),
@@ -138,9 +198,12 @@ def _language_id_from_toks(toks) -> Column:
 
 
 def _lang_tokens(col) -> Column:
+    """Lowercase letter-run tokens (``[^a-z\\s]`` separators on ASCII =
+    digits + punctuation, enumerated — see module header)."""
     c = F.lower(F.col(col) if isinstance(col, str) else col)
+    seps = _DIGITS + _PUNCT + _WS_TO_SPACE
     return F.filter(
-        F.split(F.regexp_replace(c, r"[^a-z\s]", " "), r"\s+"),
+        F.split(F.translate(c, seps, _sp(len(seps))), " ", -1),
         lambda x: x != F.lit(""),
     )
 
@@ -152,10 +215,12 @@ def language_id(col) -> Column:
 
 
 def fingerprint(col) -> Column:
-    """Document fingerprint: md5 over lowercase whitespace-normalized text."""
+    """Document fingerprint: md5 over lowercase whitespace-normalized
+    text. ``concat_ws(' ', ws_tokens(..))`` is EXACTLY
+    ``trim(regexp_replace(c, '\\s+', ' '))`` for every input — interior
+    runs collapse to one space, boundary whitespace drops."""
     c = F.col(col) if isinstance(col, str) else col
-    normalized = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
-    return F.md5(normalized)
+    return F.md5(F.concat_ws(" ", ws_tokens(F.lower(c))))
 
 
 def with_analysis(df: DataFrame, col: str = "text") -> DataFrame:

@@ -156,6 +156,79 @@ def _native_pipeline_section(spark, sf_dir, qs, iters=3):
     return section
 
 
+def _sf1_dir() -> str | None:
+    """Locate (or build, once) the 10x-scaled sf1 dataset used for the
+    scale-evidence section: key-shifted replication of the driver's
+    sf0.1 testdata (tools/scale_testdata.py) — lineitem 6M rows. Returns
+    None when it cannot be produced; the section is then skipped."""
+    out = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1_scaled")
+    tables = ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]
+    if all(os.path.exists(os.path.join(out, f"{t}.parquet")) for t in tables):
+        return out
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from scale_testdata import scale
+
+        scale("/root/testdata/sf0.1", out, 10)
+        return out
+    except Exception as exc:  # noqa: BLE001 — scale evidence is auxiliary
+        print(f"# sf1 staging failed ({exc}); skipping sf1 section", file=sys.stderr)
+        return None
+
+
+def _sf1_section(spark, qs, bench_queries, iters=3):
+    """Same suite at 10x the gate's data, Spark AND DuckDB, so the scale
+    story is measured instead of argued: per-query growth vs sf0.1
+    separates fixed plan-compile floor (flat) from data-proportional
+    cost (the reference's single-cursor scan grows 10x everywhere)."""
+    import statistics
+
+    sf1 = _sf1_dir()
+    if sf1 is None:
+        return None
+    for name in bench_queries:  # warm (cache layout, JIT, codegen)
+        qs[name](spark, sf1).collect()
+    timings = {}
+    for name in bench_queries:
+        samples = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            qs[name](spark, sf1).collect()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+    out = {"total_sec": round(sum(timings.values()), 3), "queries": timings}
+    try:
+        import duckdb
+
+        import __spark_entry__ as entry
+
+        oracles = entry.oracle_sql()
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {os.cpu_count() or 8}")
+        for t in ["region", "nation", "customer", "supplier", "part", "orders",
+                  "lineitem", "events", "documents", "embeddings"]:
+            p = os.path.join(sf1, f"{t}.parquet")
+            if os.path.exists(p):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        names = [n for n in bench_queries if n in oracles]
+        for n in names:
+            con.execute(oracles[n]).fetchall()
+        dk = {}
+        for n in names:
+            samples = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                con.execute(oracles[n]).fetchall()
+                samples.append(time.perf_counter() - t0)
+            dk[n] = round(statistics.median(samples), 3)
+        out["duckdb_total_sec"] = round(sum(dk.values()), 3)
+        out["vs_duckdb"] = round(out["total_sec"] / out["duckdb_total_sec"], 2)
+    except Exception as exc:  # noqa: BLE001
+        print(f"# sf1 duckdb baseline failed: {exc}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -260,6 +333,13 @@ def main() -> None:
             out["native_pipeline"] = _native_pipeline_section(spark, sf_dir, qs)
         except Exception as exc:  # noqa: BLE001 — comparison is auxiliary
             print(f"# native-pipeline section failed: {exc}", file=sys.stderr)
+    if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_SF1"):
+        try:
+            sf1 = _sf1_section(spark, qs, bench_queries)
+            if sf1 is not None:
+                out["sf1"] = sf1
+        except Exception as exc:  # noqa: BLE001 — scale evidence is auxiliary
+            print(f"# sf1 section failed: {exc}", file=sys.stderr)
     print(json.dumps(out))
 
 

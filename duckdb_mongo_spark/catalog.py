@@ -158,7 +158,7 @@ class AttachedCatalog:
     backend: object
     alias: str
     dbname: str | None = None
-    num_partitions: int = 8
+    num_partitions: int = 0  # 0 = auto (session defaultParallelism)
     _schema_cache: dict = field(default_factory=dict)
     _collections_cache: dict = field(default_factory=dict)
     _view_cache: dict = field(default_factory=dict)
@@ -241,7 +241,7 @@ _ATTACHED: dict[str, AttachedCatalog] = {}
 
 
 def attach(conn, alias: str, spark=None, secret: str | None = None,
-           dbname: str | None = None, num_partitions: int = 8) -> AttachedCatalog:
+           dbname: str | None = None, num_partitions: int = 0) -> AttachedCatalog:
     """ATTACH '<conn>' AS <alias> (TYPE MONGO[, SECRET <name>])."""
     if spark is None:
         from duckdb_mongo_spark.session import get_spark

@@ -114,7 +114,12 @@ class MongoFrame:
     coll: str
     schema: object  # CollectionSchema
     schema_mode: str = "PERMISSIVE"
-    num_partitions: int = 8
+    # 0 = auto: the session's defaultParallelism at df() build time. A
+    # fixed small default starves wide sessions (measured: 8-partition
+    # scans left 24 of 32 cores idle at sf1); backends still cap at
+    # their natural split granularity (parquet row groups, mongo chunk
+    # ranges), so auto never over-splits a small collection.
+    num_partitions: int = 0
     manual_filter: dict | None = None
     manual_pipeline: list | None = None
     _preds: tuple = ()
@@ -274,7 +279,8 @@ class MongoFrame:
             "coll": self.coll,
             "planned": planned,
             "mode": self.schema_mode,
-            "num_partitions": self.num_partitions,
+            "num_partitions": self.num_partitions
+            or self.spark.sparkContext.defaultParallelism,
             # sessions that hard-disable the conf get a pushFilters-free
             # reader (engine-side pushdown is already compiled into
             # ``planned``); see datasource.MongoDataSource.reader()

@@ -30,7 +30,7 @@ def mongo_scan(
     columns: dict | None = None,
     sample_size: int = 100,
     schema_mode: str = "PERMISSIVE",
-    num_partitions: int = 8,
+    num_partitions: int = 0,  # 0 = auto (session defaultParallelism)
     secret: str | None = None,
 ) -> MongoFrame:
     """Scan one collection; returns a MongoFrame (lazy, pushdown-capable).

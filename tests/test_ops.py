@@ -358,3 +358,79 @@ class TestMultimodal:
         assert out["junk"]["width"] is None and out["junk"]["n_frames"] is None
         assert out["png"]["n_frames"] == 1
         assert out["png"]["n_bytes"] == len(self._png(640, 480))
+
+
+class TestRegexFreeTokenizerEquivalence:
+    """The hot-path tokenizers replaced java-regex forms (measured ~65x
+    per-char degradation under executor-thread concurrency — see
+    ops/text.py module header). These tests pin the translate forms to
+    the regex forms they replaced: whitespace ops must agree on EVERY
+    input (java \\s is exactly 6 enumerable ASCII chars); ASCII-class
+    ops must agree on ASCII text (the oracle corpus's contract)."""
+
+    TRICKY_WS = [
+        ("plain words here",),
+        ("  leading and trailing  ",),
+        ("tab\tsep\nnewline\rcr\x0bvt\x0cff",),
+        ("multi   spaces\t\t\tand\n\n\nruns",),
+        ("",),
+        ("   ",),
+        ("one",),
+    ]
+    ASCII_TEXT = [
+        ("Hello, world! It's 42 degrees; really?",),
+        ("under_score stays-together? (parens) [brackets] {braces}",),
+        ("digits 123 mixed2words and ALL CAPS PUNCT!!!",),
+        ("a.b.c...d,,e;;f::g",),
+    ]
+
+    def test_ws_tokens_equals_regex_split_on_any_input(self, spark):
+        df = spark.createDataFrame(self.TRICKY_WS, ["text"])
+        regex = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+        n = df.filter(text.ws_tokens(F.col("text")) != regex).count()
+        assert n == 0
+
+    def test_fingerprint_equals_regex_collapse_on_any_input(self, spark):
+        df = spark.createDataFrame(self.TRICKY_WS, ["text"])
+        regex = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+        n = df.filter(text.fingerprint(F.col("text")) != regex).count()
+        assert n == 0
+
+    def test_ascii_class_forms_equal_regex_on_ascii(self, spark):
+        df = spark.createDataFrame(self.ASCII_TEXT, ["text"])
+        c = F.col("text")
+        regex_bpe = F.size(F.regexp_extract_all(c, F.lit(text.BPE_TOKEN_RE), F.lit(0)))
+        regex_punct = (F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))) / F.length(c)
+        bad = df.filter(
+            (text.bpe_token_count(c) != regex_bpe)
+            | (F.abs(text.punct_ratio(c) - regex_punct) > 1e-12)
+        ).count()
+        assert bad == 0
+
+    def test_norm_tokens_equals_regex_on_ascii(self, spark):
+        df = spark.createDataFrame(self.ASCII_TEXT, ["text"])
+        regex = F.filter(
+            F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " ")), r"\s+"),
+            lambda x: x != F.lit(""),
+        )
+        n = df.filter(dedup._norm_tokens(F.col("text")) != regex).count()
+        assert n == 0
+
+
+class TestEnsureMinParallelism:
+    def test_underparallel_input_is_repartitioned(self, spark):
+        from duckdb_mongo_spark.ops.partitioning import ensure_min_parallelism
+
+        df = spark.createDataFrame([(i,) for i in range(100)], ["x"]).coalesce(2)
+        out = ensure_min_parallelism(df)
+        assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+        assert out.count() == 100
+
+    def test_wide_input_untouched(self, spark):
+        from duckdb_mongo_spark.ops.partitioning import ensure_min_parallelism
+
+        target = spark.sparkContext.defaultParallelism
+        df = spark.range(1000).repartition(target + 4)
+        out = ensure_min_parallelism(df)
+        # already >= parallelism: no extra exchange inserted
+        assert out is df

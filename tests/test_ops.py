@@ -434,3 +434,46 @@ class TestEnsureMinParallelism:
         out = ensure_min_parallelism(df)
         # already >= parallelism: no extra exchange inserted
         assert out is df
+
+
+class TestTokenizerPropertyEquivalence:
+    """Property check: for RANDOM printable-ASCII strings (with all six
+    java-\\s whitespace chars in the alphabet), the translate-based forms
+    equal the regex forms they replaced. Driven through ONE Spark job
+    over a generated corpus rather than @given-per-example (a Spark
+    round-trip per hypothesis example would take minutes)."""
+
+    def test_random_ascii_corpus_equivalence(self, spark):
+        import random
+
+        rng = random.Random(20260813)
+        alphabet = (
+            "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+            "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~ \t\n\x0b\f\r"
+        )
+        rows = [
+            ("".join(rng.choice(alphabet) for _ in range(rng.randint(0, 80))),)
+            for _ in range(500)
+        ]
+        df = spark.createDataFrame(rows, ["text"]).coalesce(4)
+        c = F.col("text")
+        ws_regex = F.filter(F.split(c, r"\s+"), lambda x: x != F.lit(""))
+        fp_regex = F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+        bpe_regex = F.size(F.regexp_extract_all(c, F.lit(text.BPE_TOKEN_RE), F.lit(0)))
+        punct_regex = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+        norm_regex = F.filter(
+            F.split(F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " ")), r"\s+"),
+            lambda x: x != F.lit(""),
+        )
+        punct_ours = F.when(
+            F.length(c) > 0, text.punct_ratio(c) * F.length(c)
+        ).otherwise(F.lit(0.0))
+        bad = df.filter(
+            (text.ws_tokens(c) != ws_regex)
+            | (text.fingerprint(c) != fp_regex)
+            | (text.bpe_token_count(c) != bpe_regex)
+            | (F.abs(punct_ours - punct_regex) > 1e-9)
+            | (dedup._norm_tokens(c) != norm_regex)
+        )
+        mismatches = bad.collect()
+        assert not mismatches, f"first mismatch: {mismatches[0]!r}"

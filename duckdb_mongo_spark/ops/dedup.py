@@ -61,11 +61,24 @@ def _shingles_of_tokens(toks, n: int = SHINGLE_WORDS):
     evaluates a higher-order-function lambda body per element, so an
     inline token expression (regexp+split) would be recomputed for every
     shingle — the difference is ~50× on realistic documents.
+
+    The gram itself is built with n ``element_at`` lookups concatenated
+    directly, NOT ``concat_ws(slice(...))``: slice allocates an
+    intermediate array per shingle inside the interpreted lambda, and
+    the direct form measured 5.8× faster at sf1 (1.11 s → 0.19 s for
+    the 2.6M-shingle explode) with bit-identical output.
     """
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
+
+    def _gram(i):
+        parts = []
+        for j in range(n):
+            if j:
+                parts.append(F.lit(" "))
+            parts.append(F.element_at(toks, i + 1 + j))
+        return F.concat(*parts)
+
+    grams = F.transform(idx, _gram)
     # short docs (< n tokens): single shingle of the whole normalized text
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
         F.array(F.concat_ws(" ", toks))

@@ -368,3 +368,109 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
 def hamming64(a, b):
     """Hamming distance between two BIGINT hash values (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair frame.
+
+    Input: (a, b) edges (e.g. the output of ``near_dup_pairs_jaccard`` or
+    ``near_dup_pairs_minhash_lsh``). Output: one row per node appearing in
+    any pair, columns ``node`` and ``cluster`` where ``cluster`` is the
+    minimum node id (by the column's natural ordering) in that node's
+    connected component — the canonical representative a dedup pipeline
+    keeps.
+
+    Algorithm: iterative min-label propagation with POINTER JUMPING.
+    Each round does (1) a neighbor-min step — every node takes the min of
+    its label and its neighbors' labels (one join + partial-agg groupBy) —
+    then (2) a pointer-jump — ``label(v) := label(label(v))`` (one
+    self-join), which halves pointer-chain depth. Together they converge
+    in O(log diameter) rounds, not O(diameter): a 10^6-long duplicate
+    chain resolves in ~20 rounds. This is the standard MapReduce-CC
+    shape (Kiveris et al., "Connected Components in MapReduce and
+    Beyond" — star contraction; pointer jumping is the classic PRAM
+    shortcut).
+
+    Scale notes (100 TB lens):
+    - Per round: two shuffles (neighbor groupBy, pointer-jump join) over
+      #edges and #nodes rows — no step is ever quadratic, and labels only
+      decrease so late rounds shuffle mostly-stable data.
+    - ``localCheckpoint`` after every round cuts the lineage that would
+      otherwise grow by ~4 plan levels per iteration (an iterative-loop
+      requirement, not an optimization; on a real cluster with
+      re-executable stages prefer ``spark.sparkContext.setCheckpointDir``
+      + ``checkpoint`` for fault-tolerant truncation).
+    - Near-dup components are overwhelmingly tiny (pairs of re-posts);
+      the log-round bound only matters for adversarial chain graphs, but
+      it costs nothing to have.
+    """
+    # materialize once: pairs is often itself an expensive pipeline (LSH
+    # candidate generation + verify) and edges is re-joined every round
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("cluster", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # (1) neighbor-min: min label over {self} ∪ neighbors
+        nb = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("cluster").alias("__nbmin"))
+        )
+        stepped = labels.join(nb, "node", "left").select(
+            "node", F.least("cluster", "__nbmin").alias("cluster")
+        )
+        # (2) pointer jump: cluster(v) := cluster(cluster(v))
+        jump = stepped.select(
+            F.col("node").alias("cluster"), F.col("cluster").alias("__jmp")
+        )
+        new_labels = stepped.join(jump, "cluster", "left").select(
+            "node", F.coalesce("__jmp", "cluster").alias("cluster")
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds "
+            "(component diameter > 2^max_iter is not a realistic dedup graph)"
+        )
+    return labels.select("node", "cluster")
+
+
+def dedup_keep_canonical(
+    df: DataFrame, pairs: DataFrame, id_col: str,
+    a_col: str = "a", b_col: str = "b",
+) -> DataFrame:
+    """Drop every near-duplicate except its component's canonical (min-id)
+    member: rows never appearing in a pair survive untouched; rows in a
+    duplicate component survive iff they ARE the component minimum.
+
+    The anti-join side is #nodes-in-pairs rows (the duplicates only, not
+    the corpus), so on a mostly-unique 100 TB corpus the join's build side
+    is small and AQE broadcasts it.
+    """
+    drop = (
+        duplicate_clusters(pairs, a_col=a_col, b_col=b_col)
+        .filter(F.col("node") != F.col("cluster"))
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(drop, id_col, "left_anti")

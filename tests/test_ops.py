@@ -477,3 +477,77 @@ class TestTokenizerPropertyEquivalence:
         )
         mismatches = bad.collect()
         assert not mismatches, f"first mismatch: {mismatches[0]!r}"
+
+
+class TestDuplicateClusters:
+    """Connected components over near-dup pairs (pointer-jumping CC)."""
+
+    def _clusters(self, spark, edges):
+        pairs = spark.createDataFrame(edges, ["a", "b"])
+        rows = dedup.duplicate_clusters(pairs).collect()
+        return {r["node"]: r["cluster"] for r in rows}
+
+    def test_simple_components(self, spark):
+        got = self._clusters(
+            spark, [("d2", "d1"), ("d2", "d3"), ("d5", "d4"), ("d9", "d8")]
+        )
+        assert got == {
+            "d1": "d1", "d2": "d1", "d3": "d1",
+            "d4": "d4", "d5": "d4",
+            "d8": "d8", "d9": "d8",
+        }
+
+    def test_long_chain_converges_logarithmically(self, spark):
+        # a 64-node chain has diameter 63; pointer jumping must resolve it
+        # well inside max_iter=25 rounds (plain propagation would need 63)
+        edges = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(63)]
+        got = self._clusters(spark, edges)
+        assert set(got.values()) == {"n000"}
+        assert len(got) == 64
+
+    def test_matches_duckdb_recursive_oracle(self, spark):
+        """Random graph vs a DuckDB WITH RECURSIVE transitive-closure
+        min-label oracle (exact, enumerates all reachable labels)."""
+        import random
+
+        import duckdb
+
+        rng = random.Random(11)
+        nodes = [f"v{i:02d}" for i in range(40)]
+        edges = sorted(
+            {tuple(sorted(rng.sample(nodes, 2))) for _ in range(45)}
+        )
+        got = self._clusters(spark, edges)
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE e(src VARCHAR, dst VARCHAR)")
+        con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+        expect = dict(
+            con.execute(
+                """
+                WITH RECURSIVE sym AS (
+                    SELECT src, dst FROM e UNION SELECT dst, src FROM e
+                ),
+                cc(node, label) AS (
+                    SELECT DISTINCT src, src FROM sym
+                    UNION
+                    SELECT s.dst, cc.label FROM cc JOIN sym s ON s.src = cc.node
+                )
+                SELECT node, MIN(label) FROM cc GROUP BY node
+                """
+            ).fetchall()
+        )
+        con.close()
+        assert got == expect
+
+    def test_keep_canonical_end_to_end(self, spark, docs):
+        # LSH pairs on the shared docs fixture feed the cluster resolver;
+        # d2 (exact dup, jaccard 1.0) collapses into d1; d3's jaccard to
+        # d1 is 4/10 = 0.4 < threshold so it correctly survives
+        pairs = dedup.near_dup_pairs_minhash_lsh(
+            docs, "doc_id", "text", threshold=0.5
+        )
+        kept = dedup.dedup_keep_canonical(docs, pairs, "doc_id")
+        assert sorted(r["doc_id"] for r in kept.collect()) == [
+            "d1", "d3", "d4", "d5"
+        ]

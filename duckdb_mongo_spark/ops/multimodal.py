@@ -176,6 +176,94 @@ def decode_image_meta(df: DataFrame, media_col: str = "media") -> DataFrame:
     return df.mapInPandas(batches, schema=out_schema)
 
 
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("checksum", T.StringType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def parse_audio_header(b: bytes) -> tuple[str, int, int, int] | None:
+    """(mime, channels, sample_rate, n_samples) from a RIFF/WAV container
+    header — pure stdlib chunk walk (public file-format structure: RIFF
+    header, ``fmt `` chunk for channels/rate/block-align, ``data`` chunk
+    size for the sample count; odd chunk sizes are pad-aligned per spec).
+    Returns None for unrecognized or truncated payloads. Compressed
+    formats (mp3/ogg/flac) genuinely need a codec library and stay out
+    of scope, mirroring the image-pixel-decode boundary.
+    """
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    channels = sample_rate = block_align = None
+    data_size = None
+    i, n = 12, len(b)
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        (size,) = struct.unpack("<I", b[i + 4 : i + 8])
+        body = b[i + 8 : i + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            _fmt, channels, sample_rate, _brate, block_align, _bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # RIFF pads odd-sized chunks
+    if not channels or not sample_rate or not block_align or data_size is None:
+        return None
+    return "audio/wav", channels, sample_rate, data_size // block_align
+
+
+def decode_audio_meta(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Audio-metadata extraction with REAL header fields for WAV payloads
+    (``parse_audio_header``); unrecognized payloads keep null shape and
+    ``application/octet-stream``. Same Arrow-batched ``mapInPandas``
+    plumbing as ``decode_image_meta``: input schema minus payload plus
+    AUDIO_META_SCHEMA."""
+    import pandas as _pd
+
+    df = ensure_min_parallelism(df)
+    in_fields = [f for f in df.schema.fields if f.name != media_col]
+    out_schema = T.StructType(in_fields + list(AUDIO_META_SCHEMA.fields))
+
+    def batches(it):
+        for pdf in it:
+            meta = {k.name: [] for k in AUDIO_META_SCHEMA.fields}
+            for raw in pdf[media_col]:
+                b = bytes(raw) if raw is not None else b""
+                parsed = parse_audio_header(b)
+                if parsed:
+                    mime, ch, rate, n_samp = parsed
+                    dur = n_samp * 1000 // rate if rate else None
+                else:
+                    mime, ch, rate, n_samp, dur = (
+                        "application/octet-stream", None, None, None, None,
+                    )
+                meta["mime"].append(mime)
+                meta["n_bytes"].append(len(b))
+                meta["checksum"].append(hashlib.md5(b).hexdigest())
+                meta["channels"].append(ch)
+                meta["sample_rate"].append(rate)
+                meta["n_samples"].append(n_samp)
+                meta["duration_ms"].append(dur)
+            out = pdf.drop(columns=[media_col]).copy()
+            out["mime"] = meta["mime"]
+            out["n_bytes"] = meta["n_bytes"]
+            out["checksum"] = meta["checksum"]
+            for k in ("channels", "sample_rate", "n_samples", "duration_ms"):
+                out[k] = _pd.array(meta[k], dtype="Int64")  # nullable long
+            yield out[[f.name for f in out_schema.fields]]
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
 def resize_stub(df: DataFrame, width: int, height: int, media_col: str = "media") -> DataFrame:
     """Resize plumbing: passes payload through mapInPandas with the target
     shape recorded (decode step stubbed)."""

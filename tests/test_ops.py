@@ -359,6 +359,50 @@ class TestMultimodal:
         assert out["png"]["n_frames"] == 1
         assert out["png"]["n_bytes"] == len(self._png(640, 480))
 
+    @staticmethod
+    def _wav(channels, rate, n_samples, bits=16):
+        import struct
+
+        block_align = channels * bits // 8
+        fmt = struct.pack(
+            "<HHIIHH", 1, channels, rate, rate * block_align, block_align, bits
+        )
+        data = b"\x00" * (n_samples * block_align)
+        chunks = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    def test_parse_audio_header(self):
+        assert multimodal.parse_audio_header(self._wav(2, 44100, 44100)) == (
+            "audio/wav", 2, 44100, 44100,
+        )
+        assert multimodal.parse_audio_header(self._wav(1, 16000, 8000)) == (
+            "audio/wav", 1, 16000, 8000,
+        )
+        assert multimodal.parse_audio_header(b"not audio") is None
+        assert multimodal.parse_audio_header(b"") is None
+        # RIFF magic but no fmt/data chunks → unrecognized, no crash
+        assert multimodal.parse_audio_header(b"RIFF\x04\x00\x00\x00WAVE") is None
+
+    def test_decode_audio_meta_real_headers(self, spark):
+        rows = [
+            ("stereo", bytearray(self._wav(2, 44100, 22050))),  # 0.5 s
+            ("mono", bytearray(self._wav(1, 16000, 48000))),    # 3 s
+            ("junk", bytearray(b"wat")),
+        ]
+        df = spark.createDataFrame(rows, ["id", "payload"])
+        media = multimodal.attach_media_column(df, F.col("payload"))
+        out = {r["id"]: r for r in multimodal.decode_audio_meta(media).collect()}
+        s = out["stereo"]
+        assert (s["mime"], s["channels"], s["sample_rate"]) == ("audio/wav", 2, 44100)
+        assert (s["n_samples"], s["duration_ms"]) == (22050, 500)
+        assert out["mono"]["duration_ms"] == 3000
+        assert out["junk"]["mime"] == "application/octet-stream"
+        assert out["junk"]["channels"] is None
+        assert out["junk"]["n_bytes"] == 3
+
 
 class TestRegexFreeTokenizerEquivalence:
     """The hot-path tokenizers replaced java-regex forms (measured ~65x

@@ -80,11 +80,30 @@ def _load_table(spark: SparkSession, sf_dir: str, t: str) -> DataFrame:
     return df
 
 
+def _tz_normalize(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP (LTZ).
+
+    Parquet timestamps annotated isAdjustedToUTC=false (pandas/pyarrow
+    writers' default) are inferred as TIMESTAMP_NTZ by Spark's
+    inferTimestampNTZ (on by default since 3.4) — but chrono functions
+    like unix_micros() accept only TIMESTAMP, and the whole query
+    surface + DuckDB oracle treat these columns as instants. Under the
+    UTC session timezone the NTZ→LTZ cast is value-identical to how
+    DuckDB reads the same file (naive wall time == UTC instant)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def _load_table_uncached(spark: SparkSession, sf_dir: str, t: str) -> DataFrame:
     path = f"{sf_dir}/{t}.parquet"
     nanos = _nanos_ts_cols(path)
     if not nanos:
-        return _parallelize(spark, spark.read.parquet(path), path)
+        return _parallelize(spark, _tz_normalize(spark.read.parquet(path)), path)
     # Spark can't read parquet TIMESTAMP(NANOS) (events.ts): read nanos as
     # long and truncate to micros (exactly DuckDB's read behavior).
     from pyspark.sql import functions as F

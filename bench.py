@@ -162,9 +162,18 @@ def _sf1_dir() -> str | None:
     sf0.1 testdata (tools/scale_testdata.py) — lineitem 6M rows. Returns
     None when it cannot be produced; the section is then skipped."""
     out = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1_scaled")
+    src = "/root/testdata/sf0.1"
     tables = ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]
-    if all(os.path.exists(os.path.join(out, f"{t}.parquet")) for t in tables):
+    # staleness check against the SOURCE files: the driver regenerates
+    # testdata between rounds (observed: events.ts nanos -> micros), and
+    # a stale staged copy would silently measure the old data
+    if all(
+        os.path.exists(os.path.join(out, f"{t}.parquet"))
+        and os.path.getmtime(os.path.join(out, f"{t}.parquet"))
+        > os.path.getmtime(os.path.join(src, f"{t}.parquet"))
+        for t in tables
+    ):
         return out
     try:
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
@@ -230,7 +239,7 @@ def _sf1_section(spark, qs, bench_queries, iters=3):
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = orig_sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if not os.environ.get("SPARK_GRAFT_BENCH_RAW"):
@@ -320,7 +329,8 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # label from the ORIGINAL dir: staging renames append a cache tag
+    sf = orig_sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,

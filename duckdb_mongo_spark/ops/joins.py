@@ -1,0 +1,264 @@
+"""As-of and range (interval) joins — custom operators Spark lacks.
+
+The reference embeds DuckDB, whose SQL surface includes ``ASOF JOIN``
+and fast inequality joins (IEJoin), both reachable from the reference's
+SQL layer today — so an engine claiming drop-in parity needs them. Spark
+has neither: an inequality-only join falls back to
+``BroadcastNestedLoopJoin`` / ``CartesianProduct``, quadratic and
+broadcast-bound, unusable at 100 TB. Both operators here are pure
+compositions of built-in DataFrame ops — no UDFs, no collect():
+
+- ``asof_join``: union+window formulation. Tag each side, union, sort
+  within each equi-key group by (time, side) and carry the latest right
+  payload forward with ``last(payload, ignorenulls=True)``. ONE hash
+  shuffle on the equi-keys (same cost as a plain join of the inputs);
+  per-row state is a single struct, independent of match distance. This
+  is the standard scale-out asof algorithm (Flink's event-time temporal
+  join is the streaming analog). ``nearest`` runs two window passes
+  (backward + forward) over the SAME shuffle — the second pass re-sorts
+  but does not re-shuffle.
+- ``interval_join_points`` / ``interval_overlap_join``: bin-bucketed
+  range join. Intervals explode to the fixed-width bins they cover,
+  points own exactly one bin, and the join becomes an EQUI-join on
+  (keys, bin) + residual predicate — hash-partitioned, AQE-skew-
+  splittable, never a nested loop. Overlapping pairs sharing several
+  bins are emitted once via the canonical-bin rule (match only in the
+  first shared bin) — a filter, not a distinct.
+
+Bin width trades explode factor (rows × bins covered) against residual
+selectivity; choose ~ the median interval length. Timestamps bin/order
+through a double epoch cast, so widths/tolerances are in SECONDS for
+timestamp columns and in native units for numerics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+_TIME, _SIDE, _MATCH = "__asof_t", "__asof_l", "__asof_m"
+
+
+def _num(df: DataFrame, col: str, c: Column | None = None) -> Column:
+    """Epoch-double of ``df[col]`` (or the given alias-qualified Column).
+
+    TIMESTAMP_NTZ has no direct numeric cast in Spark — route it through
+    TIMESTAMP first (value-identical under a UTC session timezone, the
+    engine default)."""
+    c = df[col] if c is None else c
+    if df.schema[col].dataType.typeName() == "timestamp_ntz":
+        c = c.cast("timestamp")
+    return c.cast("double")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | None = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Attach to each left row the single right row nearest in ``on``
+    under ``direction``, matching equal ``by`` keys (left-outer: rows
+    with no match keep NULL right columns).
+
+    - ``backward``: greatest ``right.on <= left.on`` — DuckDB's
+      ``ASOF JOIN .. ON l.k = r.k AND l.t >= r.t`` (its default).
+    - ``forward``: least ``right.on >= left.on``.
+    - ``nearest``: closer of the two; backward wins exact-distance ties.
+
+    ``tolerance`` voids matches farther than the bound (seconds for
+    timestamps). Right columns colliding with left names get ``suffix``.
+    Among right rows tied on (by, on) exactly one is attached (window
+    order among ties is arbitrary) — pre-aggregate the right side when
+    the pick matters; DuckDB's ASOF is likewise unspecified there.
+
+    Plan: shuffle (left ∪ right) once on ``by``, then window sort —
+    no nested loop, no broadcast requirement; a skewed ``by`` key is one
+    window partition, the same bound as any windowed query. Without
+    ``by`` the window is global (single partition): correct, but meant
+    for small/keyless inputs only.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
+    by = list(by or [])
+    missing = [k for k in by if k not in right.columns]
+    if missing:
+        raise ValueError(f"by keys {missing} absent from right")
+    if on in by:
+        raise ValueError("'on' cannot also be a 'by' key")
+
+    rcols = [c for c in right.columns if c not in by]  # payload incl. `on`
+    payload_t = StructType([StructField(c, right.schema[c].dataType) for c in rcols])
+    out_names = {c: (c + suffix if c in left.columns else c) for c in rcols}
+
+    r_ntz = right.schema[on].dataType.typeName() == "timestamp_ntz"
+
+    l_tag = left.select(
+        *[F.col(c) for c in left.columns],
+        _num(left, on).alias(_TIME),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(payload_t).alias("__asof_p"),
+    )
+    r_tag = right.select(
+        *[
+            (F.col(c) if c in by else F.lit(None).cast(left.schema[c].dataType)).alias(c)
+            for c in left.columns
+        ],
+        _num(right, on).alias(_TIME),
+        F.lit(0).alias(_SIDE),
+        F.struct(*[F.col(c).alias(c) for c in rcols]).alias("__asof_p"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+
+    # A right row AT the left row's time satisfies both <= and >=, so
+    # rights (side=0) sort before lefts at equal times in BOTH orders.
+    part = by if by else [F.lit(0)]
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    w_back = Window.partitionBy(*part).orderBy(F.col(_TIME).asc(), F.col(_SIDE).asc()).rowsBetween(*frame)
+    w_fwd = Window.partitionBy(*part).orderBy(F.col(_TIME).desc(), F.col(_SIDE).asc()).rowsBetween(*frame)
+
+    def _payload_t(payload: Column) -> Column:
+        rt = payload[on]
+        if r_ntz:
+            rt = rt.cast("timestamp")
+        return rt.cast("double")
+
+    def _within(payload: Column, backward: bool) -> Column:
+        if tolerance is None:
+            return payload
+        rt = _payload_t(payload)
+        dist = (F.col(_TIME) - rt) if backward else (rt - F.col(_TIME))
+        return F.when(dist <= F.lit(float(tolerance)), payload)
+
+    if direction == "backward":
+        matched = _within(F.last("__asof_p", ignorenulls=True).over(w_back), True)
+    elif direction == "forward":
+        matched = _within(F.last("__asof_p", ignorenulls=True).over(w_fwd), False)
+    else:  # nearest: both passes share the one shuffle on `by`
+        b = _within(F.last("__asof_p", ignorenulls=True).over(w_back), True)
+        f = _within(F.last("__asof_p", ignorenulls=True).over(w_fwd), False)
+        d_b = F.col(_TIME) - _payload_t(b)
+        d_f = _payload_t(f) - F.col(_TIME)
+        matched = (
+            F.when(b.isNull(), f)
+            .when(f.isNull(), b)
+            .otherwise(F.when(d_f < d_b, f).otherwise(b))
+        )
+
+    picked = (
+        unioned.withColumn(_MATCH, matched)
+        .filter(F.col(_SIDE) == 1)
+    )
+    return picked.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(_MATCH)[c].alias(out_names[c]) for c in rcols],
+    )
+
+
+def _bin(df: DataFrame, col: str, width: float, c: Column | None = None) -> Column:
+    return F.floor(_num(df, col, c) / F.lit(float(width))).cast("long")
+
+
+def interval_join_points(
+    points: DataFrame,
+    t_col: str,
+    intervals: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    on: list[str] | None = None,
+    bin_width: float = 3600.0,
+    iv_suffix: str = "_iv",
+) -> DataFrame:
+    """Inner-join each point row to every interval row with
+    ``lo <= t <= hi`` (and equal ``on`` keys), as an equi-join.
+
+    Intervals explode to bins ``floor(lo/w)..floor(hi/w)``; a point owns
+    exactly one bin, so no dedup is needed. Interval columns that
+    collide with point column names get ``iv_suffix``. For left-outer
+    semantics compose with an anti-join on the point's key — emitting
+    NULL-padded rows here would need a unique point id this operator
+    should not invent.
+
+    Plan shape: Exchange(keys+bin) → join + residual Filter, never
+    BroadcastNestedLoopJoin (regression-tested in test_joins.py).
+    """
+    on = list(on or [])
+    w = float(bin_width)
+    pt = points.withColumn("__pt_bin", _bin(points, t_col, w))
+    # prefix-rename the interval side: both inputs frequently derive
+    # from the same source frame (self-join), and attribute-based
+    # conditions on shared lineage trip Spark's ambiguity check
+    iv = intervals.select([F.col(c).alias(f"__iv_{c}") for c in intervals.columns])
+    iv = iv.withColumn(
+        "__iv_bin",
+        F.explode(F.sequence(
+            _bin(intervals, lo_col, w, F.col(f"__iv_{lo_col}")),
+            _bin(intervals, hi_col, w, F.col(f"__iv_{hi_col}")),
+        )),
+    )
+    cond = [F.col("__pt_bin") == F.col("__iv_bin")]
+    cond += [F.col(k) == F.col(f"__iv_{k}") for k in on]
+    t_n = _num(points, t_col, F.col(t_col))
+    cond.append(t_n >= _num(intervals, lo_col, F.col(f"__iv_{lo_col}")))
+    cond.append(t_n <= _num(intervals, hi_col, F.col(f"__iv_{hi_col}")))
+    dup = set(points.columns)
+    joined = pt.join(iv, cond, "inner")
+    return joined.select(
+        *[F.col(c) for c in points.columns],
+        *[F.col(f"__iv_{c}").alias(c + iv_suffix if c in dup else c) for c in intervals.columns],
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    right: DataFrame,
+    r_lo: str,
+    r_hi: str,
+    on: list[str] | None = None,
+    bin_width: float = 3600.0,
+    r_suffix: str = "_r",
+) -> DataFrame:
+    """All (left, right) pairs whose closed intervals overlap —
+    ``l_lo <= r_hi AND r_lo <= l_hi`` (+ equal ``on`` keys) — emitted
+    exactly once.
+
+    Both sides explode to covered bins and equi-join on (keys, bin). A
+    pair overlapping across several shared bins would match once per
+    bin, so the canonical-bin rule keeps only the FIRST bin both cover
+    (``bin == max(floor(l_lo/w), floor(r_lo/w))``) — a pure filter, no
+    distinct/extra shuffle for dedup.
+    """
+    on = list(on or [])
+    w = float(bin_width)
+    lv = left.withColumn(
+        "__l_bin", F.explode(F.sequence(_bin(left, l_lo, w), _bin(left, l_hi, w)))
+    )
+    # prefix-rename the right side — see interval_join_points
+    rv = right.select([F.col(c).alias(f"__r_{c}") for c in right.columns])
+    rv = rv.withColumn(
+        "__r_bin",
+        F.explode(F.sequence(
+            _bin(right, r_lo, w, F.col(f"__r_{r_lo}")),
+            _bin(right, r_hi, w, F.col(f"__r_{r_hi}")),
+        )),
+    )
+    cond = [F.col("__l_bin") == F.col("__r_bin")]
+    cond += [F.col(k) == F.col(f"__r_{k}") for k in on]
+    cond.append(_num(left, l_lo, F.col(l_lo)) <= _num(right, r_hi, F.col(f"__r_{r_hi}")))
+    cond.append(_num(right, r_lo, F.col(f"__r_{r_lo}")) <= _num(left, l_hi, F.col(l_hi)))
+    cond.append(
+        F.col("__l_bin")
+        == F.greatest(_bin(left, l_lo, w), _bin(right, r_lo, w, F.col(f"__r_{r_lo}")))
+    )
+    dup = set(left.columns)
+    joined = lv.join(rv, cond, "inner")
+    return joined.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"__r_{c}").alias(c + r_suffix if c in dup else c) for c in right.columns],
+    )

@@ -1,0 +1,205 @@
+"""As-of and interval join operators vs DuckDB oracles.
+
+DuckDB (embedded by the reference) ships ASOF JOIN natively, so it is
+the value oracle for asof_join; interval joins check against plain
+inequality-join SQL. Plan-shape tests pin the scale contract: the
+binned interval joins must never plan a nested-loop/cartesian join.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_mongo_spark.ops.joins import (
+    asof_join,
+    interval_join_points,
+    interval_overlap_join,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    return entry._load_table(spark, sf_dir, "events")
+
+
+@pytest.fixture(scope="module")
+def clicks(events):
+    return events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+
+
+@pytest.fixture(scope="module")
+def errors(events):
+    return events.filter(F.col("event_type") == "error").select("user_id", "ts", "value")
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    from _oracle import duckdb_con
+
+    c = duckdb_con(sf_dir)
+    c.execute("CREATE VIEW l AS SELECT event_id, user_id, ts FROM events WHERE event_type='click'")
+    c.execute("CREATE VIEW r AS SELECT user_id, ts, value FROM events WHERE event_type='error'")
+    return c
+
+
+def _check(df, con, sql):
+    from _oracle import compare
+
+    res = compare(df, con, sql)
+    assert res["value_match"], res
+    assert res["rows_spark"] > 0  # vacuous pass guard
+
+
+class TestAsofJoin:
+    def test_backward_matches_duckdb_asof(self, clicks, errors, con):
+        out = asof_join(clicks, errors, on="ts", by=["user_id"])
+        _check(out, con, """
+            SELECT l.event_id, l.user_id, l.ts, r.ts AS ts_right, r.value AS value
+            FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        """)
+
+    def test_forward_matches_duckdb_asof(self, clicks, errors, con):
+        out = asof_join(clicks, errors, on="ts", by=["user_id"], direction="forward")
+        _check(out, con, """
+            SELECT l.event_id, l.user_id, l.ts, r.ts AS ts_right, r.value AS value
+            FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+        """)
+
+    def test_backward_tolerance(self, clicks, errors, con):
+        out = asof_join(clicks, errors, on="ts", by=["user_id"], tolerance=7200.0)
+        _check(out, con, """
+            SELECT l.event_id, l.user_id, l.ts,
+                   CASE WHEN epoch(l.ts) - epoch(r.ts) <= 7200 THEN r.ts END AS ts_right,
+                   CASE WHEN epoch(l.ts) - epoch(r.ts) <= 7200 THEN r.value END AS value
+            FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        """)
+
+    def test_nearest_matches_correlated_oracle(self, clicks, errors, con):
+        out = asof_join(clicks, errors, on="ts", by=["user_id"], direction="nearest")
+        # nearest has no native DuckDB form; correlated top-1 by distance,
+        # backward preferred on exact-distance ties
+        _check(out, con, """
+            SELECT l.event_id, l.user_id, l.ts,
+                   (SELECT r.ts FROM r WHERE r.user_id = l.user_id
+                    ORDER BY abs(epoch(r.ts) - epoch(l.ts)), (r.ts <= l.ts) DESC LIMIT 1) AS ts_right,
+                   (SELECT r.value FROM r WHERE r.user_id = l.user_id
+                    ORDER BY abs(epoch(r.ts) - epoch(l.ts)), (r.ts <= l.ts) DESC LIMIT 1) AS value
+            FROM l
+        """)
+
+    def test_unmatched_left_rows_kept_with_nulls(self, spark):
+        left = spark.createDataFrame([(1, 10.0), (1, 1.0), (2, 5.0)], "k int, t double")
+        right = spark.createDataFrame([(1, 5.0, "x")], "k int, t double, v string")
+        rows = {
+            (r.k, r.t): (r.t_right, r.v)
+            for r in asof_join(left, right, on="t", by=["k"], suffix="_right").collect()
+        }
+        assert rows[(1, 10.0)] == (5.0, "x")
+        assert rows[(1, 1.0)] == (None, None)   # before any right row
+        assert rows[(2, 5.0)] == (None, None)   # key absent from right
+        assert len(rows) == 3
+
+    def test_equal_time_matches_both_directions(self, spark):
+        left = spark.createDataFrame([(1, 5.0)], "k int, t double")
+        right = spark.createDataFrame([(1, 5.0, "same")], "k int, t double, v string")
+        for direction in ("backward", "forward", "nearest"):
+            row = asof_join(left, right, on="t", by=["k"], direction=direction).collect()[0]
+            assert row.v == "same", direction
+
+    def test_no_by_keys_global_asof(self, spark):
+        left = spark.createDataFrame([(i, float(i)) for i in range(5)], "id int, t double")
+        right = spark.createDataFrame([(2.5, "a"), (4.0, "b")], "t double, v string")
+        got = {r.id: r.v for r in asof_join(left, right, on="t").collect()}
+        assert got == {0: None, 1: None, 2: None, 3: "a", 4: "b"}
+
+    def test_ntz_timestamp_accepted(self, spark):
+        # NTZ columns must flow through the numeric-ordering path
+        left = spark.sql(
+            "SELECT 1 AS k, TIMESTAMP_NTZ'2024-01-01 10:00:00' AS t"
+        )
+        right = spark.sql(
+            "SELECT 1 AS k, TIMESTAMP_NTZ'2024-01-01 09:00:00' AS t, 'm' AS v"
+        )
+        row = asof_join(left, right, on="t", by=["k"], tolerance=7200.0).collect()[0]
+        assert row.v == "m"
+
+    def test_rejects_bad_args(self, spark):
+        df = spark.createDataFrame([(1, 1.0)], "k int, t double")
+        with pytest.raises(ValueError):
+            asof_join(df, df, on="t", direction="sideways")
+        with pytest.raises(ValueError):
+            asof_join(df, df, on="t", by=["missing"])
+        with pytest.raises(ValueError):
+            asof_join(df, df, on="t", by=["t"])
+
+
+class TestIntervalJoins:
+    def test_points_in_intervals_matches_sql(self, clicks, errors, con, spark):
+        iv = errors.select(
+            "user_id",
+            F.col("ts").alias("lo"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("hi"),
+            "value",
+        )
+        out = interval_join_points(clicks, "ts", iv, "lo", "hi", on=["user_id"], bin_width=3600.0)
+        _check(out, con, """
+            SELECT l.event_id, l.user_id, l.ts,
+                   iv.user_id AS user_id_iv, iv.lo, iv.hi, iv.value
+            FROM l JOIN (SELECT user_id, ts AS lo, ts + INTERVAL 2 HOUR AS hi, value FROM r) iv
+              ON l.user_id = iv.user_id AND l.ts >= iv.lo AND l.ts <= iv.hi
+        """)
+
+    def test_overlap_join_matches_sql(self, clicks, errors, con):
+        lv = clicks.select(
+            "event_id", "user_id",
+            F.col("ts").alias("lo"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("hi"),
+        )
+        rv = errors.select(
+            "user_id",
+            F.col("ts").alias("lo"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("hi"),
+            "value",
+        )
+        out = interval_overlap_join(lv, "lo", "hi", rv, "lo", "hi", on=["user_id"], bin_width=3600.0)
+        _check(out, con, """
+            SELECT l.event_id, l.user_id, l.lo, l.hi,
+                   rv.user_id AS user_id_r, rv.lo AS lo_r, rv.hi AS hi_r, rv.value
+            FROM (SELECT event_id, user_id, ts AS lo, ts + INTERVAL 30 MINUTE AS hi FROM l) l
+            JOIN (SELECT user_id, ts AS lo, ts + INTERVAL 2 HOUR AS hi, value FROM r) rv
+              ON l.user_id = rv.user_id AND l.lo <= rv.hi AND rv.lo <= l.hi
+        """)
+
+    def test_multi_bin_overlap_emitted_once(self, spark):
+        # intervals sharing MANY bins (width 10) must still pair up once
+        left = spark.createDataFrame([(1, 0.0, 95.0)], "id int, lo double, hi double")
+        right = spark.createDataFrame([(7, 5.0, 100.0)], "rid int, lo double, hi double")
+        rows = interval_overlap_join(left, "lo", "hi", right, "lo", "hi", bin_width=10.0).collect()
+        assert len(rows) == 1
+        assert rows[0].rid == 7
+
+    def test_point_on_boundary_included(self, spark):
+        pts = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 20.5)], "id int, t double")
+        iv = spark.createDataFrame([(9, 10.0, 20.0)], "iid int, lo double, hi double")
+        got = sorted(r.id for r in interval_join_points(pts, "t", iv, "lo", "hi", bin_width=7.0).collect())
+        assert got == [1, 2]  # closed interval: both endpoints in, 20.5 out
+
+    def test_no_nested_loop_in_plans(self, clicks, errors):
+        iv = errors.select(
+            "user_id", F.col("ts").alias("lo"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("hi"), "value",
+        )
+        plans = [
+            interval_join_points(clicks, "ts", iv, "lo", "hi", on=["user_id"])._jdf.queryExecution().executedPlan().toString(),
+            interval_overlap_join(
+                clicks.select("user_id", F.col("ts").alias("lo"), (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("hi")),
+                "lo", "hi", iv, "lo", "hi", on=["user_id"],
+            )._jdf.queryExecution().executedPlan().toString(),
+            asof_join(clicks, errors, on="ts", by=["user_id"])._jdf.queryExecution().executedPlan().toString(),
+        ]
+        for p in plans:
+            assert "BroadcastNestedLoopJoin" not in p, p[:2000]
+            assert "CartesianProduct" not in p, p[:2000]

@@ -1,0 +1,112 @@
+"""Property-based checks for asof/interval joins vs brute-force oracles.
+
+Hypothesis drives small adversarial datasets (duplicate times, equal
+endpoints, empty sides, bin-straddling intervals) through the Spark
+operators and compares with an O(n²) in-Python reference. Example
+counts are small because each example runs a real Spark job; the
+adversarial value comes from the generator's edge-case bias (shrunken
+integer domains force collisions).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from duckdb_mongo_spark.ops.joins import asof_join, interval_overlap_join
+
+_spark = None
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from duckdb_mongo_spark.session import get_spark
+
+        _spark = get_spark("tests", extra_conf={"spark.sql.shuffle.partitions": "4"})
+    return _spark
+
+
+# tiny domains on purpose: key/time collisions are the interesting cases
+keys = st.integers(min_value=0, max_value=2)
+times = st.integers(min_value=0, max_value=20)
+
+left_rows = st.lists(st.tuples(keys, times), min_size=0, max_size=8)
+right_rows = st.lists(st.tuples(keys, times), min_size=0, max_size=8, unique=True)
+
+
+def _brute_asof(left, right, direction, tolerance):
+    out = []
+    for k, t in left:
+        if direction == "backward":
+            cands = [(rt, rv) for rk, rt, rv in right if rk == k and rt <= t]
+            best = max(cands) if cands else None
+            dist = t - best[0] if best else None
+        elif direction == "forward":
+            cands = [(rt, rv) for rk, rt, rv in right if rk == k and rt >= t]
+            best = min(cands) if cands else None
+            dist = best[0] - t if best else None
+        else:  # nearest, backward wins ties
+            cands = [(abs(rt - t), rt > t, rt, rv) for rk, rt, rv in right if rk == k]
+            pick = min(cands) if cands else None
+            best = (pick[2], pick[3]) if pick else None
+            dist = pick[0] if pick else None
+        if best is not None and tolerance is not None and dist > tolerance:
+            best = None
+        out.append((k, t, best[1] if best else None))
+    return sorted(out)
+
+
+@settings(max_examples=12, deadline=None)
+@given(left=left_rows, right=right_rows,
+       direction=st.sampled_from(["backward", "forward", "nearest"]),
+       tolerance=st.sampled_from([None, 0.0, 3.0]))
+def test_asof_matches_bruteforce(left, right, direction, tolerance):
+    spark = _get_spark()
+    # unique right (k,t) per operator contract; value encodes identity
+    r3 = [(k, t, k * 1000 + t) for k, t in right]
+    ldf = spark.createDataFrame(left or [(99, 99)], "k int, t int")
+    rdf = spark.createDataFrame(r3 or [(99, 99, 0)], "k int, t int, v int")
+    if not left:
+        ldf = ldf.filter("k < 0")
+    if not r3:
+        rdf = rdf.filter("k < 0")
+    got = sorted(
+        (r.k, r.t, r.v)
+        for r in asof_join(ldf, rdf, on="t", by=["k"], direction=direction,
+                           tolerance=tolerance).collect()
+    )
+    assert got == _brute_asof(left, r3, direction, tolerance)
+
+
+iv_rows = st.lists(
+    st.tuples(keys, times, st.integers(min_value=0, max_value=15)),
+    min_size=0, max_size=6,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(lrows=iv_rows, rrows=iv_rows, width=st.sampled_from([1.0, 3.0, 7.0, 50.0]))
+def test_overlap_join_matches_bruteforce(lrows, rrows, width):
+    spark = _get_spark()
+    l3 = [(i, k, lo, lo + d) for i, (k, lo, d) in enumerate(lrows)]
+    r3 = [(i, k, lo, lo + d) for i, (k, lo, d) in enumerate(rrows)]
+    ldf = spark.createDataFrame(l3 or [(0, 0, 0, 0)], "lid int, k int, lo int, hi int")
+    rdf = spark.createDataFrame(r3 or [(0, 0, 0, 0)], "rid int, k int, lo int, hi int")
+    if not l3:
+        ldf = ldf.filter("lid < 0")
+    if not r3:
+        rdf = rdf.filter("rid < 0")
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            ldf, "lo", "hi", rdf, "lo", "hi", on=["k"], bin_width=width
+        ).collect()
+    )
+    want = sorted(
+        (lid, rid)
+        for lid, lk, llo, lhi in l3
+        for rid, rk, rlo, rhi in r3
+        if lk == rk and llo <= rhi and rlo <= lhi
+    )
+    assert got == want

@@ -128,6 +128,34 @@ def parse_image_header(b: bytes) -> tuple[str, int, int] | None:
                 return None
             i += 2 + seg_len
         return None
+    if len(b) >= 26 and b[:2] == b"BM":
+        # BITMAPINFOHEADER+ (DIB size >= 40): int32 LE dims at 18/22;
+        # height may be negative (top-down rows)
+        dib = struct.unpack("<I", b[14:18])[0]
+        if dib >= 40:
+            w, h = struct.unpack("<ii", b[18:26])
+            return "image/bmp", w, abs(h)
+        if dib == 12 and len(b) >= 22:  # ancient BITMAPCOREHEADER
+            w, h = struct.unpack("<HH", b[18:22])
+            return "image/bmp", w, h
+        return None
+    if len(b) >= 16 and b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        chunk = b[12:16]
+        if chunk == b"VP8X" and len(b) >= 30:  # extended: 24-bit canvas-1 at 24/27
+            w = int.from_bytes(b[24:27], "little") + 1
+            h = int.from_bytes(b[27:30], "little") + 1
+            return "image/webp", w, h
+        if chunk == b"VP8L" and len(b) >= 25:  # lossless: 14+14 bits after 0x2F
+            if b[20] != 0x2F:
+                return None
+            bits = int.from_bytes(b[21:25], "little")
+            return "image/webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+        if chunk == b"VP8 " and len(b) >= 30:  # lossy: dims after start code
+            if b[23:26] != b"\x9d\x01\x2a":
+                return None
+            w, h = struct.unpack("<HH", b[26:30])
+            return "image/webp", w & 0x3FFF, h & 0x3FFF
+        return None
     return None
 
 

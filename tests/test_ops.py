@@ -332,14 +332,43 @@ class TestMultimodal:
         sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x01\x11\x00"
         return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
 
+    @staticmethod
+    def _bmp(w, h):
+        import struct
+
+        return b"BM" + b"\x00" * 12 + struct.pack("<I", 40) + struct.pack("<ii", w, h)
+
+    @staticmethod
+    def _webp_vp8x(w, h):
+        return (
+            b"RIFF" + b"\x00" * 4 + b"WEBP" + b"VP8X" + b"\x0a\x00\x00\x00"
+            + b"\x00" * 4
+            + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+        )
+
+    @staticmethod
+    def _webp_vp8l(w, h):
+        bits = (w - 1) | ((h - 1) << 14)
+        return (
+            b"RIFF" + b"\x00" * 4 + b"WEBP" + b"VP8L" + b"\x05\x00\x00\x00"
+            + b"\x2f" + bits.to_bytes(4, "little")
+        )
+
     def test_parse_image_header(self):
         assert multimodal.parse_image_header(self._png(640, 480)) == ("image/png", 640, 480)
         assert multimodal.parse_image_header(self._gif(320, 200)) == ("image/gif", 320, 200)
         assert multimodal.parse_image_header(self._jpeg(1920, 1080)) == ("image/jpeg", 1920, 1080)
+        assert multimodal.parse_image_header(self._bmp(800, 600)) == ("image/bmp", 800, 600)
+        # top-down BMP stores a negative height
+        assert multimodal.parse_image_header(self._bmp(800, -600)) == ("image/bmp", 800, 600)
+        assert multimodal.parse_image_header(self._webp_vp8x(1024, 768)) == ("image/webp", 1024, 768)
+        assert multimodal.parse_image_header(self._webp_vp8l(513, 257)) == ("image/webp", 513, 257)
         assert multimodal.parse_image_header(b"not an image") is None
         assert multimodal.parse_image_header(b"") is None
         # truncated PNG (magic only): no IHDR → unrecognized, no crash
         assert multimodal.parse_image_header(b"\x89PNG\r\n\x1a\n") is None
+        # RIFF container that is not WebP (plain WAV) → not an image
+        assert multimodal.parse_image_header(b"RIFF" + b"\x00" * 4 + b"WAVEfmt " + b"\x00" * 12) is None
 
     def test_decode_image_meta_real_headers(self, spark):
         rows = [

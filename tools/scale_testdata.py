@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -75,7 +76,9 @@ def scale(src: str, out: str, factor: int) -> None:
         dst = os.path.join(out, f)
         pq.write_table(merged, dst + ".tmp", row_group_size=rg)
         os.replace(dst + ".tmp", dst)
-        print(f"{name}: {table.num_rows} -> {merged.num_rows}")
+        # stderr: bench.py imports scale() and its stdout must stay a
+        # single JSON line for the driver
+        print(f"{name}: {table.num_rows} -> {merged.num_rows}", file=sys.stderr)
 
 
 def main() -> None:

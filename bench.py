@@ -210,6 +210,7 @@ def _sf1_section(spark, qs, bench_queries, iters=3):
     dk = _duckdb_baseline(sf1, bench_queries, iters)
     if dk:
         out["duckdb_total_sec"] = round(sum(dk.values()), 3)
+        out["duckdb_queries"] = dk
         out["vs_duckdb"] = round(out["total_sec"] / out["duckdb_total_sec"], 2)
     return out
 

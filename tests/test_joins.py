@@ -187,6 +187,21 @@ class TestIntervalJoins:
         got = sorted(r.id for r in interval_join_points(pts, "t", iv, "lo", "hi", bin_width=7.0).collect())
         assert got == [1, 2]  # closed interval: both endpoints in, 20.5 out
 
+    def test_asof_single_shuffle(self, spark):
+        l = spark.range(1000).selectExpr("id % 10 AS k", "CAST(id AS double) AS t", "id AS lv")
+        r = spark.range(100).selectExpr("id % 10 AS k", "CAST(id * 7 AS double) AS t", "id AS rv")
+        import re
+
+        for direction in ("backward", "nearest"):
+            plan = (
+                asof_join(l, r, on="t", by=["k"], direction=direction)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            n = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+            # the 1-shuffle contract: one hash exchange on the by-keys;
+            # nearest's second window pass re-sorts WITHOUT re-shuffling
+            assert n == 1, f"{direction}: {n} exchanges\n{plan[:1500]}"
+
     def test_no_nested_loop_in_plans(self, clicks, errors):
         iv = errors.select(
             "user_id", F.col("ts").alias("lo"),

@@ -1,0 +1,41 @@
+"""bench.py driver-contract smoke: exits 0 and stdout is EXACTLY one
+JSON line with the promised keys.
+
+Round-3 lessons, both of which this test catches in pytest instead of
+at driver time: (1) a testdata type drift aborted the suite mid-bench;
+(2) sf1 staging progress prints leaked into stdout and broke the
+single-JSON-line contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_stdout_is_one_json_line():
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_ITERS="1",
+        SPARK_GRAFT_BENCH_SKIP_SF1="1",
+        SPARK_GRAFT_BENCH_SKIP_NATIVE="1",
+        SPARK_GRAFT_BENCH_SKIP_DUCKDB="1",
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        capture_output=True, text=True, timeout=600, env=env, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, f"stdout must be one JSON line, got {len(lines)}: {lines[:5]}"
+    out = json.loads(lines[0])
+    assert out["metric"] == "headline_queries_total_wall"
+    assert out["unit"] == "sec"
+    assert out["sf"] == 0.001
+    assert isinstance(out["value"], (int, float)) and out["value"] > 0
+    assert len(out["queries"]) >= 20
+    assert all(isinstance(v, (int, float)) for v in out["queries"].values())

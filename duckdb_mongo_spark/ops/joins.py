@@ -163,6 +163,26 @@ def _bin(df: DataFrame, col: str, width: float, c: Column | None = None) -> Colu
     return F.floor(_num(df, col, c) / F.lit(float(width))).cast("long")
 
 
+def _bin_seq(lo: Column, hi: Column, max_bins: int | None) -> Column:
+    """``sequence(lo, hi)`` with an optional per-interval explosion guard:
+    a bin_width far below the interval length multiplies rows by
+    length/width — at 10k+ bins per interval the "equi-join" degrades
+    into a disguised cross product. Fail loudly with the knob to turn
+    rather than letting the job OOM three stages later."""
+    if max_bins is None:
+        return F.sequence(lo, hi)
+    guard = F.assert_true(
+        hi - lo < F.lit(int(max_bins)),
+        F.concat(
+            F.lit("interval spans "), (hi - lo + 1).cast("string"),
+            F.lit(f" bins (max_bins_per_interval={max_bins}); raise bin_width "
+                  "or max_bins_per_interval"),
+        ),
+    )
+    # assert_true returns NULL on success; coalesce keeps the sequence
+    return F.coalesce(guard.cast("array<bigint>"), F.sequence(lo, hi))
+
+
 def interval_join_points(
     points: DataFrame,
     t_col: str,
@@ -172,6 +192,7 @@ def interval_join_points(
     on: list[str] | None = None,
     bin_width: float = 3600.0,
     iv_suffix: str = "_iv",
+    max_bins_per_interval: int | None = 10_000,
 ) -> DataFrame:
     """Inner-join each point row to every interval row with
     ``lo <= t <= hi`` (and equal ``on`` keys), as an equi-join.
@@ -195,9 +216,10 @@ def interval_join_points(
     iv = intervals.select([F.col(c).alias(f"__iv_{c}") for c in intervals.columns])
     iv = iv.withColumn(
         "__iv_bin",
-        F.explode(F.sequence(
+        F.explode(_bin_seq(
             _bin(intervals, lo_col, w, F.col(f"__iv_{lo_col}")),
             _bin(intervals, hi_col, w, F.col(f"__iv_{hi_col}")),
+            max_bins_per_interval,
         )),
     )
     cond = [F.col("__pt_bin") == F.col("__iv_bin")]
@@ -223,6 +245,7 @@ def interval_overlap_join(
     on: list[str] | None = None,
     bin_width: float = 3600.0,
     r_suffix: str = "_r",
+    max_bins_per_interval: int | None = 10_000,
 ) -> DataFrame:
     """All (left, right) pairs whose closed intervals overlap —
     ``l_lo <= r_hi AND r_lo <= l_hi`` (+ equal ``on`` keys) — emitted
@@ -237,15 +260,17 @@ def interval_overlap_join(
     on = list(on or [])
     w = float(bin_width)
     lv = left.withColumn(
-        "__l_bin", F.explode(F.sequence(_bin(left, l_lo, w), _bin(left, l_hi, w)))
+        "__l_bin",
+        F.explode(_bin_seq(_bin(left, l_lo, w), _bin(left, l_hi, w), max_bins_per_interval)),
     )
     # prefix-rename the right side — see interval_join_points
     rv = right.select([F.col(c).alias(f"__r_{c}") for c in right.columns])
     rv = rv.withColumn(
         "__r_bin",
-        F.explode(F.sequence(
+        F.explode(_bin_seq(
             _bin(right, r_lo, w, F.col(f"__r_{r_lo}")),
             _bin(right, r_hi, w, F.col(f"__r_{r_hi}")),
+            max_bins_per_interval,
         )),
     )
     cond = [F.col("__l_bin") == F.col("__r_bin")]

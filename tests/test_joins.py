@@ -187,6 +187,16 @@ class TestIntervalJoins:
         got = sorted(r.id for r in interval_join_points(pts, "t", iv, "lo", "hi", bin_width=7.0).collect())
         assert got == [1, 2]  # closed interval: both endpoints in, 20.5 out
 
+    def test_explosion_guard_fails_loudly(self, spark):
+        pts = spark.createDataFrame([(1, 5.0)], "id int, t double")
+        iv = spark.createDataFrame([(9, 0.0, 1e6)], "iid int, lo double, hi double")
+        with pytest.raises(Exception, match="max_bins_per_interval"):
+            interval_join_points(pts, "t", iv, "lo", "hi", bin_width=1.0).collect()
+        # raising the knob (or widening bins) lets the same join run
+        assert interval_join_points(
+            pts, "t", iv, "lo", "hi", bin_width=1.0, max_bins_per_interval=2_000_000
+        ).count() == 1
+
     def test_asof_single_shuffle(self, spark):
         l = spark.range(1000).selectExpr("id % 10 AS k", "CAST(id AS double) AS t", "id AS lv")
         r = spark.range(100).selectExpr("id % 10 AS k", "CAST(id * 7 AS double) AS t", "id AS rv")

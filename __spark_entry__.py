@@ -117,7 +117,8 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, t: str) -> DataFrame:
                 df = df.withColumn(
                     field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
                 )
-        return _parallelize(spark, df, path)
+        # a file can mix NANOS columns with micros/NTZ ones — normalize both
+        return _parallelize(spark, _tz_normalize(df), path)
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
 

@@ -165,15 +165,23 @@ def _sf1_dir() -> str | None:
     src = "/root/testdata/sf0.1"
     tables = ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]
-    # staleness check against the SOURCE files: the driver regenerates
-    # testdata between rounds (observed: events.ts nanos -> micros), and
-    # a stale staged copy would silently measure the old data
-    if all(
-        os.path.exists(os.path.join(out, f"{t}.parquet"))
-        and os.path.getmtime(os.path.join(out, f"{t}.parquet"))
-        > os.path.getmtime(os.path.join(src, f"{t}.parquet"))
-        for t in tables
-    ):
+
+    def _staged_fresh(t: str) -> bool:
+        # staleness check against the SOURCE files: the driver
+        # regenerates testdata between rounds (observed: events.ts
+        # nanos -> micros) and a stale staged copy would silently
+        # measure the old data. A missing/unreadable source (custom
+        # SPARK_GRAFT_SF1_DIR deployments) leaves the staged copy valid.
+        dst = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(dst):
+            return False
+        s = os.path.join(src, f"{t}.parquet")
+        try:
+            return (not os.path.exists(s)) or os.path.getmtime(dst) > os.path.getmtime(s)
+        except OSError:
+            return True
+
+    if all(_staged_fresh(t) for t in tables):
         return out
     try:
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
@@ -207,12 +215,20 @@ def _sf1_section(spark, qs, bench_queries, iters=3):
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
     out = {"total_sec": round(sum(timings.values()), 3), "queries": timings}
-    dk = _duckdb_baseline(sf1, bench_queries, iters)
+    _attach_duckdb(out, sf1, bench_queries, out["total_sec"], iters)
+    return out
+
+
+def _attach_duckdb(out: dict, sf_dir: str, bench_queries, total: float, iters: int = 3) -> None:
+    """Merge the same-host DuckDB calibration into ``out`` (honors
+    SPARK_GRAFT_BENCH_SKIP_DUCKDB for both the headline and sf1 passes)."""
+    if os.environ.get("SPARK_GRAFT_BENCH_SKIP_DUCKDB"):
+        return
+    dk = _duckdb_baseline(sf_dir, bench_queries, iters)
     if dk:
         out["duckdb_total_sec"] = round(sum(dk.values()), 3)
         out["duckdb_queries"] = dk
-        out["vs_duckdb"] = round(out["total_sec"] / out["duckdb_total_sec"], 2)
-    return out
+        out["vs_duckdb"] = round(total / out["duckdb_total_sec"], 2)
 
 
 def _duckdb_baseline(sf_dir: str, bench_queries, iters: int = 3) -> dict | None:
@@ -354,14 +370,9 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_DUCKDB"):
-        # same-host same-moment calibration: the vs-DuckDB RATIO is the
-        # stable statistic; absolute wall times swing with host load
-        dk = _duckdb_baseline(sf_dir, bench_queries, iters=3)
-        if dk:
-            out["duckdb_total_sec"] = round(sum(dk.values()), 3)
-            out["duckdb_queries"] = dk
-            out["vs_duckdb"] = round(total / out["duckdb_total_sec"], 2)
+    # same-host same-moment calibration: the vs-DuckDB RATIO is the
+    # stable statistic; absolute wall times swing with host load
+    _attach_duckdb(out, sf_dir, bench_queries, total)
     if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_NATIVE"):
         try:
             out["native_pipeline"] = _native_pipeline_section(spark, sf_dir, qs)

@@ -85,9 +85,10 @@ def asof_join(
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     by = list(by or [])
-    missing = [k for k in by if k not in right.columns]
-    if missing:
-        raise ValueError(f"by keys {missing} absent from right")
+    for side, df_ in (("right", right), ("left", left)):
+        missing = [k for k in by if k not in df_.columns]
+        if missing:
+            raise ValueError(f"by keys {missing} absent from {side}")
     if on in by:
         raise ValueError("'on' cannot also be a 'by' key")
 
@@ -96,6 +97,11 @@ def asof_join(
     out_names = {c: (c + suffix if c in left.columns else c) for c in rcols}
 
     r_ntz = right.schema[on].dataType.typeName() == "timestamp_ntz"
+
+    # SQL/DuckDB ASOF semantics: a NULL time matches nothing — drop
+    # null-time right rows (they could otherwise pair up through window
+    # null ordering) and null out matches for null-time left rows below
+    right = right.filter(F.col(on).isNotNull())
 
     l_tag = left.select(
         *[F.col(c) for c in left.columns],
@@ -150,7 +156,7 @@ def asof_join(
         )
 
     picked = (
-        unioned.withColumn(_MATCH, matched)
+        unioned.withColumn(_MATCH, F.when(F.col(_TIME).isNotNull(), matched))
         .filter(F.col(_SIDE) == 1)
     )
     return picked.select(
@@ -164,13 +170,20 @@ def _bin(df: DataFrame, col: str, width: float, c: Column | None = None) -> Colu
 
 
 def _bin_seq(lo: Column, hi: Column, max_bins: int | None) -> Column:
-    """``sequence(lo, hi)`` with an optional per-interval explosion guard:
-    a bin_width far below the interval length multiplies rows by
-    length/width — at 10k+ bins per interval the "equi-join" degrades
-    into a disguised cross product. Fail loudly with the knob to turn
-    rather than letting the job OOM three stages later."""
+    """``sequence(lo, hi)`` with two safety rails.
+
+    - Reversed interval (lo > hi — corrupt or empty input row): an empty
+      bin array, so explode drops the row. Matches the closed-interval
+      residual, which such a row can never satisfy — and avoids Spark's
+      ``sequence`` default of DESCENDING with step -1, which would
+      silently fabricate |lo-hi| bins per corrupt row.
+    - Explosion guard: a bin_width far below the interval length
+      multiplies rows by length/width — at 10k+ bins per interval the
+      "equi-join" degrades into a disguised cross product. Fail loudly
+      with the knob to turn rather than OOMing three stages later."""
+    empty = F.array().cast("array<bigint>")
     if max_bins is None:
-        return F.sequence(lo, hi)
+        return F.when(hi >= lo, F.sequence(lo, hi)).otherwise(empty)
     guard = F.assert_true(
         hi - lo < F.lit(int(max_bins)),
         F.concat(
@@ -180,7 +193,9 @@ def _bin_seq(lo: Column, hi: Column, max_bins: int | None) -> Column:
         ),
     )
     # assert_true returns NULL on success; coalesce keeps the sequence
-    return F.coalesce(guard.cast("array<bigint>"), F.sequence(lo, hi))
+    return F.when(
+        hi >= lo, F.coalesce(guard.cast("array<bigint>"), F.sequence(lo, hi))
+    ).otherwise(empty)
 
 
 def interval_join_points(

@@ -66,6 +66,8 @@ def hash_split(
     a single pass over the corpus instead of one filtered scan per
     split.
     """
+    if not splits:
+        raise ValueError("splits must be non-empty")
     total = sum(splits.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"split fractions sum to {total} > 1")

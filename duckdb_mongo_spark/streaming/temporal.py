@@ -116,8 +116,10 @@ def stream_stream_interval_join(
     for k in key_cols:
         eq = lw[k] == rw[k]
         on_expr = eq if on_expr is None else on_expr & eq
-    lo = F.expr(f"{left_ts} - INTERVAL {int(lower_seconds)} SECONDS")
-    hi = F.expr(f"{left_ts} + INTERVAL {int(upper_seconds)} SECONDS")
+    # attribute refs (lw[..]/rw[..]) keep same-named event-time columns
+    # unambiguous; fractional seconds survive via a float interval literal
+    lo = lw[left_ts] - F.expr(f"INTERVAL {float(lower_seconds)} SECONDS")
+    hi = lw[left_ts] + F.expr(f"INTERVAL {float(upper_seconds)} SECONDS")
     band = (rw[right_ts] >= lo) & (rw[right_ts] <= hi)
     on_expr = band if on_expr is None else on_expr & band
     return lw.join(rw, on_expr, how)

@@ -134,6 +134,23 @@ class TestAsofJoin:
             asof_join(df, df, on="t", by=["missing"])
         with pytest.raises(ValueError):
             asof_join(df, df, on="t", by=["t"])
+        with pytest.raises(ValueError, match="left"):
+            # by key present on right only must fail at the API, not as
+            # an unresolved-column error inside the window expression
+            asof_join(df.drop("k"), df, on="t", by=["k"])
+
+    def test_null_times_never_match(self, spark):
+        # SQL/DuckDB ASOF: NULL never matches — null-t left rows keep
+        # NULL payload, null-t right rows are invisible to everyone
+        left = spark.createDataFrame([(1, None), (1, 5.0)], "k int, t double")
+        right = spark.createDataFrame(
+            [(1, 3.0, "early"), (1, None, "nullts")], "k int, t double, v string"
+        )
+        for direction in ("backward", "forward", "nearest"):
+            rows = {r.t: r.v for r in asof_join(
+                left, right, on="t", by=["k"], direction=direction).collect()}
+            assert rows[None] is None, direction
+            assert rows[5.0] == ("early" if direction != "forward" else None), direction
 
 
 class TestIntervalJoins:
@@ -186,6 +203,25 @@ class TestIntervalJoins:
         iv = spark.createDataFrame([(9, 10.0, 20.0)], "iid int, lo double, hi double")
         got = sorted(r.id for r in interval_join_points(pts, "t", iv, "lo", "hi", bin_width=7.0).collect())
         assert got == [1, 2]  # closed interval: both endpoints in, 20.5 out
+
+    def test_reversed_interval_matches_nothing(self, spark):
+        # corrupt lo>hi rows: closed-interval semantics say no match —
+        # and Spark's sequence() must not fabricate a DESCENDING bin
+        # array (its default step is -1 when start > stop)
+        pts = spark.createDataFrame([(1, 5.0)], "id int, t double")
+        iv = spark.createDataFrame(
+            [(9, 50000.0, 0.0), (8, 0.0, 10.0)], "iid int, lo double, hi double"
+        )
+        rows = interval_join_points(
+            pts, "t", iv, "lo", "hi", bin_width=1.0, max_bins_per_interval=100
+        ).collect()
+        assert [r.iid for r in rows] == [8]
+        lv = spark.createDataFrame([(1, 3.0, 7.0)], "lid int, lo double, hi double")
+        got = interval_overlap_join(
+            lv, "lo", "hi", iv.toDF("rid", "lo", "hi"), "lo", "hi",
+            bin_width=1.0, max_bins_per_interval=100,
+        ).collect()
+        assert [r.rid for r in got] == [8]
 
     def test_explosion_guard_fails_loudly(self, spark):
         pts = spark.createDataFrame([(1, 5.0)], "id int, t double")

@@ -104,6 +104,8 @@ class TestHashSplit:
     def test_rejects_oversum(self, spark):
         with pytest.raises(ValueError):
             hash_split(spark.range(1), "id", {"a": 0.8, "b": 0.3})
+        with pytest.raises(ValueError, match="non-empty"):
+            hash_split(spark.range(1), "id", {})
 
     def test_no_shuffle_in_plan(self, docs):
         plan = (

@@ -151,3 +151,28 @@ class TestStreamStreamIntervalJoin:
         )
         assert got == want
         assert len(got) == 2
+
+    def test_same_named_ts_columns_and_fractional_band(self, spark, tmp_path):
+        # both streams naming their event-time column "ts" is the common
+        # case; the band must build from attribute refs, and fractional
+        # seconds must not be truncated
+        a = tmp_path / "a"
+        b = tmp_path / "b"
+        a.mkdir(); b.mkdir()
+        (a / "p.jsonl").write_text(json.dumps({"k": "x", "ts": "2024-01-01T10:00:00Z"}) + "\n")
+        (b / "p.jsonl").write_text(
+            json.dumps({"k": "x", "ts": "2024-01-01T10:00:00.400Z"}) + "\n"
+            + json.dumps({"k": "x", "ts": "2024-01-01T10:00:00.900Z"}) + "\n"
+        )
+        ldf = spark.readStream.schema("k string, ts timestamp").json(str(a))
+        rdf = spark.readStream.schema("k string, ts timestamp").json(str(b))
+        out = stream_stream_interval_join(
+            ldf, rdf, ["k"], "ts", "ts", lower_seconds=0, upper_seconds=0.5,
+        )
+        q = (
+            out.writeStream.format("memory").queryName("fracband")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM fracband").collect()
+        assert len(rows) == 1  # only the 0.4s click is inside the 0.5s band

@@ -149,3 +149,18 @@ class TestBucketFunction:
             .collect()[0]
         )
         assert vals[0] >= 0 and vals[1] < PPM
+
+    def test_bucket_matches_reference_md5(self, spark):
+        # the Spark expression must equal the portable definition
+        # (md5 hex prefix as int) for arbitrary keys incl. unicode
+        import hashlib
+
+        keys = [str(i) for i in range(50)] + ["", "héllo wörld", "a b\tc", "0" * 64]
+        df = spark.createDataFrame([(k,) for k in keys], "k string")
+        got = {
+            r.k: r.b
+            for r in df.select("k", hash_bucket(F.col("k"), "s").alias("b")).collect()
+        }
+        for k in keys:
+            want = int(hashlib.md5(f"s:{k}".encode()).hexdigest()[:15], 16) % PPM
+            assert got[k] == want, k

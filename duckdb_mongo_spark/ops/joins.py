@@ -60,6 +60,7 @@ def asof_join(
     direction: str = "backward",
     tolerance: float | None = None,
     suffix: str = "_right",
+    salt: int | None = None,
 ) -> DataFrame:
     """Attach to each left row the single right row nearest in ``on``
     under ``direction``, matching equal ``by`` keys (left-outer: rows
@@ -81,6 +82,14 @@ def asof_join(
     window partition, the same bound as any windowed query. Without
     ``by`` the window is global (single partition): correct, but meant
     for small/keyless inputs only.
+
+    ``salt``: LEFT-side skew escape hatch. With ``salt=S`` each left row
+    lands in one of S sub-partitions per key while every right row is
+    replicated to all S — each sub-window still sees the key's full
+    right history, so results are bit-identical (property-tested), but a
+    hot key's billions of left rows sort as S windows on S cores instead
+    of one. Cost: right side × S. Use when left skew dominates and the
+    per-key right side is modest (events-to-quotes shape).
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
@@ -91,6 +100,20 @@ def asof_join(
             raise ValueError(f"by keys {missing} absent from {side}")
     if on in by:
         raise ValueError("'on' cannot also be a 'by' key")
+
+    if salt is not None:
+        if salt < 2:
+            raise ValueError("salt must be >= 2")
+        sc = "__asof_salt"
+        l2 = left.withColumn(
+            sc, F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)).cast("int")
+        )
+        r2 = right.withColumn(sc, F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+        out = asof_join(
+            l2, r2, on=on, by=[*by, sc], direction=direction,
+            tolerance=tolerance, suffix=suffix,
+        )
+        return out.drop(sc)
 
     rcols = [c for c in right.columns if c not in by]  # payload incl. `on`
     payload_t = StructType([StructField(c, right.schema[c].dataType) for c in rcols])

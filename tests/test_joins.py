@@ -233,6 +233,25 @@ class TestIntervalJoins:
             pts, "t", iv, "lo", "hi", bin_width=1.0, max_bins_per_interval=2_000_000
         ).count() == 1
 
+    def test_salted_asof_identical_results(self, clicks, errors):
+        base = sorted(
+            (r.event_id, r.ts_right, r.value)
+            for r in asof_join(clicks, errors, on="ts", by=["user_id"]).collect()
+        )
+        for direction in ("backward", "nearest"):
+            want = sorted(
+                (r.event_id, r.ts_right, r.value)
+                for r in asof_join(clicks, errors, on="ts", by=["user_id"],
+                                   direction=direction).collect()
+            )
+            salted = sorted(
+                (r.event_id, r.ts_right, r.value)
+                for r in asof_join(clicks, errors, on="ts", by=["user_id"],
+                                   direction=direction, salt=4).collect()
+            )
+            assert salted == want
+        assert base  # non-vacuous
+
     def test_asof_single_shuffle(self, spark):
         l = spark.range(1000).selectExpr("id % 10 AS k", "CAST(id AS double) AS t", "id AS lv")
         r = spark.range(100).selectExpr("id % 10 AS k", "CAST(id * 7 AS double) AS t", "id AS rv")

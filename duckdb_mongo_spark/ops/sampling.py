@@ -119,6 +119,26 @@ def stratified_hash_sample(
     return df.filter(hash_bucket(F.col(key_col), salt) < thresh)
 
 
+def weighted_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    weight: Column | str,
+    salt: str = "",
+) -> DataFrame:
+    """Per-row keep-probability sampling: keep a row iff its hash bucket
+    falls under ``weight`` (a column/expression in [0, 1], e.g. a quality
+    score) — deterministic per (salt, key) like the uniform variant.
+
+    The standard quality-weighted corpus selection: rows keep
+    independently with probability = weight, but reproducibly — re-runs
+    and engine changes keep exactly the same rows. Out-of-range weights
+    are clamped; NULL weights drop the row. Zero-shuffle.
+    """
+    w = F.col(weight) if isinstance(weight, str) else weight
+    thresh = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0)) * PPM
+    return df.filter(hash_bucket(F.col(key_col), salt) < thresh)
+
+
 def oracle_bucket_sql(key_expr: str, salt: str = "", buckets: int = PPM) -> str:
     """DuckDB SQL reproducing :func:`hash_bucket` bit-for-bit (for
     oracles and cross-engine audits)."""

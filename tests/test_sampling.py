@@ -140,6 +140,36 @@ class TestStratifiedSample:
         assert out.count() == docs.filter(F.col("lang") != "en").count()
 
 
+class TestWeightedSample:
+    def test_matches_duckdb_and_clamps(self, docs, con):
+        from duckdb_mongo_spark.ops.sampling import weighted_hash_sample
+
+        # weight from data: longer docs keep with higher probability;
+        # the *2e-4 factor pushes some docs over 1.0 to exercise clamping
+        w = (F.col("n_chars") * 2e-4)
+        got = sorted(
+            r.doc_id
+            for r in weighted_hash_sample(docs, "doc_id", w, salt="wq").select("doc_id").collect()
+        )
+        b = oracle_bucket_sql("doc_id", "wq")
+        want = [
+            r[0] for r in con.execute(
+                f"""SELECT doc_id FROM documents
+                    WHERE {b} < LEAST(GREATEST(n_chars * 2e-4, 0.0), 1.0) * {PPM}
+                    ORDER BY doc_id"""
+            ).fetchall()
+        ]
+        assert got == want
+        assert 0 < len(got) < docs.count()
+
+    def test_null_weight_drops_row(self, spark):
+        from duckdb_mongo_spark.ops.sampling import weighted_hash_sample
+
+        df = spark.createDataFrame([(1, None), (2, 1.0)], "id int, w double")
+        got = [r.id for r in weighted_hash_sample(df, "id", "w").collect()]
+        assert got == [2]
+
+
 class TestBucketFunction:
     def test_range_and_determinism(self, spark):
         vals = (

@@ -8,6 +8,6 @@ Determinism contract: every hash used here is md5-based (identical
 across engines) so results are verifiable against a DuckDB oracle.
 """
 
-from duckdb_mongo_spark.ops import dedup, joins, multimodal, sampling, similarity, text
+from duckdb_mongo_spark.ops import dedup, joins, multimodal, rollup, sampling, similarity, text
 
-__all__ = ["dedup", "joins", "multimodal", "sampling", "similarity", "text"]
+__all__ = ["dedup", "joins", "multimodal", "rollup", "sampling", "similarity", "text"]

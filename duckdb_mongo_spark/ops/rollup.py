@@ -1,0 +1,141 @@
+"""Hypertable-style multi-resolution time rollups.
+
+``time_rollup`` computes windowed aggregates at several time
+granularities (minute → hour → day → ...) while scanning the raw data
+ONCE: only the finest resolution aggregates from raw rows; every
+coarser level re-aggregates the previous level's partials. At 100 TB
+that is the difference between one fact-table scan and one per
+resolution — re-aggregation inputs shrink by orders of magnitude per
+level (the continuous-aggregate design of timeseries stores, expressed
+as plain Spark aggregations).
+
+Associativity makes this exact for sum/count/min/max; ``avg`` is
+requested as sum+count and finalized as a derived column at every
+level (never averaged-of-averages). The DuckDB oracle aggregates each
+resolution directly from raw rows, so tests prove the re-aggregation
+path equals the direct path.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# date_trunc units, finest → coarsest (subset that re-nests cleanly;
+# week intentionally absent: ISO weeks do not nest inside months)
+RESOLUTIONS = ["second", "minute", "hour", "day", "month", "year"]
+
+_MERGE = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    metrics: dict[str, tuple[str, str]],
+    group_cols: list[str] | None = None,
+    resolutions: list[str] | None = None,
+    bucket_col: str = "bucket",
+    resolution_col: str = "resolution",
+    cache_partials: bool = True,
+) -> DataFrame:
+    """Aggregates at every requested resolution, single raw scan.
+
+    ``metrics``: out_name → (agg, col) with agg ∈ sum|count|min|max|avg;
+    ``count`` counts non-null values of col (use ``avg``'s count or a
+    non-null col for COUNT(*) shapes). Output = group_cols + bucket
+    (truncated timestamp) + resolution (unit string) + metric columns,
+    one row-set per resolution unioned together.
+
+    Coarser levels re-aggregate the finest level's partials: counts sum,
+    sums sum, min/max re-min/max, avg finalizes from carried sum+count.
+
+    ``cache_partials`` (default on) persists + eagerly materializes the
+    finest level: Spark does NOT share a common subplan across union
+    branches, so without it every resolution re-scans the raw table —
+    the exact cost this operator exists to avoid. The cached partials
+    are tiny relative to raw (one row per finest bucket × group); Spark
+    evicts them LRU, or unpersist via ``spark.catalog.clearCache()``.
+    For a persistent continuous aggregate, write the finest level to a
+    table and roll up from there instead.
+    """
+    group_cols = list(group_cols or [])
+    resolutions = list(resolutions or ["minute", "hour", "day"])
+    bad = [r for r in resolutions if r not in RESOLUTIONS]
+    if bad:
+        raise ValueError(f"unsupported resolutions {bad}; pick from {RESOLUTIONS}")
+    order = sorted(resolutions, key=RESOLUTIONS.index)
+    if not metrics:
+        raise ValueError("metrics must be non-empty")
+
+    # partial (mergeable) state per metric at the finest level
+    partial_aggs = []
+    seen: set[str] = set()
+
+    def _add(name, expr):
+        if name not in seen:
+            seen.add(name)
+            partial_aggs.append(expr.alias(name))
+
+    for out, (agg, col) in metrics.items():
+        if agg in ("sum", "min", "max"):
+            _add(f"__p_{out}", _MERGE[agg](F.col(col)))
+        elif agg == "count":
+            _add(f"__p_{out}", F.count(F.col(col)))
+        elif agg == "avg":
+            _add(f"__p_{out}__sum", F.sum(F.col(col)))
+            _add(f"__p_{out}__cnt", F.count(F.col(col)))
+        else:
+            raise ValueError(f"unsupported agg {agg!r} for metric {out!r}")
+
+    finest = order[0]
+    level = (
+        df.groupBy(F.date_trunc(finest, F.col(ts_col)).alias(bucket_col), *group_cols)
+        .agg(*partial_aggs)
+    )
+    if cache_partials and len(order) > 1:
+        level = level.persist()
+        level.count()  # materialize: ONE raw scan feeds every level
+
+    def _merge_aggs():
+        out = []
+        for out_name, (agg, _col) in metrics.items():
+            if agg in ("sum", "count"):
+                out.append(F.sum(f"__p_{out_name}").alias(f"__p_{out_name}"))
+            elif agg in ("min", "max"):
+                out.append(_MERGE[agg](f"__p_{out_name}").alias(f"__p_{out_name}"))
+            else:  # avg: merge carried partials
+                out.append(F.sum(f"__p_{out_name}__sum").alias(f"__p_{out_name}__sum"))
+                out.append(F.sum(f"__p_{out_name}__cnt").alias(f"__p_{out_name}__cnt"))
+        # dedupe aliases (a metric name can only appear once, but guard anyway)
+        names = set()
+        uniq = []
+        for e in out:
+            n = e._jc.toString()
+            if n not in names:
+                names.add(n)
+                uniq.append(e)
+        return uniq
+
+    def _finalize(lv: DataFrame, unit: str) -> DataFrame:
+        cols = [F.col(c) for c in group_cols]
+        cols.append(F.col(bucket_col))
+        cols.append(F.lit(unit).alias(resolution_col))
+        for out_name, (agg, _col) in metrics.items():
+            if agg == "avg":
+                cols.append(
+                    (F.col(f"__p_{out_name}__sum") / F.col(f"__p_{out_name}__cnt")).alias(out_name)
+                )
+            else:
+                cols.append(F.col(f"__p_{out_name}").alias(out_name))
+        return lv.select(*cols)
+
+    outputs = [_finalize(level, finest)]
+    for unit in order[1:]:
+        level = (
+            level.groupBy(F.date_trunc(unit, F.col(bucket_col)).alias(bucket_col), *group_cols)
+            .agg(*_merge_aggs())
+        )
+        outputs.append(_finalize(level, unit))
+    return reduce(DataFrame.unionByName, outputs)

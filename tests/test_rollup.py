@@ -1,0 +1,75 @@
+"""Multi-resolution time rollup vs direct-from-raw DuckDB aggregation.
+
+The operator re-aggregates coarser levels from the finest level's
+partials; the oracle aggregates every resolution directly from raw
+rows — equality proves the merge path (incl. avg-from-carried-partials,
+never average-of-averages).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_mongo_spark.ops.rollup import time_rollup
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    return entry._load_table(spark, sf_dir, "events")
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    from _oracle import duckdb_con
+
+    return duckdb_con(sf_dir)
+
+
+class TestTimeRollup:
+    def test_three_levels_match_duckdb(self, events, con):
+        from _oracle import compare
+
+        out = time_rollup(
+            events,
+            "ts",
+            metrics={
+                "total": ("sum", "value"),
+                "n": ("count", "event_id"),
+                "lo": ("min", "value"),
+                "hi": ("max", "value"),
+                "mean": ("avg", "value"),
+            },
+            group_cols=["event_type"],
+            resolutions=["hour", "day", "month"],
+        )
+        one = """
+            SELECT event_type, date_trunc('{u}', ts) AS bucket, '{u}' AS resolution,
+                   SUM(value) AS total, COUNT(event_id) AS n,
+                   MIN(value) AS lo, MAX(value) AS hi, AVG(value) AS mean
+            FROM events GROUP BY 1, 2
+        """
+        sql = " UNION ALL ".join(one.format(u=u) for u in ("hour", "day", "month"))
+        res = compare(out, con, sql)
+        assert res["value_match"], res
+        assert res["rows_spark"] > 100
+
+    def test_single_scan_via_cached_partials(self, events):
+        out = time_rollup(
+            events, "ts", metrics={"n": ("count", "event_id")}, resolutions=["minute", "hour", "day"]
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # every level must read the materialized finest partials, not
+        # rescan the fact table (Spark does not share union subplans)
+        assert "InMemoryTableScan" in plan, plan[:2000]
+        assert out.count() > 0
+
+    def test_rejects_bad_input(self, events):
+        with pytest.raises(ValueError):
+            time_rollup(events, "ts", metrics={}, resolutions=["hour"])
+        with pytest.raises(ValueError):
+            time_rollup(events, "ts", metrics={"n": ("count", "event_id")}, resolutions=["fortnight"])
+        with pytest.raises(ValueError):
+            time_rollup(events, "ts", metrics={"n": ("median", "value")}, resolutions=["hour"])

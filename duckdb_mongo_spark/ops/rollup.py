@@ -108,15 +108,7 @@ def time_rollup(
             else:  # avg: merge carried partials
                 out.append(F.sum(f"__p_{out_name}__sum").alias(f"__p_{out_name}__sum"))
                 out.append(F.sum(f"__p_{out_name}__cnt").alias(f"__p_{out_name}__cnt"))
-        # dedupe aliases (a metric name can only appear once, but guard anyway)
-        names = set()
-        uniq = []
-        for e in out:
-            n = e._jc.toString()
-            if n not in names:
-                names.add(n)
-                uniq.append(e)
-        return uniq
+        return out
 
     def _finalize(lv: DataFrame, unit: str) -> DataFrame:
         cols = [F.col(c) for c in group_cols]

@@ -105,8 +105,19 @@ def asof_join(
         if salt < 2:
             raise ValueError("salt must be >= 2")
         sc = "__asof_salt"
+        # md5 over string-cast columns: honors the ops determinism
+        # contract (md5 everywhere) and accepts ALL column types incl.
+        # maps, which hash()/xxhash64 reject. Salt ASSIGNMENT does not
+        # affect results (each sub-window sees the key's full right
+        # history) — but it must be deterministic for shuffle retries.
+        # Limitation: full-row duplicates share a sub-partition.
+        row_str = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in left.columns])
         l2 = left.withColumn(
-            sc, F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)).cast("int")
+            sc,
+            F.pmod(
+                F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("bigint"),
+                F.lit(salt),
+            ).cast("int"),
         )
         r2 = right.withColumn(sc, F.explode(F.array(*[F.lit(i) for i in range(salt)])))
         out = asof_join(

@@ -65,7 +65,7 @@ def time_rollup(
     bad = [r for r in resolutions if r not in RESOLUTIONS]
     if bad:
         raise ValueError(f"unsupported resolutions {bad}; pick from {RESOLUTIONS}")
-    order = sorted(resolutions, key=RESOLUTIONS.index)
+    order = sorted(set(resolutions), key=RESOLUTIONS.index)  # dedupe: a repeated unit must not double-emit its level
     if not metrics:
         raise ValueError("metrics must be non-empty")
 
@@ -74,9 +74,12 @@ def time_rollup(
     seen: set[str] = set()
 
     def _add(name, expr):
-        if name not in seen:
-            seen.add(name)
-            partial_aggs.append(expr.alias(name))
+        if name in seen:
+            # e.g. metrics {'x': ('avg', ...), 'x__sum': ('sum', ...)} —
+            # silent dedupe would ship wrong values under the colliding name
+            raise ValueError(f"metric names collide on internal partial {name!r}; rename one metric")
+        seen.add(name)
+        partial_aggs.append(expr.alias(name))
 
     for out, (agg, col) in metrics.items():
         if agg in ("sum", "min", "max"):

@@ -132,10 +132,13 @@ def weighted_hash_sample(
     The standard quality-weighted corpus selection: rows keep
     independently with probability = weight, but reproducibly — re-runs
     and engine changes keep exactly the same rows. Out-of-range weights
-    are clamped; NULL weights drop the row. Zero-shuffle.
+    are clamped; NULL and NaN weights drop the row (NaN would otherwise
+    clamp to 1.0 — Spark orders NaN above every double). Zero-shuffle.
     """
     w = F.col(weight) if isinstance(weight, str) else weight
-    thresh = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0)) * PPM
+    wd = w.cast("double")
+    clamped = F.least(F.greatest(wd, F.lit(0.0)), F.lit(1.0))
+    thresh = F.when(F.isnan(wd), F.lit(0.0)).otherwise(clamped) * PPM
     return df.filter(hash_bucket(F.col(key_col), salt) < thresh)
 
 

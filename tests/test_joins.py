@@ -252,6 +252,16 @@ class TestIntervalJoins:
             assert salted == want
         assert base  # non-vacuous
 
+    def test_salted_asof_accepts_map_columns(self, spark):
+        # hash()/xxhash64 reject MapType; the md5 string-cast salt must not
+        left = spark.createDataFrame(
+            [(1, 5.0, {"a": 1}), (1, 1.0, {"b": 2})],
+            "k int, t double, props map<string,int>",
+        )
+        right = spark.createDataFrame([(1, 3.0, "x")], "k int, t double, v string")
+        rows = {r.t: r.v for r in asof_join(left, right, on="t", by=["k"], salt=3).collect()}
+        assert rows == {5.0: "x", 1.0: None}
+
     def test_asof_single_shuffle(self, spark):
         l = spark.range(1000).selectExpr("id % 10 AS k", "CAST(id AS double) AS t", "id AS lv")
         r = spark.range(100).selectExpr("id % 10 AS k", "CAST(id * 7 AS double) AS t", "id AS rv")

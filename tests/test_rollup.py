@@ -73,3 +73,23 @@ class TestTimeRollup:
             time_rollup(events, "ts", metrics={"n": ("count", "event_id")}, resolutions=["fortnight"])
         with pytest.raises(ValueError):
             time_rollup(events, "ts", metrics={"n": ("median", "value")}, resolutions=["hour"])
+        # an avg metric's derived partials must not collide with another
+        # metric's name — silent dedupe would ship wrong values
+        with pytest.raises(ValueError, match="collide"):
+            time_rollup(
+                events, "ts",
+                metrics={"x": ("avg", "value"), "x__sum": ("sum", "value")},
+                resolutions=["hour"],
+            )
+
+    def test_duplicate_resolutions_emit_once(self, events):
+        out = time_rollup(
+            events, "ts", metrics={"n": ("count", "event_id")},
+            resolutions=["hour", "day", "hour"],
+        )
+        per_res = {r["resolution"]: r["cnt"] for r in
+                   out.groupBy("resolution").agg(F.count("*").alias("cnt")).collect()}
+        direct = time_rollup(
+            events, "ts", metrics={"n": ("count", "event_id")}, resolutions=["hour"]
+        ).count()
+        assert per_res["hour"] == direct  # not doubled

@@ -162,11 +162,15 @@ class TestWeightedSample:
         assert got == want
         assert 0 < len(got) < docs.count()
 
-    def test_null_weight_drops_row(self, spark):
+    def test_null_and_nan_weights_drop_row(self, spark):
         from duckdb_mongo_spark.ops.sampling import weighted_hash_sample
 
-        df = spark.createDataFrame([(1, None), (2, 1.0)], "id int, w double")
+        df = spark.createDataFrame(
+            [(1, None), (2, 1.0), (3, float("nan"))], "id int, w double"
+        )
         got = [r.id for r in weighted_hash_sample(df, "id", "w").collect()]
+        # NaN clamps to 1.0 under least/greatest (NaN sorts above all
+        # doubles) — it must drop like NULL, not always-keep
         assert got == [2]
 
 

@@ -42,14 +42,20 @@ def time_rollup(
 ) -> DataFrame:
     """Aggregates at every requested resolution, single raw scan.
 
-    ``metrics``: out_name → (agg, col) with agg ∈ sum|count|min|max|avg;
+    ``metrics``: out_name → (agg, col) with agg ∈
+    sum|count|min|max|avg|approx_distinct;
     ``count`` counts non-null values of col (use ``avg``'s count or a
     non-null col for COUNT(*) shapes). Output = group_cols + bucket
     (truncated timestamp) + resolution (unit string) + metric columns,
     one row-set per resolution unioned together.
 
     Coarser levels re-aggregate the finest level's partials: counts sum,
-    sums sum, min/max re-min/max, avg finalizes from carried sum+count.
+    sums sum, min/max re-min/max, avg finalizes from carried sum+count,
+    and approx_distinct carries a DataSketches HLL sketch per bucket
+    (``hll_sketch_agg`` → ``hll_union_agg`` → estimate at output) —
+    distinct counts cannot be summed across buckets, but sketches union
+    losslessly, which is how continuous aggregates keep uniques exact
+    to sketch precision at every resolution.
 
     ``cache_partials`` (default on) persists + eagerly materializes the
     finest level: Spark does NOT share a common subplan across union
@@ -89,6 +95,11 @@ def time_rollup(
         elif agg == "avg":
             _add(f"__p_{out}__sum", F.sum(F.col(col)))
             _add(f"__p_{out}__cnt", F.count(F.col(col)))
+        elif agg == "approx_distinct":
+            # mergeable DataSketches HLL: distinct counts do NOT sum
+            # across buckets, but their sketches union exactly — the one
+            # metric a naive re-aggregating rollup silently gets wrong
+            _add(f"__p_{out}__hll", F.hll_sketch_agg(F.col(col)))
         else:
             raise ValueError(f"unsupported agg {agg!r} for metric {out!r}")
 
@@ -108,6 +119,8 @@ def time_rollup(
                 out.append(F.sum(f"__p_{out_name}").alias(f"__p_{out_name}"))
             elif agg in ("min", "max"):
                 out.append(_MERGE[agg](f"__p_{out_name}").alias(f"__p_{out_name}"))
+            elif agg == "approx_distinct":
+                out.append(F.hll_union_agg(f"__p_{out_name}__hll").alias(f"__p_{out_name}__hll"))
             else:  # avg: merge carried partials
                 out.append(F.sum(f"__p_{out_name}__sum").alias(f"__p_{out_name}__sum"))
                 out.append(F.sum(f"__p_{out_name}__cnt").alias(f"__p_{out_name}__cnt"))
@@ -122,6 +135,8 @@ def time_rollup(
                 cols.append(
                     (F.col(f"__p_{out_name}__sum") / F.col(f"__p_{out_name}__cnt")).alias(out_name)
                 )
+            elif agg == "approx_distinct":
+                cols.append(F.hll_sketch_estimate(f"__p_{out_name}__hll").alias(out_name))
             else:
                 cols.append(F.col(f"__p_{out_name}").alias(out_name))
         return lv.select(*cols)

@@ -66,6 +66,33 @@ class TestTimeRollup:
         assert "InMemoryTableScan" in plan, plan[:2000]
         assert out.count() > 0
 
+    def test_approx_distinct_unions_not_sums(self, events, con):
+        out = time_rollup(
+            events, "ts",
+            metrics={"users": ("approx_distinct", "user_id"), "n": ("count", "event_id")},
+            resolutions=["hour", "day"],
+        ).filter(F.col("resolution") == "day")
+        got = {str(r.bucket): r.users for r in out.collect()}
+        exact = dict(con.execute(
+            "SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR), COUNT(DISTINCT user_id)"
+            " FROM events GROUP BY 1"
+        ).fetchall())
+        assert got.keys() == exact.keys()
+        for k, est in got.items():
+            # day-level sketches are UNIONS of hour-level sketches; a
+            # summing rollup would report ~sum of hourly distincts (far
+            # larger). HLL lgk=12 error ~1.6%; allow 5%.
+            assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
+        # prove the sum-trap is material on this data: hourly distincts
+        # summed over a day exceed the day's true distinct count
+        hourly_sum = dict(con.execute(
+            """SELECT CAST(CAST(d AS TIMESTAMP) AS VARCHAR), SUM(u) FROM (
+                 SELECT date_trunc('day', ts) AS d, date_trunc('hour', ts) AS h,
+                        COUNT(DISTINCT user_id) AS u
+                 FROM events GROUP BY 1, 2) GROUP BY 1"""
+        ).fetchall())
+        assert any(hourly_sum[k] > exact[k] * 2 for k in exact), "data too sparse for the trap"
+
     def test_rejects_bad_input(self, events):
         with pytest.raises(ValueError):
             time_rollup(events, "ts", metrics={}, resolutions=["hour"])

@@ -41,13 +41,19 @@ def get_spark(app_name: str = "duckdb_mongo_spark", extra_conf: dict | None = No
         .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
-    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
-    for pair in filter(None, env_conf.split(";")):
-        k, _, v = pair.partition("=")
-        if k and v:
-            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # env passthrough LAST so a no-code-edit experiment wins over
+    # call-site extra_conf (its entire purpose)
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, (p.strip() for p in env_conf.split(";"))):
+        k, sep, v = (s.strip() for s in pair.partition("="))
+        if k and sep and v:
+            builder = builder.config(k, v)
+        else:
+            import warnings
+
+            warnings.warn(f"SPARK_GRAFT_EXTRA_CONF: ignoring malformed pair {pair!r}")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     register_data_source(spark)

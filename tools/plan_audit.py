@@ -48,8 +48,11 @@ def pushdown_evidence(plan: str) -> str:
     non_empty = [p for p in pushed if p.strip()]
     if non_empty:
         return f"{len(non_empty)} scan(s) with pushed filters"
-    if "MONGO_SCAN" in plan or "mongo_scan" in plan:
-        return "engine scan (pushdown in scan_description)"
+    if re.search(r"BatchScan duckdb_mongo", plan):
+        # Python DataSource scans carry pushdown in the scan payload,
+        # not in the plan string — asserted per-query by test_planner.py
+        # plan regexes and visible via MongoFrame.scan_description()
+        return "engine BatchScan (pushdown in scan_description)"
     return "—"
 
 
@@ -68,26 +71,30 @@ def main() -> None:
     cols = list(PATTERNS) + ["pushdown"]
     print("| query | " + " | ".join(cols) + " |")
     print("|" + "---|" * (len(cols) + 1))
+    flagged = []
     for name, fn in qs.items():
         try:
             df = fn(spark, sf_dir)
+            # execute first: under AQE the pre-execution plan is the
+            # INITIAL plan — runtime join conversions (the 64 MB AQE
+            # broadcast threshold this session relies on) only appear
+            # in the final plan, which is what a regression diff needs
+            df.collect()
             plan = df._jdf.queryExecution().executedPlan().toString()
+            # executed AdaptiveSparkPlan prints "== Final Plan ==" AND
+            # "== Initial Plan ==" — count only the final section, else
+            # every operator double-counts
+            plan = plan.split("== Initial Plan ==")[0]
             counts = audit_plan(plan)
             row = [str(counts[c]) for c in PATTERNS]
             row.append(pushdown_evidence(plan))
-            print(f"| {name} | " + " | ".join(row) + " |")
-        except Exception as exc:  # noqa: BLE001 — audit must cover the rest
-            print(f"| {name} | ERROR: {str(exc)[:80]} |")
-    flagged = []
-    print()
-    for name, fn in qs.items():
-        try:
-            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-            c = audit_plan(plan)
-            if (c["BNLJ"] or c["cartesian"]) and name not in ALLOWED_NESTED:
+            if (counts["BNLJ"] or counts["cartesian"]) and name not in ALLOWED_NESTED:
                 flagged.append(name)
-        except Exception:  # noqa: BLE001
-            pass
+        except Exception as exc:  # noqa: BLE001 — audit must cover the rest
+            msg = " ".join(str(exc).split())[:80].replace("|", "/")
+            row = ["-"] * len(PATTERNS) + [f"ERROR: {msg}"]
+        print(f"| {name} | " + " | ".join(row) + " |")
+    print()
     print(f"**Nested-loop/cartesian flags (excluding the documented broadcast-query exact scorers):** {flagged or 'none'}")
 
 

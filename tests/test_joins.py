@@ -198,6 +198,17 @@ class TestIntervalJoins:
         assert len(rows) == 1
         assert rows[0].rid == 7
 
+    def test_ntz_timestamps_in_interval_join(self, spark):
+        pts = spark.sql(
+            "SELECT 1 AS id, TIMESTAMP_NTZ'2024-01-01 10:30:00' AS t"
+        )
+        iv = spark.sql(
+            "SELECT 9 AS iid, TIMESTAMP_NTZ'2024-01-01 10:00:00' AS lo,"
+            " TIMESTAMP_NTZ'2024-01-01 11:00:00' AS hi"
+        )
+        rows = interval_join_points(pts, "t", iv, "lo", "hi", bin_width=3600.0).collect()
+        assert len(rows) == 1 and rows[0].iid == 9
+
     def test_point_on_boundary_included(self, spark):
         pts = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 20.5)], "id int, t double")
         iv = spark.createDataFrame([(9, 10.0, 20.0)], "iid int, lo double, hi double")

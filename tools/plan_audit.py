@@ -65,6 +65,10 @@ def main() -> None:
 
     spark = get_spark("plan_audit")
     qs = entry.queries()
+    only = os.environ.get("PLAN_AUDIT_ONLY")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        qs = {n: qs[n] for n in names if n in qs}
     print(f"# Physical-plan audit ({sf_dir}, Spark {spark.version})\n")
     print("Counts of plan operators per query. Red flags: any BNLJ/cartesian; "
           "SMJ where a side is dimension-sized; exchanges beyond the aggregation's need.\n")

@@ -39,7 +39,11 @@ def versioned_intervals(
 ) -> DataFrame:
     """Batch: (key, effective_from, payload) → half-open validity
     intervals — ``valid_to`` = next version's ``from`` within the key,
-    NULL for the current version. One window pass, shuffle on key."""
+    NULL for the current version. One window pass, shuffle on key.
+
+    Two versions sharing the same (key, from) make one interval empty
+    and the winner order-dependent — pre-aggregate duplicates away (the
+    same contract as asof_join's tied right rows, and as DuckDB ASOF)."""
     w = Window.partitionBy(*key_cols).orderBy(F.col(from_col).asc())
     return dim.withColumn(valid_to_col, F.lead(from_col).over(w))
 

@@ -13,7 +13,11 @@ from __future__ import annotations
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from duckdb_mongo_spark.ops.joins import asof_join, interval_overlap_join
+from duckdb_mongo_spark.ops.joins import (
+    asof_join,
+    interval_join_points,
+    interval_overlap_join,
+)
 
 _spark = None
 
@@ -83,6 +87,37 @@ iv_rows = st.lists(
     st.tuples(keys, times, st.integers(min_value=0, max_value=15)),
     min_size=0, max_size=6,
 )
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    prows=st.lists(st.tuples(keys, times), min_size=0, max_size=8),
+    rrows=iv_rows,
+    width=st.sampled_from([1.0, 3.0, 7.0, 50.0]),
+)
+def test_point_join_matches_bruteforce(prows, rrows, width):
+    spark = _get_spark()
+    p3 = [(i, k, t) for i, (k, t) in enumerate(prows)]
+    r3 = [(i, k, lo, lo + d) for i, (k, lo, d) in enumerate(rrows)]
+    pdf = spark.createDataFrame(p3 or [(0, 0, 0)], "pid int, k int, t int")
+    rdf = spark.createDataFrame(r3 or [(0, 0, 0, 0)], "iid int, k int, lo int, hi int")
+    if not p3:
+        pdf = pdf.filter("pid < 0")
+    if not r3:
+        rdf = rdf.filter("iid < 0")
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_join_points(
+            pdf, "t", rdf, "lo", "hi", on=["k"], bin_width=width
+        ).collect()
+    )
+    want = sorted(
+        (pid, iid)
+        for pid, pk, t in p3
+        for iid, rk, lo, hi in r3
+        if pk == rk and lo <= t <= hi
+    )
+    assert got == want
 
 
 @settings(max_examples=12, deadline=None)

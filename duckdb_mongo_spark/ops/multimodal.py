@@ -9,8 +9,13 @@ Design for 100 TB media pipelines:
   row-at-a-time Python
 - image metadata (width/height/mime) is REAL: ``decode_image_meta``
   parses PNG/GIF/JPEG container headers with the stdlib (no codec
-  library needed — see ``parse_image_header``); only pixel decode, which
-  genuinely needs a codec, stays out of scope. ``fake_decode_meta``
+  library needed — see ``parse_image_header``)
+- PIXEL/SAMPLE decode is REAL for the formats whose compression is in
+  the stdlib (``ops/codecs.py``): PNG (zlib), uncompressed BMP, PCM WAV
+  — ``image_pixel_features``, ``resize_image``, ``audio_pixel_features``
+  decode actual bytes to numpy arrays. JPEG/WebP/GIF-LZW entropy coding
+  genuinely needs a codec library; those payloads degrade to
+  header-metadata-only (never crash the pipeline). ``fake_decode_meta``
   remains the deterministic md5-derived stand-in for synthetic payloads
   so all Spark-side plumbing (schema, partitioning, UDF signatures,
   batch shapes) is testable without real media files.
@@ -287,6 +292,180 @@ def decode_audio_meta(df: DataFrame, media_col: str = "media") -> DataFrame:
             out["checksum"] = meta["checksum"]
             for k in ("channels", "sample_rate", "n_samples", "duration_ms"):
                 out[k] = _pd.array(meta[k], dtype="Int64")  # nullable long
+            yield out[[f.name for f in out_schema.fields]]
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("luma_mean", T.DoubleType()),
+        T.StructField("luma_std", T.DoubleType()),
+        T.StructField("aspect_ratio", T.DoubleType()),
+    ]
+)
+
+
+def image_pixel_features(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """REAL pixel decode + feature extraction for PNG / uncompressed BMP
+    payloads (in-repo stdlib+numpy codec, ``ops/codecs.py``): per-channel
+    means, Rec.601 luma mean/std, aspect ratio. Payloads the in-repo
+    codec can't decode (JPEG/WebP — entropy coding needs a codec
+    library) yield null features but still get mime via header parse.
+
+    Arrow-batched ``mapInPandas``; output = input schema minus payload
+    plus IMAGE_FEATURES_SCHEMA. Grayscale images report the gray mean in
+    all three channel slots."""
+    import pandas as _pd
+
+    from duckdb_mongo_spark.ops import codecs
+
+    df = ensure_min_parallelism(df)
+    in_fields = [f for f in df.schema.fields if f.name != media_col]
+    out_schema = T.StructType(in_fields + list(IMAGE_FEATURES_SCHEMA.fields))
+    names = [f.name for f in IMAGE_FEATURES_SCHEMA.fields]
+
+    def one(b: bytes) -> dict:
+        parsed = parse_image_header(b)
+        row = dict.fromkeys(names)
+        row["mime"] = parsed[0] if parsed else "application/octet-stream"
+        try:
+            arr = codecs.decode_image(b)
+        except codecs.CodecError:
+            if parsed:
+                row["width"], row["height"] = parsed[1], parsed[2]
+            return row
+        h, w = arr.shape[:2]
+        c = 1 if arr.ndim == 2 else arr.shape[2]
+        px = arr.reshape(h, w, c).astype("float64")
+        if c >= 3:
+            r, g, bch = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        else:
+            r = g = bch = px[:, :, 0]
+        luma = 0.299 * r + 0.587 * g + 0.114 * bch
+        row.update(
+            width=w, height=h, channels=c,
+            mean_r=float(r.mean()), mean_g=float(g.mean()), mean_b=float(bch.mean()),
+            luma_mean=float(luma.mean()), luma_std=float(luma.std()),
+            aspect_ratio=float(w) / float(h),
+        )
+        return row
+
+    def batches(it):
+        for pdf in it:
+            rows = [one(bytes(raw) if raw is not None else b"") for raw in pdf[media_col]]
+            out = pdf.drop(columns=[media_col]).copy()
+            out["mime"] = [r["mime"] for r in rows]
+            for k in ("width", "height", "channels"):
+                out[k] = _pd.array([r[k] for r in rows], dtype="Int64")
+            for k in ("mean_r", "mean_g", "mean_b", "luma_mean", "luma_std", "aspect_ratio"):
+                out[k] = _pd.array([r[k] for r in rows], dtype="Float64")
+            yield out[[f.name for f in out_schema.fields]]
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def resize_image(
+    df: DataFrame, width: int, height: int, media_col: str = "media"
+) -> DataFrame:
+    """REAL resize for decodable payloads: decode (PNG/BMP) →
+    nearest-neighbor resample → re-encode as PNG; the payload column is
+    REPLACED with the resized PNG and ``resized`` marks success.
+    Undecodable payloads pass through unchanged with ``resized=false``
+    (never dropped — a 100 TB pipeline wants the row, flagged, not an
+    executor-killing exception)."""
+    from duckdb_mongo_spark.ops import codecs
+
+    df = ensure_min_parallelism(df)
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("resized", T.BooleanType())]
+    )
+
+    def batches(it):
+        for pdf in it:
+            payloads, flags = [], []
+            for raw in pdf[media_col]:
+                b = bytes(raw) if raw is not None else b""
+                try:
+                    arr = codecs.decode_image(b)
+                    payloads.append(codecs.encode_png(codecs.resize_nearest(arr, width, height)))
+                    flags.append(True)
+                except codecs.CodecError:
+                    payloads.append(b)
+                    flags.append(False)
+            out = pdf.copy()
+            out[media_col] = payloads
+            out["resized"] = flags
+            yield out
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+    ]
+)
+
+
+def audio_pixel_features(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """REAL sample decode + features for PCM WAV payloads (in-repo
+    codec): RMS, peak amplitude, zero-crossing rate over the mono mix.
+    Non-WAV payloads yield null features. Same mapInPandas plumbing as
+    the image path; output = input minus payload + AUDIO_FEATURES_SCHEMA."""
+    import pandas as _pd
+
+    from duckdb_mongo_spark.ops import codecs
+
+    df = ensure_min_parallelism(df)
+    in_fields = [f for f in df.schema.fields if f.name != media_col]
+    out_schema = T.StructType(in_fields + list(AUDIO_FEATURES_SCHEMA.fields))
+    names = [f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+
+    def one(b: bytes) -> dict:
+        row = dict.fromkeys(names)
+        row["mime"] = "application/octet-stream"
+        try:
+            samples, rate = codecs.decode_wav(b)
+        except codecs.CodecError:
+            return row
+        n, ch = samples.shape
+        mono = samples.mean(axis=1)
+        import numpy as _np
+
+        crossings = int(_np.count_nonzero(_np.signbit(mono[1:]) != _np.signbit(mono[:-1])))
+        row.update(
+            mime="audio/wav", channels=ch, sample_rate=rate, n_samples=n,
+            duration_ms=n * 1000 // rate if rate else None,
+            rms=float(_np.sqrt((mono ** 2).mean())) if n else None,
+            peak=float(_np.abs(samples).max()) if n else None,
+            zero_crossing_rate=(crossings / (n - 1)) if n > 1 else None,
+        )
+        return row
+
+    def batches(it):
+        for pdf in it:
+            rows = [one(bytes(raw) if raw is not None else b"") for raw in pdf[media_col]]
+            out = pdf.drop(columns=[media_col]).copy()
+            out["mime"] = [r["mime"] for r in rows]
+            for k in ("channels", "sample_rate", "n_samples", "duration_ms"):
+                out[k] = _pd.array([r[k] for r in rows], dtype="Int64")
+            for k in ("rms", "peak", "zero_crossing_rate"):
+                out[k] = _pd.array([r[k] for r in rows], dtype="Float64")
             yield out[[f.name for f in out_schema.fields]]
 
     return df.mapInPandas(batches, schema=out_schema)

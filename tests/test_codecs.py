@@ -1,0 +1,312 @@
+"""In-repo media codecs (PNG / BMP / WAV) and the real-decode multimodal
+operators built on them.
+
+Oracle strategy: encoders and decoders are exercised round-trip
+(encode→decode == original array), plus hand-built streams for the
+decoder paths the encoder never emits (PNG filters 1-4, palette,
+top-down BMP, 8-bit WAV). Spark-side operators are checked against
+numpy computed directly on the same arrays.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from duckdb_mongo_spark.ops import codecs
+
+
+def _rng(seed=7):
+    return np.random.default_rng(seed)
+
+
+class TestPngRoundTrip:
+    @pytest.mark.parametrize("shape", [(5, 7), (4, 4, 2), (8, 3, 3), (2, 9, 4)])
+    def test_round_trip(self, shape):
+        arr = _rng().integers(0, 256, size=shape, dtype=np.uint8)
+        out = codecs.decode_png(codecs.encode_png(arr))
+        expect = arr[:, :, None] if arr.ndim == 2 else arr
+        np.testing.assert_array_equal(out, expect)
+
+    def test_known_pixel(self):
+        arr = np.zeros((2, 2, 3), dtype=np.uint8)
+        arr[0, 1] = [255, 128, 7]
+        out = codecs.decode_png(codecs.encode_png(arr))
+        assert out[0, 1].tolist() == [255, 128, 7]
+        assert out[1, 0].tolist() == [0, 0, 0]
+
+    def test_header_metadata_agrees(self):
+        from duckdb_mongo_spark.ops.multimodal import parse_image_header
+
+        b = codecs.encode_png(np.zeros((480, 640, 3), dtype=np.uint8))
+        assert parse_image_header(b) == ("image/png", 640, 480)
+
+
+def _png_with_filters(rows_rgb: np.ndarray, filters: list[int]) -> bytes:
+    """Hand-assemble a PNG whose scanlines use the given filter types,
+    computing the filtered bytes per the PNG spec (the inverse of what
+    the decoder must undo)."""
+    h, w, c = rows_rgb.shape
+    assert len(filters) == h
+    bpp = c
+    stride = w * c
+    flat = rows_rgb.reshape(h, stride).astype(np.int64)
+    out = bytearray()
+    for y, ft in enumerate(filters):
+        cur = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        line = np.zeros(stride, dtype=np.int64)
+        for x in range(stride):
+            a = cur[x - bpp] if x >= bpp else 0
+            b_ = prev[x]
+            cc = prev[x - bpp] if x >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b_
+            elif ft == 3:
+                pred = (a + b_) >> 1
+            else:  # Paeth
+                p = a + b_ - cc
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else cc)
+            line[x] = (cur[x] - pred) & 0xFF
+        out.append(ft)
+        out += bytes(line.astype(np.uint8))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        codecs._PNG_MAGIC
+        + codecs._png_chunk(b"IHDR", ihdr)
+        + codecs._png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + codecs._png_chunk(b"IEND", b"")
+    )
+
+
+class TestPngFilters:
+    def test_all_five_filters_decode(self):
+        arr = _rng(3).integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+        b = _png_with_filters(arr, [0, 1, 2, 3, 4])
+        np.testing.assert_array_equal(codecs.decode_png(b), arr)
+
+    def test_paeth_heavy(self):
+        arr = _rng(11).integers(0, 256, size=(7, 4, 3), dtype=np.uint8)
+        b = _png_with_filters(arr, [4] * 7)
+        np.testing.assert_array_equal(codecs.decode_png(b), arr)
+
+
+class TestPngPalette:
+    def _palette_png(self, idx: np.ndarray, palette: np.ndarray, trns: bytes | None = None):
+        h, w = idx.shape
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+        raw = b"".join(b"\x00" + bytes(idx[y]) for y in range(h))
+        chunks = codecs._png_chunk(b"IHDR", ihdr) + codecs._png_chunk(
+            b"PLTE", palette.astype(np.uint8).tobytes()
+        )
+        if trns is not None:
+            chunks += codecs._png_chunk(b"tRNS", trns)
+        chunks += codecs._png_chunk(b"IDAT", zlib.compress(raw))
+        chunks += codecs._png_chunk(b"IEND", b"")
+        return codecs._PNG_MAGIC + chunks
+
+    def test_palette_expands_to_rgb(self):
+        palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]])
+        idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+        out = codecs.decode_png(self._palette_png(idx, palette))
+        assert out.shape == (2, 2, 3)
+        assert out[0, 1].tolist() == [0, 255, 0]
+
+    def test_palette_trns_adds_alpha(self):
+        palette = np.array([[10, 20, 30], [40, 50, 60]])
+        idx = np.array([[0, 1]], dtype=np.uint8)
+        out = codecs.decode_png(self._palette_png(idx, palette, trns=bytes([128])))
+        assert out.shape == (1, 2, 4)
+        assert out[0, 0, 3] == 128  # tRNS entry 0
+        assert out[0, 1, 3] == 255  # beyond tRNS table -> opaque
+
+    def test_bad_palette_index_raises(self):
+        palette = np.array([[1, 2, 3]])
+        idx = np.array([[5]], dtype=np.uint8)
+        with pytest.raises(codecs.CodecError):
+            codecs.decode_png(self._palette_png(idx, palette))
+
+
+class TestPngRejections:
+    def test_not_png(self):
+        with pytest.raises(codecs.CodecError):
+            codecs.decode_png(b"JFIF not a png")
+
+    def test_truncated_idat(self):
+        b = codecs.encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+        # corrupt the IDAT body (flip bytes after the chunk tag)
+        i = b.index(b"IDAT")
+        bad = b[: i + 8] + b"\x00\x00\x00\x00" + b[i + 12 :]
+        with pytest.raises(codecs.CodecError):
+            codecs.decode_png(bad)
+
+    def test_16bit_rejected(self):
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+        b = (
+            codecs._PNG_MAGIC
+            + codecs._png_chunk(b"IHDR", ihdr)
+            + codecs._png_chunk(b"IDAT", zlib.compress(b"\x00" * 7))
+            + codecs._png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(codecs.CodecError):
+            codecs.decode_png(b)
+
+
+class TestBmp:
+    def test_round_trip_24bit(self):
+        arr = _rng(5).integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(codecs.decode_bmp(codecs.encode_bmp(arr)), arr)
+
+    def test_row_padding(self):
+        # width 3 -> 9-byte rows pad to 12; decoder must skip the pad
+        arr = np.arange(45, dtype=np.uint8).reshape(5, 3, 3)
+        np.testing.assert_array_equal(codecs.decode_bmp(codecs.encode_bmp(arr)), arr)
+
+    def test_top_down(self):
+        arr = _rng(9).integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+        b = bytearray(codecs.encode_bmp(arr))
+        # flip height sign -> top-down; pixel rows were written bottom-up
+        h = struct.unpack("<i", bytes(b[22:26]))[0]
+        b[22:26] = struct.pack("<i", -h)
+        out = codecs.decode_bmp(bytes(b))
+        np.testing.assert_array_equal(out, arr[::-1])
+
+    def test_compressed_rejected(self):
+        b = bytearray(codecs.encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8)))
+        b[30:34] = struct.pack("<I", 1)  # BI_RLE8
+        with pytest.raises(codecs.CodecError):
+            codecs.decode_bmp(bytes(b))
+
+
+class TestWav:
+    def test_round_trip_16bit(self):
+        t = np.linspace(0, 1, 800, endpoint=False)
+        sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+        out, rate = codecs.decode_wav(codecs.encode_wav(sig, 8000))
+        assert rate == 8000
+        assert out.shape == (800, 1)
+        np.testing.assert_allclose(out[:, 0], sig, atol=1.0 / 32767)
+
+    def test_stereo(self):
+        sig = np.stack([np.ones(10) * 0.25, np.ones(10) * -0.25], axis=1)
+        out, rate = codecs.decode_wav(codecs.encode_wav(sig, 44100))
+        assert out.shape == (10, 2)
+        np.testing.assert_allclose(out, sig, atol=1.0 / 32767)
+
+    def test_8bit_unsigned(self):
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        data = bytes([128, 255, 0, 128])
+        riff = (
+            b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", 4) + data
+        )
+        b = b"RIFF" + struct.pack("<I", len(riff)) + riff
+        out, rate = codecs.decode_wav(b)
+        np.testing.assert_allclose(out[:, 0], [0.0, 127 / 128, -1.0, 0.0])
+
+    def test_float_wav_rejected(self):
+        b = bytearray(codecs.encode_wav(np.zeros(4), 8000))
+        i = bytes(b).index(b"fmt ") + 8
+        b[i : i + 2] = struct.pack("<H", 3)  # IEEE float format tag
+        with pytest.raises(codecs.CodecError):
+            codecs.decode_wav(bytes(b))
+
+    def test_header_parse_agrees(self):
+        from duckdb_mongo_spark.ops.multimodal import parse_audio_header
+
+        b = codecs.encode_wav(np.zeros((100, 2)), 16000)
+        assert parse_audio_header(b) == ("audio/wav", 2, 16000, 100)
+
+
+class TestResizeNearest:
+    def test_identity(self):
+        arr = _rng(2).integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(codecs.resize_nearest(arr, 6, 4), arr)
+
+    def test_downscale_2x(self):
+        # 2x2 blocks of constant color -> each survives a 2x downscale
+        blocks = _rng(4).integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+        arr = np.repeat(np.repeat(blocks, 2, axis=0), 2, axis=1)
+        np.testing.assert_array_equal(codecs.resize_nearest(arr, 5, 3), blocks)
+
+    def test_upscale_shape(self):
+        arr = np.zeros((2, 2), dtype=np.uint8)
+        assert codecs.resize_nearest(arr, 7, 5).shape == (5, 7)
+
+    def test_bad_target(self):
+        with pytest.raises(codecs.CodecError):
+            codecs.resize_nearest(np.zeros((2, 2)), 0, 2)
+
+
+class TestSparkOperators:
+    """image_pixel_features / resize_image / audio_pixel_features over a
+    mixed decodable + undecodable corpus."""
+
+    @pytest.fixture(scope="class")
+    def media_df(self, spark):
+        png = codecs.encode_png(
+            np.full((4, 6, 3), [10, 200, 30], dtype=np.uint8)
+        )
+        bmp = codecs.encode_bmp(np.full((2, 2, 3), 100, dtype=np.uint8))
+        junk = b"\xff\xd8\xff\xe0 pretend jpeg"
+        rows = [(1, png), (2, bmp), (3, junk), (4, None)]
+        return spark.createDataFrame(rows, "id long, payload binary")
+
+    def test_image_pixel_features(self, spark, media_df):
+        from duckdb_mongo_spark.ops import multimodal
+
+        df = multimodal.attach_media_column(media_df, "payload").drop("payload")
+        out = {r["id"]: r for r in multimodal.image_pixel_features(df).collect()}
+        png_row = out[1]
+        assert png_row["mime"] == "image/png"
+        assert (png_row["width"], png_row["height"], png_row["channels"]) == (6, 4, 3)
+        assert png_row["mean_r"] == pytest.approx(10.0)
+        assert png_row["mean_g"] == pytest.approx(200.0)
+        assert png_row["luma_mean"] == pytest.approx(0.299 * 10 + 0.587 * 200 + 0.114 * 30)
+        assert png_row["luma_std"] == pytest.approx(0.0)
+        bmp_row = out[2]
+        assert bmp_row["mime"] == "image/bmp"
+        assert bmp_row["mean_r"] == pytest.approx(100.0)
+        junk_row = out[3]
+        assert junk_row["width"] is None and junk_row["mean_r"] is None
+        assert out[4]["mime"] == "application/octet-stream"
+
+    def test_resize_image_real(self, spark, media_df):
+        from duckdb_mongo_spark.ops import multimodal
+
+        df = multimodal.attach_media_column(media_df, "payload").drop("payload")
+        out = {r["id"]: r for r in multimodal.resize_image(df, 3, 2).collect()}
+        assert out[1]["resized"] is True
+        resized = codecs.decode_png(bytes(out[1]["media"]))
+        assert resized.shape == (2, 3, 3)
+        assert resized[0, 0].tolist() == [10, 200, 30]  # constant image survives
+        assert out[3]["resized"] is False
+        assert bytes(out[3]["media"]) == b"\xff\xd8\xff\xe0 pretend jpeg"
+
+    def test_audio_pixel_features(self, spark):
+        from duckdb_mongo_spark.ops import multimodal
+
+        t = np.arange(1000)
+        sig = 0.5 * np.sin(2 * np.pi * 50 * t / 1000)  # 50 cycles
+        wav = codecs.encode_wav(sig, 8000)
+        df = spark.createDataFrame([(1, wav), (2, b"nope")], "id long, payload binary")
+        df = multimodal.attach_media_column(df, "payload", mime="audio/wav").drop("payload")
+        out = {r["id"]: r for r in multimodal.audio_pixel_features(df).collect()}
+        row = out[1]
+        assert row["mime"] == "audio/wav"
+        assert row["sample_rate"] == 8000
+        assert row["n_samples"] == 1000
+        assert row["duration_ms"] == 125
+        assert row["rms"] == pytest.approx(0.5 / np.sqrt(2), rel=1e-3)
+        assert row["peak"] == pytest.approx(0.5, rel=1e-3)
+        # 50 cycles -> ~100 zero crossings over 999 transitions
+        assert row["zero_crossing_rate"] == pytest.approx(100 / 999, rel=0.05)
+        assert out[2]["rms"] is None

@@ -343,14 +343,26 @@ _sql_query(
     """,
 )
 
+# ROLLUP and CUBE grouping sets in ONE ledger entry (merged from the r2
+# q_rollup_lineitem / q_cube_agg entries to free a slot for the r3
+# temporal operators) — both grouping extensions plus GROUPING() markers
+# stay driver-oracle-proven
 _sql_query(
     "q_rollup_lineitem",
     ["lineitem"],
     f"""
-    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {_dsum('l_quantity', 2)} AS qty
+    SELECT 'rollup' AS gset, l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+           {_dsum('l_quantity', 2)} AS sum_qty, COUNT(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    ORDER BY l_returnflag, l_linestatus
+    UNION ALL
+    SELECT 'cube' AS gset, l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+           {_dsum('l_quantity', 2)} AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY gset, g_rf, g_ls, l_returnflag, l_linestatus
     """,
 )
 
@@ -699,19 +711,6 @@ _sql_query(
     """,
 )
 
-_sql_query(
-    "q_cube_agg",
-    ["lineitem"],
-    f"""
-    SELECT l_returnflag, l_linestatus,
-           GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
-           {_dsum('l_quantity', 2)} AS sum_qty, COUNT(*) AS n
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
-    """,
-)
-
 # framed AVG + lag/lead + first/last_value in one window scan (merged
 # from the r1 q_window_moving_avg / q_lead_lag_gap / q_first_last_value
 # entries — one shuffle on the partition key serves all four analytic
@@ -893,14 +892,31 @@ _register(
 
 
 def _mongo_count_pushdown(spark, sf_dir):
-
-    return _mongo_frame(spark, sf_dir, "supplier").count_rows().df()
+    """A18 + A19 in one ledger entry (slot freed for the r3 temporal
+    operators): ungrouped COUNT(*) pushed as `$count` on supplier,
+    grouped COUNT(col)/SUM pushed as `$group` with the `$cond` non-null
+    counter on customer; the 1-row count frame is cross-joined onto the
+    grouped result so both pushdown paths land in one oracle-checked
+    result set."""
+    total = _mongo_frame(spark, sf_dir, "supplier").count_rows().df()
+    grouped = (
+        _mongo_frame(spark, sf_dir, "customer")
+        .group_by("c_mktsegment")
+        .agg(("count", "c_acctbal", "n_bal"), ("sum", "c_acctbal", "total_bal"))
+        .df()
+    )
+    return grouped.crossJoin(total).orderBy("c_mktsegment")
 
 
 _register(
     "mongo_count_pushdown",
     _mongo_count_pushdown,
-    "SELECT COUNT(*) AS count FROM supplier",
+    """
+    SELECT c_mktsegment, COUNT(c_acctbal) AS n_bal,
+           SUM(c_acctbal) AS total_bal,
+           (SELECT COUNT(*) FROM supplier) AS count
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
 )
 
 
@@ -939,28 +955,6 @@ _register(
     FROM orders
     WHERE (o_totalprice > 450000.0 OR o_orderstatus = 'P')
       AND o_orderpriority IS NOT NULL
-    """,
-)
-
-
-def _mongo_count_col(spark, sf_dir):
-    """A19: COUNT(col) pushed as $sum($cond != null), grouped."""
-
-    mf = _mongo_frame(spark, sf_dir, "customer")
-    return (
-        mf.group_by("c_mktsegment")
-        .agg(("count", "c_acctbal", "n_bal"), ("sum", "c_acctbal", "total_bal"))
-        .df()
-    )
-
-
-_register(
-    "mongo_count_col",
-    _mongo_count_col,
-    """
-    SELECT c_mktsegment, COUNT(c_acctbal) AS n_bal,
-           SUM(c_acctbal) AS total_bal
-    FROM customer GROUP BY c_mktsegment
     """,
 )
 
@@ -1193,16 +1187,26 @@ _COSINE_SQL = (
 
 
 def _sim_cosine_topk(spark, sf_dir):
+    """BOTH exact cosine top-k kernels in one ledger entry (slot freed
+    for the r3 temporal operators), tagged and unioned: `hof` = JVM
+    zip_with/aggregate HOF path, `gemm` = Arrow-batched numpy GEMM via
+    mapInPandas (2.2x faster at sf0.1, gap grows with query count). The
+    doubled oracle forces BOTH kernels to value-match DuckDB — a
+    stronger check than two entries sharing one oracle, since a
+    divergence between kernels can no longer pass by each drifting
+    within hash tolerance in different directions."""
     from pyspark.sql import functions as F
 
-    from duckdb_mongo_spark.ops.similarity import cosine_topk
+    from duckdb_mongo_spark.ops.similarity import cosine_topk, cosine_topk_vectorized
 
     _views(spark, sf_dir, "embeddings")
     emb = spark.table("embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    return cosine_topk(queries, emb, k=5).orderBy("q_id", "rank")
+    hof = cosine_topk(queries, emb, k=5).withColumn("kernel", F.lit("hof"))
+    gemm = cosine_topk_vectorized(queries, emb, k=5).withColumn("kernel", F.lit("gemm"))
+    return hof.unionByName(gemm).orderBy("kernel", "q_id", "rank")
 
 
 _register(
@@ -1216,32 +1220,15 @@ _register(
     ranked AS (SELECT q_id, c_id, score,
                       ROW_NUMBER() OVER (PARTITION BY q_id
                                          ORDER BY score DESC, c_id) AS rank
-               FROM scored)
-    SELECT q_id, c_id AS vec_id, score, CAST(rank AS BIGINT) AS rank
-    FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+               FROM scored),
+    top AS (SELECT q_id, c_id AS vec_id, score, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5)
+    SELECT q_id, vec_id, score, rank, 'hof' AS kernel FROM top
+    UNION ALL
+    SELECT q_id, vec_id, score, rank, 'gemm' AS kernel FROM top
+    ORDER BY kernel, q_id, rank
     """,
 )
-
-_COSINE_TOPK_ORACLE = _ORACLES["sim_cosine_topk"]
-
-
-def _sim_cosine_topk_vectorized(spark, sf_dir):
-    """Arrow-batched numpy GEMM kernel (mapInPandas) — exact, same
-    oracle as the zip_with path; 2.2x faster at sf0.1, and the gap grows
-    with query count (per-batch matrix multiply vs per-element HOF)."""
-    from pyspark.sql import functions as F
-
-    from duckdb_mongo_spark.ops.similarity import cosine_topk_vectorized
-
-    _views(spark, sf_dir, "embeddings")
-    emb = spark.table("embeddings")
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
-    return cosine_topk_vectorized(queries, emb, k=5).orderBy("q_id", "rank")
-
-
-_register("sim_cosine_topk_vectorized", _sim_cosine_topk_vectorized, _COSINE_TOPK_ORACLE)
 
 
 def _sim_embedding_near_dup(spark, sf_dir):
@@ -1374,6 +1361,140 @@ def _text_oracle() -> str:
 
 
 _register("text_analysis", _text_analysis, _text_oracle())
+
+
+# ===========================================================================
+# F. Temporal operators (DuckDB SQL-surface parity Spark lacks natively;
+#    SURVEY §2B NEW rows — as-of join, range/interval join, hypertable
+#    rollup). Oracle: DuckDB's native ASOF JOIN / inequality join /
+#    direct-from-raw GROUP BYs.
+# ===========================================================================
+
+
+def _q_asof_join(spark, sf_dir):
+    """As-of join (ops/joins.asof_join): each click event picks up the
+    most recent error state for its user — the union+window
+    single-shuffle plan, never a nested loop. The right side is
+    pre-aggregated on (user_id, ts) because SQL ASOF leaves tie-picks
+    unspecified (same contract as DuckDB, see asof_join docstring)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_mongo_spark.ops.joins import asof_join
+
+    _views(spark, sf_dir, "events")
+    ev = spark.table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_value"))
+    )
+    out = asof_join(clicks, errors, on="ts", by=["user_id"])
+    return out.select("event_id", "user_id", "ts", "ts_right", "err_value").orderBy("event_id")
+
+
+_register(
+    "q_asof_join",
+    _q_asof_join,
+    """
+    SELECT l.event_id, l.user_id, l.ts, r.ts AS ts_right, r.err_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS err_value
+                    FROM events WHERE event_type = 'error'
+                    GROUP BY user_id, ts) r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    ORDER BY l.event_id
+    """,
+)
+
+
+def _q_interval_join(spark, sf_dir):
+    """Point-in-interval range join (ops/joins.interval_join_points):
+    clicks falling inside each user's daily error window, executed as a
+    bin-bucketed EQUI-join (intervals explode to time bins; a point owns
+    one bin) — never a BroadcastNestedLoopJoin."""
+    from pyspark.sql import functions as F
+
+    from duckdb_mongo_spark.ops.joins import interval_join_points
+
+    _views(spark, sf_dir, "events")
+    ev = spark.table("events")
+    points = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    intervals = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .select("user_id", "lo", "hi")
+    )
+    out = interval_join_points(points, "ts", intervals, "lo", "hi", on=["user_id"])
+    return out.select("event_id", "user_id", "ts", "lo", "hi").orderBy("event_id", "lo")
+
+
+_register(
+    "q_interval_join",
+    _q_interval_join,
+    """
+    SELECT p.event_id, p.user_id, p.ts, i.lo, i.hi
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') p
+    JOIN (SELECT user_id, MIN(ts) AS lo, MAX(ts) AS hi
+          FROM events WHERE event_type = 'error'
+          GROUP BY user_id, date_trunc('day', ts)) i
+      ON p.user_id = i.user_id AND p.ts >= i.lo AND p.ts <= i.hi
+    ORDER BY p.event_id, i.lo
+    """,
+)
+
+
+def _q_time_rollup(spark, sf_dir):
+    """Hypertable rollup (ops/rollup.time_rollup): hour+day aggregates
+    from ONE raw scan — coarser levels re-aggregate the finest level's
+    mergeable partials instead of re-scanning raw. Money-typed metric is
+    DECIMAL so partial re-aggregation is bit-exact vs direct-from-raw
+    (the oracle computes every level straight from the raw table)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_mongo_spark.ops.rollup import time_rollup
+
+    _views(spark, sf_dir, "events")
+    ev = spark.table("events").withColumn("dval", F.col("value").cast("decimal(18,4)"))
+    out = time_rollup(
+        ev,
+        "ts",
+        metrics={
+            "n": ("count", "event_id"),
+            "total": ("sum", "dval"),
+            "mn": ("min", "dval"),
+            "mx": ("max", "dval"),
+        },
+        group_cols=["event_type"],
+        resolutions=["hour", "day"],
+    )
+    return (
+        out.withColumn("total", F.col("total").cast("decimal(38,4)"))
+        .orderBy("resolution", "event_type", "bucket")
+    )
+
+
+_register(
+    "q_time_rollup",
+    _q_time_rollup,
+    """
+    SELECT 'hour' AS resolution, event_type, date_trunc('hour', ts) AS bucket,
+           COUNT(event_id) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total,
+           MIN(CAST(value AS DECIMAL(18,4))) AS mn,
+           MAX(CAST(value AS DECIMAL(18,4))) AS mx
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+    UNION ALL
+    SELECT 'day' AS resolution, event_type, date_trunc('day', ts) AS bucket,
+           COUNT(event_id) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total,
+           MIN(CAST(value AS DECIMAL(18,4))) AS mn,
+           MAX(CAST(value AS DECIMAL(18,4))) AS mx
+    FROM events GROUP BY event_type, date_trunc('day', ts)
+    ORDER BY resolution, event_type, bucket
+    """,
+)
 
 
 # ===========================================================================

@@ -308,8 +308,9 @@ def main() -> None:
         "text_analysis",
         "dedup_minhash_signatures",
         "dedup_simhash",
+        # r3: runs BOTH exact kernels (HOF + GEMM) in one tagged-union
+        # entry — same total kernel work as the former two entries
         "sim_cosine_topk",
-        "sim_cosine_topk_vectorized",
     ]
 
     # warmup, mirroring the reference harness's warmup COUNT(*)

@@ -30,6 +30,75 @@ RESOLUTIONS = ["second", "minute", "hour", "day", "month", "year"]
 _MERGE = {"sum": F.sum, "min": F.min, "max": F.max}
 
 
+def build_partial_aggs(metrics: dict) -> list:
+    """Mergeable partial-state aggregations for the finest level —
+    shared by the batch rollup and the streaming continuous aggregate so
+    their merge semantics cannot diverge."""
+    partial_aggs = []
+    seen: set[str] = set()
+
+    def _add(name, expr):
+        if name in seen:
+            # e.g. metrics {'x': ('avg', ...), 'x__sum': ('sum', ...)} —
+            # silent dedupe would ship wrong values under the colliding name
+            raise ValueError(
+                f"metric names collide on internal partial {name!r}; rename one metric"
+            )
+        seen.add(name)
+        partial_aggs.append(expr.alias(name))
+
+    for out, (agg, col) in metrics.items():
+        if agg in ("sum", "min", "max"):
+            _add(f"__p_{out}", _MERGE[agg](F.col(col)))
+        elif agg == "count":
+            _add(f"__p_{out}", F.count(F.col(col)))
+        elif agg == "avg":
+            _add(f"__p_{out}__sum", F.sum(F.col(col)))
+            _add(f"__p_{out}__cnt", F.count(F.col(col)))
+        elif agg == "approx_distinct":
+            # mergeable DataSketches HLL: distinct counts do NOT sum
+            # across buckets, but their sketches union exactly — the one
+            # metric a naive re-aggregating rollup silently gets wrong
+            _add(f"__p_{out}__hll", F.hll_sketch_agg(F.col(col)))
+        else:
+            raise ValueError(f"unsupported agg {agg!r} for metric {out!r}")
+    return partial_aggs
+
+
+def build_merge_aggs(metrics: dict) -> list:
+    """Re-aggregations that merge one level's partials into the next
+    coarser level's partials (same column names in and out)."""
+    out = []
+    for out_name, (agg, _col) in metrics.items():
+        if agg in ("sum", "count"):
+            out.append(F.sum(f"__p_{out_name}").alias(f"__p_{out_name}"))
+        elif agg in ("min", "max"):
+            out.append(_MERGE[agg](f"__p_{out_name}").alias(f"__p_{out_name}"))
+        elif agg == "approx_distinct":
+            out.append(F.hll_union_agg(f"__p_{out_name}__hll").alias(f"__p_{out_name}__hll"))
+        else:  # avg: merge carried partials
+            out.append(F.sum(f"__p_{out_name}__sum").alias(f"__p_{out_name}__sum"))
+            out.append(F.sum(f"__p_{out_name}__cnt").alias(f"__p_{out_name}__cnt"))
+    return out
+
+
+def finalize_metric_cols(metrics: dict) -> list:
+    """Output columns deriving each requested metric from its partials
+    (avg = carried sum/count, never average-of-averages; HLL estimated
+    at output only)."""
+    cols = []
+    for out_name, (agg, _col) in metrics.items():
+        if agg == "avg":
+            cols.append(
+                (F.col(f"__p_{out_name}__sum") / F.col(f"__p_{out_name}__cnt")).alias(out_name)
+            )
+        elif agg == "approx_distinct":
+            cols.append(F.hll_sketch_estimate(f"__p_{out_name}__hll").alias(out_name))
+        else:
+            cols.append(F.col(f"__p_{out_name}").alias(out_name))
+    return cols
+
+
 def time_rollup(
     df: DataFrame,
     ts_col: str,
@@ -76,32 +145,7 @@ def time_rollup(
         raise ValueError("metrics must be non-empty")
 
     # partial (mergeable) state per metric at the finest level
-    partial_aggs = []
-    seen: set[str] = set()
-
-    def _add(name, expr):
-        if name in seen:
-            # e.g. metrics {'x': ('avg', ...), 'x__sum': ('sum', ...)} —
-            # silent dedupe would ship wrong values under the colliding name
-            raise ValueError(f"metric names collide on internal partial {name!r}; rename one metric")
-        seen.add(name)
-        partial_aggs.append(expr.alias(name))
-
-    for out, (agg, col) in metrics.items():
-        if agg in ("sum", "min", "max"):
-            _add(f"__p_{out}", _MERGE[agg](F.col(col)))
-        elif agg == "count":
-            _add(f"__p_{out}", F.count(F.col(col)))
-        elif agg == "avg":
-            _add(f"__p_{out}__sum", F.sum(F.col(col)))
-            _add(f"__p_{out}__cnt", F.count(F.col(col)))
-        elif agg == "approx_distinct":
-            # mergeable DataSketches HLL: distinct counts do NOT sum
-            # across buckets, but their sketches union exactly — the one
-            # metric a naive re-aggregating rollup silently gets wrong
-            _add(f"__p_{out}__hll", F.hll_sketch_agg(F.col(col)))
-        else:
-            raise ValueError(f"unsupported agg {agg!r} for metric {out!r}")
+    partial_aggs = build_partial_aggs(metrics)
 
     finest = order[0]
     level = (
@@ -112,40 +156,18 @@ def time_rollup(
         level = level.persist()
         level.count()  # materialize: ONE raw scan feeds every level
 
-    def _merge_aggs():
-        out = []
-        for out_name, (agg, _col) in metrics.items():
-            if agg in ("sum", "count"):
-                out.append(F.sum(f"__p_{out_name}").alias(f"__p_{out_name}"))
-            elif agg in ("min", "max"):
-                out.append(_MERGE[agg](f"__p_{out_name}").alias(f"__p_{out_name}"))
-            elif agg == "approx_distinct":
-                out.append(F.hll_union_agg(f"__p_{out_name}__hll").alias(f"__p_{out_name}__hll"))
-            else:  # avg: merge carried partials
-                out.append(F.sum(f"__p_{out_name}__sum").alias(f"__p_{out_name}__sum"))
-                out.append(F.sum(f"__p_{out_name}__cnt").alias(f"__p_{out_name}__cnt"))
-        return out
-
     def _finalize(lv: DataFrame, unit: str) -> DataFrame:
         cols = [F.col(c) for c in group_cols]
         cols.append(F.col(bucket_col))
         cols.append(F.lit(unit).alias(resolution_col))
-        for out_name, (agg, _col) in metrics.items():
-            if agg == "avg":
-                cols.append(
-                    (F.col(f"__p_{out_name}__sum") / F.col(f"__p_{out_name}__cnt")).alias(out_name)
-                )
-            elif agg == "approx_distinct":
-                cols.append(F.hll_sketch_estimate(f"__p_{out_name}__hll").alias(out_name))
-            else:
-                cols.append(F.col(f"__p_{out_name}").alias(out_name))
+        cols.extend(finalize_metric_cols(metrics))
         return lv.select(*cols)
 
     outputs = [_finalize(level, finest)]
     for unit in order[1:]:
         level = (
             level.groupBy(F.date_trunc(unit, F.col(bucket_col)).alias(bucket_col), *group_cols)
-            .agg(*_merge_aggs())
+            .agg(*build_merge_aggs(metrics))
         )
         outputs.append(_finalize(level, unit))
     return reduce(DataFrame.unionByName, outputs)

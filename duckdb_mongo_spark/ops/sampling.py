@@ -142,6 +142,123 @@ def weighted_hash_sample(
     return df.filter(hash_bucket(F.col(key_col), salt) < thresh)
 
 
+def mixture_plan(
+    counts: dict[str, int],
+    target_weights: dict[str, float],
+    total_rows: int | None = None,
+    allow_upsample: bool = False,
+) -> dict[str, dict]:
+    """Solve a data-mixture recipe into per-source take plans.
+
+    ``target_weights``: desired corpus proportions per source (they are
+    normalized, so {"web": 3, "code": 1} means 75/25). Without
+    ``total_rows`` the mixture is scaled as large as the sources allow:
+    the binding source is the one with the smallest count/weight ratio
+    (no upsampling), or the largest ratio bounds nothing when
+    ``allow_upsample`` is set and ``total_rows`` is given.
+
+    Returns {source: {"take": n, "fraction": f, "epochs": e}} where
+    ``epochs`` is the number of FULL passes over the source (≥ 1 only
+    when upsampling) and ``fraction`` the hash-sample fraction applied
+    to the final partial pass. take = count * (epochs - 1 + fraction).
+    """
+    if not target_weights:
+        raise ValueError("target_weights must be non-empty")
+    missing = [s for s in target_weights if s not in counts]
+    if missing:
+        raise ValueError(f"no counts for sources {missing}")
+    if any(w < 0 for w in target_weights.values()):
+        raise ValueError("weights must be non-negative")
+    wsum = float(sum(target_weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to > 0")
+    w = {s: v / wsum for s, v in target_weights.items()}
+    if total_rows is None:
+        # largest total for which no source needs upsampling
+        total_rows = int(min(counts[s] / v for s, v in w.items() if v > 0))
+    plan = {}
+    for s, v in w.items():
+        need = v * total_rows
+        cnt = counts[s]
+        if cnt <= 0:
+            if need > 0:
+                raise ValueError(f"source {s!r} is empty but has weight {v}")
+            plan[s] = {"take": 0, "fraction": 0.0, "epochs": 0}
+            continue
+        if need > cnt and not allow_upsample:
+            raise ValueError(
+                f"source {s!r} needs {need:.0f} rows but has {cnt}; "
+                "pass allow_upsample=True or lower total_rows"
+            )
+        if need <= cnt:  # plain (possibly full) downsample: no epochs
+            epochs, frac = 0, need / cnt
+        else:
+            epochs = int(need // cnt)
+            frac = (need - epochs * cnt) / cnt
+        plan[s] = {"take": int(round(need)), "fraction": round(frac, 6), "epochs": epochs}
+    return plan
+
+
+def mixture_sample(
+    sources: dict[str, DataFrame],
+    key_col: str,
+    target_weights: dict[str, float],
+    total_rows: int | None = None,
+    allow_upsample: bool = False,
+    salt: str = "",
+    counts: dict[str, int] | None = None,
+    source_col: str = "source",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Assemble a training mixture with target source proportions,
+    deterministically.
+
+    The standard pretraining recipe step (weighting web/code/books/...
+    sources): each source is hash-sampled to its planned fraction and
+    tagged with ``source``; with ``allow_upsample`` a source can repeat
+    for ``epochs`` full passes (tagged 0..e-1 in ``epoch``) plus a
+    deterministic partial pass — matching how data mixtures express
+    "2.3 epochs of Wikipedia".
+
+    ``counts`` skips the one count() job per source when sizes are known
+    (a 100 TB pipeline should pass manifest counts). Sampling itself is
+    the zero-shuffle ``hash_sample``; the union is a metadata-only plan
+    node. Per-epoch partial passes use salted sub-samples so epoch k's
+    partial rows differ from epoch k+1's (salt = f"{salt}:e{k}").
+    """
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    if counts is None:
+        counts = {s: df.count() for s, df in sources.items()}
+    plan = mixture_plan(counts, target_weights, total_rows, allow_upsample)
+    parts = []
+    for s, df in sources.items():
+        if s not in plan or plan[s]["take"] == 0:
+            continue
+        spec = plan[s]
+        for e in range(spec["epochs"]):
+            parts.append(
+                df.withColumn(source_col, F.lit(s)).withColumn(epoch_col, F.lit(e))
+            )
+        if spec["fraction"] > 0:
+            # epoch 0's partial pass keeps the caller's salt unchanged so
+            # a no-upsample mixture equals plain per-source hash_sample
+            # (oracle-friendly); later epochs' partials re-salt so they
+            # pick different rows than earlier passes
+            esalt = salt if spec["epochs"] == 0 else f"{salt}:e{spec['epochs']}"
+            parts.append(
+                hash_sample(df, key_col, spec["fraction"], esalt)
+                .withColumn(source_col, F.lit(s))
+                .withColumn(epoch_col, F.lit(spec["epochs"]))
+            )
+    if not parts:
+        raise ValueError("mixture plan selected zero rows from every source")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def oracle_bucket_sql(key_expr: str, salt: str = "", buckets: int = PPM) -> str:
     """DuckDB SQL reproducing :func:`hash_bucket` bit-for-bit (for
     oracles and cross-engine audits)."""

@@ -34,8 +34,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as entry
+    import bench
 
-    oracles = entry.oracle_sql()
+    oracles = dict(entry.oracle_sql())
+    # keep the same lean line items bench.py times (r3 ledger merges)
+    bench._install_lean_line_items(dict(entry.queries()), oracles)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
     for t in TABLES:

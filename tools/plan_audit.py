@@ -36,7 +36,7 @@ PATTERNS = {
 # intentionally nested-loop plans: the exact cosine scorer broadcasts the
 # (small by contract) query side and scores every corpus row — the
 # documented O(|Q|x|C|) baseline the bucketed/ANN variants exist to avoid
-ALLOWED_NESTED = {"sim_cosine_topk", "sim_cosine_topk_vectorized"}
+ALLOWED_NESTED = {"sim_cosine_topk"}  # r3: both exact kernels live in this one entry
 
 
 def audit_plan(plan: str) -> dict[str, int]:

@@ -40,6 +40,18 @@ def get_spark(app_name: str = "duckdb_mongo_spark", extra_conf: dict | None = No
         # policy that survives a 100 TB scale-up.
         .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Scan-split sizing: Spark splits files by BYTES, and the default
+        # 128 MB/4 MB (maxPartitionBytes/openCostInBytes) is tuned for
+        # clusters scanning TB — locally it hands a 130 MB sf1 fact table
+        # to 2 of 32 cores (measured: q1 0.95 s -> 0.64 s at 8 MB). 8 MB
+        # splits keep local cores busy on MB-scale files while remaining
+        # a no-op on a real cluster's many-file datasets; raise via
+        # SPARK_GRAFT_MAX_PARTITION_BYTES when deploying (128m+).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
+        )
+        .config("spark.sql.files.openCostInBytes", "262144")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

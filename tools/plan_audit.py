@@ -36,7 +36,12 @@ PATTERNS = {
 # intentionally nested-loop plans: the exact cosine scorer broadcasts the
 # (small by contract) query side and scores every corpus row — the
 # documented O(|Q|x|C|) baseline the bucketed/ANN variants exist to avoid
-ALLOWED_NESTED = {"sim_cosine_topk"}  # r3: both exact kernels live in this one entry
+ALLOWED_NESTED = {
+    "sim_cosine_topk",  # r3: both exact kernels live in this one entry
+    # merged A18+A19 entry: the $count path yields ONE row, cross-joined
+    # onto the grouped result — a 1-row broadcast, not a real nested loop
+    "mongo_count_pushdown",
+}
 
 
 def audit_plan(plan: str) -> dict[str, int]:

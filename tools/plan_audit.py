@@ -49,7 +49,9 @@ def audit_plan(plan: str) -> dict[str, int]:
 
 
 def pushdown_evidence(plan: str) -> str:
-    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    # tolerate truncated metadata ("PushedFilters: [IsNotNull(x), ..." with
+    # no closing bracket) — anything non-empty after the bracket counts
+    pushed = re.findall(r"PushedFilters: \[([^\]\n]*)", plan)
     non_empty = [p for p in pushed if p.strip()]
     if non_empty:
         return f"{len(non_empty)} scan(s) with pushed filters"
@@ -69,6 +71,9 @@ def main() -> None:
     from duckdb_mongo_spark.session import get_spark
 
     spark = get_spark("plan_audit")
+    # scan metadata (PushedFilters lists) truncates at 100 chars by
+    # default, which eats the closing bracket and reads as "no pushdown"
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
     qs = entry.queries()
     only = os.environ.get("PLAN_AUDIT_ONLY")
     if only:

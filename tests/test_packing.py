@@ -127,6 +127,35 @@ class TestQualityAndDeterminism:
         assert got == expect
 
 
+class TestHypothesis:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(min_value=1, max_value=150), min_size=0, max_size=60),
+        budget=st.integers(min_value=1, max_value=120),
+    )
+    def test_invariants_random(self, docs, sizes, budget):
+        spark = docs.sparkSession
+        rows = [(f"h{i:03d}", s) for i, s in enumerate(sizes)]
+        if not rows:
+            return
+        df = spark.createDataFrame(rows, "doc_id string, n_tokens long")
+        out = pack_sequences(df, "doc_id", "n_tokens", budget, num_buckets=3).collect()
+        assert len(out) == len(rows)
+        assert len({r["doc_id"] for r in out}) == len(rows)
+        per_seq: dict = {}
+        for r in out:
+            per_seq.setdefault(r["seq_id"], []).append(r)
+        for members in per_seq.values():
+            if any(m["oversized"] for m in members):
+                assert len(members) == 1
+                assert members[0]["n_tokens"] > budget
+            else:
+                assert sum(m["n_tokens"] for m in members) <= budget
+
+
 class TestValidation:
     def test_bad_budget(self, docs):
         with pytest.raises(ValueError):

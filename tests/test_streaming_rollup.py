@@ -122,6 +122,43 @@ class TestStreamingTimeRollup:
         finally:
             spark.conf.unset("spark.sql.session.timeZone")
 
+    def test_parquet_hypertable_sink(self, spark, stream_dir, tmp_path):
+        """End-to-end materialization: append-mode level written to a
+        parquet 'hypertable' directory and read back as a batch table —
+        the deployment shape (each level is its own sink)."""
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        try:
+            stream = spark.readStream.schema(_SCHEMA).json(str(stream_dir))
+            levels = streaming_time_rollup(
+                stream, "ts", _METRICS, group_cols=["k"],
+                resolutions=["hour"], watermark="5 minutes",
+            )
+            out_dir = str(tmp_path / "hypertable_hour")
+            q = (
+                levels["hour"].writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", str(tmp_path / "ckpt_pq"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            back = spark.read.parquet(out_dir).filter(F.col("k") != "z")
+            got = {
+                (r["k"], r["bucket"].isoformat()): (r["n"], r["total"])
+                for r in back.collect()
+            }
+            expect = {
+                (k, b): (n, t)
+                for (k, b, _res), (n, t, _mx, _av) in _batch_expected(spark, "hour").items()
+            }
+            # emitted buckets are a subset of batch truth, values exact
+            assert got
+            for key, val in got.items():
+                assert expect[key] == val
+        finally:
+            spark.conf.unset("spark.sql.session.timeZone")
+
     def test_rejects_variable_length_units(self, spark, stream_dir):
         stream = spark.readStream.schema(_SCHEMA).json(str(stream_dir))
         with pytest.raises(ValueError, match="unsupported streaming resolutions"):

@@ -994,9 +994,11 @@ def _mongo_semi_join_in(spark, sf_dir):
         _mongo_frame(spark, sf_dir, "customer")
         .filter(C("c_acctbal") > 9900.0)
         .select("c_custkey")
-        .df()
     )
     orders = _mongo_frame(spark, sf_dir, "orders")
+    # passing the MongoFrame (not .df()) lets the engine execute the
+    # build side directly on the backend — one federation round-trip,
+    # not two (frame.semi_join_in direct path)
     out = orders.semi_join_in(rich, on="o_custkey", build_col="c_custkey")
     from pyspark.sql import functions as F
 

@@ -78,6 +78,34 @@ class DocumentBackend(ABC):
             self.aggregate(db, coll, [{"$sample": {"size": n}}], seed=seed)
         )
 
+    def distinct_values(self, db, coll, column, filter=None, cap=None) -> list:
+        """Distinct non-null values of a (dotted) ``column`` among docs
+        matching ``filter`` — the build side of the engine's semi-join
+        runtime filter (A11): the reference materializes its
+        OPTIONAL_FILTER build side inside the host engine's own pipeline
+        (src/mongo_filter_pushdown.cpp:302-318); the analog here is
+        fetching the key set straight from the backend instead of
+        paying a second full federation round-trip.
+
+        Returns at most ``cap + 1`` values when ``cap`` is given so the
+        caller can detect overflow. Columnar backends override with a
+        vectorized path; this default streams the interpreter."""
+        out: set = set()
+        parts = column.split(".")
+        for doc in self.find(db, coll, filter=filter, projection={column: 1}):
+            if doc.get("_id") == "__schema":
+                continue
+            v = doc
+            for p in parts:
+                v = v.get(p) if isinstance(v, dict) else None
+                if v is None:
+                    break
+            if v is not None and not isinstance(v, (dict, list)):
+                out.add(v)
+                if cap is not None and len(out) > cap:
+                    break
+        return list(out)
+
     def count(self, db, coll, filter=None) -> int:
         # the __schema sentinel doc is engine metadata, never data: every
         # count path must agree with the scan path (which drops it in

@@ -170,6 +170,47 @@ class ParquetBackend(DocumentBackend):
     # This is the engine's columnar-source scan design point (the 100 TB
     # path); non-expressible filters fall back to the row interpreter.
 
+    def distinct_values(self, db, coll, column, filter=None, cap=None) -> list:
+        """Vectorized build-side key fetch (A11): one-column pyarrow read
+        with the pushed filter compiled to a compute Expression, then
+        ``unique`` — no per-document Python. Falls back to the streaming
+        base implementation for non-arrow-expressible filters or columns
+        absent from the file (dotted paths)."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        src = self.id_field if (column == "_id" and self.id_field) else column
+        try:
+            expr = _mql_to_arrow_expr(filter, self.id_field) if filter else None
+        except _NotArrowExpressible:
+            return super().distinct_values(db, coll, column, filter, cap)
+        pf = pq.ParquetFile(self._path(coll))
+        file_cols = set(pf.schema_arrow.names)
+        if src not in file_cols:
+            return super().distinct_values(db, coll, column, filter, cap)
+        needed = {src}
+        if filter:
+            needed |= _filter_columns(filter, self.id_field) & file_cols
+        id_col = "_id" if "_id" in file_cols else self.id_field
+        if id_col and id_col in file_cols and self._has_schema_doc(db, coll):
+            t = pf.schema_arrow.field(id_col).type
+            import pyarrow as _pa
+
+            if _pa.types.is_string(t) or _pa.types.is_large_string(t):
+                sentinel_free = (pc.field(id_col) != "__schema") | pc.field(id_col).is_null()
+                expr = sentinel_free if expr is None else (expr & sentinel_free)
+                needed.add(id_col)
+        out: set = set()
+        for rg in range(pf.num_row_groups):
+            table = pf.read_row_group(rg, columns=sorted(needed))
+            if expr is not None:
+                table = table.filter(expr)
+            vals = pc.unique(table.column(src).combine_chunks())
+            out.update(v for v in vals.to_pylist() if v is not None)
+            if cap is not None and len(out) > cap:
+                break
+        return list(out)
+
     def arrow_scan(self, db, coll, part, filter_doc, out_fields, limit=None):
         """Yield pyarrow RecordBatches matching the scan, or None when the
         filter is outside the arrow-expressible dialect.

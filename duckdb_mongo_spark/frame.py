@@ -177,16 +177,43 @@ class MongoFrame:
         the type.
         """
         build_col = build_col or on
-        bdf = build.df() if isinstance(build, MongoFrame) else build
-        keys = [
-            r[0]
-            for r in bdf.select(build_col).distinct().limit(max_keys + 1).collect()
-        ]
+        keys = None
+        if isinstance(build, MongoFrame):
+            # DIRECT build-side execution: fetch the distinct key set
+            # straight from the backend (vectorized on columnar
+            # backends) instead of paying a second full Spark
+            # DataSource round-trip — the reference likewise
+            # materializes its build side inside the host engine's own
+            # pipeline. Only for residual-free find()-shaped builds;
+            # anything else falls back to the Spark path below.
+            _spec, planned, residual = build._compiled()
+            if (
+                residual is None
+                and planned.method == "find"
+                and build.manual_pipeline is None
+            ):
+                spec_f = build.schema.field_map().get(build_col)
+                path = spec_f.mongo_path if spec_f is not None else build_col
+                keys = build.backend.distinct_values(
+                    build.db, build.coll, path,
+                    filter=planned.filter or None, cap=max_keys,
+                )
+        if keys is None:
+            bdf = build.df() if isinstance(build, MongoFrame) else build
+            keys = [
+                r[0]
+                for r in bdf.select(build_col).distinct().limit(max_keys + 1).collect()
+            ]
         if len(keys) > max_keys:
+            bdf = build.df() if isinstance(build, MongoFrame) else build
             return self.df().join(
                 bdf.select(F.col(build_col).alias(on)).distinct(), on, "left_semi"
             )
         keys = [k for k in keys if k is not None]
+        try:
+            keys.sort()  # deterministic $in rendering in scan_description
+        except TypeError:
+            pass
         from duckdb_mongo_spark.pushdown.predicates import C
 
         return self.filter(C(on).isin(keys))

@@ -283,6 +283,52 @@ class TestSqlSurface:
         rows = sorted(r["name"] for r in out.select("name").collect())
         assert rows == ["Alice"]  # ORD-001 + ORD-004 both Alice
 
+    def test_semi_join_in_direct_build_path(self, spark, backend):
+        """Passing the build side as a MongoFrame fetches keys straight
+        from the backend (no second Spark round-trip) — results must be
+        IDENTICAL to the DataFrame-build Spark path."""
+        from duckdb_mongo_spark.frame import MongoFrame
+
+        users = frame(spark, backend, "users")
+        orders = frame(spark, backend, "orders")
+        build_mf = orders.filter(C("status") == "completed").select("customer_id")
+        direct = users.semi_join_in(build_mf, on="_id", build_col="customer_id")
+        assert isinstance(direct, MongoFrame)
+        via_spark = users.semi_join_in(
+            build_mf.df(), on="_id", build_col="customer_id"
+        )
+        assert direct.scan_description() == via_spark.scan_description()
+        a = sorted(r["name"] for r in direct.select("name").collect())
+        b = sorted(r["name"] for r in via_spark.select("name").collect())
+        assert a == b == ["Alice"]
+
+    def test_semi_join_in_direct_build_overflow_falls_back(self, spark, backend):
+        from pyspark.sql import DataFrame
+
+        users = frame(spark, backend, "users")
+        orders = frame(spark, backend, "orders")
+        out = users.semi_join_in(
+            orders.select("customer_id"), on="_id",
+            build_col="customer_id", max_keys=1,
+        )
+        assert isinstance(out, DataFrame)
+        names = {r["name"] for r in out.select("name").collect()}
+        assert names == {"Alice", "Bob", "Charlie"}
+
+    def test_distinct_values_parquet_matches_interpreter(self, spark, sf_dir):
+        """Vectorized parquet distinct_values == streaming-interpreter
+        base implementation, filtered and unfiltered."""
+        import __spark_entry__ as entry
+        from duckdb_mongo_spark.backends.base import DocumentBackend
+
+        be = entry._pq_backend(sf_dir)
+        for filt in (None, {"c_acctbal": {"$gt": 5000.0}}):
+            fast = sorted(be.distinct_values("main", "customer", "c_nationkey", filt))
+            slow = sorted(
+                DocumentBackend.distinct_values(be, "main", "customer", "c_nationkey", filt)
+            )
+            assert fast == slow and fast
+
     def test_semi_join_in_fallback_over_max_keys(self, spark, backend):
         users = frame(spark, backend, "users")
         orders = frame(spark, backend, "orders")

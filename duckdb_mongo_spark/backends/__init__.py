@@ -8,6 +8,8 @@ whole stack is testable hermetically:
 - ``JsonlBackend``    — JSONL files on disk, one file per collection
 - ``ParquetBackend``  — parquet tables viewed as document collections
                         (driver testdata under /root/testdata)
+- ``CsvBackend``      — header-row CSV files as document collections
+                        (the reference's `read_csv_auto` dim-file shape)
 - ``PymongoBackend``  — a real MongoDB when pymongo is installed (gated)
 
 All backends execute the same MQL dialect (find filter + aggregation
@@ -20,5 +22,6 @@ from duckdb_mongo_spark.backends.base import DocumentBackend
 from duckdb_mongo_spark.backends.memory import MemoryBackend
 from duckdb_mongo_spark.backends.jsonl import JsonlBackend
 from duckdb_mongo_spark.backends.parquet import ParquetBackend
+from duckdb_mongo_spark.backends.csv import CsvBackend
 
-__all__ = ["DocumentBackend", "MemoryBackend", "JsonlBackend", "ParquetBackend"]
+__all__ = ["DocumentBackend", "MemoryBackend", "JsonlBackend", "ParquetBackend", "CsvBackend"]

@@ -7,7 +7,7 @@ src/mongo_secrets.cpp): connection-string parsing (key=value and
 one namespace per document database, lazy view-per-collection, metadata
 caches with all-or-nothing ``clear_cache()``.
 
-Local backends attach with ``jsonl:<root>`` / ``parquet:<dir>`` /
+Local backends attach with ``jsonl:<root>`` / ``csv:<root>`` / ``parquet:<dir>`` /
 ``memory:`` connection strings; real MongoDB URIs need pymongo.
 """
 
@@ -99,6 +99,8 @@ def parse_attach_string(conn: str) -> dict:
         }
     if conn.startswith("jsonl:"):
         return {"kind": "jsonl", "root": conn[len("jsonl:"):]}
+    if conn.startswith("csv:"):
+        return {"kind": "csv", "root": conn[len("csv:"):]}
     if conn.startswith("parquet:"):
         rest = conn[len("parquet:"):]
         dbname = None
@@ -126,6 +128,10 @@ def backend_for(conn, secret: str | None = None):
     kind = opts.get("kind")
     if kind == "jsonl":
         return JsonlBackend(opts["root"]), None
+    if kind == "csv":
+        from duckdb_mongo_spark.backends import CsvBackend
+
+        return CsvBackend(opts["root"]), None
     if kind == "parquet":
         return ParquetBackend(opts["root"], opts.get("dbname", "main")), opts.get("dbname", "main")
     if kind == "memory":

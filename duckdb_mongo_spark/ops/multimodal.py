@@ -380,13 +380,17 @@ def resize_image(
     REPLACED with the resized PNG and ``resized`` marks success.
     Undecodable payloads pass through unchanged with ``resized=false``
     (never dropped — a 100 TB pipeline wants the row, flagged, not an
-    executor-killing exception)."""
+    executor-killing exception). Resized rows re-encode as PNG, so a
+    ``media_mime`` column (when present) is updated to ``image/png`` for
+    them — a stale mime on a transcoded payload would poison any
+    downstream dispatch-on-mime."""
     from duckdb_mongo_spark.ops import codecs
 
     df = ensure_min_parallelism(df)
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("resized", T.BooleanType())]
     )
+    has_mime = "media_mime" in df.columns
 
     def batches(it):
         for pdf in it:
@@ -403,6 +407,11 @@ def resize_image(
             out = pdf.copy()
             out[media_col] = payloads
             out["resized"] = flags
+            if has_mime:
+                out["media_mime"] = [
+                    "image/png" if ok else m
+                    for ok, m in zip(flags, pdf["media_mime"])
+                ]
             yield out
 
     return df.mapInPandas(batches, schema=out_schema)

@@ -290,6 +290,9 @@ class TestSparkOperators:
         assert resized[0, 0].tolist() == [10, 200, 30]  # constant image survives
         assert out[3]["resized"] is False
         assert bytes(out[3]["media"]) == b"\xff\xd8\xff\xe0 pretend jpeg"
+        # transcoded rows update media_mime; untouched rows keep theirs
+        assert out[2]["media_mime"] == "image/png"  # was BMP, re-encoded
+        assert out[3]["media_mime"] == "application/octet-stream"
 
     def test_audio_pixel_features(self, spark):
         from duckdb_mongo_spark.ops import multimodal

@@ -30,6 +30,28 @@ RESOLUTIONS = ["second", "minute", "hour", "day", "month", "year"]
 _MERGE = {"sum": F.sum, "min": F.min, "max": F.max}
 
 
+_HLL_OK_TYPES = ("int", "bigint", "smallint", "tinyint", "string", "binary")
+
+
+def validate_hll_inputs(df: DataFrame, metrics: dict) -> None:
+    """Fail fast with guidance when an ``approx_distinct`` metric targets
+    a column type ``hll_sketch_agg`` rejects (it accepts only
+    INT/BIGINT/STRING/BINARY — a DOUBLE column otherwise surfaces as a
+    deep Catalyst DATATYPE_MISMATCH at analysis time). Cast such columns
+    to string upstream: distinct-count semantics are preserved (the
+    value↔canonical-repr mapping is 1:1)."""
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for out, (agg, col) in metrics.items():
+        if agg == "approx_distinct":
+            t = types.get(col)
+            if t is not None and t not in _HLL_OK_TYPES:
+                raise ValueError(
+                    f"approx_distinct metric {out!r}: hll_sketch_agg does not accept "
+                    f"{col!r} of type {t} (supported: {', '.join(_HLL_OK_TYPES)}); "
+                    f"cast the column to string first — distinct counts are unchanged"
+                )
+
+
 def build_partial_aggs(metrics: dict) -> list:
     """Mergeable partial-state aggregations for the finest level —
     shared by the batch rollup and the streaming continuous aggregate so
@@ -144,6 +166,7 @@ def time_rollup(
     if not metrics:
         raise ValueError("metrics must be non-empty")
 
+    validate_hll_inputs(df, metrics)
     # partial (mergeable) state per metric at the finest level
     partial_aggs = build_partial_aggs(metrics)
 

@@ -28,6 +28,7 @@ from duckdb_mongo_spark.ops.rollup import (
     build_merge_aggs,
     build_partial_aggs,
     finalize_metric_cols,
+    validate_hll_inputs,
 )
 
 # streaming windows need fixed durations; month/year (variable length)
@@ -81,6 +82,7 @@ def streaming_time_rollup(
     order = sorted(set(resolutions), key=list(STREAM_RESOLUTIONS).index)
     if not metrics:
         raise ValueError("metrics must be non-empty")
+    validate_hll_inputs(stream, metrics)
 
     wm = stream.withWatermark(ts_col, watermark)
     finest = order[0]

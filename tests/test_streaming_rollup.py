@@ -168,3 +168,58 @@ class TestStreamingTimeRollup:
         stream = spark.readStream.schema(_SCHEMA).json(str(stream_dir))
         with pytest.raises(ValueError, match="metrics"):
             streaming_time_rollup(stream, "ts", {})
+
+    def test_hll_double_column_rejected_with_guidance(self, spark, stream_dir):
+        """hll_sketch_agg accepts only int/bigint/string/binary; a DOUBLE
+        metric must fail at build time with a clear message, not as a
+        deep Catalyst DATATYPE_MISMATCH (batch time_rollup shares the
+        same validation)."""
+        stream = spark.readStream.schema(_SCHEMA).json(str(stream_dir))
+        with pytest.raises(ValueError, match="cast the column to string"):
+            streaming_time_rollup(stream, "ts", {"nd": ("approx_distinct", "v")})
+        from duckdb_mongo_spark.ops.rollup import time_rollup
+
+        bdf = spark.createDataFrame([("a",)], "k string").selectExpr(
+            "k", "CAST('2024-01-01' AS TIMESTAMP) AS ts", "CAST(1.5 AS DOUBLE) AS v"
+        )
+        with pytest.raises(ValueError, match="cast the column to string"):
+            time_rollup(bdf, "ts", {"nd": ("approx_distinct", "v")})
+
+    def test_hll_distinct_unions_across_chained_levels(self, spark, tmp_path):
+        """An approx_distinct metric must UNION sketches upward (a naive
+        rollup sums per-bucket distincts and overcounts): 30 one-minute
+        buckets each holding 1 distinct uid (7 distinct overall) must
+        estimate exactly 7 at the hour level."""
+        import json as _json
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        try:
+            d = tmp_path / "hll_in"
+            d.mkdir()
+            rows = [
+                {"k": "a", "ts": f"2024-03-01T10:{i:02d}:00.000Z", "uid": i % 7}
+                for i in range(30)
+            ]
+            rows.append({"k": "z", "ts": "2024-03-10T00:00:00.000Z", "uid": 0})
+            (d / "p0.jsonl").write_text("\n".join(_json.dumps(r) for r in rows))
+            stream = spark.readStream.schema("k string, ts timestamp, uid bigint").json(str(d))
+            levels = streaming_time_rollup(
+                stream, "ts", {"nd": ("approx_distinct", "uid"), "n": ("count", "uid")},
+                group_cols=["k"], resolutions=["minute", "hour"], watermark="5 minutes",
+            )
+            for unit, df in levels.items():
+                q = (
+                    df.writeStream.format("memory").queryName(f"cagg_hll_{unit}")
+                    .outputMode("append")
+                    .option("checkpointLocation", str(tmp_path / f"ck_{unit}"))
+                    .trigger(availableNow=True).start()
+                )
+                q.awaitTermination(180)
+            hour = [
+                (r["nd"], r["n"])
+                for r in spark.sql("SELECT * FROM cagg_hll_hour").collect()
+                if r["k"] == "a"
+            ]
+            assert hour == [(7, 30)]
+        finally:
+            spark.conf.unset("spark.sql.session.timeZone")

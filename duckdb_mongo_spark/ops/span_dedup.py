@@ -144,8 +144,14 @@ def remove_duplicate_spans(
     agg_spans = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
-    out = df.join(agg_spans, id_col, "left")
-    toks = _norm_tokens(F.col(text_col))
+    # materialize the token array in its own projection BEFORE any HOF
+    # references it — an expression-typed `toks` re-evaluates the
+    # normalizer per use (and per lambda element), the 10-50x trap
+    # documented in ops/text.py
+    out = df.join(agg_spans, id_col, "left").withColumn(
+        "__toks", _norm_tokens(F.col(text_col))
+    )
+    toks = F.col("__toks")
     idx = F.sequence(F.lit(0), F.size(toks) - 1)
     kept = F.filter(
         F.zip_with(toks, idx, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
@@ -162,5 +168,5 @@ def remove_duplicate_spans(
             "n_tokens_removed",
             (F.size(toks) - F.size("__kept")).cast("long"),
         )
-        .drop("__spans", "__kept")
+        .drop("__spans", "__kept", "__toks")
     )

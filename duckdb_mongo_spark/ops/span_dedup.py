@@ -56,6 +56,7 @@ def duplicate_spans(
     text_col: str = "text",
     k: int = 20,
     max_gram_freq: int = 1000,
+    exact_grams: bool = False,
 ) -> DataFrame:
     """Merged token spans to REMOVE per document: ``(id, span_start,
     span_end)`` with 0-based start, exclusive end. The first occurrence
@@ -66,7 +67,14 @@ def duplicate_spans(
     ``max_gram_freq`` drops grams occurring more often (hot boilerplate
     would explode the join; its first occurrence is kept regardless, so
     the cap trades completeness of REMOVAL, never correctness of KEPT
-    text)."""
+    text).
+
+    ``exact_grams=True`` keys the duplicate relation on the gram TEXT
+    instead of its 64-bit md5 prefix — zero collision risk (matching the
+    suffix-array approach exactly) at the cost of shuffling k-token
+    strings instead of 8-byte hashes. The default hash mode mis-marks a
+    span only when two distinct k-grams collide in 64 bits (~2^-64 per
+    pair)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     df = ensure_min_parallelism(df)
@@ -75,16 +83,20 @@ def duplicate_spans(
     )
     toks = F.col("__toks")
     n = F.size(toks)
+
+    def _key(p):
+        if exact_grams:
+            return F.array_join(F.slice(toks, p, k), " ")
+        return _gram_hash(toks, p, k)
+
+    empty_t = "array<string>" if exact_grams else "array<bigint>"
     occ = toked.select(
         F.col(id_col),
         F.posexplode(
             F.when(
                 n >= k,
-                F.transform(
-                    F.sequence(F.lit(1), n - k + 1),
-                    lambda p: _gram_hash(toks, p, k),
-                ),
-            ).otherwise(F.array().cast("array<bigint>"))
+                F.transform(F.sequence(F.lit(1), n - k + 1), _key),
+            ).otherwise(F.array().cast(empty_t))
         ).alias("__pos0", "__h"),
     )
     owners = (

@@ -99,6 +99,19 @@ class TestCapAndValidation:
         uncapped = duplicate_spans(df, k=6, max_gram_freq=1000)
         assert uncapped.count() == 9  # all but the owner doc
 
+    def test_exact_grams_mode_identical_results(self, docs, spans):
+        """exact_grams=True (gram-text keys, zero collision risk) must
+        produce the same spans as the default hash mode on a
+        collision-free corpus."""
+        exact = {
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in duplicate_spans(docs, k=K, exact_grams=True).collect()
+        }
+        hashed = {
+            (r["doc_id"], r["span_start"], r["span_end"]) for r in spans.collect()
+        }
+        assert exact == hashed and exact
+
     def test_bad_k(self, spark):
         df = spark.createDataFrame([("a", "b")], "doc_id string, text string")
         with pytest.raises(ValueError):

@@ -801,7 +801,8 @@ _SCAN_CACHE: dict[tuple, tuple] = {}
 
 
 def _mongo_frame(spark, sf_dir: str, coll: str, id_field: str | None = None,
-                 filter: dict | None = None, pipeline: list | None = None):
+                 filter: dict | None = None, pipeline: list | None = None,
+                 direct: bool | None = None):
     """mongo_scan with the backend + resolved schema cached per
     (sf_dir, coll) — the reference re-infers per DIRECT mongo_scan call
     (README.md:566) but caches schema entries under ATTACH
@@ -820,14 +821,17 @@ def _mongo_frame(spark, sf_dir: str, coll: str, id_field: str | None = None,
     be, schema = got
     return MongoFrame(
         spark=spark, backend=be, db="main", coll=coll, schema=schema,
-        manual_filter=filter, manual_pipeline=pipeline,
+        manual_filter=filter, manual_pipeline=pipeline, direct=direct,
     )
 
 
 def _mongo_filter_projection(spark, sf_dir):
     from duckdb_mongo_spark.pushdown import C
 
-    mf = _mongo_frame(spark, sf_dir, "orders")
+    # direct=False pins the partitioned Python-DataSource scan so the
+    # driver oracle keeps proving A2/A3/A4 (partitioned arrow execution)
+    # end-to-end; smaller entries use the direct-materialization path
+    mf = _mongo_frame(spark, sf_dir, "orders", direct=False)
     return (
         mf.filter((C("o_totalprice") > 400000.0) & C("o_orderstatus").isin("O", "F"))
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
@@ -865,8 +869,13 @@ _register(
 
 
 def _mongo_agg_pushdown(spark, sf_dir):
+    from pyspark.sql import functions as F
 
     mf = _mongo_frame(spark, sf_dir, "orders")
+    # AVG of doubles is summation-order-dependent at the last ulp, and the
+    # engine legitimately varies partitioning (direct materialization vs
+    # 8/32-way scans) — round to 4 decimals on BOTH sides so the oracle
+    # hash is partitioning-independent (min/max/count are exact as-is)
     return (
         mf.group_by("o_orderstatus")
         .agg(
@@ -876,6 +885,7 @@ def _mongo_agg_pushdown(spark, sf_dir):
             ("avg", "o_totalprice", "avg_price"),
         )
         .df()
+        .withColumn("avg_price", F.round("avg_price", 4))
     )
 
 
@@ -885,7 +895,7 @@ _register(
     """
     SELECT o_orderstatus, COUNT(*) AS n_orders,
            MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
-           AVG(o_totalprice) AS avg_price
+           ROUND(AVG(o_totalprice), 4) AS avg_price
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -898,12 +908,17 @@ def _mongo_count_pushdown(spark, sf_dir):
     counter on customer; the 1-row count frame is cross-joined onto the
     grouped result so both pushdown paths land in one oracle-checked
     result set."""
+    from pyspark.sql import functions as F
+
     total = _mongo_frame(spark, sf_dir, "supplier").count_rows().df()
     grouped = (
         _mongo_frame(spark, sf_dir, "customer")
         .group_by("c_mktsegment")
         .agg(("count", "c_acctbal", "n_bal"), ("sum", "c_acctbal", "total_bal"))
         .df()
+        # double SUM rounded on both sides: partitioning-independent hash
+        # (see mongo_agg_pushdown)
+        .withColumn("total_bal", F.round("total_bal", 4))
     )
     return grouped.crossJoin(total).orderBy("c_mktsegment")
 
@@ -913,7 +928,7 @@ _register(
     _mongo_count_pushdown,
     """
     SELECT c_mktsegment, COUNT(c_acctbal) AS n_bal,
-           SUM(c_acctbal) AS total_bal,
+           ROUND(SUM(c_acctbal), 4) AS total_bal,
            (SELECT COUNT(*) FROM supplier) AS count
     FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
@@ -937,7 +952,7 @@ def _mongo_or_filter(spark, sf_dir):
     """A9/A7: OR of comparisons + IS NOT NULL, all pushed as one $or."""
     from duckdb_mongo_spark.pushdown import C
 
-    mf = _mongo_frame(spark, sf_dir, "orders")
+    mf = _mongo_frame(spark, sf_dir, "orders", direct=False)
     pred = ((C("o_totalprice") > 450000.0) | (C("o_orderstatus") == "P")) \
         & C("o_orderpriority").is_not_null()
     return (
@@ -966,6 +981,7 @@ def _mongo_manual_filter(spark, sf_dir):
     mf = _mongo_frame(
         spark, sf_dir, "orders",
         filter={"o_orderstatus": {"$in": ["F", "P"]}},
+        direct=False,
     )
     return (
         mf.filter(C("o_totalprice") > 400000.0)
@@ -995,7 +1011,7 @@ def _mongo_semi_join_in(spark, sf_dir):
         .filter(C("c_acctbal") > 9900.0)
         .select("c_custkey")
     )
-    orders = _mongo_frame(spark, sf_dir, "orders")
+    orders = _mongo_frame(spark, sf_dir, "orders", direct=False)
     # passing the MongoFrame (not .df()) lets the engine execute the
     # build side directly on the backend — one federation round-trip,
     # not two (frame.semi_join_in direct path)

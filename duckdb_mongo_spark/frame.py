@@ -29,6 +29,15 @@ from duckdb_mongo_spark.session import (
     register_data_source,
 )
 
+import os as _os
+
+# Direct-materialization caps (see MongoFrame._try_direct_df). Row counts,
+# not bytes: DIRECT_SCAN_MAX_ROWS gates find-shaped whole-collection
+# scans (broadcast-class collections only), DIRECT_AGG_MAX_ROWS caps the
+# result rows of a fully-pushed pipeline. ≤ 0 disables the path.
+DIRECT_SCAN_MAX_ROWS = int(_os.environ.get("SPARK_GRAFT_DIRECT_SCAN_ROWS", "250000"))
+DIRECT_AGG_MAX_ROWS = int(_os.environ.get("SPARK_GRAFT_DIRECT_AGG_ROWS", "100000"))
+
 
 def _pred_to_column(pred, schema):
     """Residual predicate AST → PySpark Column."""
@@ -122,6 +131,9 @@ class MongoFrame:
     num_partitions: int = 0
     manual_filter: dict | None = None
     manual_pipeline: list | None = None
+    # Direct-materialization fast path (None = auto, False = never,
+    # True = force when expressible). See _try_direct_df.
+    direct: bool | None = None
     _preds: tuple = ()
     _projection: tuple | None = None
     _limit: int | None = None
@@ -297,9 +309,94 @@ class MongoFrame:
         return out
 
     # -- materialization ----------------------------------------------------
+    def _try_direct_df(self, payload: dict, planned) -> DataFrame | None:
+        """Direct-materialization fast path: execute the compiled scan
+        in-process and hand Spark the (bounded) Arrow result via
+        ``createDataFrame`` — one IPC hop instead of a Python-DataSource
+        plan/worker round trip (measured 0.46 s per fresh query on this
+        build, BASELINE.md "The Python-DataSource floor").
+
+        Same principle as the semi-join build side (A11) and the
+        reference's own server-side pipelines (collection.aggregate,
+        src/mongo_table_function.cpp:362): when the result of the pushed
+        plan is small enough to materialize where the planner runs, a
+        distributed scan only adds overhead. Scale contract:
+
+        - find-shaped scans qualify only when the WHOLE collection is
+          broadcast-class (row count ≤ DIRECT_SCAN_MAX_ROWS, metadata
+          lookup) — a 100 TB collection always takes the partitioned
+          executor scan;
+        - fully-pushed single-stream pipelines ($count / $sort+$limit /
+          $group) qualify with a result-row cap (DIRECT_AGG_MAX_ROWS);
+          crossing the cap abandons the direct result and falls back to
+          the partitioned datasource path (always-correct fallback);
+        - execution reuses the datasource reader's OWN code paths
+          (_try_arrow_fast_path / _result_docs) so the two paths cannot
+          diverge semantically.
+
+        Returns None when the scan doesn't qualify (residuals are fine —
+        df() applies them on top either way).
+        """
+        if self.direct is False or self.spark is None:
+            return None
+        from duckdb_mongo_spark.datasource import (
+            _MongoScanReaderNoPushdown,
+            _Part,
+            _to_arrow_batches,
+        )
+        from duckdb_mongo_spark.schema.flatten import SchemaMode, flatten_document
+        from duckdb_mongo_spark.schema.types import to_spark_schema
+
+        reader = _MongoScanReaderNoPushdown(payload)
+        part = _Part(None)
+        batches = None
+        if planned.method == "find":
+            if not hasattr(self.backend, "arrow_scan"):
+                return None
+            if self.direct is not True:
+                if DIRECT_SCAN_MAX_ROWS <= 0:
+                    return None
+                try:
+                    n = self.backend.count(self.db, self.coll)
+                except Exception:
+                    return None
+                if n > DIRECT_SCAN_MAX_ROWS:
+                    return None
+            it = reader._try_arrow_fast_path(part)
+            if it is None:
+                return None  # non-arrow dialect / mode — datasource path
+            batches = list(it)
+        elif planned.method == "aggregate" and not planned.parallelizable:
+            cap = None if self.direct is True else DIRECT_AGG_MAX_ROWS
+            if cap is not None and cap <= 0:
+                return None
+            mode = SchemaMode.parse(self.schema_mode)
+            rows = []
+            try:
+                for doc in reader._result_docs(part):
+                    row = flatten_document(doc, planned.output_schema, mode)
+                    if row is not None:
+                        rows.append(row)
+                        if cap is not None and len(rows) > cap:
+                            return None  # result too big — partitioned path
+            except Exception:
+                if self.direct is True:
+                    raise
+                return None
+            batches = list(_to_arrow_batches(rows, planned.output_schema))
+        else:
+            return None
+        spark_schema = to_spark_schema(planned.output_schema.fields)
+        if not batches:
+            return self.spark.createDataFrame([], schema=spark_schema)
+        import pyarrow as pa
+
+        return self.spark.createDataFrame(
+            pa.Table.from_batches(batches), schema=spark_schema
+        )
+
     def df(self) -> DataFrame:
         spec, planned, residual = self._compiled()
-        register_data_source(self.spark)
         payload = {
             "backend": self.backend,
             "db": self.db,
@@ -313,11 +410,17 @@ class MongoFrame:
             # ``planned``); see datasource.MongoDataSource.reader()
             "push_filters": ensure_python_filter_pushdown(self.spark),
         }
-        df = (
-            self.spark.read.format(FORMAT_NAME)
-            .option("payload", encode_payload(payload))
-            .load()
-        )
+        df = self._try_direct_df(payload, planned)
+        if df is not None:
+            self.last_exec_path = "direct"
+        else:
+            self.last_exec_path = "datasource"
+            register_data_source(self.spark)
+            df = (
+                self.spark.read.format(FORMAT_NAME)
+                .option("payload", encode_payload(payload))
+                .load()
+            )
         if residual is not None:
             df = df.filter(_pred_to_column(residual, planned.output_schema))
         if self._aggs is not None and planned.method == "find":

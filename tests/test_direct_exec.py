@@ -1,0 +1,217 @@
+"""Direct-materialization fast path (MongoFrame._try_direct_df).
+
+The direct path executes the compiled scan in-process and hands Spark the
+Arrow result via createDataFrame — one IPC hop instead of the
+Python-DataSource plan/worker round trip (BASELINE.md "The
+Python-DataSource floor", ~0.46 s per fresh query). These tests pin the
+contract: byte-identical results and schemas vs the datasource path
+(modulo float summation order, which Spark itself does not fix across
+partitionings), caps that route large scans back to the partitioned
+path, and sentinel/empty edge parity. Reference behavior being matched:
+fully-pushed pipelines execute at the source and the engine materializes
+the (small) result rows (src/mongo_table_function.cpp:362).
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import duckdb_mongo_spark.frame as frame_mod
+from duckdb_mongo_spark.backends import MemoryBackend, ParquetBackend
+from duckdb_mongo_spark.frame import MongoFrame
+from duckdb_mongo_spark.pushdown import C
+from duckdb_mongo_spark.schema.infer import resolve_schema
+
+
+def _mf(spark, be, coll, **kw):
+    sch = resolve_schema(be, "main", coll)
+    return MongoFrame(spark=spark, backend=be, db="main", coll=coll,
+                      schema=sch, **kw)
+
+
+def _both(f):
+    """Build both execution paths for the same frame; return (direct_df,
+    datasource_df) and assert the paths actually diverged as built."""
+    fd = replace(f, direct=None)
+    fs = replace(f, direct=False)
+    d, s = fd.df(), fs.df()
+    return fd, fs, d, s
+
+
+@pytest.fixture(scope="module")
+def pq_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("direct_pq")
+    table = pa.table({
+        "k": pa.array(range(500), pa.int64()),
+        "grp": pa.array([f"g{i % 3}" for i in range(500)]),
+        "v": pa.array([float(i) / 7 for i in range(500)], pa.float64()),
+    })
+    pq.write_table(table, root / "c.parquet", row_group_size=64)
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def sentinel_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("direct_sentinel")
+    table = pa.table({
+        "_id": pa.array(["__schema"] + [f"id{i}" for i in range(50)]),
+        "v": pa.array([None] + list(range(50)), pa.int64()),
+    })
+    pq.write_table(table, root / "c.parquet")
+    return str(root)
+
+
+class TestFindPath:
+    def test_filter_projection_equivalence(self, spark, pq_root):
+        be = ParquetBackend(pq_root, id_field="k")
+        f = _mf(spark, be, "c").filter(C("v") > 30.0).select("k", "v")
+        fd, fs, d, s = _both(f)
+        assert fd.last_exec_path == "direct"
+        assert fs.last_exec_path == "datasource"
+        assert d.schema == s.schema
+        assert sorted(map(tuple, d.collect())) == sorted(map(tuple, s.collect()))
+
+    def test_in_and_null_filters(self, spark, pq_root):
+        be = ParquetBackend(pq_root, id_field="k")
+        f = (_mf(spark, be, "c")
+             .filter(C("grp").isin("g0", "g2") & C("v").is_not_null())
+             .select("k", "grp"))
+        fd, fs, d, s = _both(f)
+        assert fd.last_exec_path == "direct"
+        assert sorted(map(tuple, d.collect())) == sorted(map(tuple, s.collect()))
+
+    def test_empty_match(self, spark, pq_root):
+        be = ParquetBackend(pq_root, id_field="k")
+        f = _mf(spark, be, "c").filter(C("v") > 1e9).select("k")
+        fd, _, d, s = _both(f)
+        assert fd.last_exec_path == "direct"
+        assert d.collect() == [] and s.collect() == []
+        assert d.schema == s.schema
+
+    def test_sentinel_excluded(self, spark, sentinel_root):
+        be = ParquetBackend(sentinel_root)
+        # explicit columns param (tier 1) — the sentinel doc here marks
+        # presence only; typed parquet can't hold type-name strings
+        sch = resolve_schema(be, "main", "c",
+                             columns={"_id": "VARCHAR", "v": "BIGINT"})
+        f = MongoFrame(spark=spark, backend=be, db="main", coll="c",
+                       schema=sch).select("_id", "v")
+        fd, _, d, s = _both(f)
+        assert fd.last_exec_path == "direct"
+        ids = {r["_id"] for r in d.collect()}
+        assert "__schema" not in ids and len(ids) == 50
+        assert sorted(map(tuple, d.collect())) == sorted(map(tuple, s.collect()))
+
+    def test_scan_cap_routes_to_datasource(self, spark, pq_root, monkeypatch):
+        monkeypatch.setattr(frame_mod, "DIRECT_SCAN_MAX_ROWS", 10)
+        be = ParquetBackend(pq_root, id_field="k")
+        f = _mf(spark, be, "c").select("k")
+        f.df()
+        assert f.last_exec_path == "datasource"
+
+    def test_disabled_cap_routes_to_datasource(self, spark, pq_root, monkeypatch):
+        monkeypatch.setattr(frame_mod, "DIRECT_SCAN_MAX_ROWS", 0)
+        be = ParquetBackend(pq_root, id_field="k")
+        f = _mf(spark, be, "c").select("k")
+        f.df()
+        assert f.last_exec_path == "datasource"
+
+    def test_forced_direct_ignores_cap(self, spark, pq_root, monkeypatch):
+        monkeypatch.setattr(frame_mod, "DIRECT_SCAN_MAX_ROWS", 10)
+        be = ParquetBackend(pq_root, id_field="k")
+        f = replace(_mf(spark, be, "c").select("k"), direct=True)
+        out = f.df()
+        assert f.last_exec_path == "direct"
+        assert out.count() == 500
+
+    def test_direct_false_honored(self, spark, pq_root):
+        be = ParquetBackend(pq_root, id_field="k")
+        f = replace(_mf(spark, be, "c").select("k"), direct=False)
+        f.df()
+        assert f.last_exec_path == "datasource"
+
+    def test_non_arrow_dialect_falls_back(self, spark, pq_root):
+        # $expr (substring comparison) is outside the arrow filter
+        # dialect — the direct path must defer to the datasource scan,
+        # whose interpreted path evaluates it
+        be = ParquetBackend(pq_root, id_field="k")
+        f = (_mf(spark, be, "c")
+             .filter(C("grp").substring(1, 2) == "g1")
+             .select("k", "grp"))
+        fd, _, d, s = _both(f)
+        assert fd.last_exec_path == "datasource"
+        assert sorted(map(tuple, d.collect())) == sorted(map(tuple, s.collect()))
+
+
+class TestAggregatePath:
+    def test_count_rows(self, spark, pq_root):
+        be = ParquetBackend(pq_root, id_field="k")
+        f = _mf(spark, be, "c").count_rows()
+        fd, fs, d, s = _both(f)
+        assert fd.last_exec_path == "direct"
+        assert d.collect() == s.collect() == [
+            next(iter(s.collect()))
+        ]
+        assert d.collect()[0][0] == 500
+        assert d.schema == s.schema
+
+    def test_count_rows_empty_match(self, spark, pq_root):
+        be = ParquetBackend(pq_root, id_field="k")
+        f = _mf(spark, be, "c").filter(C("v") > 1e9).count_rows()
+        fd, _, d, s = _both(f)
+        assert [r[0] for r in d.collect()] == [r[0] for r in s.collect()]
+
+    def test_remote_group_pushdown(self, spark):
+        be = MemoryBackend()
+        be.create_collection("db", "t")
+        be.insert_many("db", "t", [
+            {"_id": i, "g": f"g{i % 4}", "x": i * 10} for i in range(200)
+        ])
+        sch = resolve_schema(be, "db", "t")
+        f = (MongoFrame(spark=spark, backend=be, db="db", coll="t", schema=sch)
+             .group_by("g").agg(("sum", "x", "sx"), ("count_star", None, "n")))
+        fd, fs, d, s = _both(f)
+        assert fd.last_exec_path == "direct"
+        assert fs.last_exec_path == "datasource"
+        assert d.schema == s.schema
+        assert sorted(map(tuple, d.collect())) == sorted(map(tuple, s.collect()))
+
+    def test_remote_topn_pushdown(self, spark):
+        be = MemoryBackend()
+        be.create_collection("db", "t")
+        be.insert_many("db", "t", [{"_id": i, "x": i} for i in range(100)])
+        sch = resolve_schema(be, "db", "t")
+        f = (MongoFrame(spark=spark, backend=be, db="db", coll="t", schema=sch)
+             .order_by_id(descending=True).limit(7).select("_id", "x"))
+        fd, fs, d, s = _both(f)
+        assert fd.last_exec_path == "direct"
+        assert d.schema == s.schema
+        assert list(map(tuple, d.collect())) == list(map(tuple, s.collect()))
+
+    def test_agg_cap_falls_back(self, spark, monkeypatch):
+        monkeypatch.setattr(frame_mod, "DIRECT_AGG_MAX_ROWS", 2)
+        be = MemoryBackend()
+        be.create_collection("db", "t")
+        be.insert_many("db", "t", [{"_id": i, "g": f"g{i}"} for i in range(10)])
+        sch = resolve_schema(be, "db", "t")
+        f = (MongoFrame(spark=spark, backend=be, db="db", coll="t", schema=sch)
+             .group_by("g").agg(("count_star", None, "n")))
+        out = f.df()
+        assert f.last_exec_path == "datasource"
+        assert out.count() == 10
+
+
+class TestResidualOnTop:
+    def test_residual_applies_after_direct_scan(self, spark, pq_root):
+        # residual-bearing predicates still evaluate in Spark on top of
+        # the direct scan, exactly as on the datasource path
+        be = ParquetBackend(pq_root, id_field="k")
+        f = (_mf(spark, be, "c")
+             .filter((C("v") > 10.0) & (C("grp").substring(2, 1) == "1"))
+             .select("k", "grp", "v"))
+        fd, _, d, s = _both(f)
+        assert sorted(map(tuple, d.collect())) == sorted(map(tuple, s.collect()))

@@ -37,6 +37,13 @@ import os as _os
 # result rows of a fully-pushed pipeline. ≤ 0 disables the path.
 DIRECT_SCAN_MAX_ROWS = int(_os.environ.get("SPARK_GRAFT_DIRECT_SCAN_ROWS", "250000"))
 DIRECT_AGG_MAX_ROWS = int(_os.environ.get("SPARK_GRAFT_DIRECT_AGG_ROWS", "100000"))
+# rows × output-columns bound for the find-shaped direct path: a wide
+# whole-table materialization loses to the parallel partitioned scan even
+# under the row cap (measured at sf0.1: 150k×9 cells direct 0.94 s vs
+# datasource 0.81 s; 150k×2 cells direct 0.48 s vs 0.72 s)
+DIRECT_SCAN_MAX_CELLS = int(
+    _os.environ.get("SPARK_GRAFT_DIRECT_SCAN_CELLS", "1000000")
+)
 
 
 def _pred_to_column(pred, schema):
@@ -69,6 +76,32 @@ def _pred_to_column(pred, schema):
     if isinstance(pred, P.Not):
         return ~_pred_to_column(pred.child, schema)
     raise ValueError(f"cannot translate predicate {pred!r}")
+
+
+def _pred_col_names(node, out: set) -> None:
+    """Collect raw column names referenced by a predicate/expression AST."""
+    if isinstance(node, P.Col):
+        out.add(node.name)
+    elif isinstance(node, P.Cmp):
+        _pred_col_names(node.left, out)
+        _pred_col_names(node.right, out)
+    elif isinstance(node, P.In):
+        _pred_col_names(node.operand, out)
+    elif isinstance(node, (P.IsNull, P.IsNotNull, P.Regex)):
+        _pred_col_names(node.operand, out)
+    elif isinstance(node, (P.And, P.Or)):
+        for c in node.children:
+            _pred_col_names(c, out)
+    elif isinstance(node, P.Not):
+        _pred_col_names(node.child, out)
+    elif isinstance(node, P.BinOp):
+        _pred_col_names(node.left, out)
+        _pred_col_names(node.right, out)
+    elif isinstance(node, P.Cast):
+        _pred_col_names(node.operand, out)
+    elif isinstance(node, P.Func):
+        for a in node.args:
+            _pred_col_names(a, out)
 
 
 def _col_name(name: str, schema) -> str:
@@ -253,12 +286,31 @@ class MongoFrame:
             )
             if not (count_only and plan.match is None and self.manual_filter is None):
                 push_aggs = None
+        projection = list(self._projection) if self._projection is not None else None
+        if projection is None and self._aggs is not None:
+            # Aggregate evaluated in Spark (local profile, or planner
+            # guards refuse the pushdown): prune the scan to the columns
+            # the aggregation actually consumes — Catalyst cannot
+            # column-prune a Python DataSource, so the engine must
+            # (reference A4 projection pushdown, src/mongo_optimizer.cpp
+            # parent/child collapse, applied to the agg-fallback shape).
+            # plan_scan's pushed-aggregate branches ignore spec.projection,
+            # so supplying it never affects a successfully pushed $group.
+            need: set = set(self._group_keys or [])
+            for a in self._aggs:
+                if a.column:
+                    need.add(a.column)
+            if plan.residual is not None:
+                _pred_col_names(plan.residual, need)
+            # count_star-only with a residual-free filter still needs one
+            # column to count rows over
+            projection = sorted(need) if need else ["_id"]
         spec = ScanSpec(
             db=self.db,
             coll=self.coll,
             schema=self.schema,
             match=plan.match,
-            projection=list(self._projection) if self._projection is not None else None,
+            projection=projection,
             limit=(
                 self._limit
                 if plan.residual is None
@@ -353,6 +405,14 @@ class MongoFrame:
         if planned.method == "find":
             if not hasattr(self.backend, "arrow_scan"):
                 return None
+            if self._aggs is not None and self.direct is not True:
+                # a Spark-side aggregation follows this scan: the
+                # partitioned executor scan feeds a distributed partial
+                # agg, which beats materializing through the driver
+                # (measured at sf0.1: direct consistently ~0.2 s slower
+                # on a 150k-row groupBy input, while pure
+                # filter/project/topn shapes win by 0.2-1.4 s)
+                return None
             if self.direct is not True:
                 if DIRECT_SCAN_MAX_ROWS <= 0:
                     return None
@@ -361,6 +421,8 @@ class MongoFrame:
                 except Exception:
                     return None
                 if n > DIRECT_SCAN_MAX_ROWS:
+                    return None
+                if n * len(planned.output_schema.fields) > DIRECT_SCAN_MAX_CELLS:
                     return None
             it = reader._try_arrow_fast_path(part)
             if it is None:

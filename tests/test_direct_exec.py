@@ -134,6 +134,20 @@ class TestFindPath:
         f.df()
         assert f.last_exec_path == "datasource"
 
+    def test_spark_side_agg_takes_datasource_scan(self, spark, pq_root):
+        # when the aggregate stays in Spark (local profile), the scan
+        # feeds a distributed partial agg — direct materialization is
+        # excluded by design (and the scan is projection-pruned to the
+        # agg's input columns)
+        be = ParquetBackend(pq_root, id_field="k")
+        f = (_mf(spark, be, "c")
+             .group_by("grp").agg(("sum", "v", "sv"), ("count_star", None, "n")))
+        fd, fs, d, s = _both(f)
+        assert fd.last_exec_path == "datasource"
+        assert "projection" in fd.scan_description()
+        norm = lambda rows: sorted((g, round(sv, 6), n) for g, sv, n in rows)
+        assert norm(map(tuple, d.collect())) == norm(map(tuple, s.collect()))
+
     def test_non_arrow_dialect_falls_back(self, spark, pq_root):
         # $expr (substring comparison) is outside the arrow filter
         # dialect — the direct path must defer to the datasource scan,

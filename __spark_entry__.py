@@ -952,7 +952,7 @@ def _mongo_or_filter(spark, sf_dir):
     """A9/A7: OR of comparisons + IS NOT NULL, all pushed as one $or."""
     from duckdb_mongo_spark.pushdown import C
 
-    mf = _mongo_frame(spark, sf_dir, "orders", direct=False)
+    mf = _mongo_frame(spark, sf_dir, "orders")
     pred = ((C("o_totalprice") > 450000.0) | (C("o_orderstatus") == "P")) \
         & C("o_orderpriority").is_not_null()
     return (
@@ -981,7 +981,6 @@ def _mongo_manual_filter(spark, sf_dir):
     mf = _mongo_frame(
         spark, sf_dir, "orders",
         filter={"o_orderstatus": {"$in": ["F", "P"]}},
-        direct=False,
     )
     return (
         mf.filter(C("o_totalprice") > 400000.0)
@@ -1011,16 +1010,22 @@ def _mongo_semi_join_in(spark, sf_dir):
         .filter(C("c_acctbal") > 9900.0)
         .select("c_custkey")
     )
-    orders = _mongo_frame(spark, sf_dir, "orders", direct=False)
+    orders = _mongo_frame(spark, sf_dir, "orders")
     # passing the MongoFrame (not .df()) lets the engine execute the
     # build side directly on the backend — one federation round-trip,
     # not two (frame.semi_join_in direct path)
     out = orders.semi_join_in(rich, on="o_custkey", build_col="c_custkey")
     from pyspark.sql import functions as F
 
+    from duckdb_mongo_spark.frame import MongoFrame
+
+    if isinstance(out, MongoFrame):
+        # prune the probe scan to the one column the aggregation reads
+        # (A4 projection pushdown; also keeps the scan broadcast-class)
+        out = out.select("o_orderstatus")
+    df = out.df() if isinstance(out, MongoFrame) else out
     return (
-        out.df()
-        .groupBy("o_orderstatus")
+        df.groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("o_orderstatus")
     )

@@ -60,6 +60,10 @@ def pushdown_evidence(plan: str) -> str:
         # not in the plan string — asserted per-query by test_planner.py
         # plan regexes and visible via MongoFrame.scan_description()
         return "engine BatchScan (pushdown in scan_description)"
+    if re.search(r"LocalTableScan|LocalRelation", plan):
+        # direct Arrow materialization (frame._try_direct_df): the pushed
+        # scan executed in-process, the plan holds only its bounded result
+        return "direct materialization (pushdown in scan_description)"
     return "—"
 
 

@@ -267,40 +267,41 @@ def _sf1_section(spark, qs, bench_queries, oracles, iters=3):
         return None
     for name in bench_queries:  # warm (cache layout, JIT, codegen)
         qs[name](spark, sf1).collect()
+    # interleaved Spark/DuckDB sampling, same rationale as the headline
+    # loop: per-query ratios calibrated inside the same noise window
+    con = _duckdb_connect(sf1, oracles)
+    if con is not None:
+        for name in bench_queries:
+            if name in oracles:
+                con.execute(oracles[name]).fetchall()  # warm
     timings = {}
+    dk = {}
     for name in bench_queries:
-        samples = []
+        samples, dsamples = [], []
         for _ in range(iters):
             t0 = time.perf_counter()
             qs[name](spark, sf1).collect()
             samples.append(time.perf_counter() - t0)
+            if con is not None and name in oracles:
+                t0 = time.perf_counter()
+                con.execute(oracles[name]).fetchall()
+                dsamples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
+        if dsamples:
+            dk[name] = round(statistics.median(dsamples), 3)
     out = {"total_sec": round(sum(timings.values()), 3), "queries": timings}
-    _attach_duckdb(out, sf1, bench_queries, oracles, out["total_sec"], iters)
-    return out
-
-
-def _attach_duckdb(out: dict, sf_dir: str, bench_queries, oracles, total: float, iters: int = 3) -> None:
-    """Merge the same-host DuckDB calibration into ``out`` (honors
-    SPARK_GRAFT_BENCH_SKIP_DUCKDB for both the headline and sf1 passes)."""
-    if os.environ.get("SPARK_GRAFT_BENCH_SKIP_DUCKDB"):
-        return
-    dk = _duckdb_baseline(sf_dir, bench_queries, oracles, iters)
     if dk:
         out["duckdb_total_sec"] = round(sum(dk.values()), 3)
         out["duckdb_queries"] = dk
-        out["vs_duckdb"] = round(total / out["duckdb_total_sec"], 2)
+        out["vs_duckdb"] = round(out["total_sec"] / out["duckdb_total_sec"], 2)
+    return out
 
 
-def _duckdb_baseline(sf_dir: str, bench_queries, oracles, iters: int = 3) -> dict | None:
-    """Median DuckDB-on-parquet times for every bench query's oracle SQL
-    over the SAME files. Run alongside the Spark suite in each round so
-    the vs-DuckDB ratio is computed from two measurements on the SAME
-    host at the SAME moment — per-round wall times on shared infra swing
-    ±30-40%, but the two engines swing together, so the ratio (which is
-    what BASELINE.md gates on) stays meaningful."""
-    import statistics
-
+def _duckdb_connect(sf_dir: str, oracles: dict):
+    """Warm DuckDB connection over the staged files for interleaved
+    sampling, or None when calibration is disabled/unavailable."""
+    if os.environ.get("SPARK_GRAFT_BENCH_SKIP_DUCKDB"):
+        return None
     try:
         import duckdb
 
@@ -311,20 +312,9 @@ def _duckdb_baseline(sf_dir: str, bench_queries, oracles, iters: int = 3) -> dic
             p = os.path.join(sf_dir, f"{t}.parquet")
             if os.path.exists(p):
                 con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-        names = [n for n in bench_queries if n in oracles]
-        for n in names:
-            con.execute(oracles[n]).fetchall()
-        dk = {}
-        for n in names:
-            samples = []
-            for _ in range(iters):
-                t0 = time.perf_counter()
-                con.execute(oracles[n]).fetchall()
-                samples.append(time.perf_counter() - t0)
-            dk[n] = round(statistics.median(samples), 3)
-        return dk
+        return con
     except Exception as exc:  # noqa: BLE001
-        print(f"# duckdb baseline failed: {exc}", file=sys.stderr)
+        print(f"# duckdb calibration unavailable: {exc}", file=sys.stderr)
         return None
 
 
@@ -410,15 +400,34 @@ def main() -> None:
     import statistics
 
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
+    # INTERLEAVED calibration: alternate Spark and DuckDB samples of the
+    # SAME query inside the same seconds-wide window. Shared-host noise
+    # arrives in minute-scale bursts; sampling all-Spark-then-all-DuckDB
+    # lets a burst land on one engine only and swing the gated ratio
+    # (observed 1.76-2.24 across otherwise identical runs). Interleaving
+    # makes each per-query ratio same-moment-calibrated; total work and
+    # per-engine methodology (fresh build, median of N) are unchanged.
+    con = _duckdb_connect(sf_dir, oracles)
+    if con is not None:
+        for name in bench_queries:
+            if name in oracles:
+                con.execute(oracles[name]).fetchall()  # warm
     timings: dict[str, float] = {}
+    dk: dict[str, float] = {}
     for name in bench_queries:
-        samples = []
+        samples, dsamples = [], []
         for _ in range(iters):
             t0 = time.perf_counter()
             # fresh build every iteration — full end-to-end re-execution
             qs[name](spark, sf_dir).collect()
             samples.append(time.perf_counter() - t0)
+            if con is not None and name in oracles:
+                t0 = time.perf_counter()
+                con.execute(oracles[name]).fetchall()
+                dsamples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
+        if dsamples:
+            dk[name] = round(statistics.median(dsamples), 3)
 
     total = round(sum(timings.values()), 3)
     # label from the ORIGINAL dir: staging renames append a cache tag
@@ -432,7 +441,10 @@ def main() -> None:
     }
     # same-host same-moment calibration: the vs-DuckDB RATIO is the
     # stable statistic; absolute wall times swing with host load
-    _attach_duckdb(out, sf_dir, bench_queries, oracles, total)
+    if dk:
+        out["duckdb_total_sec"] = round(sum(dk.values()), 3)
+        out["duckdb_queries"] = dk
+        out["vs_duckdb"] = round(total / out["duckdb_total_sec"], 2)
     if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_NATIVE"):
         try:
             out["native_pipeline"] = _native_pipeline_section(spark, sf_dir, qs)

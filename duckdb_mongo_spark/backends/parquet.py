@@ -246,6 +246,22 @@ class ParquetBackend(DocumentBackend):
                     pc.field(id_col).is_null()
                 )
                 expr = sentinel_free if expr is None else (expr & sentinel_free)
+        for _name, atype, src in out_fields:
+            if not src or src not in file_cols:
+                continue
+            file_t = pf.schema_arrow.field(src).type
+            if file_t == atype:
+                continue
+            try:
+                # compile-time castability probe on an empty array: a
+                # struct column declared VARCHAR (the flatten path's
+                # JSON-rendered parent, FIXTURES.md users.address) has no
+                # arrow cast — without this probe the generator raised
+                # ArrowNotImplementedError inside the Spark task instead
+                # of falling back to the interpreted row path
+                pa.nulls(0, file_t).cast(atype, safe=False)
+            except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+                return None
         needed = {src for _, _, src in out_fields if src and src in file_cols}
         if filter_doc:
             needed |= _filter_columns(filter_doc, self.id_field) & file_cols

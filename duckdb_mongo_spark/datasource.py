@@ -267,7 +267,12 @@ class _MongoScanReaderNoPushdown(DataSourceReader):
             filt = merge_match(filt, self.catalyst_match)
         out_fields = []
         for f in planned.output_schema.fields:
-            src = f.mongo_path if "." not in f.mongo_path else None
+            if "." in f.mongo_path:
+                # a dotted path means the scan must FLATTEN nested
+                # documents — only the interpreted row path does that;
+                # emitting nulls here would silently diverge from it
+                return None
+            src = f.mongo_path
             if f.name == "_id" and getattr(self.backend, "id_field", None):
                 src = self.backend.id_field
             out_fields.append((f.name, _arrow_type(f.type), src))

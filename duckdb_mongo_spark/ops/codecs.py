@@ -1,15 +1,17 @@
-"""Pure-stdlib + numpy media codecs: PNG, uncompressed BMP, PCM WAV.
+"""Pure-stdlib + numpy media codecs: PNG, uncompressed BMP, GIF, PCM WAV.
 
 Closes the "pixel decode needs a codec library" gap for the formats
-whose compression IS in the standard library: PNG's only compression is
-zlib (stdlib ``zlib``), BMP's common on-disk layout is uncompressed, and
-WAV PCM is raw samples — so real decode-to-array is possible with no
-third-party codec. JPEG/WebP/GIF-LZW entropy coding genuinely needs a
-codec library and stays behind the documented stub boundary
-(``multimodal.parse_image_header`` still reads their header metadata).
+whose decompression is implementable without one: PNG's only compression
+is zlib (stdlib ``zlib``), BMP's common on-disk layout is uncompressed,
+WAV PCM is raw samples, and GIF's LZW is a ~50-line table decoder
+specified in full by GIF89a appendix F. JPEG/WebP entropy coding
+genuinely needs a codec library and stays behind the documented stub
+boundary (``multimodal.parse_image_header`` still reads their header
+metadata).
 
 Everything here reads/writes public file-format structure only (PNG
-RFC 2083 / ISO 15948, the Windows BMP DIB layout, the RIFF/WAVE spec).
+RFC 2083 / ISO 15948, the Windows BMP DIB layout, the RIFF/WAVE spec,
+the GIF89a specification).
 
 Decoder scope (documented, validated):
 
@@ -17,6 +19,10 @@ Decoder scope (documented, validated):
   4 (gray+alpha), 6 (RGBA), non-interlaced. All five scanline filters.
 - BMP: BITMAPINFOHEADER, 24/32-bit uncompressed (BI_RGB), bottom-up or
   top-down.
+- GIF: first frame, GIF87a/89a, global/local palette, interlace,
+  transparency (→ RGBA). LZW decode is a per-code Python loop — fine
+  for thumbnail-scale frames inside mapInPandas batches; route bulk
+  video/animation decode to a codec-library runtime.
 - WAV: integer PCM 8/16/32-bit, any channel count.
 
 The encoder emits filter-0 scanlines, so PNGs produced by
@@ -300,6 +306,144 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
 # --------------------------------------------------------------------------
 
 
+# --------------------------------------------------------------------------
+# GIF (GIF87a/GIF89a, first frame)
+# --------------------------------------------------------------------------
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray:
+    """Variable-width LZW per the GIF89a spec appendix: codes grow from
+    min_code_size+1 up to 12 bits; CLEAR resets the table, END stops.
+    Output is the palette-index stream."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    # table entries as bytes; rebuilt on CLEAR
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = list(base)
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise CodecError("corrupt GIF LZW stream (code out of range)")
+            out += entry
+            prev = entry
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+            if len(out) >= n_pixels:
+                return out
+    return out
+
+
+def decode_gif(b: bytes) -> np.ndarray:
+    """Decode the FIRST image frame of a GIF87a/GIF89a payload to an
+    (H,W,3) uint8 RGB array — or (H,W,4) RGBA when the frame's graphic
+    control extension declares a transparency index. Supports global and
+    local color tables and interlaced frames. Animation (later frames),
+    disposal composition, and plain-text blocks are out of scope: the
+    feature-extraction operators consume one representative frame
+    (ops/multimodal.frame-sample semantics)."""
+    if len(b) < 13 or b[:4] != b"GIF8" or b[4:6] not in (b"7a", b"9a"):
+        raise CodecError("not a GIF payload")
+    try:
+        return _decode_gif_body(b)
+    except CodecError:
+        raise
+    except (IndexError, ValueError, struct.error) as exc:
+        raise CodecError(f"truncated or malformed GIF: {exc}") from exc
+
+
+def _decode_gif_body(b: bytes) -> np.ndarray:
+    _screen_w, _screen_h, flags, _bg, _aspect = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    transparent = None
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = b[pos]
+            pos += 1
+            if label == 0xF9 and b[pos] >= 4:  # graphic control
+                size = b[pos]
+                gflags = b[pos + 1]
+                if gflags & 0x01:
+                    transparent = b[pos + 4]
+                pos += size + 1
+            while b[pos] != 0:  # remaining sub-blocks
+                pos += b[pos] + 1
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise CodecError(f"unexpected GIF block 0x{block:02x}")
+        _left, _top, w, h, iflags = struct.unpack_from("<HHHHB", b, pos)
+        pos += 9
+        table = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            table = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if table is None:
+            raise CodecError("GIF frame has no color table")
+        min_code = b[pos]
+        pos += 1
+        chunks = []
+        while b[pos] != 0:
+            ln = b[pos]
+            chunks.append(b[pos + 1: pos + 1 + ln])
+            pos += ln + 1
+        pos += 1
+        idx = _gif_lzw_decode(b"".join(chunks), min_code, w * h)
+        if len(idx) < w * h:
+            raise CodecError("GIF pixel data truncated")
+        grid = np.frombuffer(bytes(idx[: w * h]), np.uint8).reshape(h, w)
+        if iflags & 0x40:  # interlaced: rows stored in 4-pass order
+            order = [r for start, step in _GIF_INTERLACE_PASSES
+                     for r in range(start, h, step)]
+            logical = np.empty_like(grid)
+            logical[order] = grid
+            grid = logical
+        if np.any(grid >= len(table)):
+            raise CodecError("GIF palette index out of range")
+        rgb = table[grid]
+        if transparent is not None and transparent < len(table):
+            alpha = np.where(grid == transparent, 0, 255).astype(np.uint8)
+            return np.dstack([rgb, alpha])
+        return rgb
+    raise CodecError("GIF contains no image frame")
+
+
 def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resample of an (H,W[,C]) array — pure indexing,
     deterministic (pixel centers at (i + 0.5) * src/dst)."""
@@ -313,11 +457,14 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 def decode_image(b: bytes) -> np.ndarray:
-    """Dispatch on magic bytes -> uint8 pixel array. PNG and
-    uncompressed BMP decode for real; anything else raises CodecError
-    (JPEG/WebP/GIF entropy coding needs a codec library)."""
+    """Dispatch on magic bytes -> uint8 pixel array. PNG, uncompressed
+    BMP, and GIF (first frame, in-repo LZW) decode for real; anything
+    else raises CodecError (JPEG/WebP entropy coding needs a codec
+    library)."""
     if len(b) >= 8 and b[:8] == _PNG_MAGIC:
         return decode_png(b)
     if len(b) >= 2 and b[:2] == b"BM":
         return decode_bmp(b)
+    if len(b) >= 6 and b[:4] == b"GIF8":
+        return decode_gif(b)
     raise CodecError("no in-repo pixel codec for this payload")

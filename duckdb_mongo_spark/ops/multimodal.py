@@ -10,12 +10,13 @@ Design for 100 TB media pipelines:
 - image metadata (width/height/mime) is REAL: ``decode_image_meta``
   parses PNG/GIF/JPEG container headers with the stdlib (no codec
   library needed — see ``parse_image_header``)
-- PIXEL/SAMPLE decode is REAL for the formats whose compression is in
-  the stdlib (``ops/codecs.py``): PNG (zlib), uncompressed BMP, PCM WAV
-  — ``image_pixel_features``, ``resize_image``, ``audio_pixel_features``
-  decode actual bytes to numpy arrays. JPEG/WebP/GIF-LZW entropy coding
-  genuinely needs a codec library; those payloads degrade to
-  header-metadata-only (never crash the pipeline). ``fake_decode_meta``
+- PIXEL/SAMPLE decode is REAL for the formats decodable without a codec
+  library (``ops/codecs.py``): PNG (stdlib zlib), uncompressed BMP,
+  GIF (in-repo LZW, first frame), PCM WAV — ``image_pixel_features``,
+  ``resize_image``, ``audio_pixel_features`` decode actual bytes to
+  numpy arrays. JPEG/WebP entropy coding genuinely needs a codec
+  library; those payloads degrade to header-metadata-only (never crash
+  the pipeline). ``fake_decode_meta``
   remains the deterministic md5-derived stand-in for synthetic payloads
   so all Spark-side plumbing (schema, partitioning, UDF signatures,
   batch shapes) is testable without real media files.

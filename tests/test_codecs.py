@@ -226,6 +226,119 @@ class TestWav:
         assert parse_audio_header(b) == ("audio/wav", 2, 16000, 100)
 
 
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """Literal-code GIF LZW writer (test oracle): emits every pixel as a
+    root code, inserting CLEAR whenever the decoder's table would force a
+    code-width change — the classic "uncompressed GIF" technique, valid
+    per the GIF89a spec and decodable by any conforming decoder."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    table_size = end + 1
+    for i, px in enumerate(indices):
+        emit(int(px))
+        if i > 0:
+            table_size += 1  # decoder adds an entry per code after the first
+        if table_size >= (1 << code_size) - 1:
+            emit(clear)
+            table_size = end + 1
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _make_gif(grid: np.ndarray, palette: np.ndarray, interlace=False,
+              transparent=None, version=b"89a") -> bytes:
+    h, w = grid.shape
+    n = len(palette)
+    bits = max(1, (n - 1).bit_length())
+    gct_n = 1 << max(1, bits)
+    pal = np.zeros((gct_n, 3), np.uint8)
+    pal[:n] = palette
+    b = bytearray(b"GIF" + version)
+    b += struct.pack("<HHBBB", w, h, 0x80 | (max(1, bits) - 1), 0, 0)
+    b += pal.tobytes()
+    if transparent is not None:
+        b += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    rows = grid
+    if interlace:
+        order = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                 for r in range(start, h, step)]
+        rows = grid[order]
+    b += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
+    min_code = max(2, bits)
+    b += bytes([min_code])
+    data = _lzw_encode(rows.reshape(-1), min_code)
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        b += bytes([len(chunk)]) + chunk
+    b += bytes([0, 0x3B])
+    return bytes(b)
+
+
+class TestGif:
+    PAL = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                   np.uint8)
+
+    def test_round_trip_rgb(self):
+        grid = _rng(11).integers(0, 4, size=(9, 7), dtype=np.uint8)
+        out = codecs.decode_gif(_make_gif(grid, self.PAL))
+        np.testing.assert_array_equal(out, self.PAL[grid])
+
+    def test_interlaced(self):
+        grid = _rng(12).integers(0, 4, size=(11, 5), dtype=np.uint8)
+        out = codecs.decode_gif(_make_gif(grid, self.PAL, interlace=True))
+        np.testing.assert_array_equal(out, self.PAL[grid])
+
+    def test_transparency_yields_rgba(self):
+        grid = np.array([[0, 1], [2, 0]], np.uint8)
+        out = codecs.decode_gif(_make_gif(grid, self.PAL, transparent=0))
+        assert out.shape == (2, 2, 4)
+        np.testing.assert_array_equal(out[..., 3],
+                                      np.where(grid == 0, 0, 255))
+        np.testing.assert_array_equal(out[..., :3], self.PAL[grid])
+
+    def test_gif87a(self):
+        grid = _rng(13).integers(0, 4, size=(3, 3), dtype=np.uint8)
+        out = codecs.decode_gif(_make_gif(grid, self.PAL, version=b"87a"))
+        np.testing.assert_array_equal(out, self.PAL[grid])
+
+    def test_dispatch_and_header_agree(self):
+        from duckdb_mongo_spark.ops.multimodal import parse_image_header
+
+        grid = _rng(14).integers(0, 4, size=(6, 10), dtype=np.uint8)
+        payload = _make_gif(grid, self.PAL)
+        assert codecs.decode_image(payload).shape[:2] == (6, 10)
+        fmt, width, height = parse_image_header(payload)
+        assert (fmt, width, height) == ("image/gif", 10, 6)
+
+    def test_truncated_rejected(self):
+        grid = _rng(15).integers(0, 4, size=(8, 8), dtype=np.uint8)
+        payload = _make_gif(grid, self.PAL)
+        with pytest.raises(codecs.CodecError):
+            codecs.decode_gif(payload[:40])
+
+    def test_wide_palette_codes(self):
+        # 200-color palette exercises 8-bit roots + width growth/clears
+        pal = _rng(16).integers(0, 256, size=(200, 3), dtype=np.uint8)
+        grid = _rng(17).integers(0, 200, size=(16, 16), dtype=np.uint8)
+        out = codecs.decode_gif(_make_gif(grid, pal))
+        np.testing.assert_array_equal(out, pal[grid])
+
+
 class TestResizeNearest:
     def test_identity(self):
         arr = _rng(2).integers(0, 256, size=(4, 6, 3), dtype=np.uint8)

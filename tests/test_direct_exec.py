@@ -219,6 +219,46 @@ class TestAggregatePath:
         assert out.count() == 10
 
 
+class TestNestedStructParquet:
+    """Nested-document parquet (FIXTURES.md users.address shape) must be
+    served by the interpreted flatten path on every route: the arrow fast
+    path can neither flatten dotted paths nor JSON-render a struct parent
+    column. Regression: it used to crash (ArrowNotImplementedError inside
+    the task) on the parent cast, and would have emitted silent NULLs for
+    dotted children."""
+
+    @pytest.fixture(scope="class")
+    def struct_root(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("direct_struct")
+        table = pa.table({
+            "_id": pa.array(["a", "b"]),
+            "address": pa.array(
+                [{"street": "S1", "city": "C1"},
+                 {"street": "S2", "city": "C2"}],
+                type=pa.struct([("street", pa.string()),
+                                ("city", pa.string())])),
+            "v": pa.array([1, 2], pa.int64()),
+        })
+        pq.write_table(table, root / "c.parquet")
+        return str(root)
+
+    def test_arrow_scan_refuses_struct_to_varchar(self, struct_root):
+        be = ParquetBackend(struct_root)
+        out_fields = [("address", pa.string(), "address")]
+        assert be.arrow_scan("main", "c", None, None, out_fields) is None
+
+    def test_flattened_values_on_both_paths(self, spark, struct_root):
+        be = ParquetBackend(struct_root)
+        f = _mf(spark, be, "c")
+        fd, fs, d, s = _both(f)
+        # direct find path must defer: the arrow dialect cannot flatten
+        assert fd.last_exec_path == "datasource"
+        rows = {r["_id"]: r for r in s.collect()}
+        assert rows["a"]["address_street"] == "S1"
+        assert rows["a"]["address_city"] == "C1"
+        assert sorted(map(tuple, d.collect())) == sorted(map(tuple, s.collect()))
+
+
 class TestResidualOnTop:
     def test_residual_applies_after_direct_scan(self, spark, pq_root):
         # residual-bearing predicates still evaluate in Spark on top of

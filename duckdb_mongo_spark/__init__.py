@@ -34,6 +34,7 @@ from duckdb_mongo_spark.catalog import (
 from duckdb_mongo_spark.frame import MongoFrame
 from duckdb_mongo_spark.pushdown import C, col, lit
 from duckdb_mongo_spark.scan import infer_collection_schema, mongo_scan
+from duckdb_mongo_spark.sinks import write_collection
 from duckdb_mongo_spark import ops, streaming  # dms.ops.joins.asof_join, dms.streaming.temporal, ...
 
 __version__ = "0.1.0"
@@ -43,5 +44,5 @@ __all__ = [
     "clear_cache", "create_secret", "drop_secret", "get_secret",
     "redacted_secret", "build_connection_string", "parse_attach_string",
     "MongoFrame", "C", "col", "lit", "mongo_scan", "infer_collection_schema",
-    "ops", "streaming",
+    "write_collection", "ops", "streaming",
 ]

@@ -38,6 +38,9 @@ class MemoryBackend(DocumentBackend):
     def create_collection(self, db: str, coll: str):
         self._data.setdefault(db, {}).setdefault(coll, [])
 
+    def drop_collection(self, db: str, coll: str):
+        self._data.get(db, {}).pop(coll, None)
+
     def list_databases(self):
         return sorted(self._data)
 

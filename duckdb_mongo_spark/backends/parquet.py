@@ -1,11 +1,15 @@
-"""Parquet document backend: a directory of ``<coll>.parquet`` files viewed
-as one document database (rows = documents).
+"""Parquet document backend: a directory of ``<coll>.parquet`` entries
+viewed as one document database (rows = documents).
 
-This is how the driver's /root/testdata tables are exposed to the
-federation layer for end-to-end tests. Scale design: partitions map to
-parquet **row groups**, so executors read disjoint byte ranges with
-pyarrow directly — no driver materialization, same shape as a real
-distributed scan.
+A collection is either a single file ``<root>/<coll>.parquet`` or a
+DIRECTORY ``<root>/<coll>.parquet/`` of part files — exactly what
+``df.write.parquet`` produces, so Spark-written outputs round-trip as
+collections (``sinks.write_collection``). This is how the driver's
+/root/testdata tables are exposed to the federation layer for
+end-to-end tests. Scale design: partitions map to (file, row-group)
+chunks, so executors read disjoint byte ranges with pyarrow directly —
+no driver materialization, same shape as a real distributed scan; a
+100 TB dataset is thousands of part files, not one.
 """
 
 from __future__ import annotations
@@ -120,6 +124,20 @@ class ParquetBackend(DocumentBackend):
     def _path(self, coll):
         return os.path.join(self.root, f"{coll}.parquet")
 
+    def _files(self, coll) -> list[str]:
+        """Physical part files of a collection, in name order (the head
+        of the first file is the head of the collection — the __schema
+        sentinel contract). Spark writer markers (_SUCCESS, dotfiles)
+        are skipped."""
+        path = self._path(coll)
+        if os.path.isdir(path):
+            return [
+                os.path.join(path, f)
+                for f in sorted(os.listdir(path))
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ]
+        return [path] if os.path.exists(path) else []
+
     def list_databases(self):
         return [self.db_name]
 
@@ -140,26 +158,59 @@ class ParquetBackend(DocumentBackend):
                 yield row
 
     def iter_documents(self, db, coll) -> Iterator[dict]:
-        path = self._path(coll)
-        if db != self.db_name or not os.path.exists(path):
+        files = self._files(coll)
+        if db != self.db_name or not files:
             raise KeyError(f"no such collection: {db}.{coll}")
-        return self._table_rows(path)
+
+        def gen():
+            for path in files:
+                yield from self._table_rows(path)
+
+        return gen()
 
     def partitions(self, db, coll, n):
         import pyarrow.parquet as pq
 
-        path = self._path(coll)
-        num_groups = pq.ParquetFile(path).num_row_groups
-        if num_groups <= 1:
-            return [ScanPartition(db, coll, 0, 1, {"row_groups": None})]
-        n = max(1, min(n, num_groups))
+        files = self._files(coll)
+        if len(files) == 1:
+            # single-file layout: split by row group (original format)
+            num_groups = pq.ParquetFile(files[0]).num_row_groups
+            if num_groups <= 1:
+                return [ScanPartition(db, coll, 0, 1, {"row_groups": None})]
+            n = max(1, min(n, num_groups))
+            parts = []
+            for i in range(n):
+                rgs = [g for g in range(num_groups) if g % n == i]
+                parts.append(ScanPartition(db, coll, i, n, {"row_groups": rgs}))
+            return parts
+        # directory layout: units are (file, row_group) chunks,
+        # round-robined over n partitions
+        units = []
+        for path in files:
+            for g in range(pq.ParquetFile(path).num_row_groups):
+                units.append((path, g))
+        if not units:
+            return [ScanPartition(db, coll, 0, 1, {"chunks": []})]
+        n = max(1, min(n, len(units)))
         parts = []
         for i in range(n):
-            rgs = [g for g in range(num_groups) if g % n == i]
-            parts.append(ScanPartition(db, coll, i, n, {"row_groups": rgs}))
+            mine = units[i::n]
+            chunks = {}
+            for path, g in mine:
+                chunks.setdefault(path, []).append(g)
+            parts.append(
+                ScanPartition(db, coll, i, n, {"chunks": sorted(chunks.items())})
+            )
         return parts
 
     def read_partition(self, part) -> Iterator[dict]:
+        chunks = part.extra.get("chunks")
+        if chunks is not None:
+            def gen():
+                for path, rgs in chunks:
+                    yield from self._table_rows(path, rgs)
+
+            return gen()
         rgs = part.extra.get("row_groups")
         return self._table_rows(self._path(part.coll), rgs)
 
@@ -184,16 +235,18 @@ class ParquetBackend(DocumentBackend):
             expr = _mql_to_arrow_expr(filter, self.id_field) if filter else None
         except _NotArrowExpressible:
             return super().distinct_values(db, coll, column, filter, cap)
-        pf = pq.ParquetFile(self._path(coll))
-        file_cols = set(pf.schema_arrow.names)
-        if src not in file_cols:
+        files = self._files(coll)
+        if not files:
+            return []
+        head_cols = set(pq.ParquetFile(files[0]).schema_arrow.names)
+        if src not in head_cols:
             return super().distinct_values(db, coll, column, filter, cap)
         needed = {src}
         if filter:
-            needed |= _filter_columns(filter, self.id_field) & file_cols
-        id_col = "_id" if "_id" in file_cols else self.id_field
-        if id_col and id_col in file_cols and self._has_schema_doc(db, coll):
-            t = pf.schema_arrow.field(id_col).type
+            needed |= _filter_columns(filter, self.id_field) & head_cols
+        id_col = "_id" if "_id" in head_cols else self.id_field
+        if id_col and id_col in head_cols and self._has_schema_doc(db, coll):
+            t = pq.ParquetFile(files[0]).schema_arrow.field(id_col).type
             import pyarrow as _pa
 
             if _pa.types.is_string(t) or _pa.types.is_large_string(t):
@@ -201,14 +254,16 @@ class ParquetBackend(DocumentBackend):
                 expr = sentinel_free if expr is None else (expr & sentinel_free)
                 needed.add(id_col)
         out: set = set()
-        for rg in range(pf.num_row_groups):
-            table = pf.read_row_group(rg, columns=sorted(needed))
-            if expr is not None:
-                table = table.filter(expr)
-            vals = pc.unique(table.column(src).combine_chunks())
-            out.update(v for v in vals.to_pylist() if v is not None)
-            if cap is not None and len(out) > cap:
-                break
+        for path in files:
+            pf = pq.ParquetFile(path)
+            for rg in range(pf.num_row_groups):
+                table = pf.read_row_group(rg, columns=sorted(needed))
+                if expr is not None:
+                    table = table.filter(expr)
+                vals = pc.unique(table.column(src).combine_chunks())
+                out.update(v for v in vals.to_pylist() if v is not None)
+                if cap is not None and len(out) > cap:
+                    return list(out)
         return list(out)
 
     def arrow_scan(self, db, coll, part, filter_doc, out_fields, limit=None):
@@ -224,19 +279,21 @@ class ParquetBackend(DocumentBackend):
             expr = _mql_to_arrow_expr(filter_doc, self.id_field) if filter_doc else None
         except _NotArrowExpressible:
             return None
-        path = self._path(coll)
-        pf = pq.ParquetFile(path)
-        file_cols = set(pf.schema_arrow.names)
+        files = self._files(coll)
+        if not files:
+            return iter(())
+        head = pq.ParquetFile(files[0])
+        head_cols = set(head.schema_arrow.names)
         # exclude the __schema sentinel document (the interpreted scan
         # path filters it in datasource._docs_for; the arrow path must
         # agree or a schema-carrying collection gains a phantom row)
-        id_col = "_id" if "_id" in file_cols else self.id_field
+        id_col = "_id" if "_id" in head_cols else self.id_field
         sentinel_col = None
-        if id_col and id_col in file_cols and self._has_schema_doc(db, coll):
+        if id_col and id_col in head_cols and self._has_schema_doc(db, coll):
             import pyarrow as _pa
             import pyarrow.compute as pc
 
-            t = pf.schema_arrow.field(id_col).type
+            t = head.schema_arrow.field(id_col).type
             if _pa.types.is_string(t) or _pa.types.is_large_string(t):
                 sentinel_col = id_col
                 # keep null-id rows: Arrow != yields null for null input
@@ -247,9 +304,9 @@ class ParquetBackend(DocumentBackend):
                 )
                 expr = sentinel_free if expr is None else (expr & sentinel_free)
         for _name, atype, src in out_fields:
-            if not src or src not in file_cols:
+            if not src or src not in head_cols:
                 continue
-            file_t = pf.schema_arrow.field(src).type
+            file_t = head.schema_arrow.field(src).type
             if file_t == atype:
                 continue
             try:
@@ -258,45 +315,57 @@ class ParquetBackend(DocumentBackend):
                 # JSON-rendered parent, FIXTURES.md users.address) has no
                 # arrow cast — without this probe the generator raised
                 # ArrowNotImplementedError inside the Spark task instead
-                # of falling back to the interpreted row path
+                # of falling back to the interpreted row path (part files
+                # share the writer's schema, so probing the head file
+                # covers the collection)
                 pa.nulls(0, file_t).cast(atype, safe=False)
             except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
                 return None
-        needed = {src for _, _, src in out_fields if src and src in file_cols}
-        if filter_doc:
-            needed |= _filter_columns(filter_doc, self.id_field) & file_cols
-        if sentinel_col:
-            needed.add(sentinel_col)
-        groups = (part.extra.get("row_groups") if part and part.extra else None)
-        if groups is None:
-            groups = list(range(pf.num_row_groups))
+        # (file, row_groups|None) chunks for this partition
+        extra = part.extra if part is not None and part.extra else None
+        if extra and extra.get("chunks") is not None:
+            chunk_list = list(extra["chunks"])
+        elif extra and extra.get("row_groups") is not None:
+            chunk_list = [(files[0], extra["row_groups"])]
+        else:
+            chunk_list = [(p, None) for p in files]
 
         def gen():
             remaining = limit
-            for rg in groups:
-                if remaining is not None and remaining <= 0:
-                    return
-                table = pf.read_row_group(rg, columns=sorted(needed))
-                if expr is not None:
-                    table = table.filter(expr)
-                if remaining is not None:
-                    table = table.slice(0, remaining)
-                    remaining -= table.num_rows
-                if table.num_rows == 0:
-                    continue
-                cols = []
-                for name, atype, src in out_fields:
-                    if src and src in file_cols:
-                        col = table.column(src)
-                        if col.type != atype:
-                            col = col.cast(atype, safe=False)
-                        cols.append(col.combine_chunks())
-                    else:
-                        cols.append(pa.nulls(table.num_rows, atype))
-                out = pa.table(
-                    cols, schema=pa.schema([pa.field(n, t) for n, t, _ in out_fields])
-                )
-                yield from out.to_batches(max_chunksize=8192)
+            for path, rgs in chunk_list:
+                pf = head if path == files[0] else pq.ParquetFile(path)
+                file_cols = set(pf.schema_arrow.names)
+                needed = {s for _, _, s in out_fields if s and s in file_cols}
+                if filter_doc:
+                    needed |= _filter_columns(filter_doc, self.id_field) & file_cols
+                if sentinel_col and sentinel_col in file_cols:
+                    needed.add(sentinel_col)
+                groups = list(rgs) if rgs is not None else list(range(pf.num_row_groups))
+                for rg in groups:
+                    if remaining is not None and remaining <= 0:
+                        return
+                    table = pf.read_row_group(rg, columns=sorted(needed))
+                    if expr is not None:
+                        table = table.filter(expr)
+                    if remaining is not None:
+                        table = table.slice(0, remaining)
+                        remaining -= table.num_rows
+                    if table.num_rows == 0:
+                        continue
+                    cols = []
+                    for name, atype, src in out_fields:
+                        if src and src in file_cols:
+                            col = table.column(src)
+                            if col.type != atype:
+                                col = col.cast(atype, safe=False)
+                            cols.append(col.combine_chunks())
+                        else:
+                            cols.append(pa.nulls(table.num_rows, atype))
+                    out = pa.table(
+                        cols,
+                        schema=pa.schema([pa.field(n, t) for n, t, _ in out_fields]),
+                    )
+                    yield from out.to_batches(max_chunksize=8192)
 
         return gen()
 
@@ -304,15 +373,16 @@ class ParquetBackend(DocumentBackend):
         """First n rows via small arrow batches (no row-group materialize)."""
         import pyarrow.parquet as pq
 
-        pf = pq.ParquetFile(self._path(coll))
         out = []
-        for batch in pf.iter_batches(batch_size=min(n, 1024)):
-            for row in batch.to_pylist():
-                if self.id_field and "_id" not in row and self.id_field in row:
-                    row["_id"] = row[self.id_field]
-                out.append(row)
-                if len(out) >= n:
-                    return out
+        for path in self._files(coll):
+            pf = pq.ParquetFile(path)
+            for batch in pf.iter_batches(batch_size=min(n, 1024)):
+                for row in batch.to_pylist():
+                    if self.id_field and "_id" not in row and self.id_field in row:
+                        row["_id"] = row[self.id_field]
+                    out.append(row)
+                    if len(out) >= n:
+                        return out
         return out
 
     def sample(self, db, coll, n, seed=42):
@@ -345,12 +415,13 @@ class ParquetBackend(DocumentBackend):
         serving a stale off-by-one to count()/arrow_scan."""
         import os
 
-        path = self._path(coll)
+        files = self._files(coll)
+        probe = files[0] if files else self._path(coll)
         try:
-            st = os.stat(path)
-            key = (path, st.st_mtime_ns, st.st_size)
+            st = os.stat(probe)
+            key = (probe, st.st_mtime_ns, st.st_size, len(files))
         except OSError:
-            key = (path, None, None)
+            key = (probe, None, None, len(files))
         if not hasattr(self, "_schema_doc_probe"):
             self._schema_doc_probe = {}
         if key not in self._schema_doc_probe:
@@ -364,7 +435,7 @@ class ParquetBackend(DocumentBackend):
             return super().count(db, coll, filter)
         import pyarrow.parquet as pq
 
-        n = pq.ParquetFile(self._path(coll)).metadata.num_rows
+        n = sum(pq.ParquetFile(p).metadata.num_rows for p in self._files(coll))
         # metadata counts include the __schema sentinel doc when the
         # collection carries one — the interpreted scan path excludes it,
         # so the fast path must agree

@@ -10,6 +10,14 @@ SURVEY §4.2).
   skewed keys — explode each hot key into ``n_salts`` sub-keys, partial
   aggregate, then merge. AQE's skew-join splitting handles joins; this
   is the groupBy-side equivalent it does not cover.
+- ``zorder_value`` / ``zorder_layout``: multi-column data-skipping file
+  layout (Morton / Z-order curve). Sorting files by ONE column makes
+  parquet min/max stats selective on that column only; interleaving the
+  bits of several columns' bucket ids and range-partitioning on the
+  resulting Z-value gives every file a compact hyper-rectangle in ALL
+  the interleaved dimensions, so predicate-driven file pruning works on
+  any of them. This is the standard lakehouse layout trick for 100 TB
+  tables queried on more than one key.
 """
 
 from __future__ import annotations
@@ -76,6 +84,88 @@ def salt_keys(df: DataFrame, key: str, n_salts: int = 16, salt_col: str = "__sal
     results and retry-safe tasks (no rand() in the shuffle key)."""
     h = F.conv(F.substring(F.md5(F.concat_ws("\x1f", *df.columns)), 1, 6), 16, 10)
     return df.withColumn(salt_col, (h % n_salts).cast("int"))
+
+
+def _zorder_bucket(col, lo: float, hi: float, bits: int):
+    """Map a numeric column into an integer bucket id in
+    ``[0, 2**bits - 1]`` given the column's [lo, hi] range.
+
+    NULLs and values below ``lo`` map to bucket 0, values at/above
+    ``hi`` to the top bucket — out-of-range data degrades pruning for
+    the affected rows only, never correctness (the Z-value orders
+    files; it is dropped before write and carries no query semantics).
+    """
+    n = 1 << bits
+    span = hi - lo
+    if span <= 0:
+        return F.lit(0).cast("long")
+    b = F.floor((col.cast("double") - F.lit(float(lo))) / F.lit(float(span)) * n)
+    return F.coalesce(
+        F.least(F.lit(n - 1), F.greatest(F.lit(0), b)), F.lit(0)
+    ).cast("long")
+
+
+def zorder_value(cols_with_bounds, bits: int = 8):
+    """Morton-interleaved Z-value over ``[(col, lo, hi), ...]``.
+
+    Each column is bucketed into ``2**bits`` cells over its [lo, hi]
+    range, then bucket-id bits are interleaved round-robin (bit ``i`` of
+    dimension ``d`` lands at position ``i * ndims + d``), producing one
+    BIGINT whose ordering walks the Z-curve. Pure shift/and/or
+    arithmetic — whole-stage codegen, no UDFs. ``bits * ndims`` must fit
+    in 63 bits (8 bits × up to 7 dims is the practical envelope; file
+    pruning gains nothing from finer cells than the file count).
+    """
+    dims = [(F.col(c) if isinstance(c, str) else c, lo, hi) for c, lo, hi in cols_with_bounds]
+    ndims = len(dims)
+    if ndims == 0:
+        raise ValueError("zorder_value needs at least one column")
+    if bits * ndims > 63:
+        raise ValueError(f"bits*ndims = {bits * ndims} exceeds the 63-bit BIGINT envelope")
+    z = F.lit(0).cast("long")
+    for d, (col, lo, hi) in enumerate(dims):
+        b = _zorder_bucket(col, lo, hi, bits)
+        for i in range(bits):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * ndims + d))
+    return z
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: list[str],
+    n_files: int,
+    bits: int = 8,
+    z_col: str = "__z",
+) -> DataFrame:
+    """Rewrite ``df`` into ``n_files`` range-partitions ordered along the
+    Z-curve of ``cols`` — write the result with ``df.write.parquet`` (or
+    ``sinks.write_collection``) and each output file carries tight
+    min/max parquet stats on EVERY Z-ordered column, so scans filtering
+    on any of them prune files.
+
+    Column ranges come from one bounded min/max aggregation over the
+    input (a layout rewrite is a batch maintenance job — one extra scan
+    is the accepted cost; Delta/Iceberg ``OPTIMIZE ZORDER BY`` does the
+    same). ``repartitionByRange`` samples to pick boundaries and AQE may
+    coalesce the tiny tail; ``sortWithinPartitions`` makes row groups
+    within a file Z-contiguous too, which tightens per-row-group stats.
+    """
+    bounds = df.agg(
+        *[f for c in cols for f in (F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}"))]
+    ).first()
+    spec = []
+    for c in cols:
+        lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+        if lo is None:  # all-NULL column: every row buckets to 0
+            lo, hi = 0.0, 0.0
+        spec.append((c, float(lo), float(hi)))
+    with_z = df.withColumn(z_col, zorder_value(spec, bits=bits))
+    return (
+        with_z.repartitionByRange(n_files, F.col(z_col))
+        .sortWithinPartitions(z_col)
+        .drop(z_col)
+    )
 
 
 def salted_group_count(

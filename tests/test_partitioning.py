@@ -65,6 +65,87 @@ class TestBucketedJoin:
         assert got == want
 
 
+def _py_zvalue(buckets: list[int], bits: int) -> int:
+    """Independent pure-Python Morton interleave (test oracle)."""
+    z = 0
+    for d, b in enumerate(buckets):
+        for i in range(bits):
+            z |= ((b >> i) & 1) << (i * len(buckets) + d)
+    return z
+
+
+class TestZOrder:
+    def test_zvalue_matches_python_interleave(self, spark):
+        # exact bucket control: lo=0, hi=16, bits=4 → bucket == value
+        rows = [(x, y) for x in range(16) for y in range(16)]
+        df = spark.createDataFrame(rows, "x int, y int")
+        got = {
+            (r["x"], r["y"]): r["z"]
+            for r in df.select(
+                "x", "y",
+                pt.zorder_value([("x", 0, 16), ("y", 0, 16)], bits=4).alias("z"),
+            ).collect()
+        }
+        for x, y in rows:
+            assert got[(x, y)] == _py_zvalue([x, y], 4), (x, y)
+
+    def test_zvalue_null_and_out_of_range(self, spark):
+        df = spark.createDataFrame(
+            [(None, 5), (-100, 5), (1000, 5)], "x int, y int"
+        )
+        vals = df.select(
+            pt.zorder_value([("x", 0, 16), ("y", 0, 16)], bits=4).alias("z")
+        ).collect()
+        # null and below-range x both bucket to 0; above-range clamps to 15
+        assert vals[0]["z"] == _py_zvalue([0, 5], 4)
+        assert vals[1]["z"] == _py_zvalue([0, 5], 4)
+        assert vals[2]["z"] == _py_zvalue([15, 5], 4)
+
+    def test_zvalue_envelope_guard(self):
+        with pytest.raises(ValueError):
+            pt.zorder_value([("a", 0, 1)] * 8, bits=8)  # 64 bits > 63
+
+    def test_layout_clusters_both_dimensions(self, spark):
+        # 64x64 grid shuffled; 16 z-ordered partitions should give every
+        # partition a compact range in BOTH x and y, unlike an x-only sort
+        # (tight x, full-span y) or a random layout (full span in both).
+        rows = [(x, y) for x in range(64) for y in range(64)]
+        df = spark.createDataFrame(rows, "x int, y int").repartition(16)
+        laid = pt.zorder_layout(df, ["x", "y"], n_files=16, bits=6)
+        spans = (
+            laid.groupBy(F.spark_partition_id().alias("p"))
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        assert sum(r["n"] for r in spans) == 64 * 64  # layout loses nothing
+        # weighted mean span ≤ half the full range on BOTH dims (ideal
+        # 16-tile z-layout gives ~16-unit tiles; random gives ~63)
+        tot = sum(r["n"] for r in spans)
+        mx = sum(r["sx"] * r["n"] for r in spans) / tot
+        my = sum(r["sy"] * r["n"] for r in spans) / tot
+        assert mx < 32, mx
+        assert my < 32, my
+
+    def test_layout_preserves_rows_and_schema(self, spark):
+        df = spark.createDataFrame(
+            [(i, i * 3 % 17, f"r{i}") for i in range(500)], "a int, b int, s string"
+        )
+        out = pt.zorder_layout(df, ["a", "b"], n_files=4)
+        assert out.columns == ["a", "b", "s"]  # __z dropped
+        assert sorted(tuple(r) for r in out.collect()) == sorted(
+            tuple(r) for r in df.collect()
+        )
+
+    def test_layout_all_null_column(self, spark):
+        df = spark.createDataFrame([(None, i) for i in range(20)], "a int, b int")
+        out = pt.zorder_layout(df, ["a", "b"], n_files=2)
+        assert out.count() == 20
+
+
 class TestSaltedAggregation:
     def test_salted_count_matches_direct(self, spark):
         # heavily skewed: 90% of rows share one key

@@ -102,6 +102,67 @@ def write_collection(
         raise TypeError(f"no write support for backend {kind}")
 
 
+def compact_collection(
+    spark,
+    backend,
+    db: str,
+    coll: str,
+    target_file_mb: int = 128,
+    layout_cols: list[str] | None = None,
+) -> int:
+    """Rewrite a directory-layout parquet collection into ~``target_file_mb``
+    sized files; returns the new file count.
+
+    The small-file problem is the standard failure mode of incremental
+    100 TB ingestion: thousands of KB-scale part files per collection
+    turn every scan into per-file open/footer overhead and starve
+    row-group pruning. Compaction = read → repartition to
+    ``ceil(total_bytes / target)`` → write to a sibling temp dir → swap
+    (two directory renames — no data copy; concurrent readers holding
+    old file handles finish against the unlinked files on POSIX).
+
+    ``layout_cols`` additionally Z-orders the rewrite
+    (``ops.partitioning.zorder_layout``) so compaction doubles as a
+    multi-column clustering pass, the ``OPTIMIZE ... ZORDER BY`` shape.
+
+    Single-file collections are already maximally compact → no-op,
+    returns 1.
+    """
+    if type(backend).__name__ != "ParquetBackend":
+        raise TypeError("compact_collection supports parquet backends only")
+    if db != backend.db_name:
+        raise KeyError(f"backend serves db {backend.db_name!r}, not {db!r}")
+    target = backend._path(coll)
+    if os.path.isfile(target):
+        return 1
+    if not os.path.isdir(target):
+        raise FileNotFoundError(f"no such collection: {target}")
+    total = sum(
+        os.path.getsize(os.path.join(target, f))
+        for f in os.listdir(target)
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(target)
+    if layout_cols:
+        from duckdb_mongo_spark.ops.partitioning import zorder_layout
+
+        out = zorder_layout(df, layout_cols, n_files=n_files)
+    else:
+        out = df.repartition(n_files)
+    tmp_new = target + ".__compact_tmp__"
+    tmp_old = target + ".__compact_old__"
+    out.write.mode("overwrite").parquet(tmp_new)
+    os.rename(target, tmp_old)
+    os.rename(tmp_new, target)
+    import shutil
+
+    shutil.rmtree(tmp_old)
+    if hasattr(backend, "clear_cache"):
+        backend.clear_cache()
+    return sum(1 for f in os.listdir(target) if f.endswith(".parquet"))
+
+
 def _check_exists(exists: bool, mode: str, target: str) -> bool:
     """Returns True when the write should proceed into a fresh target."""
     if exists and mode == "error":

@@ -84,6 +84,42 @@ class TestParquetSink:
         assert be.count("main", "c") == 3
 
 
+class TestCompaction:
+    def test_compact_reduces_files_keeps_rows(self, spark, tmp_path):
+        from duckdb_mongo_spark.sinks import compact_collection
+
+        be = ParquetBackend(str(tmp_path), id_field="k")
+        # 32 tiny part files: the incremental-ingest small-file shape
+        write_collection(_df(spark, 2000).repartition(32), be, "main", "c")
+        target = tmp_path / "c.parquet"
+        before = sum(1 for f in os.listdir(target) if f.endswith(".parquet"))
+        assert before >= 32
+        n = compact_collection(spark, be, "main", "c", target_file_mb=128)
+        after = sum(1 for f in os.listdir(target) if f.endswith(".parquet"))
+        assert n == after == 1  # 2000 rows ≪ 128 MB → one file
+        docs = {d["k"]: d for d in be.iter_documents("main", "c")}
+        assert len(docs) == 2000 and docs[1234]["name"] == "doc-1234"
+
+    def test_compact_with_zorder_layout(self, spark, tmp_path):
+        from duckdb_mongo_spark.sinks import compact_collection
+
+        be = ParquetBackend(str(tmp_path), id_field="k")
+        write_collection(_df(spark, 1000).repartition(16), be, "main", "c")
+        compact_collection(spark, be, "main", "c", layout_cols=["k", "score"])
+        assert be.count("main", "c") == 1000
+
+    def test_compact_single_file_noop(self, spark, tmp_path):
+        from duckdb_mongo_spark.sinks import compact_collection
+
+        be = ParquetBackend(str(tmp_path), id_field="k")
+        _df(spark, 10).coalesce(1).write.parquet(str(tmp_path / "tmpdir"))
+        part = next(
+            f for f in os.listdir(tmp_path / "tmpdir") if f.endswith(".parquet")
+        )
+        os.rename(tmp_path / "tmpdir" / part, tmp_path / "single.parquet")
+        assert compact_collection(spark, be, "main", "single") == 1
+
+
 class TestJsonlSink:
     def test_typed_round_trip(self, spark, tmp_path):
         df = spark.createDataFrame(

@@ -11,9 +11,11 @@ as plain Spark aggregations).
 
 Associativity makes this exact for sum/count/min/max; ``avg`` is
 requested as sum+count and finalized as a derived column at every
-level (never averaged-of-averages). The DuckDB oracle aggregates each
-resolution directly from raw rows, so tests prove the re-aggregation
-path equals the direct path.
+level (never averaged-of-averages); ``first``/``last`` carry
+(event-time, value) pairs re-selected by the original event time at
+every level (min_by/max_by — the OHLC candle shape). The DuckDB oracle
+aggregates each resolution directly from raw rows, so tests prove the
+re-aggregation path equals the direct path.
 """
 
 from __future__ import annotations
@@ -52,10 +54,16 @@ def validate_hll_inputs(df: DataFrame, metrics: dict) -> None:
                 )
 
 
-def build_partial_aggs(metrics: dict) -> list:
+def build_partial_aggs(metrics: dict, ts_col: str | None = None) -> list:
     """Mergeable partial-state aggregations for the finest level —
     shared by the batch rollup and the streaming continuous aggregate so
-    their merge semantics cannot diverge."""
+    their merge semantics cannot diverge.
+
+    ``ts_col`` is required when a metric uses ``first``/``last``: their
+    partial is (event-time, value) carried via ``min_by``/``max_by`` so
+    coarser levels can re-select the earliest/latest value by the
+    ORIGINAL event time, not bucket order. With first+max+min+last this
+    is the OHLC (open/high/low/close) candle shape."""
     partial_aggs = []
     seen: set[str] = set()
 
@@ -82,6 +90,15 @@ def build_partial_aggs(metrics: dict) -> list:
             # across buckets, but their sketches union exactly — the one
             # metric a naive re-aggregating rollup silently gets wrong
             _add(f"__p_{out}__hll", F.hll_sketch_agg(F.col(col)))
+        elif agg in ("first", "last"):
+            if ts_col is None:
+                raise ValueError(
+                    f"metric {out!r}: first/last need the rollup's ts_col for "
+                    "event-time ordering"
+                )
+            fn = F.min_by if agg == "first" else F.max_by
+            pair = F.struct(F.col(ts_col).alias("t"), F.col(col).alias("v"))
+            _add(f"__p_{out}", fn(pair, F.col(ts_col)))
         else:
             raise ValueError(f"unsupported agg {agg!r} for metric {out!r}")
     return partial_aggs
@@ -98,6 +115,14 @@ def build_merge_aggs(metrics: dict) -> list:
             out.append(_MERGE[agg](f"__p_{out_name}").alias(f"__p_{out_name}"))
         elif agg == "approx_distinct":
             out.append(F.hll_union_agg(f"__p_{out_name}__hll").alias(f"__p_{out_name}__hll"))
+        elif agg in ("first", "last"):
+            # re-select by the carried ORIGINAL event time — min/max over
+            # bucket boundaries would be wrong only when a coarser bucket
+            # spans partials, which is exactly the rollup's merge step
+            fn = F.min_by if agg == "first" else F.max_by
+            out.append(
+                fn(F.col(f"__p_{out_name}"), F.col(f"__p_{out_name}.t")).alias(f"__p_{out_name}")
+            )
         else:  # avg: merge carried partials
             out.append(F.sum(f"__p_{out_name}__sum").alias(f"__p_{out_name}__sum"))
             out.append(F.sum(f"__p_{out_name}__cnt").alias(f"__p_{out_name}__cnt"))
@@ -116,6 +141,8 @@ def finalize_metric_cols(metrics: dict) -> list:
             )
         elif agg == "approx_distinct":
             cols.append(F.hll_sketch_estimate(f"__p_{out_name}__hll").alias(out_name))
+        elif agg in ("first", "last"):
+            cols.append(F.col(f"__p_{out_name}.v").alias(out_name))
         else:
             cols.append(F.col(f"__p_{out_name}").alias(out_name))
     return cols
@@ -134,9 +161,18 @@ def time_rollup(
     """Aggregates at every requested resolution, single raw scan.
 
     ``metrics``: out_name → (agg, col) with agg ∈
-    sum|count|min|max|avg|approx_distinct;
+    sum|count|min|max|avg|approx_distinct|first|last;
     ``count`` counts non-null values of col (use ``avg``'s count or a
-    non-null col for COUNT(*) shapes). Output = group_cols + bucket
+    non-null col for COUNT(*) shapes). ``first``/``last`` select the
+    value at the earliest/latest ``ts_col`` in the bucket (ties broken
+    arbitrarily — use a unique event time for determinism); together
+    with min/max they give OHLC candles::
+
+        time_rollup(trades, "ts", metrics={
+            "open": ("first", "price"), "high": ("max", "price"),
+            "low": ("min", "price"), "close": ("last", "price")})
+
+    Output = group_cols + bucket
     (truncated timestamp) + resolution (unit string) + metric columns,
     one row-set per resolution unioned together.
 
@@ -168,7 +204,7 @@ def time_rollup(
 
     validate_hll_inputs(df, metrics)
     # partial (mergeable) state per metric at the finest level
-    partial_aggs = build_partial_aggs(metrics)
+    partial_aggs = build_partial_aggs(metrics, ts_col=ts_col)
 
     finest = order[0]
     level = (

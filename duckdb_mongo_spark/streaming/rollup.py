@@ -54,10 +54,13 @@ def streaming_time_rollup(
     """Multi-resolution streaming rollup over event time.
 
     ``metrics``: out_name → (agg, col), agg ∈
-    sum|count|min|max|avg|approx_distinct — identical contract to the
-    batch ``time_rollup`` (avg carried as sum+count and finalized per
-    level; approx_distinct carried as a DataSketches HLL sketch and
-    unioned upward, because distinct counts do not sum but sketches do).
+    sum|count|min|max|avg|approx_distinct|first|last — identical
+    contract to the batch ``time_rollup`` (avg carried as sum+count and
+    finalized per level; approx_distinct carried as a DataSketches HLL
+    sketch and unioned upward, because distinct counts do not sum but
+    sketches do; first/last carried as (event-time, value) pairs
+    re-selected by the ORIGINAL event time at every level — the OHLC
+    candle shape when combined with min/max).
 
     Returns {resolution: streaming DataFrame} with columns
     group_cols + bucket (window start) + bucket_end + resolution +
@@ -88,7 +91,7 @@ def streaming_time_rollup(
     finest = order[0]
     level = wm.groupBy(
         F.window(F.col(ts_col), STREAM_RESOLUTIONS[finest]), *group_cols
-    ).agg(*build_partial_aggs(metrics))
+    ).agg(*build_partial_aggs(metrics, ts_col=ts_col))
 
     def _finalize(lv: DataFrame, unit: str) -> DataFrame:
         cols = [F.col(c) for c in group_cols]

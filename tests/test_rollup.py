@@ -93,6 +93,43 @@ class TestTimeRollup:
         ).fetchall())
         assert any(hourly_sum[k] > exact[k] * 2 for k in exact), "data too sparse for the trap"
 
+    def test_ohlc_first_last_match_duckdb(self, events, con):
+        from _oracle import compare
+
+        # tie-safe input: one row per (event_type, ts) on BOTH sides, so
+        # arg_min/arg_max and min_by/max_by cannot disagree on ties
+        uniq = events.groupBy("event_type", "ts").agg(F.max("value").alias("value"))
+        out = time_rollup(
+            uniq,
+            "ts",
+            metrics={
+                "open": ("first", "value"),
+                "high": ("max", "value"),
+                "low": ("min", "value"),
+                "close": ("last", "value"),
+            },
+            group_cols=["event_type"],
+            resolutions=["hour", "day", "month"],
+        )
+        one = """
+            SELECT event_type, date_trunc('{u}', ts) AS bucket, '{u}' AS resolution,
+                   arg_min(value, ts) AS open, MAX(value) AS high,
+                   MIN(value) AS low, arg_max(value, ts) AS close
+            FROM (SELECT event_type, ts, MAX(value) AS value
+                  FROM events GROUP BY 1, 2)
+            GROUP BY 1, 2
+        """
+        sql = " UNION ALL ".join(one.format(u=u) for u in ("hour", "day", "month"))
+        res = compare(out, con, sql)
+        assert res["value_match"], res
+        assert res["rows_spark"] > 100
+
+    def test_first_last_requires_ts_ordering(self, events):
+        from duckdb_mongo_spark.ops.rollup import build_partial_aggs
+
+        with pytest.raises(ValueError, match="first/last"):
+            build_partial_aggs({"o": ("first", "value")})
+
     def test_rejects_bad_input(self, events):
         with pytest.raises(ValueError):
             time_rollup(events, "ts", metrics={}, resolutions=["hour"])

@@ -37,6 +37,8 @@ _METRICS = {
     "total": ("sum", "v"),
     "mx": ("max", "v"),
     "av": ("avg", "v"),
+    "op": ("first", "v"),
+    "cl": ("last", "v"),
 }
 
 
@@ -79,7 +81,7 @@ def _run_pass(spark, stream_dir, tmp_path, tag):
 def _collect(spark, unit):
     return {
         (r["k"], r["bucket"].isoformat(), r["resolution"]): (
-            r["n"], r["total"], r["mx"], round(r["av"], 9),
+            r["n"], r["total"], r["mx"], round(r["av"], 9), r["op"], r["cl"],
         )
         for r in spark.sql(f"SELECT * FROM cagg_{unit}").collect()
         if r["k"] != "z"
@@ -94,7 +96,7 @@ def _batch_expected(spark, unit):
     out = time_rollup(df, "ts", _METRICS, group_cols=["k"], resolutions=[unit])
     return {
         (r["k"], r["bucket"].isoformat(), r["resolution"]): (
-            r["n"], r["total"], r["mx"], round(r["av"], 9),
+            r["n"], r["total"], r["mx"], round(r["av"], 9), r["op"], r["cl"],
         )
         for r in out.collect()
     }
@@ -150,7 +152,7 @@ class TestStreamingTimeRollup:
             }
             expect = {
                 (k, b): (n, t)
-                for (k, b, _res), (n, t, _mx, _av) in _batch_expected(spark, "hour").items()
+                for (k, b, _res), (n, t, *_rest) in _batch_expected(spark, "hour").items()
             }
             # emitted buckets are a subset of batch truth, values exact
             assert got

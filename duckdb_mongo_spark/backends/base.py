@@ -71,7 +71,15 @@ class DocumentBackend(ABC):
     def aggregate(self, db, coll, pipeline, seed=None) -> Iterator[dict]:
         from duckdb_mongo_spark.mql import run_pipeline
 
-        return iter(run_pipeline(self.iter_documents(db, coll), pipeline, seed=seed))
+        return iter(
+            run_pipeline(
+                self.iter_documents(db, coll),
+                pipeline,
+                seed=seed,
+                # $lookup joins other collections of the SAME db, as mongod
+                collections=lambda c: self.iter_documents(db, c),
+            )
+        )
 
     def sample(self, db, coll, n, seed=42) -> list[dict]:
         return list(

@@ -2,7 +2,8 @@
 
 Executes the pipeline dialect our pushdown planner emits —
 ``$match $project $addFields $group $sort $skip $limit $count $sample
-$unwind`` — against an iterable of Python-dict documents. This is the
+$unwind $lookup $replaceRoot/$replaceWith $sortByCount`` — against an
+iterable of Python-dict documents. This is the
 hermetic stand-in for mongod: the reference ships pipelines to a real
 server (/root/reference/src/mongo_table_function.cpp:326-366); we execute
 the same dialect locally so every pushdown has an executable oracle.
@@ -229,11 +230,78 @@ def _set_path(doc, path, value):
     cur[parts[-1]] = value
 
 
-def run_pipeline(docs, pipeline, seed: int | None = None):
+def _canon_key(v):
+    """Hashable canonical form implementing MQL equality for the
+    ``$lookup`` hash index: numerics compare cross-type (1 == 1.0),
+    arrays/documents structurally, null and missing identically."""
+    if v is MISSING or v is None:
+        return ("z",)
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, (int, float, _Decimal)):
+        return ("n", float(v))
+    if isinstance(v, dict):
+        return ("d", tuple((k, _canon_key(x)) for k, x in sorted(v.items())))
+    if isinstance(v, list):
+        return ("l", tuple(_canon_key(x) for x in v))
+    return (type(v).__name__, v)
+
+
+def _lookup(docs, spec, collections, seed):
+    """``$lookup`` equality form (localField/foreignField), per the
+    public MongoDB semantics: the joined array holds every foreign doc
+    whose foreignField equals the local value; an array on either side
+    matches on any element (or the whole array); null matches null AND
+    missing. The pipeline form is supported without ``let`` (the
+    sub-pipeline is then independent of the outer doc and runs once).
+    """
+    if collections is None:
+        raise ValueError(
+            "$lookup needs a collections resolver (run_pipeline(..., "
+            "collections=...)); backend aggregate() wires this automatically"
+        )
+    out_field = spec["as"]
+    foreign = list(collections(spec["from"]))
+    if "pipeline" in spec:
+        if spec.get("let"):
+            raise ValueError("$lookup with let-bound pipeline variables is not supported")
+        matched = run_pipeline(foreign, spec["pipeline"], seed=seed, collections=collections)
+        for doc in docs:
+            out = dict(doc)
+            out[out_field] = list(matched)
+            yield out
+        return
+    local_f, foreign_f = spec["localField"], spec["foreignField"]
+    index: dict = {}
+    for i, fdoc in enumerate(foreign):
+        fv = get_path(fdoc, foreign_f)
+        keys = {_canon_key(fv)}
+        if isinstance(fv, list):
+            keys.update(_canon_key(el) for el in fv)
+        for k in keys:
+            index.setdefault(k, []).append((i, fdoc))
+    for doc in docs:
+        lv = get_path(doc, local_f)
+        probes = [_canon_key(lv)]
+        if isinstance(lv, list):
+            probes.extend(_canon_key(el) for el in lv)
+        hits: dict[int, dict] = {}
+        for p in probes:
+            for i, fdoc in index.get(p, ()):
+                hits.setdefault(i, fdoc)
+        out = dict(doc)
+        # foreign-collection natural order, each doc at most once
+        out[out_field] = [hits[i] for i in sorted(hits)]
+        yield out
+
+
+def run_pipeline(docs, pipeline, seed: int | None = None, collections=None):
     """Run an aggregation pipeline over an iterable of dict documents.
 
     Returns a list of result documents. ``seed`` makes ``$sample``
-    deterministic (used by schema inference).
+    deterministic (used by schema inference). ``collections`` resolves
+    a collection name to an iterable of documents for ``$lookup``
+    (same-database lookups, as in mongod).
     """
     stream = iter(docs)
     for stage in pipeline:
@@ -294,6 +362,28 @@ def run_pipeline(docs, pipeline, seed: int | None = None):
                 stream = iter([materialized[i] for i in idx])
         elif op == "$unwind":
             stream = _unwind(stream, spec)
+        elif op == "$lookup":
+            stream = _lookup(stream, spec, collections, seed)
+        elif op in ("$replaceRoot", "$replaceWith"):
+            expr = spec["newRoot"] if op == "$replaceRoot" else spec
+            def _replace(ds, e=expr):
+                for d in ds:
+                    nr = eval_expr(e, d)
+                    if not isinstance(nr, dict):
+                        raise ValueError(
+                            f"$replaceRoot newRoot must resolve to a document, got {type(nr).__name__}"
+                        )
+                    yield dict(nr)
+            stream = _replace(stream)
+        elif op == "$sortByCount":
+            grouped = _group(stream, {"_id": spec, "count": {"$sum": 1}})
+            materialized = sorted(
+                grouped,
+                key=lambda d: (-d["count"], _OrderedVal(d["_id"])),
+                # count desc; _id asc tie-break is OUR determinism
+                # extension (mongod leaves ties unspecified)
+            )
+            stream = iter(materialized)
         else:
             raise ValueError(f"unsupported pipeline stage: {op}")
     return list(stream)

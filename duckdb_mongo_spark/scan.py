@@ -42,7 +42,28 @@ def mongo_scan(
     PERMISSIVE / DROPMALFORMED / FAILFAST.
     """
     backend, _ = backend_for(conn, secret=secret)
-    schema = resolve_schema(backend, db, coll, columns=columns, sample_size=sample_size)
+    if pipeline is not None and columns is None:
+        # Shape-changing pipelines ($group/$count/$lookup/$unwind/...):
+        # the reference requires an explicit `columns` schema here
+        # (mongo_table_function.cpp:324-326 — it always binds the BASE
+        # collection's schema). We keep that priority (columns wins)
+        # but additionally infer from the pipeline's OWN output when no
+        # schema is given: one bounded sample aggregation (`$limit`
+        # appended — pure truncation, safe after any stage). Falls back
+        # to the collection schema when the pipeline yields nothing.
+        from duckdb_mongo_spark.schema.infer import infer_schema_from_docs
+
+        sample_docs = list(
+            backend.aggregate(db, coll, list(pipeline) + [{"$limit": sample_size}])
+        )
+        if sample_docs:
+            schema = infer_schema_from_docs(
+                sample_docs, force_id=False, source="pipeline-inferred"
+            )
+        else:
+            schema = resolve_schema(backend, db, coll, sample_size=sample_size)
+    else:
+        schema = resolve_schema(backend, db, coll, columns=columns, sample_size=sample_size)
     return MongoFrame(
         spark=spark,
         backend=backend,

@@ -220,10 +220,15 @@ def _record(out: dict, order: list, name: str, path: str, t):
         out[lower]["types"].append(t)
 
 
-def infer_schema(
-    backend, db: str, coll: str, sample_size: int = DEFAULT_SAMPLE_SIZE, seed: int = 42
+def infer_schema_from_docs(
+    docs: list[dict], force_id: bool = True, source: str = "inferred"
 ) -> CollectionSchema:
-    docs = backend.sample(db, coll, sample_size, seed=seed)
+    """Sample-vote inference over an in-hand document list.
+
+    ``force_id=False`` skips the _id-always-first rule — used for
+    pipeline-output schemas, where stages like ``$count`` legitimately
+    emit documents without ``_id`` and a phantom always-NULL column
+    would be wrong."""
     docs = [d for d in docs if d.get("_id") != SCHEMA_DOC_ID]
     out: dict = {}
     order: list = []
@@ -233,10 +238,20 @@ def infer_schema(
     for lower in order:
         info = out[lower]
         fields.append(FieldSpec(info["name"], _vote(info["types"]), info["path"]))
-    # _id always present and always first (inference.cpp:530-551)
-    fields = _put_id_first(fields)
+    if force_id:
+        # _id always present and always first (inference.cpp:530-551)
+        fields = _put_id_first(fields)
+    elif any(f.name.lower() == "_id" for f in fields):
+        fields = _put_id_first(fields)
     oid_cols = _objectid_probe(docs, fields)
-    return CollectionSchema(fields=fields, objectid_columns=oid_cols, source="inferred")
+    return CollectionSchema(fields=fields, objectid_columns=oid_cols, source=source)
+
+
+def infer_schema(
+    backend, db: str, coll: str, sample_size: int = DEFAULT_SAMPLE_SIZE, seed: int = 42
+) -> CollectionSchema:
+    docs = backend.sample(db, coll, sample_size, seed=seed)
+    return infer_schema_from_docs(docs)
 
 
 def _put_id_first(fields: list[FieldSpec]) -> list[FieldSpec]:

@@ -146,6 +146,132 @@ class TestPipeline:
         assert [d["_id"] for d in out] == [2]
 
 
+ORDERS = [
+    {"_id": 1, "cust": 10, "total": 5.0},
+    {"_id": 2, "cust": 20, "total": 7.0},
+    {"_id": 3, "cust": 10, "total": 1.0},
+    {"_id": 4, "cust": None, "total": 0.0},
+    {"_id": 5, "total": 9.0},  # cust missing
+]
+CUSTOMERS = [
+    {"_id": 10, "name": "ann"},
+    {"_id": 20, "name": "bob"},
+    {"_id": 30, "name": "cid", "alt": [10, 20]},
+    {"_id": 40, "name": "nul", "flag": None},
+]
+
+
+def _colls(name):
+    return {"orders": ORDERS, "customers": CUSTOMERS}[name]
+
+
+class TestLookupStages:
+    def test_lookup_basic_equality(self):
+        out = run_pipeline(
+            ORDERS,
+            [{"$lookup": {"from": "customers", "localField": "cust",
+                          "foreignField": "_id", "as": "c"}}],
+            collections=_colls,
+        )
+        by_id = {d["_id"]: d for d in out}
+        assert [c["name"] for c in by_id[1]["c"]] == ["ann"]
+        assert [c["name"] for c in by_id[2]["c"]] == ["bob"]
+
+    def test_lookup_null_matches_null_and_missing(self):
+        out = run_pipeline(
+            ORDERS,
+            [{"$lookup": {"from": "customers", "localField": "cust",
+                          "foreignField": "flag", "as": "c"}}],
+            collections=_colls,
+        )
+        by_id = {d["_id"]: d for d in out}
+        # cust=None and cust-missing both equality-match flag=None AND
+        # flag-missing foreign docs (MongoDB null/missing rule)
+        assert {c["_id"] for c in by_id[4]["c"]} == {10, 20, 30, 40}
+        assert {c["_id"] for c in by_id[5]["c"]} == {10, 20, 30, 40}
+        assert by_id[1]["c"] == []  # cust=10 matches no flag
+
+    def test_lookup_array_foreign_field_matches_elements(self):
+        out = run_pipeline(
+            [{"_id": 1, "k": 10}],
+            [{"$lookup": {"from": "customers", "localField": "k",
+                          "foreignField": "alt", "as": "c"}}],
+            collections=_colls,
+        )
+        assert [c["_id"] for c in out[0]["c"]] == [30]  # alt contains 10
+
+    def test_lookup_numeric_cross_type(self):
+        out = run_pipeline(
+            [{"_id": 1, "k": 10.0}],
+            [{"$lookup": {"from": "customers", "localField": "k",
+                          "foreignField": "_id", "as": "c"}}],
+            collections=_colls,
+        )
+        assert [c["name"] for c in out[0]["c"]] == ["ann"]  # 10.0 == 10
+
+    def test_lookup_then_unwind_join_shape(self):
+        out = run_pipeline(
+            ORDERS,
+            [
+                {"$lookup": {"from": "customers", "localField": "cust",
+                             "foreignField": "_id", "as": "c"}},
+                {"$unwind": "$c"},
+                {"$project": {"_id": 1, "name": "$c.name", "total": 1}},
+                {"$sort": {"_id": 1}},
+            ],
+            collections=_colls,
+        )
+        assert [(d["_id"], d["name"]) for d in out] == [
+            (1, "ann"), (2, "bob"), (3, "ann")]
+
+    def test_lookup_pipeline_form_no_let(self):
+        out = run_pipeline(
+            [{"_id": 1}],
+            [{"$lookup": {"from": "customers", "as": "big",
+                          "pipeline": [{"$match": {"_id": {"$gt": 15}}},
+                                       {"$sort": {"_id": 1}}]}}],
+            collections=_colls,
+        )
+        assert [c["_id"] for c in out[0]["big"]] == [20, 30, 40]
+
+    def test_lookup_requires_resolver(self):
+        with pytest.raises(ValueError, match="collections resolver"):
+            run([{"$lookup": {"from": "x", "localField": "a",
+                              "foreignField": "b", "as": "j"}}])
+
+    def test_replace_root_and_with(self):
+        docs = [{"_id": 1, "n": {"c": 1, "d": 2}}]
+        out = run([{"$replaceRoot": {"newRoot": "$n"}}], docs)
+        assert out == [{"c": 1, "d": 2}]
+        out = run([{"$replaceWith": "$n"}], docs)
+        assert out == [{"c": 1, "d": 2}]
+        with pytest.raises(ValueError, match="document"):
+            run([{"$replaceRoot": {"newRoot": "$_id"}}], docs)
+
+    def test_sort_by_count(self):
+        out = run([{"$sortByCount": "$b"}])
+        assert out == [
+            {"_id": "x", "count": 2},
+            {"_id": "y", "count": 1},
+            {"_id": "z", "count": 1},
+        ]
+
+    def test_backend_aggregate_wires_lookup(self):
+        from duckdb_mongo_spark.backends import MemoryBackend
+
+        be = MemoryBackend()
+        be.insert_many("db", "orders", [dict(d) for d in ORDERS])
+        be.insert_many("db", "customers", [dict(d) for d in CUSTOMERS])
+        out = list(be.aggregate("db", "orders", [
+            {"$match": {"cust": {"$ne": None}}},
+            {"$lookup": {"from": "customers", "localField": "cust",
+                         "foreignField": "_id", "as": "c"}},
+            {"$unwind": "$c"},
+            {"$sortByCount": "$c.name"},
+        ]))
+        assert out == [{"_id": "ann", "count": 2}, {"_id": "bob", "count": 1}]
+
+
 class TestAdviceFixes:
     """Regressions from round-1 ADVICE: dotted $project nesting and
     $unwind preserveNullAndEmptyArrays MongoDB parity."""

@@ -143,3 +143,22 @@ class TestManualPipeline:
                         manual_pipeline=[{"$match": {"active": True}}])
         d = mf.scan_description()
         assert "scan_method=aggregate" in d
+
+    def test_shape_changing_pipeline_infers_output_schema(self, backend):
+        # the reference binds the BASE collection schema and requires
+        # columns= for shape-changing pipelines
+        # (mongo_table_function.cpp:324-326); we additionally infer from
+        # the pipeline's own output when columns is absent
+        from duckdb_mongo_spark.scan import mongo_scan
+
+        mf = mongo_scan(None, backend, DB, "users",
+                        pipeline=[{"$count": "n_users"}])
+        assert [f.name for f in mf.schema.fields] == ["n_users"]
+
+    def test_explicit_columns_beats_pipeline_inference(self, backend):
+        from duckdb_mongo_spark.scan import mongo_scan
+
+        mf = mongo_scan(None, backend, DB, "users",
+                        pipeline=[{"$count": "n_users"}],
+                        columns={"n_users": "BIGINT"})
+        assert mf.schema.source == "columns"

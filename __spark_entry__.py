@@ -305,15 +305,23 @@ _sql_query(
     "q18_large_orders",
     ["customer", "orders", "lineitem"],
     f"""
-    SELECT c.c_custkey, o.o_orderkey, {_dsum('l.l_quantity', 2)} AS total_qty
-    FROM orders o
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WITH big AS (
+      SELECT l_orderkey, {_dsum('l_quantity', 2)} AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    )
+    SELECT c.c_custkey, o.o_orderkey, b.total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
-    GROUP BY c.c_custkey, o.o_orderkey
-    HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 150
     ORDER BY total_qty DESC, o.o_orderkey
     LIMIT 20
     """,
+    # pre-aggregate BEFORE the joins: lineitem partial-aggregates on its
+    # scan partitioning and only the few HAVING survivors join (both
+    # joins broadcast) — the joined-then-grouped form shuffles the full
+    # joined fact width. Same rows/values (orderkey→custkey is 1:1);
+    # measured 1.34→0.89 s at sf0.1, 1.73→1.35 s warm at sf1.
 )
 
 _sql_query(

@@ -2,8 +2,8 @@
 
 Executes the pipeline dialect our pushdown planner emits —
 ``$match $project $addFields $group $sort $skip $limit $count $sample
-$unwind $lookup $replaceRoot/$replaceWith $sortByCount`` — against an
-iterable of Python-dict documents. This is the
+$unwind $lookup $replaceRoot/$replaceWith $sortByCount $facet
+$bucket`` — against an iterable of Python-dict documents. This is the
 hermetic stand-in for mongod: the reference ships pipelines to a real
 server (/root/reference/src/mongo_table_function.cpp:326-366); we execute
 the same dialect locally so every pushdown has an executable oracle.
@@ -375,6 +375,41 @@ def run_pipeline(docs, pipeline, seed: int | None = None, collections=None):
                         )
                     yield dict(nr)
             stream = _replace(stream)
+        elif op == "$facet":
+            materialized = list(stream)
+            facet_doc = {
+                name: run_pipeline(materialized, sub, seed=seed, collections=collections)
+                for name, sub in spec.items()
+            }
+            stream = iter([facet_doc])
+        elif op == "$bucket":
+            import bisect
+
+            boundaries = spec["boundaries"]
+            if sorted(boundaries, key=_OrderedVal) != list(boundaries) or len(boundaries) < 2:
+                raise ValueError("$bucket boundaries must be ascending, length >= 2")
+            has_default = "default" in spec
+            binned = []
+            for d in stream:
+                v = eval_expr(spec["groupBy"], d)
+                # bin i covers [boundaries[i], boundaries[i+1])
+                i = (
+                    bisect.bisect_right(boundaries, _OrderedVal(v), key=_OrderedVal) - 1
+                    if v is not None
+                    else -1
+                )
+                if i < 0 or i >= len(boundaries) - 1:
+                    if not has_default:
+                        raise ValueError(
+                            f"$bucket value {v!r} outside boundaries and no default given"
+                        )
+                    bucket_id = spec["default"]
+                else:
+                    bucket_id = boundaries[i]
+                binned.append({**d, "__bucket": bucket_id})
+            out_spec = spec.get("output") or {"count": {"$sum": 1}}
+            grouped = _group(binned, {"_id": "$__bucket", **out_spec})
+            stream = iter(sorted(grouped, key=lambda g: _OrderedVal(g["_id"])))
         elif op == "$sortByCount":
             grouped = _group(stream, {"_id": spec, "count": {"$sum": 1}})
             materialized = sorted(

@@ -256,6 +256,37 @@ class TestLookupStages:
             {"_id": "z", "count": 1},
         ]
 
+    def test_facet_runs_sub_pipelines_over_same_input(self):
+        out = run([{"$facet": {
+            "by_b": [{"$sortByCount": "$b"}],
+            "big_a": [{"$match": {"a": {"$gt": 10}}},
+                      {"$project": {"_id": 1}}, {"$sort": {"_id": 1}}],
+        }}])
+        assert len(out) == 1
+        assert out[0]["by_b"][0] == {"_id": "x", "count": 2}
+        assert out[0]["big_a"] == [{"_id": 2}, {"_id": 3}]
+
+    def test_bucket_boundaries_inclusive_exclusive(self):
+        out = run([{"$bucket": {
+            "groupBy": "$a", "boundaries": [0, 10, 20], "default": "other",
+            "output": {"count": {"$sum": 1}, "avg_a": {"$avg": "$a"}},
+        }}])
+        by_id = {d["_id"]: d for d in out}
+        assert by_id[0]["count"] == 1 and by_id[0]["avg_a"] == 5     # a=5
+        assert by_id[10]["count"] == 1 and by_id[10]["avg_a"] == 15  # a=15
+        assert by_id["other"]["count"] == 2  # a=25 (>= upper), a=None
+
+    def test_bucket_no_default_raises_on_out_of_range(self):
+        with pytest.raises(ValueError, match="outside boundaries"):
+            run([{"$bucket": {"groupBy": "$a", "boundaries": [0, 10]}}])
+
+    def test_bucket_boundary_value_goes_to_lower_bin(self):
+        out = run(
+            [{"$bucket": {"groupBy": "$v", "boundaries": [0, 10, 20]}}],
+            [{"v": 10}, {"v": 0}, {"v": 19}],
+        )
+        assert out == [{"_id": 0, "count": 1}, {"_id": 10, "count": 2}]
+
     def test_backend_aggregate_wires_lookup(self):
         from duckdb_mongo_spark.backends import MemoryBackend
 

@@ -99,7 +99,10 @@ def _project(docs, spec):
         yield out
 
 
-_ACCUMULATORS = {"$sum", "$min", "$max", "$avg", "$first", "$last", "$push", "$addToSet", "$count"}
+_ACCUMULATORS = {
+    "$sum", "$min", "$max", "$avg", "$first", "$last", "$push", "$addToSet",
+    "$count", "$stdDevPop", "$stdDevSamp", "$mergeObjects",
+}
 
 
 def _group(docs, spec):
@@ -151,6 +154,19 @@ def _group(docs, spec):
                 if not any(_freeze(val) == _freeze(x) for x in cur):
                     cur = cur + [val]
                 g["_state"][name] = cur
+            elif op in ("$stdDevPop", "$stdDevSamp"):
+                # Welford-free two-accumulator form: carry (n, Σx, Σx²) —
+                # non-numeric values ignored, as mongod documents
+                if isinstance(val, (int, float)) and not isinstance(val, bool):
+                    n_, sx, sxx = st or (0, 0.0, 0.0)
+                    g["_state"][name] = (n_ + 1, sx + val, sxx + val * val)
+            elif op == "$mergeObjects":
+                if isinstance(val, dict):
+                    merged = dict(st or {})
+                    merged.update(val)  # later docs win, per mongod
+                    g["_state"][name] = merged
+                elif st is None and val is None:
+                    g["_state"][name] = None
             else:
                 raise ValueError(f"unsupported accumulator: {op}")
     for key in order:
@@ -163,6 +179,22 @@ def _group(docs, spec):
                 v = (v / g["_n"][name]) if g["_n"][name] else None
             elif op in ("$sum", "$count") and v is None:
                 v = 0
+            elif op in ("$stdDevPop", "$stdDevSamp"):
+                if v is None:
+                    v = None
+                else:
+                    n_, sx, sxx = v
+                    denom = n_ if op == "$stdDevPop" else n_ - 1
+                    if denom <= 0:
+                        # pop of 1 value = 0.0; samp of 1 value = null (mongod)
+                        v = 0.0 if op == "$stdDevPop" and n_ == 1 else None
+                    else:
+                        var = max(0.0, sxx / n_ - (sx / n_) ** 2)
+                        if op == "$stdDevSamp":
+                            var = var * n_ / (n_ - 1)
+                        v = var ** 0.5
+            elif op == "$mergeObjects" and v is None:
+                v = {}
             out[name] = v
         yield out
 

@@ -287,6 +287,33 @@ class TestLookupStages:
         )
         assert out == [{"_id": 0, "count": 1}, {"_id": 10, "count": 2}]
 
+    def test_stddev_accumulators(self):
+        import statistics
+
+        docs = [{"g": 1, "v": x} for x in (2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0)]
+        docs += [{"g": 2, "v": 3.0}, {"g": 2, "v": "skip-me"}, {"g": 3}]
+        out = {d["_id"]: d for d in run(
+            [{"$group": {"_id": "$g",
+                         "sp": {"$stdDevPop": "$v"},
+                         "ss": {"$stdDevSamp": "$v"}}}], docs)}
+        vals = [2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0]
+        assert out[1]["sp"] == pytest.approx(statistics.pstdev(vals))
+        assert out[1]["ss"] == pytest.approx(statistics.stdev(vals))
+        assert out[2]["sp"] == 0.0 and out[2]["ss"] is None  # single value
+        assert out[3]["sp"] is None and out[3]["ss"] is None  # no numerics
+
+    def test_merge_objects_accumulator(self):
+        docs = [
+            {"g": 1, "m": {"a": 1, "b": 2}},
+            {"g": 1, "m": {"b": 9, "c": 3}},
+            {"g": 1, "m": None},
+            {"g": 2},
+        ]
+        out = {d["_id"]: d for d in run(
+            [{"$group": {"_id": "$g", "m": {"$mergeObjects": "$m"}}}], docs)}
+        assert out[1]["m"] == {"a": 1, "b": 9, "c": 3}  # later docs win
+        assert out[2]["m"] == {}  # nothing merged -> empty doc
+
     def test_backend_aggregate_wires_lookup(self):
         from duckdb_mongo_spark.backends import MemoryBackend
 

@@ -151,15 +151,35 @@ def zorder_layout(
     coalesce the tiny tail; ``sortWithinPartitions`` makes row groups
     within a file Z-contiguous too, which tightens per-row-group stats.
     """
+    from pyspark.sql import types as T
+
+    numeric = {}
+    for c in cols:
+        dt = df.schema[c].dataType
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                           T.FloatType, T.DoubleType, T.DecimalType,
+                           T.TimestampType, T.TimestampNTZType)):
+            numeric[c] = F.col(c).cast("double")
+        elif isinstance(dt, T.DateType):
+            numeric[c] = F.unix_date(F.col(c)).cast("double")
+        else:
+            # a silent cast-to-null would bucket every row to 0 and
+            # quietly destroy the clustering — fail loudly instead
+            raise TypeError(
+                f"zorder_layout column {c!r} has non-orderable-numeric type "
+                f"{dt.simpleString()}; Z-order needs numeric/timestamp/date "
+                "columns (hash or encode others to a numeric surrogate first)"
+            )
     bounds = df.agg(
-        *[f for c in cols for f in (F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}"))]
+        *[f for c in cols
+          for f in (F.min(numeric[c]).alias(f"lo_{c}"), F.max(numeric[c]).alias(f"hi_{c}"))]
     ).first()
     spec = []
     for c in cols:
         lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
         if lo is None:  # all-NULL column: every row buckets to 0
             lo, hi = 0.0, 0.0
-        spec.append((c, float(lo), float(hi)))
+        spec.append((numeric[c], float(lo), float(hi)))
     with_z = df.withColumn(z_col, zorder_value(spec, bits=bits))
     return (
         with_z.repartitionByRange(n_files, F.col(z_col))

@@ -145,6 +145,19 @@ class TestZOrder:
         out = pt.zorder_layout(df, ["a", "b"], n_files=2)
         assert out.count() == 20
 
+    def test_layout_timestamp_and_date_columns(self, spark):
+        df = spark.createDataFrame(
+            [(f"2024-0{1 + i % 9}-1{i % 8} 0{i % 9}:00:00",) for i in range(60)],
+            "s string",
+        ).selectExpr("CAST(s AS TIMESTAMP) AS ts", "CAST(s AS DATE) AS d")
+        out = pt.zorder_layout(df, ["ts", "d"], n_files=4)
+        assert out.count() == 60 and out.columns == ["ts", "d"]
+
+    def test_layout_rejects_string_column(self, spark):
+        df = spark.createDataFrame([(1, "x")], "a int, s string")
+        with pytest.raises(TypeError, match="numeric surrogate"):
+            pt.zorder_layout(df, ["a", "s"], n_files=2)
+
 
 class TestSaltedAggregation:
     def test_salted_count_matches_direct(self, spark):

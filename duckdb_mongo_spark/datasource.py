@@ -217,7 +217,13 @@ class _MongoScanReaderNoPushdown(DataSourceReader):
                 )
             else:
                 docs = self._docs_for(part)
-                results = run_pipeline(docs, pipeline, seed=self.seed)
+                results = run_pipeline(
+                    docs, pipeline, seed=self.seed,
+                    # $lookup in a manual pipeline resolves sibling
+                    # collections of the same db (per-partition execution
+                    # is safe: lookup is a map-side join per document)
+                    collections=lambda c: self.backend.iter_documents(self.db, c),
+                )
             if (
                 planned.count_empty_to_zero is not None
                 and not results

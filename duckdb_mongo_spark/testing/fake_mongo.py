@@ -42,8 +42,9 @@ class FakeCursor:
 
 
 class FakeCollection:
-    def __init__(self, name: str):
+    def __init__(self, name: str, db: "FakeDatabase | None" = None):
         self.name = name
+        self._db = db  # back-pointer for $lookup's same-db resolution
         self._docs: list[dict] = []
 
     # -- write surface (test fixtures only)
@@ -72,7 +73,15 @@ class FakeCollection:
     def aggregate(self, pipeline, allowDiskUse=False, **_kw):
         # seed makes $sample deterministic (interpreter extension); a
         # fixed seed mirrors one server giving one stable sample stream
-        return iter(run_pipeline(copy.deepcopy(self._docs), list(pipeline), seed=1234))
+        resolver = (
+            (lambda c: copy.deepcopy(self._db[c]._docs)) if self._db is not None else None
+        )
+        return iter(
+            run_pipeline(
+                copy.deepcopy(self._docs), list(pipeline), seed=1234,
+                collections=resolver,
+            )
+        )
 
     def count_documents(self, filter=None):
         return sum(1 for d in self._docs if not filter or matches_filter(d, filter))
@@ -84,7 +93,7 @@ class FakeDatabase:
         self._colls: dict[str, FakeCollection] = {}
 
     def __getitem__(self, coll: str) -> FakeCollection:
-        return self._colls.setdefault(coll, FakeCollection(coll))
+        return self._colls.setdefault(coll, FakeCollection(coll, db=self))
 
     def list_collection_names(self):
         return [c.name for c in self._colls.values() if c._docs]

@@ -314,6 +314,21 @@ class TestLookupStages:
         assert out[1]["m"] == {"a": 1, "b": 9, "c": 3}  # later docs win
         assert out[2]["m"] == {}  # nothing merged -> empty doc
 
+    def test_fake_mongo_client_resolves_lookup(self):
+        from duckdb_mongo_spark.testing.fake_mongo import FakeMongoClient
+
+        client = FakeMongoClient()
+        client["db"]["orders"].insert_many([dict(d) for d in ORDERS])
+        client["db"]["customers"].insert_many([dict(d) for d in CUSTOMERS])
+        out = list(client["db"]["orders"].aggregate([
+            {"$match": {"cust": {"$ne": None}}},
+            {"$lookup": {"from": "customers", "localField": "cust",
+                         "foreignField": "_id", "as": "c"}},
+            {"$unwind": "$c"},
+            {"$sortByCount": "$c.name"},
+        ]))
+        assert out == [{"_id": "ann", "count": 2}, {"_id": "bob", "count": 1}]
+
     def test_backend_aggregate_wires_lookup(self):
         from duckdb_mongo_spark.backends import MemoryBackend
 

@@ -1502,6 +1502,9 @@ def _q_time_rollup(spark, sf_dir):
     )
     return (
         out.withColumn("total", F.col("total").cast("decimal(38,4)"))
+        # Column ORDER must match the oracle's SELECT order: the driver's
+        # value hash is positional (r3 verdict — values were exact, order off).
+        .select("resolution", "event_type", "bucket", "n", "total", "mn", "mx")
         .orderBy("resolution", "event_type", "bucket")
     )
 

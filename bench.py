@@ -457,7 +457,28 @@ def main() -> None:
                 out["sf1"] = sf1
         except Exception as exc:  # noqa: BLE001 — scale evidence is auxiliary
             print(f"# sf1 section failed: {exc}", file=sys.stderr)
-    print(json.dumps(out))
+    # Two stdout lines: full detail first, then a COMPACT final line. The
+    # driver machine-reads a ~2 kB tail of stdout; round 3's single giant
+    # line (detail + sf1 + native sections) outgrew that tail and parsed as
+    # null. The final line carries the contract keys (metric/value/unit/
+    # queries/sf + the gate ratio) and is pinned < 1900 bytes by
+    # tests/test_bench_contract.py so the tail always ends with one
+    # complete parseable JSON line.
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": out["queries"],
+        "sf": out["sf"],
+    }
+    for k in ("duckdb_total_sec", "vs_duckdb"):
+        if k in out:
+            compact[k] = out[k]
+    detail_line = json.dumps(out)
+    final_line = json.dumps(compact, separators=(",", ":"))
+    if detail_line != final_line:
+        print(detail_line)
+    print(final_line)
 
 
 if __name__ == "__main__":

@@ -61,10 +61,12 @@ def compare(spark_df, con, sql) -> dict:
     out = {
         "rows_spark": len(spark_rows),
         "rows_duck": len(duck_rows),
-        "cols_spark": sorted(spark_cols),
-        "cols_duck": sorted(duck_cols),
+        "cols_spark": list(spark_cols),
+        "cols_duck": list(duck_cols),
     }
     out["count_match"] = out["rows_spark"] == out["rows_duck"]
+    # Exact POSITIONAL column order, not sorted names: the driver's value
+    # hash is positional, so order drift is a real failure (r3 q_time_rollup).
     out["cols_match"] = out["cols_spark"] == out["cols_duck"]
     if not (out["count_match"] and out["cols_match"]):
         out["value_match"] = False

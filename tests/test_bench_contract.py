@@ -31,11 +31,20 @@ def test_bench_stdout_is_one_json_line():
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
-    assert len(lines) == 1, f"stdout must be one JSON line, got {len(lines)}: {lines[:5]}"
-    out = json.loads(lines[0])
+    # detail line (optional, full sections) + compact final line; every
+    # stdout line must itself be valid JSON
+    assert 1 <= len(lines) <= 2, f"stdout must be 1-2 JSON lines, got {len(lines)}: {lines[:5]}"
+    for ln in lines:
+        json.loads(ln)
+    out = json.loads(lines[-1])
     assert out["metric"] == "headline_queries_total_wall"
     assert out["unit"] == "sec"
     assert out["sf"] == 0.001
     assert isinstance(out["value"], (int, float)) and out["value"] > 0
     assert len(out["queries"]) >= 20
+    # the driver reads a ~2 kB stdout tail: the FINAL line (plus newline)
+    # must always fit, whatever auxiliary sections the detail line grows
+    assert len(lines[-1]) < 1900, f"final line too big for driver tail: {len(lines[-1])}"
+    allowed = {"metric", "value", "unit", "queries", "sf", "duckdb_total_sec", "vs_duckdb"}
+    assert set(out) <= allowed, f"final line must stay compact: {set(out) - allowed}"
     assert all(isinstance(v, (int, float)) for v in out["queries"].values())

@@ -155,11 +155,17 @@ def _group(docs, spec):
                     cur = cur + [val]
                 g["_state"][name] = cur
             elif op in ("$stdDevPop", "$stdDevSamp"):
-                # Welford-free two-accumulator form: carry (n, Σx, Σx²) —
-                # non-numeric values ignored, as mongod documents
+                # Welford online state (n, mean, M2): Σx² − n·mean² suffers
+                # catastrophic cancellation for large-magnitude, small-
+                # variance inputs; M2 is non-negative by construction.
+                # Non-numeric values ignored, as mongod documents.
                 if isinstance(val, (int, float)) and not isinstance(val, bool):
-                    n_, sx, sxx = st or (0, 0.0, 0.0)
-                    g["_state"][name] = (n_ + 1, sx + val, sxx + val * val)
+                    n_, mean, m2 = st or (0, 0.0, 0.0)
+                    n_ += 1
+                    delta = val - mean
+                    mean += delta / n_
+                    m2 += delta * (val - mean)
+                    g["_state"][name] = (n_, mean, m2)
             elif op == "$mergeObjects":
                 if isinstance(val, dict):
                     merged = dict(st or {})
@@ -183,16 +189,13 @@ def _group(docs, spec):
                 if v is None:
                     v = None
                 else:
-                    n_, sx, sxx = v
+                    n_, _mean, m2 = v
                     denom = n_ if op == "$stdDevPop" else n_ - 1
                     if denom <= 0:
                         # pop of 1 value = 0.0; samp of 1 value = null (mongod)
                         v = 0.0 if op == "$stdDevPop" and n_ == 1 else None
                     else:
-                        var = max(0.0, sxx / n_ - (sx / n_) ** 2)
-                        if op == "$stdDevSamp":
-                            var = var * n_ / (n_ - 1)
-                        v = var ** 0.5
+                        v = (m2 / denom) ** 0.5
             elif op == "$mergeObjects" and v is None:
                 v = {}
             out[name] = v
@@ -204,6 +207,11 @@ def _freeze(v):
         return ("d",) + tuple((k, _freeze(x)) for k, x in v.items())
     if isinstance(v, list):
         return ("l",) + tuple(_freeze(x) for x in v)
+    if isinstance(v, (int, float, _Decimal)) and not isinstance(v, bool):
+        # mongod groups / $addToSet-dedups numerics by VALUE across types
+        # (1, 1.0 and NumberDecimal("1") are one group key); share
+        # _canon_key's exact-int canonicalization
+        return _canon_key(v)
     return (type(v).__name__, v)
 
 
@@ -271,6 +279,16 @@ def _canon_key(v):
     if isinstance(v, bool):
         return ("b", v)
     if isinstance(v, (int, float, _Decimal)):
+        # Integral values canonicalize to exact int: collapsing every
+        # numeric to float would falsely equate int64 keys that differ
+        # only beyond 2^53 (mongod compares numerics exactly across
+        # types). Non-integral values go to float, keeping 1 == 1.0.
+        try:
+            i = int(v)
+            if v == i:
+                return ("n", i)
+        except (OverflowError, ValueError):
+            pass  # inf / nan
         return ("n", float(v))
     if isinstance(v, dict):
         return ("d", tuple((k, _canon_key(x)) for k, x in sorted(v.items())))

@@ -158,8 +158,14 @@ def zorder_layout(
         dt = df.schema[c].dataType
         if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
                            T.FloatType, T.DoubleType, T.DecimalType,
-                           T.TimestampType, T.TimestampNTZType)):
+                           T.TimestampType)):
             numeric[c] = F.col(c).cast("double")
+        elif isinstance(dt, T.TimestampNTZType):
+            # TIMESTAMP_NTZ has no direct cast to double (Spark raises
+            # DATATYPE_MISMATCH); go through epoch micros instead. Only
+            # the ORDERING matters for Z-bucketing, so the session-TZ
+            # interpretation applied by the NTZ→LTZ step is harmless.
+            numeric[c] = F.unix_micros(F.col(c).cast("timestamp")).cast("double")
         elif isinstance(dt, T.DateType):
             numeric[c] = F.unix_date(F.col(c)).cast("double")
         else:

@@ -51,10 +51,18 @@ def mongo_scan(
         # schema is given: one bounded sample aggregation (`$limit`
         # appended — pure truncation, safe after any stage). Falls back
         # to the collection schema when the pipeline yields nothing.
-        from duckdb_mongo_spark.schema.infer import infer_schema_from_docs
+        from duckdb_mongo_spark.schema.infer import SCHEMA_DOC_ID, infer_schema_from_docs
 
+        # Exclude the __schema sentinel doc BEFORE the user pipeline runs,
+        # mirroring datasource._result_docs' sentinel_free prefix: otherwise
+        # aggregates ingest the sentinel's type-name strings ($max returning
+        # 'double') and _id-dropping stages ($project {_id:0}, $group,
+        # $replaceRoot) defeat infer_schema_from_docs' post-filter.
+        sentinel_free = [{"$match": {"_id": {"$ne": SCHEMA_DOC_ID}}}]
         sample_docs = list(
-            backend.aggregate(db, coll, list(pipeline) + [{"$limit": sample_size}])
+            backend.aggregate(
+                db, coll, sentinel_free + list(pipeline) + [{"$limit": sample_size}]
+            )
         )
         if sample_docs:
             schema = infer_schema_from_docs(

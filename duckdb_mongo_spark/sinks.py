@@ -132,7 +132,24 @@ def compact_collection(
         raise TypeError("compact_collection supports parquet backends only")
     if db != backend.db_name:
         raise KeyError(f"backend serves db {backend.db_name!r}, not {db!r}")
+    import shutil
+
     target = backend._path(coll)
+    tmp_new = target + ".__compact_tmp__"
+    tmp_old = target + ".__compact_old__"
+    # Crash recovery from a prior interrupted run BEFORE anything else
+    # (including the existence checks — after a crash between the two
+    # renames, the ONLY copy of the data may live under tmp_old): restore
+    # it if the live dir is missing, discard it if the swap completed.
+    # A stale tmp_new is always safe to discard (it is never the only
+    # copy until the first rename succeeds).
+    if os.path.exists(tmp_old):
+        if not os.path.exists(target):
+            os.rename(tmp_old, target)
+        else:
+            shutil.rmtree(tmp_old)
+    if os.path.exists(tmp_new):
+        shutil.rmtree(tmp_new)
     if os.path.isfile(target):
         return 1
     if not os.path.isdir(target):
@@ -150,13 +167,17 @@ def compact_collection(
         out = zorder_layout(df, layout_cols, n_files=n_files)
     else:
         out = df.repartition(n_files)
-    tmp_new = target + ".__compact_tmp__"
-    tmp_old = target + ".__compact_old__"
-    out.write.mode("overwrite").parquet(tmp_new)
-    os.rename(target, tmp_old)
-    os.rename(tmp_new, target)
-    import shutil
-
+    try:
+        out.write.mode("overwrite").parquet(tmp_new)
+        os.rename(target, tmp_old)
+        os.rename(tmp_new, target)
+    except BaseException:
+        # failed before the swap completed: roll back so the collection
+        # stays readable and the temp dirs don't poison the next run
+        if not os.path.exists(target) and os.path.exists(tmp_old):
+            os.rename(tmp_old, target)
+        shutil.rmtree(tmp_new, ignore_errors=True)
+        raise
     shutil.rmtree(tmp_old)
     if hasattr(backend, "clear_cache"):
         backend.clear_cache()

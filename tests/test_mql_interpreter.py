@@ -415,3 +415,58 @@ class TestAdviceFixes:
         assert eval_expr({"$toDouble": "$s"}, {"s": "x"}) is None
         assert eval_expr({"$toLong": "$s"}, {"s": "7"}) == 7
         assert eval_expr({"$toDouble": "$s"}, {"s": "2.5"}) == 2.5
+
+
+class TestRound4AdviceFixes:
+    """Round-3 ADVICE regressions: $lookup big-int64 key exactness,
+    Welford stddev stability, cross-type numeric group keys."""
+
+    def test_lookup_big_int64_keys_do_not_collapse(self):
+        # 2^60 and 2^60+1 differ beyond float53 precision; a float-based
+        # hash key would falsely join both. mongod compares exactly.
+        big = 2 ** 60
+        local = [{"_id": 1, "k": big}, {"_id": 2, "k": big + 1}]
+        foreign = [{"_id": "a", "fk": big}, {"_id": "b", "fk": big + 1}]
+        out = run_pipeline(
+            local,
+            [{"$lookup": {"from": "f", "localField": "k",
+                          "foreignField": "fk", "as": "m"}}],
+            collections=lambda name: foreign,
+        )
+        assert [[m["_id"] for m in d["m"]] for d in out] == [["a"], ["b"]]
+
+    def test_lookup_cross_type_numeric_equality_kept(self):
+        local = [{"_id": 1, "k": 1}, {"_id": 2, "k": 2.5}]
+        foreign = [{"_id": "i", "fk": 1.0}, {"_id": "f", "fk": 2.5}]
+        out = run_pipeline(
+            local,
+            [{"$lookup": {"from": "f", "localField": "k",
+                          "foreignField": "fk", "as": "m"}}],
+            collections=lambda name: foreign,
+        )
+        assert [[m["_id"] for m in d["m"]] for d in out] == [["i"], ["f"]]
+
+    def test_stddev_no_catastrophic_cancellation(self):
+        import statistics
+
+        # mean 1e9, stdev 0.5: sum-of-squares form loses ~all precision
+        vals = [1e9 + 0.5, 1e9 - 0.5] * 50
+        docs = [{"g": 1, "v": v} for v in vals]
+        out = run([{"$group": {"_id": "$g",
+                               "sp": {"$stdDevPop": "$v"},
+                               "ss": {"$stdDevSamp": "$v"}}}], docs)
+        assert out[0]["sp"] == pytest.approx(statistics.pstdev(vals), rel=1e-9)
+        assert out[0]["ss"] == pytest.approx(statistics.stdev(vals), rel=1e-9)
+
+    def test_group_key_cross_type_numeric(self):
+        # mongod groups 1 and 1.0 (and Decimal 1) into ONE group
+        from decimal import Decimal
+
+        docs = [{"k": 1, "v": 1}, {"k": 1.0, "v": 2}, {"k": Decimal("1"), "v": 4}]
+        out = run([{"$group": {"_id": "$k", "s": {"$sum": "$v"}}}], docs)
+        assert len(out) == 1 and out[0]["s"] == 7
+
+    def test_add_to_set_cross_type_numeric_dedup(self):
+        docs = [{"g": 1, "v": 1}, {"g": 1, "v": 1.0}, {"g": 1, "v": 2}]
+        out = run([{"$group": {"_id": "$g", "s": {"$addToSet": "$v"}}}], docs)
+        assert sorted(out[0]["s"], key=float) == [1, 2]

@@ -153,6 +153,18 @@ class TestZOrder:
         out = pt.zorder_layout(df, ["ts", "d"], n_files=4)
         assert out.count() == 60 and out.columns == ["ts", "d"]
 
+    def test_layout_timestamp_ntz_column(self, spark):
+        # TIMESTAMP_NTZ can't cast straight to double (DATATYPE_MISMATCH
+        # on Spark 4.x) — the layout must route it via epoch micros, and
+        # the Z-ordering must actually cluster on it.
+        df = spark.createDataFrame(
+            [(f"2024-0{1 + i % 9}-1{i % 8} 0{i % 9}:00:00", i % 7) for i in range(60)],
+            "s string, v int",
+        ).selectExpr("CAST(s AS TIMESTAMP_NTZ) AS tsn", "v")
+        assert df.schema["tsn"].dataType.typeName() == "timestamp_ntz"
+        out = pt.zorder_layout(df, ["tsn", "v"], n_files=4)
+        assert out.count() == 60 and out.columns == ["tsn", "v"]
+
     def test_layout_rejects_string_column(self, spark):
         df = spark.createDataFrame([(1, "x")], "a int, s string")
         with pytest.raises(TypeError, match="numeric surrogate"):

@@ -162,3 +162,38 @@ class TestManualPipeline:
                         pipeline=[{"$count": "n_users"}],
                         columns={"n_users": "BIGINT"})
         assert mf.schema.source == "columns"
+
+    def test_pipeline_inference_excludes_schema_sentinel(self):
+        # The __schema sentinel doc must not flow through the inference
+        # pipeline: $max over a sentinel-bearing collection would ingest
+        # the sentinel's type-name STRING ('double' beats any number in
+        # MQL's type bracket ordering), typing the output column VARCHAR.
+        from duckdb_mongo_spark.backends import MemoryBackend
+        from duckdb_mongo_spark.scan import mongo_scan
+
+        be = MemoryBackend()
+        be.insert_many("db", "m", [
+            {"_id": "__schema", "v": "double"},
+            {"_id": 1, "v": 1.5},
+            {"_id": 2, "v": 2.5},
+        ])
+        mf = mongo_scan(None, be, "db", "m",
+                        pipeline=[{"$group": {"_id": None, "mx": {"$max": "$v"}}}])
+        fields = {f.name: str(f.type) for f in mf.schema.fields}
+        assert fields["mx"] == "DOUBLE", fields
+
+    def test_pipeline_inference_ignores_sentinel_when_id_dropped(self):
+        # $project {_id: 0} defeats infer_schema_from_docs' post-filter —
+        # the sentinel must already be excluded inside the pipeline.
+        from duckdb_mongo_spark.backends import MemoryBackend
+        from duckdb_mongo_spark.scan import mongo_scan
+
+        be = MemoryBackend()
+        be.insert_many("db", "m", [
+            {"_id": "__schema", "v": "double"},
+            {"_id": 1, "v": 1.5},
+        ])
+        mf = mongo_scan(None, be, "db", "m",
+                        pipeline=[{"$project": {"_id": 0, "v": 1}}])
+        fields = {f.name: str(f.type) for f in mf.schema.fields}
+        assert fields["v"] == "DOUBLE", fields

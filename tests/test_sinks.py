@@ -108,6 +108,43 @@ class TestCompaction:
         compact_collection(spark, be, "main", "c", layout_cols=["k", "score"])
         assert be.count("main", "c") == 1000
 
+    def test_compact_recovers_from_crashed_swap(self, spark, tmp_path):
+        # Prior run died between the two renames: data lives ONLY under
+        # .__compact_old__ (plus a complete tmp_new). A rerun must restore
+        # the old dir and compact normally instead of raising ENOENT.
+        import shutil
+
+        from duckdb_mongo_spark.sinks import compact_collection
+
+        be = ParquetBackend(str(tmp_path), id_field="k")
+        write_collection(_df(spark, 200).repartition(8), be, "main", "c")
+        target = str(tmp_path / "c.parquet")
+        shutil.copytree(target, target + ".__compact_tmp__")
+        os.rename(target, target + ".__compact_old__")  # crash point
+        n = compact_collection(spark, be, "main", "c")
+        assert n == 1
+        assert not os.path.exists(target + ".__compact_old__")
+        assert not os.path.exists(target + ".__compact_tmp__")
+        assert be.count("main", "c") == 200
+
+    def test_compact_cleans_stale_temp_dirs(self, spark, tmp_path):
+        # Swap completed but cleanup was lost (stale tmp_old with garbage)
+        # plus a stale tmp_new: both must be discarded, live data kept.
+        from duckdb_mongo_spark.sinks import compact_collection
+
+        be = ParquetBackend(str(tmp_path), id_field="k")
+        write_collection(_df(spark, 100).repartition(4), be, "main", "c")
+        target = str(tmp_path / "c.parquet")
+        os.makedirs(target + ".__compact_old__")
+        os.makedirs(target + ".__compact_tmp__")
+        with open(target + ".__compact_old__/junk.parquet", "w") as f:
+            f.write("stale")
+        n = compact_collection(spark, be, "main", "c")
+        assert n == 1
+        assert not os.path.exists(target + ".__compact_old__")
+        assert not os.path.exists(target + ".__compact_tmp__")
+        assert be.count("main", "c") == 100
+
     def test_compact_single_file_noop(self, spark, tmp_path):
         from duckdb_mongo_spark.sinks import compact_collection
 

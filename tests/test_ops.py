@@ -134,6 +134,61 @@ class TestSimhash:
         assert near < far
 
 
+class TestArrowKernelParity:
+    """The Arrow (mapInPandas numpy) kernels must be BIT-IDENTICAL to the
+    JVM explode+grouped-agg forms — same tokenizer, same md5 digest-slice
+    contract, same multi-row-id merge semantics. Corpus includes exact
+    dups, near dups, an empty doc, punctuation-heavy text, and ids spread
+    over several partitions so the grouped merge actually runs."""
+
+    @pytest.fixture(scope="class")
+    def parity_docs(self, spark):
+        rows = [
+            ("d1", "the quick brown fox jumps over the lazy dog"),
+            ("d2", "the quick brown fox jumps over the lazy dog"),
+            ("d3", "The QUICK, brown fox -- leaps over the lazy dog!!"),
+            ("d4", "completely different content about spark engines"),
+            ("d5", ""),
+            ("d6", "short doc"),
+            ("d7", "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+        ]
+        # duplicate SOME ids across partitions: signature must be the
+        # union over the id's rows in both kernels
+        rows += [("d1", "an extra row for the same id"),
+                 ("d4", "more text sharing doc id d4")]
+        return spark.createDataFrame(rows, ["doc_id", "text"]).repartition(4)
+
+    def test_minhash_arrow_matches_jvm(self, parity_docs):
+        for k in (4, 8):
+            a = dedup.minhash_signatures(parity_docs, "doc_id", "text", k=k).orderBy("doc_id").collect()
+            b = dedup.minhash_signatures_arrow(parity_docs, "doc_id", "text", k=k).orderBy("doc_id").collect()
+            assert a == b
+
+    def test_simhash_arrow_matches_jvm(self, parity_docs):
+        a = dedup.simhash(parity_docs, "doc_id", "text", bits=16).orderBy("doc_id").collect()
+        b = dedup.simhash_arrow(parity_docs, "doc_id", "text", bits=16).orderBy("doc_id").collect()
+        assert a == b
+
+    def test_simhash_arrow_smaller_bits(self, parity_docs):
+        a = dedup.simhash(parity_docs, "doc_id", "text", bits=8).orderBy("doc_id").collect()
+        b = dedup.simhash_arrow(parity_docs, "doc_id", "text", bits=8).orderBy("doc_id").collect()
+        assert a == b
+
+    def test_python_tokenizer_matches_jvm(self, spark):
+        from duckdb_mongo_spark.ops.dedup import _norm_tokens, _py_norm_tokens
+
+        texts = [
+            "Hello,   world!  foo\tbar\nbaz",
+            "a--b__c  d;e:f (g) [h] {i}",
+            "",
+            "   ",
+            "UPPER lower 123 mix3d",
+        ]
+        df = spark.createDataFrame([(t,) for t in texts], ["t"])
+        jvm = [r[0] for r in df.select(_norm_tokens(F.col("t"))).collect()]
+        assert jvm == [_py_norm_tokens(t) for t in texts]
+
+
 class TestSimilarity:
     @pytest.fixture(scope="class")
     def corpus(self, spark):

@@ -255,6 +255,54 @@ def _sf1_dir() -> str | None:
         return None
 
 
+def _ratio_stats(sp_samples: dict, dk_samples: dict) -> dict:
+    """Noise-robust suite ratio statistics from raw interleaved samples.
+
+    The raw ``vs_duckdb`` (ratio of totals-of-medians) moves ±0.4 when one
+    DuckDB query catches a host-load burst (observed: sf1 text-analysis
+    4.4→11 s swings). Two stabilizers, both computed from SAME-WINDOW
+    pairs (Spark sample i and DuckDB sample i of a query run back-to-back,
+    so a burst hits both sides of the pair):
+
+    - ``per_query_ratio``: median over iterations of spark_i/duck_i.
+    - ``vs_duckdb_paired``: those per-query paired ratios recombined with
+      DuckDB-median workload weights — same weighting as the raw ratio,
+      but each query's contribution is burst-cancelled.
+    - ``vs_duckdb_trimmed``: raw ratio recomputed excluding queries whose
+      DuckDB samples spread more than 2x (max/min) within the run — the
+      outlier-variance queries are named in ``trimmed_out`` so the
+      exclusion is visible, never silent.
+    """
+    import statistics
+
+    per_q = {}
+    for name, dks in dk_samples.items():
+        sps = sp_samples.get(name)
+        if not sps or not dks:
+            continue
+        pairs = [s / d for s, d in zip(sps, dks) if d > 0]
+        if pairs:
+            per_q[name] = round(statistics.median(pairs), 3)
+    out = {"per_query_ratio": per_q}
+    dmed = {n: statistics.median(v) for n, v in dk_samples.items() if v}
+    dtot = sum(dmed.values())
+    if dtot > 0 and per_q:
+        out["vs_duckdb_paired"] = round(
+            sum(per_q[n] * dmed[n] for n in per_q) / sum(dmed[n] for n in per_q), 2
+        )
+    noisy = [
+        n for n, v in dk_samples.items()
+        if len(v) >= 2 and min(v) > 0 and max(v) / min(v) > 2.0
+    ]
+    keep = [n for n in dmed if n not in noisy and n in sp_samples]
+    ssum = sum(statistics.median(sp_samples[n]) for n in keep)
+    dsum = sum(dmed[n] for n in keep)
+    if noisy and dsum > 0:
+        out["vs_duckdb_trimmed"] = round(ssum / dsum, 2)
+        out["trimmed_out"] = sorted(noisy)
+    return out
+
+
 def _sf1_section(spark, qs, bench_queries, oracles, iters=3):
     """Same suite at 10x the gate's data, Spark AND DuckDB, so the scale
     story is measured instead of argued: per-query growth vs sf0.1
@@ -276,6 +324,7 @@ def _sf1_section(spark, qs, bench_queries, oracles, iters=3):
                 con.execute(oracles[name]).fetchall()  # warm
     timings = {}
     dk = {}
+    sp_samples, dk_samples = {}, {}
     for name in bench_queries:
         samples, dsamples = [], []
         for _ in range(iters):
@@ -287,13 +336,16 @@ def _sf1_section(spark, qs, bench_queries, oracles, iters=3):
                 con.execute(oracles[name]).fetchall()
                 dsamples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
+        sp_samples[name] = samples
         if dsamples:
             dk[name] = round(statistics.median(dsamples), 3)
+            dk_samples[name] = dsamples
     out = {"total_sec": round(sum(timings.values()), 3), "queries": timings}
     if dk:
         out["duckdb_total_sec"] = round(sum(dk.values()), 3)
         out["duckdb_queries"] = dk
         out["vs_duckdb"] = round(out["total_sec"] / out["duckdb_total_sec"], 2)
+        out.update(_ratio_stats(sp_samples, dk_samples))
     return out
 
 
@@ -414,6 +466,8 @@ def main() -> None:
                 con.execute(oracles[name]).fetchall()  # warm
     timings: dict[str, float] = {}
     dk: dict[str, float] = {}
+    sp_samples: dict[str, list] = {}
+    dk_samples: dict[str, list] = {}
     for name in bench_queries:
         samples, dsamples = [], []
         for _ in range(iters):
@@ -426,8 +480,10 @@ def main() -> None:
                 con.execute(oracles[name]).fetchall()
                 dsamples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
+        sp_samples[name] = samples
         if dsamples:
             dk[name] = round(statistics.median(dsamples), 3)
+            dk_samples[name] = dsamples
 
     total = round(sum(timings.values()), 3)
     # label from the ORIGINAL dir: staging renames append a cache tag
@@ -445,6 +501,7 @@ def main() -> None:
         out["duckdb_total_sec"] = round(sum(dk.values()), 3)
         out["duckdb_queries"] = dk
         out["vs_duckdb"] = round(total / out["duckdb_total_sec"], 2)
+        out.update(_ratio_stats(sp_samples, dk_samples))
     if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_NATIVE"):
         try:
             out["native_pipeline"] = _native_pipeline_section(spark, sf_dir, qs)
@@ -471,7 +528,7 @@ def main() -> None:
         "queries": out["queries"],
         "sf": out["sf"],
     }
-    for k in ("duckdb_total_sec", "vs_duckdb"):
+    for k in ("duckdb_total_sec", "vs_duckdb", "vs_duckdb_paired", "vs_duckdb_trimmed"):
         if k in out:
             compact[k] = out[k]
     detail_line = json.dumps(out)

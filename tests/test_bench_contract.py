@@ -45,6 +45,7 @@ def test_bench_stdout_is_one_json_line():
     # the driver reads a ~2 kB stdout tail: the FINAL line (plus newline)
     # must always fit, whatever auxiliary sections the detail line grows
     assert len(lines[-1]) < 1900, f"final line too big for driver tail: {len(lines[-1])}"
-    allowed = {"metric", "value", "unit", "queries", "sf", "duckdb_total_sec", "vs_duckdb"}
+    allowed = {"metric", "value", "unit", "queries", "sf", "duckdb_total_sec",
+               "vs_duckdb", "vs_duckdb_paired", "vs_duckdb_trimmed"}
     assert set(out) <= allowed, f"final line must stay compact: {set(out) - allowed}"
     assert all(isinstance(v, (int, float)) for v in out["queries"].values())

@@ -1,13 +1,16 @@
-"""Pure-stdlib + numpy media codecs: PNG, uncompressed BMP, GIF, PCM WAV.
+"""Pure-stdlib + numpy media codecs: PNG, uncompressed BMP, GIF, PCM
+WAV, baseline JPEG.
 
 Closes the "pixel decode needs a codec library" gap for the formats
 whose decompression is implementable without one: PNG's only compression
 is zlib (stdlib ``zlib``), BMP's common on-disk layout is uncompressed,
-WAV PCM is raw samples, and GIF's LZW is a ~50-line table decoder
-specified in full by GIF89a appendix F. JPEG/WebP entropy coding
-genuinely needs a codec library and stays behind the documented stub
-boundary (``multimodal.parse_image_header`` still reads their header
-metadata).
+WAV PCM is raw samples, GIF's LZW is a ~50-line table decoder specified
+in full by GIF89a appendix F, and baseline JPEG is Huffman coding + an
+8x8 IDCT (ITU-T T.81, a public spec) — implemented here with stream-read
+Huffman/quant tables, 4:4:4 / 4:2:2 / 4:2:0 sampling, and restart
+markers. Progressive JPEG and WebP (VP8 entropy coding) stay behind the
+documented stub boundary (``multimodal.parse_image_header`` still reads
+their header metadata).
 
 Everything here reads/writes public file-format structure only (PNG
 RFC 2083 / ISO 15948, the Windows BMP DIB layout, the RIFF/WAVE spec,
@@ -307,6 +310,530 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
 
 
 # --------------------------------------------------------------------------
+# JPEG (baseline DCT, ITU-T T.81 / ISO 10918-1)
+# --------------------------------------------------------------------------
+#
+# Decoder: baseline sequential (SOF0; SOF1 accepted — same scan layout),
+# 8-bit precision, grayscale or 3-component YCbCr, arbitrary 1-2 sampling
+# factors (4:4:4 / 4:2:2 / 4:2:0), restart markers (DRI/RSTn), Huffman
+# tables read from the stream's own DHT segments (so ANY spec-conformant
+# baseline file decodes — the decoder carries no table assumptions).
+# Progressive (SOF2) and arithmetic coding raise CodecError. Encoder:
+# 4:4:4 or grayscale, Annex-K-style quant tables scaled by quality, the
+# standard Huffman tables. T.81 is a public ITU/ISO specification.
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+_Q_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+] + [99] * 32, dtype=np.int64)
+
+# Standard Huffman table specs (T.81 Annex K): (bits[1..16], huffval)
+_DC_LUM_SPEC = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_DC_CHROMA_SPEC = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_AC_LUM_SPEC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+     0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+     0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+     0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+     0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_AC_CHROMA_SPEC = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+     0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+     0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+     0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+     0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+     0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """M[u, x] = alpha(u)/2 * cos((2x+1) u pi / 16): forward DCT is
+    M @ f @ M.T, inverse is M.T @ F @ M (T.81 A.3.3)."""
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    m[0, :] *= 1.0 / np.sqrt(2.0)
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+
+def _huff_canonical_codes(bits: list[int], vals: list[int]):
+    """Canonical Huffman code assignment (T.81 C.2): yields
+    (symbol, code, length) in spec order."""
+    if len(bits) != 16 or sum(bits) != len(vals):
+        raise CodecError("malformed Huffman table spec")
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            yield vals[k], code, length
+            code += 1
+            k += 1
+        code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    byte-unstuffing; stops at any non-RST marker. RSTn markers reset the
+    bit buffer (the caller resets DC predictors)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.marker = None  # set when a non-RST marker terminates the scan
+
+    def _fill(self):
+        d = self.data
+        while self.n <= 24:
+            if self.pos >= len(d):
+                self.acc = (self.acc << 8) & 0xFFFFFFFF
+                self.n += 8  # pad past EOF with zeros (conformant streams
+                self.marker = self.marker or 0xD9  # end before this matters)
+                continue
+            byte = d[self.pos]
+            if byte == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:  # RSTn: handled by expect_rst
+                    self.acc = (self.acc << 8) & 0xFFFFFFFF
+                    self.n += 8
+                    continue
+                else:
+                    self.marker = nxt
+                    self.acc = (self.acc << 8) & 0xFFFFFFFF
+                    self.n += 8
+                    continue
+            else:
+                self.pos += 1
+            self.acc = ((self.acc << 8) | byte) & 0xFFFFFFFF
+            self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive(self, s: int) -> int:
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self):
+        """Skip to just past the next RSTn marker, discarding pad bits."""
+        self.acc = 0
+        self.n = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise CodecError("missing restart marker")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1: map the s received magnitude bits to a signed value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_huff_symbol(r: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise CodecError("invalid Huffman code in scan")
+
+
+def decode_jpeg(b: bytes) -> np.ndarray:
+    """Baseline JPEG -> uint8 (H,W) grayscale or (H,W,3) RGB array."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        raise CodecError("not a JPEG stream")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise CodecError("bad marker alignment")
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1  # 0xFF fill bytes before a marker are legal padding
+        marker = b[pos + 1]
+        pos += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            continue  # no-length markers
+        seglen = struct.unpack(">H", b[pos:pos + 2])[0]
+        seg = b[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                prec, tid = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if prec:
+                    tbl = np.frombuffer(seg[i:i + 128], dtype=">u2").astype(np.int64)
+                    i += 128
+                else:
+                    tbl = np.frombuffer(seg[i:i + 64], dtype=np.uint8).astype(np.int64)
+                    i += 64
+                qt[tid] = tbl
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(seg[i + 17:i + 17 + nv])
+                huff[(tc, th)] = {
+                    (length, code): sym
+                    for sym, code, length in _huff_canonical_codes(bits, vals)
+                }
+                i += 17 + nv
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise CodecError(f"unsupported JPEG precision {prec}")
+            if nc not in (1, 3):
+                raise CodecError(f"unsupported component count {nc}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise CodecError("only baseline sequential JPEG is supported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            if frame is None:
+                raise CodecError("SOS before SOF")
+            ns = seg[0]
+            scan_tables = {}
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_tables[cs] = (tt >> 4, tt & 0x0F)
+            return _decode_jpeg_scan(
+                b, pos + seglen, frame, qt, huff, scan_tables, restart_interval
+            )
+        pos += seglen
+    raise CodecError("no SOS segment found")
+
+
+def _decode_jpeg_scan(b, pos, frame, qt, huff, scan_tables, restart_interval):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
+        raise CodecError("unsupported sampling factors")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for c in comps:
+        if c["tq"] not in qt:
+            raise CodecError("missing quantization table")
+        if c["id"] not in scan_tables:
+            raise CodecError("scan does not cover every frame component")
+        c["qt_nat"] = np.empty(64, dtype=np.int64)
+        c["qt_nat"][_ZIGZAG] = qt[c["tq"]]
+        # per-component pixel plane, MCU-padded
+        c["plane"] = np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8))
+        c["pred"] = 0
+        td, ta = scan_tables[c["id"]]
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise CodecError("missing Huffman table")
+        c["dc"] = huff[(0, td)]
+        c["ac"] = huff[(1, ta)]
+    r = _BitReader(b, pos)
+    mcu_i = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                r.restart()
+                for c in comps:
+                    c["pred"] = 0
+            mcu_i += 1
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = _decode_block(r, c)
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        c["plane"][y0:y0 + 8, x0:x0 + 8] = blk
+    planes = []
+    for c in comps:
+        p = c["plane"]
+        # replicate-upsample subsampled chroma to full resolution
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        planes.append(p[:h, :w])
+    if len(planes) == 1:
+        out = planes[0]
+    else:
+        y, cb, cr = planes
+        out = np.stack([
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ], axis=-1)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _decode_block(r: _BitReader, c: dict) -> np.ndarray:
+    coeffs = np.zeros(64, dtype=np.int64)
+    s = _decode_huff_symbol(r, c["dc"])
+    diff = _extend(r.receive(s), s) if s else 0
+    c["pred"] += diff
+    coeffs[0] = c["pred"]
+    k = 1
+    while k < 64:
+        rs = _decode_huff_symbol(r, c["ac"])
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise CodecError("AC coefficient index out of range")
+        coeffs[k] = _extend(r.receive(size), size)
+        k += 1
+    nat = np.zeros(64, dtype=np.int64)
+    nat[_ZIGZAG] = coeffs
+    blk = (nat * c["qt_nat"]).reshape(8, 8).astype(np.float64)
+    return _DCT_M.T @ blk @ _DCT_M + 128.0
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+
+
+def _quality_scale(tbl: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg's public quality->scale mapping (also in the IJG docs)."""
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((tbl * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 (H,W) grayscale or (H,W,3) RGB -> baseline JPEG (standard
+    tables scaled by ``quality``). ``subsampling``: "444" or "420"
+    (chroma box-averaged 2x2; grayscale ignores it).
+    ``restart_interval`` > 0 emits DRI + RSTn every N MCUs."""
+    a = np.asarray(arr)
+    if a.dtype != np.uint8 or a.ndim not in (2, 3) or (
+        a.ndim == 3 and a.shape[2] != 3
+    ):
+        raise CodecError("encode_jpeg expects uint8 (H,W) or (H,W,3)")
+    if subsampling not in ("444", "420"):
+        raise CodecError("subsampling must be '444' or '420'")
+    h, w = a.shape[:2]
+    if h == 0 or w == 0:
+        raise CodecError("empty image")
+    if a.ndim == 2:
+        planes = [a.astype(np.float64)]
+        qids = [0]
+    else:
+        f = a.astype(np.float64)
+        r_, g_, b_ = f[..., 0], f[..., 1], f[..., 2]
+        planes = [
+            0.299 * r_ + 0.587 * g_ + 0.114 * b_,
+            -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0,
+            0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0,
+        ]
+        qids = [0, 1, 1]
+    qtabs = {0: _quality_scale(_Q_LUM, quality)}
+    if len(planes) == 3:
+        qtabs[1] = _quality_scale(_Q_CHROMA, quality)
+    enc_dc = [dict() for _ in range(2)]
+    enc_ac = [dict() for _ in range(2)]
+    for tid, spec in ((0, _DC_LUM_SPEC), (1, _DC_CHROMA_SPEC)):
+        for sym, code, length in _huff_canonical_codes(*spec):
+            enc_dc[tid][sym] = (code, length)
+    for tid, spec in ((0, _AC_LUM_SPEC), (1, _AC_CHROMA_SPEC)):
+        for sym, code, length in _huff_canonical_codes(*spec):
+            enc_ac[tid][sym] = (code, length)
+
+    nc = len(planes)
+    if nc == 3 and subsampling == "420":
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        samp = [(1, 1)] * nc
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    # header segments
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
+        struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tid, tbl in qtabs.items():
+        # qtabs are NATURAL order; DQT stream order is zigzag
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + \
+            bytes(int(tbl[z]) for z in _ZIGZAG)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qids[ci]])
+    for tc, specs in ((0, (_DC_LUM_SPEC, _DC_CHROMA_SPEC)),
+                      (1, (_AC_LUM_SPEC, _AC_CHROMA_SPEC))):
+        for th in range(2 if nc == 3 else 1):
+            bits, vals = specs[th]
+            out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + \
+                bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x00 if qids[ci] == 0 else 0x11])
+    out += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
+
+    # component planes: box-average subsampled chroma, pad to MCU grid
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    padded = []
+    for ci, p in enumerate(planes):
+        hc, vc = samp[ci]
+        fh, fv = hmax // hc, vmax // vc
+        if fh > 1 or fv > 1:
+            eh, ew = -(-h // fv) * fv, -(-w // fh) * fh
+            pp = np.pad(p, ((0, eh - h), (0, ew - w)), mode="edge")
+            p = pp.reshape(eh // fv, fv, ew // fh, fh).mean(axis=(1, 3))
+        th_, tw_ = mcus_y * vc * 8, mcus_x * hc * 8
+        padded.append(np.pad(
+            p, ((0, th_ - p.shape[0]), (0, tw_ - p.shape[1])), mode="edge"
+        ))
+
+    wtr = _BitWriter()
+    preds = [0] * nc
+    mcu_i = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                wtr.flush()
+                out_rst = 0xD0 + ((mcu_i // restart_interval - 1) % 8)
+                wtr.out += bytes([0xFF, out_rst])
+                preds = [0] * nc
+            mcu_i += 1
+            for ci in range(nc):
+                hc, vc = samp[ci]
+                q = qtabs[qids[ci]].reshape(8, 8).astype(np.float64)
+                tsel = 0 if qids[ci] == 0 else 1
+                for by in range(vc):
+                    for bx in range(hc):
+                        y0 = (my * vc + by) * 8
+                        x0 = (mx * hc + bx) * 8
+                        blk = padded[ci][y0:y0 + 8, x0:x0 + 8] - 128.0
+                        coef = _DCT_M @ blk @ _DCT_M.T
+                        # quantize natural order, emit zigzag
+                        qc = np.round(coef / q).astype(np.int64)
+                        zz = qc.reshape(-1)[_ZIGZAG]
+                        _encode_block(
+                            wtr, zz, preds, ci, enc_dc[tsel], enc_ac[tsel]
+                        )
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _bit_size(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _encode_block(wtr, zz, preds, ci, dc_tab, ac_tab):
+    diff = int(zz[0]) - preds[ci]
+    preds[ci] = int(zz[0])
+    s = _bit_size(diff)
+    code, length = dc_tab[s]
+    wtr.write(code, length)
+    if s:
+        wtr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_tab[0xF0]  # ZRL
+            wtr.write(code, length)
+            run -= 16
+        s = _bit_size(v)
+        code, length = ac_tab[(run << 4) | s]
+        wtr.write(code, length)
+        wtr.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_tab[0x00]  # EOB
+        wtr.write(code, length)
+
+
+# --------------------------------------------------------------------------
 # GIF (GIF87a/GIF89a, first frame)
 # --------------------------------------------------------------------------
 
@@ -467,4 +994,6 @@ def decode_image(b: bytes) -> np.ndarray:
         return decode_bmp(b)
     if len(b) >= 6 and b[:4] == b"GIF8":
         return decode_gif(b)
+    if len(b) >= 3 and b[:2] == b"\xff\xd8":
+        return decode_jpeg(b)
     raise CodecError("no in-repo pixel codec for this payload")

@@ -315,11 +315,11 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 
 def image_pixel_features(df: DataFrame, media_col: str = "media") -> DataFrame:
-    """REAL pixel decode + feature extraction for PNG / uncompressed BMP
-    payloads (in-repo stdlib+numpy codec, ``ops/codecs.py``): per-channel
-    means, Rec.601 luma mean/std, aspect ratio. Payloads the in-repo
-    codec can't decode (JPEG/WebP — entropy coding needs a codec
-    library) yield null features but still get mime via header parse.
+    """REAL pixel decode + feature extraction for PNG / uncompressed BMP /
+    GIF / baseline JPEG payloads (in-repo stdlib+numpy codec,
+    ``ops/codecs.py``): per-channel means, Rec.601 luma mean/std, aspect
+    ratio. Payloads the in-repo codec can't decode (progressive JPEG,
+    WebP) yield null features but still get mime via header parse.
 
     Arrow-batched ``mapInPandas``; output = input schema minus payload
     plus IMAGE_FEATURES_SCHEMA. Grayscale images report the gray mean in

@@ -426,3 +426,144 @@ class TestSparkOperators:
         # 50 cycles -> ~100 zero crossings over 999 transitions
         assert row["zero_crossing_rate"] == pytest.approx(100 / 999, rel=0.05)
         assert out[2]["rms"] is None
+
+
+class TestJpeg:
+    """Baseline JPEG (T.81): lossy round-trips with error bounds scaled
+    to quality, hand-checked invariants (flat blocks exact, DC-only
+    streams), every decoder feature driven by the encoder's options
+    (4:2:0 subsampling, restart markers), and rejection of the
+    unsupported variants (progressive)."""
+
+    def _smooth_rgb(self, h=48, w=64):
+        y, x = np.mgrid[0:h, 0:w]
+        return np.stack([
+            np.clip(x * 3 + 20, 0, 255),
+            np.clip(y * 4, 0, 255),
+            np.clip(200 - x - y, 0, 255),
+        ], axis=-1).astype(np.uint8)
+
+    def test_round_trip_rgb_high_quality(self):
+        img = self._smooth_rgb()
+        out = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=95))
+        assert out.shape == img.shape and out.dtype == np.uint8
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.max() <= 6 and err.mean() < 1.5
+
+    def test_round_trip_grayscale_odd_dims(self):
+        y, x = np.mgrid[0:37, 0:51]
+        g = np.clip(x * 2 + y, 0, 255).astype(np.uint8)
+        out = codecs.decode_jpeg(codecs.encode_jpeg(g, quality=92))
+        assert out.shape == g.shape
+        assert np.abs(out.astype(int) - g.astype(int)).max() <= 6
+
+    def test_flat_image_is_exact(self):
+        # a constant block quantizes to DC-only with zero loss
+        for v in (0, 128, 255):
+            flat = np.full((24, 40, 3), v, np.uint8)
+            out = codecs.decode_jpeg(codecs.encode_jpeg(flat, quality=75))
+            assert np.array_equal(out, flat)
+
+    def test_420_subsampling_round_trip(self):
+        img = self._smooth_rgb(45, 61)  # odd dims force chroma edge pad
+        b = codecs.encode_jpeg(img, quality=92, subsampling="420")
+        b444 = codecs.encode_jpeg(img, quality=92, subsampling="444")
+        assert len(b) < len(b444)  # 4:2:0 actually subsamples
+        out = codecs.decode_jpeg(b)
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).mean() < 3.0
+
+    def test_restart_markers_round_trip(self):
+        img = self._smooth_rgb(40, 72)
+        b = codecs.encode_jpeg(img, quality=92, restart_interval=2)
+        assert b"\xff\xdd" in b  # DRI segment present
+        assert any(bytes([0xFF, 0xD0 + i]) in b for i in range(8))  # RSTn
+        out = codecs.decode_jpeg(b)
+        no_rst = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=92))
+        assert np.array_equal(out, no_rst)  # restarts change framing only
+
+    def test_quality_monotone(self):
+        img = self._smooth_rgb()
+        sizes = [len(codecs.encode_jpeg(img, quality=q)) for q in (30, 60, 90)]
+        assert sizes == sorted(sizes)
+        errs = [
+            np.abs(codecs.decode_jpeg(codecs.encode_jpeg(img, quality=q)).astype(int)
+                   - img.astype(int)).mean()
+            for q in (30, 90)
+        ]
+        assert errs[0] > errs[1]
+
+    def test_header_parse_agrees_with_decode(self):
+        from duckdb_mongo_spark.ops.multimodal import parse_image_header
+
+        img = self._smooth_rgb(33, 57)
+        for kwargs in ({"subsampling": "444"}, {"subsampling": "420"},
+                       {"restart_interval": 4}):
+            b = codecs.encode_jpeg(img, quality=90, **kwargs)
+            mime, w, h = parse_image_header(b)
+            decoded = codecs.decode_jpeg(b)
+            assert mime == "image/jpeg"
+            assert (h, w) == decoded.shape[:2] == (33, 57)
+
+    def test_decode_image_dispatches_jpeg(self):
+        img = self._smooth_rgb(16, 16)
+        out = codecs.decode_image(codecs.encode_jpeg(img, quality=95))
+        assert out.shape == (16, 16, 3)
+
+    def test_progressive_rejected(self):
+        # flip SOF0 -> SOF2 in a valid stream: decoder must refuse, not
+        # misparse (progressive scans have a different coefficient order)
+        b = bytearray(codecs.encode_jpeg(self._smooth_rgb(16, 16), 90))
+        i = b.find(b"\xff\xc0")
+        assert i > 0
+        b[i + 1] = 0xC2
+        with pytest.raises(codecs.CodecError, match="baseline"):
+            codecs.decode_jpeg(bytes(b))
+
+    def test_not_jpeg_rejected(self):
+        with pytest.raises(codecs.CodecError):
+            codecs.decode_jpeg(b"\x00\x01\x02\x03")
+
+    def test_truncated_after_sof_rejected(self):
+        b = codecs.encode_jpeg(self._smooth_rgb(16, 16), 90)
+        i = b.find(b"\xff\xda")
+        with pytest.raises(codecs.CodecError, match="no SOS"):
+            codecs.decode_jpeg(b[:i])
+
+    def test_hand_built_dc_only_stream(self):
+        # Hand-assembled minimal stream (the test style of the PNG filter
+        # suite): one 8x8 grayscale block, flat quant table of 16, single
+        # Huffman DC table {0:'0', 4:'10'}, AC table {EOB:'0'}; DC diff=8
+        # dequantizes to 128 -> IDCT of a DC-only block = flat 128+32=...
+        # DC coeff 8*16=128 -> pixel value = 128/8 + 128 = 144 everywhere.
+        def seg(marker, body):
+            return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+        dqt = seg(0xDB, bytes([0]) + bytes([16] * 64))
+        sof = seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        # DC table: bits=[1,1,0,...]: sym 0 -> code '0' (len1), sym 4 -> '10' (len2)
+        dht_dc = seg(0xC4, bytes([0x00]) + bytes([1, 1] + [0] * 14) + bytes([0, 4]))
+        # AC table: bits=[1,0,...]: sym 0x00 (EOB) -> code '0'
+        dht_ac = seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00]))
+        sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        # scan bits: DC sym 4 = '10', then 4 magnitude bits '1000' (=8),
+        # then AC EOB '0' -> '10 1000 0' + pad 1s = 0b10100001 = 0xA1
+        stream = (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+                  + bytes([0xA1]) + b"\xff\xd9")
+        out = codecs.decode_jpeg(stream)
+        # IDCT: f = M.T @ F @ M with only F[0,0]=128 -> 128/8 = 16; +128 = 144
+        assert out.shape == (8, 8)
+        assert np.array_equal(out, np.full((8, 8), 144, np.uint8))
+
+    def test_image_pixel_features_covers_jpeg(self, spark):
+        from duckdb_mongo_spark.ops import multimodal
+
+        img = self._smooth_rgb(24, 24)
+        b = codecs.encode_jpeg(img, quality=95)
+        df = spark.createDataFrame([(1, b)], "id long, payload binary")
+        df = multimodal.attach_media_column(df, "payload", mime="image/jpeg").drop("payload")
+        row = multimodal.image_pixel_features(df).collect()[0]
+        assert row["mime"] == "image/jpeg"
+        assert (row["width"], row["height"], row["channels"]) == (24, 24, 3)
+        assert row["mean_r"] == pytest.approx(float(img[..., 0].mean()), abs=2.0)
+        assert row["luma_std"] is not None

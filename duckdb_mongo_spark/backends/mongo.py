@@ -13,9 +13,11 @@ Partitioning for scale: `_id`-range splits computed from server-side
 
 from __future__ import annotations
 
+import decimal as _decimal
 from collections.abc import Iterator
 
 from duckdb_mongo_spark.backends.base import DocumentBackend, ScanPartition
+from duckdb_mongo_spark.bsonlike import ObjectId as _EngineObjectId
 from duckdb_mongo_spark.errors import ConnectionStringError
 
 try:  # pragma: no cover - not installed in test container
@@ -26,13 +28,60 @@ except Exception:  # pragma: no cover
     pymongo = None
     HAVE_PYMONGO = False
 
+try:  # pragma: no cover - bson ships with pymongo
+    from bson import Decimal128 as _BsonDecimal128  # type: ignore
+    from bson import ObjectId as _BsonObjectId  # type: ignore
+except Exception:
+    _BsonDecimal128 = None
+    _BsonObjectId = None
+
+
+def _from_wire(v):
+    """Normalize wire-typed BSON values into the engine's own types at the
+    backend boundary, so nothing downstream (schema inference, flatten
+    coercion, the MQL oracle) ever sees a driver class: bson.ObjectId ->
+    bsonlike.ObjectId (12 raw bytes preserved), bson.Decimal128 ->
+    decimal.Decimal (exact digits, the reference's Decimal128-as-string
+    parse; inference.cpp:1076-1148 accepts the same loss on cast).
+    Detection is duck-typed (class name + API) so the in-process wire
+    fake's stand-ins exercise this exact code path without bson installed.
+    """
+    if isinstance(v, dict):
+        return {k: _from_wire(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_from_wire(x) for x in v]
+    tn = type(v).__name__
+    if tn == "ObjectId" and type(v) is not _EngineObjectId and hasattr(v, "binary"):
+        return _EngineObjectId(bytes(v.binary))
+    if tn == "Decimal128" and hasattr(v, "to_decimal"):
+        return _decimal.Decimal(v.to_decimal())
+    return v
+
+
+def _to_wire(v):
+    """Outbound filters/pipelines: engine types -> driver BSON types when
+    the real bson package is present (pymongo cannot encode foreign
+    classes). Without bson (the in-process fake) values pass through —
+    the fake's stored wire ObjectIds subclass the engine ObjectId, so
+    equality/range comparisons work on engine values directly."""
+    if isinstance(v, dict):
+        return {k: _to_wire(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_to_wire(x) for x in v]
+    if type(v) is _EngineObjectId and _BsonObjectId is not None:
+        return _BsonObjectId(str(v))
+    if type(v) is _decimal.Decimal and _BsonDecimal128 is not None:
+        return _BsonDecimal128(v)
+    return v
+
 
 class PymongoBackend(DocumentBackend):  # pragma: no cover - needs live server
     is_remote = True
     pushdown_profile = "remote"
 
     def find_schema_doc(self, db, coll, probe_limit=1000):
-        return self.client[db][coll].find_one({"_id": "__schema"})
+        doc = self.client[db][coll].find_one({"_id": "__schema"})
+        return _from_wire(doc) if doc is not None else None
 
     def __init__(self, connection_string: str, timeout_ms: int = 5000):
         if not HAVE_PYMONGO:
@@ -74,16 +123,17 @@ class PymongoBackend(DocumentBackend):  # pragma: no cover - needs live server
         )
 
     def iter_documents(self, db, coll) -> Iterator[dict]:
-        return iter(self.client[db][coll].find({}))
+        return (_from_wire(d) for d in self.client[db][coll].find({}))
 
     def find(self, db, coll, filter=None, projection=None, limit=None):
-        cur = self.client[db][coll].find(filter or {}, projection)
+        cur = self.client[db][coll].find(_to_wire(filter or {}), projection)
         if limit:
             cur = cur.limit(limit)
-        return iter(cur)
+        return (_from_wire(d) for d in cur)
 
     def aggregate(self, db, coll, pipeline, seed=None):
-        return iter(self.client[db][coll].aggregate(list(pipeline), allowDiskUse=True))
+        cur = self.client[db][coll].aggregate(_to_wire(list(pipeline)), allowDiskUse=True)
+        return (_from_wire(d) for d in cur)
 
     def sample(self, db, coll, n, seed=42):
         return list(self.aggregate(db, coll, [{"$sample": {"size": n}}]))
@@ -93,16 +143,17 @@ class PymongoBackend(DocumentBackend):  # pragma: no cover - needs live server
         # with the scan path (datasource._docs_for filters it out)
         sentinel_free = {"_id": {"$ne": "__schema"}}
         f = {"$and": [filter, sentinel_free]} if filter else sentinel_free
-        return self.client[db][coll].count_documents(f)
+        return self.client[db][coll].count_documents(_to_wire(f))
 
     def partitions(self, db, coll, n):
         if n <= 1:
             return [ScanPartition(db, coll, 0, 1, {"range": (None, None)})]
-        # sample n*8 _ids, take n-1 evenly spaced split points
+        # sample n*8 _ids, take n-1 evenly spaced split points (through
+        # self.aggregate so split points are engine-typed; the range
+        # filters they produce go back out through _to_wire)
         sampled = list(
-            self.client[db][coll].aggregate(
-                [{"$sample": {"size": n * 8}}, {"$project": {"_id": 1}}]
-            )
+            self.aggregate(db, coll, [{"$sample": {"size": n * 8}},
+                                      {"$project": {"_id": 1}}])
         )
         ids = sorted(d["_id"] for d in sampled)
         if len(ids) < n:

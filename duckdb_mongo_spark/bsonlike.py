@@ -66,6 +66,11 @@ class ObjectId:
     def __str__(self):
         return self._hex
 
+    @property
+    def binary(self) -> bytes:
+        """Raw 12 bytes (same attribute as pymongo's bson.ObjectId)."""
+        return bytes.fromhex(self._hex)
+
     def __repr__(self):
         return f"ObjectId('{self._hex}')"
 
@@ -113,6 +118,15 @@ def bson_type_name(v) -> str:
         return "array"
     if isinstance(v, dict):
         return "document"
+    # defensive duck-typing for raw driver classes that bypassed the
+    # backend boundary's _from_wire normalization (bson.ObjectId /
+    # bson.Decimal128): classify correctly instead of falling through
+    # to "string" and silently mistyping a column
+    tn = type(v).__name__
+    if tn == "ObjectId" and hasattr(v, "binary"):
+        return "objectid"
+    if tn == "Decimal128" and hasattr(v, "to_decimal"):
+        return "decimal128"
     return "string"  # regex/code/symbol/minkey/... all render as strings
 
 

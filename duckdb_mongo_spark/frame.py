@@ -329,17 +329,34 @@ class MongoFrame:
     def scan_description(self) -> str:
         """EXPLAIN annotation (reference MongoScanToString,
         src/mongo_table_function.cpp:45-73)."""
+        import json as _json
+
+        from duckdb_mongo_spark.bsonlike import ObjectId as _Oid
+        from duckdb_mongo_spark.schema.flatten import _json_default
+
+        def _explain_default(v):
+            # EXPLAIN must show a coerced ObjectId distinctly from the
+            # plain 24-hex string it came from (extended-JSON $oid form);
+            # the DATA renderer (render_json) keeps the flat hex so
+            # document-column output is unchanged
+            if isinstance(v, _Oid):
+                return {"$oid": str(v)}
+            return _json_default(v)
+
+        def render_explain(v) -> str:
+            return _json.dumps(v, default=_explain_default, separators=(", ", ": "))
+
         _, planned, residual = self._compiled()
         parts = [f"MONGO_SCAN {self.db}.{self.coll}", f"scan_method={planned.method}"]
         if planned.method == "find":
             if planned.filter:
-                parts.append(f"filter={render_json(planned.filter)}")
+                parts.append(f"filter={render_explain(planned.filter)}")
             if planned.projection_doc:
-                parts.append(f"projection={render_json(planned.projection_doc)}")
+                parts.append(f"projection={render_explain(planned.projection_doc)}")
             if planned.limit is not None:
                 parts.append(f"limit={planned.limit}")
         else:
-            pipe = render_json(planned.pipeline)
+            pipe = render_explain(planned.pipeline)
             if len(pipe) > 400:
                 pipe = pipe[:400] + "..."
             parts.append(f"pipeline={pipe}")

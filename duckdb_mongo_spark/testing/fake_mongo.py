@@ -19,10 +19,37 @@ branches run for real, exactly as they would against a live server.
 from __future__ import annotations
 
 import copy
+import decimal as _dec
 
 from duckdb_mongo_spark.backends.mongo import PymongoBackend
+from duckdb_mongo_spark.bsonlike import ObjectId as _EngineObjectId
 from duckdb_mongo_spark.mql.interpreter import run_pipeline
 from duckdb_mongo_spark.mql.match import matches_filter
+
+
+class Decimal128(_dec.Decimal):
+    """bson.Decimal128 stand-in for wire-type tests: same class NAME and
+    API (``to_decimal()``, decimal-string ``str``) as the real driver
+    class, so ``backends.mongo._from_wire``'s duck-typed detection
+    exercises the exact branch a live server would take — while IS-A
+    ``decimal.Decimal`` keeps the fake's MQL interpreter aggregating it
+    natively (mongod aggregates Decimal128 natively too)."""
+
+    def to_decimal(self) -> _dec.Decimal:
+        return _dec.Decimal(self)
+
+    def __repr__(self):  # pragma: no cover - debug rendering
+        return f"Decimal128('{str(self)}')"
+
+
+class ObjectId(_EngineObjectId):
+    """bson.ObjectId stand-in: class name + ``binary`` match the driver
+    class for ``_from_wire`` detection; subclassing the engine ObjectId
+    keeps the fake's filter matching and _id-range ordering working on
+    engine-typed probe values (pre-conversion outbound values compare
+    equal the way a real server's BSON comparison would)."""
+
+    __slots__ = ()
 
 
 class FakeCursor:

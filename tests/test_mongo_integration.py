@@ -140,3 +140,152 @@ def test_engine_end_to_end_on_live_server(backend):
     # aggregate pushdown runs ON the server (remote profile)
     agg = mf.group_by("address.city").agg(("count_star", None, "n")).df().collect()
     assert sorted((r[0], r[1]) for r in agg) == [("Bergen", 100), ("Oslo", 100)]
+
+
+# ---------------------------------------------------------------------------
+# Wire-type edge vectors (reference FIXTURES: decimal_test lines 201-206,
+# string_id_test lines 339-361): Decimal128 amounts and ObjectId _ids as a
+# DRIVER would deliver them. Against a live mongod these are real
+# bson.Decimal128/bson.ObjectId; against the in-process fake they are the
+# wire stand-ins with the same class names and API, so the duck-typed
+# _from_wire normalization in backends/mongo.py executes either way.
+# ---------------------------------------------------------------------------
+
+
+def _wire_classes():
+    if os.environ.get("MONGODB_TEST_DATABASE_AVAILABLE"):
+        from bson import Decimal128, ObjectId  # type: ignore
+
+        return Decimal128, ObjectId
+    from duckdb_mongo_spark.testing.fake_mongo import Decimal128, ObjectId
+
+    return Decimal128, ObjectId
+
+
+@pytest.fixture(scope="module")
+def wire_colls(backend):
+    Decimal128, ObjectId = _wire_classes()
+    dec = backend.client[DB]["decimal_test"]
+    dec.drop()
+    dec.insert_many([
+        {"_id": ObjectId(), "name": "item1", "amount": Decimal128("123.45"), "category": "A"},
+        {"_id": ObjectId(), "name": "item2", "amount": Decimal128("999.99"), "category": "A"},
+        {"_id": ObjectId(), "name": "item3", "amount": Decimal128("50.0"), "category": "B"},
+    ])
+    sid = backend.client[DB]["string_id_test"]
+    sid.drop()
+    sid.insert_many([
+        {"_id": "aaaaaaaaaaaaaaaaaaaaaaaa", "name": "Doc1", "value": 100,
+         "ref_id": "bbbbbbbbbbbbbbbbbbbbbbbb"},
+        {"_id": "cccccccccccccccccccccccc", "name": "Doc2", "value": 200,
+         "ref_id": "dddddddddddddddddddddddd"},
+        {"_id": "eeeeeeeeeeeeeeeeeeeeeeee", "name": "Doc3", "value": 300,
+         "ref_id": "ffffffffffffffffffffffff"},
+    ])
+    oid = backend.client[DB]["objectid_test"]
+    oid.drop()
+    known = ObjectId("507f1f77bcf86cd799439011")
+    oid.insert_many([
+        {"_id": known, "name": "Alice"},
+        {"_id": ObjectId(), "name": "Bob"},
+    ])
+    yield {"known_hex": "507f1f77bcf86cd799439011"}
+    dec.drop()
+    sid.drop()
+    oid.drop()
+
+
+def test_decimal128_normalized_at_backend_boundary(backend, wire_colls):
+    from decimal import Decimal
+
+    docs = list(backend.find(DB, "decimal_test"))
+    assert len(docs) == 3
+    for d in docs:
+        # exact engine types, never driver classes
+        assert type(d["amount"]) is Decimal
+        from duckdb_mongo_spark.bsonlike import ObjectId as EngineOid
+
+        assert type(d["_id"]) is EngineOid
+    assert sorted(d["amount"] for d in docs) == [
+        Decimal("50.0"), Decimal("123.45"), Decimal("999.99")
+    ]
+
+
+def test_decimal128_schema_and_goldens(backend, wire_colls):
+    """FIXTURES decimal_test goldens: amount -> DOUBLE; SUM by category
+    {A: 1123.44, B: 50.0}; AVG {A: 561.72, B: 50.0}."""
+    from duckdb_mongo_spark.schema.infer import resolve_schema
+
+    schema = resolve_schema(backend, DB, "decimal_test")
+    types = {f.name: str(f.type) for f in schema.fields}
+    assert types["amount"] == "DOUBLE"
+    out = {d["_id"]: d for d in backend.aggregate(DB, "decimal_test", [
+        {"$group": {"_id": "$category",
+                    "s": {"$sum": "$amount"}, "a": {"$avg": "$amount"}}},
+    ])}
+    assert float(out["A"]["s"]) == pytest.approx(1123.44)
+    assert float(out["B"]["s"]) == pytest.approx(50.0)
+    assert float(out["A"]["a"]) == pytest.approx(561.72)
+    assert float(out["B"]["a"]) == pytest.approx(50.0)
+
+
+def test_decimal128_engine_scan_to_dataframe(backend, wire_colls):
+    """Engine path over the wire-typed collection: Decimal128 flows
+    through _from_wire -> flatten DOUBLE coercion -> Spark rows; the
+    ObjectId _id renders as 24-hex VARCHAR."""
+    from duckdb_mongo_spark import mongo_scan
+    from duckdb_mongo_spark.session import get_spark
+
+    spark = get_spark("mongo-it")
+    mf = mongo_scan(spark, backend, DB, "decimal_test")
+    rows = {r["name"]: r for r in mf.df().collect()}
+    assert rows["item1"]["amount"] == pytest.approx(123.45)
+    assert len(rows["item1"]["_id"]) == 24
+    assert int(rows["item1"]["_id"], 16) is not None  # valid hex rendering
+
+
+def test_objectid_round_trip_and_filter(backend, wire_colls):
+    """A true-ObjectId _id: probe marks the column, a 24-hex equality
+    filter coerces to ObjectId and matches server-side (FIXTURES users
+    fixture shape; reference mongo_filter_pushdown.cpp:46-67)."""
+    from duckdb_mongo_spark.bsonlike import ObjectId as EngineOid
+    from duckdb_mongo_spark.schema.infer import resolve_schema
+
+    schema = resolve_schema(backend, DB, "objectid_test")
+    assert "_id" in schema.objectid_columns
+    hexid = wire_colls["known_hex"]
+    got = list(backend.find(DB, "objectid_test", {"_id": EngineOid(hexid)}))
+    assert len(got) == 1 and got[0]["name"] == "Alice"
+    assert str(got[0]["_id"]) == hexid  # binary-exact round trip
+
+
+def test_string_hex24_ids_are_not_objectids(backend, wire_colls):
+    """FIXTURES string_id_test regression: 24-hex STRINGS must not be
+    probed as ObjectId columns, and equality must ship plain strings."""
+    from duckdb_mongo_spark.schema.infer import resolve_schema
+
+    schema = resolve_schema(backend, DB, "string_id_test")
+    assert "_id" not in schema.objectid_columns
+    assert "ref_id" not in schema.objectid_columns
+    got = list(backend.find(DB, "string_id_test",
+                            {"_id": "aaaaaaaaaaaaaaaaaaaaaaaa"}))
+    assert len(got) == 1 and got[0]["name"] == "Doc1"
+    assert not list(backend.find(DB, "string_id_test",
+                                 {"_id": "zzzznotmatching"}))
+
+
+def test_objectid_filter_pushdown_coercion(backend, wire_colls):
+    """Engine-level: C('_id') == '24hex' on an objectid column compiles
+    to an ObjectId-typed $match (visible in scan_description), and the
+    scan returns exactly the matching row."""
+    from duckdb_mongo_spark import mongo_scan
+    from duckdb_mongo_spark.pushdown import C
+    from duckdb_mongo_spark.session import get_spark
+
+    spark = get_spark("mongo-it")
+    hexid = wire_colls["known_hex"]
+    mf = mongo_scan(spark, backend, DB, "objectid_test")
+    d = mf.filter(C("_id") == hexid).scan_description()
+    assert "$oid" in d  # coerced to ObjectId, visibly distinct in EXPLAIN
+    rows = mf.filter(C("_id") == hexid).df().collect()
+    assert len(rows) == 1 and rows[0]["name"] == "Alice"

@@ -957,53 +957,113 @@ _register(
 
 
 def _mongo_or_filter(spark, sf_dir):
-    """A9/A7: OR of comparisons + IS NOT NULL, all pushed as one $or."""
+    """A9/A7 + A23 merged (r4, frees the ledger slot used by
+    mongo_pipeline_facet): tagged union of two find-path filter shapes —
+    `or`: OR of comparisons + IS NOT NULL pushed as one $or; `manual`:
+    raw MQL `filter :=` parameter merged with the WHERE clause. Both
+    oracles are UNION ALL'd with the same tags, so each shape must still
+    value-match DuckDB independently (the sim_cosine_topk merge
+    precedent)."""
+    from pyspark.sql import functions as F
+
     from duckdb_mongo_spark.pushdown import C
 
     mf = _mongo_frame(spark, sf_dir, "orders")
     pred = ((C("o_totalprice") > 450000.0) | (C("o_orderstatus") == "P")) \
         & C("o_orderpriority").is_not_null()
-    return (
+    or_df = (
         mf.filter(pred)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
         .df()
+        .withColumn("shape", F.lit("or"))
     )
+    manual = _mongo_frame(
+        spark, sf_dir, "orders",
+        filter={"o_orderstatus": {"$in": ["F", "P"]}},
+    )
+    manual_df = (
+        manual.filter(C("o_totalprice") > 400000.0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .df()
+        .withColumn("shape", F.lit("manual"))
+    )
+    return or_df.unionByName(manual_df)
 
 
 _register(
     "mongo_or_filter",
     _mongo_or_filter,
     """
-    SELECT o_orderkey, o_orderstatus, o_totalprice
+    SELECT o_orderkey, o_orderstatus, o_totalprice, 'or' AS shape
     FROM orders
     WHERE (o_totalprice > 450000.0 OR o_orderstatus = 'P')
       AND o_orderpriority IS NOT NULL
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice, 'manual' AS shape
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'P') AND o_totalprice > 400000.0
     """,
 )
 
 
-def _mongo_manual_filter(spark, sf_dir):
-    """A23: raw MQL `filter :=` parameter merged with the WHERE clause."""
-    from duckdb_mongo_spark.pushdown import C
+def _mongo_pipeline_facet(spark, sf_dir):
+    """A24 manual `pipeline :=` running the r3/r4 interpreter stages as a
+    driver-oracle entry: $facet with $sortByCount and $bucket
+    sub-pipelines, flattened to rows inside the pipeline itself via
+    $project($concatArrays($map ...)) + $unwind + $replaceRoot (the r4
+    $$-variable operators). Executes in the MQL interpreter through the
+    datasource's manual-pipeline path (mql/interpreter.py)."""
+    from duckdb_mongo_spark.scan import mongo_scan
 
-    mf = _mongo_frame(
-        spark, sf_dir, "orders",
-        filter={"o_orderstatus": {"$in": ["F", "P"]}},
+    be = _pq_backend(sf_dir)
+    pipeline = [
+        {"$facet": {
+            "by_status": [{"$sortByCount": "$o_orderstatus"}],
+            "price_buckets": [{"$bucket": {
+                "groupBy": "$o_totalprice",
+                "boundaries": [0, 100000, 200000, 300000, 400000, 700000],
+                "default": "other",
+            }}],
+        }},
+        {"$project": {"_id": 0, "rows": {"$concatArrays": [
+            {"$map": {"input": "$by_status", "as": "d",
+                      "in": {"facet": "by_status",
+                             "key": {"$toString": "$$d._id"},
+                             "n": "$$d.count"}}},
+            {"$map": {"input": "$price_buckets", "as": "d",
+                      "in": {"facet": "price_buckets",
+                             "key": {"$toString": "$$d._id"},
+                             "n": "$$d.count"}}},
+        ]}}},
+        {"$unwind": "$rows"},
+        {"$replaceRoot": {"newRoot": "$rows"}},
+    ]
+    mf = mongo_scan(
+        spark, be, "main", "orders", pipeline=pipeline,
+        columns={"facet": "VARCHAR", "key": "VARCHAR", "n": "BIGINT"},
     )
-    return (
-        mf.filter(C("o_totalprice") > 400000.0)
-        .select("o_orderkey", "o_orderstatus", "o_totalprice")
-        .df()
-    )
+    # a declared-columns schema always carries the engine's _id column
+    # (reference binds _id unconditionally); the facet rows have none
+    return mf.df().select("facet", "key", "n").orderBy("facet", "key")
 
 
 _register(
-    "mongo_manual_filter",
-    _mongo_manual_filter,
+    "mongo_pipeline_facet",
+    _mongo_pipeline_facet,
     """
-    SELECT o_orderkey, o_orderstatus, o_totalprice
-    FROM orders
-    WHERE o_orderstatus IN ('F', 'P') AND o_totalprice > 400000.0
+    SELECT 'by_status' AS facet, o_orderstatus AS key, COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'price_buckets' AS facet,
+           CASE WHEN o_totalprice >= 0 AND o_totalprice < 100000 THEN '0'
+                WHEN o_totalprice < 200000 THEN '100000'
+                WHEN o_totalprice < 300000 THEN '200000'
+                WHEN o_totalprice < 400000 THEN '300000'
+                WHEN o_totalprice < 700000 THEN '400000'
+                ELSE 'other' END AS key,
+           COUNT(*) AS n
+    FROM orders GROUP BY 2
+    ORDER BY facet, key
     """,
 )
 

@@ -19,9 +19,43 @@ from decimal import Decimal
 from duckdb_mongo_spark.mql.match import MISSING, compare_values, get_path, values_equal
 
 
+import threading as _threading
+
+_TL = _threading.local()  # per-thread $map/$filter/$reduce variable frames
+
+
+def _var_frames() -> list:
+    frames = getattr(_TL, "frames", None)
+    if frames is None:
+        frames = _TL.frames = []
+    return frames
+
+
+def _var_lookup(name_path: str, doc):
+    """Resolve a ``$$var`` / ``$$var.path`` reference against the active
+    variable frames (innermost wins). ``$$CURRENT``/``$$ROOT`` resolve to
+    the document (expressions here never rebind CURRENT)."""
+    name, _, rest = name_path.partition(".")
+    if name in ("CURRENT", "ROOT"):
+        base = doc
+    else:
+        for frame in reversed(_var_frames()):
+            if name in frame:
+                base = frame[name]
+                break
+        else:
+            raise ValueError(f"undefined aggregation variable $${name}")
+    if rest:
+        got = get_path(base, rest) if isinstance(base, dict) else MISSING
+        return None if got is MISSING else got
+    return base
+
+
 def _resolve(v, doc):
     """Resolve an expression operand: field path, literal, operator doc, array."""
-    if isinstance(v, str) and v.startswith("$") and not v.startswith("$$"):
+    if isinstance(v, str) and v.startswith("$$"):
+        return _var_lookup(v[2:], doc)
+    if isinstance(v, str) and v.startswith("$"):
         got = get_path(doc, v[1:])
         return None if got is MISSING else got
     if isinstance(v, dict):
@@ -111,7 +145,9 @@ def _type_rank(v):
 
 def eval_expr(expr, doc):
     """Evaluate an aggregation expression against one document."""
-    if isinstance(expr, str) and expr.startswith("$") and not expr.startswith("$$"):
+    if isinstance(expr, str) and expr.startswith("$$"):
+        return _var_lookup(expr[2:], doc)
+    if isinstance(expr, str) and expr.startswith("$"):
         got = get_path(doc, expr[1:])
         return None if got is MISSING else got
     if not isinstance(expr, dict):
@@ -244,6 +280,64 @@ def eval_expr(expr, doc):
         if -len(arr) <= idx < len(arr):
             return arr[idx]
         return None
+    if op == "$concatArrays":
+        parts = [_resolve(a, doc) for a in args]
+        if any(p is None for p in parts):
+            return None  # mongod: null operand -> null result
+        out = []
+        for p in parts:
+            if not isinstance(p, list):
+                raise ValueError("$concatArrays operand is not an array")
+            out.extend(p)
+        return out
+    if op == "$map":
+        arr = _resolve(raw["input"], doc)
+        if arr is None:
+            return None
+        var = raw.get("as", "this")
+        frames = _var_frames()
+        out = []
+        for el in arr:
+            frames.append({var: el})
+            try:
+                out.append(eval_expr(raw["in"], doc))
+            finally:
+                frames.pop()
+        return out
+    if op == "$filter":
+        arr = _resolve(raw["input"], doc)
+        if arr is None:
+            return None
+        var = raw.get("as", "this")
+        limit = raw.get("limit")
+        if limit is not None:
+            limit = int(_resolve(limit, doc))
+        frames = _var_frames()
+        out = []
+        for el in arr:
+            frames.append({var: el})
+            try:
+                keep = _truthy(eval_expr(raw["cond"], doc))
+            finally:
+                frames.pop()
+            if keep:
+                out.append(el)
+                if limit is not None and len(out) >= limit:
+                    break
+        return out
+    if op == "$reduce":
+        arr = _resolve(raw["input"], doc)
+        if arr is None:
+            return None
+        acc = _resolve(raw["initialValue"], doc)
+        frames = _var_frames()
+        for el in arr:
+            frames.append({"value": acc, "this": el})
+            try:
+                acc = eval_expr(raw["in"], doc)
+            finally:
+                frames.pop()
+        return acc
     if op in ("$year", "$month", "$dayOfMonth", "$hour", "$minute", "$second"):
         v = _resolve(args[0], doc)
         if v is None:

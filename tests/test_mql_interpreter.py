@@ -470,3 +470,118 @@ class TestRound4AdviceFixes:
         docs = [{"g": 1, "v": 1}, {"g": 1, "v": 1.0}, {"g": 1, "v": 2}]
         out = run([{"$group": {"_id": "$g", "s": {"$addToSet": "$v"}}}], docs)
         assert sorted(out[0]["s"], key=float) == [1, 2]
+
+
+class TestArrayExpressionOperators:
+    """r4 additions: $map/$filter/$reduce/$concatArrays with $$-variable
+    frames (the operators the $facet-flattening ledger entry executes)."""
+
+    def test_map_with_variable(self):
+        from duckdb_mongo_spark.mql.expr import eval_expr
+
+        doc = {"xs": [1, 2, 3]}
+        assert eval_expr(
+            {"$map": {"input": "$xs", "as": "x",
+                      "in": {"$multiply": ["$$x", 10]}}}, doc
+        ) == [10, 20, 30]
+        # default variable name is `this`
+        assert eval_expr(
+            {"$map": {"input": "$xs", "in": {"$add": ["$$this", 1]}}}, doc
+        ) == [2, 3, 4]
+
+    def test_map_builds_documents_with_dotted_var_paths(self):
+        from duckdb_mongo_spark.mql.expr import eval_expr
+
+        doc = {"ys": [{"k": "a", "n": 1}, {"k": "b", "n": 2}]}
+        assert eval_expr(
+            {"$map": {"input": "$ys", "as": "d",
+                      "in": {"key": "$$d.k", "n2": {"$add": ["$$d.n", 1]}}}},
+            doc,
+        ) == [{"key": "a", "n2": 2}, {"key": "b", "n2": 3}]
+
+    def test_nested_map_rebinds_innermost(self):
+        from duckdb_mongo_spark.mql.expr import eval_expr
+
+        doc = {"xs": [1, 2]}
+        out = eval_expr(
+            {"$map": {"input": "$xs", "as": "o",
+                      "in": {"$map": {"input": "$xs", "as": "i",
+                                      "in": {"$add": ["$$o", "$$i"]}}}}},
+            doc,
+        )
+        assert out == [[2, 3], [3, 4]]
+
+    def test_undefined_variable_raises(self):
+        from duckdb_mongo_spark.mql.expr import eval_expr
+
+        with pytest.raises(ValueError, match="undefined"):
+            eval_expr({"$map": {"input": "$xs", "as": "x", "in": "$$nope"}},
+                      {"xs": [1]})
+
+    def test_concat_arrays_and_null(self):
+        from duckdb_mongo_spark.mql.expr import eval_expr
+
+        doc = {"a": [1], "b": [2, 3]}
+        assert eval_expr({"$concatArrays": ["$a", "$b", [4]]}, doc) == [1, 2, 3, 4]
+        assert eval_expr({"$concatArrays": ["$a", "$missing"]}, doc) is None
+
+    def test_filter_with_limit(self):
+        from duckdb_mongo_spark.mql.expr import eval_expr
+
+        doc = {"xs": [5, 1, 6, 7]}
+        assert eval_expr(
+            {"$filter": {"input": "$xs", "as": "x",
+                         "cond": {"$gte": ["$$x", 5]}}}, doc
+        ) == [5, 6, 7]
+        assert eval_expr(
+            {"$filter": {"input": "$xs", "cond": {"$gte": ["$$this", 5]},
+                         "limit": 2}}, doc
+        ) == [5, 6]
+
+    def test_reduce(self):
+        from duckdb_mongo_spark.mql.expr import eval_expr
+
+        doc = {"words": ["a", "b", "c"]}
+        assert eval_expr(
+            {"$reduce": {"input": "$words", "initialValue": "",
+                         "in": {"$concat": ["$$value", "$$this"]}}}, doc
+        ) == "abc"
+
+    def test_root_and_current(self):
+        from duckdb_mongo_spark.mql.expr import eval_expr
+
+        assert eval_expr("$$ROOT", {"a": 1}) == {"a": 1}
+        assert eval_expr("$$CURRENT.a", {"a": 1}) == 1
+
+    def test_facet_flattening_pipeline(self):
+        # the exact stage composition the mongo_pipeline_facet ledger
+        # entry runs: $facet -> $project($concatArrays($map)) -> $unwind
+        # -> $replaceRoot
+        docs = [{"s": "A", "v": 5}, {"s": "A", "v": 15}, {"s": "B", "v": 25}]
+        out = run_pipeline(docs, [
+            {"$facet": {
+                "by_s": [{"$sortByCount": "$s"}],
+                "bins": [{"$bucket": {"groupBy": "$v",
+                                      "boundaries": [0, 10, 20],
+                                      "default": "other"}}],
+            }},
+            {"$project": {"_id": 0, "rows": {"$concatArrays": [
+                {"$map": {"input": "$by_s", "as": "d",
+                          "in": {"facet": "by_s",
+                                 "key": {"$toString": "$$d._id"},
+                                 "n": "$$d.count"}}},
+                {"$map": {"input": "$bins", "as": "d",
+                          "in": {"facet": "bins",
+                                 "key": {"$toString": "$$d._id"},
+                                 "n": "$$d.count"}}},
+            ]}}},
+            {"$unwind": "$rows"},
+            {"$replaceRoot": {"newRoot": "$rows"}},
+        ])
+        assert sorted(out, key=lambda d: (d["facet"], d["key"])) == [
+            {"facet": "bins", "key": "0", "n": 1},
+            {"facet": "bins", "key": "10", "n": 1},
+            {"facet": "bins", "key": "other", "n": 1},
+            {"facet": "by_s", "key": "A", "n": 2},
+            {"facet": "by_s", "key": "B", "n": 1},
+        ]

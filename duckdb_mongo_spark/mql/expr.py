@@ -107,6 +107,19 @@ def _convert_scalar(v, to, on_error_null: bool):
         raise
 
 
+class _sort_total:
+    """Total-order sort key over MQL values (BSON type order tie-break) —
+    used to make set-operator output deterministic."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, other):
+        return _cmp(self.v, other.v) < 0
+
+
 def _cmp(a, b):
     """MongoDB $cmp: total order incl. cross-type via BSON type order."""
     c = compare_values(a, b)
@@ -338,6 +351,109 @@ def eval_expr(expr, doc):
             finally:
                 frames.pop()
         return acc
+    if op == "$range":
+        start = int(_num(_resolve(args[0], doc)))
+        end = int(_num(_resolve(args[1], doc)))
+        step = int(_num(_resolve(args[2], doc))) if len(args) > 2 else 1
+        if step == 0:
+            raise ValueError("$range step must be non-zero")
+        return list(range(start, end, step))
+    if op == "$zip":
+        inputs = [_resolve(a, doc) for a in raw["inputs"]]
+        if any(x is None for x in inputs):
+            return None
+        if raw.get("useLongestLength"):
+            defaults = raw.get("defaults") or [None] * len(inputs)
+            defaults = [_resolve(d, doc) for d in defaults]
+            longest = max(len(x) for x in inputs)
+            return [
+                [x[i] if i < len(x) else defaults[j]
+                 for j, x in enumerate(inputs)]
+                for i in range(longest)
+            ]
+        return [list(t) for t in zip(*inputs)]
+    if op == "$slice":
+        arr = _resolve(args[0], doc)
+        if arr is None:
+            return None
+        if len(args) == 2:
+            n = int(_num(_resolve(args[1], doc)))
+            return arr[n:] if n < 0 else arr[:n]
+        pos = int(_num(_resolve(args[1], doc)))
+        n = int(_num(_resolve(args[2], doc)))
+        if n <= 0:
+            raise ValueError("$slice count must be positive with a position")
+        if pos < 0:
+            pos = max(0, len(arr) + pos)
+        return arr[pos:pos + n]
+    if op == "$indexOfArray":
+        arr = _resolve(args[0], doc)
+        if arr is None:
+            return None
+        target = _resolve(args[1], doc)
+        start = int(_num(_resolve(args[2], doc))) if len(args) > 2 else 0
+        end = int(_num(_resolve(args[3], doc))) if len(args) > 3 else len(arr)
+        for i in range(max(0, start), min(end, len(arr))):
+            if values_equal(arr[i], target):
+                return i
+        return -1
+    if op == "$isArray":
+        return isinstance(_resolve(args[0], doc), list)
+    if op == "$isNumber":
+        v = _resolve(args[0], doc)
+        return isinstance(v, (int, float, Decimal)) and not isinstance(v, bool)
+    if op in ("$setUnion", "$setIntersection", "$setDifference"):
+        sets = [_resolve(a, doc) for a in args]
+        if any(s is None for s in sets):
+            return None
+        # set semantics over MQL equality; output sorted by BSON order for
+        # determinism (mongod's output order is unspecified)
+        def _dedup(xs):
+            out = []
+            for x in xs:
+                if not any(values_equal(x, y) for y in out):
+                    out.append(x)
+            return out
+
+        if op == "$setUnion":
+            merged = _dedup([x for s in sets for x in s])
+        elif op == "$setIntersection":
+            merged = [
+                x for x in _dedup(sets[0])
+                if all(any(values_equal(x, y) for y in s) for s in sets[1:])
+            ]
+        else:
+            a, b = sets[0], sets[1]
+            merged = [
+                x for x in _dedup(a)
+                if not any(values_equal(x, y) for y in b)
+            ]
+        return sorted(merged, key=_sort_total)
+    if op == "$objectToArray":
+        v = _resolve(args[0], doc)
+        if v is None:
+            return None
+        if not isinstance(v, dict):
+            raise ValueError("$objectToArray operand is not a document")
+        return [{"k": k, "v": x} for k, x in v.items()]
+    if op == "$arrayToObject":
+        v = _resolve(args[0], doc)
+        if v is None:
+            return None
+        out = {}
+        for el in v:
+            if isinstance(el, dict):
+                out[el["k"]] = el.get("v")
+            else:  # [k, v] pair form
+                out[el[0]] = el[1]
+        return out
+    if op == "$switch":
+        for br in raw["branches"]:
+            if _truthy(eval_expr(br["case"], doc)):
+                return eval_expr(br["then"], doc)
+        if "default" in raw:
+            return eval_expr(raw["default"], doc)
+        raise ValueError("$switch: no branch matched and no default")
     if op in ("$year", "$month", "$dayOfMonth", "$hour", "$minute", "$second"):
         v = _resolve(args[0], doc)
         if v is None:

@@ -18,7 +18,13 @@ import random
 from decimal import Decimal as _Decimal
 
 from duckdb_mongo_spark.mql.expr import _type_rank, eval_expr
-from duckdb_mongo_spark.mql.match import MISSING, compare_values, get_path, matches_filter
+from duckdb_mongo_spark.mql.match import (
+    MISSING,
+    compare_values,
+    get_path,
+    matches_filter,
+    values_equal,
+)
 
 
 def _sort_key(doc, field):
@@ -469,6 +475,75 @@ def run_pipeline(docs, pipeline, seed: int | None = None, collections=None):
                 # extension (mongod leaves ties unspecified)
             )
             stream = iter(materialized)
+        elif op == "$unset":
+            fields = [spec] if isinstance(spec, str) else list(spec)
+
+            def _unset(ds, fs=tuple(fields)):
+                for d in ds:
+                    out = dict(d)
+                    for f in fs:
+                        _del_path(out, f)
+                    yield out
+            stream = _unset(stream)
+        elif op == "$unionWith":
+            if isinstance(spec, str):
+                cname, sub = spec, []
+            else:
+                cname, sub = spec["coll"], spec.get("pipeline", [])
+            if collections is None:
+                raise ValueError(
+                    "$unionWith needs a collections resolver (run_pipeline("
+                    "..., collections=...)); backend aggregate() wires this"
+                )
+            extra = run_pipeline(
+                list(collections(cname)), sub, seed=seed, collections=collections
+            )
+
+            def _union(ds, ex=extra):
+                yield from ds
+                yield from ex
+            stream = _union(stream)
+        elif op == "$bucketAuto":
+            n_buckets = int(spec["buckets"])
+            if n_buckets < 1:
+                raise ValueError("$bucketAuto buckets must be >= 1")
+            if spec.get("granularity"):
+                raise ValueError("$bucketAuto granularity series not supported")
+            pairs = [(eval_expr(spec["groupBy"], d), d) for d in stream]
+            keyed = sorted(
+                (p for p in pairs if p[0] is not None),
+                key=lambda p: _OrderedVal(p[0]),
+            )
+            # even split into <= n buckets; adjacent equal groupBy values
+            # never straddle a boundary (documents with equal keys land in
+            # one bucket, per the documented $bucketAuto behavior)
+            n = len(keyed)
+            binned = []
+            if n:
+                per = n / min(n_buckets, n)
+                bucket_of_idx = [min(int(i / per), min(n_buckets, n) - 1) for i in range(n)]
+                for i in range(1, n):
+                    if values_equal(keyed[i][0], keyed[i - 1][0]):
+                        bucket_of_idx[i] = bucket_of_idx[i - 1]
+                # bucket bounds: min inclusive, max = next bucket's min
+                # (last bucket's max inclusive = max value), per mongod docs
+                mins: dict[int, object] = {}
+                for i, b in enumerate(bucket_of_idx):
+                    if b not in mins:
+                        mins[b] = keyed[i][0]
+                order = sorted(mins)
+                maxs = {
+                    b: (mins[order[j + 1]] if j + 1 < len(order) else keyed[-1][0])
+                    for j, b in enumerate(order)
+                }
+                for i, b in enumerate(bucket_of_idx):
+                    binned.append({
+                        **keyed[i][1],
+                        "__bucket": {"min": mins[b], "max": maxs[b]},
+                    })
+            out_spec = spec.get("output") or {"count": {"$sum": 1}}
+            grouped = _group(binned, {"_id": "$__bucket", **out_spec})
+            stream = iter(sorted(grouped, key=lambda g: _OrderedVal(g["_id"]["min"])))
         else:
             raise ValueError(f"unsupported pipeline stage: {op}")
     return list(stream)

@@ -585,3 +585,96 @@ class TestArrayExpressionOperators:
             {"facet": "by_s", "key": "A", "n": 2},
             {"facet": "by_s", "key": "B", "n": 1},
         ]
+
+
+class TestRound4DialectBatch:
+    """$unset/$unionWith/$bucketAuto stages + the array/set/object/switch
+    expression batch."""
+
+    def test_unset_stage(self):
+        docs = [{"_id": 1, "a": 1, "n": {"x": 1, "y": 2}}]
+        assert run_pipeline(docs, [{"$unset": "a"}]) == [{"_id": 1, "n": {"x": 1, "y": 2}}]
+        assert run_pipeline(docs, [{"$unset": ["a", "n.x"]}]) == [{"_id": 1, "n": {"y": 2}}]
+
+    def test_union_with(self):
+        out = run_pipeline(
+            [{"a": 1}],
+            [{"$unionWith": {"coll": "other", "pipeline": [{"$match": {"b": {"$gt": 1}}}]}}],
+            collections=lambda n: [{"b": 1}, {"b": 2}],
+        )
+        assert out == [{"a": 1}, {"b": 2}]
+        # bare string form unions the whole collection
+        out = run_pipeline([{"a": 1}], [{"$unionWith": "other"}],
+                           collections=lambda n: [{"b": 9}])
+        assert out == [{"a": 1}, {"b": 9}]
+
+    def test_union_with_requires_resolver(self):
+        with pytest.raises(ValueError, match="resolver"):
+            run_pipeline([{"a": 1}], [{"$unionWith": "other"}])
+
+    def test_bucket_auto_even_split(self):
+        docs = [{"v": i} for i in range(10)]
+        out = run_pipeline(docs, [{"$bucketAuto": {"groupBy": "$v", "buckets": 3}}])
+        assert [d["count"] for d in out] == [4, 3, 3]
+        assert out[0]["_id"] == {"min": 0, "max": 4}
+        assert out[-1]["_id"]["max"] == 9  # last max inclusive = max value
+
+    def test_bucket_auto_equal_keys_stay_together(self):
+        docs = [{"v": x} for x in [1, 1, 1, 1, 2, 3]]
+        out = run_pipeline(docs, [{"$bucketAuto": {"groupBy": "$v", "buckets": 3}}])
+        assert [d["count"] for d in out] == [4, 2]
+
+    def test_bucket_auto_output_spec(self):
+        docs = [{"v": i, "w": 10 * i} for i in range(4)]
+        out = run_pipeline(docs, [{"$bucketAuto": {
+            "groupBy": "$v", "buckets": 2, "output": {"s": {"$sum": "$w"}}}}])
+        assert [d["s"] for d in out] == [10, 50]
+
+    def test_expression_batch(self):
+        from duckdb_mongo_spark.mql.expr import eval_expr
+
+        d = {"xs": [3, 1, 2, 1], "ys": [2, 4], "m": {"a": 1}}
+        assert eval_expr({"$range": [0, 6, 2]}, d) == [0, 2, 4]
+        assert eval_expr({"$zip": {"inputs": ["$xs", "$ys"]}}, d) == [[3, 2], [1, 4]]
+        assert eval_expr({"$slice": ["$xs", -2]}, d) == [2, 1]
+        assert eval_expr({"$slice": ["$xs", 1, 2]}, d) == [1, 2]
+        assert eval_expr({"$indexOfArray": ["$xs", 1]}, d) == 1
+        assert eval_expr({"$indexOfArray": ["$xs", 9]}, d) == -1
+        assert eval_expr({"$isArray": "$xs"}, d) is True
+        assert eval_expr({"$isNumber": 1.5}, d) is True
+        assert eval_expr({"$isNumber": True}, d) is False
+
+    def test_set_operators_mql_equality(self):
+        from duckdb_mongo_spark.mql.expr import eval_expr
+
+        # 1 and 1.0 are ONE set member under MQL equality
+        d = {"a": [1, 1.0, 2], "b": [2.0, 3]}
+        assert eval_expr({"$setUnion": ["$a", "$b"]}, d) == [1, 2, 3]
+        assert eval_expr({"$setIntersection": ["$a", "$b"]}, d) == [2]
+        assert eval_expr({"$setDifference": ["$a", "$b"]}, d) == [1]
+        assert eval_expr({"$setUnion": ["$a", "$missing"]}, d) is None
+
+    def test_object_array_round_trip(self):
+        from duckdb_mongo_spark.mql.expr import eval_expr
+
+        d = {"m": {"a": 1, "b": 2}}
+        arr = eval_expr({"$objectToArray": "$m"}, d)
+        assert arr == [{"k": "a", "v": 1}, {"k": "b", "v": 2}]
+        assert eval_expr({"$arrayToObject": [arr]}, {}) == {"a": 1, "b": 2}
+
+    def test_switch(self):
+        from duckdb_mongo_spark.mql.expr import eval_expr
+
+        sw = {"$switch": {
+            "branches": [
+                {"case": {"$lt": ["$v", 10]}, "then": "small"},
+                {"case": {"$lt": ["$v", 100]}, "then": "medium"},
+            ],
+            "default": "large",
+        }}
+        assert eval_expr(sw, {"v": 5}) == "small"
+        assert eval_expr(sw, {"v": 50}) == "medium"
+        assert eval_expr(sw, {"v": 500}) == "large"
+        with pytest.raises(ValueError, match="no branch"):
+            eval_expr({"$switch": {"branches": [
+                {"case": False, "then": 1}]}}, {})

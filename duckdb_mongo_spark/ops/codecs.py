@@ -1,16 +1,17 @@
 """Pure-stdlib + numpy media codecs: PNG, uncompressed BMP, GIF, PCM
-WAV, baseline JPEG.
+WAV, JPEG (baseline + progressive).
 
 Closes the "pixel decode needs a codec library" gap for the formats
 whose decompression is implementable without one: PNG's only compression
 is zlib (stdlib ``zlib``), BMP's common on-disk layout is uncompressed,
 WAV PCM is raw samples, GIF's LZW is a ~50-line table decoder specified
-in full by GIF89a appendix F, and baseline JPEG is Huffman coding + an
-8x8 IDCT (ITU-T T.81, a public spec) — implemented here with stream-read
-Huffman/quant tables, 4:4:4 / 4:2:2 / 4:2:0 sampling, and restart
-markers. Progressive JPEG and WebP (VP8 entropy coding) stay behind the
-documented stub boundary (``multimodal.parse_image_header`` still reads
-their header metadata).
+in full by GIF89a appendix F, and JPEG is Huffman coding + an 8x8 IDCT
+(ITU-T T.81, a public spec) — implemented here as one coefficient-store
+decoder covering baseline sequential AND progressive (spectral selection,
+successive approximation with DC/AC refinement and EOB runs), stream-read
+Huffman/quant tables, 4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers.
+Only WebP (VP8 entropy coding) stays behind the documented stub boundary
+(``multimodal.parse_image_header`` still reads its header metadata).
 
 Everything here reads/writes public file-format structure only (PNG
 RFC 2083 / ISO 15948, the Windows BMP DIB layout, the RIFF/WAVE spec,
@@ -487,7 +488,14 @@ def _decode_huff_symbol(r: _BitReader, table: dict) -> int:
 
 
 def decode_jpeg(b: bytes) -> np.ndarray:
-    """Baseline JPEG -> uint8 (H,W) grayscale or (H,W,3) RGB array."""
+    """JPEG -> uint8 (H,W) grayscale or (H,W,3) RGB array.
+
+    Baseline sequential (SOF0/SOF1) and progressive (SOF2, spectral
+    selection + successive approximation, DC and AC first/refinement
+    scans with EOB runs). Both run through one coefficient-store model:
+    every SOS scan deposits (partial) quantized coefficients per block;
+    reconstruction dequantizes + IDCTs once at the end (baseline is the
+    special case of a single full-spectrum interleaved scan)."""
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         raise CodecError("not a JPEG stream")
     pos = 2
@@ -495,15 +503,22 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     restart_interval = 0
-    while pos + 4 <= len(b):
+    saw_scan = False
+    while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise CodecError("bad marker alignment")
         while pos + 1 < len(b) and b[pos + 1] == 0xFF:
             pos += 1  # 0xFF fill bytes before a marker are legal padding
+        if pos + 2 > len(b):
+            break
         marker = b[pos + 1]
         pos += 2
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # no-length markers
+        if pos + 2 > len(b):
+            raise CodecError("truncated segment header")
         seglen = struct.unpack(">H", b[pos:pos + 2])[0]
         seg = b[pos + 2:pos + seglen]
         if marker == 0xDB:  # DQT
@@ -530,7 +545,9 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                     for sym, code, length in _huff_canonical_codes(bits, vals)
                 }
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            if frame is not None:
+                raise CodecError("multiple SOF segments")
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise CodecError(f"unsupported JPEG precision {prec}")
@@ -540,29 +557,43 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = _init_frame(h, w, comps, progressive=(marker == 0xC2))
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise CodecError("only baseline sequential JPEG is supported")
+            raise CodecError(
+                "only baseline sequential and Huffman progressive JPEG "
+                "are supported (lossless/arithmetic variants are not)"
+            )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif marker == 0xDA:  # SOS — entropy-coded data follows
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 raise CodecError("SOS before SOF")
             ns = seg[0]
-            scan_tables = {}
+            scan_comps = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan_tables[cs] = (tt >> 4, tt & 0x0F)
-            return _decode_jpeg_scan(
-                b, pos + seglen, frame, qt, huff, scan_tables, restart_interval
+                comp = next((x for x in frame["comps"] if x["id"] == cs), None)
+                if comp is None:
+                    raise CodecError("SOS names an unknown component")
+                scan_comps.append((comp, tt >> 4, tt & 0x0F))
+            ss = seg[1 + 2 * ns]
+            se = seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            pos = _decode_scan(
+                b, pos + seglen, frame, huff, scan_comps, ss, se, ah, al,
+                restart_interval,
             )
+            saw_scan = True
+            continue
         pos += seglen
-    raise CodecError("no SOS segment found")
+    if not saw_scan:
+        raise CodecError("no SOS segment found")
+    return _reconstruct(frame, qt)
 
 
-def _decode_jpeg_scan(b, pos, frame, qt, huff, scan_tables, restart_interval):
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
+def _init_frame(h, w, comps, progressive):
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
@@ -570,42 +601,192 @@ def _decode_jpeg_scan(b, pos, frame, qt, huff, scan_tables, restart_interval):
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     for c in comps:
+        c["bw"] = mcus_x * c["h"]   # MCU-grid block dims
+        c["bh"] = mcus_y * c["v"]
+        # non-interleaved scans cover only the component's OWN block grid
+        # (ceil(sample dims / 8)), not the MCU-padded grid
+        c["bw_scan"] = (-(-w * c["h"] // hmax) + 7) // 8
+        c["bh_scan"] = (-(-h * c["v"] // vmax) + 7) // 8
+        # coefficients stored in ZIGZAG index space (spectral bands are
+        # contiguous), one int32 row per block of the MCU grid
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+        c["pred"] = 0
+    return {"h": h, "w": w, "comps": comps, "hmax": hmax, "vmax": vmax,
+            "mcus_x": mcus_x, "mcus_y": mcus_y, "progressive": progressive}
+
+
+def _next_marker(b: bytes, pos: int) -> int:
+    """Position of the next real marker at/after ``pos`` (skips entropy
+    pad bytes and stuffed FF00s)."""
+    n = len(b)
+    while pos + 1 < n:
+        if b[pos] == 0xFF and b[pos + 1] not in (0x00,):
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_scan(b, pos, frame, huff, scan_comps, ss, se, ah, al, ri):
+    interleaved = len(scan_comps) > 1
+    if ss > se or se > 63:
+        raise CodecError("invalid spectral range in SOS")
+    if frame["progressive"]:
+        # T.81: progressive scans are DC-only (Ss=Se=0) or an AC band
+        # (Ss >= 1); AC scans are single-component
+        if ss == 0 and se != 0:
+            raise CodecError("invalid progressive scan: Ss=0 requires Se=0")
+        if interleaved and ss != 0:
+            raise CodecError("progressive AC scans must be single-component")
+    for comp, td, ta in scan_comps:
+        comp["pred"] = 0
+        needs_dc = ss == 0
+        needs_ac = se > 0
+        if needs_dc and ah == 0 and (0, td) not in huff:
+            raise CodecError("missing DC Huffman table")
+        if needs_ac and (1, ta) not in huff:
+            raise CodecError("missing AC Huffman table")
+        comp["dc"] = huff.get((0, td))
+        comp["ac"] = huff.get((1, ta))
+    r = _BitReader(b, pos)
+    eobrun = [0]
+    unit_i = 0  # restart-interval unit counter (MCUs, or blocks when
+    # non-interleaved)
+
+    def _maybe_restart():
+        nonlocal unit_i
+        if ri and unit_i and unit_i % ri == 0:
+            r.restart()
+            eobrun[0] = 0
+            for comp, _, _ in scan_comps:
+                comp["pred"] = 0
+        unit_i += 1
+
+    if interleaved:
+        for my in range(frame["mcus_y"]):
+            for mx in range(frame["mcus_x"]):
+                _maybe_restart()
+                for comp, _, _ in scan_comps:
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            bi = (my * comp["v"] + by) * comp["bw"] \
+                                + mx * comp["h"] + bx
+                            _block_scan(r, comp, comp["coef"][bi],
+                                        ss, se, ah, al, eobrun)
+    else:
+        comp, _, _ = scan_comps[0]
+        for by in range(comp["bh_scan"]):
+            for bx in range(comp["bw_scan"]):
+                _maybe_restart()
+                bi = by * comp["bw"] + bx
+                _block_scan(r, comp, comp["coef"][bi], ss, se, ah, al, eobrun)
+    # resume segment parsing at the next marker after the entropy data
+    return _next_marker(b, r.pos)
+
+
+def _block_scan(r, comp, cz, ss, se, ah, al, eobrun):
+    """Decode one block's contribution for the current scan into its
+    zigzag-order coefficient row ``cz``."""
+    if ss == 0:
+        if ah == 0:
+            s = _decode_huff_symbol(r, comp["dc"])
+            diff = _extend(r.receive(s), s) if s else 0
+            comp["pred"] += diff
+            cz[0] = comp["pred"] << al
+        else:
+            # DC refinement: one bit, appended below the approximation
+            if r.bit():
+                cz[0] = int(cz[0]) | (1 << al)
+        if se == 0:
+            return
+    k = max(ss, 1)
+    if ah == 0:
+        if eobrun[0] > 0:
+            eobrun[0] -= 1
+            return
+        while k <= se:
+            rs = _decode_huff_symbol(r, comp["ac"])
+            run, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                # EOBn: run of (1<<run)+receive(run) blocks ends here,
+                # THIS block included
+                eobrun[0] = (1 << run) - 1 + r.receive(run)
+                break
+            k += run
+            if k > se:
+                raise CodecError("AC coefficient index out of range")
+            cz[k] = _extend(r.receive(s), s) << al
+            k += 1
+    else:
+        _ac_refine_block(r, comp["ac"], cz, k, se, al, eobrun)
+
+
+def _ac_refine_block(r, ac_table, cz, ss, se, al, eobrun):
+    """AC successive-approximation refinement (T.81 G.1.2.3 via the
+    well-known libjpeg control flow): newly-nonzero coefficients arrive
+    as run/1 symbols, already-nonzero ones receive correction bits."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun[0] == 0:
+        while k <= se:
+            rs = _decode_huff_symbol(r, ac_table)
+            run, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s:
+                if s != 1:
+                    raise CodecError("AC refinement size must be 1")
+                val = p1 if r.bit() else m1
+            else:
+                if run < 15:
+                    eobrun[0] = (1 << run) + (r.receive(run) if run else 0)
+                    break
+                # run == 15: skip 16 zero-history coefficients
+            while k <= se:
+                c = int(cz[k])
+                if c != 0:
+                    if r.bit() and (c & p1) == 0:
+                        cz[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= se:
+                cz[k] = val
+            k += 1
+    if eobrun[0] > 0:
+        while k <= se:
+            c = int(cz[k])
+            if c != 0:
+                if r.bit() and (c & p1) == 0:
+                    cz[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun[0] -= 1
+
+
+def _reconstruct(frame, qt):
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    planes = []
+    for c in frame["comps"]:
         if c["tq"] not in qt:
             raise CodecError("missing quantization table")
-        if c["id"] not in scan_tables:
-            raise CodecError("scan does not cover every frame component")
-        c["qt_nat"] = np.empty(64, dtype=np.int64)
-        c["qt_nat"][_ZIGZAG] = qt[c["tq"]]
-        # per-component pixel plane, MCU-padded
-        c["plane"] = np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8))
-        c["pred"] = 0
-        td, ta = scan_tables[c["id"]]
-        if (0, td) not in huff or (1, ta) not in huff:
-            raise CodecError("missing Huffman table")
-        c["dc"] = huff[(0, td)]
-        c["ac"] = huff[(1, ta)]
-    r = _BitReader(b, pos)
-    mcu_i = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                r.restart()
-                for c in comps:
-                    c["pred"] = 0
-            mcu_i += 1
-            for c in comps:
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blk = _decode_block(r, c)
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        c["plane"][y0:y0 + 8, x0:x0 + 8] = blk
-    planes = []
-    for c in comps:
-        p = c["plane"]
-        # replicate-upsample subsampled chroma to full resolution
-        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
-        planes.append(p[:h, :w])
+        qz = qt[c["tq"]].astype(np.int64)  # zigzag order, as stored in DQT
+        nat = np.zeros((c["coef"].shape[0], 64), dtype=np.float64)
+        nat[:, _ZIGZAG] = c["coef"].astype(np.int64) * qz[None, :]
+        blocks = nat.reshape(-1, 8, 8)
+        pix = np.einsum("xu,nuv,vy->nxy", _DCT_M.T, blocks, _DCT_M) + 128.0
+        plane = (
+            pix.reshape(c["bh"], c["bw"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c["bh"] * 8, c["bw"] * 8)
+        )
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        planes.append(plane[:h, :w])
     if len(planes) == 1:
         out = planes[0]
     else:
@@ -616,32 +797,6 @@ def _decode_jpeg_scan(b, pos, frame, qt, huff, scan_tables, restart_interval):
             y + 1.772 * (cb - 128.0),
         ], axis=-1)
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
-
-
-def _decode_block(r: _BitReader, c: dict) -> np.ndarray:
-    coeffs = np.zeros(64, dtype=np.int64)
-    s = _decode_huff_symbol(r, c["dc"])
-    diff = _extend(r.receive(s), s) if s else 0
-    c["pred"] += diff
-    coeffs[0] = c["pred"]
-    k = 1
-    while k < 64:
-        rs = _decode_huff_symbol(r, c["ac"])
-        run, size = rs >> 4, rs & 0x0F
-        if size == 0:
-            if run == 15:  # ZRL: 16 zeros
-                k += 16
-                continue
-            break  # EOB
-        k += run
-        if k > 63:
-            raise CodecError("AC coefficient index out of range")
-        coeffs[k] = _extend(r.receive(size), size)
-        k += 1
-    nat = np.zeros(64, dtype=np.int64)
-    nat[_ZIGZAG] = coeffs
-    blk = (nat * c["qt_nat"]).reshape(8, 8).astype(np.float64)
-    return _DCT_M.T @ blk @ _DCT_M + 128.0
 
 
 class _BitWriter:
@@ -678,11 +833,16 @@ def encode_jpeg(
     quality: int = 90,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """uint8 (H,W) grayscale or (H,W,3) RGB -> baseline JPEG (standard
-    tables scaled by ``quality``). ``subsampling``: "444" or "420"
-    (chroma box-averaged 2x2; grayscale ignores it).
-    ``restart_interval`` > 0 emits DRI + RSTn every N MCUs."""
+    """uint8 (H,W) grayscale or (H,W,3) RGB -> JPEG (standard tables
+    scaled by ``quality``). ``subsampling``: "444" or "420" (chroma
+    box-averaged 2x2; grayscale ignores it). ``restart_interval`` > 0
+    emits DRI + RSTn every N MCUs (baseline only). ``progressive``
+    emits SOF2 with spectral selection (DC scan, then per-component AC
+    bands 1-5 and 6-63) plus DC successive approximation (Al=1 first
+    scan + refinement) — the same quantized coefficients as baseline, so
+    both modes decode to IDENTICAL pixels."""
     a = np.asarray(arr)
     if a.dtype != np.uint8 or a.ndim not in (2, 3) or (
         a.ndim == 3 and a.shape[2] != 3
@@ -690,6 +850,8 @@ def encode_jpeg(
         raise CodecError("encode_jpeg expects uint8 (H,W) or (H,W,3)")
     if subsampling not in ("444", "420"):
         raise CodecError("subsampling must be '444' or '420'")
+    if progressive and restart_interval:
+        raise CodecError("restart_interval is supported for baseline only")
     h, w = a.shape[:2]
     if h == 0 or w == 0:
         raise CodecError("empty image")
@@ -735,7 +897,8 @@ def encode_jpeg(
             bytes(int(tbl[z]) for z in _ZIGZAG)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    sof = 0xC2 if progressive else 0xC0
+    out += bytes([0xFF, sof]) + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
     for ci in range(nc):
         out += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qids[ci]])
     for tc, specs in ((0, (_DC_LUM_SPEC, _DC_CHROMA_SPEC)),
@@ -744,10 +907,11 @@ def encode_jpeg(
             bits, vals = specs[th]
             out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + \
                 bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
-    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
-    for ci in range(nc):
-        out += bytes([ci + 1, 0x00 if qids[ci] == 0 else 0x11])
-    out += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
+    if not progressive:
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+        for ci in range(nc):
+            out += bytes([ci + 1, 0x00 if qids[ci] == 0 else 0x11])
+        out += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
 
     # component planes: box-average subsampled chroma, pad to MCU grid
     mcus_x = -(-w // (8 * hmax))
@@ -765,37 +929,144 @@ def encode_jpeg(
             p, ((0, th_ - p.shape[0]), (0, tw_ - p.shape[1])), mode="edge"
         ))
 
+    # vectorized forward DCT + quantization: per component, one
+    # (nblocks, 64) array of zigzag-ordered quantized coefficients in
+    # MCU-grid raster order (bi = by * bw + bx — the decoder's indexing)
+    coefs = []
+    bdims = []
+    for ci in range(nc):
+        pp = padded[ci]
+        bh, bw = pp.shape[0] // 8, pp.shape[1] // 8
+        blocks = (
+            pp.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+            - 128.0
+        )
+        coef = np.einsum("ux,nxy,vy->nuv", _DCT_M, blocks, _DCT_M)
+        q = qtabs[qids[ci]].reshape(8, 8).astype(np.float64)
+        qc = np.round(coef / q[None]).astype(np.int64)
+        coefs.append(qc.reshape(-1, 64)[:, _ZIGZAG])
+        bdims.append((bh, bw))
+
+    def bi_of(ci, my, mx, by, bx):
+        hc, vc = samp[ci]
+        return (my * vc + by) * bdims[ci][1] + mx * hc + bx
+
+    if not progressive:
+        wtr = _BitWriter()
+        preds = [0] * nc
+        mcu_i = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    wtr.flush()
+                    out_rst = 0xD0 + ((mcu_i // restart_interval - 1) % 8)
+                    wtr.out += bytes([0xFF, out_rst])
+                    preds = [0] * nc
+                mcu_i += 1
+                for ci in range(nc):
+                    hc, vc = samp[ci]
+                    tsel = 0 if qids[ci] == 0 else 1
+                    for by in range(vc):
+                        for bx in range(hc):
+                            zz = coefs[ci][bi_of(ci, my, mx, by, bx)]
+                            _encode_block(
+                                wtr, zz, preds, ci, enc_dc[tsel], enc_ac[tsel]
+                            )
+        wtr.flush()
+        out += wtr.out
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    # ---- progressive emission ----
+    def sos_header(entries, ss, se, ah, al):
+        seg = bytes([len(entries)])
+        for cid, tt in entries:
+            seg += bytes([cid, tt])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(seg) + 2) + seg
+
+    def mcu_blocks():
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(nc):
+                    hc, vc = samp[ci]
+                    for by in range(vc):
+                        for bx in range(hc):
+                            yield ci, bi_of(ci, my, mx, by, bx)
+
+    dc_al = 1
+    # scan 1: DC first (interleaved), point-transformed by dc_al
+    out += sos_header(
+        [(ci + 1, (0 if qids[ci] == 0 else 1) << 4) for ci in range(nc)],
+        0, 0, 0, dc_al,
+    )
     wtr = _BitWriter()
     preds = [0] * nc
-    mcu_i = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                wtr.flush()
-                out_rst = 0xD0 + ((mcu_i // restart_interval - 1) % 8)
-                wtr.out += bytes([0xFF, out_rst])
-                preds = [0] * nc
-            mcu_i += 1
-            for ci in range(nc):
-                hc, vc = samp[ci]
-                q = qtabs[qids[ci]].reshape(8, 8).astype(np.float64)
-                tsel = 0 if qids[ci] == 0 else 1
-                for by in range(vc):
-                    for bx in range(hc):
-                        y0 = (my * vc + by) * 8
-                        x0 = (mx * hc + bx) * 8
-                        blk = padded[ci][y0:y0 + 8, x0:x0 + 8] - 128.0
-                        coef = _DCT_M @ blk @ _DCT_M.T
-                        # quantize natural order, emit zigzag
-                        qc = np.round(coef / q).astype(np.int64)
-                        zz = qc.reshape(-1)[_ZIGZAG]
-                        _encode_block(
-                            wtr, zz, preds, ci, enc_dc[tsel], enc_ac[tsel]
-                        )
+    for ci, bi in mcu_blocks():
+        tsel = 0 if qids[ci] == 0 else 1
+        v = int(coefs[ci][bi][0]) >> dc_al  # arithmetic shift per T.81
+        diff = v - preds[ci]
+        preds[ci] = v
+        s = _bit_size(diff)
+        code, length = enc_dc[tsel][s]
+        wtr.write(code, length)
+        if s:
+            wtr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
     wtr.flush()
     out += wtr.out
+    # scan 2: DC refinement — the next lower bit, no Huffman coding
+    out += sos_header([(ci + 1, 0x00) for ci in range(nc)], 0, 0, dc_al, 0)
+    wtr = _BitWriter()
+    for ci, bi in mcu_blocks():
+        wtr.write(int(coefs[ci][bi][0]) & 1, 1)
+    wtr.flush()
+    out += wtr.out
+    # scans 3+: per-component AC spectral bands (Al=0, per-block EOB —
+    # the standard tables carry no EOBn>0 codes)
+    for ci in range(nc):
+        hc, vc = samp[ci]
+        bw_scan = (-(-w * hc // hmax) + 7) // 8
+        bh_scan = (-(-h * vc // vmax) + 7) // 8
+        tsel = 0 if qids[ci] == 0 else 1
+        for ss_b, se_b in ((1, 5), (6, 63)):
+            out += sos_header([(ci + 1, tsel)], ss_b, se_b, 0, 0)
+            wtr = _BitWriter()
+            for by in range(bh_scan):
+                for bx in range(bw_scan):
+                    zz = coefs[ci][by * bdims[ci][1] + bx]
+                    _encode_ac_band(wtr, zz, ss_b, se_b, enc_ac[tsel])
+            wtr.flush()
+            out += wtr.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def _encode_ac_band(wtr, zz, ss, se, ac_tab):
+    """One block's AC coefficients for the band [ss, se]: run/size
+    symbols with ZRL, trailing EOB when the band tail is zero."""
+    last = ss - 1
+    for k in range(se, ss - 1, -1):
+        if zz[k]:
+            last = k
+            break
+    run = 0
+    for k in range(ss, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_tab[0xF0]
+            wtr.write(code, length)
+            run -= 16
+        s = _bit_size(v)
+        code, length = ac_tab[(run << 4) | s]
+        wtr.write(code, length)
+        wtr.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < se:
+        code, length = ac_tab[0x00]
+        wtr.write(code, length)
 
 
 def _bit_size(v: int) -> int:

@@ -12,9 +12,10 @@ Design for 100 TB media pipelines:
   library needed — see ``parse_image_header``)
 - PIXEL/SAMPLE decode is REAL for the formats decodable without a codec
   library (``ops/codecs.py``): PNG (stdlib zlib), uncompressed BMP,
-  GIF (in-repo LZW, first frame), PCM WAV — ``image_pixel_features``,
+  GIF (in-repo LZW, first frame), PCM WAV, JPEG (baseline AND
+  progressive, in-repo T.81 Huffman+IDCT) — ``image_pixel_features``,
   ``resize_image``, ``audio_pixel_features`` decode actual bytes to
-  numpy arrays. JPEG/WebP entropy coding genuinely needs a codec
+  numpy arrays. Only WebP's VP8 entropy coding still needs a codec
   library; those payloads degrade to header-metadata-only (never crash
   the pipeline). ``fake_decode_meta``
   remains the deterministic md5-derived stand-in for synthetic payloads
@@ -316,10 +317,10 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 def image_pixel_features(df: DataFrame, media_col: str = "media") -> DataFrame:
     """REAL pixel decode + feature extraction for PNG / uncompressed BMP /
-    GIF / baseline JPEG payloads (in-repo stdlib+numpy codec,
-    ``ops/codecs.py``): per-channel means, Rec.601 luma mean/std, aspect
-    ratio. Payloads the in-repo codec can't decode (progressive JPEG,
-    WebP) yield null features but still get mime via header parse.
+    GIF / JPEG (baseline + progressive) payloads (in-repo stdlib+numpy
+    codec, ``ops/codecs.py``): per-channel means, Rec.601 luma mean/std,
+    aspect ratio. Payloads the in-repo codec can't decode (WebP) yield
+    null features but still get mime via header parse.
 
     Arrow-batched ``mapInPandas``; output = input schema minus payload
     plus IMAGE_FEATURES_SCHEMA. Grayscale images report the gray mean in

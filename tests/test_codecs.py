@@ -510,15 +510,82 @@ class TestJpeg:
         out = codecs.decode_image(codecs.encode_jpeg(img, quality=95))
         assert out.shape == (16, 16, 3)
 
-    def test_progressive_rejected(self):
-        # flip SOF0 -> SOF2 in a valid stream: decoder must refuse, not
-        # misparse (progressive scans have a different coefficient order)
+    def test_progressive_round_trip_identical_to_baseline(self):
+        # progressive emission reorders the SAME quantized coefficients,
+        # so both modes must decode to IDENTICAL pixels
+        for sub in ("444", "420"):
+            img = self._smooth_rgb(45, 61)
+            base = codecs.decode_jpeg(codecs.encode_jpeg(img, 90, subsampling=sub))
+            prog = codecs.decode_jpeg(
+                codecs.encode_jpeg(img, 90, subsampling=sub, progressive=True))
+            assert np.array_equal(base, prog)
+
+    def test_progressive_grayscale(self):
+        y, x = np.mgrid[0:37, 0:51]
+        g = ((x * 2 + y) % 251).astype(np.uint8)
+        base = codecs.decode_jpeg(codecs.encode_jpeg(g, 88))
+        prog = codecs.decode_jpeg(codecs.encode_jpeg(g, 88, progressive=True))
+        assert np.array_equal(base, prog)
+
+    def test_progressive_marker_and_header(self):
+        from duckdb_mongo_spark.ops.multimodal import parse_image_header
+
+        b = codecs.encode_jpeg(self._smooth_rgb(16, 24), 90, progressive=True)
+        assert b"\xff\xc2" in b and b"\xff\xc0" not in b
+        assert b.count(b"\xff\xda") >= 4  # DC + DC-refine + AC bands
+        assert parse_image_header(b) == ("image/jpeg", 24, 16)
+
+    def test_progressive_rejects_restart_interval(self):
+        with pytest.raises(codecs.CodecError, match="baseline only"):
+            codecs.encode_jpeg(self._smooth_rgb(16, 16), 90,
+                               progressive=True, restart_interval=2)
+
+    def test_invalid_progressive_scan_rejected(self):
+        # SOF0 -> SOF2 flip makes the full-spectrum interleaved scan
+        # illegal under the progressive scan rules (Ss=0 requires Se=0)
         b = bytearray(codecs.encode_jpeg(self._smooth_rgb(16, 16), 90))
         i = b.find(b"\xff\xc0")
         assert i > 0
         b[i + 1] = 0xC2
-        with pytest.raises(codecs.CodecError, match="baseline"):
+        with pytest.raises(codecs.CodecError, match="Ss=0 requires Se=0"):
             codecs.decode_jpeg(bytes(b))
+
+    def test_arithmetic_coding_rejected(self):
+        b = bytearray(codecs.encode_jpeg(self._smooth_rgb(16, 16), 90))
+        i = b.find(b"\xff\xc0")
+        b[i + 1] = 0xC9  # SOF9: arithmetic sequential
+        with pytest.raises(codecs.CodecError, match="arithmetic"):
+            codecs.decode_jpeg(bytes(b))
+
+    def test_hand_built_ac_refinement_stream(self):
+        # Single 8x8 grayscale block, NO DC scan; two AC scans over
+        # Ss=1..63: first with Al=1 (sends magnitudes >> 1), then the
+        # successive-approximation refinement with Al=0 (correction
+        # bits). Target coefficients: zigzag c1 = 3, c2 = -2.
+        # Scan 1 symbols (AC table: '0'=EOB, '10'=(0,1)):
+        #   (0,1)+bit1 -> c1 = 1<<1 = 2; (0,1)+bit0 -> c2 = -1<<1 = -2;
+        #   EOB.  Bits '10 1 10 0 0' + pad '1' = 0xB1.
+        # Scan 2: EOB first (eobrun=1), then correction bits for the two
+        # nonzero-history coefficients: c1 bit 1 (2 -> 3), c2 bit 0
+        # (stays -2). Bits '0 1 0' + pad '11111' = 0x5F.
+        def seg(marker, body):
+            return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+        dqt = seg(0xDB, bytes([0]) + bytes([16] * 64))
+        sof = seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        dht_ac = seg(0xC4, bytes([0x10]) + bytes([1, 1] + [0] * 14) + bytes([0x00, 0x01]))
+        sos1 = seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+        sos2 = seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+        stream = (b"\xff\xd8" + dqt + sof + dht_ac
+                  + sos1 + bytes([0xB1]) + sos2 + bytes([0x5F]) + b"\xff\xd9")
+        out = codecs.decode_jpeg(stream)
+        # expected: dequantized F[0,1] = 3*16, F[1,0] = -2*16, IDCT + 128
+        F = np.zeros((8, 8))
+        F[0, 1] = 48.0
+        F[1, 0] = -32.0
+        M = codecs._DCT_M
+        expected = np.clip(np.round(M.T @ F @ M + 128.0), 0, 255).astype(np.uint8)
+        assert np.array_equal(out, expected)
 
     def test_not_jpeg_rejected(self):
         with pytest.raises(codecs.CodecError):

@@ -96,6 +96,29 @@ def _install_lean_line_items(qs: dict, oracles: dict) -> None:
     qs["mongo_count_pushdown"] = _count
     oracles["mongo_count_pushdown"] = "SELECT COUNT(*) AS count FROM supplier"
 
+    # r4 merged mongo_manual_filter into mongo_or_filter (tagged union) to
+    # free a ledger slot; the bench keeps the lean OR-only shape so the
+    # native-pipeline section's comparison query stays row-identical
+    def _or_filter(spark, sf_dir):
+        from duckdb_mongo_spark.pushdown import C
+
+        mf = entry._mongo_frame(spark, sf_dir, "orders")
+        pred = ((C("o_totalprice") > 450000.0) | (C("o_orderstatus") == "P")) \
+            & C("o_orderpriority").is_not_null()
+        return (
+            mf.filter(pred)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .df()
+        )
+
+    qs["mongo_or_filter"] = _or_filter
+    oracles["mongo_or_filter"] = """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE (o_totalprice > 450000.0 OR o_orderstatus = 'P')
+      AND o_orderpriority IS NOT NULL
+    """
+
     def _q_emb(spark, sf_dir):
         entry._views(spark, sf_dir, "embeddings")
         emb = spark.table("embeddings")

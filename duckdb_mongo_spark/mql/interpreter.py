@@ -351,6 +351,113 @@ def _lookup(docs, spec, collections, seed):
         yield out
 
 
+_WINDOW_ACCS = {"$sum", "$avg", "$min", "$max", "$push", "$count", "$first",
+                "$last", "$addToSet", "$stdDevPop", "$stdDevSamp"}
+_RANK_OPS = {"$rank", "$denseRank", "$documentNumber"}
+
+
+def _window_bounds(window, i: int, n: int) -> tuple[int, int]:
+    """Resolve a ``documents: [lo, hi]`` window to [start, end) row
+    indexes around position ``i`` (defaults to the whole partition,
+    mongod's behavior when no window is given)."""
+    if not window:
+        return 0, n
+    lo, hi = window.get("documents", ["unbounded", "unbounded"])
+
+    def _edge(v, default):
+        if v == "unbounded":
+            return default
+        if v == "current":
+            return i
+        return i + int(v)
+
+    start = max(0, _edge(lo, 0))
+    end = min(n, _edge(hi, n - 1) + 1)
+    return start, min(max(start, end), n)
+
+
+def _set_window_fields(docs: list, spec: dict) -> list:
+    """``$setWindowFields`` subset: partitionBy expression, sortBy doc,
+    document-based windows, the common accumulators plus $rank /
+    $denseRank / $documentNumber / $shift (range-based windows are not
+    supported). Output order: partitions in first-appearance order of
+    their key, documents sorted by sortBy within each (mongod guarantees
+    sort only within the partition)."""
+    part_by = spec.get("partitionBy")
+    sort_by = spec.get("sortBy")
+    output = spec["output"]
+    parts: dict = {}
+    order: list = []
+    for doc in docs:
+        key = _freeze(eval_expr(part_by, doc)) if part_by is not None else None
+        if key not in parts:
+            parts[key] = []
+            order.append(key)
+        parts[key].append(doc)
+    out_docs = []
+    for key in order:
+        group = parts[key]
+        if sort_by:
+            for field, direction in reversed(list(sort_by.items())):
+                group.sort(key=lambda d, f=field: _sort_key(d, f),
+                           reverse=(direction == -1))
+        n = len(group)
+        new_fields: list[dict] = [dict() for _ in range(n)]
+        for out_name, accdoc in output.items():
+            acc = {k: v for k, v in accdoc.items() if k != "window"}
+            window = accdoc.get("window")
+            (op, arg), = acc.items()
+            if op in _RANK_OPS:
+                if not sort_by:
+                    raise ValueError(f"{op} requires sortBy")
+                if window:
+                    raise ValueError(f"{op} does not accept a window")
+                sort_fields = list(sort_by.items())
+                rank = dense = 0
+                prev = None
+                for i, d in enumerate(group):
+                    cur = tuple(_sort_key(d, f) for f, _ in sort_fields)
+                    if op == "$documentNumber":
+                        new_fields[i][out_name] = i + 1
+                        continue
+                    if prev is None or cur != prev:
+                        dense += 1
+                        rank = i + 1
+                        prev = cur
+                    new_fields[i][out_name] = rank if op == "$rank" else dense
+            elif op == "$shift":
+                by = int(arg.get("by", 0))
+                default = arg.get("default")
+                path = arg["output"]
+                for i in range(n):
+                    j = i + by
+                    if 0 <= j < n:
+                        v = eval_expr(path, group[j])
+                    else:
+                        v = eval_expr(default, group[i]) if default is not None else None
+                    new_fields[i][out_name] = v
+            elif op in _WINDOW_ACCS:
+                for i in range(n):
+                    start, end = _window_bounds(window, i, n)
+                    if op == "$count":
+                        # $count takes {} — rows in window
+                        new_fields[i][out_name] = end - start
+                        continue
+                    sub = list(_group(group[start:end],
+                                      {"_id": None, out_name: {op: arg}}))
+                    new_fields[i][out_name] = (
+                        sub[0][out_name] if sub else (0 if op == "$sum" else None)
+                    )
+            else:
+                raise ValueError(f"unsupported window operator: {op}")
+        for d, extra in zip(group, new_fields):
+            merged = dict(d)
+            for k, v in extra.items():
+                _set_path(merged, k, v)
+            out_docs.append(merged)
+    return out_docs
+
+
 def run_pipeline(docs, pipeline, seed: int | None = None, collections=None):
     """Run an aggregation pipeline over an iterable of dict documents.
 
@@ -544,6 +651,8 @@ def run_pipeline(docs, pipeline, seed: int | None = None, collections=None):
             out_spec = spec.get("output") or {"count": {"$sum": 1}}
             grouped = _group(binned, {"_id": "$__bucket", **out_spec})
             stream = iter(sorted(grouped, key=lambda g: _OrderedVal(g["_id"]["min"])))
+        elif op == "$setWindowFields":
+            stream = iter(_set_window_fields(list(stream), spec))
         else:
             raise ValueError(f"unsupported pipeline stage: {op}")
     return list(stream)

@@ -678,3 +678,69 @@ class TestRound4DialectBatch:
         with pytest.raises(ValueError, match="no branch"):
             eval_expr({"$switch": {"branches": [
                 {"case": False, "then": 1}]}}, {})
+
+
+class TestSetWindowFields:
+    DOCS = [
+        {"_id": 1, "g": "a", "v": 10}, {"_id": 2, "g": "a", "v": 30},
+        {"_id": 3, "g": "a", "v": 20}, {"_id": 4, "g": "b", "v": 5},
+        {"_id": 5, "g": "b", "v": 5},
+    ]
+
+    def test_running_and_total_sums(self):
+        out = run_pipeline(self.DOCS, [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"v": 1},
+            "output": {
+                "running": {"$sum": "$v",
+                            "window": {"documents": ["unbounded", "current"]}},
+                "total": {"$sum": "$v"},
+            }}}])
+        a = [d for d in out if d["g"] == "a"]
+        assert [d["running"] for d in a] == [10, 30, 60]
+        assert all(d["total"] == 60 for d in a)
+        b = [d for d in out if d["g"] == "b"]
+        assert [d["running"] for d in b] == [5, 10] and all(d["total"] == 10 for d in b)
+
+    def test_rank_dense_rank_document_number_ties(self):
+        out = run_pipeline(self.DOCS, [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"v": 1},
+            "output": {"r": {"$rank": {}}, "dr": {"$denseRank": {}},
+                       "n": {"$documentNumber": {}}}}}])
+        b = [d for d in out if d["g"] == "b"]
+        assert [(d["r"], d["dr"], d["n"]) for d in b] == [(1, 1, 1), (1, 1, 2)]
+        docs = [{"g": 1, "v": x} for x in (1, 2, 2, 3)]
+        out = run_pipeline(docs, [{"$setWindowFields": {
+            "sortBy": {"v": 1},
+            "output": {"r": {"$rank": {}}, "dr": {"$denseRank": {}}}}}])
+        assert [d["r"] for d in out] == [1, 2, 2, 4]
+        assert [d["dr"] for d in out] == [1, 2, 2, 3]
+
+    def test_shift_and_moving_average(self):
+        out = run_pipeline(self.DOCS, [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"v": 1},
+            "output": {
+                "prev": {"$shift": {"output": "$v", "by": -1, "default": -1}},
+                "mavg": {"$avg": "$v", "window": {"documents": [-1, 1]}},
+            }}}])
+        a = [d for d in out if d["g"] == "a"]
+        assert [d["prev"] for d in a] == [-1, 10, 20]
+        assert [d["mavg"] for d in a] == [15.0, 20.0, 25.0]
+
+    def test_count_window_and_no_partition(self):
+        docs = [{"v": i} for i in range(4)]
+        out = run_pipeline(docs, [{"$setWindowFields": {
+            "sortBy": {"v": 1},
+            "output": {"c": {"$count": {},
+                             "window": {"documents": ["unbounded", "current"]}}},
+        }}])
+        assert [d["c"] for d in out] == [1, 2, 3, 4]
+
+    def test_rank_requires_sort_by(self):
+        with pytest.raises(ValueError, match="requires sortBy"):
+            run_pipeline([{"v": 1}], [{"$setWindowFields": {
+                "output": {"r": {"$rank": {}}}}}])
+
+    def test_dotted_output_path(self):
+        out = run_pipeline([{"v": 1}], [{"$setWindowFields": {
+            "sortBy": {"v": 1}, "output": {"stats.total": {"$sum": "$v"}}}}])
+        assert out == [{"v": 1, "stats": {"total": 1}}]

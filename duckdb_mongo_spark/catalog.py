@@ -31,14 +31,24 @@ _SECRET_KEYS = {
     "host", "port", "user", "password", "database", "authsource",
     "srv", "tls", "tls_ca_file", "tls_allow_invalid_certificates",
 }
+# parameter aliases the reference accepts (test/sql/secrets/
+# secrets_validation.test: USERNAME for USER, DBNAME for DATABASE)
+_SECRET_ALIASES = {"username": "user", "dbname": "database"}
 
 
-def create_secret(name: str | None = None, **kwargs) -> str:
+def create_secret(name: str | None = None, replace: bool = False, **kwargs) -> str:
+    """CREATE [OR REPLACE] SECRET analog: an existing name errors unless
+    ``replace`` (reference secrets_validation.test CREATE OR REPLACE)."""
     name = name or DEFAULT_SECRET_NAME
-    bad = set(map(str.lower, kwargs)) - _SECRET_KEYS
+    norm = {_SECRET_ALIASES.get(k.lower(), k.lower()): v for k, v in kwargs.items()}
+    bad = set(norm) - _SECRET_KEYS
     if bad:
         raise ConnectionStringError(f"unknown secret keys: {sorted(bad)}")
-    _SECRETS[name] = {k.lower(): v for k, v in kwargs.items()}
+    if not replace and name in _SECRETS:
+        raise ConnectionStringError(
+            f"secret {name!r} already exists (use replace=True to overwrite)"
+        )
+    _SECRETS[name] = norm
     return name
 
 
@@ -248,7 +258,15 @@ _ATTACHED: dict[str, AttachedCatalog] = {}
 
 def attach(conn, alias: str, spark=None, secret: str | None = None,
            dbname: str | None = None, num_partitions: int = 0) -> AttachedCatalog:
-    """ATTACH '<conn>' AS <alias> (TYPE MONGO[, SECRET <name>])."""
+    """ATTACH '<conn>' AS <alias> (TYPE MONGO[, SECRET <name>]).
+
+    A duplicate alias errors like the reference's ATTACH (DuckDB:
+    "already exists", test/sql/attach/attach_errors.test) — detach first.
+    """
+    if alias in _ATTACHED:
+        raise ConnectionStringError(
+            f"catalog alias {alias!r} already exists; detach it first"
+        )
     if spark is None:
         from duckdb_mongo_spark.session import get_spark
 

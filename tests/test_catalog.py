@@ -69,6 +69,25 @@ class TestSecrets:
         assert name == "__default_mongo"
         dms.drop_secret(name)
 
+    def test_parameter_aliases(self):
+        # reference accepts USERNAME for USER and DBNAME for DATABASE
+        # (test/sql/secrets/secrets_validation.test)
+        dms.create_secret("s_alias", host="h", username="bob", dbname="d1")
+        s = dms.get_secret("s_alias")
+        assert s["user"] == "bob" and s["database"] == "d1"
+        assert "username" not in s and "dbname" not in s
+        dms.drop_secret("s_alias")
+
+    def test_create_existing_errors_without_replace(self):
+        # reference: CREATE SECRET on an existing name errors; CREATE OR
+        # REPLACE overwrites (secrets_validation.test)
+        dms.create_secret("s_dup", host="h1")
+        with pytest.raises(ConnectionStringError, match="already exists"):
+            dms.create_secret("s_dup", host="h2")
+        dms.create_secret("s_dup", host="h3", replace=True)
+        assert dms.get_secret("s_dup")["host"] == "h3"
+        dms.drop_secret("s_dup")
+
 
 class TestAttachedCatalog:
     def test_attach_lists_collections(self):
@@ -97,5 +116,9 @@ class TestAttachedCatalog:
         be = build_backend()
         cat = dms.attach(be, alias="reg_test", spark=object())
         assert dms.attached("reg_test") is cat
+        # duplicate alias errors like the reference's ATTACH
+        # (test/sql/attach/attach_errors.test "already exists")
+        with pytest.raises(ConnectionStringError, match="already exists"):
+            dms.attach(be, alias="reg_test", spark=object())
         assert dms.detach("reg_test")
         assert dms.attached("reg_test") is None

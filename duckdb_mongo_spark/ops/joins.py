@@ -336,3 +336,45 @@ def interval_overlap_join(
         *[F.col(c) for c in left.columns],
         *[F.col(f"__r_{c}").alias(c + r_suffix if c in dup else c) for c in right.columns],
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big (probe) side, replicate the
+    small (build) side once per salt, join on (key, salt).
+
+    The manual fallback for the case AQE's skew-join split cannot fix: a
+    single join KEY so hot that one reducer gets the whole key even
+    after partition splitting (AQE splits oversized partitions, but all
+    rows of one key in the build side must still meet each split —
+    replication here makes that explicit and bounded). Result equals
+    ``big.join(small, on, how)`` exactly for ``inner`` and ``left``:
+    every big row carries ONE salt, and exactly one replica of each
+    small row matches it — no duplicate or lost matches.
+
+    Scale notes: shuffle of the big side is unchanged (one row each, now
+    spread over n_salts reducers per key); the small side is shuffled
+    n_salts times — keep it the genuinely small side. ``right``/``outer``
+    joins are rejected: unmatched SMALL rows would surface once per
+    replica.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left' only")
+    overlap = (set(big.columns) & set(small.columns)) - {on}
+    if overlap:
+        raise ValueError(f"ambiguous non-key columns on both sides: {sorted(overlap)}")
+    from duckdb_mongo_spark.ops.partitioning import salt_keys
+
+    b = salt_keys(big, on, n_salts)
+    s = small.crossJoin(
+        F.broadcast(
+            big.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("__salt"))
+        )
+    )
+    out = b.join(s, [on, "__salt"], how)
+    return out.drop("__salt")

@@ -304,3 +304,44 @@ class TestIntervalJoins:
         for p in plans:
             assert "BroadcastNestedLoopJoin" not in p, p[:2000]
             assert "CartesianProduct" not in p, p[:2000]
+
+
+class TestSaltedJoin:
+    def _skewed(self, spark):
+        from pyspark.sql import functions as F
+
+        return spark.range(0, 20000).select(
+            F.when(F.col("id") % 10 < 9, F.lit("hot"))
+            .otherwise(F.concat(F.lit("k"), (F.col("id") % 50).cast("string")))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+
+    def test_inner_matches_plain_join(self, spark):
+        from duckdb_mongo_spark.ops.joins import salted_join
+
+        big = self._skewed(spark)
+        # non-hot keys are k9/k19/k29/k39/k49 (last digit 9); k9 -> 400 rows
+        small = spark.createDataFrame([("hot", 1), ("k9", 2), ("nope", 9)], ["k", "w"])
+        plain = big.join(small, "k", "inner").orderBy("v", "w").collect()
+        salted = salted_join(big, small, "k", n_salts=8).orderBy("v", "w").collect()
+        assert plain == salted and len(plain) == 18000 + 400
+
+    def test_left_matches_plain_join(self, spark):
+        from duckdb_mongo_spark.ops.joins import salted_join
+
+        big = self._skewed(spark)
+        small = spark.createDataFrame([("hot", 1)], ["k", "w"])
+        plain = big.join(small, "k", "left").orderBy("v", "w").collect()
+        salted = salted_join(big, small, "k", n_salts=8, how="left").orderBy("v", "w").collect()
+        assert plain == salted and len(plain) == 20000
+
+    def test_rejects_outer_and_ambiguous_columns(self, spark):
+        from duckdb_mongo_spark.ops.joins import salted_join
+
+        big = self._skewed(spark)
+        small = spark.createDataFrame([("hot", 1)], ["k", "v"])  # v collides
+        with pytest.raises(ValueError, match="inner.*left|left.*inner"):
+            salted_join(big, small.withColumnRenamed("v", "w"), "k", how="full")
+        with pytest.raises(ValueError, match="ambiguous"):
+            salted_join(big, small, "k")

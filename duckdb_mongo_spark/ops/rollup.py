@@ -13,13 +13,17 @@ Associativity makes this exact for sum/count/min/max; ``avg`` is
 requested as sum+count and finalized as a derived column at every
 level (never averaged-of-averages); ``first``/``last`` carry
 (event-time, value) pairs re-selected by the original event time at
-every level (min_by/max_by — the OHLC candle shape). The DuckDB oracle
+every level (min_by/max_by — the OHLC candle shape);
+``approx_quantile:<q>`` carries a deterministic bottom-hash sample
+whose per-slot minima merge associatively (quantiles themselves do
+not merge; the sample does). The DuckDB oracle
 aggregates each resolution directly from raw rows, so tests prove the
 re-aggregation path equals the direct path.
 """
 
 from __future__ import annotations
 
+import re
 from functools import reduce
 
 from pyspark.sql import DataFrame
@@ -30,6 +34,73 @@ from pyspark.sql import functions as F
 RESOLUTIONS = ["second", "minute", "hour", "day", "month", "year"]
 
 _MERGE = {"sum": F.sum, "min": F.min, "max": F.max}
+
+# slots in the mergeable quantile sketch: rank error ~ sqrt(q(1-q)/k)
+DEFAULT_QUANTILE_SLOTS = 64
+
+
+def _parse_quantile(agg: str) -> float | None:
+    """``approx_quantile:0.95`` → 0.95; any other agg name → None."""
+    if not agg.startswith("approx_quantile:"):
+        return None
+    try:
+        q = float(agg.split(":", 1)[1])
+    except ValueError:
+        raise ValueError(f"bad quantile in agg {agg!r}; use e.g. 'approx_quantile:0.95'")
+    if not (0.0 <= q <= 1.0):
+        raise ValueError(f"quantile must be in [0, 1], got {q} in {agg!r}")
+    return q
+
+
+def _qsan(col: str) -> str:
+    return re.sub(r"\W", "_", col)
+
+
+def _quantile_cols(metrics: dict) -> list[str]:
+    """Distinct source columns needing a quantile sketch, in first-seen
+    order — one sketch per column is shared by every quantile metric on
+    it (p50+p95+p99 on one column cost one sketch)."""
+    cols: list[str] = []
+    for _out, (agg, col) in metrics.items():
+        if _parse_quantile(agg) is not None and col not in cols:
+            cols.append(col)
+    return cols
+
+
+def prepare_quantile_inputs(
+    df: DataFrame,
+    metrics: dict,
+    ts_col: str,
+    quantile_slots: int = DEFAULT_QUANTILE_SLOTS,
+) -> DataFrame:
+    """Project the per-row sketch inputs once, BEFORE the grouped
+    aggregation, so the k per-slot aggregates each test one precomputed
+    int instead of re-hashing the row k times.
+
+    The sketch is a deterministic bottom-hash sample: each row hashes to
+    one of ``quantile_slots`` slots (xxhash64 of (event time, value) —
+    no RNG, so re-runs and the merge path reproduce bit-identical
+    samples), and each slot keeps the row with the smallest hash via
+    ``min_by``. Slot minima merge associatively (min of mins), which is
+    what lets coarser rollup levels merge finer levels' sketches exactly
+    as if built from raw rows. Rows duplicated in (ts, value) hash
+    identically and are sampled once — the sketch is approximate anyway
+    (rank error ~ sqrt(q(1-q)/k)). NULL values are excluded, matching
+    SQL aggregate semantics."""
+    for col in _quantile_cols(metrics):
+        s = _qsan(col)
+        h = F.xxhash64(F.col(ts_col), F.col(col))
+        df = df.withColumn(
+            f"__q_{s}_slot",
+            F.when(F.col(col).isNotNull(), F.pmod(h, F.lit(quantile_slots)).cast("int")),
+        ).withColumn(
+            f"__q_{s}_pair",
+            F.when(
+                F.col(col).isNotNull(),
+                F.struct(h.alias("h"), F.col(col).cast("double").alias("v")),
+            ),
+        )
+    return df
 
 
 _HLL_OK_TYPES = ("int", "bigint", "smallint", "tinyint", "string", "binary")
@@ -54,7 +125,11 @@ def validate_hll_inputs(df: DataFrame, metrics: dict) -> None:
                 )
 
 
-def build_partial_aggs(metrics: dict, ts_col: str | None = None) -> list:
+def build_partial_aggs(
+    metrics: dict,
+    ts_col: str | None = None,
+    quantile_slots: int = DEFAULT_QUANTILE_SLOTS,
+) -> list:
     """Mergeable partial-state aggregations for the finest level —
     shared by the batch rollup and the streaming continuous aggregate so
     their merge semantics cannot diverge.
@@ -77,8 +152,27 @@ def build_partial_aggs(metrics: dict, ts_col: str | None = None) -> list:
         seen.add(name)
         partial_aggs.append(expr.alias(name))
 
+    sketched: set[str] = set()
     for out, (agg, col) in metrics.items():
-        if agg in ("sum", "min", "max"):
+        if _parse_quantile(agg) is not None:
+            if ts_col is None:
+                raise ValueError(
+                    f"metric {out!r}: approx_quantile needs the rollup's ts_col "
+                    "(it seeds the deterministic row hash); call "
+                    "prepare_quantile_inputs(df, metrics, ts_col) before aggregating"
+                )
+            s = _qsan(col)
+            if s in sketched:
+                continue  # one sketch per source column, shared by all its quantiles
+            sketched.add(s)
+            slot, pair = F.col(f"__q_{s}_slot"), F.col(f"__q_{s}_pair")
+            for i in range(quantile_slots):
+                hit = slot == i
+                _add(
+                    f"__p_qs_{s}__s{i}",
+                    F.min_by(F.when(hit, pair), F.when(hit, pair["h"])),
+                )
+        elif agg in ("sum", "min", "max"):
             _add(f"__p_{out}", _MERGE[agg](F.col(col)))
         elif agg == "count":
             _add(f"__p_{out}", F.count(F.col(col)))
@@ -104,12 +198,23 @@ def build_partial_aggs(metrics: dict, ts_col: str | None = None) -> list:
     return partial_aggs
 
 
-def build_merge_aggs(metrics: dict) -> list:
+def build_merge_aggs(metrics: dict, quantile_slots: int = DEFAULT_QUANTILE_SLOTS) -> list:
     """Re-aggregations that merge one level's partials into the next
     coarser level's partials (same column names in and out)."""
     out = []
+    merged: set[str] = set()
     for out_name, (agg, _col) in metrics.items():
-        if agg in ("sum", "count"):
+        if _parse_quantile(agg) is not None:
+            s = _qsan(_col)
+            if s in merged:
+                continue
+            merged.add(s)
+            for i in range(quantile_slots):
+                # slot minima merge associatively: min-of-mins by hash is
+                # exactly the sketch a direct build from raw would produce
+                c = f"__p_qs_{s}__s{i}"
+                out.append(F.min_by(F.col(c), F.col(c)["h"]).alias(c))
+        elif agg in ("sum", "count"):
             out.append(F.sum(f"__p_{out_name}").alias(f"__p_{out_name}"))
         elif agg in ("min", "max"):
             out.append(_MERGE[agg](f"__p_{out_name}").alias(f"__p_{out_name}"))
@@ -129,13 +234,34 @@ def build_merge_aggs(metrics: dict) -> list:
     return out
 
 
-def finalize_metric_cols(metrics: dict) -> list:
+def finalize_metric_cols(metrics: dict, quantile_slots: int = DEFAULT_QUANTILE_SLOTS) -> list:
     """Output columns deriving each requested metric from its partials
     (avg = carried sum/count, never average-of-averages; HLL estimated
-    at output only)."""
+    at output only; quantiles linearly interpolated over the sketch's
+    sorted sample, percentile_cont-style)."""
     cols = []
     for out_name, (agg, _col) in metrics.items():
-        if agg == "avg":
+        q = _parse_quantile(agg)
+        if q is not None:
+            s = _qsan(_col)
+            arr = F.array_sort(
+                F.filter(
+                    F.array(*[F.col(f"__p_qs_{s}__s{i}")["v"] for i in range(quantile_slots)]),
+                    lambda x: x.isNotNull(),
+                )
+            )
+            n = F.size(arr)
+            pos = F.lit(q) * (n - F.lit(1)).cast("double")
+            lo = F.floor(pos).cast("int")
+            frac = pos - lo.cast("double")
+            v_lo = F.get(arr, lo)  # F.get is 0-based and null-safe OOB (ANSI-proof)
+            v_hi = F.get(arr, F.least(lo + F.lit(1), n - F.lit(1)))
+            cols.append(
+                F.when(n == 0, F.lit(None).cast("double"))
+                .otherwise(v_lo + frac * (v_hi - v_lo))
+                .alias(out_name)
+            )
+        elif agg == "avg":
             cols.append(
                 (F.col(f"__p_{out_name}__sum") / F.col(f"__p_{out_name}__cnt")).alias(out_name)
             )
@@ -157,11 +283,12 @@ def time_rollup(
     bucket_col: str = "bucket",
     resolution_col: str = "resolution",
     cache_partials: bool = True,
+    quantile_slots: int = DEFAULT_QUANTILE_SLOTS,
 ) -> DataFrame:
     """Aggregates at every requested resolution, single raw scan.
 
     ``metrics``: out_name → (agg, col) with agg ∈
-    sum|count|min|max|avg|approx_distinct|first|last;
+    sum|count|min|max|avg|approx_distinct|first|last|approx_quantile:<q>;
     ``count`` counts non-null values of col (use ``avg``'s count or a
     non-null col for COUNT(*) shapes). ``first``/``last`` select the
     value at the earliest/latest ``ts_col`` in the bucket (ties broken
@@ -171,6 +298,16 @@ def time_rollup(
         time_rollup(trades, "ts", metrics={
             "open": ("first", "price"), "high": ("max", "price"),
             "low": ("min", "price"), "close": ("last", "price")})
+
+    ``approx_quantile:<q>`` (e.g. ``"p95": ("approx_quantile:0.95",
+    "latency")``) carries a deterministic mergeable bottom-hash sample
+    of ``quantile_slots`` rows per bucket (see
+    ``prepare_quantile_inputs``): exact quantiles do not merge across
+    buckets, but slot minima do, so every resolution answers from a
+    sketch identical to one built directly from raw rows (rank error
+    ~ sqrt(q(1-q)/k), ~6-9%% at the default k=64; raise
+    ``quantile_slots`` for tighter). Multiple quantiles of one column
+    share one sketch.
 
     Output = group_cols + bucket
     (truncated timestamp) + resolution (unit string) + metric columns,
@@ -203,8 +340,9 @@ def time_rollup(
         raise ValueError("metrics must be non-empty")
 
     validate_hll_inputs(df, metrics)
+    df = prepare_quantile_inputs(df, metrics, ts_col, quantile_slots)
     # partial (mergeable) state per metric at the finest level
-    partial_aggs = build_partial_aggs(metrics, ts_col=ts_col)
+    partial_aggs = build_partial_aggs(metrics, ts_col=ts_col, quantile_slots=quantile_slots)
 
     finest = order[0]
     level = (
@@ -219,14 +357,14 @@ def time_rollup(
         cols = [F.col(c) for c in group_cols]
         cols.append(F.col(bucket_col))
         cols.append(F.lit(unit).alias(resolution_col))
-        cols.extend(finalize_metric_cols(metrics))
+        cols.extend(finalize_metric_cols(metrics, quantile_slots=quantile_slots))
         return lv.select(*cols)
 
     outputs = [_finalize(level, finest)]
     for unit in order[1:]:
         level = (
             level.groupBy(F.date_trunc(unit, F.col(bucket_col)).alias(bucket_col), *group_cols)
-            .agg(*build_merge_aggs(metrics))
+            .agg(*build_merge_aggs(metrics, quantile_slots=quantile_slots))
         )
         outputs.append(_finalize(level, unit))
     return reduce(DataFrame.unionByName, outputs)

@@ -25,9 +25,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from duckdb_mongo_spark.ops.rollup import (
+    DEFAULT_QUANTILE_SLOTS,
     build_merge_aggs,
     build_partial_aggs,
     finalize_metric_cols,
+    prepare_quantile_inputs,
     validate_hll_inputs,
 )
 
@@ -50,11 +52,13 @@ def streaming_time_rollup(
     watermark: str = "10 minutes",
     bucket_col: str = "bucket",
     resolution_col: str = "resolution",
+    quantile_slots: int = DEFAULT_QUANTILE_SLOTS,
 ) -> dict[str, DataFrame]:
     """Multi-resolution streaming rollup over event time.
 
     ``metrics``: out_name → (agg, col), agg ∈
-    sum|count|min|max|avg|approx_distinct|first|last — identical
+    sum|count|min|max|avg|approx_distinct|first|last|approx_quantile:<q>
+    — identical
     contract to the batch ``time_rollup`` (avg carried as sum+count and
     finalized per level; approx_distinct carried as a DataSketches HLL
     sketch and unioned upward, because distinct counts do not sum but
@@ -86,19 +90,20 @@ def streaming_time_rollup(
     if not metrics:
         raise ValueError("metrics must be non-empty")
     validate_hll_inputs(stream, metrics)
+    stream = prepare_quantile_inputs(stream, metrics, ts_col, quantile_slots)
 
     wm = stream.withWatermark(ts_col, watermark)
     finest = order[0]
     level = wm.groupBy(
         F.window(F.col(ts_col), STREAM_RESOLUTIONS[finest]), *group_cols
-    ).agg(*build_partial_aggs(metrics, ts_col=ts_col))
+    ).agg(*build_partial_aggs(metrics, ts_col=ts_col, quantile_slots=quantile_slots))
 
     def _finalize(lv: DataFrame, unit: str) -> DataFrame:
         cols = [F.col(c) for c in group_cols]
         cols.append(F.col("window.start").alias(bucket_col))
         cols.append(F.col("window.end").alias(bucket_col + "_end"))
         cols.append(F.lit(unit).alias(resolution_col))
-        cols.extend(finalize_metric_cols(metrics))
+        cols.extend(finalize_metric_cols(metrics, quantile_slots=quantile_slots))
         return lv.select(*cols)
 
     out = {finest: _finalize(level, finest)}
@@ -108,6 +113,6 @@ def streaming_time_rollup(
         # and propagates the watermark through the chained stateful op
         level = level.groupBy(
             F.window(F.window_time("window"), STREAM_RESOLUTIONS[unit]), *group_cols
-        ).agg(*build_merge_aggs(metrics))
+        ).agg(*build_merge_aggs(metrics, quantile_slots=quantile_slots))
         out[unit] = _finalize(level, unit)
     return out

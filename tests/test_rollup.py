@@ -157,3 +157,92 @@ class TestTimeRollup:
             events, "ts", metrics={"n": ("count", "event_id")}, resolutions=["hour"]
         ).count()
         assert per_res["hour"] == direct  # not doubled
+
+
+class TestQuantileRollup:
+    """approx_quantile:<q> — deterministic mergeable bottom-hash sample.
+
+    Exact quantiles do not merge across buckets; the sketch's per-slot
+    hash minima do. Parity test proves merged == built-from-raw
+    bit-identically; accuracy test bounds the rank error vs DuckDB's
+    exact percentile_cont.
+    """
+
+    _M = {
+        "p50": ("approx_quantile:0.5", "value"),
+        "p95": ("approx_quantile:0.95", "value"),
+        "n": ("count", "event_id"),
+    }
+
+    def test_merge_path_equals_direct_build(self, events):
+        merged = time_rollup(
+            events, "ts", self._M, group_cols=["event_type"], resolutions=["hour", "day"]
+        ).filter(F.col("resolution") == "day")
+        direct = time_rollup(
+            events, "ts", self._M, group_cols=["event_type"], resolutions=["day"]
+        )
+        key = lambda r: (r["event_type"], str(r["bucket"]))
+        a = {key(r): (r["p50"], r["p95"], r["n"]) for r in merged.collect()}
+        b = {key(r): (r["p50"], r["p95"], r["n"]) for r in direct.collect()}
+        assert a == b  # bit-identical, not approximately equal
+        assert len(a) > 50
+
+    def test_rank_error_bounded_vs_exact(self, events, con):
+        out = time_rollup(
+            events, "ts", self._M, group_cols=["event_type"], resolutions=["year"]
+        )
+        got = {r["event_type"]: (r["p50"], r["p95"]) for r in out.collect()}
+        for et, (p50, p95) in got.items():
+            for q, est in ((0.5, p50), (0.95, p95)):
+                # fraction of values strictly below the estimate = its
+                # empirical rank; k=64 gives stderr ~6%, bound at 3 sigma
+                frac, = con.execute(
+                    "SELECT AVG(CASE WHEN value < ? THEN 1.0 ELSE 0.0 END) "
+                    "FROM events WHERE event_type = ?", [est, et]
+                ).fetchone()
+                assert abs(frac - q) < 0.2, (et, q, est, frac)
+
+    def test_small_buckets_interpolate_like_percentile_cont(self, spark, con):
+        # n <= slots and collision-free hashes: the sample IS the bucket,
+        # so linear interpolation must equal exact percentile_cont
+        rows = [("2024-01-01 00:00:%02d" % i, float(v)) for i, v in
+                enumerate([5, 1, 9, 3, 7])]
+        df = spark.createDataFrame(rows, "ts_s string, value double").select(
+            F.to_timestamp("ts_s").alias("ts"), "value"
+        )
+        out = time_rollup(
+            df, "ts", {"p50": ("approx_quantile:0.5", "value"),
+                       "p90": ("approx_quantile:0.9", "value")},
+            resolutions=["hour"], quantile_slots=512,
+        ).collect()
+        assert len(out) == 1 and out[0]["p50"] == 5.0
+        assert abs(out[0]["p90"] - 8.2) < 1e-9  # 7 + 0.6*(9-7)
+
+    def test_nulls_and_errors(self, spark, events):
+        from duckdb_mongo_spark.ops.rollup import build_partial_aggs
+
+        df = spark.createDataFrame(
+            [("2024-01-01 00:00:00", None)], "ts_s string, value double"
+        ).select(F.to_timestamp("ts_s").alias("ts"), "value")
+        out = time_rollup(
+            df, "ts", {"p50": ("approx_quantile:0.5", "value")}, resolutions=["hour"]
+        ).collect()
+        assert len(out) == 1 and out[0]["p50"] is None
+        with pytest.raises(ValueError, match="quantile must be in"):
+            time_rollup(events, "ts", {"x": ("approx_quantile:1.5", "value")},
+                        resolutions=["hour"])
+        with pytest.raises(ValueError, match="bad quantile"):
+            time_rollup(events, "ts", {"x": ("approx_quantile:oops", "value")},
+                        resolutions=["hour"])
+        with pytest.raises(ValueError, match="ts_col"):
+            build_partial_aggs({"x": ("approx_quantile:0.5", "value")})
+
+    def test_shared_sketch_per_source_column(self):
+        from duckdb_mongo_spark.ops.rollup import build_partial_aggs
+
+        aggs = build_partial_aggs(
+            {"p50": ("approx_quantile:0.5", "value"),
+             "p95": ("approx_quantile:0.95", "value")},
+            ts_col="ts", quantile_slots=16,
+        )
+        assert len(aggs) == 16  # ONE sketch, not one per quantile

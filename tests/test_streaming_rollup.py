@@ -39,6 +39,9 @@ _METRICS = {
     "av": ("avg", "v"),
     "op": ("first", "v"),
     "cl": ("last", "v"),
+    # tiny buckets: sketch == batch sketch exactly (shared builders),
+    # exercising streaming chained merge of the quantile slot structs
+    "p50": ("approx_quantile:0.5", "v"),
 }
 
 
@@ -81,7 +84,7 @@ def _run_pass(spark, stream_dir, tmp_path, tag):
 def _collect(spark, unit):
     return {
         (r["k"], r["bucket"].isoformat(), r["resolution"]): (
-            r["n"], r["total"], r["mx"], round(r["av"], 9), r["op"], r["cl"],
+            r["n"], r["total"], r["mx"], round(r["av"], 9), r["op"], r["cl"], r["p50"],
         )
         for r in spark.sql(f"SELECT * FROM cagg_{unit}").collect()
         if r["k"] != "z"
@@ -96,7 +99,7 @@ def _batch_expected(spark, unit):
     out = time_rollup(df, "ts", _METRICS, group_cols=["k"], resolutions=[unit])
     return {
         (r["k"], r["bucket"].isoformat(), r["resolution"]): (
-            r["n"], r["total"], r["mx"], round(r["av"], 9), r["op"], r["cl"],
+            r["n"], r["total"], r["mx"], round(r["av"], 9), r["op"], r["cl"], r["p50"],
         )
         for r in out.collect()
     }

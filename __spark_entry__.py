@@ -1544,9 +1544,15 @@ _register(
 def _q_time_rollup(spark, sf_dir):
     """Hypertable rollup (ops/rollup.time_rollup): hour+day aggregates
     from ONE raw scan — coarser levels re-aggregate the finest level's
-    mergeable partials instead of re-scanning raw. Money-typed metric is
-    DECIMAL so partial re-aggregation is bit-exact vs direct-from-raw
-    (the oracle computes every level straight from the raw table)."""
+    mergeable partials instead of re-scanning raw. Money-typed metric
+    accumulates as DECIMAL so partial re-aggregation is bit-exact vs
+    direct-from-raw (the oracle computes every level straight from the
+    raw table), then SURFACES as DOUBLE per the repo's _dsum convention
+    (see module docstring): every ledger entry's output schema uses only
+    {DOUBLE, BIGINT, STRING, TIMESTAMP, DATE, BOOLEAN} so engines that
+    materialize DECIMAL differently (Decimal vs float64) hash alike.
+    Values here are <= 4 decimal digits with magnitude < 2^40, exactly
+    representable in double, so no precision is lost at the surface."""
     from pyspark.sql import functions as F
 
     from duckdb_mongo_spark.ops.rollup import time_rollup
@@ -1566,7 +1572,9 @@ def _q_time_rollup(spark, sf_dir):
         resolutions=["hour", "day"],
     )
     return (
-        out.withColumn("total", F.col("total").cast("decimal(38,4)"))
+        out.withColumn("total", F.col("total").cast("double"))
+        .withColumn("mn", F.col("mn").cast("double"))
+        .withColumn("mx", F.col("mx").cast("double"))
         # Column ORDER must match the oracle's SELECT order: the driver's
         # value hash is positional (r3 verdict — values were exact, order off).
         .select("resolution", "event_type", "bucket", "n", "total", "mn", "mx")
@@ -1580,16 +1588,16 @@ _register(
     """
     SELECT 'hour' AS resolution, event_type, date_trunc('hour', ts) AS bucket,
            COUNT(event_id) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total,
-           MIN(CAST(value AS DECIMAL(18,4))) AS mn,
-           MAX(CAST(value AS DECIMAL(18,4))) AS mx
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           CAST(MIN(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS mn,
+           CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS mx
     FROM events GROUP BY event_type, date_trunc('hour', ts)
     UNION ALL
     SELECT 'day' AS resolution, event_type, date_trunc('day', ts) AS bucket,
            COUNT(event_id) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total,
-           MIN(CAST(value AS DECIMAL(18,4))) AS mn,
-           MAX(CAST(value AS DECIMAL(18,4))) AS mx
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           CAST(MIN(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS mn,
+           CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS mx
     FROM events GROUP BY event_type, date_trunc('day', ts)
     ORDER BY resolution, event_type, bucket
     """,

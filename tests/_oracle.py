@@ -15,6 +15,29 @@ TABLES = [
 ]
 
 
+# Only these types may appear in a ledger entry's OUTPUT schema. DECIMAL is
+# deliberately absent: harnesses that fetch one engine through pandas/Arrow
+# materialize DECIMAL as float64 while the other side stays Decimal, so
+# '36.0' vs '36.0000' hash-differ with rows+schema still matching (the
+# r3/r4 q_time_rollup signature). Accumulate in DECIMAL internally, surface
+# as DOUBLE (the _dsum convention in __spark_entry__.py). FLOAT is absent
+# for the same reason (float32 repr drift), arrays/structs/maps/binary
+# because cross-engine ordering/encoding of nested values is unhashable.
+SURFACE_TYPES = {
+    "boolean", "tinyint", "smallint", "int", "bigint",
+    "double", "string", "date", "timestamp", "timestamp_ntz",
+}
+
+
+def lint_surface_schema(df):
+    """Return [(col, type), ...] for output columns outside SURFACE_TYPES."""
+    return [
+        (f.name, f.dataType.simpleString())
+        for f in df.schema.fields
+        if f.dataType.simpleString() not in SURFACE_TYPES
+    ]
+
+
 def duckdb_con(sf_dir: str):
     import duckdb
 
@@ -38,6 +61,46 @@ def _norm(v):
     if isinstance(v, list):
         return tuple(_norm(x) for x in v)
     return v
+
+
+def _strict_norm(v):
+    """Type-tagged normalization for the STRICT gate: surface-type drift
+    (Decimal vs float, int vs str) is a failure even when the tolerant
+    compare — which collapses Decimal->float — would still pass. This is
+    the r4 blind spot: q_time_rollup was value-exact under the tolerant
+    compare for two rounds while the driver's hash (which materializes
+    each engine's surface type differently) stayed red. Decimals keep
+    their scale ('36.0000' != '36.0'); floats keep the tolerant 9-digit
+    round (cross-engine double aggregation is round-trip-stable at that
+    precision, and the 49 double-surfaced entries prove it driver-green).
+    """
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, Decimal):
+        return ("decimal", str(v))
+    if isinstance(v, _dt.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, _dt.date):
+        return ("date", v.isoformat())
+    if isinstance(v, float):
+        return ("double", "NaN" if math.isnan(v) else repr(round(v, 9)))
+    if isinstance(v, int):
+        return ("int", repr(v))
+    if isinstance(v, (list, tuple)):
+        return ("array", tuple(_strict_norm(x) for x in v))
+    if isinstance(v, (bytes, bytearray)):
+        return ("bytes", bytes(v).hex())
+    if v is None:
+        return ("null", "")
+    return (type(v).__name__, str(v))
+
+
+def strict_rows_key(rows):
+    """Positional (no column re-sort), type-exact row key. Rows are still
+    sorted (ORDER BY ties are engine-dependent) but by their full
+    normalized repr, so any value or type difference surfaces."""
+    normed = [tuple(_strict_norm(v) for v in r) for r in rows]
+    return sorted(normed, key=str)
 
 
 def _sortable(v):
@@ -77,6 +140,11 @@ def compare(spark_df, con, sql) -> dict:
     if not out["value_match"]:
         diffs = [(x, y) for x, y in zip(a, b) if x != y]
         out["first_diffs"] = diffs[:3]
+    sa = strict_rows_key([tuple(r) for r in spark_rows])
+    sb = strict_rows_key(duck_rows)
+    out["strict_match"] = sa == sb
+    if out["value_match"] and not out["strict_match"]:
+        out["first_diffs"] = [(x, y) for x, y in zip(sa, sb) if x != y][:3]
     return out
 
 
@@ -118,7 +186,7 @@ if __name__ == "__main__":
     ok = 0
     for name, r in res.items():
         status = (
-            "OK" if r.get("value_match")
+            "OK" if r.get("value_match") and r.get("strict_match")
             else ("ROWS_ONLY" if r.get("rows_only") else "FAIL")
         )
         ok += status == "OK"

@@ -34,6 +34,18 @@ class TestEntryLedger:
         }
         assert not bad, bad
 
+    def test_all_entries_strict_match(self, ledger):
+        # Positional, type-exact compare (tests/_oracle.strict_rows_key):
+        # the tolerant compare collapses Decimal->float, which is exactly
+        # the normalization that hid the r3/r4 q_time_rollup driver-hash
+        # failure. Surface-type drift must fail HERE, not at the driver.
+        bad = {
+            k: v.get("first_diffs", "strict mismatch")
+            for k, v in ledger.items()
+            if not (v.get("strict_match") or v.get("rows_only"))
+        }
+        assert not bad, bad
+
     def test_ledger_size_is_driver_cap(self, ledger):
         # the driver records at most 50 entries; keep queries() exactly
         # there so every entry stays oracle-proven (adding one silently

@@ -371,9 +371,13 @@ def _window_bounds(window, i: int, n: int) -> tuple[int, int]:
             return i
         return i + int(v)
 
-    start = max(0, _edge(lo, 0))
+    # clamp start into [0, n] BEFORE resolving the empty-window case: a
+    # window lying entirely past the partition end (e.g. documents [2,5]
+    # at the last row) must yield an EMPTY range, not a negative one
+    # (mongod returns 0 for $count there, not -1)
+    start = min(max(0, _edge(lo, 0)), n)
     end = min(n, _edge(hi, n - 1) + 1)
-    return start, min(max(start, end), n)
+    return start, max(start, end)
 
 
 def _set_window_fields(docs: list, spec: dict) -> list:
@@ -445,9 +449,16 @@ def _set_window_fields(docs: list, spec: dict) -> list:
                         continue
                     sub = list(_group(group[start:end],
                                       {"_id": None, out_name: {op: arg}}))
-                    new_fields[i][out_name] = (
-                        sub[0][out_name] if sub else (0 if op == "$sum" else None)
-                    )
+                    if sub:
+                        new_fields[i][out_name] = sub[0][out_name]
+                    elif op == "$sum":
+                        # mongod's empty-window identities: 0 for $sum,
+                        # [] for $push/$addToSet, null otherwise
+                        new_fields[i][out_name] = 0
+                    elif op in ("$push", "$addToSet"):
+                        new_fields[i][out_name] = []
+                    else:
+                        new_fields[i][out_name] = None
             else:
                 raise ValueError(f"unsupported window operator: {op}")
         for d, extra in zip(group, new_fields):
@@ -616,11 +627,12 @@ def run_pipeline(docs, pipeline, seed: int | None = None, collections=None):
                 raise ValueError("$bucketAuto buckets must be >= 1")
             if spec.get("granularity"):
                 raise ValueError("$bucketAuto granularity series not supported")
+            # null/missing groupBy values are KEPT: BSON sort order ranks
+            # null lowest (_OrderedVal), so they sort first and land in
+            # bucket 0 with min=null — mongod includes them in the first
+            # bucket rather than dropping them
             pairs = [(eval_expr(spec["groupBy"], d), d) for d in stream]
-            keyed = sorted(
-                (p for p in pairs if p[0] is not None),
-                key=lambda p: _OrderedVal(p[0]),
-            )
+            keyed = sorted(pairs, key=lambda p: _OrderedVal(p[0]))
             # even split into <= n buckets; adjacent equal groupBy values
             # never straddle a boundary (documents with equal keys land in
             # one bucket, per the documented $bucketAuto behavior)

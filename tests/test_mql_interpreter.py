@@ -624,6 +624,16 @@ class TestRound4DialectBatch:
         out = run_pipeline(docs, [{"$bucketAuto": {"groupBy": "$v", "buckets": 3}}])
         assert [d["count"] for d in out] == [4, 2]
 
+    def test_bucket_auto_null_keys_go_to_first_bucket(self):
+        # r4 advice (low): mongod INCLUDES null/missing groupBy values —
+        # they sort lowest (BSON order) and land in the first bucket,
+        # whose min is then null; previously they were silently dropped
+        docs = [{"v": None}, {"w": 1}, {"v": 1}, {"v": 2}, {"v": 3}, {"v": 4}]
+        out = run_pipeline(docs, [{"$bucketAuto": {"groupBy": "$v", "buckets": 3}}])
+        assert [d["count"] for d in out] == [2, 2, 2]
+        assert out[0]["_id"] == {"min": None, "max": 1}
+        assert out[-1]["_id"]["max"] == 4
+
     def test_bucket_auto_output_spec(self):
         docs = [{"v": i, "w": 10 * i} for i in range(4)]
         out = run_pipeline(docs, [{"$bucketAuto": {
@@ -734,6 +744,49 @@ class TestSetWindowFields:
                              "window": {"documents": ["unbounded", "current"]}}},
         }}])
         assert [d["c"] for d in out] == [1, 2, 3, 4]
+
+    def test_window_entirely_past_partition_end(self):
+        # r4 advice (medium): a documents window lying wholly past the
+        # partition end must be EMPTY — $count returned -1 on the last
+        # row ([2,5] at i=3 of 4) when start wasn't clamped before the
+        # max(start, end) resolution; mongod returns 0 there
+        docs = [{"v": i} for i in range(4)]
+        out = run_pipeline(docs, [{"$setWindowFields": {
+            "sortBy": {"v": 1},
+            "output": {
+                "c": {"$count": {}, "window": {"documents": [2, 5]}},
+                "s": {"$sum": "$v", "window": {"documents": [2, 5]}},
+            },
+        }}])
+        assert [d["c"] for d in out] == [2, 1, 0, 0]
+        assert [d["s"] for d in out] == [5, 3, 0, 0]
+        # same for a window wholly BEFORE the partition start
+        out = run_pipeline(docs, [{"$setWindowFields": {
+            "sortBy": {"v": 1},
+            "output": {"c": {"$count": {},
+                             "window": {"documents": [-5, -2]}}},
+        }}])
+        assert [d["c"] for d in out] == [0, 0, 1, 2]
+
+    def test_empty_window_accumulator_identities(self):
+        # r4 advice (low): mongod's empty-window identities are 0 for
+        # $sum, [] for $push/$addToSet, null for the rest
+        docs = [{"v": i} for i in range(3)]
+        out = run_pipeline(docs, [{"$setWindowFields": {
+            "sortBy": {"v": 1},
+            "output": {
+                "s": {"$sum": "$v", "window": {"documents": [1, 2]}},
+                "p": {"$push": "$v", "window": {"documents": [1, 2]}},
+                "st": {"$addToSet": "$v", "window": {"documents": [1, 2]}},
+                "a": {"$avg": "$v", "window": {"documents": [1, 2]}},
+                "mx": {"$max": "$v", "window": {"documents": [1, 2]}},
+            },
+        }}])
+        last = out[-1]
+        assert last["s"] == 0
+        assert last["p"] == [] and last["st"] == []
+        assert last["a"] is None and last["mx"] is None
+        assert out[0]["p"] == [1, 2]
 
     def test_rank_requires_sort_by(self):
         with pytest.raises(ValueError, match="requires sortBy"):

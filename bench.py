@@ -372,6 +372,66 @@ def _sf1_section(spark, qs, bench_queries, oracles, iters=3):
     return out
 
 
+def _sf10_text_section(spark, qs, oracles, iters=3):
+    """Floor-amortization evidence (r4 verdict item 3): the text/dedup
+    ops carry a fixed ~0.5 s mapInPandas+groupBy stage floor that at
+    sf1's 6 MB corpus already exceeds DuckDB's entire sub-second query —
+    the sf1 ratio is floor arithmetic, not kernel cost. This section
+    MEASURES the amortization claim instead of arguing it: a
+    documents-ONLY corpus at 100x sf0.1 (sf10-shaped, ~60 MB of text,
+    10x sf1) where data work dominates the floor. The claim verified:
+    per-op Spark/DuckDB ratios fall as sf rises (see BASELINE.md table).
+    """
+    import statistics
+
+    out_dir = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/sf10_docs")
+    src = "/root/testdata/sf0.1"
+    dst = os.path.join(out_dir, "documents.parquet")
+    srcf = os.path.join(src, "documents.parquet")
+    try:
+        if not (os.path.exists(dst)
+                and (not os.path.exists(srcf)
+                     or os.path.getmtime(dst) > os.path.getmtime(srcf))):
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools"))
+            from scale_testdata import scale
+
+            scale(src, out_dir, 100, only={"documents"})
+    except Exception as exc:  # noqa: BLE001 — scale evidence is auxiliary
+        print(f"# sf10 staging failed ({exc}); skipping", file=sys.stderr)
+        return None
+    names = ["text_analysis", "dedup_minhash_signatures", "dedup_simhash"]
+    con = _duckdb_connect(out_dir, oracles)
+    for name in names:  # warm both engines
+        qs[name](spark, out_dir).collect()
+        if con is not None and name in oracles:
+            con.execute(oracles[name]).fetchall()
+    timings, dk = {}, {}
+    sp_samples, dk_samples = {}, {}
+    for name in names:
+        samples, dsamples = [], []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            qs[name](spark, out_dir).collect()
+            samples.append(time.perf_counter() - t0)
+            if con is not None and name in oracles:
+                t0 = time.perf_counter()
+                con.execute(oracles[name]).fetchall()
+                dsamples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+        sp_samples[name] = samples
+        if dsamples:
+            dk[name] = round(statistics.median(dsamples), 3)
+            dk_samples[name] = dsamples
+    out = {"total_sec": round(sum(timings.values()), 3), "queries": timings}
+    if dk:
+        out["duckdb_total_sec"] = round(sum(dk.values()), 3)
+        out["duckdb_queries"] = dk
+        out["vs_duckdb"] = round(out["total_sec"] / out["duckdb_total_sec"], 2)
+        out.update(_ratio_stats(sp_samples, dk_samples))
+    return out
+
+
 def _duckdb_connect(sf_dir: str, oracles: dict):
     """Warm DuckDB connection over the staged files for interleaved
     sampling, or None when calibration is disabled/unavailable."""
@@ -537,6 +597,13 @@ def main() -> None:
                 out["sf1"] = sf1
         except Exception as exc:  # noqa: BLE001 — scale evidence is auxiliary
             print(f"# sf1 section failed: {exc}", file=sys.stderr)
+    if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_SF10"):
+        try:
+            sf10 = _sf10_text_section(spark, qs, oracles)
+            if sf10 is not None:
+                out["sf10_text"] = sf10
+        except Exception as exc:  # noqa: BLE001 — scale evidence is auxiliary
+            print(f"# sf10 section failed: {exc}", file=sys.stderr)
     # Two stdout lines: full detail first, then a COMPACT final line. The
     # driver machine-reads a ~2 kB tail of stdout; round 3's single giant
     # line (detail + sf1 + native sections) outgrew that tail and parsed as
@@ -554,6 +621,17 @@ def main() -> None:
     for k in ("duckdb_total_sec", "vs_duckdb", "vs_duckdb_paired", "vs_duckdb_trimmed"):
         if k in out:
             compact[k] = out[k]
+    # r4 verdict item 4: the sf1 stable statistics (and the sf10 text
+    # floor-amortization ratios) must reach the driver-visible tail, not
+    # just the truncated detail line
+    if "sf1" in out:
+        for src_k, dst_k in (("vs_duckdb", "sf1_vs_duckdb"),
+                             ("vs_duckdb_paired", "sf1_paired"),
+                             ("vs_duckdb_trimmed", "sf1_trimmed")):
+            if src_k in out["sf1"]:
+                compact[dst_k] = out["sf1"][src_k]
+    if "sf10_text" in out and "per_query_ratio" in out["sf10_text"]:
+        compact["sf10_text_ratio"] = out["sf10_text"]["per_query_ratio"]
     detail_line = json.dumps(out)
     final_line = json.dumps(compact, separators=(",", ":"))
     if detail_line != final_line:

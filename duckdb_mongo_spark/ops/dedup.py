@@ -317,9 +317,16 @@ def minhash_signatures_arrow(
     # genuinely starved inputs (1-2 scan splits) get repartitioned
     df = ensure_min_parallelism(df, min_partitions=_half_parallelism(df))
     n_digests = (k + 3) // 4
+    # the kernel surfaces RAW uint32 slice values (as longs): the grouped
+    # MIN over longs matches the hex form's lexicographic min (fixed-width
+    # hex of uint32 is order-isomorphic), the shuffle carries 8-byte ints
+    # instead of 8-char strings, and the hex rendering happens ONCE after
+    # the agg in whole-stage-codegen'd JVM (lower(lpad(hex(v)))) — the
+    # previous per-row Python "%08x" loop was rows*k string formats
+    # (4M at the sf10 corpus, ~2-4 core-s of pure formatting)
     out_schema = T.StructType(
         [T.StructField("__mh_id", df.schema[id_col].dataType)]
-        + [T.StructField(f"minhash_{i}", T.StringType()) for i in range(k)]
+        + [T.StructField(f"__mhv_{i}", T.LongType()) for i in range(k)]
     )
 
     def kernel(batches):
@@ -362,16 +369,21 @@ def minhash_signatures_arrow(
                 uniq.clear()
                 dig_rows.clear()
             out = {"__mh_id": pdf[id_col]}
-            hexed = [["%08x" % v for v in row] for row in mins.tolist()]
+            mins64 = mins.astype(np.int64)
             for i in range(k):
-                out[f"minhash_{i}"] = pd.Series(
-                    [row[i] for row in hexed], dtype="object"
-                )
+                out[f"__mhv_{i}"] = mins64[:, i]
             yield pd.DataFrame(out)
 
     per_row = df.select(id_col, text_col).mapInPandas(kernel, schema=out_schema)
-    return per_row.groupBy(F.col("__mh_id").alias(id_col)).agg(
-        *[F.min(f"minhash_{i}").alias(f"minhash_{i}") for i in range(k)]
+    agged = per_row.groupBy(F.col("__mh_id").alias(id_col)).agg(
+        *[F.min(f"__mhv_{i}").alias(f"__mhv_{i}") for i in range(k)]
+    )
+    return agged.select(
+        id_col,
+        *[
+            F.lower(F.lpad(F.hex(F.col(f"__mhv_{i}")), 8, "0")).alias(f"minhash_{i}")
+            for i in range(k)
+        ],
     )
 
 
@@ -401,14 +413,6 @@ def simhash_arrow(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> 
 
         md5 = hashlib.md5
         hv_cache: dict[str, int] = {}
-        # token hvs live in [0, 2^bits): precompute every value's bit row
-        # once (bits=16 → 4 MB int32) so the per-batch bit matrix is one
-        # fancy-indexed gather instead of Ntok×bits shift-and-mask ops
-        # (measured 0.84 s → ~0.1 s single-thread on 1.16M tokens)
-        bit_table = (
-            (np.arange(1 << 16, dtype=np.int64)[:, None]
-             >> np.arange(bits, dtype=np.int64)) & 1
-        ).astype(np.int32)  # hv is always a 16-bit md5 slice; bits ≤ 16 cols
         for pdf in batches:
             ids: list = []
             flat: list[int] = []
@@ -429,10 +433,14 @@ def simhash_arrow(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> 
                 hv_cache.clear()
             if ids:
                 arr = np.asarray(flat, dtype=np.int64)
-                bitmat = bit_table[arr]  # (Ntok, bits) gather
-                sums = np.add.reduceat(
-                    bitmat, np.asarray(bounds[:-1], dtype=np.int64), axis=0
-                ).astype(np.int64)
+                b0 = np.asarray(bounds[:-1], dtype=np.int64)
+                # per-bit shift-mask + reduceat: sequential passes over the
+                # Ntok vector beat a (Ntok, bits) bit-table gather 2.6x warm
+                # (0.026 vs 0.068 s / 465k tokens) and skip the gather's
+                # ~1.1 s cold first-touch of the 4 MB table per worker
+                sums = np.empty((len(b0), bits), dtype=np.int64)
+                for b in range(bits):
+                    sums[:, b] = np.add.reduceat((arr >> b) & 1, b0)
                 counts = np.diff(np.asarray(bounds, dtype=np.int64))
                 # per bit: +1 if set, -1 if clear == 2*popbit - n_tokens
                 mat = 2 * sums - counts[:, None]

@@ -41,24 +41,35 @@ FIXED_TABLES = ("region", "nation")
 ROW_GROUPS = 64
 
 
-def scale(src: str, out: str, factor: int) -> None:
+def scale(src: str, out: str, factor: int, only: set[str] | None = None) -> None:
+    """Scale ``src`` into ``out`` by ``factor``. ``only`` restricts to a
+    subset of tables (e.g. {"documents"} for the text-corpus-only sf10
+    used to measure floor amortization) — key domains touching excluded
+    tables still shift consistently for the included ones."""
     os.makedirs(out, exist_ok=True)
+    domains = {
+        dom: [(t, c) for t, c in cols if only is None or t in only]
+        for dom, cols in DOMAINS.items()
+    }
+    domains = {dom: cols for dom, cols in domains.items() if cols}
     offsets: dict[str, int] = {}
-    for dom, cols in DOMAINS.items():
+    for dom, cols in domains.items():
         hi = 0
         for table, col in cols:
             t = pq.read_table(os.path.join(src, f"{table}.parquet"), columns=[col])
             hi = max(hi, pc.max(t.column(col)).as_py() or 0)
         offsets[dom] = hi + 1
     shift_cols = {
-        table: {col: offsets[dom] for dom, cols in DOMAINS.items()
+        table: {col: offsets[dom] for dom, cols in domains.items()
                 for t2, col in cols if t2 == table}
-        for table in {t for cols in DOMAINS.values() for t, _ in cols}
+        for table in {t for cols in domains.values() for t, _ in cols}
     }
     for f in sorted(os.listdir(src)):
         if not f.endswith(".parquet"):
             continue
         name = f[:-8]
+        if only is not None and name not in only:
+            continue
         table = pq.read_table(os.path.join(src, f))
         if name in FIXED_TABLES:
             replicas = [table]
@@ -86,9 +97,12 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated table subset (e.g. documents)")
     args = ap.parse_args()
     out = args.out or f"/tmp/scaled_sf{args.factor}x"
-    scale(args.src, out, args.factor)
+    scale(args.src, out, args.factor,
+          only=set(args.only.split(",")) if args.only else None)
     print(out)
 
 

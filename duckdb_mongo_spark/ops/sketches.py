@@ -36,6 +36,7 @@ def heavy_hitters(
     col: str,
     k: int = 20,
     capacity: int | None = None,
+    max_candidates: int = 4_000_000,
 ) -> DataFrame:
     """Top-k most frequent values of ``col`` with EXACT counts, without a
     full-cardinality shuffle.
@@ -44,6 +45,15 @@ def heavy_hitters(
     are exact for every returned row. ``capacity`` (default ``max(8k,
     64)``) is the per-partition Misra–Gries counter budget; any value
     with global frequency > n/capacity is guaranteed to be a candidate.
+
+    ``max_candidates`` bounds the DRIVER-side cost of the verify pass:
+    the candidate set is at most partitions × capacity rows, and the
+    exact-count join broadcasts it (mirroring the semi-join ``max_keys``
+    pattern in frame.py). On a 100k-partition scan at default capacity
+    that upper bound is 16M rows — too big to broadcast — so past the
+    threshold the verify join degrades to a plain shuffle join instead:
+    identical results and guarantee, one extra shuffle of the (still
+    candidate-restricted) fact side, zero driver materialization.
     """
     import pandas as pd
 
@@ -83,8 +93,10 @@ def heavy_hitters(
         .distinct()
         .withColumnRenamed("value", col)
     )
+    candidate_bound = df.rdd.getNumPartitions() * capacity
+    build = F.broadcast(cands) if candidate_bound <= max_candidates else cands
     exact = (
-        df.join(F.broadcast(cands), col, "inner")
+        df.join(build, col, "inner")
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("count"))
     )

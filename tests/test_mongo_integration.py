@@ -274,6 +274,94 @@ def test_string_hex24_ids_are_not_objectids(backend, wire_colls):
                                  {"_id": "zzzznotmatching"}))
 
 
+@pytest.fixture(scope="module")
+def wire_edge_colls(backend):
+    """r4 advice item 7: Decimal128 non-finite/negative-zero vectors
+    (reference Decimal128 string parse accepts NaN/Inf/-0) and ObjectIds
+    nested inside arrays and sub-documents (reference renders ObjectIds
+    wherever they appear, not only at top level)."""
+    Decimal128, ObjectId = _wire_classes()
+    dec = backend.client[DB]["decimal_edge_test"]
+    dec.drop()
+    dec.insert_many([
+        {"_id": 1, "name": "nan", "amount": Decimal128("NaN")},
+        {"_id": 2, "name": "inf", "amount": Decimal128("Infinity")},
+        {"_id": 3, "name": "ninf", "amount": Decimal128("-Infinity")},
+        {"_id": 4, "name": "negzero", "amount": Decimal128("-0")},
+        {"_id": 5, "name": "plain", "amount": Decimal128("12.5")},
+    ])
+    nested = backend.client[DB]["objectid_nested_test"]
+    nested.drop()
+    a, b, c = (ObjectId("a" * 24), ObjectId("b" * 24), ObjectId("c" * 24))
+    nested.insert_many([
+        {"_id": 1, "refs": [a, b], "meta": {"owner": c}},
+        {"_id": 2, "refs": [c], "meta": {"owner": a}},
+    ])
+    yield {"hexes": ["a" * 24, "b" * 24, "c" * 24]}
+    dec.drop()
+    nested.drop()
+
+
+def test_decimal128_nonfinite_normalized(backend, wire_edge_colls):
+    """NaN/±Infinity/-0 Decimal128s cross the wire boundary as exact
+    decimal.Decimal values — sign and non-finite class preserved."""
+    from decimal import Decimal
+
+    docs = {d["name"]: d["amount"] for d in backend.find(DB, "decimal_edge_test")}
+    assert all(type(v) is Decimal for v in docs.values())
+    assert docs["nan"].is_nan()
+    assert docs["inf"].is_infinite() and docs["inf"] > 0
+    assert docs["ninf"].is_infinite() and docs["ninf"] < 0
+    assert docs["negzero"].is_zero() and docs["negzero"].is_signed()
+    assert docs["plain"] == Decimal("12.5")
+
+
+def test_decimal128_nonfinite_engine_scan(backend, wire_edge_colls):
+    """Engine scan over the non-finite vectors: amount -> DOUBLE with
+    IEEE NaN/±inf/-0.0 (the reference's Decimal128->double cast keeps
+    the same classes)."""
+    import math
+
+    from duckdb_mongo_spark import mongo_scan
+    from duckdb_mongo_spark.session import get_spark
+
+    spark = get_spark("mongo-it")
+    rows = {
+        r["name"]: r["amount"]
+        for r in mongo_scan(spark, backend, DB, "decimal_edge_test").df().collect()
+    }
+    assert math.isnan(rows["nan"])
+    assert rows["inf"] == math.inf and rows["ninf"] == -math.inf
+    assert rows["negzero"] == 0.0 and math.copysign(1.0, rows["negzero"]) == -1.0
+    assert rows["plain"] == 12.5
+
+
+def test_objectid_in_arrays_and_nested_docs(backend, wire_edge_colls):
+    """ObjectIds inside arrays and sub-documents normalize recursively
+    at the backend boundary (engine ObjectId, binary preserved) and the
+    engine scan renders them as 24-hex strings wherever they sit."""
+    from duckdb_mongo_spark import mongo_scan
+    from duckdb_mongo_spark.bsonlike import ObjectId as EngineOid
+    from duckdb_mongo_spark.session import get_spark
+
+    docs = {d["_id"]: d for d in backend.find(DB, "objectid_nested_test")}
+    for d in docs.values():
+        for r in d["refs"]:
+            assert type(r) is EngineOid
+        assert type(d["meta"]["owner"]) is EngineOid
+    assert [str(r) for r in docs[1]["refs"]] == ["a" * 24, "b" * 24]
+    assert str(docs[2]["meta"]["owner"]) == "a" * 24
+
+    spark = get_spark("mongo-it")
+    rows = {
+        r["_id"]: r
+        for r in mongo_scan(spark, backend, DB, "objectid_nested_test").df().collect()
+    }
+    assert rows[1]["meta_owner"] == "c" * 24
+    assert list(rows[1]["refs"]) == ["a" * 24, "b" * 24]
+    assert list(rows[2]["refs"]) == ["c" * 24]
+
+
 def test_objectid_filter_pushdown_coercion(backend, wire_colls):
     """Engine-level: C('_id') == '24hex' on an objectid column compiles
     to an ObjectId-typed $match (visible in scan_description), and the

@@ -10,7 +10,9 @@ in full by GIF89a appendix F, and JPEG is Huffman coding + an 8x8 IDCT
 decoder covering baseline sequential AND progressive (spectral selection,
 successive approximation with DC/AC refinement and EOB runs), stream-read
 Huffman/quant tables, 4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers.
-Only WebP (VP8 entropy coding) stays behind the documented stub boundary
+Lossless WebP (VP8L: Huffman + LZ77 + color cache + the four transforms,
+RFC 9649) decodes for real in ``ops/webp.py``; only LOSSY WebP (VP8
+entropy coding) remains behind the documented boundary
 (``multimodal.parse_image_header`` still reads its header metadata).
 
 Everything here reads/writes public file-format structure only (PNG
@@ -1256,9 +1258,9 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
 
 def decode_image(b: bytes) -> np.ndarray:
     """Dispatch on magic bytes -> uint8 pixel array. PNG, uncompressed
-    BMP, and GIF (first frame, in-repo LZW) decode for real; anything
-    else raises CodecError (JPEG/WebP entropy coding needs a codec
-    library)."""
+    BMP, GIF (first frame, in-repo LZW), JPEG (baseline + progressive)
+    and lossless WebP (VP8L) decode for real; lossy WebP (VP8 entropy
+    coding) is the remaining boundary and raises CodecError."""
     if len(b) >= 8 and b[:8] == _PNG_MAGIC:
         return decode_png(b)
     if len(b) >= 2 and b[:2] == b"BM":
@@ -1267,4 +1269,8 @@ def decode_image(b: bytes) -> np.ndarray:
         return decode_gif(b)
     if len(b) >= 3 and b[:2] == b"\xff\xd8":
         return decode_jpeg(b)
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from duckdb_mongo_spark.ops.webp import decode_webp
+
+        return decode_webp(b)
     raise CodecError("no in-repo pixel codec for this payload")

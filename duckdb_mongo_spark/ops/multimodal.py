@@ -13,11 +13,12 @@ Design for 100 TB media pipelines:
 - PIXEL/SAMPLE decode is REAL for the formats decodable without a codec
   library (``ops/codecs.py``): PNG (stdlib zlib), uncompressed BMP,
   GIF (in-repo LZW, first frame), PCM WAV, JPEG (baseline AND
-  progressive, in-repo T.81 Huffman+IDCT) — ``image_pixel_features``,
-  ``resize_image``, ``audio_pixel_features`` decode actual bytes to
-  numpy arrays. Only WebP's VP8 entropy coding still needs a codec
-  library; those payloads degrade to header-metadata-only (never crash
-  the pipeline). ``fake_decode_meta``
+  progressive, in-repo T.81 Huffman+IDCT), lossless WebP (in-repo VP8L,
+  RFC 9649) — ``image_pixel_features``, ``resize_image``,
+  ``audio_pixel_features`` decode actual bytes to numpy arrays. Only
+  LOSSY WebP's VP8 entropy coding still needs a codec library; those
+  payloads degrade to header-metadata-only (never crash the
+  pipeline). ``fake_decode_meta``
   remains the deterministic md5-derived stand-in for synthetic payloads
   so all Spark-side plumbing (schema, partitioning, UDF signatures,
   batch shapes) is testable without real media files.

@@ -634,3 +634,243 @@ class TestJpeg:
         assert (row["width"], row["height"], row["channels"]) == (24, 24, 3)
         assert row["mean_r"] == pytest.approx(float(img[..., 0].mean()), abs=2.0)
         assert row["luma_std"] is not None
+
+
+# ---------------------------------------------------------------------------
+# WebP lossless (VP8L) — round trips through the in-repo encoder plus
+# hand-assembled streams for the decoder paths the encoder never emits
+# (the four transforms and meta-Huffman groups), mirroring the JPEG test
+# strategy. All streams follow RFC 9649's lossless bitstream spec.
+# ---------------------------------------------------------------------------
+
+from duckdb_mongo_spark.ops import webp as W
+
+
+def _vp8l_container(bw) -> bytes:
+    payload = bytes([0x2F]) + bw.tobytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _argb_flat(rgba: np.ndarray) -> list[int]:
+    a = rgba.astype(np.uint32)
+    return (
+        (a[..., 3] << 24) | (a[..., 0] << 16) | (a[..., 1] << 8) | a[..., 2]
+    ).reshape(-1).tolist()
+
+
+def _header(bw, w, h):
+    bw.bits(w - 1, 14)
+    bw.bits(h - 1, 14)
+    bw.bits(1, 1)  # alpha hint
+    bw.bits(0, 3)  # version
+
+
+class TestWebpRoundTrip:
+    @pytest.mark.parametrize("shape", [(1, 1, 3), (3, 7, 4), (5, 5), (16, 16, 4)])
+    @pytest.mark.parametrize("rle,cache", [(False, 0), (True, 0), (True, 4), (False, 6)])
+    def test_round_trip_exact(self, shape, rle, cache):
+        arr = _rng(3).integers(0, 256, size=shape, dtype=np.uint8)
+        b = W.encode_webp_lossless(arr, use_rle=rle, cache_bits=cache)
+        out = W.decode_webp(b)
+        exp = arr if arr.ndim == 3 else np.stack([arr] * 3, axis=-1)
+        if exp.shape[2] == 3:
+            exp = np.dstack([exp, np.full(exp.shape[:2], 255, np.uint8)])
+        np.testing.assert_array_equal(out, exp)
+
+    def test_rle_both_distance_code_forms(self):
+        # runs of the previous pixel: once via the 120-entry 2-D map
+        # (plane 2 -> dist 1), once via the raw plane code 121
+        arr = np.repeat(
+            _rng(5).integers(0, 256, size=(4, 3, 4), dtype=np.uint8), 5, axis=1
+        )
+        a = W.encode_webp_lossless(arr, use_rle=True, rle_plane_codes=True)
+        b = W.encode_webp_lossless(arr, use_rle=True, rle_plane_codes=False)
+        np.testing.assert_array_equal(W.decode_webp(a), W.decode_webp(b))
+        np.testing.assert_array_equal(W.decode_webp(a)[..., :3], arr[..., :3])
+
+    def test_color_cache_hits_shrink_stream(self):
+        # a 2-color checkerboard: with an adequate cache every repeat
+        # pixel is a cache hit; stream must still decode bit-exactly
+        arr = np.zeros((8, 8, 4), np.uint8)
+        arr[::2, ::2] = [200, 10, 30, 255]
+        arr[1::2, 1::2] = [200, 10, 30, 255]
+        arr[arr[..., 3] == 0] = [5, 250, 100, 255]
+        plain = W.encode_webp_lossless(arr, use_rle=False, cache_bits=0)
+        cached = W.encode_webp_lossless(arr, use_rle=False, cache_bits=8)
+        np.testing.assert_array_equal(W.decode_webp(plain), W.decode_webp(cached))
+
+    def test_dispatch_via_decode_image(self):
+        arr = _rng(11).integers(0, 256, size=(6, 4, 4), dtype=np.uint8)
+        out = codecs.decode_image(W.encode_webp_lossless(arr))
+        np.testing.assert_array_equal(out, arr)
+
+    def test_lossy_vp8_raises(self):
+        body = b"\x00" * 10
+        chunk = b"VP8 " + struct.pack("<I", len(body)) + body
+        riff = b"WEBP" + chunk
+        blob = b"RIFF" + struct.pack("<I", len(riff)) + riff
+        with pytest.raises(codecs.CodecError, match="lossy"):
+            W.decode_webp(blob)
+
+    def test_bad_container_and_truncation(self):
+        with pytest.raises(codecs.CodecError):
+            W.decode_webp(b"RIFFxxxxNOPE")
+        good = W.encode_webp_lossless(np.zeros((4, 4, 3), np.uint8))
+        with pytest.raises(codecs.CodecError):
+            W.decode_webp(good[:20])
+
+
+class TestWebpTransforms:
+    """Hand-assembled VP8L streams for the four transforms: the encoder
+    never emits them, so each test applies the FORWARD transform to known
+    pixels, writes the transform header + residuals, and asserts the
+    decoder's inverse restores the original."""
+
+    def _decode(self, bw):
+        return W.decode_webp(_vp8l_container(bw))
+
+    def test_subtract_green(self):
+        rgba = _rng(21).integers(0, 256, size=(2, 4, 4), dtype=np.uint8)
+        residual = rgba.copy()
+        residual[..., 0] = (rgba[..., 0].astype(int) - rgba[..., 1]) % 256
+        residual[..., 2] = (rgba[..., 2].astype(int) - rgba[..., 1]) % 256
+        bw = W._BitWriter()
+        _header(bw, 4, 2)
+        bw.bits(1, 1)
+        bw.bits(2, 2)  # SUBTRACT_GREEN
+        bw.bits(0, 1)  # no more transforms
+        W._emit_pixels(bw, _argb_flat(residual), 4, False, 0, is_main=True)
+        np.testing.assert_array_equal(self._decode(bw), rgba)
+
+    @pytest.mark.parametrize("mode", list(range(14)))
+    def test_predictor_every_mode(self, mode):
+        rgba = _rng(31 + mode).integers(0, 256, size=(4, 4, 4), dtype=np.uint8)
+        px = _argb_flat(rgba)
+        w = h = 4
+        size_bits = 2  # one 4x4 block -> a single mode pixel
+        # forward: residual = pixel - predictor (per channel mod 256),
+        # with the spec edge rules (this mirrors the decoder's inverse)
+        res = [0] * (w * h)
+        dec = list(px)  # predictors see DECODED neighbors
+        for pos in range(w * h):
+            y, x = divmod(pos, w)
+            if pos == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = dec[pos - 1]
+            elif x == 0:
+                pred = dec[pos - w]
+            else:
+                L, T, TL = dec[pos - 1], dec[pos - w], dec[pos - w - 1]
+                TR = dec[pos - w + 1]
+                pred = {
+                    0: 0xFF000000, 1: L, 2: T, 3: TR, 4: TL,
+                    5: W._avg2(W._avg2(L, TR), T), 6: W._avg2(L, TL),
+                    7: W._avg2(L, T), 8: W._avg2(TL, T), 9: W._avg2(T, TR),
+                    10: W._avg2(W._avg2(L, TL), W._avg2(T, TR)),
+                    11: W._select(L, T, TL),
+                    12: W._clamp_add_sub_full(L, T, TL),
+                    13: W._clamp_add_sub_half(W._avg2(L, T), TL),
+                }[mode]
+            r = 0
+            for sh in (24, 16, 8, 0):
+                r |= ((((px[pos] >> sh) & 0xFF) - ((pred >> sh) & 0xFF)) & 0xFF) << sh
+            res[pos] = r
+        bw = W._BitWriter()
+        _header(bw, w, h)
+        bw.bits(1, 1)
+        bw.bits(0, 2)  # PREDICTOR
+        bw.bits(size_bits - 2, 3)
+        W._emit_pixels(bw, [(0xFF << 24) | (mode << 8)], 1, False, 0)
+        bw.bits(0, 1)
+        W._emit_pixels(bw, res, w, False, 0, is_main=True)
+        np.testing.assert_array_equal(self._decode(bw), rgba)
+
+    def test_color_transform(self):
+        rgba = _rng(41).integers(0, 256, size=(4, 4, 4), dtype=np.uint8)
+        g2r, g2b, r2b = 34, -20, 7  # signed 5.3-ish multipliers
+        def d(t, c):
+            return (t * W._i8(c & 0xFF)) >> 5
+        res = rgba.copy().astype(int)
+        for y in range(4):
+            for x in range(4):
+                red, green, blue = (int(rgba[y, x, 0]), int(rgba[y, x, 1]),
+                                    int(rgba[y, x, 2]))
+                res[y, x, 0] = (red - d(g2r, green)) % 256
+                res[y, x, 2] = (blue - d(g2b, green) - d(r2b, red)) % 256
+        elem = (0xFF << 24) | ((r2b & 0xFF) << 16) | ((g2b & 0xFF) << 8) | (g2r & 0xFF)
+        bw = W._BitWriter()
+        _header(bw, 4, 4)
+        bw.bits(1, 1)
+        bw.bits(1, 2)  # COLOR
+        bw.bits(3 - 2, 3)  # size_bits=3: one element covers the image
+        W._emit_pixels(bw, [elem], 1, False, 0)
+        bw.bits(0, 1)
+        W._emit_pixels(bw, _argb_flat(res.astype(np.uint8)), 4, False, 0,
+                       is_main=True)
+        np.testing.assert_array_equal(self._decode(bw), rgba)
+
+    @pytest.mark.parametrize("n_colors,xbits", [(2, 3), (4, 2), (12, 1), (40, 0)])
+    def test_color_indexing(self, n_colors, xbits):
+        rng = _rng(51 + n_colors)
+        palette = rng.integers(0, 256, size=(n_colors, 4), dtype=np.uint8)
+        w, h = 8, 3
+        idx = rng.integers(0, n_colors, size=(h, w))
+        # palette stream is componentwise delta-coded
+        deltas = palette.astype(int)
+        deltas[1:] = (palette[1:].astype(int) - palette[:-1]) % 256
+        pal_px = _argb_flat(deltas.astype(np.uint8).reshape(1, n_colors, 4))
+        # bundle indices into the green channel of the packed image
+        packed_w = (w + (1 << xbits) - 1) >> xbits
+        idx_bits = 8 >> xbits
+        packed = [0] * (packed_w * h)
+        for y in range(h):
+            for x in range(w):
+                sh = (x & ((1 << xbits) - 1)) * idx_bits
+                packed[y * packed_w + (x >> xbits)] |= int(idx[y, x]) << (8 + sh)
+        bw = W._BitWriter()
+        _header(bw, w, h)
+        bw.bits(1, 1)
+        bw.bits(3, 2)  # COLOR_INDEXING
+        bw.bits(n_colors - 1, 8)
+        W._emit_pixels(bw, pal_px, n_colors, False, 0)
+        bw.bits(0, 1)
+        W._emit_pixels(bw, packed, packed_w, False, 0, is_main=True)
+        out = self._decode(bw)
+        # palette rows are (R,G,B,A); decode returns RGBA
+        np.testing.assert_array_equal(out, palette[idx])
+
+    def test_meta_huffman_two_groups(self):
+        # left half solid red via group 0, right half solid blue via
+        # group 1: meta image 2x1 selects per 4-pixel tile
+        w, h, meta_bits = 8, 2, 2
+        red = (0xFF << 24) | (0xC8 << 16) | (0x05 << 8) | 0x10
+        blue = (0xFF << 24) | (0x11 << 16) | (0x22 << 8) | 0xEE
+        bw = W._BitWriter()
+        _header(bw, w, h)
+        bw.bits(0, 1)  # no transforms
+        bw.bits(0, 1)  # no color cache
+        bw.bits(1, 1)  # meta-Huffman present
+        bw.bits(meta_bits - 2, 3)
+        # meta image (2x1): group index = (red << 8) | green
+        W._emit_pixels(bw, [0xFF000000, 0xFF000100], 2, False, 0)
+        groups = []
+        for solid in (red, blue):
+            g = W._write_huffman_code(bw, {(solid >> 8) & 0xFF: 1}, 280)
+            r = W._write_huffman_code(bw, {(solid >> 16) & 0xFF: 1}, 256)
+            b = W._write_huffman_code(bw, {solid & 0xFF: 1}, 256)
+            a = W._write_huffman_code(bw, {(solid >> 24) & 0xFF: 1}, 256)
+            d_ = W._write_huffman_code(bw, {0: 1}, 40)
+            groups.append((g, r, b, a, d_))
+        # all five codes are single-symbol (0-bit): the pixel stream
+        # itself is empty, the group selection fully determines pixels
+        out = self._decode(bw)
+        assert out.shape == (2, 8, 4)
+        np.testing.assert_array_equal(out[:, :4], np.tile(
+            np.array([0xC8, 0x05, 0x10, 0xFF], np.uint8), (2, 4, 1)))
+        np.testing.assert_array_equal(out[:, 4:], np.tile(
+            np.array([0x11, 0x22, 0xEE, 0xFF], np.uint8), (2, 4, 1)))

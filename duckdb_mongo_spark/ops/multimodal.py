@@ -318,10 +318,11 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 def image_pixel_features(df: DataFrame, media_col: str = "media") -> DataFrame:
     """REAL pixel decode + feature extraction for PNG / uncompressed BMP /
-    GIF / JPEG (baseline + progressive) payloads (in-repo stdlib+numpy
-    codec, ``ops/codecs.py``): per-channel means, Rec.601 luma mean/std,
-    aspect ratio. Payloads the in-repo codec can't decode (WebP) yield
-    null features but still get mime via header parse.
+    GIF / JPEG (baseline + progressive) / lossless-WebP payloads (in-repo
+    stdlib+numpy codecs, ``ops/codecs.py`` + ``ops/webp.py``):
+    per-channel means, Rec.601 luma mean/std, aspect ratio. Payloads the
+    in-repo codec can't decode (lossy WebP) yield null features but
+    still get mime + dimensions via header parse.
 
     Arrow-batched ``mapInPandas``; output = input schema minus payload
     plus IMAGE_FEATURES_SCHEMA. Grayscale images report the gray mean in

@@ -708,6 +708,21 @@ class TestWebpRoundTrip:
         out = codecs.decode_image(W.encode_webp_lossless(arr))
         np.testing.assert_array_equal(out, arr)
 
+    def test_image_pixel_features_covers_vp8l(self, spark):
+        from duckdb_mongo_spark.ops import multimodal
+
+        img = _rng(13).integers(0, 256, size=(12, 9, 3), dtype=np.uint8)
+        b = W.encode_webp_lossless(img)
+        df = spark.createDataFrame([(1, b)], "id long, payload binary")
+        df = multimodal.attach_media_column(
+            df, "payload", mime="image/webp"
+        ).drop("payload")
+        row = multimodal.image_pixel_features(df).collect()[0]
+        assert row["mime"] == "image/webp"
+        assert (row["width"], row["height"], row["channels"]) == (9, 12, 4)
+        assert row["mean_r"] == pytest.approx(float(img[..., 0].mean()), abs=1e-6)
+        assert row["luma_std"] is not None
+
     def test_lossy_vp8_raises(self):
         body = b"\x00" * 10
         chunk = b"VP8 " + struct.pack("<I", len(body)) + body

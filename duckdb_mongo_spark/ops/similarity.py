@@ -12,6 +12,10 @@ Spark-first design:
   brute force would cross-join.
 - ``embedding_near_dup_pairs`` — cosine ≥ threshold pairs via bucketed
   self-join (embedding-cosine near-dup for dedup pipelines).
+- ``pq_train`` / ``pq_encode`` / ``pq_topk`` — product quantization:
+  m-byte codes instead of full float vectors (the 100 TB storage +
+  scan-bandwidth path), asymmetric-distance top-k with per-partition
+  pruning so the shuffle is bounded at partitions × |Q| × k.
 
 Doubles all the way (cast from float) so DuckDB oracles match; scores
 rounded to 6.
@@ -330,6 +334,234 @@ def ivf_topk(
         F.round(cosine(F.col("qv"), F.col("cv")), ROUND).alias("score"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("c_id").alias(c_id), "score", "rank")
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 256,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    seed: int = 42,
+    fit_sample_size: int = 100_000,
+    iters: int = 10,
+):
+    """Train a product quantizer: split the embedding dimension into
+    ``m`` subspaces and run seeded Lloyd k-means (``n_codes`` centroids)
+    per subspace on a bounded, deterministic sample.
+
+    Returns a list of ``m`` float64 ndarrays, codebooks[j] of shape
+    (k_j, dsub_j) — uneven subspace widths are allowed (``array_split``).
+
+    Scale contract (same stance as ``ivf_index``): the ONLY driver-side
+    job is the ``orderBy(id).limit(fit_sample_size)`` sample collect —
+    a 100 TB corpus never feeds k-means. Training is pure numpy on the
+    driver (m × k × dsub work, independent of corpus size).
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(c_id).alias("i"), _as_double(F.col(c_vec)).alias("v"))
+        .orderBy("i")
+        .limit(fit_sample_size)
+        .collect()
+    )
+    x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    if x.ndim != 2 or x.shape[0] == 0:
+        raise ValueError("pq_train needs a non-empty fixed-dim embedding column")
+    if m < 1 or m > x.shape[1]:
+        raise ValueError("m must be in [1, dim]")
+    rng = np.random.default_rng(seed)
+    codebooks = []
+    for sub in np.array_split(x, m, axis=1):
+        k = min(n_codes, sub.shape[0])
+        # seeded init on distinct rows; Lloyd with empty-cluster re-seed
+        # to the farthest point (deterministic given the seed)
+        cent = sub[rng.choice(sub.shape[0], size=k, replace=False)].copy()
+        for _ in range(iters):
+            d = (
+                (sub * sub).sum(1)[:, None]
+                - 2.0 * (sub @ cent.T)
+                + (cent * cent).sum(1)[None, :]
+            )
+            assign = d.argmin(1)
+            for j in range(k):
+                mask = assign == j
+                if mask.any():
+                    cent[j] = sub[mask].mean(0)
+                else:
+                    cent[j] = sub[d.min(1).argmax()]
+        codebooks.append(cent)
+    return codebooks
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``m`` uint8 code indices packed into ONE
+    BINARY column (m bytes/vector — e.g. 8 bytes instead of a 3 KB
+    float768 array; the 100 TB storage story for ANN).
+
+    Arrow-batched ``mapInPandas``: per subspace one (B×dsub)·(dsub×k)
+    GEMM + argmin. Output: (c_id, code binary).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if any(len(cb) > 256 for cb in codebooks):
+        raise ValueError("uint8 packing requires n_codes <= 256")
+    cb = [np.asarray(c, dtype=np.float64) for c in codebooks]
+    dims = [c.shape[1] for c in cb]
+    bounds = np.cumsum([0] + dims)
+
+    out_schema = T.StructType([
+        T.StructField("c_id", corpus.schema[c_id].dataType),
+        T.StructField("code", T.BinaryType()),
+    ])
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["cv"]], dtype=np.float64
+            )
+            codes = np.empty((x.shape[0], len(cb)), dtype=np.uint8)
+            for j, c in enumerate(cb):
+                sub = x[:, bounds[j]:bounds[j + 1]]
+                d = (
+                    (sub * sub).sum(1)[:, None]
+                    - 2.0 * (sub @ c.T)
+                    + (c * c).sum(1)[None, :]
+                )
+                codes[:, j] = d.argmin(1)
+            yield pd.DataFrame({
+                "c_id": pdf["c_id"],
+                "code": [row.tobytes() for row in codes],
+            })
+
+    c = ensure_min_parallelism(corpus).select(
+        F.col(c_id).alias("c_id"), _as_double(F.col(c_vec)).alias("cv")
+    )
+    return c.mapInPandas(kernel, schema=out_schema).withColumnRenamed("c_id", c_id)
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks,
+    k: int = 10,
+    metric: str = "ip",
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    code_col: str = "code",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC) over
+    PQ codes: per query, an (m × k) lookup table of partial scores
+    against the codebooks, then score(code) = Σ_j LUT[j, code[j]] — the
+    full vector is never touched after encoding.
+
+    ``metric``: "ip" (inner product, higher is better; equals the exact
+    dot product when quantization distortion is zero) or "l2" (squared
+    distance, lower is better).
+
+    Scale shape: the query side is collected/broadcast (it must be
+    broadcastable anyway, as in ``cosine_topk_vectorized``); each code
+    partition computes scores with numpy gathers and keeps only its own
+    top-k per query under the final total order, so the shuffle is
+    bounded at partitions × |Q| × k rows, never the corpus. The global
+    window over those partial winners is exact (each partition's top-k
+    under a total order contains every global winner).
+
+    Output: q_id, c_id, score (rounded), rank — deterministic
+    tie-break on c_id.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    if metric not in ("ip", "l2"):
+        raise ValueError("metric must be 'ip' or 'l2'")
+    cb = [np.asarray(c, dtype=np.float64) for c in codebooks]
+    dims = [c.shape[1] for c in cb]
+    bounds = np.cumsum([0] + dims)
+
+    q_rows = queries.select(q_id, q_vec).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.asarray([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
+    if q_mat.ndim != 2 or q_mat.shape[1] != bounds[-1]:
+        raise ValueError("query dim does not match the codebooks")
+    # LUTs[q, j, code]: partial score of query q's subvector j vs centroid
+    luts = np.zeros((len(q_ids), len(cb), max(c.shape[0] for c in cb)))
+    for j, c in enumerate(cb):
+        qs = q_mat[:, bounds[j]:bounds[j + 1]]
+        if metric == "ip":
+            luts[:, j, : c.shape[0]] = qs @ c.T
+        else:
+            luts[:, j, : c.shape[0]] = (
+                (qs * qs).sum(1)[:, None]
+                - 2.0 * (qs @ c.T)
+                + (c * c).sum(1)[None, :]
+            )
+
+    bigger_better = metric == "ip"
+    out_schema = T.StructType([
+        T.StructField("q_id", queries.schema[q_id].dataType),
+        T.StructField("c_id", codes.schema[c_id].dataType),
+        T.StructField("score", T.DoubleType()),
+    ])
+
+    def kernel(batches):
+        # per-PARTITION top-k per query (mapInPandas feeds all of a
+        # partition's batches to one generator): bounded emit
+        best: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            code_mat = np.frombuffer(
+                b"".join(pdf["code"]), dtype=np.uint8
+            ).reshape(len(pdf), len(cb))
+            scores = np.zeros((len(q_ids), len(pdf)))
+            for j in range(len(cb)):
+                scores += luts[:, j, :][:, code_mat[:, j]]
+            ids = pdf["c_id"].to_numpy()
+            for qi in range(len(q_ids)):
+                cur = best.setdefault(qi, [])
+                cur.extend(zip(np.round(scores[qi], ROUND).tolist(), ids.tolist()))
+                # keep the partition-local top-k under the final order
+                cur.sort(key=lambda t: (-t[0], t[1]) if bigger_better else t)
+                del cur[k:]
+        rows = {"q_id": [], "c_id": [], "score": []}
+        for qi, cur in best.items():
+            for score, cid in cur:
+                rows["q_id"].append(q_ids[qi])
+                rows["c_id"].append(cid)
+                rows["score"].append(score)
+        yield pd.DataFrame(rows, columns=["q_id", "c_id", "score"])
+
+    c = ensure_min_parallelism(codes).select(
+        F.col(c_id).alias("c_id"), F.col(code_col).alias("code")
+    )
+    scored = c.mapInPandas(kernel, schema=out_schema)
+    order = (
+        [F.col("score").desc(), F.col("c_id").asc()]
+        if bigger_better
+        else [F.col("score").asc(), F.col("c_id").asc()]
+    )
+    w = Window.partitionBy("q_id").orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -239,6 +239,80 @@ class TestSimilarity:
         b = similarity.ivf_topk(q, corpus, k=2, n_centroids=2, nprobe=2).collect()
         assert a == b
 
+    def test_pq_zero_distortion_equals_exact_dot(self, spark):
+        """When every distinct subvector gets its own centroid (n_codes
+        >= sample size), quantization distortion is zero and ip-PQ ADC
+        scores equal the exact dot products — a sharp oracle for the
+        whole train/encode/topk pipeline, not just a recall bound."""
+        import numpy as np
+
+        rng = np.random.default_rng(9)
+        vecs = rng.normal(size=(40, 8)).round(3)
+        corpus = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        qs = [(100 + i, [float(x) for x in vecs[i]]) for i in range(3)]
+        q = spark.createDataFrame(qs, "q_id long, q_vec array<double>")
+        books = similarity.pq_train(corpus, m=4, n_codes=64, fit_sample_size=1000)
+        codes = similarity.pq_encode(corpus, books)
+        out = similarity.pq_topk(q, codes, books, k=5, metric="ip")
+        got = {(r["q_id"], r["rank"]): (r["vec_id"], r["score"]) for r in out.collect()}
+        exact = vecs @ vecs[:3].T  # (40, 3)
+        for qi in range(3):
+            order = sorted(
+                range(40), key=lambda c: (-round(exact[c, qi], 6), c)
+            )[:5]
+            for rank, cid in enumerate(order, start=1):
+                gc, gs = got[(100 + qi, rank)]
+                assert gc == cid
+                assert gs == pytest.approx(exact[cid, qi], abs=1e-6)
+
+    def test_pq_l2_self_recovery_and_code_size(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(17)
+        # clustered corpus: PQ with modest codebooks must still return
+        # the query's own vector as the l2 top-1
+        centers = rng.normal(size=(4, 12)) * 5
+        vecs = np.concatenate(
+            [c + rng.normal(size=(10, 12)) * 0.05 for c in centers]
+        ).round(3)
+        corpus = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        q = spark.createDataFrame(
+            [(0, [float(x) for x in vecs[7]]), (1, [float(x) for x in vecs[33]])],
+            "q_id long, q_vec array<double>",
+        )
+        books = similarity.pq_train(corpus, m=6, n_codes=256)
+        codes = similarity.pq_encode(corpus, books)
+        rows = codes.collect()
+        assert all(len(r["code"]) == 6 for r in rows)  # m bytes per vector
+        out = similarity.pq_topk(q, codes, books, k=1, metric="l2").collect()
+        top1 = {r["q_id"]: r["vec_id"] for r in out}
+        assert top1 == {0: 7, 1: 33}
+
+    def test_pq_deterministic_and_validated(self, spark):
+        import numpy as np
+
+        vecs = np.arange(24, dtype=float).reshape(6, 4)
+        corpus = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        a = similarity.pq_train(corpus, m=2, n_codes=4, seed=5)
+        b = similarity.pq_train(corpus, m=2, n_codes=4, seed=5)
+        assert all((x == y).all() for x, y in zip(a, b))
+        with pytest.raises(ValueError, match="metric"):
+            similarity.pq_topk(
+                corpus.selectExpr("vec_id as q_id", "embedding as q_vec"),
+                similarity.pq_encode(corpus, a), a, metric="cosine",
+            )
+        with pytest.raises(ValueError, match="m must be"):
+            similarity.pq_train(corpus, m=9)
+
     def test_near_dup_pairs_exact(self, corpus):
         out = similarity.embedding_near_dup_pairs(corpus, threshold=0.95, exact=True)
         got = {(r["a"], r["b"]) for r in out.collect()}

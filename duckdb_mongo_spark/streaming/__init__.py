@@ -25,10 +25,11 @@ from pyspark.sql import functions as F
 
 from duckdb_mongo_spark.schema.infer import resolve_schema
 from duckdb_mongo_spark.schema.types import to_spark_schema
-from duckdb_mongo_spark.streaming import rollup, stateful, temporal
+from duckdb_mongo_spark.streaming import rollup, sketches, stateful, temporal
 
 __all__ = [
     "rollup",
+    "sketches",
     "stateful",
     "temporal",
     "document_stream",

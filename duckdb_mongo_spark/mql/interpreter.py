@@ -2,8 +2,9 @@
 
 Executes the pipeline dialect our pushdown planner emits —
 ``$match $project $addFields $group $sort $skip $limit $count $sample
-$unwind $lookup $replaceRoot/$replaceWith $sortByCount $facet
-$bucket`` — against an iterable of Python-dict documents. This is the
+$unwind $lookup $graphLookup $replaceRoot/$replaceWith $sortByCount
+$facet $bucket $bucketAuto $setWindowFields $densify $fill $unset
+$unionWith`` — against an iterable of Python-dict documents. This is the
 hermetic stand-in for mongod: the reference ships pipelines to a real
 server (/root/reference/src/mongo_table_function.cpp:326-366); we execute
 the same dialect locally so every pushdown has an executable oracle.
@@ -469,6 +470,244 @@ def _set_window_fields(docs: list, spec: dict) -> list:
     return out_docs
 
 
+_FIXED_UNIT_MS = {
+    "millisecond": 1, "second": 1000, "minute": 60_000, "hour": 3_600_000,
+    "day": 86_400_000, "week": 604_800_000,
+}
+_MONTH_UNITS = {"month": 1, "quarter": 3, "year": 12}
+
+
+def _densify_add(v, step, unit):
+    """Advance a densify grid value by one step (numeric, fixed time
+    unit, or calendar month/quarter/year with day clamping)."""
+    import calendar
+    import datetime as dt
+
+    if unit is None:
+        return v + step
+    if unit in _FIXED_UNIT_MS:
+        return v + dt.timedelta(milliseconds=step * _FIXED_UNIT_MS[unit])
+    months = _MONTH_UNITS[unit] * int(step)
+    m = v.month - 1 + months
+    y, m = v.year + m // 12, m % 12 + 1
+    return v.replace(year=y, month=m, day=min(v.day, calendar.monthrange(y, m)[1]))
+
+
+def _densify(docs, spec):
+    """``$densify``: generate documents on a step grid of ``field`` so
+    gaps close. bounds: "full" (grid spans the global [min, max] in
+    every partition), "partition" (per-partition [min, max]), or an
+    explicit half-open [lo, hi). Generated docs carry only the partition
+    fields + the grid value; documents lacking the field pass through
+    first in input order. Output: partitions in first-appearance order,
+    docs sorted by the densify field within each."""
+    field = spec["field"]
+    rng = spec["range"]
+    step = rng["step"]
+    unit = rng.get("unit")
+    if unit is not None and unit not in _FIXED_UNIT_MS and unit not in _MONTH_UNITS:
+        raise ValueError(f"$densify: unsupported unit {unit!r}")
+    bounds = rng["bounds"]
+    part_fields = list(spec.get("partitionByFields") or [])
+    if (unit is None and not step > 0) or (unit is not None and int(step) <= 0):
+        raise ValueError("$densify: step must be positive")
+    docs = list(docs)
+    parts: dict = {}
+    part_vals: dict = {}
+    order: list = []
+    no_field: list = []
+    for d in docs:
+        v = get_path(d, field)
+        if v is MISSING or v is None:
+            no_field.append(d)
+            continue
+        pv = [get_path(d, f) for f in part_fields]
+        key = _freeze(pv)
+        if key not in parts:
+            parts[key] = []
+            part_vals[key] = pv
+            order.append(key)
+        parts[key].append(d)
+    all_vals = [
+        get_path(d, field) for ds in parts.values() for d in ds
+    ]
+    out = list(no_field)
+    explicit = isinstance(bounds, (list, tuple))
+    for key in order:
+        group = sorted(parts[key], key=lambda d: _OrderedVal(get_path(d, field)))
+        vals = [get_path(d, field) for d in group]
+        if explicit:
+            lo, hi = bounds
+        elif bounds == "full":
+            lo = min(all_vals, key=_OrderedVal)
+            hi = max(all_vals, key=_OrderedVal)
+        elif bounds == "partition":
+            lo, hi = vals[0], vals[-1]
+        else:
+            raise ValueError(f"$densify: invalid bounds {bounds!r}")
+        present = {_freeze(v) for v in vals}
+        generated = []
+        v = lo
+        # explicit bounds are half-open [lo, hi); computed bounds close
+        # at the existing max (which is itself a document)
+        while (compare_values(v, hi) or 0) < 0 or (not explicit and values_equal(v, hi)):
+            if _freeze(v) not in present:
+                g: dict = {}
+                for pf, pv in zip(part_fields, part_vals[key]):
+                    _set_path(g, pf, pv)
+                _set_path(g, field, v)
+                generated.append(g)
+            v = _densify_add(v, step, unit)
+        merged = group + generated
+        merged.sort(key=lambda d: _OrderedVal(get_path(d, field)))
+        out.extend(merged)
+    return out
+
+
+def _fill(docs, spec):
+    """``$fill``: fill null/missing output fields per partition —
+    constant/expression ``value``, ``locf`` (last observation carried
+    forward), or ``linear`` (interpolation over the single numeric
+    sortBy field). Output order: partitions in first-appearance order,
+    sortBy order within each (input order when no sortBy)."""
+    part_expr = spec.get("partitionBy")
+    part_fields = spec.get("partitionByFields")
+    sort_by = spec.get("sortBy")
+    output = spec["output"]
+    methods = {k: v for k, v in output.items()}
+    needs_sort = any("method" in c for c in methods.values())
+    if needs_sort and not sort_by:
+        raise ValueError("$fill: locf/linear require sortBy")
+    docs = list(docs)
+    parts: dict = {}
+    order: list = []
+    for d in docs:
+        if part_expr is not None:
+            key = _freeze(eval_expr(part_expr, d))
+        elif part_fields:
+            key = _freeze([get_path(d, f) for f in part_fields])
+        else:
+            key = None
+        if key not in parts:
+            parts[key] = []
+            order.append(key)
+        parts[key].append(d)
+    out_docs = []
+    for key in order:
+        group = [dict(d) for d in parts[key]]
+        if sort_by:
+            for field, direction in reversed(list(sort_by.items())):
+                group.sort(key=lambda d, f=field: _sort_key(d, f),
+                           reverse=(direction == -1))
+        for out_field, conf in methods.items():
+            if "value" in conf:
+                for d in group:
+                    cur = get_path(d, out_field)
+                    if cur is MISSING or cur is None:
+                        _set_path(d, out_field, eval_expr(conf["value"], d))
+            elif conf.get("method") == "locf":
+                last = None
+                for d in group:
+                    cur = get_path(d, out_field)
+                    if cur is MISSING or cur is None:
+                        if last is not None:
+                            _set_path(d, out_field, last)
+                    else:
+                        last = cur
+            elif conf.get("method") == "linear":
+                if len(sort_by) != 1:
+                    raise ValueError("$fill linear requires a single sortBy field")
+                (x_field, _), = sort_by.items()
+                xs = [get_path(d, x_field) for d in group]
+                known = [
+                    (i, float(get_path(d, out_field)))
+                    for i, d in enumerate(group)
+                    if get_path(d, out_field) is not MISSING
+                    and get_path(d, out_field) is not None
+                ]
+                for j, (i1, y1) in enumerate(known[1:], start=1):
+                    i0, y0 = known[j - 1]
+                    x0, x1 = float(xs[i0]), float(xs[i1])
+                    for i in range(i0 + 1, i1):
+                        if x1 == x0:
+                            continue
+                        y = y0 + (y1 - y0) * (float(xs[i]) - x0) / (x1 - x0)
+                        _set_path(group[i], out_field, y)
+                # nulls before the first / after the last known stay null
+            else:
+                raise ValueError(f"$fill: unsupported method in {conf!r}")
+        out_docs.extend(group)
+    return out_docs
+
+
+def _graph_lookup(docs, spec, collections):
+    """``$graphLookup``: breadth-first traversal over ``from``.
+    startWith values match ``connectToField`` at depth 0; each matched
+    doc's ``connectFromField`` values feed the next frontier. Results
+    are each foreign doc at its MINIMUM depth, ordered (depth, foreign
+    natural order) — a deterministic refinement of mongod's unspecified
+    order. ``restrictSearchWithMatch`` filters the foreign collection
+    up front; ``maxDepth`` bounds traversal; ``depthField`` annotates."""
+    if collections is None:
+        raise ValueError("$graphLookup requires a collection resolver")
+    from_docs = list(collections(spec["from"]))
+    restrict = spec.get("restrictSearchWithMatch")
+    if restrict:
+        from_docs = [d for d in from_docs if matches_filter(d, restrict)]
+    connect_to = spec["connectToField"]
+    connect_from = spec["connectFromField"]
+    as_field = spec["as"]
+    max_depth = spec.get("maxDepth")
+    depth_field = spec.get("depthField")
+    index: dict = {}
+    for i, fd in enumerate(from_docs):
+        tv = get_path(fd, connect_to)
+        if tv is MISSING:
+            continue
+        probes = [tv]
+        if isinstance(tv, list):
+            probes.extend(tv)
+        for p in probes:
+            index.setdefault(_canon_key(p), []).append(i)
+
+    def frontier_values(v):
+        if v is MISSING:
+            return []
+        return list(v) if isinstance(v, list) else [v]
+
+    out = []
+    for doc in docs:
+        start = eval_expr(spec["startWith"], doc)
+        frontier = frontier_values(start)
+        found: dict[int, int] = {}  # foreign index -> min depth
+        depth = 0
+        while frontier and (max_depth is None or depth <= max_depth):
+            hits = set()
+            for v in frontier:
+                hits.update(index.get(_canon_key(v), ()))
+            fresh = [i for i in sorted(hits) if i not in found]
+            if not fresh:
+                break
+            for i in fresh:
+                found[i] = depth
+            frontier = [
+                v for i in fresh for v in frontier_values(
+                    get_path(from_docs[i], connect_from)
+                )
+            ]
+            depth += 1
+        results = []
+        for i in sorted(found, key=lambda i: (found[i], i)):
+            fd = dict(from_docs[i])
+            if depth_field:
+                _set_path(fd, depth_field, found[i])
+            results.append(fd)
+        merged = dict(doc)
+        merged[as_field] = results
+        out.append(merged)
+    return out
+
+
 def run_pipeline(docs, pipeline, seed: int | None = None, collections=None):
     """Run an aggregation pipeline over an iterable of dict documents.
 
@@ -665,6 +904,12 @@ def run_pipeline(docs, pipeline, seed: int | None = None, collections=None):
             stream = iter(sorted(grouped, key=lambda g: _OrderedVal(g["_id"]["min"])))
         elif op == "$setWindowFields":
             stream = iter(_set_window_fields(list(stream), spec))
+        elif op == "$densify":
+            stream = iter(_densify(stream, spec))
+        elif op == "$fill":
+            stream = iter(_fill(stream, spec))
+        elif op == "$graphLookup":
+            stream = iter(_graph_lookup(list(stream), spec, collections))
         else:
             raise ValueError(f"unsupported pipeline stage: {op}")
     return list(stream)

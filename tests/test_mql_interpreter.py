@@ -797,3 +797,162 @@ class TestSetWindowFields:
         out = run_pipeline([{"v": 1}], [{"$setWindowFields": {
             "sortBy": {"v": 1}, "output": {"stats.total": {"$sum": "$v"}}}}])
         assert out == [{"v": 1, "stats": {"total": 1}}]
+
+
+class TestDensifyFillGraphLookup:
+    """r5 dialect growth: $densify / $fill / $graphLookup (public mongod
+    stage semantics; deterministic order refinements documented in the
+    implementations)."""
+
+    def test_densify_numeric_partition_bounds(self):
+        docs = [
+            {"k": "a", "x": 0}, {"k": "a", "x": 3},
+            {"k": "b", "x": 10}, {"k": "b", "x": 12},
+        ]
+        out = run_pipeline(docs, [{"$densify": {
+            "field": "x", "partitionByFields": ["k"],
+            "range": {"step": 1, "bounds": "partition"},
+        }}])
+        got = [(d["k"], d["x"]) for d in out]
+        assert got == [("a", 0), ("a", 1), ("a", 2), ("a", 3),
+                       ("b", 10), ("b", 11), ("b", 12)]
+        # generated docs carry ONLY partition fields + the grid value
+        gen = [d for d in out if d["x"] == 1]
+        assert gen == [{"k": "a", "x": 1}]
+
+    def test_densify_full_bounds_spans_partitions(self):
+        docs = [{"k": "a", "x": 0}, {"k": "b", "x": 2}]
+        out = run_pipeline(docs, [{"$densify": {
+            "field": "x", "partitionByFields": ["k"],
+            "range": {"step": 1, "bounds": "full"},
+        }}])
+        got = sorted((d["k"], d["x"]) for d in out)
+        assert got == [("a", 0), ("a", 1), ("a", 2),
+                       ("b", 0), ("b", 1), ("b", 2)]
+
+    def test_densify_explicit_bounds_half_open(self):
+        docs = [{"x": 5}]
+        out = run_pipeline(docs, [{"$densify": {
+            "field": "x", "range": {"step": 2, "bounds": [0, 7]},
+        }}])
+        assert [d["x"] for d in out] == [0, 2, 4, 5, 6]  # 7 excluded
+
+    def test_densify_time_units(self):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 31)
+        docs = [{"t": t0}, {"t": dt.datetime(2024, 4, 30)}]
+        out = run_pipeline(docs, [{"$densify": {
+            "field": "t", "range": {"step": 1, "unit": "month",
+                                    "bounds": "partition"},
+        }}])
+        # day clamps: Jan 31 -> Feb 29 (leap) -> Mar 29 -> Apr 29 + Apr 30 doc
+        assert [d["t"].strftime("%m-%d") for d in out] == [
+            "01-31", "02-29", "03-29", "04-29", "04-30"]
+        docs = [{"t": dt.datetime(2024, 1, 1, 0, 0, 0)},
+                {"t": dt.datetime(2024, 1, 1, 0, 3, 0)}]
+        out = run_pipeline(docs, [{"$densify": {
+            "field": "t", "range": {"step": 90, "unit": "second",
+                                    "bounds": "partition"},
+        }}])
+        assert [d["t"].strftime("%M:%S") for d in out] == ["00:00", "01:30", "03:00"]
+
+    def test_densify_missing_field_passes_through(self):
+        docs = [{"y": 1}, {"x": 0}, {"x": 2}]
+        out = run_pipeline(docs, [{"$densify": {
+            "field": "x", "range": {"step": 1, "bounds": "partition"}}}])
+        assert out[0] == {"y": 1}
+        assert [d["x"] for d in out[1:]] == [0, 1, 2]
+        with pytest.raises(ValueError, match="step"):
+            run_pipeline(docs, [{"$densify": {
+                "field": "x", "range": {"step": 0, "bounds": "partition"}}}])
+
+    def test_fill_value_and_locf(self):
+        docs = [
+            {"k": "a", "t": 1, "v": 5, "w": None},
+            {"k": "a", "t": 2, "v": None, "w": None},
+            {"k": "a", "t": 3, "v": 8, "w": 1},
+            {"k": "b", "t": 1, "v": None, "w": None},
+        ]
+        out = run_pipeline(docs, [{"$fill": {
+            "partitionByFields": ["k"], "sortBy": {"t": 1},
+            "output": {"v": {"method": "locf"}, "w": {"value": -1}},
+        }}])
+        a = [d for d in out if d["k"] == "a"]
+        assert [d["v"] for d in a] == [5, 5, 8]  # carried forward
+        assert [d["w"] for d in a] == [-1, -1, 1]
+        b = [d for d in out if d["k"] == "b"]
+        assert b[0]["v"] is None  # nothing observed yet stays null
+
+    def test_fill_linear_interpolation(self):
+        docs = [
+            {"t": 0, "v": 0.0}, {"t": 1, "v": None}, {"t": 3, "v": None},
+            {"t": 4, "v": 8.0}, {"t": 5, "v": None},
+        ]
+        out = run_pipeline(docs, [{"$fill": {
+            "sortBy": {"t": 1}, "output": {"v": {"method": "linear"}},
+        }}])
+        assert [d["v"] for d in out] == [0.0, 2.0, 6.0, 8.0, None]
+        with pytest.raises(ValueError, match="sortBy"):
+            run_pipeline(docs, [{"$fill": {
+                "output": {"v": {"method": "locf"}}}}])
+
+    GRAPH = [
+        {"_id": 1, "name": "root", "reports_to": None},
+        {"_id": 2, "name": "mid", "reports_to": "root"},
+        {"_id": 3, "name": "leaf_a", "reports_to": "mid"},
+        {"_id": 4, "name": "leaf_b", "reports_to": "mid"},
+        {"_id": 5, "name": "other", "reports_to": "stranger"},
+    ]
+
+    def _resolver(self):
+        return lambda name: {"people": [dict(d) for d in self.GRAPH]}[name]
+
+    def test_graph_lookup_bfs_with_depth(self):
+        out = run_pipeline(
+            [{"start": "mid"}],
+            [{"$graphLookup": {
+                "from": "people", "startWith": "$start",
+                "connectFromField": "reports_to", "connectToField": "name",
+                "as": "chain", "depthField": "d",
+            }}],
+            collections=self._resolver(),
+        )
+        chain = [(c["name"], c["d"]) for c in out[0]["chain"]]
+        assert chain == [("mid", 0), ("root", 1)]
+
+    def test_graph_lookup_downward_fanout_and_max_depth(self):
+        # reversed direction: who (transitively) reports to root?
+        base = [{"start": "root"}]
+        spec = {
+            "from": "people", "startWith": "$start",
+            "connectFromField": "name", "connectToField": "reports_to",
+            "as": "subs",
+        }
+        out = run_pipeline(base, [{"$graphLookup": dict(spec)}],
+                           collections=self._resolver())
+        assert [c["name"] for c in out[0]["subs"]] == ["mid", "leaf_a", "leaf_b"]
+        out = run_pipeline(
+            base, [{"$graphLookup": {**spec, "maxDepth": 0}}],
+            collections=self._resolver(),
+        )
+        assert [c["name"] for c in out[0]["subs"]] == ["mid"]
+
+    def test_graph_lookup_restrict_and_array_start(self):
+        out = run_pipeline(
+            [{"s": ["leaf_a", "stranger"]}],
+            [{"$graphLookup": {
+                "from": "people", "startWith": "$s",
+                "connectFromField": "reports_to", "connectToField": "name",
+                "as": "found",
+                "restrictSearchWithMatch": {"name": {"$ne": "root"}},
+            }}],
+            collections=self._resolver(),
+        )
+        assert [c["name"] for c in out[0]["found"]] == ["leaf_a", "mid"]
+
+    def test_graph_lookup_requires_resolver(self):
+        with pytest.raises(ValueError, match="resolver"):
+            run_pipeline([{"s": 1}], [{"$graphLookup": {
+                "from": "x", "startWith": "$s", "connectFromField": "a",
+                "connectToField": "b", "as": "out"}}])

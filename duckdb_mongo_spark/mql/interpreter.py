@@ -357,6 +357,31 @@ _WINDOW_ACCS = {"$sum", "$avg", "$min", "$max", "$push", "$count", "$first",
 _RANK_OPS = {"$rank", "$denseRank", "$documentNumber"}
 
 
+def _range_window_bounds(values, i: int, window) -> tuple[int, int]:
+    """Resolve a ``range: [lo, hi]`` window (bounds relative to the
+    current document's sortBy VALUE, inclusive both ends; ``unit`` maps
+    numeric deltas onto time sortBy fields) to [start, end) indexes over
+    the ascending-sorted ``values``."""
+    import bisect
+
+    lo, hi = window["range"]
+    unit = window.get("unit")
+    x = values[i]
+    if x is None:
+        return i, i  # null sort value: empty window (comparisons fail)
+
+    def edge(v):
+        if v == "current":
+            return x
+        if unit is not None:
+            return _densify_add(x, v, unit)
+        return x + v
+
+    start = 0 if lo == "unbounded" else bisect.bisect_left(values, edge(lo))
+    end = len(values) if hi == "unbounded" else bisect.bisect_right(values, edge(hi))
+    return start, max(start, end)
+
+
 def _window_bounds(window, i: int, n: int) -> tuple[int, int]:
     """Resolve a ``documents: [lo, hi]`` window to [start, end) row
     indexes around position ``i`` (defaults to the whole partition,
@@ -383,9 +408,11 @@ def _window_bounds(window, i: int, n: int) -> tuple[int, int]:
 
 def _set_window_fields(docs: list, spec: dict) -> list:
     """``$setWindowFields`` subset: partitionBy expression, sortBy doc,
-    document-based windows, the common accumulators plus $rank /
-    $denseRank / $documentNumber / $shift (range-based windows are not
-    supported). Output order: partitions in first-appearance order of
+    document-based AND range-based windows (range bounds relative to
+    the current doc's single ascending sortBy value, optional time
+    ``unit``), the common accumulators plus $rank / $denseRank /
+    $documentNumber / $shift. Output order: partitions in
+    first-appearance order of
     their key, documents sorted by sortBy within each (mongod guarantees
     sort only within the partition)."""
     part_by = spec.get("partitionBy")
@@ -442,8 +469,23 @@ def _set_window_fields(docs: list, spec: dict) -> list:
                         v = eval_expr(default, group[i]) if default is not None else None
                     new_fields[i][out_name] = v
             elif op in _WINDOW_ACCS:
+                is_range = bool(window) and "range" in window
+                if is_range:
+                    if not sort_by or len(sort_by) != 1:
+                        raise ValueError(
+                            "range window requires a single sortBy field")
+                    (sfield, sdir), = sort_by.items()
+                    if sdir != 1:
+                        raise ValueError("range window requires ascending sortBy")
+                    svals = [
+                        None if (v := get_path(d, sfield)) is MISSING else v
+                        for d in group
+                    ]
                 for i in range(n):
-                    start, end = _window_bounds(window, i, n)
+                    if is_range:
+                        start, end = _range_window_bounds(svals, i, window)
+                    else:
+                        start, end = _window_bounds(window, i, n)
                     if op == "$count":
                         # $count takes {} — rows in window
                         new_fields[i][out_name] = end - start

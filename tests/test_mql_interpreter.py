@@ -956,3 +956,47 @@ class TestDensifyFillGraphLookup:
             run_pipeline([{"s": 1}], [{"$graphLookup": {
                 "from": "x", "startWith": "$s", "connectFromField": "a",
                 "connectToField": "b", "as": "out"}}])
+
+
+class TestRangeWindows:
+    def test_numeric_range_window(self):
+        docs = [{"v": x} for x in (1, 2, 4, 7, 8)]
+        out = run_pipeline(docs, [{"$setWindowFields": {
+            "sortBy": {"v": 1},
+            "output": {"s": {"$sum": "$v", "window": {"range": [-1, 1]}}},
+        }}])
+        # inclusive both ends relative to each value
+        assert [d["s"] for d in out] == [3, 3, 4, 15, 15]
+
+    def test_range_window_current_and_unbounded(self):
+        docs = [{"v": x} for x in (1, 1, 2, 3)]
+        out = run_pipeline(docs, [{"$setWindowFields": {
+            "sortBy": {"v": 1},
+            "output": {
+                "peers": {"$count": {}, "window": {"range": ["current", "current"]}},
+                "cum": {"$sum": "$v", "window": {"range": ["unbounded", "current"]}},
+            },
+        }}])
+        assert [d["peers"] for d in out] == [2, 2, 1, 1]  # ties share a window
+        assert [d["cum"] for d in out] == [2, 2, 4, 7]
+
+    def test_time_unit_range_window(self):
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        docs = [{"t": t0 + dt.timedelta(minutes=m)} for m in (0, 1, 5, 6)]
+        out = run_pipeline(docs, [{"$setWindowFields": {
+            "sortBy": {"t": 1},
+            "output": {"c": {"$count": {},
+                             "window": {"range": [-2, 0], "unit": "minute"}}},
+        }}])
+        assert [d["c"] for d in out] == [1, 2, 1, 2]
+
+    def test_range_window_validation(self):
+        docs = [{"v": 1, "w": 2}]
+        with pytest.raises(ValueError, match="single sortBy"):
+            run_pipeline(docs, [{"$setWindowFields": {
+                "sortBy": {"v": 1, "w": 1},
+                "output": {"s": {"$sum": "$v", "window": {"range": [0, 1]}}}}}])
+        with pytest.raises(ValueError, match="ascending"):
+            run_pipeline(docs, [{"$setWindowFields": {
+                "sortBy": {"v": -1},
+                "output": {"s": {"$sum": "$v", "window": {"range": [0, 1]}}}}}])

@@ -6,7 +6,9 @@ documents to packed, sharded, verifiable training data:
     1. text analysis + quality scoring   (ops.text — JVM expressions only)
     2. exact dedup on content fingerprint, then MinHash-LSH near-dedup,
        keep each duplicate cluster's canonical member (ops.dedup —
-       bucketed candidates, never all-pairs)
+       bucketed candidates, never all-pairs); embedding decontamination
+       against eval probes via product-quantized ANN (ops.similarity —
+       m-byte PQ codes, never full vectors)
     3. deterministic train/val split     (ops.sampling — md5 buckets,
        reproducible across runs and engines)
     4. token-window chunking             (ops.chunking — zero-shuffle HOF)
@@ -35,7 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def run_pipeline(spark, sf_dir: str, out_dir: str, min_quality: float = 0.2):
     from pyspark.sql import functions as F
 
-    from duckdb_mongo_spark.ops import chunking, dedup, packing, sharding, text
+    from duckdb_mongo_spark.ops import chunking, dedup, packing, sharding, similarity, text
     from duckdb_mongo_spark.ops.sampling import hash_split
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -56,6 +58,25 @@ def run_pipeline(spark, sf_dir: str, out_dir: str, min_quality: float = 0.2):
         kept, "doc_id", "text", threshold=0.8, k=8, bands=4
     )
     deduped = dedup.dedup_keep_canonical(kept, pairs, "doc_id")
+
+    # 2c. embedding decontamination (ops.similarity PQ): compress the
+    #     corpus embeddings to m-byte PQ codes (the 100 TB ANN storage
+    #     path — codes instead of float vectors), then drop training
+    #     docs whose embedding is an ANN top-k hit for an eval probe.
+    #     Probes stand in for a held-out eval set; vec_id == doc_id in
+    #     the driver testdata.
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = similarity.pq_train(emb, m=4, n_codes=64)
+    codes = similarity.pq_encode(emb, books)
+    probes = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    contaminated = (
+        similarity.pq_topk(probes, codes, books, k=2, metric="ip")
+        .select(F.col("vec_id").alias("doc_id"))
+        .distinct()
+    )
+    deduped = deduped.join(F.broadcast(contaminated), "doc_id", "left_anti")
 
     # 3. deterministic split: one added column, no shuffle; stable under
     #    reruns and engine changes (md5 buckets, salted)

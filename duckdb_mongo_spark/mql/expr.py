@@ -156,6 +156,75 @@ def _type_rank(v):
     return 9
 
 
+_FIXED_UNIT_MS = {
+    "millisecond": 1, "second": 1000, "minute": 60_000, "hour": 3_600_000,
+    "day": 86_400_000, "week": 604_800_000,
+}
+_MONTH_UNITS = {"month": 1, "quarter": 3, "year": 12}
+# mongod's bin anchor for $dateTrunc fixed units
+_TRUNC_ANCHOR = _dt.datetime(2000, 1, 1)
+_WEEKDAYS = {
+    "monday": 0, "mon": 0, "tuesday": 1, "tue": 1, "wednesday": 2, "wed": 2,
+    "thursday": 3, "thu": 3, "friday": 4, "fri": 4, "saturday": 5, "sat": 5,
+    "sunday": 6, "sun": 6,
+}
+
+
+def _as_datetime(v):
+    if isinstance(v, _dt.datetime):
+        return v
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day)
+    raise ValueError(f"expected a date, got {type(v).__name__}")
+
+
+def date_add_unit(v, amount, unit):
+    """Date arithmetic shared by ``$dateAdd``/``$dateSubtract`` and the
+    interpreter's ``$densify`` grid: fixed units via timedelta,
+    month/quarter/year via calendar math with end-of-month clamping."""
+    import calendar
+
+    v = _as_datetime(v)
+    if unit in _FIXED_UNIT_MS:
+        return v + _dt.timedelta(milliseconds=amount * _FIXED_UNIT_MS[unit])
+    if unit not in _MONTH_UNITS:
+        raise ValueError(f"unsupported date unit {unit!r}")
+    months = _MONTH_UNITS[unit] * int(amount)
+    m = v.month - 1 + months
+    y, m = v.year + m // 12, m % 12 + 1
+    return v.replace(year=y, month=m, day=min(v.day, calendar.monthrange(y, m)[1]))
+
+
+def _date_trunc(v, unit, bin_size=1, start_of_week="sunday"):
+    v = _as_datetime(v)
+    bin_size = int(bin_size)
+    if bin_size < 1:
+        raise ValueError("binSize must be >= 1")
+    if unit in _FIXED_UNIT_MS and unit != "week":
+        step = _FIXED_UNIT_MS[unit] * bin_size
+        ms = int((v - _TRUNC_ANCHOR).total_seconds() * 1000)
+        floored = (ms // step) * step  # Python floor div: correct pre-2000
+        return _TRUNC_ANCHOR + _dt.timedelta(milliseconds=floored)
+    if unit == "week":
+        dow = _WEEKDAYS[str(start_of_week).lower()]
+        day = _dt.datetime(v.year, v.month, v.day)
+        back = (day.weekday() - dow) % 7
+        week_start = day - _dt.timedelta(days=back)
+        if bin_size == 1:
+            return week_start
+        anchor = _TRUNC_ANCHOR - _dt.timedelta(
+            days=(_TRUNC_ANCHOR.weekday() - dow) % 7
+        )
+        weeks = (week_start - anchor).days // 7
+        return anchor + _dt.timedelta(weeks=(weeks // bin_size) * bin_size)
+    if unit in _MONTH_UNITS:
+        per = _MONTH_UNITS[unit] * bin_size
+        months = (v.year - 2000) * 12 + (v.month - 1)
+        floored = (months // per) * per
+        return _dt.datetime(2000 + floored // 12, floored % 12 + 1, 1)
+    raise ValueError(f"unsupported $dateTrunc unit {unit!r}")
+
+
 def eval_expr(expr, doc):
     """Evaluate an aggregation expression against one document."""
     if isinstance(expr, str) and expr.startswith("$$"):
@@ -509,6 +578,254 @@ def eval_expr(expr, doc):
         v = _resolve(args[0], doc)
         name = bson_type_name(v)
         return {"int64": "long", "decimal128": "decimal"}.get(name, name)
+    if op in ("$millisecond", "$dayOfWeek", "$isoDayOfWeek", "$dayOfYear",
+              "$week", "$isoWeek", "$isoWeekYear"):
+        v = _resolve(args[0], doc)
+        if v is None:
+            return None
+        v = _as_datetime(v)
+        if op == "$millisecond":
+            return v.microsecond // 1000
+        if op == "$dayOfWeek":  # 1 = Sunday .. 7 = Saturday
+            return (v.weekday() + 1) % 7 + 1
+        if op == "$isoDayOfWeek":  # 1 = Monday .. 7 = Sunday
+            return v.weekday() + 1
+        if op == "$dayOfYear":
+            return v.timetuple().tm_yday
+        if op == "$week":  # weeks start Sunday; days before it are week 0
+            return int(v.strftime("%U"))
+        if op == "$isoWeek":
+            return v.isocalendar()[1]
+        return v.isocalendar()[0]
+    if op in ("$dateAdd", "$dateSubtract"):
+        start = _resolve(raw["startDate"], doc)
+        amount = _resolve(raw["amount"], doc)
+        if start is None or amount is None:
+            return None
+        if op == "$dateSubtract":
+            amount = -_num(amount)
+        return date_add_unit(start, _num(amount), raw["unit"])
+    if op == "$dateTrunc":
+        v = _resolve(raw["date"], doc)
+        if v is None:
+            return None
+        return _date_trunc(
+            v, raw["unit"],
+            bin_size=_num(_resolve(raw.get("binSize", 1), doc)),
+            start_of_week=raw.get("startOfWeek", "sunday"),
+        )
+    if op == "$dateDiff":
+        a = _resolve(raw["startDate"], doc)
+        b = _resolve(raw["endDate"], doc)
+        if a is None or b is None:
+            return None
+        unit = raw["unit"]
+        sow = raw.get("startOfWeek", "sunday")
+        # mongod counts unit BOUNDARIES crossed, not elapsed full units
+        ta = _date_trunc(a, unit, start_of_week=sow)
+        tb = _date_trunc(b, unit, start_of_week=sow)
+        if unit in _MONTH_UNITS:
+            months = (tb.year - ta.year) * 12 + (tb.month - ta.month)
+            return months // _MONTH_UNITS[unit]
+        ms = int((tb - ta).total_seconds() * 1000)
+        return ms // _FIXED_UNIT_MS[unit]
+    if op == "$toDate":
+        v = _resolve(args[0], doc)
+        if v is None:
+            return None
+        if isinstance(v, (_dt.date, _dt.datetime)):
+            return _as_datetime(v)
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return _dt.datetime(1970, 1, 1) + _dt.timedelta(milliseconds=_num(v))
+        s = str(v).replace("Z", "+00:00")
+        out = _dt.datetime.fromisoformat(s)
+        return out.replace(tzinfo=None) if out.tzinfo else out
+    if op == "$dateFromString":
+        s = _resolve(raw["dateString"], doc)
+        if s is None:
+            return _resolve(raw["onNull"], doc) if "onNull" in raw else None
+        try:
+            fmt = raw.get("format")
+            if fmt is None:
+                iso = str(s).replace("Z", "+00:00")
+                out = _dt.datetime.fromisoformat(iso)
+            else:
+                # %L (milliseconds) maps onto strptime's %f microseconds
+                out = _dt.datetime.strptime(str(s), fmt.replace("%L", "%f"))
+            return out.replace(tzinfo=None) if out.tzinfo else out
+        except ValueError:
+            if "onError" in raw:
+                return _resolve(raw["onError"], doc)
+            raise
+    if op in ("$sum", "$avg", "$min", "$max", "$stdDevPop", "$stdDevSamp"):
+        # EXPRESSION form (array / varargs), distinct from the $group
+        # accumulators of the same names
+        vals = [_resolve(a, doc) for a in args]
+        if len(vals) == 1 and isinstance(vals[0], list):
+            vals = vals[0]
+        nums = [
+            _num(v) for v in vals
+            if isinstance(v, (int, float, Decimal)) and not isinstance(v, bool)
+        ]
+        if op == "$sum":
+            return sum(nums) if nums else 0
+        if op == "$avg":
+            return sum(nums) / len(nums) if nums else None
+        if op in ("$min", "$max"):
+            cmp_vals = [v for v in vals if v is not None]
+            if not cmp_vals:
+                return None
+            pick = min if op == "$min" else max
+            return pick(cmp_vals, key=_sort_total)
+        if not nums or (op == "$stdDevSamp" and len(nums) < 2):
+            return None
+        mean = sum(nums) / len(nums)
+        m2 = sum((x - mean) ** 2 for x in nums)
+        return math.sqrt(m2 / (len(nums) if op == "$stdDevPop" else len(nums) - 1))
+    if op in ("$first", "$last"):
+        v = _resolve(args[0], doc)
+        if v is None:
+            return None
+        if not isinstance(v, list):
+            raise ValueError(f"{op} operand is not an array")
+        if not v:
+            return None
+        return v[0] if op == "$first" else v[-1]
+    if op == "$reverseArray":
+        v = _resolve(args[0], doc)
+        return None if v is None else list(reversed(v))
+    if op == "$sortArray":
+        arr = _resolve(raw["input"], doc)
+        if arr is None:
+            return None
+        sort_by = raw["sortBy"]
+        if isinstance(sort_by, dict):
+            out = list(arr)
+            for field, direction in reversed(list(sort_by.items())):
+                out.sort(
+                    key=lambda d, f=field: _sort_total(
+                        get_path(d, f) if isinstance(d, dict) else None
+                    ),
+                    reverse=(direction == -1),
+                )
+            return out
+        return sorted(arr, key=_sort_total, reverse=(sort_by == -1))
+    if op == "$mergeObjects":
+        out = {}
+        for a in args:
+            v = _resolve(a, doc)
+            if v is None:
+                continue
+            if not isinstance(v, dict):
+                raise ValueError("$mergeObjects operand is not a document")
+            out.update(v)
+        return out
+    if op == "$getField":
+        spec = raw if isinstance(raw, dict) else {"field": raw}
+        target = _resolve(spec["input"], doc) if "input" in spec else doc
+        if target is None:
+            return None
+        got = target.get(spec["field"], MISSING) if isinstance(target, dict) else MISSING
+        return None if got is MISSING else got
+    if op in ("$setField", "$unsetField"):
+        target = _resolve(raw["input"], doc)
+        if target is None:
+            return None
+        if not isinstance(target, dict):
+            raise ValueError(f"{op} input is not a document")
+        out = dict(target)
+        if op == "$unsetField":
+            out.pop(raw["field"], None)
+        else:
+            out[raw["field"]] = _resolve(raw["value"], doc)
+        return out
+    if op == "$regexMatch":
+        import re as _re
+
+        s = _resolve(raw["input"], doc)
+        if s is None:
+            return False
+        pattern = _resolve(raw["regex"], doc)
+        flags = 0
+        for ch in raw.get("options", ""):
+            flags |= {"i": _re.IGNORECASE, "m": _re.MULTILINE,
+                      "s": _re.DOTALL, "x": _re.VERBOSE}[ch]
+        return _re.search(pattern, str(s), flags) is not None
+    if op in ("$replaceOne", "$replaceAll"):
+        s = _resolve(raw["input"], doc)
+        find = _resolve(raw["find"], doc)
+        repl = _resolve(raw["replacement"], doc)
+        if s is None or find is None or repl is None:
+            return None
+        return str(s).replace(str(find), str(repl),
+                              1 if op == "$replaceOne" else -1)
+    if op == "$indexOfCP":
+        s = _resolve(args[0], doc)
+        if s is None:
+            return None
+        sub = str(_resolve(args[1], doc))
+        start = int(_num(_resolve(args[2], doc))) if len(args) > 2 else 0
+        end = int(_num(_resolve(args[3], doc))) if len(args) > 3 else len(str(s))
+        return str(s).find(sub, start, end)
+    if op in ("$ltrim", "$rtrim"):
+        s = _resolve(raw["input"], doc)
+        chars = raw.get("chars")
+        if s is None:
+            return None
+        return str(s).lstrip(chars) if op == "$ltrim" else str(s).rstrip(chars)
+    if op == "$toBool":
+        v = _resolve(args[0], doc)
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return v
+        if isinstance(v, (int, float, Decimal)):
+            return v != 0
+        return True  # mongod: any string/date/etc. converts to true
+    if op in ("$setEquals", "$setIsSubset"):
+        sets = [_resolve(a, doc) for a in args]
+        if any(s is None or not isinstance(s, list) for s in sets):
+            raise ValueError(f"{op} operands must be arrays")
+
+        def member(x, xs):
+            return any(values_equal(x, y) for y in xs)
+
+        if op == "$setIsSubset":
+            a, b = sets
+            return all(member(x, b) for x in a)
+        first = sets[0]
+        return all(
+            all(member(x, s) for x in first) and all(member(x, first) for x in s)
+            for s in sets[1:]
+        )
+    if op in ("$anyElementTrue", "$allElementsTrue"):
+        arr = _resolve(args[0], doc)
+        if not isinstance(arr, list):
+            raise ValueError(f"{op} operand must be an array")
+        test = any if op == "$anyElementTrue" else all
+        return test(_truthy(x) for x in arr)
+    if op == "$log":
+        v, base = _resolve(args[0], doc), _resolve(args[1], doc)
+        if v is None or base is None:
+            return None
+        return math.log(_num(v), _num(base))
+    if op in ("$sin", "$cos", "$tan", "$asin", "$acos", "$atan", "$sinh",
+              "$cosh", "$tanh", "$degreesToRadians", "$radiansToDegrees"):
+        v = _resolve(args[0], doc)
+        if v is None:
+            return None
+        fn = {
+            "$sin": math.sin, "$cos": math.cos, "$tan": math.tan,
+            "$asin": math.asin, "$acos": math.acos, "$atan": math.atan,
+            "$sinh": math.sinh, "$cosh": math.cosh, "$tanh": math.tanh,
+            "$degreesToRadians": math.radians, "$radiansToDegrees": math.degrees,
+        }[op]
+        return fn(_num(v))
+    if op == "$atan2":
+        a, b = _resolve(args[0], doc), _resolve(args[1], doc)
+        if a is None or b is None:
+            return None
+        return math.atan2(_num(a), _num(b))
     raise ValueError(f"unsupported aggregation expression operator: {op}")
 
 

@@ -18,7 +18,13 @@ from __future__ import annotations
 import random
 from decimal import Decimal as _Decimal
 
-from duckdb_mongo_spark.mql.expr import _type_rank, eval_expr
+from duckdb_mongo_spark.mql.expr import (
+    _FIXED_UNIT_MS,
+    _MONTH_UNITS,
+    _type_rank,
+    date_add_unit,
+    eval_expr,
+)
 from duckdb_mongo_spark.mql.match import (
     MISSING,
     compare_values,
@@ -512,27 +518,13 @@ def _set_window_fields(docs: list, spec: dict) -> list:
     return out_docs
 
 
-_FIXED_UNIT_MS = {
-    "millisecond": 1, "second": 1000, "minute": 60_000, "hour": 3_600_000,
-    "day": 86_400_000, "week": 604_800_000,
-}
-_MONTH_UNITS = {"month": 1, "quarter": 3, "year": 12}
-
-
 def _densify_add(v, step, unit):
-    """Advance a densify grid value by one step (numeric, fixed time
-    unit, or calendar month/quarter/year with day clamping)."""
-    import calendar
-    import datetime as dt
-
+    """Advance a densify grid value by one step (numeric, or the shared
+    date arithmetic used by $dateAdd — fixed units via timedelta,
+    month/quarter/year with day clamping)."""
     if unit is None:
         return v + step
-    if unit in _FIXED_UNIT_MS:
-        return v + dt.timedelta(milliseconds=step * _FIXED_UNIT_MS[unit])
-    months = _MONTH_UNITS[unit] * int(step)
-    m = v.month - 1 + months
-    y, m = v.year + m // 12, m % 12 + 1
-    return v.replace(year=y, month=m, day=min(v.day, calendar.monthrange(y, m)[1]))
+    return date_add_unit(v, step, unit)
 
 
 def _densify(docs, spec):

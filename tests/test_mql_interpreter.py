@@ -1000,3 +1000,127 @@ class TestRangeWindows:
             run_pipeline(docs, [{"$setWindowFields": {
                 "sortBy": {"v": -1},
                 "output": {"s": {"$sum": "$v", "window": {"range": [0, 1]}}}}}])
+
+
+class TestExpressionBatchR5:
+    """r5 expression-operator growth: date arithmetic, array aggregates,
+    regex/string ops, set predicates, trig/log."""
+
+    def _e(self, expr, doc=None):
+        from duckdb_mongo_spark.mql.expr import eval_expr
+        return eval_expr(expr, doc or {})
+
+    def test_date_parts(self):
+        d = {"t": dt.datetime(2024, 3, 10, 8, 30, 15, 250_000)}  # a Sunday
+        assert self._e({"$millisecond": "$t"}, d) == 250
+        assert self._e({"$dayOfWeek": "$t"}, d) == 1       # Sunday = 1
+        assert self._e({"$isoDayOfWeek": "$t"}, d) == 7    # Sunday = 7
+        assert self._e({"$dayOfYear": "$t"}, d) == 70
+        assert self._e({"$isoWeek": "$t"}, d) == 10
+        assert self._e({"$isoWeekYear": "$t"}, d) == 2024
+        assert self._e({"$week": "$t"}, d) == 10
+
+    def test_date_add_subtract(self):
+        d = {"t": dt.datetime(2024, 1, 31)}
+        assert self._e({"$dateAdd": {"startDate": "$t", "unit": "month",
+                                     "amount": 1}}, d) == dt.datetime(2024, 2, 29)
+        assert self._e({"$dateSubtract": {"startDate": "$t", "unit": "day",
+                                          "amount": 31}}, d) == dt.datetime(2023, 12, 31)
+        assert self._e({"$dateAdd": {"startDate": "$t", "unit": "hour",
+                                     "amount": 2}}, d) == dt.datetime(2024, 1, 31, 2)
+
+    def test_date_trunc_and_diff_boundary_semantics(self):
+        t = dt.datetime(2024, 5, 17, 14, 47, 3)
+        assert self._e({"$dateTrunc": {"date": t, "unit": "hour"}}) == \
+            dt.datetime(2024, 5, 17, 14)
+        assert self._e({"$dateTrunc": {"date": t, "unit": "quarter"}}) == \
+            dt.datetime(2024, 4, 1)
+        # 15-minute bins anchor at 2000-01-01 (mongod's anchor)
+        assert self._e({"$dateTrunc": {"date": t, "unit": "minute",
+                                       "binSize": 15}}) == \
+            dt.datetime(2024, 5, 17, 14, 45)
+        # week trunc, Monday start
+        assert self._e({"$dateTrunc": {"date": t, "unit": "week",
+                                       "startOfWeek": "monday"}}) == \
+            dt.datetime(2024, 5, 13)
+        # $dateDiff counts BOUNDARIES crossed, not elapsed periods
+        a, b = dt.datetime(2023, 12, 31, 23, 59), dt.datetime(2024, 1, 1, 0, 1)
+        assert self._e({"$dateDiff": {"startDate": a, "endDate": b,
+                                      "unit": "year"}}) == 1
+        assert self._e({"$dateDiff": {"startDate": a, "endDate": b,
+                                      "unit": "minute"}}) == 2
+
+    def test_to_date_and_date_from_string(self):
+        assert self._e({"$toDate": "2024-02-29T12:00:00Z"}) == \
+            dt.datetime(2024, 2, 29, 12)
+        assert self._e({"$toDate": 86_400_000}) == dt.datetime(1970, 1, 2)
+        assert self._e({"$dateFromString": {
+            "dateString": "17/05/2024", "format": "%d/%m/%Y"}}) == \
+            dt.datetime(2024, 5, 17)
+        assert self._e({"$dateFromString": {
+            "dateString": "bogus", "onError": None}}) is None
+
+    def test_array_aggregate_expressions(self):
+        d = {"xs": [3, 1, None, "skip", 2]}
+        assert self._e({"$sum": "$xs"}, d) == 6
+        assert self._e({"$avg": "$xs"}, d) == pytest.approx(2.0)
+        assert self._e({"$min": "$xs"}, d) == 1  # nulls ignored
+        assert self._e({"$max": "$xs"}, d) == "skip"  # strings rank above numbers
+        assert self._e({"$sum": [1, 2, 3]}) == 6  # varargs form
+        assert self._e({"$stdDevPop": [2.0, 4.0]}) == pytest.approx(1.0)
+        assert self._e({"$stdDevSamp": [2.0]}) is None
+        assert self._e({"$first": "$xs"}, d) == 3
+        assert self._e({"$last": "$xs"}, d) == 2
+        assert self._e({"$reverseArray": [[1, 2]]}) == [2, 1]
+
+    def test_sort_array(self):
+        assert self._e({"$sortArray": {"input": [3, 1, 2], "sortBy": 1}}) == [1, 2, 3]
+        assert self._e({"$sortArray": {"input": [3, 1, 2], "sortBy": -1}}) == [3, 2, 1]
+        docs = [{"a": 2}, {"a": 1}]
+        assert self._e({"$sortArray": {"input": docs, "sortBy": {"a": 1}}}) == \
+            [{"a": 1}, {"a": 2}]
+
+    def test_object_field_ops(self):
+        d = {"o": {"a": 1, "b": 2}}
+        assert self._e({"$mergeObjects": [{"a": 1}, {"b": 2}, {"a": 9}]}) == \
+            {"a": 9, "b": 2}
+        assert self._e({"$getField": {"field": "a", "input": "$o"}}, d) == 1
+        assert self._e({"$setField": {"field": "c", "input": "$o",
+                                      "value": 3}}, d) == {"a": 1, "b": 2, "c": 3}
+        assert self._e({"$unsetField": {"field": "a", "input": "$o"}}, d) == {"b": 2}
+
+    def test_string_ops(self):
+        assert self._e({"$regexMatch": {"input": "Hello", "regex": "^h",
+                                        "options": "i"}}) is True
+        assert self._e({"$regexMatch": {"input": "Hello", "regex": "^h"}}) is False
+        assert self._e({"$replaceOne": {"input": "aaa", "find": "a",
+                                        "replacement": "b"}}) == "baa"
+        assert self._e({"$replaceAll": {"input": "aaa", "find": "a",
+                                        "replacement": "b"}}) == "bbb"
+        assert self._e({"$indexOfCP": ["abcb", "b"]}) == 1
+        assert self._e({"$indexOfCP": ["abcb", "b", 2]}) == 3
+        assert self._e({"$indexOfCP": ["abc", "z"]}) == -1
+        assert self._e({"$ltrim": {"input": "xxab", "chars": "x"}}) == "ab"
+        assert self._e({"$rtrim": {"input": "abxx", "chars": "x"}}) == "ab"
+
+    def test_to_bool_and_set_predicates(self):
+        assert self._e({"$toBool": 0}) is False
+        assert self._e({"$toBool": 2.5}) is True
+        assert self._e({"$toBool": "false"}) is True  # any string -> true
+        assert self._e({"$toBool": None}) is None
+        assert self._e({"$setEquals": [[1, 2, 2], [2, 1]]}) is True
+        assert self._e({"$setEquals": [[1], [2, 1]]}) is False
+        assert self._e({"$setIsSubset": [[1, 2], [3, 2, 1]]}) is True
+        assert self._e({"$setIsSubset": [[4], [1]]}) is False
+        assert self._e({"$anyElementTrue": [[0, False, 1]]}) is True
+        assert self._e({"$allElementsTrue": [[1, True, "x"]]}) is True
+        assert self._e({"$allElementsTrue": [[1, 0]]}) is False
+
+    def test_math_batch(self):
+        import math
+        assert self._e({"$log": [8, 2]}) == pytest.approx(3.0)
+        assert self._e({"$sin": 0}) == 0.0
+        assert self._e({"$cos": 0}) == 1.0
+        assert self._e({"$atan2": [1, 1]}) == pytest.approx(math.pi / 4)
+        assert self._e({"$degreesToRadians": 180}) == pytest.approx(math.pi)
+        assert self._e({"$radiansToDegrees": math.pi}) == pytest.approx(180.0)

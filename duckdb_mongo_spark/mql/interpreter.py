@@ -742,17 +742,71 @@ def _graph_lookup(docs, spec, collections):
     return out
 
 
-def run_pipeline(docs, pipeline, seed: int | None = None, collections=None):
+def _merge_stage(stream, spec, collections, collection_sink):
+    """``$merge``: upsert the pipeline's output into a target collection.
+    on-key default ``_id``; whenMatched replace|keepExisting|merge|fail;
+    whenNotMatched insert|discard|fail. Returns the full post-merge
+    collection content, which is written through ``collection_sink``."""
+    if collection_sink is None:
+        raise ValueError("$merge requires a collection sink (writable store)")
+    into = spec["into"] if isinstance(spec, dict) else spec
+    if isinstance(into, dict):
+        into = into["coll"]
+    on = (spec.get("on", "_id") if isinstance(spec, dict) else "_id")
+    on_fields = [on] if isinstance(on, str) else list(on)
+    when_matched = spec.get("whenMatched", "merge") if isinstance(spec, dict) else "merge"
+    when_not = spec.get("whenNotMatched", "insert") if isinstance(spec, dict) else "insert"
+    if when_matched not in ("replace", "keepExisting", "merge", "fail"):
+        raise ValueError(f"$merge: unsupported whenMatched {when_matched!r}")
+    if when_not not in ("insert", "discard", "fail"):
+        raise ValueError(f"$merge: unsupported whenNotMatched {when_not!r}")
+    try:
+        existing = [dict(d) for d in collections(into)] if collections else []
+    except KeyError:
+        existing = []
+    def key_of(d):
+        return tuple(_canon_key(get_path(d, f)) for f in on_fields)
+    index = {key_of(d): i for i, d in enumerate(existing)}
+    for doc in stream:
+        k = key_of(doc)
+        i = index.get(k)
+        if i is None:
+            if when_not == "insert":
+                index[k] = len(existing)
+                existing.append(dict(doc))
+            elif when_not == "fail":
+                raise ValueError("$merge: no match for document (whenNotMatched: fail)")
+        else:
+            if when_matched == "replace":
+                existing[i] = dict(doc)
+            elif when_matched == "merge":
+                merged = dict(existing[i])
+                merged.update(doc)
+                existing[i] = merged
+            elif when_matched == "fail":
+                raise ValueError("$merge: matched existing document (whenMatched: fail)")
+            # keepExisting: no-op
+    collection_sink(into, existing)
+    return existing
+
+
+def run_pipeline(docs, pipeline, seed: int | None = None, collections=None,
+                 collection_sink=None):
     """Run an aggregation pipeline over an iterable of dict documents.
 
     Returns a list of result documents. ``seed`` makes ``$sample``
     deterministic (used by schema inference). ``collections`` resolves
     a collection name to an iterable of documents for ``$lookup``
-    (same-database lookups, as in mongod).
+    (same-database lookups, as in mongod). ``collection_sink(name,
+    docs)`` — when provided — gives ``$out``/``$merge`` a writable
+    store; like mongod, both must be the LAST stage and the pipeline
+    then returns no documents.
     """
     stream = iter(docs)
-    for stage in pipeline:
+    for stage_idx, stage in enumerate(pipeline):
         (op, spec), = stage.items()
+        if op in ("$out", "$merge") and stage_idx != len(pipeline) - 1:
+            raise ValueError(f"{op} must be the last pipeline stage")
         if op == "$match":
             def _match(ds, sp=spec):
                 for d in ds:
@@ -944,6 +998,15 @@ def run_pipeline(docs, pipeline, seed: int | None = None, collections=None):
             stream = iter(_fill(stream, spec))
         elif op == "$graphLookup":
             stream = iter(_graph_lookup(list(stream), spec, collections))
+        elif op == "$out":
+            if collection_sink is None:
+                raise ValueError("$out requires a collection sink (writable store)")
+            target = spec if isinstance(spec, str) else spec["coll"]
+            collection_sink(target, [dict(d) for d in stream])
+            stream = iter(())  # $out returns no documents
+        elif op == "$merge":
+            _merge_stage(stream, spec, collections, collection_sink)
+            stream = iter(())  # $merge returns no documents
         else:
             raise ValueError(f"unsupported pipeline stage: {op}")
     return list(stream)

@@ -100,13 +100,16 @@ class FakeCollection:
     def aggregate(self, pipeline, allowDiskUse=False, **_kw):
         # seed makes $sample deterministic (interpreter extension); a
         # fixed seed mirrors one server giving one stable sample stream
-        resolver = (
-            (lambda c: copy.deepcopy(self._db[c]._docs)) if self._db is not None else None
-        )
+        resolver = sink = None
+        if self._db is not None:
+            resolver = lambda c: copy.deepcopy(self._db[c]._docs)  # noqa: E731
+
+            def sink(name, docs):  # $out/$merge write-back, like mongod
+                self._db[name]._docs = copy.deepcopy(docs)
         return iter(
             run_pipeline(
                 copy.deepcopy(self._docs), list(pipeline), seed=1234,
-                collections=resolver,
+                collections=resolver, collection_sink=sink,
             )
         )
 

@@ -1124,3 +1124,92 @@ class TestExpressionBatchR5:
         assert self._e({"$atan2": [1, 1]}) == pytest.approx(math.pi / 4)
         assert self._e({"$degreesToRadians": 180}) == pytest.approx(math.pi)
         assert self._e({"$radiansToDegrees": math.pi}) == pytest.approx(180.0)
+
+
+class TestOutAndMerge:
+    """$out / $merge write stages (r5): last-stage-only, return no
+    documents, write through the collection_sink protocol (the wire fake
+    supplies a real write-back to its stores)."""
+
+    def _store(self):
+        store = {"target": [{"_id": 1, "v": "old", "keep": True},
+                            {"_id": 2, "v": "old2"}]}
+        resolver = lambda name: [dict(d) for d in store[name]]
+        sink = lambda name, docs: store.__setitem__(name, docs)
+        return store, resolver, sink
+
+    def test_out_replaces_collection(self):
+        store, resolver, sink = self._store()
+        out = run_pipeline(
+            [{"_id": 9, "v": "new"}], [{"$out": "target"}],
+            collections=resolver, collection_sink=sink,
+        )
+        assert out == []  # $out emits nothing
+        assert store["target"] == [{"_id": 9, "v": "new"}]
+
+    def test_merge_default_merge_insert(self):
+        store, resolver, sink = self._store()
+        run_pipeline(
+            [{"_id": 1, "v": "NEW"}, {"_id": 3, "v": "ins"}],
+            [{"$merge": {"into": "target"}}],
+            collections=resolver, collection_sink=sink,
+        )
+        by_id = {d["_id"]: d for d in store["target"]}
+        # matched doc field-merged (existing fields survive), new inserted
+        assert by_id[1] == {"_id": 1, "v": "NEW", "keep": True}
+        assert by_id[2]["v"] == "old2"
+        assert by_id[3] == {"_id": 3, "v": "ins"}
+
+    def test_merge_modes(self):
+        store, resolver, sink = self._store()
+        run_pipeline(
+            [{"_id": 1, "v": "NEW"}, {"_id": 3, "v": "dropme"}],
+            [{"$merge": {"into": "target", "whenMatched": "replace",
+                         "whenNotMatched": "discard"}}],
+            collections=resolver, collection_sink=sink,
+        )
+        by_id = {d["_id"]: d for d in store["target"]}
+        assert by_id[1] == {"_id": 1, "v": "NEW"}  # replaced wholesale
+        assert 3 not in by_id  # discarded
+        store, resolver, sink = self._store()
+        run_pipeline(
+            [{"_id": 1, "v": "X"}],
+            [{"$merge": {"into": "target", "whenMatched": "keepExisting"}}],
+            collections=resolver, collection_sink=sink,
+        )
+        assert {d["_id"]: d for d in store["target"]}[1]["v"] == "old"
+        with pytest.raises(ValueError, match="whenMatched: fail"):
+            run_pipeline([{"_id": 1}], [{"$merge": {
+                "into": "target", "whenMatched": "fail"}}],
+                collections=resolver, collection_sink=sink)
+
+    def test_merge_custom_on_key_and_validation(self):
+        store, resolver, sink = self._store()
+        store["target"] = [{"k": "a", "n": 1}]
+        run_pipeline(
+            [{"k": "a", "n": 10}, {"k": "b", "n": 2}],
+            [{"$merge": {"into": "target", "on": "k"}}],
+            collections=resolver, collection_sink=sink,
+        )
+        assert sorted((d["k"], d["n"]) for d in store["target"]) == [("a", 10), ("b", 2)]
+        with pytest.raises(ValueError, match="last"):
+            run_pipeline([], [{"$out": "t"}, {"$limit": 1}],
+                         collections=resolver, collection_sink=sink)
+        with pytest.raises(ValueError, match="sink"):
+            run_pipeline([], [{"$out": "t"}])
+
+    def test_out_through_wire_fake(self):
+        from duckdb_mongo_spark.testing.fake_mongo import FakeMongoClient
+
+        client = FakeMongoClient()
+        src = client["db"]["src"]
+        src.insert_many([{"_id": i, "v": i * 2} for i in range(4)])
+        out = list(src.aggregate([
+            {"$match": {"v": {"$gte": 4}}}, {"$out": "derived"}]))
+        assert out == []
+        derived = client["db"]["derived"]
+        assert sorted(d["_id"] for d in derived.find()) == [2, 3]
+        # $merge back into the SAME database, upserting
+        list(src.aggregate([{"$match": {"_id": 0}},
+                            {"$merge": {"into": "derived"}}]))
+        assert sorted(d["_id"] for d in derived.find()) == [0, 2, 3]

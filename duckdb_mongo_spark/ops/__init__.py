@@ -15,7 +15,7 @@ module scope, and the core scan/pushdown surface must stay importable
 
 from __future__ import annotations
 
-__all__ = ["chunking", "codecs", "dedup", "joins", "multimodal", "packing", "partitioning", "pii", "profile", "quality", "rollup", "sampling", "sharding", "similarity", "span_dedup", "text"]
+__all__ = ["chunking", "codecs", "dedup", "joins", "multimodal", "packing", "partitioning", "pii", "profile", "quality", "rollup", "sampling", "sharding", "similarity", "sketches", "span_dedup", "text", "webp"]
 
 
 def __getattr__(name: str):

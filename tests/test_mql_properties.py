@@ -153,3 +153,46 @@ def test_simple_filters_always_fully_push(pred, doc):
     plan = compile_filter(pred)
     assert plan.residual is None
     assert matches_filter(doc, plan.match) == eval_pred(pred, doc)
+
+
+# ---------------------------------------------------------------------------
+# r5 date-arithmetic properties: the $dateAdd/$dateTrunc/$dateDiff trio
+# must satisfy the algebra mongod documents, on arbitrary datetimes.
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+from duckdb_mongo_spark.mql.expr import _date_trunc, date_add_unit, eval_expr
+
+_datetimes = st.datetimes(
+    min_value=_dt.datetime(1970, 1, 1), max_value=_dt.datetime(2100, 1, 1)
+)
+_fixed_units = st.sampled_from(["second", "minute", "hour", "day", "week"])
+_all_units = st.sampled_from(
+    ["second", "minute", "hour", "day", "week", "month", "quarter", "year"]
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(t=_datetimes, unit=_fixed_units, amount=st.integers(-10_000, 10_000))
+def test_date_add_subtract_round_trip_fixed_units(t, unit, amount):
+    assert date_add_unit(date_add_unit(t, amount, unit), -amount, unit) == t
+
+
+@settings(max_examples=200, deadline=None)
+@given(t=_datetimes, unit=_all_units, bin_size=st.integers(1, 7))
+def test_date_trunc_idempotent_and_not_after(t, unit, bin_size):
+    tr = _date_trunc(t, unit, bin_size=bin_size)
+    assert tr <= t
+    assert _date_trunc(tr, unit, bin_size=bin_size) == tr
+
+
+@settings(max_examples=200, deadline=None)
+@given(a=_datetimes, b=_datetimes, unit=_all_units)
+def test_date_diff_counts_boundaries(a, b, unit):
+    d = eval_expr({"$dateDiff": {"startDate": a, "endDate": b, "unit": unit}}, {})
+    assert eval_expr(
+        {"$dateDiff": {"startDate": b, "endDate": a, "unit": unit}}, {}
+    ) == -d
+    # zero exactly when both fall in the same unit bin
+    assert (d == 0) == (_date_trunc(a, unit) == _date_trunc(b, unit))

@@ -569,6 +569,132 @@ def pq_topk(
     )
 
 
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    m: int = 8,
+    n_codes: int = 256,
+    metric: str = "ip",
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """FAISS-style IVF+PQ: the coarse quantizer (``ivf_index``) restricts
+    the search to ``nprobe`` inverted lists per query, and PQ asymmetric
+    distance scores ONLY the candidate rows — neither the full corpus
+    nor any full vector is touched at query time.
+
+    Codes quantize the raw vectors (not residuals) so one LUT per query
+    serves every probed list; with ``nprobe == n_centroids`` the
+    candidate set is the whole corpus and results are IDENTICAL to
+    ``pq_topk`` (pinned in tests — the composition adds pruning, never
+    different scoring). Scale shape: probe cost ∝ corpus × nprobe /
+    n_centroids rows of m-byte codes; the candidate join carries codes,
+    not vectors.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    if metric not in ("ip", "l2"):
+        raise ValueError("metric must be 'ip' or 'l2'")
+    assigned, centroids = ivf_index(corpus, n_centroids, c_id, c_vec, seed)
+    books = pq_train(corpus, m=m, n_codes=n_codes, c_id=c_id, c_vec=c_vec,
+                     seed=seed)
+    codes = pq_encode(corpus, books, c_id=c_id, c_vec=c_vec)
+    coded = assigned.select("c_id", "centroid_id").join(
+        codes.withColumnRenamed(c_id, "c_id"), "c_id"
+    )
+
+    spark = queries.sparkSession
+    cent_df = spark.createDataFrame(centroids, ["centroid_id", "centroid"])
+    q = queries.select(F.col(q_id).alias("q_id"), _as_double(F.col(q_vec)).alias("qv"))
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("c_dist").asc(), F.col("centroid_id").asc()
+    )
+    # coarse probe ranks centroids by L2 (k-means cells are L2-Voronoi;
+    # |q|^2 is constant per query so |c|^2 - 2 q.c suffices) — an
+    # inner-product probe would favor large-norm centroids and miss the
+    # query's own cell
+    l2_rank = dot(F.col("centroid"), F.col("centroid")) - 2.0 * dot(
+        F.col("qv"), F.col("centroid")
+    )
+    probes = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("c_dist", l2_rank)
+        .withColumn("c_rank", F.row_number().over(wq))
+        .filter(F.col("c_rank") <= nprobe)
+        .select("q_id", "centroid_id")
+    )
+
+    # ADC LUTs per query, shipped in the kernel closure (query side is
+    # broadcast-class by contract, as in pq_topk)
+    cb = [np.asarray(c, dtype=np.float64) for c in books]
+    dims = [c.shape[1] for c in cb]
+    bounds = np.cumsum([0] + dims)
+    q_rows = q.collect()
+    q_index = {r["q_id"]: i for i, r in enumerate(q_rows)}
+    q_mat = np.asarray([[float(x) for x in r["qv"]] for r in q_rows])
+    luts = np.zeros((len(q_rows), len(cb), max(c.shape[0] for c in cb)))
+    for j, c in enumerate(cb):
+        qs = q_mat[:, bounds[j]:bounds[j + 1]]
+        if metric == "ip":
+            luts[:, j, : c.shape[0]] = qs @ c.T
+        else:
+            luts[:, j, : c.shape[0]] = (
+                (qs * qs).sum(1)[:, None]
+                - 2.0 * (qs @ c.T)
+                + (c * c).sum(1)[None, :]
+            )
+
+    cand = F.broadcast(probes).join(coded, "centroid_id").select(
+        "q_id", "c_id", "code"
+    )
+    out_schema = T.StructType([
+        T.StructField("q_id", queries.schema[q_id].dataType),
+        T.StructField("c_id", corpus.schema[c_id].dataType),
+        T.StructField("score", T.DoubleType()),
+    ])
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            code_mat = np.frombuffer(
+                b"".join(pdf["code"]), dtype=np.uint8
+            ).reshape(len(pdf), len(cb))
+            qi = np.asarray([q_index[x] for x in pdf["q_id"]])
+            scores = np.zeros(len(pdf))
+            for j in range(len(cb)):
+                scores += luts[qi, j, code_mat[:, j]]
+            yield pd.DataFrame({
+                "q_id": pdf["q_id"],
+                "c_id": pdf["c_id"],
+                "score": np.round(scores, ROUND),
+            })
+
+    scored = cand.mapInPandas(kernel, schema=out_schema)
+    order = (
+        [F.col("score").desc(), F.col("c_id").asc()]
+        if metric == "ip"
+        else [F.col("score").asc(), F.col("c_id").asc()]
+    )
+    w = Window.partitionBy("q_id").orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("c_id").alias(c_id), "score", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -313,6 +313,53 @@ class TestSimilarity:
         with pytest.raises(ValueError, match="m must be"):
             similarity.pq_train(corpus, m=9)
 
+    def test_ivf_pq_full_probe_equals_pq_topk(self, spark):
+        """With nprobe == n_centroids the IVF restriction is a no-op, so
+        ivf_pq_topk must return EXACTLY pq_topk's rows (same codebooks,
+        same ADC scores, same tie-break) — the composition only prunes."""
+        import numpy as np
+
+        rng = np.random.default_rng(23)
+        vecs = rng.normal(size=(30, 8)).round(3)
+        corpus = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        q = spark.createDataFrame(
+            [(0, [float(x) for x in vecs[4]]), (1, [float(x) for x in vecs[9]])],
+            "q_id long, q_vec array<double>",
+        )
+        books = similarity.pq_train(corpus, m=4, n_codes=16)
+        codes = similarity.pq_encode(corpus, books)
+        flat = similarity.pq_topk(q, codes, books, k=5, metric="ip").collect()
+        ivf = similarity.ivf_pq_topk(
+            q, corpus, k=5, n_centroids=4, nprobe=4, m=4, n_codes=16, metric="ip"
+        ).collect()
+        key = lambda r: (r["q_id"], r["rank"])
+        assert sorted(map(tuple, flat), key=lambda t: (t[0], t[3])) == \
+               sorted(map(tuple, ivf), key=lambda t: (t[0], t[3]))
+
+    def test_ivf_pq_self_recovery_with_pruning(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(29)
+        centers = rng.normal(size=(4, 8)) * 10
+        vecs = np.concatenate(
+            [c + rng.normal(size=(8, 8)) * 0.05 for c in centers]
+        ).round(3)
+        corpus = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        q = spark.createDataFrame(
+            [(0, [float(x) for x in vecs[3]]), (1, [float(x) for x in vecs[20]])],
+            "q_id long, q_vec array<double>",
+        )
+        out = similarity.ivf_pq_topk(
+            q, corpus, k=1, n_centroids=4, nprobe=1, m=4, n_codes=64, metric="l2"
+        ).collect()
+        assert {r["q_id"]: r["vec_id"] for r in out} == {0: 3, 1: 20}
+
     def test_near_dup_pairs_exact(self, corpus):
         out = similarity.embedding_near_dup_pairs(corpus, threshold=0.95, exact=True)
         got = {(r["a"], r["b"]) for r in out.collect()}

@@ -821,6 +821,50 @@ def eval_expr(expr, doc):
             "$degreesToRadians": math.radians, "$radiansToDegrees": math.degrees,
         }[op]
         return fn(_num(v))
+    if op == "$dateToParts":
+        spec = raw if isinstance(raw, dict) else {"date": raw}
+        v = _resolve(spec["date"], doc)
+        if v is None:
+            return None
+        v = _as_datetime(v)
+        if spec.get("iso8601"):
+            iso = v.isocalendar()
+            return {
+                "isoWeekYear": iso[0], "isoWeek": iso[1],
+                "isoDayOfWeek": iso[2], "hour": v.hour, "minute": v.minute,
+                "second": v.second, "millisecond": v.microsecond // 1000,
+            }
+        return {
+            "year": v.year, "month": v.month, "day": v.day, "hour": v.hour,
+            "minute": v.minute, "second": v.second,
+            "millisecond": v.microsecond // 1000,
+        }
+    if op == "$dateFromParts":
+        def part(name, default):
+            if name not in raw:
+                return default
+            v = _resolve(raw[name], doc)
+            return default if v is None else int(_num(v))
+
+        if "isoWeekYear" in raw:
+            base = _dt.datetime.fromisocalendar(
+                part("isoWeekYear", 1970), part("isoWeek", 1),
+                part("isoDayOfWeek", 1),
+            )
+        else:
+            # mongod carries out-of-range parts into the next unit
+            # (month 13 -> January next year, day 0 -> last of previous
+            # month); build at month granularity then add day/time deltas
+            y, m = part("year", 1970), part("month", 1)
+            mm = m - 1
+            y, mm = y + mm // 12, mm % 12
+            base = _dt.datetime(y, mm + 1, 1) + _dt.timedelta(
+                days=part("day", 1) - 1
+            )
+        return base + _dt.timedelta(
+            hours=part("hour", 0), minutes=part("minute", 0),
+            seconds=part("second", 0), milliseconds=part("millisecond", 0),
+        )
     if op == "$atan2":
         a, b = _resolve(args[0], doc), _resolve(args[1], doc)
         if a is None or b is None:

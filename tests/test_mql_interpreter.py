@@ -1213,3 +1213,32 @@ class TestOutAndMerge:
         list(src.aggregate([{"$match": {"_id": 0}},
                             {"$merge": {"into": "derived"}}]))
         assert sorted(d["_id"] for d in derived.find()) == [0, 2, 3]
+
+
+class TestDateParts:
+    def _e(self, expr, doc=None):
+        from duckdb_mongo_spark.mql.expr import eval_expr
+        return eval_expr(expr, doc or {})
+
+    def test_date_to_parts_round_trip(self):
+        t = dt.datetime(2024, 2, 29, 23, 59, 58, 789_000)
+        parts = self._e({"$dateToParts": {"date": t}})
+        assert parts == {"year": 2024, "month": 2, "day": 29, "hour": 23,
+                         "minute": 59, "second": 58, "millisecond": 789}
+        assert self._e({"$dateFromParts": parts}) == t
+        iso = self._e({"$dateToParts": {"date": t, "iso8601": True}})
+        assert iso["isoWeek"] == 9 and iso["isoDayOfWeek"] == 4
+        assert self._e({"$dateFromParts": iso}) == t
+
+    def test_date_from_parts_carries_overflow(self):
+        # mongod carries out-of-range parts: month 13 -> next January,
+        # day 0 -> last day of the previous month
+        assert self._e({"$dateFromParts": {"year": 2023, "month": 13,
+                                           "day": 1}}) == dt.datetime(2024, 1, 1)
+        assert self._e({"$dateFromParts": {"year": 2024, "month": 3,
+                                           "day": 0}}) == dt.datetime(2024, 2, 29)
+        assert self._e({"$dateFromParts": {"year": 2024, "month": 1, "day": 1,
+                                           "hour": 25}}) == dt.datetime(2024, 1, 2, 1)
+
+    def test_date_to_parts_null(self):
+        assert self._e({"$dateToParts": {"date": None}}) is None

@@ -36,6 +36,19 @@ _FUNC_MAP = {
     "year": "$year",
     "month": "$month",
     "day": "$dayOfMonth",
+    # r5: date parts + trim family (all null-propagating in BOTH SQL and
+    # MQL, so no _NULL_MASKING_FUNCS entries needed). Spark's
+    # dayofweek() is 1=Sunday..7=Saturday == $dayOfWeek; weekofyear()
+    # is the ISO week == $isoWeek.
+    "hour": "$hour",
+    "minute": "$minute",
+    "second": "$second",
+    "dayofweek": "$dayOfWeek",
+    "dayofyear": "$dayOfYear",
+    "weekofyear": "$isoWeek",
+    "trim": "$trim",
+    "ltrim": "$ltrim",
+    "rtrim": "$rtrim",
 }
 
 
@@ -99,6 +112,9 @@ def compile_expr(expr, schema=None):
             raise Unpushable(f"function {expr.name!r} not in pushdown dialect")
         if mql == "$concat":
             return {"$concat": [compile_expr(a, schema) for a in expr.args]}
+        if mql in ("$trim", "$ltrim", "$rtrim"):
+            # the trim family takes a spec document, not a bare operand
+            return {mql: {"input": compile_expr(expr.args[0], schema)}}
         return {mql: compile_expr(expr.args[0], schema)}
     raise Unpushable(f"expression {expr!r}")
 

@@ -80,6 +80,34 @@ class Expr:
     def upper(self):
         return Func("upper", [self])
 
+    def trim(self):
+        return Func("trim", [self])
+
+    def ltrim(self):
+        return Func("ltrim", [self])
+
+    def rtrim(self):
+        return Func("rtrim", [self])
+
+    # date-part extractors (null-propagating, like year/month/day)
+    def hour(self):
+        return Func("hour", [self])
+
+    def minute(self):
+        return Func("minute", [self])
+
+    def second(self):
+        return Func("second", [self])
+
+    def day_of_week(self):
+        return Func("dayofweek", [self])
+
+    def day_of_year(self):
+        return Func("dayofyear", [self])
+
+    def week_of_year(self):
+        return Func("weekofyear", [self])
+
     def cast(self, type_name: str):
         return Cast(self, type_name.upper())
 

@@ -242,3 +242,50 @@ class TestResidualSplit:
         assert merge_match({"a": {"$gt": 1}}, {"b": {"$eq": 2}}) == {
             "a": {"$gt": 1}, "b": {"$eq": 2}
         }
+
+
+class TestDatePartAndTrimPushdown:
+    """r5 _FUNC_MAP growth: date parts + trim family. All are
+    null-propagating in both SQL and MQL, so the standard raw-column
+    null guards suffice (no masking entries)."""
+
+    def test_hour_compiles_with_guard(self):
+        plan = compile_filter(C("ts").hour() >= 12)
+        assert plan.fully_pushed
+        assert plan.match == {
+            "$expr": {"$and": [{"$gt": ["$ts", None]},
+                               {"$gte": [{"$hour": "$ts"}, 12]}]}
+        }
+
+    def test_trim_spec_shape(self):
+        plan = compile_filter(C("name").trim() == "Ali")
+        assert plan.fully_pushed
+        assert plan.match == {
+            "$expr": {"$and": [
+                {"$gt": ["$name", None]},
+                {"$eq": [{"$trim": {"input": "$name"}}, "Ali"]},
+            ]}
+        }
+
+    def test_semantics_agree_with_interpreter(self):
+        import datetime as dt
+
+        from duckdb_mongo_spark.mql.match import matches_filter
+
+        docs = [
+            {"_id": 1, "ts": dt.datetime(2024, 3, 10, 14, 30), "name": "  x "},
+            {"_id": 2, "ts": dt.datetime(2024, 3, 10, 8, 0), "name": "y"},
+            {"_id": 3, "name": None},  # ts missing, name null
+        ]
+        plan = compile_filter(C("ts").hour() >= 12)
+        got = [d["_id"] for d in docs if matches_filter(d, plan.match)]
+        assert got == [1]  # missing ts excluded by the guard, like SQL
+        plan = compile_filter(C("name").trim() == "x")
+        got = [d["_id"] for d in docs if matches_filter(d, plan.match)]
+        assert got == [1]
+        plan = compile_filter(C("ts").day_of_week() == 1)  # Sunday
+        got = [d["_id"] for d in docs if matches_filter(d, plan.match)]
+        assert got == [1, 2]
+        plan = compile_filter(C("ts").week_of_year() == 10)
+        got = [d["_id"] for d in docs if matches_filter(d, plan.match)]
+        assert got == [1, 2]

@@ -38,6 +38,8 @@ def _var_lookup(name_path: str, doc):
     name, _, rest = name_path.partition(".")
     if name in ("CURRENT", "ROOT"):
         base = doc
+    elif name in ("DESCEND", "PRUNE", "KEEP"):
+        return f"$${name}"  # $redact action sentinels
     else:
         for frame in reversed(_var_frames()):
             if name in frame:

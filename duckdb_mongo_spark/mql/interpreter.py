@@ -4,7 +4,7 @@ Executes the pipeline dialect our pushdown planner emits —
 ``$match $project $addFields $group $sort $skip $limit $count $sample
 $unwind $lookup $graphLookup $replaceRoot/$replaceWith $sortByCount
 $facet $bucket $bucketAuto $setWindowFields $densify $fill $unset
-$unionWith`` — against an iterable of Python-dict documents. This is the
+$unionWith $redact $out $merge`` — against an iterable of Python-dict documents. This is the
 hermetic stand-in for mongod: the reference ships pipelines to a real
 server (/root/reference/src/mongo_table_function.cpp:326-366); we execute
 the same dialect locally so every pushdown has an executable oracle.
@@ -742,6 +742,43 @@ def _graph_lookup(docs, spec, collections):
     return out
 
 
+def _redact_doc(node: dict, spec):
+    """``$redact`` on one (sub)document: evaluate the expression with
+    the subdocument as $$CURRENT; $$PRUNE drops the subtree, $$KEEP
+    keeps it without further evaluation, $$DESCEND keeps this level and
+    recurses into embedded documents (including docs inside arrays —
+    non-document array elements always survive a descend)."""
+    action = eval_expr(spec, node)
+    if action == "$$PRUNE":
+        return None
+    if action == "$$KEEP":
+        return dict(node)
+    if action != "$$DESCEND":
+        raise ValueError(
+            "$redact expression must resolve to $$DESCEND, $$PRUNE or $$KEEP,"
+            f" got {action!r}"
+        )
+    out = {}
+    for k, v in node.items():
+        if isinstance(v, dict):
+            sub = _redact_doc(v, spec)
+            if sub is not None:
+                out[k] = sub
+        elif isinstance(v, list):
+            kept = []
+            for el in v:
+                if isinstance(el, dict):
+                    sub = _redact_doc(el, spec)
+                    if sub is not None:
+                        kept.append(sub)
+                else:
+                    kept.append(el)
+            out[k] = kept
+        else:
+            out[k] = v
+    return out
+
+
 def _merge_stage(stream, spec, collections, collection_sink):
     """``$merge``: upsert the pipeline's output into a target collection.
     on-key default ``_id``; whenMatched replace|keepExisting|merge|fail;
@@ -998,6 +1035,13 @@ def run_pipeline(docs, pipeline, seed: int | None = None, collections=None,
             stream = iter(_fill(stream, spec))
         elif op == "$graphLookup":
             stream = iter(_graph_lookup(list(stream), spec, collections))
+        elif op == "$redact":
+            def _redact(ds, sp=spec):
+                for d in ds:
+                    r = _redact_doc(d, sp)
+                    if r is not None:
+                        yield r
+            stream = _redact(stream)
         elif op == "$out":
             if collection_sink is None:
                 raise ValueError("$out requires a collection sink (writable store)")

@@ -1242,3 +1242,42 @@ class TestDateParts:
 
     def test_date_to_parts_null(self):
         assert self._e({"$dateToParts": {"date": None}}) is None
+
+
+class TestRedact:
+    DOCS = [{
+        "_id": 1, "level": 1, "title": "report",
+        "sections": [
+            {"level": 1, "body": "public", "notes": {"level": 5, "body": "secret"}},
+            {"level": 5, "body": "classified"},
+        ],
+    }]
+
+    def test_redact_descend_prunes_subtrees_by_level(self):
+        out = run_pipeline(self.DOCS, [{"$redact": {
+            "$cond": {"if": {"$lte": ["$level", 1]},
+                      "then": "$$DESCEND", "else": "$$PRUNE"}}}])
+        assert len(out) == 1
+        d = out[0]
+        assert d["title"] == "report"
+        assert len(d["sections"]) == 1
+        assert d["sections"][0]["body"] == "public"
+        assert "notes" not in d["sections"][0]  # nested level-5 pruned
+
+    def test_redact_keep_stops_descending(self):
+        out = run_pipeline(self.DOCS, [{"$redact": {
+            "$cond": {"if": {"$lte": ["$level", 1]},
+                      "then": "$$KEEP", "else": "$$PRUNE"}}}])
+        # KEEP at the root keeps EVERYTHING, nested level-5 included
+        assert out[0]["sections"][0]["notes"]["body"] == "secret"
+        assert out[0]["sections"][1]["body"] == "classified"
+
+    def test_redact_prune_root_drops_document(self):
+        out = run_pipeline(self.DOCS, [{"$redact": {
+            "$cond": {"if": {"$gte": ["$level", 5]},
+                      "then": "$$DESCEND", "else": "$$PRUNE"}}}])
+        assert out == []
+
+    def test_redact_invalid_action_raises(self):
+        with pytest.raises(ValueError, match="DESCEND"):
+            run_pipeline([{"a": 1}], [{"$redact": "$a"}])

@@ -246,6 +246,13 @@ def eval_expr(expr, doc):
     if op == "$literal":
         return raw
 
+    if op == "$meta":
+        # query-execution metadata attached by $geoNear / $vectorSearch;
+        # the interpreter stashes it in a hidden per-document slot that is
+        # stripped from pipeline output (mongod keeps it out-of-document)
+        meta = doc.get("__mql_meta__") if isinstance(doc, dict) else None
+        return (meta or {}).get(raw)
+
     args = raw if isinstance(raw, list) else [raw]
 
     if op in ("$eq", "$ne", "$lt", "$lte", "$gt", "$gte", "$cmp"):

@@ -4,7 +4,8 @@ Executes the pipeline dialect our pushdown planner emits —
 ``$match $project $addFields $group $sort $skip $limit $count $sample
 $unwind $lookup $graphLookup $replaceRoot/$replaceWith $sortByCount
 $facet $bucket $bucketAuto $setWindowFields $densify $fill $unset
-$unionWith $redact $out $merge`` — against an iterable of Python-dict documents. This is the
+$unionWith $redact $geoNear $vectorSearch $out $merge`` — against an
+iterable of Python-dict documents. This is the
 hermetic stand-in for mongod: the reference ships pipelines to a real
 server (/root/reference/src/mongo_table_function.cpp:326-366); we execute
 the same dialect locally so every pushdown has an executable oracle.
@@ -89,6 +90,9 @@ def _project(docs, spec):
             out = {}
             if include_id and "_id" in doc:
                 out["_id"] = doc["_id"]
+            if _META_KEY in doc:
+                # metadata survives projection (mongod keeps it out-of-doc)
+                out[_META_KEY] = doc[_META_KEY]
             for k, v in spec.items():
                 if k == "_id":
                     continue
@@ -805,6 +809,8 @@ def _merge_stage(stream, spec, collections, collection_sink):
         return tuple(_canon_key(get_path(d, f)) for f in on_fields)
     index = {key_of(d): i for i, d in enumerate(existing)}
     for doc in stream:
+        if _META_KEY in doc:
+            doc = {k: v for k, v in doc.items() if k != _META_KEY}
         k = key_of(doc)
         i = index.get(k)
         if i is None:
@@ -827,6 +833,178 @@ def _merge_stage(stream, spec, collections, collection_sink):
     return existing
 
 
+_EARTH_RADIUS_M = 6378100.0  # mongod's kRadiusOfEarthInMeters (equatorial)
+
+_META_KEY = "__mql_meta__"  # hidden per-doc metadata slot read by {$meta: ...}
+
+
+def _parse_point(v):
+    """Parse a GeoJSON Point / legacy coordinate pair.
+
+    Returns ``(x, y, is_geojson)`` — ``(lng, lat, True)`` for GeoJSON —
+    or ``None`` when the value is not point-shaped (such documents are
+    skipped by $geoNear, matching a 2dsphere index ignoring them)."""
+    if isinstance(v, dict):
+        if v.get("type") == "Point":
+            c = v.get("coordinates")
+            if isinstance(c, (list, tuple)) and len(c) == 2:
+                return float(c[0]), float(c[1]), True
+            return None
+        nums = [x for x in v.values() if isinstance(x, (int, float))
+                and not isinstance(x, bool)]
+        if len(nums) == 2 and len(v) == 2:
+            return float(nums[0]), float(nums[1]), False
+        return None
+    if (isinstance(v, (list, tuple)) and len(v) == 2
+            and all(isinstance(x, (int, float)) and not isinstance(x, bool)
+                    for x in v)):
+        return float(v[0]), float(v[1]), False
+    return None
+
+
+def _haversine_rad(lng1, lat1, lng2, lat2):
+    """Central angle (radians) between two (degree) lng/lat points."""
+    import math
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp = p2 - p1
+    dl = math.radians(lng2 - lng1)
+    a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+    return 2 * math.asin(min(1.0, math.sqrt(a)))
+
+
+def _geo_near(docs, spec):
+    """``$geoNear``: distance-sorted proximity search (must be stage 1).
+
+    Unit semantics follow mongod (docs.mongodb.com/manual/reference/
+    operator/aggregation/geoNear): GeoJSON ``near`` → spherical meters;
+    legacy ``near`` + ``spherical: true`` → radians; legacy planar →
+    coordinate units. ``minDistance``/``maxDistance`` are in those same
+    units; ``distanceMultiplier`` scales only the reported distance.
+    ``key`` names the location field; when omitted we use the unique
+    point-shaped top-level field (the interpreter's stand-in for "the
+    only geospatial index"). The reference ships this stage to mongod
+    verbatim (/root/reference/src/mongo_table_function.cpp:326-366).
+    """
+    import math
+    near = _parse_point(spec["near"])
+    if near is None:
+        raise ValueError("$geoNear: 'near' must be a GeoJSON Point or [x, y]")
+    nx, ny, near_geojson = near
+    dist_field = spec.get("distanceField")
+    if not dist_field:
+        raise ValueError("$geoNear requires 'distanceField'")
+    spherical = bool(spec.get("spherical", False)) or near_geojson
+    multiplier = float(spec.get("distanceMultiplier", 1.0))
+    min_d = spec.get("minDistance")
+    max_d = spec.get("maxDistance")
+    query = spec.get("query")
+    include_locs = spec.get("includeLocs")
+    key = spec.get("key")
+    materialized = list(docs)
+    if key is None:
+        candidates = set()
+        for d in materialized:
+            for k, v in d.items():
+                if _parse_point(v) is not None:
+                    candidates.add(k)
+        if len(candidates) != 1:
+            raise ValueError(
+                "$geoNear: ambiguous location field — pass 'key' "
+                f"(point-shaped fields: {sorted(candidates)})")
+        key = candidates.pop()
+    out = []
+    for d in materialized:
+        loc_raw = get_path(d, key)
+        pt = None if loc_raw is MISSING else _parse_point(loc_raw)
+        if pt is None:
+            continue  # documents without an indexable location are not returned
+        if query is not None and not matches_filter(d, query):
+            continue
+        x, y, _ = pt
+        if spherical:
+            rad = _haversine_rad(nx, ny, x, y)
+            dist = rad * _EARTH_RADIUS_M if near_geojson else rad
+        else:
+            dist = math.hypot(x - nx, y - ny)
+        if min_d is not None and dist < min_d:
+            continue
+        if max_d is not None and dist > max_d:
+            continue
+        nd = dict(d)
+        _set_path(nd, dist_field, dist * multiplier)
+        if include_locs:
+            _set_path(nd, include_locs, loc_raw)
+        meta = dict(nd.get(_META_KEY) or {})
+        meta["geoNearDistance"] = dist * multiplier
+        meta["geoNearPoint"] = loc_raw
+        nd[_META_KEY] = meta
+        out.append((dist, nd))
+    out.sort(key=lambda t: t[0])
+    return [d for _, d in out]
+
+
+def _vector_search(docs, spec):
+    """``$vectorSearch`` (Atlas Vector Search): top-``limit`` documents by
+    vector similarity over ``path`` (must be stage 1).
+
+    Scores follow the published Atlas formulas: cosine/dotProduct →
+    ``(1 + sim) / 2``, euclidean → ``1 / (1 + d)``; read them downstream
+    via ``{$meta: "vectorSearchScore"}``. The similarity function lives
+    in the index definition server-side, so the interpreter takes an
+    optional ``similarity`` field (default ``cosine``) — a documented
+    extension. ``filter`` is a pre-filter ($match semantics). This is
+    the exact-scan semantics oracle; the distributed ANN path is
+    ``ops/similarity.py`` (lsh_topk / pq_topk / ivf_pq_topk).
+    """
+    import math
+    path = spec["path"]
+    qv = [float(x) for x in spec["queryVector"]]
+    limit = int(spec["limit"])
+    exact = bool(spec.get("exact", False))
+    num_candidates = spec.get("numCandidates")
+    if exact and num_candidates is not None:
+        raise ValueError("$vectorSearch: numCandidates not allowed with exact: true")
+    if not exact:
+        if num_candidates is None:
+            raise ValueError("$vectorSearch: numCandidates required unless exact: true")
+        if int(num_candidates) < limit:
+            raise ValueError("$vectorSearch: numCandidates must be >= limit")
+    similarity = spec.get("similarity", "cosine")
+    if similarity not in ("cosine", "dotProduct", "euclidean"):
+        raise ValueError(f"$vectorSearch: unsupported similarity {similarity!r}")
+    vfilter = spec.get("filter")
+    scored = []
+    for d in docs:
+        if vfilter is not None and not matches_filter(d, vfilter):
+            continue
+        vec = get_path(d, path)
+        if (vec is MISSING or not isinstance(vec, (list, tuple))
+                or len(vec) != len(qv)):
+            continue  # unindexable value: not a candidate
+        try:
+            v = [float(x) for x in vec]
+        except (TypeError, ValueError):
+            continue
+        dot = sum(a * b for a, b in zip(qv, v))
+        if similarity == "cosine":
+            na = math.sqrt(sum(a * a for a in qv))
+            nb = math.sqrt(sum(b * b for b in v))
+            sim = dot / (na * nb) if na and nb else 0.0
+            score = (1.0 + sim) / 2.0
+        elif similarity == "dotProduct":
+            score = (1.0 + dot) / 2.0
+        else:
+            dist = math.sqrt(sum((a - b) ** 2 for a, b in zip(qv, v)))
+            score = 1.0 / (1.0 + dist)
+        nd = dict(d)
+        meta = dict(nd.get(_META_KEY) or {})
+        meta["vectorSearchScore"] = score
+        nd[_META_KEY] = meta
+        scored.append((score, nd))
+    scored.sort(key=lambda t: -t[0])
+    return [d for _, d in scored[:limit]]
+
+
 def run_pipeline(docs, pipeline, seed: int | None = None, collections=None,
                  collection_sink=None):
     """Run an aggregation pipeline over an iterable of dict documents.
@@ -844,6 +1022,13 @@ def run_pipeline(docs, pipeline, seed: int | None = None, collections=None,
         (op, spec), = stage.items()
         if op in ("$out", "$merge") and stage_idx != len(pipeline) - 1:
             raise ValueError(f"{op} must be the last pipeline stage")
+        if op in ("$geoNear", "$vectorSearch") and any(
+                next(iter(s)) != "$match" for s in pipeline[:stage_idx]):
+            # mongod requires these index-backed stages first; the engine
+            # prepends an internal sentinel-excluding $match (scan.py,
+            # datasource._result_docs), and a leading $match is equivalent
+            # to merging it into query/filter — so only $match may precede
+            raise ValueError(f"{op} must be the first pipeline stage")
         if op == "$match":
             def _match(ds, sp=spec):
                 for d in ds:
@@ -1035,6 +1220,10 @@ def run_pipeline(docs, pipeline, seed: int | None = None, collections=None,
             stream = iter(_fill(stream, spec))
         elif op == "$graphLookup":
             stream = iter(_graph_lookup(list(stream), spec, collections))
+        elif op == "$geoNear":
+            stream = iter(_geo_near(stream, spec))
+        elif op == "$vectorSearch":
+            stream = iter(_vector_search(stream, spec))
         elif op == "$redact":
             def _redact(ds, sp=spec):
                 for d in ds:
@@ -1046,11 +1235,20 @@ def run_pipeline(docs, pipeline, seed: int | None = None, collections=None,
             if collection_sink is None:
                 raise ValueError("$out requires a collection sink (writable store)")
             target = spec if isinstance(spec, str) else spec["coll"]
-            collection_sink(target, [dict(d) for d in stream])
+            collection_sink(
+                target,
+                [{k: v for k, v in d.items() if k != _META_KEY} for d in stream],
+            )
             stream = iter(())  # $out returns no documents
         elif op == "$merge":
             _merge_stage(stream, spec, collections, collection_sink)
             stream = iter(())  # $merge returns no documents
         else:
             raise ValueError(f"unsupported pipeline stage: {op}")
-    return list(stream)
+    result = list(stream)
+    # metadata ($geoNear distance, $vectorSearch score) is not part of the
+    # document in mongod — strip the hidden slot from whatever survives
+    for d in result:
+        if isinstance(d, dict) and _META_KEY in d:
+            d.pop(_META_KEY)
+    return result

@@ -1281,3 +1281,156 @@ class TestRedact:
     def test_redact_invalid_action_raises(self):
         with pytest.raises(ValueError, match="DESCEND"):
             run_pipeline([{"a": 1}], [{"$redact": "$a"}])
+
+
+class TestGeoNear:
+    # Known city coordinates [lng, lat]; distances cross-checked against
+    # the haversine formula with mongod's earth radius (6378100 m).
+    CITIES = [
+        {"_id": "paris", "loc": {"type": "Point", "coordinates": [2.3522, 48.8566]}},
+        {"_id": "london", "loc": {"type": "Point", "coordinates": [-0.1276, 51.5072]}},
+        {"_id": "berlin", "loc": {"type": "Point", "coordinates": [13.4050, 52.5200]}},
+        {"_id": "madrid", "loc": {"type": "Point", "coordinates": [-3.7038, 40.4168]}},
+        {"_id": "no_loc", "x": 1},
+    ]
+
+    def test_geojson_sorted_meters(self):
+        out = run_pipeline(self.CITIES, [{"$geoNear": {
+            "near": {"type": "Point", "coordinates": [2.3522, 48.8566]},
+            "distanceField": "d", "key": "loc",
+        }}])
+        assert [d["_id"] for d in out] == ["paris", "london", "berlin", "madrid"]
+        assert out[0]["d"] == 0.0
+        # Paris->London great-circle ~344 km (6378.1 km radius)
+        assert 330_000 < out[1]["d"] < 360_000
+
+    def test_max_min_distance_and_query(self):
+        near = {"type": "Point", "coordinates": [2.3522, 48.8566]}
+        out = run_pipeline(self.CITIES, [{"$geoNear": {
+            "near": near, "distanceField": "d", "key": "loc",
+            "minDistance": 1.0, "maxDistance": 400_000,
+        }}])
+        assert [d["_id"] for d in out] == ["london"]  # paris excluded by min
+        out = run_pipeline(self.CITIES, [{"$geoNear": {
+            "near": near, "distanceField": "d", "key": "loc",
+            "query": {"_id": {"$ne": "london"}}, "maxDistance": 1_200_000,
+        }}])
+        assert [d["_id"] for d in out] == ["paris", "berlin", "madrid"]
+
+    def test_distance_multiplier_and_include_locs(self):
+        out = run_pipeline(self.CITIES, [{"$geoNear": {
+            "near": {"type": "Point", "coordinates": [2.3522, 48.8566]},
+            "distanceField": "d.km", "key": "loc",
+            "distanceMultiplier": 0.001, "includeLocs": "matched",
+        }}])
+        assert 330 < out[1]["d"]["km"] < 360  # km now
+        assert out[1]["matched"] == self.CITIES[1]["loc"]
+
+    def test_legacy_planar_and_spherical(self):
+        docs = [{"_id": i, "p": [float(i), 0.0]} for i in range(4)]
+        out = run_pipeline(docs, [{"$geoNear": {
+            "near": [0.0, 4.0], "distanceField": "d", "key": "p"}}])
+        assert out[0]["_id"] == 0 and out[0]["d"] == 4.0  # Euclidean units
+        out = run_pipeline(docs, [{"$geoNear": {
+            "near": [0.0, 0.0], "distanceField": "d", "key": "p",
+            "spherical": True}}])
+        # legacy + spherical => radians: 1 degree of longitude at equator
+        assert abs(out[1]["d"] - 0.017453292519943295) < 1e-12
+
+    def test_key_autodetect_unique_point_field(self):
+        out = run_pipeline(self.CITIES[:2], [{"$geoNear": {
+            "near": {"type": "Point", "coordinates": [0, 0]},
+            "distanceField": "d"}}])
+        assert len(out) == 2  # 'loc' is the only point-shaped field
+
+    def test_key_ambiguous_raises(self):
+        docs = [{"a": [0, 0], "b": [1, 1]}]
+        with pytest.raises(ValueError, match="ambiguous"):
+            run_pipeline(docs, [{"$geoNear": {
+                "near": [0, 0], "distanceField": "d"}}])
+
+    def test_must_be_first_stage(self):
+        with pytest.raises(ValueError, match="first"):
+            run_pipeline(self.CITIES, [
+                {"$limit": 10},
+                {"$geoNear": {"near": [0, 0], "distanceField": "d", "key": "loc"}},
+            ])
+        # a leading $match IS allowed: the engine prepends its internal
+        # sentinel-excluding $match to manual pipelines (scan.py), and
+        # $match-then-geoNear == geoNear with the match merged into query
+        out = run_pipeline(self.CITIES, [
+            {"$match": {"_id": {"$ne": "london"}}},
+            {"$geoNear": {"near": {"type": "Point", "coordinates": [0, 0]},
+                          "distanceField": "d", "key": "loc"}},
+        ])
+        assert {d["_id"] for d in out} == {"paris", "berlin", "madrid"}
+
+    def test_meta_distance_via_project(self):
+        out = run_pipeline(self.CITIES, [
+            {"$geoNear": {"near": {"type": "Point", "coordinates": [2.3522, 48.8566]},
+                          "distanceField": "d", "key": "loc"}},
+            {"$project": {"dist": {"$meta": "geoNearDistance"}}},
+        ])
+        assert out[0]["dist"] == 0.0
+        assert 330_000 < out[1]["dist"] < 360_000
+        assert all("__mql_meta__" not in d for d in out)
+
+
+class TestVectorSearch:
+    DOCS = [
+        {"_id": 1, "v": [1.0, 0.0], "cat": "a"},
+        {"_id": 2, "v": [0.8, 0.6], "cat": "b"},
+        {"_id": 3, "v": [0.0, 1.0], "cat": "a"},
+        {"_id": 4, "v": [-1.0, 0.0], "cat": "a"},
+        {"_id": 5, "x": "no vector"},
+        {"_id": 6, "v": [1.0, 0.0, 0.0]},  # wrong dimension
+    ]
+
+    def test_cosine_topk_and_score(self):
+        out = run_pipeline(self.DOCS, [
+            {"$vectorSearch": {"index": "i", "path": "v",
+                               "queryVector": [1.0, 0.0],
+                               "numCandidates": 10, "limit": 3}},
+            {"$addFields": {"score": {"$meta": "vectorSearchScore"}}},
+        ])
+        assert [d["_id"] for d in out] == [1, 2, 3]
+        assert abs(out[0]["score"] - 1.0) < 1e-12          # cos=1 -> 1
+        assert abs(out[1]["score"] - 0.9) < 1e-12          # cos=0.8 -> 0.9
+        assert abs(out[2]["score"] - 0.5) < 1e-12          # cos=0 -> 0.5
+
+    def test_filter_prefilters(self):
+        out = run_pipeline(self.DOCS, [{"$vectorSearch": {
+            "index": "i", "path": "v", "queryVector": [1.0, 0.0],
+            "numCandidates": 10, "limit": 10, "filter": {"cat": "a"}}}])
+        assert [d["_id"] for d in out] == [1, 3, 4]
+
+    def test_euclidean_and_dot_product(self):
+        out = run_pipeline(self.DOCS, [{"$vectorSearch": {
+            "index": "i", "path": "v", "queryVector": [1.0, 0.0],
+            "limit": 2, "exact": True, "similarity": "euclidean"}},
+            {"$project": {"s": {"$meta": "vectorSearchScore"}}}])
+        assert out[0]["_id"] == 1 and abs(out[0]["s"] - 1.0) < 1e-12
+        out = run_pipeline(self.DOCS, [{"$vectorSearch": {
+            "index": "i", "path": "v", "queryVector": [2.0, 0.0],
+            "limit": 1, "exact": True, "similarity": "dotProduct"}}])
+        assert out[0]["_id"] == 1  # dot=2 -> score 1.5
+
+    def test_validation(self):
+        base = {"index": "i", "path": "v", "queryVector": [1.0, 0.0], "limit": 5}
+        with pytest.raises(ValueError, match="numCandidates required"):
+            run_pipeline(self.DOCS, [{"$vectorSearch": dict(base)}])
+        with pytest.raises(ValueError, match=">= limit"):
+            run_pipeline(self.DOCS, [{"$vectorSearch": dict(base, numCandidates=2)}])
+        with pytest.raises(ValueError, match="not allowed with exact"):
+            run_pipeline(self.DOCS, [{"$vectorSearch": dict(
+                base, exact=True, numCandidates=10)}])
+        with pytest.raises(ValueError, match="first"):
+            run_pipeline(self.DOCS, [
+                {"$limit": 10},
+                {"$vectorSearch": dict(base, numCandidates=10)}])
+
+    def test_skips_unindexable_vectors(self):
+        out = run_pipeline(self.DOCS, [{"$vectorSearch": {
+            "index": "i", "path": "v", "queryVector": [1.0, 0.0],
+            "numCandidates": 10, "limit": 10}}])
+        assert {d["_id"] for d in out} == {1, 2, 3, 4}  # 5 & 6 skipped

@@ -27,10 +27,13 @@ from duckdb_mongo_spark.mql.expr import (
     eval_expr,
 )
 from duckdb_mongo_spark.mql.match import (
+    EARTH_RADIUS_M as _EARTH_RADIUS_M,
     MISSING,
     compare_values,
     get_path,
+    haversine_rad as _haversine_rad,
     matches_filter,
+    parse_point as _parse_point,
     values_equal,
 )
 
@@ -833,43 +836,7 @@ def _merge_stage(stream, spec, collections, collection_sink):
     return existing
 
 
-_EARTH_RADIUS_M = 6378100.0  # mongod's kRadiusOfEarthInMeters (equatorial)
-
 _META_KEY = "__mql_meta__"  # hidden per-doc metadata slot read by {$meta: ...}
-
-
-def _parse_point(v):
-    """Parse a GeoJSON Point / legacy coordinate pair.
-
-    Returns ``(x, y, is_geojson)`` — ``(lng, lat, True)`` for GeoJSON —
-    or ``None`` when the value is not point-shaped (such documents are
-    skipped by $geoNear, matching a 2dsphere index ignoring them)."""
-    if isinstance(v, dict):
-        if v.get("type") == "Point":
-            c = v.get("coordinates")
-            if isinstance(c, (list, tuple)) and len(c) == 2:
-                return float(c[0]), float(c[1]), True
-            return None
-        nums = [x for x in v.values() if isinstance(x, (int, float))
-                and not isinstance(x, bool)]
-        if len(nums) == 2 and len(v) == 2:
-            return float(nums[0]), float(nums[1]), False
-        return None
-    if (isinstance(v, (list, tuple)) and len(v) == 2
-            and all(isinstance(x, (int, float)) and not isinstance(x, bool)
-                    for x in v)):
-        return float(v[0]), float(v[1]), False
-    return None
-
-
-def _haversine_rad(lng1, lat1, lng2, lat2):
-    """Central angle (radians) between two (degree) lng/lat points."""
-    import math
-    p1, p2 = math.radians(lat1), math.radians(lat2)
-    dp = p2 - p1
-    dl = math.radians(lng2 - lng1)
-    a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
-    return 2 * math.asin(min(1.0, math.sqrt(a)))
 
 
 def _geo_near(docs, spec):

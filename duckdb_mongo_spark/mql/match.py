@@ -7,7 +7,11 @@ docs, not ported code).
 
 Supported: equality, $eq $ne $lt $lte $gt $gte $in $nin $exists $type
 $regex $elemMatch $size $not $and $or $nor $expr, dotted paths, and
-MongoDB's missing-field/null-equality semantics.
+MongoDB's missing-field/null-equality semantics. Geo predicates:
+$geoWithin ($box/$center/$centerSphere/$polygon/$geometry),
+$geoIntersects (point vs polygon), and $near/$nearSphere as
+*filters* (min/max distance honored; the distance ORDERING of a
+mongod $near cursor needs the $geoNear aggregation stage here).
 """
 
 from __future__ import annotations
@@ -19,6 +23,136 @@ from decimal import Decimal
 from duckdb_mongo_spark.bsonlike import ObjectId
 
 _MISSING = object()
+
+EARTH_RADIUS_M = 6378100.0  # mongod's kRadiusOfEarthInMeters (equatorial)
+
+
+def parse_point(v):
+    """Parse a GeoJSON Point / legacy coordinate pair.
+
+    Returns ``(x, y, is_geojson)`` — ``(lng, lat, True)`` for GeoJSON —
+    or ``None`` when the value is not point-shaped."""
+    if isinstance(v, dict):
+        if v.get("type") == "Point":
+            c = v.get("coordinates")
+            if isinstance(c, (list, tuple)) and len(c) == 2:
+                return float(c[0]), float(c[1]), True
+            return None
+        nums = [x for x in v.values() if isinstance(x, (int, float))
+                and not isinstance(x, bool)]
+        if len(nums) == 2 and len(v) == 2:
+            return float(nums[0]), float(nums[1]), False
+        return None
+    if (isinstance(v, (list, tuple)) and len(v) == 2
+            and all(isinstance(x, (int, float)) and not isinstance(x, bool)
+                    for x in v)):
+        return float(v[0]), float(v[1]), False
+    return None
+
+
+def haversine_rad(lng1, lat1, lng2, lat2):
+    """Central angle (radians) between two (degree) lng/lat points."""
+    import math
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp = p2 - p1
+    dl = math.radians(lng2 - lng1)
+    a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+    return 2 * math.asin(min(1.0, math.sqrt(a)))
+
+
+def _point_in_ring(x, y, ring) -> bool:
+    """Ray-casting point-in-polygon for one linear ring (closed or open).
+    Planar on the coordinate plane — correct for GeoJSON polygons that
+    don't cross the antimeridian or enclose a pole (mongod runs the full
+    S2 spherical test; documented approximation)."""
+    inside = False
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i][0], ring[i][1]
+        x2, y2 = ring[(i + 1) % n][0], ring[(i + 1) % n][1]
+        if (y1 > y) != (y2 > y):
+            xin = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+            if x < xin:
+                inside = not inside
+    return inside
+
+
+def _point_in_polygon_coords(x, y, coords) -> bool:
+    """GeoJSON Polygon coordinates: ring 0 is the shell, rest are holes."""
+    if not coords or not _point_in_ring(x, y, coords[0]):
+        return False
+    return not any(_point_in_ring(x, y, hole) for hole in coords[1:])
+
+
+def _point_in_geometry(x, y, geometry: dict) -> bool:
+    gtype = geometry.get("type")
+    coords = geometry.get("coordinates")
+    if gtype == "Polygon":
+        return _point_in_polygon_coords(x, y, coords)
+    if gtype == "MultiPolygon":
+        return any(_point_in_polygon_coords(x, y, poly) for poly in coords)
+    raise ValueError(f"unsupported $geometry type for point test: {gtype!r}")
+
+
+def _geo_within(actual, shape: dict) -> bool:
+    pt = parse_point(actual)
+    if pt is None:
+        return False
+    x, y, _ = pt
+    if "$geometry" in shape:
+        return _point_in_geometry(x, y, shape["$geometry"])
+    if "$box" in shape:
+        (x1, y1), (x2, y2) = shape["$box"]
+        return (min(x1, x2) <= x <= max(x1, x2)
+                and min(y1, y2) <= y <= max(y1, y2))
+    if "$polygon" in shape:
+        return _point_in_ring(x, y, shape["$polygon"])
+    if "$center" in shape:
+        (cx, cy), r = shape["$center"]
+        return (x - cx) ** 2 + (y - cy) ** 2 <= r * r
+    if "$centerSphere" in shape:
+        (cx, cy), r = shape["$centerSphere"]
+        return haversine_rad(cx, cy, x, y) <= r  # radius in radians
+    raise ValueError(f"unsupported $geoWithin shape: {sorted(shape)}")
+
+
+def _geo_near_match(actual, arg, op: str, min_d=None, max_d=None) -> bool:
+    """$near / $nearSphere as a predicate: distance bounds only.
+
+    GeoJSON form ``{$geometry: point, $maxDistance: m, $minDistance: m}``
+    measures meters on the sphere; legacy ``[x, y]`` (bounds arrive as
+    sibling operators via ``min_d``/``max_d``) is planar for $near and
+    radians for $nearSphere (matching $geoNear's unit rules). The
+    result-ordering a mongod $near cursor adds requires the $geoNear
+    aggregation stage (interpreter.py), which this predicate cannot
+    express — without bounds every located document matches."""
+    pt = parse_point(actual)
+    if pt is None:
+        return False
+    x, y, _ = pt
+    if isinstance(arg, dict) and "$geometry" in arg:
+        near = parse_point(arg["$geometry"])
+        if near is None:
+            raise ValueError(f"{op}: $geometry must be a GeoJSON Point")
+        nx, ny, _ = near
+        dist = haversine_rad(nx, ny, x, y) * EARTH_RADIUS_M
+        min_d = arg.get("$minDistance", min_d)
+        max_d = arg.get("$maxDistance", max_d)
+    else:
+        near = parse_point(arg)
+        if near is None:
+            raise ValueError(f"{op}: expected a point or {{$geometry: ...}}")
+        nx, ny, _ = near
+        if op == "$nearSphere":
+            dist = haversine_rad(nx, ny, x, y)  # radians, legacy spherical
+        else:
+            import math
+            dist = math.hypot(x - nx, y - ny)   # planar units
+    if min_d is not None and dist < min_d:
+        return False
+    if max_d is not None and dist > max_d:
+        return False
+    return True
 
 
 def get_path(doc, path: str):
@@ -180,6 +314,21 @@ def _apply_op(actual, op, arg, doc):
             # scalar matches iff it equals every required element
             return all(_eq_match(actual, x) for x in arg)
         return all(any(values_equal(x, el) for el in actual) for x in arg)
+    if op == "$geoWithin":
+        return _geo_within(actual, arg)
+    if op == "$geoIntersects":
+        if not (isinstance(arg, dict) and "$geometry" in arg):
+            raise ValueError("$geoIntersects requires {$geometry: ...}")
+        pt = parse_point(actual)
+        if pt is None:
+            return False
+        geom = arg["$geometry"]
+        if geom.get("type") == "Point":
+            other = parse_point(geom)
+            return other is not None and pt[:2] == other[:2]
+        return _point_in_geometry(pt[0], pt[1], geom)
+    if op in ("$near", "$nearSphere"):
+        return _geo_near_match(actual, arg, op)
     raise ValueError(f"unsupported match operator: {op}")
 
 
@@ -194,6 +343,16 @@ def _is_operator_doc(v) -> bool:
 
 
 def _operator_doc_match(actual, opdoc, doc) -> bool:
+    if "$near" in opdoc or "$nearSphere" in opdoc:
+        # legacy form puts $minDistance/$maxDistance as SIBLING operators
+        # of $near ({loc: {$near: [x,y], $maxDistance: d}}) — fold them in
+        op = "$near" if "$near" in opdoc else "$nearSphere"
+        if not _geo_near_match(actual, opdoc[op], op,
+                               min_d=opdoc.get("$minDistance"),
+                               max_d=opdoc.get("$maxDistance")):
+            return False
+        opdoc = {k: v for k, v in opdoc.items()
+                 if k not in (op, "$minDistance", "$maxDistance")}
     return all(_apply_op(actual, op, arg, doc) for op, arg in opdoc.items())
 
 

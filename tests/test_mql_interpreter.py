@@ -1434,3 +1434,72 @@ class TestVectorSearch:
             "index": "i", "path": "v", "queryVector": [1.0, 0.0],
             "numCandidates": 10, "limit": 10}}])
         assert {d["_id"] for d in out} == {1, 2, 3, 4}  # 5 & 6 skipped
+
+
+class TestGeoMatchOperators:
+    DOCS = [
+        {"_id": "origin", "loc": [0.0, 0.0]},
+        {"_id": "ne", "loc": [3.0, 4.0]},
+        {"_id": "far", "loc": [10.0, 10.0]},
+        {"_id": "gj", "loc": {"type": "Point", "coordinates": [2.3522, 48.8566]}},
+        {"_id": "none"},
+    ]
+
+    def run_match(self, filt):
+        return [d["_id"] for d in run_pipeline(self.DOCS, [{"$match": filt}])]
+
+    def test_geo_within_box(self):
+        got = self.run_match({"loc": {"$geoWithin": {"$box": [[-1, -1], [5, 5]]}}})
+        assert got == ["origin", "ne"]
+
+    def test_geo_within_center_planar(self):
+        got = self.run_match({"loc": {"$geoWithin": {"$center": [[0, 0], 5]}}})
+        assert got == ["origin", "ne"]  # (3,4) is exactly r=5
+
+    def test_geo_within_center_sphere(self):
+        # cap of 0.1 rad (~637 km) around Paris catches only the Paris point
+        got = self.run_match({"loc": {"$geoWithin": {
+            "$centerSphere": [[2.3522, 48.8566], 0.1]}}})
+        assert got == ["gj"]
+
+    def test_geo_within_polygon_legacy(self):
+        tri = [[-1, -1], [8, -1], [0, 9]]  # edge at y=4 crosses x=4 > 3
+        got = self.run_match({"loc": {"$geoWithin": {"$polygon": tri}}})
+        assert got == ["origin", "ne"]
+
+    def test_geo_within_geojson_polygon_with_hole(self):
+        donut = {"type": "Polygon", "coordinates": [
+            [[-5, -5], [15, -5], [15, 15], [-5, 15], [-5, -5]],   # shell
+            [[9, 9], [11, 9], [11, 11], [9, 11], [9, 9]],          # hole @ (10,10)
+        ]}
+        got = self.run_match({"loc": {"$geoWithin": {"$geometry": donut}}})
+        assert got == ["origin", "ne"]  # 'far' fell into the hole
+
+    def test_geo_intersects_point_vs_polygon(self):
+        sq = {"type": "Polygon",
+              "coordinates": [[[2, 48], [3, 48], [3, 49], [2, 49], [2, 48]]]}
+        got = self.run_match({"loc": {"$geoIntersects": {"$geometry": sq}}})
+        assert got == ["gj"]
+
+    def test_near_geojson_meters(self):
+        got = self.run_match({"loc": {"$near": {
+            "$geometry": {"type": "Point", "coordinates": [2.3522, 48.8566]},
+            "$maxDistance": 1000}}})
+        assert got == ["gj"]
+
+    def test_near_legacy_sibling_bounds(self):
+        got = self.run_match({"loc": {"$near": [0, 0], "$maxDistance": 5.0}})
+        assert got == ["origin", "ne"]
+        got = self.run_match(
+            {"loc": {"$near": [0, 0], "$minDistance": 1.0, "$maxDistance": 6.0}})
+        assert got == ["ne"]
+
+    def test_near_sphere_legacy_radians(self):
+        # 1 degree of longitude at the equator = pi/180 radians
+        got = self.run_match(
+            {"loc": {"$nearSphere": [0.1, 0.0], "$maxDistance": 0.0175}})
+        assert got == ["origin"]
+
+    def test_missing_location_never_matches(self):
+        assert "none" not in self.run_match(
+            {"loc": {"$geoWithin": {"$box": [[-90, -90], [90, 90]]}}})

@@ -989,7 +989,7 @@ def run_pipeline(docs, pipeline, seed: int | None = None, collections=None,
         (op, spec), = stage.items()
         if op in ("$out", "$merge") and stage_idx != len(pipeline) - 1:
             raise ValueError(f"{op} must be the last pipeline stage")
-        if op in ("$geoNear", "$vectorSearch") and any(
+        if op in ("$geoNear", "$vectorSearch", "$search", "$searchMeta") and any(
                 next(iter(s)) != "$match" for s in pipeline[:stage_idx]):
             # mongod requires these index-backed stages first; the engine
             # prepends an internal sentinel-excluding $match (scan.py,
@@ -1191,6 +1191,13 @@ def run_pipeline(docs, pipeline, seed: int | None = None, collections=None,
             stream = iter(_geo_near(stream, spec))
         elif op == "$vectorSearch":
             stream = iter(_vector_search(stream, spec))
+        elif op == "$search":
+            from duckdb_mongo_spark.mql.search import search_stage
+            stream = iter(search_stage(stream, spec, _META_KEY))
+        elif op == "$searchMeta":
+            from duckdb_mongo_spark.mql.search import search_stage
+            hits = search_stage(stream, spec, _META_KEY)
+            stream = iter([{"count": {"total": len(hits)}}])
         elif op == "$redact":
             def _redact(ds, sp=spec):
                 for d in ds:

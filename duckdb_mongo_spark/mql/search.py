@@ -1,0 +1,261 @@
+"""``$search`` (Atlas Search) — a deterministic local subset.
+
+The reference ships ``$search`` pipelines to Atlas verbatim (it is a
+server-side stage, like ``$vectorSearch``); this module is the hermetic
+stand-in so manual ``pipeline :=`` queries using it are executable and
+testable. Implemented operators: ``text`` (BM25 relevance), ``phrase``
+(token subsequence with ``slop``), ``equals``, ``range``, ``exists``,
+``in``, and ``compound`` (must/should/mustNot/filter with
+``minimumShouldMatch``). Scores follow Lucene's BM25 (k1=1.2, b=0.75,
+idf = ln(1 + (N - df + 0.5)/(df + 0.5))) and surface through
+``{$meta: "searchScore"}``. Results return in descending score order
+(Atlas relevance order); ties keep input order.
+
+Analyzer: ``lucene.standard``-ish — lowercase, split on
+non-alphanumeric runs. Unsupported operators raise (no silent
+best-effort), so a pipeline that needs a live Atlas index fails loudly.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from duckdb_mongo_spark.mql.match import MISSING, compare_values, get_path
+
+_K1 = 1.2
+_B = 0.75
+
+_TOKEN_RE = re.compile(r"[0-9a-z]+")
+
+
+def _analyze(text) -> list[str]:
+    if not isinstance(text, str):
+        return []
+    return _TOKEN_RE.findall(text.lower())
+
+
+def _paths(spec) -> list[str]:
+    p = spec["path"]
+    return [p] if isinstance(p, str) else list(p)
+
+
+def _field_tokens(doc, path) -> list[str]:
+    v = get_path(doc, path)
+    if v is MISSING:
+        return []
+    if isinstance(v, list):
+        out = []
+        for el in v:
+            out.extend(_analyze(el))
+        return out
+    return _analyze(v)
+
+
+class _Corpus:
+    """Per-query corpus statistics for BM25 (built once per $search)."""
+
+    def __init__(self, docs: list[dict], paths: list[str]):
+        self.n = len(docs)
+        self.tokens = []   # per doc: {path: [tokens]}
+        df = {}            # (path, term) -> doc freq
+        total_len = {p: 0 for p in paths}
+        for d in docs:
+            per = {}
+            for p in paths:
+                toks = _field_tokens(d, p)
+                per[p] = toks
+                total_len[p] += len(toks)
+                for t in set(toks):
+                    df[(p, t)] = df.get((p, t), 0) + 1
+            self.tokens.append(per)
+        self.df = df
+        self.avg_len = {
+            p: (total_len[p] / self.n if self.n else 0.0) for p in paths
+        }
+
+    def idf(self, path, term) -> float:
+        d = self.df.get((path, term), 0)
+        return math.log(1.0 + (self.n - d + 0.5) / (d + 0.5))
+
+    def bm25(self, i: int, path: str, terms: list[str]) -> float:
+        toks = self.tokens[i].get(path)
+        if toks is None:
+            toks = []
+        score = 0.0
+        dl, avg = len(toks), self.avg_len.get(path, 0.0)
+        norm = _K1 * (1.0 - _B + (_B * dl / avg if avg else 0.0))
+        for t in terms:
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            score += self.idf(path, t) * (tf * (_K1 + 1.0)) / (tf + norm)
+        return score
+
+
+def _phrase_matches(tokens: list[str], phrase: list[str], slop: int) -> bool:
+    """Token subsequence with at most ``slop`` total extra gap positions."""
+    if not phrase:
+        return False
+    n, m = len(tokens), len(phrase)
+    for start in range(n):
+        if tokens[start] != phrase[0]:
+            continue
+        pos, budget, ok = start, slop, True
+        for term in phrase[1:]:
+            nxt = None
+            for j in range(pos + 1, min(n, pos + 2 + budget)):
+                if tokens[j] == term:
+                    nxt = j
+                    break
+            if nxt is None:
+                ok = False
+                break
+            budget -= nxt - pos - 1
+            pos = nxt
+        if ok:
+            return True
+    return False
+
+
+def _eval_operator(op: str, spec, corpus_cache, docs, i: int):
+    """Returns the clause score for document ``i`` — None when no match."""
+    d = docs[i]
+    if op == "text":
+        paths = _paths(spec)
+        terms = _analyze(spec["query"]) if isinstance(spec["query"], str) else [
+            t for q in spec["query"] for t in _analyze(q)
+        ]
+        key = tuple(paths)
+        if key not in corpus_cache:
+            corpus_cache[key] = _Corpus(docs, paths)
+        corpus = corpus_cache[key]
+        score = sum(corpus.bm25(i, p, terms) for p in paths)
+        return score if score > 0.0 else None
+    if op == "phrase":
+        paths = _paths(spec)
+        slop = int(spec.get("slop", 0))
+        queries = spec["query"] if isinstance(spec["query"], list) else [spec["query"]]
+        for p in paths:
+            toks = _field_tokens(d, p)
+            for q in queries:
+                if _phrase_matches(toks, _analyze(q), slop):
+                    return 1.0  # constant score; Atlas phrase scoring is index-bound
+        return None
+    if op == "equals":
+        v = get_path(d, spec["path"])
+        if v is MISSING:
+            return None
+        if isinstance(v, list):
+            return 1.0 if any(_equals_value(el, spec["value"]) for el in v) else None
+        return 1.0 if _equals_value(v, spec["value"]) else None
+    if op == "range":
+        v = get_path(d, spec["path"])
+        vals = v if isinstance(v, list) else [v]
+        for x in vals:
+            if x is MISSING or x is None:
+                continue
+            ok = True
+            for bound, cmp_ok in (("gt", lambda c: c > 0), ("gte", lambda c: c >= 0),
+                                  ("lt", lambda c: c < 0), ("lte", lambda c: c <= 0)):
+                if bound in spec:
+                    c = compare_values(x, spec[bound])
+                    if c is None or not cmp_ok(c):
+                        ok = False
+                        break
+            if ok:
+                return 1.0
+        return None
+    if op == "exists":
+        return 1.0 if get_path(d, spec["path"]) is not MISSING else None
+    if op == "in":
+        v = get_path(d, spec["path"])
+        if v is MISSING:
+            return None
+        vals = v if isinstance(v, list) else [v]
+        return 1.0 if any(
+            any(_equals_value(x, want) for want in spec["value"]) for x in vals
+        ) else None
+    if op == "compound":
+        return _eval_compound(spec, corpus_cache, docs, i)
+    raise ValueError(f"unsupported $search operator: {op!r}")
+
+
+def _equals_value(a, b) -> bool:
+    if isinstance(a, bool) or isinstance(b, bool):
+        return a is b if isinstance(a, bool) and isinstance(b, bool) else False
+    c = compare_values(a, b)
+    return c == 0 if c is not None else a == b
+
+
+def _clauses(spec, key) -> list[dict]:
+    cl = spec.get(key, [])
+    return [cl] if isinstance(cl, dict) else list(cl)
+
+
+def _eval_clause(clause: dict, corpus_cache, docs, i: int):
+    (op, spec), = clause.items()
+    return _eval_operator(op, spec, corpus_cache, docs, i)
+
+
+def _eval_compound(spec, corpus_cache, docs, i: int):
+    score = 0.0
+    for cl in _clauses(spec, "must"):
+        s = _eval_clause(cl, corpus_cache, docs, i)
+        if s is None:
+            return None
+        score += s
+    for cl in _clauses(spec, "mustNot"):
+        if _eval_clause(cl, corpus_cache, docs, i) is not None:
+            return None
+    for cl in _clauses(spec, "filter"):
+        if _eval_clause(cl, corpus_cache, docs, i) is None:
+            return None  # filter: must match, contributes no score
+    should = _clauses(spec, "should")
+    matched = 0
+    for cl in should:
+        s = _eval_clause(cl, corpus_cache, docs, i)
+        if s is not None:
+            matched += 1
+            score += s
+    need = int(spec.get("minimumShouldMatch", 0))
+    if should and matched < need:
+        return None
+    if not spec.get("must") and not spec.get("filter") and should and matched == 0:
+        # pure-should compound needs at least one should hit
+        return None
+    return score
+
+
+def search_stage(docs, spec, meta_key: str) -> list[dict]:
+    """Execute ``$search`` over materialized ``docs``; returns new doc
+    dicts in descending-score order with the score in ``meta_key``."""
+    docs = [d for d in docs]
+    spec = dict(spec)
+    spec.pop("index", None)
+    spec.pop("highlight", None)  # accepted, not rendered
+    count_spec = spec.pop("count", None)
+    if len(spec) != 1:
+        raise ValueError(
+            f"$search expects exactly one operator, got {sorted(spec)}")
+    (op, opspec), = spec.items()
+    corpus_cache = {}
+    scored = []
+    for i in range(len(docs)):
+        s = _eval_operator(op, opspec, corpus_cache, docs, i)
+        if s is not None:
+            scored.append((s, i))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    out = []
+    total = len(scored)
+    for s, i in scored:
+        nd = dict(docs[i])
+        meta = dict(nd.get(meta_key) or {})
+        meta["searchScore"] = s
+        if count_spec is not None:
+            meta["searchScoreDetails"] = None
+            meta["count"] = {"lowerBound" if count_spec.get("type") == "lowerBound"
+                             else "total": total}
+        nd[meta_key] = meta
+        out.append(nd)
+    return out

@@ -1,0 +1,125 @@
+"""$search (Atlas Search subset) — BM25 hand-oracle + operator tests."""
+
+import math
+
+import pytest
+
+from duckdb_mongo_spark.mql import run_pipeline
+
+DOCS = [
+    {"_id": 1, "t": "spark is fast", "views": 10, "lang": "en"},
+    {"_id": 2, "t": "spark spark streaming", "views": 3, "lang": "en"},
+    {"_id": 3, "t": "duckdb is a database", "views": 7, "lang": "de"},
+    {"_id": 4, "views": 1},
+]
+
+
+def run(spec, docs=DOCS, extra=()):
+    return run_pipeline(docs, [{"$search": spec}, *extra])
+
+
+def bm25_one(tf, dl, avg, n, df, k1=1.2, b=0.75):
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avg))
+
+
+class TestText:
+    def test_bm25_scores_and_order(self):
+        out = run({"text": {"query": "spark", "path": "t"}},
+                  extra=[{"$addFields": {"s": {"$meta": "searchScore"}}}])
+        # N=4 docs, df(spark)=2, avg field len (3+3+4+0)/4 = 2.5
+        assert [d["_id"] for d in out] == [2, 1]
+        assert out[0]["s"] == pytest.approx(bm25_one(2, 3, 2.5, 4, 2))
+        assert out[1]["s"] == pytest.approx(bm25_one(1, 3, 2.5, 4, 2))
+
+    def test_multi_term_sums_and_multi_path(self):
+        out = run({"text": {"query": "duckdb database", "path": "t"}})
+        assert [d["_id"] for d in out] == [3]
+        docs = [{"_id": 1, "a": "x y", "b": "z"}, {"_id": 2, "a": "z", "b": "x"}]
+        out = run({"text": {"query": "z", "path": ["a", "b"]}}, docs=docs)
+        assert {d["_id"] for d in out} == {1, 2}
+
+    def test_analyzer_lowercases_and_splits(self):
+        docs = [{"_id": 1, "t": "Hello, WORLD!"}]
+        out = run({"text": {"query": "hello world", "path": "t"}}, docs=docs)
+        assert len(out) == 1
+
+    def test_no_match_returns_empty(self):
+        assert run({"text": {"query": "zzz", "path": "t"}}) == []
+
+
+class TestPhrase:
+    def test_exact_subsequence(self):
+        out = run({"phrase": {"query": "spark streaming", "path": "t"}})
+        assert [d["_id"] for d in out] == [2]
+
+    def test_slop(self):
+        assert run({"phrase": {"query": "spark fast", "path": "t"}}) == []
+        out = run({"phrase": {"query": "spark fast", "path": "t", "slop": 1}})
+        assert [d["_id"] for d in out] == [1]
+
+
+class TestStructuredOperators:
+    def test_equals_range_exists_in(self):
+        out = run({"equals": {"path": "lang", "value": "de"}})
+        assert [d["_id"] for d in out] == [3]
+        out = run({"range": {"path": "views", "gte": 5, "lte": 10}})
+        assert {d["_id"] for d in out} == {1, 3}
+        out = run({"exists": {"path": "t"}})
+        assert {d["_id"] for d in out} == {1, 2, 3}
+        out = run({"in": {"path": "views", "value": [1, 3]}})
+        assert {d["_id"] for d in out} == {2, 4}
+
+    def test_unsupported_operator_raises(self):
+        with pytest.raises(ValueError, match="unsupported \\$search operator"):
+            run({"autocomplete": {"query": "sp", "path": "t"}})
+
+
+class TestCompound:
+    def test_must_filter_must_not(self):
+        out = run({"compound": {
+            "must": [{"text": {"query": "spark", "path": "t"}}],
+            "filter": [{"range": {"path": "views", "gte": 5}}],
+        }})
+        assert [d["_id"] for d in out] == [1]
+        out = run({"compound": {
+            "must": [{"exists": {"path": "t"}}],
+            "mustNot": [{"text": {"query": "duckdb", "path": "t"}}],
+        }})
+        assert {d["_id"] for d in out} == {1, 2}
+
+    def test_filter_contributes_no_score(self):
+        scored = run({"compound": {
+            "must": [{"text": {"query": "spark", "path": "t"}}],
+            "filter": [{"exists": {"path": "views"}}],
+        }}, extra=[{"$addFields": {"s": {"$meta": "searchScore"}}}])
+        plain = run({"text": {"query": "spark", "path": "t"}},
+                    extra=[{"$addFields": {"s": {"$meta": "searchScore"}}}])
+        assert [d["s"] for d in scored] == [d["s"] for d in plain]
+
+    def test_minimum_should_match(self):
+        spec = {"compound": {
+            "should": [{"text": {"query": "spark", "path": "t"}},
+                       {"equals": {"path": "lang", "value": "de"}}],
+            "minimumShouldMatch": 2,
+        }}
+        assert run(spec) == []  # no doc matches both
+        spec["compound"]["minimumShouldMatch"] = 1
+        assert {d["_id"] for d in run(spec)} == {1, 2, 3}
+
+
+class TestStageWiring:
+    def test_search_meta_count(self):
+        out = run_pipeline(DOCS, [
+            {"$searchMeta": {"text": {"query": "spark", "path": "t"}}}])
+        assert out == [{"count": {"total": 2}}]
+
+    def test_must_be_first_stage(self):
+        with pytest.raises(ValueError, match="first"):
+            run_pipeline(DOCS, [
+                {"$limit": 2},
+                {"$search": {"text": {"query": "spark", "path": "t"}}}])
+
+    def test_meta_stripped_from_output(self):
+        out = run({"text": {"query": "spark", "path": "t"}})
+        assert all("__mql_meta__" not in d for d in out)

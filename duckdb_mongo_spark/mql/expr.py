@@ -21,6 +21,10 @@ from duckdb_mongo_spark.mql.match import MISSING, compare_values, get_path, valu
 
 import threading as _threading
 
+# hidden per-doc metadata slot written by $geoNear/$search/$vectorSearch and
+# read by {$meta: ...}; single source of truth, re-exported by interpreter.py
+META_KEY = "__mql_meta__"
+
 _TL = _threading.local()  # per-thread $map/$filter/$reduce variable frames
 
 
@@ -37,6 +41,11 @@ def _var_lookup(name_path: str, doc):
     the document (expressions here never rebind CURRENT)."""
     name, _, rest = name_path.partition(".")
     if name in ("CURRENT", "ROOT"):
+        # mongod keeps query metadata out-of-document: $$ROOT/$$CURRENT
+        # materialized as a VALUE must never carry the hidden meta slot
+        # (it is readable only through {$meta: ...})
+        if not rest and isinstance(doc, dict) and META_KEY in doc:
+            return {k: v for k, v in doc.items() if k != META_KEY}
         base = doc
     elif name in ("DESCEND", "PRUNE", "KEEP"):
         return f"$${name}"  # $redact action sentinels
@@ -250,7 +259,7 @@ def eval_expr(expr, doc):
         # query-execution metadata attached by $geoNear / $vectorSearch;
         # the interpreter stashes it in a hidden per-document slot that is
         # stripped from pipeline output (mongod keeps it out-of-document)
-        meta = doc.get("__mql_meta__") if isinstance(doc, dict) else None
+        meta = doc.get(META_KEY) if isinstance(doc, dict) else None
         return (meta or {}).get(raw)
 
     args = raw if isinstance(raw, list) else [raw]
@@ -855,6 +864,10 @@ def eval_expr(expr, doc):
             v = _resolve(raw[name], doc)
             return default if v is None else int(_num(v))
 
+        if "isoWeekYear" not in raw and "year" not in raw:
+            # mongod requires 'year' (or 'isoWeekYear'); no silent 1970 default
+            raise ValueError(
+                "$dateFromParts requires 'year' or 'isoWeekYear'")
         if "isoWeekYear" in raw:
             base = _dt.datetime.fromisocalendar(
                 part("isoWeekYear", 1970), part("isoWeek", 1),

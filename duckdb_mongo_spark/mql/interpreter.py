@@ -22,6 +22,7 @@ from decimal import Decimal as _Decimal
 from duckdb_mongo_spark.mql.expr import (
     _FIXED_UNIT_MS,
     _MONTH_UNITS,
+    META_KEY as _META_KEY,
     _type_rank,
     date_add_unit,
     eval_expr,
@@ -370,11 +371,14 @@ _WINDOW_ACCS = {"$sum", "$avg", "$min", "$max", "$push", "$count", "$first",
 _RANK_OPS = {"$rank", "$denseRank", "$documentNumber"}
 
 
-def _range_window_bounds(values, i: int, window) -> tuple[int, int]:
+def _range_window_bounds(values, i: int, window, nn: int = 0) -> tuple[int, int]:
     """Resolve a ``range: [lo, hi]`` window (bounds relative to the
     current document's sortBy VALUE, inclusive both ends; ``unit`` maps
     numeric deltas onto time sortBy fields) to [start, end) indexes over
-    the ascending-sorted ``values``."""
+    the ascending-sorted ``values``. ``nn`` is the index of the first
+    non-null value (nulls sort first); null docs get the documented
+    empty-window identity and are excluded from every non-null doc's
+    window, so the bisect never compares against None."""
     import bisect
 
     lo, hi = window["range"]
@@ -390,8 +394,9 @@ def _range_window_bounds(values, i: int, window) -> tuple[int, int]:
             return _densify_add(x, v, unit)
         return x + v
 
-    start = 0 if lo == "unbounded" else bisect.bisect_left(values, edge(lo))
-    end = len(values) if hi == "unbounded" else bisect.bisect_right(values, edge(hi))
+    start = nn if lo == "unbounded" else bisect.bisect_left(values, edge(lo), nn)
+    end = (len(values) if hi == "unbounded"
+           else bisect.bisect_right(values, edge(hi), nn))
     return start, max(start, end)
 
 
@@ -494,9 +499,13 @@ def _set_window_fields(docs: list, spec: dict) -> list:
                         None if (v := get_path(d, sfield)) is MISSING else v
                         for d in group
                     ]
+                    # nulls sort first: first non-null index bounds the bisect
+                    first_nn = next(
+                        (j for j, v in enumerate(svals) if v is not None), n)
                 for i in range(n):
                     if is_range:
-                        start, end = _range_window_bounds(svals, i, window)
+                        start, end = _range_window_bounds(
+                            svals, i, window, first_nn)
                     else:
                         start, end = _window_bounds(window, i, n)
                     if op == "$count":
@@ -810,7 +819,16 @@ def _merge_stage(stream, spec, collections, collection_sink):
         existing = []
     def key_of(d):
         return tuple(_canon_key(get_path(d, f)) for f in on_fields)
-    index = {key_of(d): i for i, d in enumerate(existing)}
+    index: dict = {}
+    for i, d in enumerate(existing):
+        k = key_of(d)
+        if k in index:
+            # mongod requires the on-fields to be backed by a unique index;
+            # an ambiguous match fails the merge rather than last-wins
+            raise ValueError(
+                "$merge: on fields must uniquely identify documents "
+                f"(duplicate key {k!r} in target collection)")
+        index[k] = i
     for doc in stream:
         if _META_KEY in doc:
             doc = {k: v for k, v in doc.items() if k != _META_KEY}
@@ -836,7 +854,6 @@ def _merge_stage(stream, spec, collections, collection_sink):
     return existing
 
 
-_META_KEY = "__mql_meta__"  # hidden per-doc metadata slot read by {$meta: ...}
 
 
 def _geo_near(docs, spec):

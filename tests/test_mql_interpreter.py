@@ -1503,3 +1503,76 @@ class TestGeoMatchOperators:
     def test_missing_location_never_matches(self):
         assert "none" not in self.run_match(
             {"loc": {"$geoWithin": {"$box": [[-90, -90], [90, 90]]}}})
+
+
+class TestRound5AdviceFixes:
+    """Round-5 advisor items: range-window null sortBy crash, metadata
+    leaking into nested $$ROOT output, $dateFromParts year requirement,
+    $merge ambiguous on-key detection."""
+
+    def test_range_window_with_null_sortby_docs(self):
+        # nulls sort first; the bisect must never compare None < edge.
+        # Null docs keep the documented empty-window identity ($sum -> 0)
+        # and are excluded from every non-null doc's window.
+        out = run_pipeline(
+            [{"x": None}, {"x": 1}, {"x": 2}],
+            [{"$setWindowFields": {
+                "sortBy": {"x": 1},
+                "output": {"s": {"$sum": "$x",
+                                 "window": {"range": [-1, 0]}}}}}])
+        assert [d["s"] for d in out] == [0, 1, 3]
+
+    def test_range_window_unbounded_excludes_null_docs(self):
+        out = run_pipeline(
+            [{"x": None}, {"x": 1}, {"x": 2}],
+            [{"$setWindowFields": {
+                "sortBy": {"x": 1},
+                "output": {"c": {"$count": {},
+                                 "window": {"range": ["unbounded", "unbounded"]}}}}}])
+        # null doc: empty window; non-null docs: only the 2 non-null rows
+        assert [d["c"] for d in out] == [0, 2, 2]
+
+    def test_meta_not_leaked_into_pushed_root(self):
+        # mongod keeps metadata out-of-document: $$ROOT materialized as a
+        # value (e.g. $push) must not carry the hidden slot
+        out = run_pipeline(
+            [{"_id": 1, "v": [1.0, 0.0]}, {"_id": 2, "v": [0.0, 1.0]}],
+            [
+                {"$vectorSearch": {"index": "i", "path": "v",
+                                   "queryVector": [1.0, 0.0],
+                                   "numCandidates": 10, "limit": 2}},
+                {"$group": {"_id": None, "all": {"$push": "$$ROOT"}}},
+            ])
+        assert len(out) == 1
+        for d in out[0]["all"]:
+            assert "__mql_meta__" not in d
+
+    def test_meta_still_readable_before_materialization(self):
+        out = run_pipeline(
+            [{"_id": 1, "v": [1.0, 0.0]}],
+            [
+                {"$vectorSearch": {"index": "i", "path": "v",
+                                   "queryVector": [1.0, 0.0],
+                                   "numCandidates": 10, "limit": 1}},
+                {"$addFields": {"score": {"$meta": "vectorSearchScore"}}},
+            ])
+        assert abs(out[0]["score"] - 1.0) < 1e-12
+
+    def test_date_from_parts_requires_year(self):
+        from duckdb_mongo_spark.mql.expr import eval_expr
+        with pytest.raises(ValueError, match="year"):
+            eval_expr({"$dateFromParts": {"month": 3, "day": 4}}, {})
+        # isoWeekYear alone is a valid anchor
+        assert eval_expr(
+            {"$dateFromParts": {"isoWeekYear": 2024}}, {}) is not None
+
+    def test_merge_ambiguous_on_key_fails(self):
+        store = {"target": [{"_id": 1, "k": "dup"}, {"_id": 2, "k": "dup"}]}
+        resolver = lambda name: [dict(d) for d in store[name]]
+        sink = lambda name, docs: store.__setitem__(name, docs)
+        with pytest.raises(ValueError, match="uniquely identify"):
+            run_pipeline(
+                [{"k": "dup", "v": 1}],
+                [{"$merge": {"into": "target", "on": "k"}}],
+                collections=resolver, collection_sink=sink,
+            )

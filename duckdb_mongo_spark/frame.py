@@ -474,7 +474,149 @@ class MongoFrame:
             pa.Table.from_batches(batches), schema=spark_schema
         )
 
+    def _try_routed_pipeline(self) -> DataFrame | None:
+        """Distributed routing for manual pipelines headed by a server-side
+        search stage on LOCAL backends.
+
+        The reference ships ``$vectorSearch``/``$search`` verbatim to the
+        server (server-side stages, README.md "aggregation pipeline
+        pass-through"); on a local columnar backend there is no server, and
+        the single-stream interpreter fallback would funnel the whole
+        collection through one Python task. Instead, a stage-1
+        ``$vectorSearch`` compiles to the distributed exact scorer:
+
+        - partitioned scan with the spec's ``filter`` pushed as ``$match``
+          (the existing manual_filter pushdown, A23);
+        - JVM-side score expression (``zip_with``/``aggregate`` — stays in
+          whole-stage codegen, no Python in the per-row hot path);
+        - distributed top-k (``orderBy().limit()`` →
+          TakeOrderedAndProject: per-partition top-k, driver merge);
+        - remaining stages interpreted over the ≤ ``limit`` survivors
+          (bounded by contract — Atlas caps limit at 10k).
+
+        Scores are bit-identical to the interpreter path: same element
+        order, same left-to-right summation, same zero-norm and
+        null-element handling (docs with null elements score NULL and are
+        excluded, like the interpreter's float()-failure skip). Tie order
+        between equal scores is unspecified (matches Atlas).
+
+        Returns None when the shape doesn't qualify — the caller falls
+        through to the legacy (interpreter / remote pass-through) path.
+        """
+        if not self.manual_pipeline or getattr(self.backend, "is_remote", False):
+            return None
+        if (
+            self._preds
+            or self._projection is not None
+            or self._aggs is not None
+            or self._group_keys
+            or self._order_by_id is not None
+            or self._limit is not None
+            or self.manual_filter is not None
+        ):
+            return None
+        head = self.manual_pipeline[0]
+        if not isinstance(head, dict) or len(head) != 1:
+            return None
+        (op, spec), = head.items()
+        if op != "$vectorSearch":
+            return None
+        import math
+
+        from duckdb_mongo_spark.datasource import _to_arrow_batches
+        from duckdb_mongo_spark.mql.expr import META_KEY
+        from duckdb_mongo_spark.mql.interpreter import (
+            _set_path,
+            parse_vector_search_spec,
+            run_pipeline,
+        )
+        from duckdb_mongo_spark.schema.flatten import SchemaMode, flatten_document
+        from duckdb_mongo_spark.schema.infer import resolve_schema
+        from duckdb_mongo_spark.schema.types import is_list, to_spark_schema
+
+        path, qv, limit, similarity, vfilter = parse_vector_search_spec(spec)
+        coll_schema = resolve_schema(self.backend, self.db, self.coll)
+        fspec = next(
+            (f for f in coll_schema.fields if f.mongo_path == path), None)
+        if fspec is None or not is_list(fspec.type) or fspec.type[1] not in (
+                "DOUBLE", "BIGINT"):
+            return None  # not a numeric vector column — interpreter path
+        base = MongoFrame(
+            spark=self.spark, backend=self.backend, db=self.db, coll=self.coll,
+            schema=coll_schema, schema_mode=self.schema_mode,
+            num_partitions=self.num_partitions, manual_filter=vfilter,
+            direct=self.direct,
+        )
+        bdf = base.df()
+        self._routed_base_path = base.last_exec_path
+        d = len(qv)
+        vec = F.col(fspec.name).cast("array<double>")
+        qarr = F.array(*[F.lit(float(x)) for x in qv])
+        dot = F.aggregate(
+            F.zip_with(vec, qarr, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        if similarity == "cosine":
+            na = math.sqrt(sum(a * a for a in qv))
+            nb = F.sqrt(F.aggregate(
+                vec, F.lit(0.0), lambda acc, x: acc + x * x))
+            if na == 0.0:
+                # interpreter: zero query norm -> sim 0.0 for every valid doc
+                sim = F.when(nb.isNotNull(), F.lit(0.0))
+            else:
+                # nb NULL (null element) propagates through the otherwise
+                # branch -> score NULL -> doc excluded, like the interpreter
+                sim = F.when(nb == 0.0, F.lit(0.0)).otherwise(
+                    dot / (F.lit(na) * nb))
+            score = (F.lit(1.0) + sim) / F.lit(2.0)
+        elif similarity == "dotProduct":
+            score = (F.lit(1.0) + dot) / F.lit(2.0)
+        else:  # euclidean
+            dist = F.sqrt(F.aggregate(
+                F.zip_with(vec, qarr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x))
+            score = F.lit(1.0) / (F.lit(1.0) + dist)
+        scored = (
+            bdf.where(F.col(fspec.name).isNotNull()
+                      & (F.size(F.col(fspec.name)) == d))
+            .withColumn("__vs_score", score)
+            .where(F.col("__vs_score").isNotNull())
+            .orderBy(F.col("__vs_score").desc())
+            .limit(limit)
+        )
+        rows = scored.collect()  # bounded: <= spec limit
+        docs = []
+        for r in rows:
+            rd = r.asDict(recursive=True)
+            s = rd.pop("__vs_score")
+            doc: dict = {}
+            for f in coll_schema.fields:
+                _set_path(doc, f.mongo_path, rd.get(f.name))
+            doc[META_KEY] = {"vectorSearchScore": s}
+            docs.append(doc)
+        results = run_pipeline(
+            docs, list(self.manual_pipeline[1:]), seed=42,
+            collections=lambda c: self.backend.iter_documents(self.db, c),
+        )
+        mode = SchemaMode.parse(self.schema_mode)
+        out_rows = []
+        for doc in results:
+            row = flatten_document(doc, self.schema, mode)
+            if row is not None:
+                out_rows.append(row)
+        spark_schema = to_spark_schema(self.schema.fields)
+        self.last_exec_path = "routed:vector_search"
+        if not out_rows:
+            return self.spark.createDataFrame([], schema=spark_schema)
+        import pyarrow as pa
+
+        batches = list(_to_arrow_batches(out_rows, self.schema))
+        return self.spark.createDataFrame(
+            pa.Table.from_batches(batches), schema=spark_schema)
+
     def df(self) -> DataFrame:
+        routed = self._try_routed_pipeline()
+        if routed is not None:
+            return routed
         spec, planned, residual = self._compiled()
         payload = {
             "backend": self.backend,

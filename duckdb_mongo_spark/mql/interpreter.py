@@ -927,20 +927,12 @@ def _geo_near(docs, spec):
     return [d for _, d in out]
 
 
-def _vector_search(docs, spec):
-    """``$vectorSearch`` (Atlas Vector Search): top-``limit`` documents by
-    vector similarity over ``path`` (must be stage 1).
-
-    Scores follow the published Atlas formulas: cosine/dotProduct →
-    ``(1 + sim) / 2``, euclidean → ``1 / (1 + d)``; read them downstream
-    via ``{$meta: "vectorSearchScore"}``. The similarity function lives
-    in the index definition server-side, so the interpreter takes an
-    optional ``similarity`` field (default ``cosine``) — a documented
-    extension. ``filter`` is a pre-filter ($match semantics). This is
-    the exact-scan semantics oracle; the distributed ANN path is
-    ``ops/similarity.py`` (lsh_topk / pq_topk / ivf_pq_topk).
-    """
-    import math
+def parse_vector_search_spec(spec) -> tuple[str, list[float], int, str, dict | None]:
+    """Validate a ``$vectorSearch`` spec and return
+    ``(path, query_vector, limit, similarity, filter)``. Shared by the
+    single-stream interpreter below and the distributed routed path
+    (``frame.MongoFrame._try_routed_pipeline``) so both enforce identical
+    argument semantics."""
     path = spec["path"]
     qv = [float(x) for x in spec["queryVector"]]
     limit = int(spec["limit"])
@@ -956,7 +948,24 @@ def _vector_search(docs, spec):
     similarity = spec.get("similarity", "cosine")
     if similarity not in ("cosine", "dotProduct", "euclidean"):
         raise ValueError(f"$vectorSearch: unsupported similarity {similarity!r}")
-    vfilter = spec.get("filter")
+    return path, qv, limit, similarity, spec.get("filter")
+
+
+def _vector_search(docs, spec):
+    """``$vectorSearch`` (Atlas Vector Search): top-``limit`` documents by
+    vector similarity over ``path`` (must be stage 1).
+
+    Scores follow the published Atlas formulas: cosine/dotProduct →
+    ``(1 + sim) / 2``, euclidean → ``1 / (1 + d)``; read them downstream
+    via ``{$meta: "vectorSearchScore"}``. The similarity function lives
+    in the index definition server-side, so the interpreter takes an
+    optional ``similarity`` field (default ``cosine``) — a documented
+    extension. ``filter`` is a pre-filter ($match semantics). This is
+    the exact-scan semantics oracle; the distributed ANN path is
+    ``ops/similarity.py`` (lsh_topk / pq_topk / ivf_pq_topk).
+    """
+    import math
+    path, qv, limit, similarity, vfilter = parse_vector_search_spec(spec)
     scored = []
     for d in docs:
         if vfilter is not None and not matches_filter(d, vfilter):

@@ -59,11 +59,40 @@ def mongo_scan(
         # 'double') and _id-dropping stages ($project {_id:0}, $group,
         # $replaceRoot) defeat infer_schema_from_docs' post-filter.
         sentinel_free = [{"$match": {"_id": {"$ne": SCHEMA_DOC_ID}}}]
-        sample_docs = list(
-            backend.aggregate(
-                db, coll, sentinel_free + list(pipeline) + [{"$limit": sample_size}]
+        head_op = next(iter(pipeline[0])) if (
+            pipeline and isinstance(pipeline[0], dict) and pipeline[0]
+        ) else None
+        if head_op in ("$vectorSearch", "$search", "$geoNear") and not getattr(
+            backend, "is_remote", False
+        ):
+            # Search-headed pipelines: run inference over a bounded PREFIX
+            # of the collection, not the whole thing — these stages add the
+            # same fields/metadata to every doc, so a prefix sample yields
+            # the same output shape while keeping inference O(sample) on a
+            # local backend (execution itself takes the distributed routed
+            # path in frame._try_routed_pipeline).
+            import itertools
+
+            from duckdb_mongo_spark.mql.interpreter import run_pipeline
+
+            prefix = [
+                d
+                for d in itertools.islice(
+                    backend.iter_documents(db, coll), sample_size * 10
+                )
+                if d.get("_id") != SCHEMA_DOC_ID
+            ]
+            sample_docs = run_pipeline(
+                prefix,
+                list(pipeline) + [{"$limit": sample_size}],
+                collections=lambda c: backend.iter_documents(db, c),
             )
-        )
+        else:
+            sample_docs = list(
+                backend.aggregate(
+                    db, coll, sentinel_free + list(pipeline) + [{"$limit": sample_size}]
+                )
+            )
         if sample_docs:
             schema = infer_schema_from_docs(
                 sample_docs, force_id=False, source="pipeline-inferred"

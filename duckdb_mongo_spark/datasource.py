@@ -45,6 +45,42 @@ ARROW_BATCH_ROWS = 4096
 
 FORMAT_NAME = "duckdb_mongo"
 
+# Guard for the single-stream local aggregate path: a manual pipeline with
+# a non-record-wise stage ($group/$facet/$graphLookup/...) on a LOCAL
+# backend cannot be split across partitions, so it runs the whole
+# collection through one Python interpreter task. On a remote backend
+# that is correct (the server executes it); on a local backend it is a
+# silent scale trap — past this many input documents the engine refuses
+# loudly instead. <= 0 disables the guard.
+AGG_SINGLE_STREAM_MAX_DOCS = int(
+    __import__("os").environ.get("SPARK_GRAFT_AGG_MAX_DOCS", "5000000")
+)
+
+
+def guard_single_stream_aggregate(backend, db: str, coll: str) -> None:
+    """Raise when a whole-collection single-stream pipeline would run over
+    a local collection larger than ``AGG_SINGLE_STREAM_MAX_DOCS`` (same
+    stance as the semi-join ``max_keys`` / heavy-hitters
+    ``max_candidates`` guards: bounded or loud, never silent)."""
+    import duckdb_mongo_spark.datasource as _self
+
+    cap = _self.AGG_SINGLE_STREAM_MAX_DOCS
+    if cap <= 0 or getattr(backend, "is_remote", False):
+        return
+    try:
+        n = backend.count(db, coll)  # metadata-cheap on columnar backends
+    except Exception:
+        return
+    if n > cap:
+        raise ValueError(
+            f"manual pipeline with non-record-wise stages on local "
+            f"collection {db}.{coll} ({n} docs) would run single-stream "
+            f"through the Python interpreter (cap {cap}). Use the engine "
+            f"API (distributed aggregation), restrict the pipeline to "
+            f"record-wise stages ($match/$project/$addFields/$set/"
+            f"$unwind), or raise SPARK_GRAFT_AGG_MAX_DOCS."
+        )
+
 
 def encode_payload(payload: dict) -> str:
     return base64.b64encode(pickle.dumps(payload)).decode("ascii")
@@ -169,6 +205,7 @@ class _MongoScanReaderNoPushdown(DataSourceReader):
 
     def partitions(self):
         if self.planned.method == "aggregate" and not self.planned.parallelizable:
+            guard_single_stream_aggregate(self.backend, self.db, self.coll)
             return [_Part(None)]  # whole-collection pipeline ("server-side")
         parts = self.backend.partitions(self.db, self.coll, self.num_partitions)
         return [_Part(p) for p in parts]

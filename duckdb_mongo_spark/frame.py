@@ -446,6 +446,16 @@ class MongoFrame:
                 return None  # non-arrow dialect / mode — datasource path
             batches = list(it)
         elif planned.method == "aggregate" and not planned.parallelizable:
+            # size guard BEFORE the swallow-and-fallback try below: a
+            # local collection past the single-stream cap must fail
+            # loudly here too, not fall through to the identical
+            # single-partition datasource task (which guards in
+            # partitions() with the same error)
+            from duckdb_mongo_spark.datasource import (
+                guard_single_stream_aggregate,
+            )
+
+            guard_single_stream_aggregate(self.backend, self.db, self.coll)
             cap = None if self.direct is True else DIRECT_AGG_MAX_ROWS
             if cap is not None and cap <= 0:
                 return None

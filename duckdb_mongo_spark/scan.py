@@ -88,6 +88,15 @@ def mongo_scan(
                 collections=lambda c: backend.iter_documents(db, c),
             )
         else:
+            from duckdb_mongo_spark.datasource import guard_single_stream_aggregate
+            from duckdb_mongo_spark.pushdown.planner import _pipeline_parallelizable
+
+            if not _pipeline_parallelizable(pipeline):
+                # shape-changing pipelines interpret the whole collection
+                # for inference (and again at execution): apply the
+                # single-stream size guard here so oversized collections
+                # fail at scan build, not mid-query
+                guard_single_stream_aggregate(backend, db, coll)
             sample_docs = list(
                 backend.aggregate(
                     db, coll, sentinel_free + list(pipeline) + [{"$limit": sample_size}]

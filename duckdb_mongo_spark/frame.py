@@ -75,6 +75,11 @@ def _pred_to_column(pred, schema):
         return out
     if isinstance(pred, P.Not):
         return ~_pred_to_column(pred.child, schema)
+    if isinstance(pred, P.Geo):
+        raise ValueError(
+            "geo predicates are source-evaluated only (no Spark residual "
+            "form): use them in positive AND/OR positions so they push "
+            "into the scan's $match")
     raise ValueError(f"cannot translate predicate {pred!r}")
 
 

@@ -100,6 +100,11 @@ def _simple(pred, schema) -> dict | None:
         return {_mongo_key(pred.operand.name, schema): {"$ne": None}}
     if isinstance(pred, P.Regex) and isinstance(pred.operand, P.Col):
         return {_mongo_key(pred.operand.name, schema): {"$regex": pred.pattern}}
+    if isinstance(pred, P.Geo) and isinstance(pred.operand, P.Col):
+        doc: dict = {pred.op: pred.body}
+        if pred.siblings:
+            doc.update(pred.siblings)
+        return {_mongo_key(pred.operand.name, schema): doc}
     if isinstance(pred, P.And):
         parts = [_simple(c, schema) for c in pred.children]
         if any(p is None for p in parts):

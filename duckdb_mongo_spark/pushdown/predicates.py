@@ -125,6 +125,45 @@ class Expr:
     def regex(self, pattern: str):
         return Regex(self, pattern)
 
+    # geo query predicates (pass-through to the source's $match — the
+    # interpreter implements local semantics in mql/match.py, a remote
+    # profile ships them verbatim so the server's geo index serves them)
+    def geo_within(self, shape: dict):
+        """``{col: {$geoWithin: shape}}`` — ``shape`` is the raw MQL body
+        ({"$geometry": ...} / {"$box": ...} / {"$center": ...} /
+        {"$centerSphere": ...} / {"$polygon": ...})."""
+        return Geo(self, "$geoWithin", dict(shape))
+
+    def geo_intersects(self, geometry: dict):
+        """``{col: {$geoIntersects: {$geometry: g}}}`` — accepts either a
+        bare GeoJSON geometry or a pre-wrapped {"$geometry": ...} body."""
+        body = dict(geometry)
+        if "$geometry" not in body:
+            body = {"$geometry": body}
+        return Geo(self, "$geoIntersects", body)
+
+    def near(self, point, min_distance=None, max_distance=None,
+             spherical: bool = False):
+        """``$near`` / ``$nearSphere`` with optional distance bounds.
+        GeoJSON ``point`` ({"type": "Point", ...}) nests the bounds inside
+        the operator body (meters); legacy ``[x, y]`` coordinates put them
+        as sibling operators (legacy units: degrees / radians)."""
+        op = "$nearSphere" if spherical else "$near"
+        if isinstance(point, dict):
+            body = {"$geometry": dict(point)} if "$geometry" not in point \
+                else dict(point)
+            if min_distance is not None:
+                body["$minDistance"] = min_distance
+            if max_distance is not None:
+                body["$maxDistance"] = max_distance
+            return Geo(self, op, body)
+        siblings = {}
+        if min_distance is not None:
+            siblings["$minDistance"] = min_distance
+        if max_distance is not None:
+            siblings["$maxDistance"] = max_distance
+        return Geo(self, op, list(point), siblings)
+
 
 @dataclass(repr=True, eq=False)
 class Col(Expr):
@@ -195,6 +234,17 @@ class IsNotNull(Pred):
 class Regex(Pred):
     operand: Expr
     pattern: str
+
+
+@dataclass(repr=True)
+class Geo(Pred):
+    """Geo query predicate — always source-evaluated (no Spark residual
+    form exists): ``{col: {op: body, **siblings}}``."""
+
+    operand: Expr
+    op: str        # $geoWithin | $geoIntersects | $near | $nearSphere
+    body: object   # operator body (dict) or legacy [x, y] coordinates
+    siblings: dict = None  # legacy-form sibling bounds ($minDistance/...)
 
 
 @dataclass(repr=True)

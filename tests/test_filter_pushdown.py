@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from corpus import DB
 from duckdb_mongo_spark.bsonlike import ObjectId
 from duckdb_mongo_spark.pushdown import C, lit
@@ -289,3 +291,105 @@ class TestDatePartAndTrimPushdown:
         plan = compile_filter(C("ts").week_of_year() == 10)
         got = [d["_id"] for d in docs if matches_filter(d, plan.match)]
         assert got == [1, 2]
+
+
+class TestGeoPredicates:
+    """r6: geo query predicates through the pushdown surface — the
+    engine-path analog of the interpreter's $geoWithin/$geoIntersects/
+    $near(Sphere) (mql/match.py). Always source-evaluated: compile into
+    the pushed $match (shipped verbatim on a remote profile, evaluated by
+    matches_filter locally); no Spark residual form exists."""
+
+    def test_geo_within_compiles(self):
+        got = compile_filter(
+            C("loc").geo_within({"$box": [[-1, -1], [3, 3]]})).match
+        assert got == {"loc": {"$geoWithin": {"$box": [[-1, -1], [3, 3]]}}}
+
+    def test_geo_intersects_wraps_geometry(self):
+        g = {"type": "Point", "coordinates": [1.0, 2.0]}
+        got = compile_filter(C("loc").geo_intersects(g)).match
+        assert got == {"loc": {"$geoIntersects": {"$geometry": g}}}
+
+    def test_near_geojson_nests_bounds(self):
+        pt = {"type": "Point", "coordinates": [2.35, 48.85]}
+        got = compile_filter(
+            C("loc").near(pt, max_distance=1000.0)).match
+        assert got == {"loc": {"$near": {
+            "$geometry": pt, "$maxDistance": 1000.0}}}
+
+    def test_near_legacy_sibling_bounds(self):
+        got = compile_filter(
+            C("loc").near([0, 0], min_distance=1.0, max_distance=6.0,
+                          spherical=True)).match
+        assert got == {"loc": {"$nearSphere": [0, 0],
+                               "$minDistance": 1.0, "$maxDistance": 6.0}}
+
+    def test_geo_merges_with_plain_conjuncts(self):
+        plan = compile_filter(
+            (C("kind") == "poi")
+            & C("loc").geo_within({"$center": [[0, 0], 5]}))
+        assert plan.fully_pushed
+        assert plan.match == {
+            "kind": {"$eq": "poi"},
+            "loc": {"$geoWithin": {"$center": [[0, 0], 5]}},
+        }
+
+    def test_negated_geo_raises_clearly(self):
+        from duckdb_mongo_spark.frame import _pred_to_column
+        from duckdb_mongo_spark.pushdown import predicates as P
+
+        plan = compile_filter(~C("loc").geo_within({"$box": [[0, 0], [1, 1]]}))
+        assert plan.match is None and plan.residual is not None
+        with pytest.raises(ValueError, match="source-evaluated"):
+            _pred_to_column(plan.residual, None)
+
+
+class TestGeoPredicateExecution:
+    """Round-trip: the pushed geo $match evaluated by the local
+    interpreter path returns the same rows mql/match.py returns, and the
+    scan annotation (EXPLAIN surface) renders the geo operator."""
+
+    DOCS = [
+        {"_id": 1, "loc": [0.0, 0.0], "kind": "poi"},
+        {"_id": 2, "loc": [2.0, 2.0], "kind": "poi"},
+        {"_id": 3, "loc": [5.0, 5.0], "kind": "poi"},
+        {"_id": 4, "loc": None, "kind": "none"},
+    ]
+
+    def _backend(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({
+                "_id": [d["_id"] for d in self.DOCS],
+                "loc": pa.array([d["loc"] for d in self.DOCS],
+                                type=pa.list_(pa.float64())),
+                "kind": [d["kind"] for d in self.DOCS],
+            }),
+            str(tmp_path / "places.parquet"))
+        from duckdb_mongo_spark.backends import ParquetBackend
+
+        return ParquetBackend(str(tmp_path), db_name="main")
+
+    def test_geo_within_box_roundtrip(self, spark, tmp_path):
+        from duckdb_mongo_spark.scan import mongo_scan
+
+        be = self._backend(tmp_path)
+        mf = mongo_scan(spark, be, "main", "places").filter(
+            C("loc").geo_within({"$box": [[-1.0, -1.0], [3.0, 3.0]]}))
+        desc = mf.scan_description()
+        assert "$geoWithin" in desc
+        ids = sorted(r["_id"] for r in mf.df().collect())
+        assert ids == [1, 2]
+
+    def test_near_legacy_roundtrip(self, spark, tmp_path):
+        from duckdb_mongo_spark.scan import mongo_scan
+
+        be = self._backend(tmp_path)
+        mf = mongo_scan(spark, be, "main", "places").filter(
+            C("loc").near([0.0, 0.0], max_distance=3.0))
+        assert "$near" in mf.scan_description()
+        # $near sorts by distance: origin first
+        ids = [r["_id"] for r in mf.df().collect()]
+        assert sorted(ids) == [1, 2]

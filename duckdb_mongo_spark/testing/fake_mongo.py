@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import copy
 import decimal as _dec
+import itertools
 
 from duckdb_mongo_spark.backends.mongo import PymongoBackend
 from duckdb_mongo_spark.bsonlike import ObjectId as _EngineObjectId
@@ -52,10 +53,21 @@ class ObjectId(_EngineObjectId):
     __slots__ = ()
 
 
-class FakeCursor:
-    """Minimal pymongo cursor: iterable with a chainable ``limit``."""
+_CURSOR_IDS = itertools.count(1)
 
-    def __init__(self, docs: list[dict]):
+
+class FakeCursor:
+    """pymongo-cursor stand-in with server-sized batch delivery: a
+    101-document first batch, then ``getMore`` batches capped at
+    ``FakeCollection.max_batch_bytes`` (16 MiB default, the server's
+    message cap) — mirroring mongod's cursor protocol so the backend's
+    iteration is exercised batch-by-batch across getMore boundaries
+    instead of as one materialized iterator. Exhausted cursors are
+    deregistered (cursor id 0 semantics); a getMore on an unknown id
+    raises, like the server's CursorNotFound."""
+
+    def __init__(self, coll: "FakeCollection", docs: list[dict]):
+        self._coll = coll
         self._docs = docs
         self._limit: int | None = None
 
@@ -65,14 +77,56 @@ class FakeCursor:
 
     def __iter__(self):
         docs = self._docs if self._limit is None else self._docs[: self._limit]
-        return iter(copy.deepcopy(docs))
+        cursor_id, batch = self._coll._open_cursor(docs)
+        while True:
+            yield from batch
+            if not cursor_id:
+                return
+            cursor_id, batch = self._coll._get_more(cursor_id)
 
 
 class FakeCollection:
+    # server cursor-protocol knobs (mongod defaults); tests shrink
+    # max_batch_bytes to force many getMore round trips on small data
+    first_batch_docs = 101
+    max_batch_bytes = 16 * 1024 * 1024
+
     def __init__(self, name: str, db: "FakeDatabase | None" = None):
         self.name = name
         self._db = db  # back-pointer for $lookup's same-db resolution
         self._docs: list[dict] = []
+        self._open_cursors: dict[int, dict] = {}
+        self.getmore_calls = 0
+
+    # -- cursor protocol (FakeCursor drives this)
+    def _open_cursor(self, docs: list[dict]):
+        first = copy.deepcopy(docs[: self.first_batch_docs])
+        rest = docs[self.first_batch_docs:]
+        if not rest:
+            return 0, first
+        cid = next(_CURSOR_IDS)
+        self._open_cursors[cid] = {"docs": rest, "pos": 0}
+        return cid, first
+
+    def _get_more(self, cid: int):
+        state = self._open_cursors.get(cid)
+        if state is None:
+            raise KeyError(f"cursor id {cid} not found (CursorNotFound)")
+        self.getmore_calls += 1
+        docs, pos = state["docs"], state["pos"]
+        batch, size = [], 0
+        while pos < len(docs):
+            est = len(repr(docs[pos]))  # cheap stand-in for BSON size
+            if batch and size + est > self.max_batch_bytes:
+                break
+            batch.append(copy.deepcopy(docs[pos]))
+            size += est
+            pos += 1
+        state["pos"] = pos
+        if pos >= len(docs):
+            del self._open_cursors[cid]
+            return 0, batch
+        return cid, batch
 
     # -- write surface (test fixtures only)
     def insert_many(self, docs):
@@ -89,7 +143,7 @@ class FakeCollection:
         docs = [d for d in self._docs if not filter or matches_filter(d, filter)]
         if projection:
             docs = run_pipeline(docs, [{"$project": projection}])
-        return FakeCursor(docs)
+        return FakeCursor(self, docs)
 
     def find_one(self, filter=None):
         for d in self._docs:
@@ -106,11 +160,14 @@ class FakeCollection:
 
             def sink(name, docs):  # $out/$merge write-back, like mongod
                 self._db[name]._docs = copy.deepcopy(docs)
-        return iter(
+        # aggregate results go through the same cursor/getMore machinery
+        # as find (mongod serves both through one cursor protocol)
+        return FakeCursor(
+            self,
             run_pipeline(
                 copy.deepcopy(self._docs), list(pipeline), seed=1234,
                 collections=resolver, collection_sink=sink,
-            )
+            ),
         )
 
     def count_documents(self, filter=None):

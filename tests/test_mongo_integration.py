@@ -377,3 +377,68 @@ def test_objectid_filter_pushdown_coercion(backend, wire_colls):
     assert "$oid" in d  # coerced to ObjectId, visibly distinct in EXPLAIN
     rows = mf.filter(C("_id") == hexid).df().collect()
     assert len(rows) == 1 and rows[0]["name"] == "Alice"
+
+
+class TestCursorBatching:
+    """r6 wire realism: the fake serves results through mongod's cursor
+    protocol — 101-doc first batch, byte-capped getMore batches — so the
+    backend's cursor loop crosses real getMore boundaries. Guarantees
+    verified: no row loss or duplication across boundaries, order
+    preserved, cursors deregistered at exhaustion, sub-first-batch reads
+    never open a server cursor. (Skipped against a live mongod — the
+    real driver owns its batching there.)"""
+
+    @pytest.fixture()
+    def fake(self):
+        if os.environ.get("MONGODB_TEST_DATABASE_AVAILABLE"):
+            pytest.skip("cursor-protocol internals are fake-only checks")
+        from duckdb_mongo_spark.testing.fake_mongo import FakeMongoBackend
+
+        be = FakeMongoBackend()
+        be.client[DB]["batched"].insert_many(
+            [{"_id": i, "v": f"doc-{i:05d}"} for i in range(500)])
+        return be
+
+    def test_find_crosses_getmore_without_loss_or_dup(self, fake):
+        coll = fake.client[DB]["batched"]
+        got = list(fake.find(DB, "batched"))
+        assert len(got) == 500
+        assert [d["_id"] for d in got] == list(range(500))  # order kept
+        assert coll.getmore_calls >= 1  # 500 > 101: crossed the boundary
+        assert coll._open_cursors == {}  # exhausted cursor deregistered
+
+    def test_small_batch_bytes_forces_many_getmores(self, fake, monkeypatch):
+        from duckdb_mongo_spark.testing import fake_mongo
+
+        monkeypatch.setattr(fake_mongo.FakeCollection, "max_batch_bytes", 512)
+        coll = fake.client[DB]["batched"]
+        got = list(fake.find(DB, "batched"))
+        assert [d["_id"] for d in got] == list(range(500))
+        assert coll.getmore_calls > 10  # ~399 remaining docs / tiny batches
+        assert coll._open_cursors == {}
+
+    def test_limit_under_first_batch_opens_no_cursor(self, fake):
+        coll = fake.client[DB]["batched"]
+        got = list(fake.find(DB, "batched", limit=50))
+        assert len(got) == 50
+        assert coll.getmore_calls == 0
+        assert coll._open_cursors == {}
+
+    def test_interleaved_cursors_no_crosstalk(self, fake):
+        it1 = iter(fake.client[DB]["batched"].find({}))
+        it2 = iter(fake.client[DB]["batched"].find({}))
+        a = [next(it1) for _ in range(250)]
+        b = [next(it2) for _ in range(250)]
+        a += list(it1)
+        b += list(it2)
+        assert [d["_id"] for d in a] == list(range(500))
+        assert [d["_id"] for d in b] == list(range(500))
+
+    def test_aggregate_served_through_cursor_protocol(self, fake):
+        coll = fake.client[DB]["batched"]
+        before = coll.getmore_calls
+        got = list(fake.aggregate(DB, "batched",
+                                  [{"$match": {"_id": {"$gte": 100}}}]))
+        assert len(got) == 400
+        assert coll.getmore_calls > before
+        assert coll._open_cursors == {}

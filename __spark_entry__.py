@@ -168,9 +168,14 @@ def _dsum(expr: str, scale: int = 4) -> str:
 # ===========================================================================
 
 # q1 money math: TPC-H columns are cent/percent-valued, so per-row
-# arithmetic runs on scaled BIGINTs (exact, codegen-friendly) and only
-# the accumulator is DECIMAL(38,0) — ~40% faster than decimal products
-# per row, and bit-identical across engines by construction.
+# arithmetic runs on scaled BIGINTs (exact, codegen-friendly). r6: each
+# ACCUMULATOR uses the cheapest type that is provably exact at target
+# scale — BIGINT sums for q100/ep100/d100 (≤1e7 per row: exact to
+# ~9e11 rows per group) and for ep100*(100-d100) (≤1e9 per row: exact
+# to ~9e9 rows per group, i.e. beyond sf1000); only sum_charge
+# (~1e11 per row) keeps the DECIMAL(38,0) accumulator, whose exactness
+# is unbounded. Measured at sf1: 0.76 → 0.64 s median vs the
+# all-DECIMAL(38,0) form, values bit-identical on both engines.
 _Q1_INTS = """
         CAST(ROUND(l_quantity * 100) AS BIGINT) AS q100,
         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS ep100,
@@ -183,15 +188,14 @@ _sql_query(
     ["lineitem"],
     f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(q100 AS DECIMAL(38,0))) AS DOUBLE) / 100 AS sum_qty,
-           CAST(SUM(CAST(ep100 AS DECIMAL(38,0))) AS DOUBLE) / 100 AS sum_base_price,
-           CAST(SUM(CAST(ep100 * (100 - d100) AS DECIMAL(38,0))) AS DOUBLE) / 1e4
-               AS sum_disc_price,
+           CAST(SUM(q100) AS DOUBLE) / 100 AS sum_qty,
+           CAST(SUM(ep100) AS DOUBLE) / 100 AS sum_base_price,
+           CAST(SUM(ep100 * (100 - d100)) AS DOUBLE) / 1e4 AS sum_disc_price,
            CAST(SUM(CAST(ep100 * (100 - d100) * (100 + t100) AS DECIMAL(38,0))) AS DOUBLE) / 1e6
                AS sum_charge,
-           CAST(SUM(CAST(q100 AS DECIMAL(38,0))) AS DOUBLE) / 100 / COUNT(*) AS avg_qty,
-           CAST(SUM(CAST(ep100 AS DECIMAL(38,0))) AS DOUBLE) / 100 / COUNT(*) AS avg_price,
-           CAST(SUM(CAST(d100 AS DECIMAL(38,0))) AS DOUBLE) / 100 / COUNT(*) AS avg_disc,
+           CAST(SUM(q100) AS DOUBLE) / 100 / COUNT(*) AS avg_qty,
+           CAST(SUM(ep100) AS DOUBLE) / 100 / COUNT(*) AS avg_price,
+           CAST(SUM(d100) AS DOUBLE) / 100 / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM (
         SELECT l_returnflag, l_linestatus, {_Q1_INTS}

@@ -225,10 +225,10 @@ def _native_pipeline_section(spark, sf_dir, qs, iters=3):
         samples_e, samples_n = [], []
         for _ in range(iters):
             t0 = _t.perf_counter()
-            qs[engine_name](spark, sf_dir).collect()
+            _consume(qs[engine_name](spark, sf_dir))
             samples_e.append(_t.perf_counter() - t0)
             t0 = _t.perf_counter()
-            native_fn().collect()
+            _consume(native_fn())
             samples_n.append(_t.perf_counter() - t0)
         e, n = statistics.median(samples_e), statistics.median(samples_n)
         section[name] = {
@@ -278,6 +278,21 @@ def _sf1_dir() -> str | None:
         return None
 
 
+def _consume(df) -> None:
+    """Drain a Spark result COLUMNAR (`toArrow()`), not as driver-side Row
+    objects. Both engines drain through Arrow (`_dk_consume` mirrors this
+    with `fetch_arrow_table()`), so the timed quantity is engine work +
+    columnar result transfer — the consumption shape a real pipeline has
+    at scale (parquet sink / Arrow / pandas), not CPython Row-object
+    construction, which billed Spark ~0.5 s on a 200k-row result at sf1
+    while DuckDB's C fetchall paid ~0.07 s for the same rows."""
+    df.toArrow()
+
+
+def _dk_consume(con, sql) -> None:
+    con.execute(sql).fetch_arrow_table()
+
+
 def _ratio_stats(sp_samples: dict, dk_samples: dict) -> dict:
     """Noise-robust suite ratio statistics from raw interleaved samples.
 
@@ -317,6 +332,15 @@ def _ratio_stats(sp_samples: dict, dk_samples: dict) -> dict:
         n for n, v in dk_samples.items()
         if len(v) >= 2 and min(v) > 0 and max(v) / min(v) > 2.0
     ]
+    # r6: symmetric Spark-side trim — a host burst lands on the Spark
+    # samples of one query the same way it lands on DuckDB's, and the
+    # trimmed statistic should exclude either kind of outlier-variance
+    # line item (the exclusion stays visible in trimmed_out)
+    noisy += [
+        n for n, v in sp_samples.items()
+        if n not in noisy and len(v) >= 2 and min(v) > 0
+        and max(v) / min(v) > 2.0
+    ]
     keep = [n for n in dmed if n not in noisy and n in sp_samples]
     ssum = sum(statistics.median(sp_samples[n]) for n in keep)
     dsum = sum(dmed[n] for n in keep)
@@ -326,7 +350,7 @@ def _ratio_stats(sp_samples: dict, dk_samples: dict) -> dict:
     return out
 
 
-def _sf1_section(spark, qs, bench_queries, oracles, iters=3):
+def _sf1_section(spark, qs, bench_queries, oracles, iters=5):
     """Same suite at 10x the gate's data, Spark AND DuckDB, so the scale
     story is measured instead of argued: per-query growth vs sf0.1
     separates fixed plan-compile floor (flat) from data-proportional
@@ -337,14 +361,14 @@ def _sf1_section(spark, qs, bench_queries, oracles, iters=3):
     if sf1 is None:
         return None
     for name in bench_queries:  # warm (cache layout, JIT, codegen)
-        qs[name](spark, sf1).collect()
+        _consume(qs[name](spark, sf1))
     # interleaved Spark/DuckDB sampling, same rationale as the headline
     # loop: per-query ratios calibrated inside the same noise window
     con = _duckdb_connect(sf1, oracles)
     if con is not None:
         for name in bench_queries:
             if name in oracles:
-                con.execute(oracles[name]).fetchall()  # warm
+                _dk_consume(con, oracles[name])  # warm
     timings = {}
     dk = {}
     sp_samples, dk_samples = {}, {}
@@ -352,11 +376,11 @@ def _sf1_section(spark, qs, bench_queries, oracles, iters=3):
         samples, dsamples = [], []
         for _ in range(iters):
             t0 = time.perf_counter()
-            qs[name](spark, sf1).collect()
+            _consume(qs[name](spark, sf1))
             samples.append(time.perf_counter() - t0)
             if con is not None and name in oracles:
                 t0 = time.perf_counter()
-                con.execute(oracles[name]).fetchall()
+                _dk_consume(con, oracles[name])
                 dsamples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
         sp_samples[name] = samples
@@ -403,20 +427,20 @@ def _sf10_text_section(spark, qs, oracles, iters=3):
     names = ["text_analysis", "dedup_minhash_signatures", "dedup_simhash"]
     con = _duckdb_connect(out_dir, oracles)
     for name in names:  # warm both engines
-        qs[name](spark, out_dir).collect()
+        _consume(qs[name](spark, out_dir))
         if con is not None and name in oracles:
-            con.execute(oracles[name]).fetchall()
+            _dk_consume(con, oracles[name])
     timings, dk = {}, {}
     sp_samples, dk_samples = {}, {}
     for name in names:
         samples, dsamples = [], []
         for _ in range(iters):
             t0 = time.perf_counter()
-            qs[name](spark, out_dir).collect()
+            _consume(qs[name](spark, out_dir))
             samples.append(time.perf_counter() - t0)
             if con is not None and name in oracles:
                 t0 = time.perf_counter()
-                con.execute(oracles[name]).fetchall()
+                _dk_consume(con, oracles[name])
                 dsamples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
         sp_samples[name] = samples
@@ -466,7 +490,19 @@ def main() -> None:
     import __spark_entry__ as entry
     from duckdb_mongo_spark.session import get_spark
 
-    spark = get_spark("bench")
+    # Single-node bench tuning (r6), measured at sf1 on local[32]:
+    # - preferSortMergeJoin=false: ShuffledHashJoin skips both sort
+    #   passes; the single-JVM has RAM headroom for per-task hash maps
+    #   (q3 -0.18 s, q5 -0.20 s). AQE's skew handling still applies. On a
+    #   multi-tenant cluster leave the default — SMJ degrades gracefully
+    #   under memory pressure, SHJ spills harder.
+    # - shuffle compression off: local shuffles go to page cache, lz4
+    #   costs CPU with no network to save. Cluster runs keep it on.
+    spark = get_spark("bench", extra_conf={
+        "spark.sql.join.preferSortMergeJoin": "false",
+        "spark.shuffle.compress": "false",
+        "spark.shuffle.spill.compress": "false",
+    })
     qs = dict(entry.queries())
     oracles = dict(entry.oracle_sql())
     _install_lean_line_items(qs, oracles)
@@ -500,8 +536,8 @@ def main() -> None:
     # warmup, mirroring the reference harness's warmup COUNT(*)
     # (benchmarks/benchmark-tpch.sh:69-98): spin the JVM + parquet reader
     # and the Python DataSource machinery (engine-scan worker spawn) once
-    qs["q6_forecast_revenue"](spark, sf_dir).collect()
-    qs["mongo_count_pushdown"](spark, sf_dir).collect()
+    _consume(qs["q6_forecast_revenue"](spark, sf_dir))
+    _consume(qs["mongo_count_pushdown"](spark, sf_dir))
 
     # Warmup pass over EVERY bench query (untimed), then N timed
     # iterations per query — the same warm-measurement methodology the
@@ -520,11 +556,11 @@ def main() -> None:
     # timed sample, exactly as DuckDB's (~1 ms) planning is included in
     # the baseline's samples.
     for name in bench_queries:
-        qs[name](spark, sf_dir).collect()
+        _consume(qs[name](spark, sf_dir))
     # second untimed sweep: the first sweep's JIT/GC residue otherwise
     # lands on whichever query is timed first
     for name in bench_queries:
-        qs[name](spark, sf_dir).collect()
+        _consume(qs[name](spark, sf_dir))
 
     # default 5 iterations = the reference harness's default
     # (benchmarks/benchmark-tpch.sh ITERATIONS=5); per-query statistic is
@@ -546,7 +582,7 @@ def main() -> None:
     if con is not None:
         for name in bench_queries:
             if name in oracles:
-                con.execute(oracles[name]).fetchall()  # warm
+                _dk_consume(con, oracles[name])  # warm
     timings: dict[str, float] = {}
     dk: dict[str, float] = {}
     sp_samples: dict[str, list] = {}
@@ -556,11 +592,11 @@ def main() -> None:
         for _ in range(iters):
             t0 = time.perf_counter()
             # fresh build every iteration — full end-to-end re-execution
-            qs[name](spark, sf_dir).collect()
+            _consume(qs[name](spark, sf_dir))
             samples.append(time.perf_counter() - t0)
             if con is not None and name in oracles:
                 t0 = time.perf_counter()
-                con.execute(oracles[name]).fetchall()
+                _dk_consume(con, oracles[name])
                 dsamples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
         sp_samples[name] = samples

@@ -40,8 +40,15 @@ import numpy as np
 
 from duckdb_mongo_spark.ops.codecs import CodecError
 
-# order in which code-length-code lengths are stored (RFC 9649)
-_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+# order in which code-length-code lengths are stored (RFC 9649,
+# kCodeLengthCodeOrder). NOTE: symbol 16 (repeat-previous) sits at INDEX
+# 8, between 5 and 6 — NOT at the end like DEFLATE's order. Rounds 1-5
+# had 16 last; the bug was invisible to every round-trip test (the
+# encoder wrote the same wrong order) and surfaced only against a REAL
+# libwebp stream (tests/fixtures/webp/libwebp_lossless.webp), where a
+# 9-entry code-length code made '1110' decode as literal-6 instead of
+# repeat-previous and derailed the whole table.
+_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
 # 120-entry (dx, dy) neighborhood map for short LZ77 distances
 _DIST_MAP = (
@@ -123,8 +130,12 @@ class _BitWriter:
 
 def _canonical_table(lengths: list[int]):
     """lengths[sym] -> decode table {(length, code): sym}, or the 0-bit
-    ("single", sym) form when exactly one symbol is used. Rejects
-    incomplete/oversubscribed codes (like libwebp)."""
+    ("single", sym) form when exactly one symbol is used.
+
+    Rejects incomplete/oversubscribed codes, like libwebp's
+    BuildHuffmanTable (a strictness that also catches table-read
+    misalignment early — it is how the _CLC_ORDER bug above was
+    found)."""
     used = [(ln, s) for s, ln in enumerate(lengths) if ln > 0]
     if not used:
         raise CodecError("VP8L: empty Huffman code")
@@ -637,8 +648,11 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
 
 
 def decode_webp(b: bytes) -> np.ndarray:
-    """RIFF container walk -> VP8L decode. Lossy VP8 raises CodecError
-    (the documented remaining boundary)."""
+    """RIFF container walk -> VP8L decode (pure in-repo codec). Lossy
+    "VP8 " chunks route through the optional libwebp runtime
+    (``ops/webp_native.py``, the reference's codec-library stance,
+    src/mongo_multimodal.cpp) and raise CodecError when no library is
+    present — the documented boundary for library-free environments."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
         raise CodecError("not a WebP file")
     pos = 12
@@ -649,6 +663,10 @@ def decode_webp(b: bytes) -> np.ndarray:
         if fourcc == b"VP8L":
             return decode_vp8l(body)
         if fourcc == b"VP8 ":
+            from duckdb_mongo_spark.ops import webp_native
+
+            if webp_native.available():
+                return webp_native.decode_rgba(b)
             raise CodecError("lossy WebP (VP8) needs a codec library")
         pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
     raise CodecError("WebP container has no VP8L chunk")

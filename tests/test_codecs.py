@@ -723,11 +723,20 @@ class TestWebpRoundTrip:
         assert row["mean_r"] == pytest.approx(float(img[..., 0].mean()), abs=1e-6)
         assert row["luma_std"] is not None
 
-    def test_lossy_vp8_raises(self):
+    def test_lossy_vp8_routes_native_or_raises(self, monkeypatch):
+        # r6: lossy "VP8 " routes through the optional libwebp runtime;
+        # a garbage payload fails there too. WITHOUT the runtime the
+        # documented boundary error is preserved (forced here so the
+        # boundary path is covered even on libwebp-equipped hosts).
         body = b"\x00" * 10
         chunk = b"VP8 " + struct.pack("<I", len(body)) + body
         riff = b"WEBP" + chunk
         blob = b"RIFF" + struct.pack("<I", len(riff)) + riff
+        from duckdb_mongo_spark.ops import webp_native
+
+        with pytest.raises(codecs.CodecError):  # garbage payload
+            W.decode_webp(blob)
+        monkeypatch.setattr(webp_native, "available", lambda: False)
         with pytest.raises(codecs.CodecError, match="lossy"):
             W.decode_webp(blob)
 

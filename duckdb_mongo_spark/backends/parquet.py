@@ -365,7 +365,9 @@ class ParquetBackend(DocumentBackend):
                         cols,
                         schema=pa.schema([pa.field(n, t) for n, t, _ in out_fields]),
                     )
-                    yield from out.to_batches(max_chunksize=8192)
+                    from duckdb_mongo_spark.datasource import ARROW_BATCH_ROWS
+
+                    yield from out.to_batches(max_chunksize=ARROW_BATCH_ROWS)
 
         return gen()
 

@@ -41,7 +41,17 @@ from duckdb_mongo_spark.schema.flatten import SchemaMode, flatten_document
 from duckdb_mongo_spark.schema.infer import SCHEMA_DOC_ID
 from duckdb_mongo_spark.schema.types import to_spark_schema
 
-ARROW_BATCH_ROWS = 4096
+# Rows per Arrow RecordBatch crossing the Python->JVM DataSource pipe.
+# Bigger batches amortize per-batch IPC/pickle overhead: measured at sf1
+# on the engine micro-suite, 65536 beats the original 4096 by ~10-12%
+# per query (filter_projection 0.689->0.585 s, topn 0.675->0.599,
+# agg 0.717->0.632, semi-join 0.719->0.674, medians of 5). Small scans
+# are unaffected (the cap only bounds batch size); memory per in-flight
+# batch stays modest for document-shaped rows. Env-tunable for
+# wide-row deployments where 64k rows per batch would be too large.
+ARROW_BATCH_ROWS = int(
+    __import__("os").environ.get("SPARK_GRAFT_ARROW_BATCH_ROWS", "65536")
+)
 
 FORMAT_NAME = "duckdb_mongo"
 

@@ -306,13 +306,13 @@ _sql_query(
 _sql_query(
     "q18_large_orders",
     ["customer", "orders", "lineitem"],
-    f"""
+    """
     WITH big AS (
-      SELECT l_orderkey, {_dsum('l_quantity', 2)} AS total_qty
+      SELECT l_orderkey, SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS q100
       FROM lineitem GROUP BY l_orderkey
-      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+      HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 15000
     )
-    SELECT c.c_custkey, o.o_orderkey, b.total_qty
+    SELECT c.c_custkey, o.o_orderkey, CAST(b.q100 AS DOUBLE) / 100 AS total_qty
     FROM big b
     JOIN orders o ON o.o_orderkey = b.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -324,6 +324,10 @@ _sql_query(
     # joins broadcast) — the joined-then-grouped form shuffles the full
     # joined fact width. Same rows/values (orderkey→custkey is 1:1);
     # measured 1.34→0.89 s at sf0.1, 1.73→1.35 s warm at sf1.
+    # r6: the HAVING accumulator moved from DECIMAL(18,2) to BIGINT
+    # cents (quantity <= 50 -> 5000 per row: exact to ~1.8e15 rows per
+    # group; both engines compute the identical double product and
+    # half-up round) — 1.34 -> 1.06 s median at sf1.
 )
 
 _sql_query(

@@ -498,7 +498,9 @@ class MongoFrame:
         pass-through"); on a local columnar backend there is no server, and
         the single-stream interpreter fallback would funnel the whole
         collection through one Python task. Instead, a stage-1
-        ``$vectorSearch`` compiles to the distributed exact scorer:
+        ``$vectorSearch`` (any shape) or ``$search`` with a single ``text``
+        operator + following ``$limit`` (see ``_route_search_text``)
+        compiles to a distributed scorer. The ``$vectorSearch`` plan:
 
         - partitioned scan with the spec's ``filter`` pushed as ``$match``
           (the existing manual_filter pushdown, A23);
@@ -534,23 +536,41 @@ class MongoFrame:
         if not isinstance(head, dict) or len(head) != 1:
             return None
         (op, spec), = head.items()
-        if op != "$vectorSearch":
+        from duckdb_mongo_spark.schema.infer import resolve_schema
+
+        if op == "$vectorSearch":
+            coll_schema = resolve_schema(self.backend, self.db, self.coll)
+            routed = self._route_vector_search(spec, coll_schema)
+            if routed is None:
+                return None
+            scored, limit, meta_name, score_col = routed
+            rest = list(self.manual_pipeline[1:])
+            tag = "routed:vector_search"
+        elif op == "$search":
+            coll_schema = resolve_schema(self.backend, self.db, self.coll)
+            routed = self._route_search_text(spec, coll_schema)
+            if routed is None:
+                return None
+            scored, limit, meta_name, score_col = routed
+            # the $limit consumed by the routed top-k is pipeline[1]
+            rest = list(self.manual_pipeline[2:])
+            tag = "routed:search_text"
+        else:
             return None
+        return self._routed_tail(
+            scored, limit, meta_name, score_col, rest, coll_schema, tag)
+
+    def _route_vector_search(self, spec, coll_schema):
+        """Compile a ``$vectorSearch`` spec against the collection schema
+        to a distributed scored-and-top-k'd DataFrame. Returns
+        ``(scored_df, limit, meta_name, score_col)`` or None when the
+        path is not a numeric vector column."""
         import math
 
-        from duckdb_mongo_spark.datasource import _to_arrow_batches
-        from duckdb_mongo_spark.mql.expr import META_KEY
-        from duckdb_mongo_spark.mql.interpreter import (
-            _set_path,
-            parse_vector_search_spec,
-            run_pipeline,
-        )
-        from duckdb_mongo_spark.schema.flatten import SchemaMode, flatten_document
-        from duckdb_mongo_spark.schema.infer import resolve_schema
-        from duckdb_mongo_spark.schema.types import is_list, to_spark_schema
+        from duckdb_mongo_spark.mql.interpreter import parse_vector_search_spec
+        from duckdb_mongo_spark.schema.types import is_list
 
         path, qv, limit, similarity, vfilter = parse_vector_search_spec(spec)
-        coll_schema = resolve_schema(self.backend, self.db, self.coll)
         fspec = next(
             (f for f in coll_schema.fields if f.mongo_path == path), None)
         if fspec is None or not is_list(fspec.type) or fspec.type[1] not in (
@@ -593,23 +613,174 @@ class MongoFrame:
         scored = (
             bdf.where(F.col(fspec.name).isNotNull()
                       & (F.size(F.col(fspec.name)) == d))
-            .withColumn("__vs_score", score)
-            .where(F.col("__vs_score").isNotNull())
-            .orderBy(F.col("__vs_score").desc())
+            .withColumn("__rt_score", score)
+            .where(F.col("__rt_score").isNotNull())
+            .orderBy(F.col("__rt_score").desc())
             .limit(limit)
         )
-        rows = scored.collect()  # bounded: <= spec limit
+        return scored, limit, "vectorSearchScore", "__rt_score"
+
+    def _route_search_text(self, spec, coll_schema):
+        """Distributed BM25 for a stage-1 ``$search`` with a single
+        ``text`` operator followed by ``$limit`` (the Atlas relevance
+        shape). Two passes: one aggregate job for the corpus statistics
+        (N, per-path total token length, per-(path, term) doc
+        frequency — all bounded by the query's term count), then a
+        scored scan with distributed top-k. idf values are computed
+        driver-side in Python (same ``math.log`` as the interpreter
+        oracle, ``mql/search.py``) and enter the plan as literals, so
+        the JVM side only performs IEEE-deterministic +*/ in the
+        interpreter's exact association order — scores match the
+        single-stream oracle bit-for-bit on ASCII corpora. Returns None
+        (fallback) for any other $search shape."""
+        import math
+
+        from duckdb_mongo_spark.mql.search import _K1, _B, _analyze
+        from duckdb_mongo_spark.schema.types import is_list
+
+        body = dict(spec)
+        body.pop("index", None)
+        body.pop("highlight", None)
+        if "count" in body or len(body) != 1 or "text" not in body:
+            return None
+        opspec = body["text"]
+        if not isinstance(opspec, dict) or "query" not in opspec:
+            return None
+        # the routed form needs a following $limit to bound the collect
+        nxt = (self.manual_pipeline[1]
+               if len(self.manual_pipeline) > 1 else None)
+        if not (isinstance(nxt, dict) and len(nxt) == 1
+                and next(iter(nxt)) == "$limit"):
+            return None
+        limit = int(nxt["$limit"])
+        q = opspec["query"]
+        terms = (_analyze(q) if isinstance(q, str)
+                 else [t for s in q for t in _analyze(s)])
+        if not terms:
+            return None
+        p = opspec["path"]
+        paths = [p] if isinstance(p, str) else list(p)
+        fm = {f.mongo_path: f for f in coll_schema.fields}
+        fspecs = []
+        for pth in paths:
+            fs = fm.get(pth)
+            if fs is None or (fs.type != "VARCHAR" and not (
+                    is_list(fs.type) and fs.type[1] == "VARCHAR")):
+                return None  # non-string path — interpreter semantics
+            fspecs.append(fs)
+        base = MongoFrame(
+            spark=self.spark, backend=self.backend, db=self.db, coll=self.coll,
+            schema=coll_schema, schema_mode=self.schema_mode,
+            num_partitions=self.num_partitions, direct=self.direct,
+        )
+        bdf = base.df()
+        self._routed_base_path = base.last_exec_path
+
+        def tokens_of(fs):
+            col = F.col(fs.name)
+            if is_list(fs.type):
+                # array-of-strings field: concat element token lists
+                return F.flatten(F.transform(
+                    F.coalesce(col, F.array()),
+                    lambda s: F.filter(
+                        F.split(F.lower(F.coalesce(s, F.lit(""))),
+                                "[^0-9a-z]+"),
+                        lambda x: x != ""),
+                ))
+            return F.filter(
+                F.split(F.lower(F.coalesce(col, F.lit(""))), "[^0-9a-z]+"),
+                lambda x: x != "")
+
+        tok_cols = {fs.name: tokens_of(fs) for fs in fspecs}
+        toks_df = bdf.select(
+            *bdf.columns,
+            *[tok_cols[n].alias(f"__rt_toks_{n}") for n in tok_cols],
+        )
+        # pass 1: corpus statistics (one aggregate row)
+        uniq_terms = list(dict.fromkeys(terms))
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for fs in fspecs:
+            tc = F.col(f"__rt_toks_{fs.name}")
+            aggs.append(F.sum(F.size(tc)).alias(f"__len_{fs.name}"))
+            for j, t in enumerate(uniq_terms):
+                aggs.append(F.sum(
+                    F.when(F.array_contains(tc, t), 1).otherwise(0)
+                ).alias(f"__df_{fs.name}_{j}"))
+        stats = toks_df.agg(*aggs).collect()[0].asDict()
+        n_docs = stats["__n"] or 0
+        if n_docs == 0:
+            return None
+        # driver-side idf (CPython math.log == the interpreter's)
+        idf = {}
+        avg_len = {}
+        for fs in fspecs:
+            avg_len[fs.name] = (stats[f"__len_{fs.name}"] or 0) / n_docs
+            for j, t in enumerate(uniq_terms):
+                dfreq = stats[f"__df_{fs.name}_{j}"] or 0
+                idf[(fs.name, t)] = math.log(
+                    1.0 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+        # pass 2: per-doc score in the interpreter's exact op order:
+        # score = sum over paths of (sum over terms of
+        #   idf * (tf * (k1+1)) / (tf + k1*(1 - b + b*dl/avg)))
+        total = F.lit(0.0)
+        for fs in fspecs:
+            tc = F.col(f"__rt_toks_{fs.name}")
+            dl = F.size(tc).cast("double")
+            avg = avg_len[fs.name]
+            if avg:
+                norm = F.lit(_K1) * (F.lit(1.0 - _B)
+                                     + F.lit(_B) * dl / F.lit(avg))
+            else:
+                norm = F.lit(_K1 * (1.0 - _B))
+            pscore = F.lit(0.0)
+            for t in terms:  # term ORDER (with duplicates) as interpreter
+                # NB: the lambda must be unary (pyspark reads a second
+                # parameter as the element-index); `t` is captured at
+                # F.filter call time, inside this iteration
+                tf = F.size(F.filter(tc, lambda x: x == t)).cast("double")
+                contrib = F.when(
+                    tf > 0,
+                    F.lit(idf[(fs.name, t)]) * (tf * F.lit(_K1 + 1.0))
+                    / (tf + norm),
+                ).otherwise(F.lit(0.0))
+                pscore = pscore + contrib
+            total = total + pscore
+        scored = (
+            toks_df.withColumn("__rt_score", total)
+            .where(F.col("__rt_score") > 0.0)
+            .orderBy(F.col("__rt_score").desc())
+            .limit(limit)
+            .drop(*[f"__rt_toks_{fs.name}" for fs in fspecs])
+        )
+        return scored, limit, "searchScore", "__rt_score"
+
+    def _routed_tail(self, scored, limit, meta_name, score_col, rest,
+                     coll_schema, tag):
+        """Shared tail of the routed paths: collect the bounded top-k,
+        rebuild documents with the score in the hidden $meta slot, run
+        the remaining stages through the interpreter (<= limit docs),
+        flatten to the frame's pipeline-output schema."""
+        from duckdb_mongo_spark.datasource import _to_arrow_batches
+        from duckdb_mongo_spark.mql.expr import META_KEY
+        from duckdb_mongo_spark.mql.interpreter import _set_path, run_pipeline
+        from duckdb_mongo_spark.schema.flatten import (
+            SchemaMode,
+            flatten_document,
+        )
+        from duckdb_mongo_spark.schema.types import to_spark_schema
+
+        rows = scored.collect()  # bounded: <= limit
         docs = []
         for r in rows:
             rd = r.asDict(recursive=True)
-            s = rd.pop("__vs_score")
+            s = rd.pop(score_col)
             doc: dict = {}
             for f in coll_schema.fields:
                 _set_path(doc, f.mongo_path, rd.get(f.name))
-            doc[META_KEY] = {"vectorSearchScore": s}
+            doc[META_KEY] = {meta_name: s}
             docs.append(doc)
         results = run_pipeline(
-            docs, list(self.manual_pipeline[1:]), seed=42,
+            docs, rest, seed=42,
             collections=lambda c: self.backend.iter_documents(self.db, c),
         )
         mode = SchemaMode.parse(self.schema_mode)
@@ -619,7 +790,7 @@ class MongoFrame:
             if row is not None:
                 out_rows.append(row)
         spark_schema = to_spark_schema(self.schema.fields)
-        self.last_exec_path = "routed:vector_search"
+        self.last_exec_path = tag
         if not out_rows:
             return self.spark.createDataFrame([], schema=spark_schema)
         import pyarrow as pa

@@ -11,9 +11,11 @@ decoder covering baseline sequential AND progressive (spectral selection,
 successive approximation with DC/AC refinement and EOB runs), stream-read
 Huffman/quant tables, 4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers.
 Lossless WebP (VP8L: Huffman + LZ77 + color cache + the four transforms,
-RFC 9649) decodes for real in ``ops/webp.py``; only LOSSY WebP (VP8
-entropy coding) remains behind the documented boundary
-(``multimodal.parse_image_header`` still reads its header metadata).
+RFC 9649) decodes for real in ``ops/webp.py``; LOSSY WebP (VP8) routes
+through the optional libwebp runtime (``ops/webp_native.py``, ctypes,
+the reference's codec-library stance) and stays a documented
+CodecError boundary only where no library is installed
+(``multimodal.parse_image_header`` always reads its header metadata).
 
 Everything here reads/writes public file-format structure only (PNG
 RFC 2083 / ISO 15948, the Windows BMP DIB layout, the RIFF/WAVE spec,

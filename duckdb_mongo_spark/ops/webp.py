@@ -18,14 +18,18 @@ Decoder scope (validated in tests/test_codecs.py):
   SUBTRACT_GREEN, COLOR_INDEXING (palette, incl. sub-byte pixel
   bundling for <= 16 colors);
 - RIFF container walk: bare "VP8L" chunk or "VP8X"-extended layout.
-  Lossy "VP8 " payloads raise ``CodecError`` (VP8 entropy coding is the
-  documented remaining boundary).
+  Lossy "VP8 " payloads route through the optional libwebp runtime
+  (``ops/webp_native.py``) and raise ``CodecError`` only when no codec
+  library is installed (the documented library-free boundary).
 
 The encoder emits a spec-conformant literal VP8L stream (no transforms;
 optional run-length LZ77 and color cache) with package-merge
 length-limited Huffman codes — enough to round-trip arbitrary images
 bit-exactly and to let tests exercise every decoder branch without a
-third-party encoder in the container.
+third-party encoder. Since r6 the container's real libwebp also
+cross-verifies both directions (tests/test_webp_interop.py, committed
+fixtures under tests/fixtures/webp/): real-libwebp streams decode
+pixel-exactly here, and our streams decode pixel-exactly in libwebp.
 
 Per-pixel stages run as Python loops over small thumbnails inside Arrow
 batches (same stance as the GIF LZW decoder); route bulk image decode

@@ -1,0 +1,1141 @@
+"""Pure-Python VP8 key-frame decoder (lossy WebP) per RFC 6386.
+
+This closes the engine's last image-codec boundary: lossy "VP8 " WebP
+chunks previously required the optional libwebp runtime
+(``ops/webp_native.py``).  With this module, ``decode_webp`` falls back
+to an in-repo decoder when no codec library is present, in the same
+library-free stance as the VP8L, PNG, GIF, BMP and JPEG codecs
+(``ops/webp.py``, ``ops/codecs.py``).
+
+Scope: baseline still-image WebP — a single VP8 *key frame* (intra-only,
+no reference frames / motion), which is the only VP8 payload the WebP
+container carries.  Implements the boolean entropy decoder, frame
+header, intra mode decoding, DCT token decoding, dequantization, the
+4x4 inverse DCT and Walsh-Hadamard transforms, all 16x16 / 8x8 / 4x4
+intra predictors, and both the normal and simple in-loop deblocking
+filters.  Constant tables (coefficient probabilities, B-mode
+probabilities, quantizer lookups) live in ``ops/vp8_tables.py`` and are
+cross-checked byte-for-byte against a system libwebp binary when one is
+installed (``tests/test_vp8.py``).
+
+Reference parity: the reference engine treats images as opaque binary
+plus metadata and delegates pixel work to external codec libraries
+(``/root/reference/src/mongo_multimodal.cpp``); this repo's stance is
+real in-repo codecs with library-free operation, validated bit-exactly
+against libwebp's ``WebPDecodeYUV``/``WebPDecodeRGBA`` whenever the
+library is available.
+
+Everything here derives from the public RFC 6386 specification text and
+its reference pseudo-code.  Output parity is bit-exact: the
+loop-filtered Y/U/V planes equal libwebp's to the byte, and
+``decode_rgba`` reproduces libwebp's fancy-upsampling RGB conversion.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from duckdb_mongo_spark.ops.codecs import CodecError
+from duckdb_mongo_spark.ops.vp8_tables import (
+    AC_QLOOKUP,
+    BANDS,
+    COEFF_PROBS,
+    COEFF_UPDATE_PROBS,
+    DC_QLOOKUP,
+    KF_BMODE_PROBS,
+)
+
+
+class VP8Error(CodecError):
+    """Malformed VP8 payload (subclasses CodecError so container-level
+    callers like decode_webp keep a single failure type)."""
+
+
+# --------------------------------------------------------------------------
+# boolean entropy decoder (RFC 6386 section 7)
+# --------------------------------------------------------------------------
+
+
+class BoolDecoder:
+    __slots__ = ("buf", "pos", "end", "value", "range", "bit_count")
+
+    def __init__(self, buf: bytes, start: int = 0, end: int | None = None):
+        self.buf = buf
+        self.end = len(buf) if end is None else end
+        self.pos = start
+        v = 0
+        for _ in range(2):
+            v = (v << 8) | (buf[self.pos] if self.pos < self.end else 0)
+            self.pos += 1
+        self.value = v
+        self.range = 255
+        self.bit_count = 0
+
+    def get(self, prob: int) -> int:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        big_split = split << 8
+        if self.value >= big_split:
+            ret = 1
+            self.range -= split
+            self.value -= big_split
+        else:
+            ret = 0
+            self.range = split
+        # renormalize
+        while self.range < 128:
+            self.value <<= 1
+            self.range <<= 1
+            self.bit_count += 1
+            if self.bit_count == 8:
+                self.bit_count = 0
+                self.value |= self.buf[self.pos] if self.pos < self.end else 0
+                self.pos += 1
+        return ret
+
+    def bit(self) -> int:
+        return self.get(128)
+
+    def literal(self, bits: int) -> int:
+        v = 0
+        for _ in range(bits):
+            v = (v << 1) | self.get(128)
+        return v
+
+    def signed(self, bits: int) -> int:
+        v = self.literal(bits)
+        return -v if self.get(128) else v
+
+    def tree(self, tree: tuple, probs) -> int:
+        i = 0
+        while True:
+            i = tree[i + self.get(probs[i >> 1])]
+            if i <= 0:
+                return -i
+
+
+# --------------------------------------------------------------------------
+# trees and small constant tables (RFC 6386 sections 8.2, 11, 13.2)
+# --------------------------------------------------------------------------
+
+# 16x16 luma modes (and implied submodes), chroma modes
+DC_PRED, V_PRED, H_PRED, TM_PRED, B_PRED = 0, 1, 2, 3, 4
+# 4x4 submodes
+(B_DC_PRED, B_TM_PRED, B_VE_PRED, B_HE_PRED, B_LD_PRED,
+ B_RD_PRED, B_VR_PRED, B_VL_PRED, B_HD_PRED, B_HU_PRED) = range(10)
+
+_KF_YMODE_TREE = (-B_PRED, 2, 4, 6, -DC_PRED, -V_PRED, -H_PRED, -TM_PRED)
+_KF_YMODE_PROB = (145, 156, 163, 128)
+_UV_MODE_TREE = (-DC_PRED, 2, -V_PRED, 4, -H_PRED, -TM_PRED)
+_KF_UV_MODE_PROB = (142, 114, 183)
+_BMODE_TREE = (
+    -B_DC_PRED, 2,
+    -B_TM_PRED, 4,
+    -B_VE_PRED, 6,
+    8, 12,
+    -B_HE_PRED, 10,
+    -B_RD_PRED, -B_VR_PRED,
+    -B_LD_PRED, 14,
+    -B_VL_PRED, 16,
+    -B_HD_PRED, -B_HU_PRED,
+)
+_SEGMENT_TREE = (2, 4, -0, -1, -2, -3)
+
+# ``KF_BMODE_PROBS`` is transcribed in libwebp's storage layout (verified
+# byte-for-byte against the system libwebp binary in tests/test_vp8.py),
+# and libwebp's submode enum permutes RFC 6386's: it puts B_RD=4, B_VR=5,
+# B_LD=6 where the RFC has B_LD=4, B_RD=5, B_VR=6.  The context pair
+# (above, left) that selects a probability row therefore has to be mapped
+# from RFC numbering into table numbering.  (Getting this wrong is
+# invisible to self-round-trips and to symmetric contexts like (DC, DC) —
+# it only shows against real streams with mixed diagonal-mode contexts,
+# the same failure shape as the VP8L code-length-order bug found in r6.)
+_RFC_TO_TABLE_BMODE = (0, 1, 2, 3, 6, 4, 5, 7, 8, 9)
+_KF_BMODE_ROWS = tuple(
+    tuple(KF_BMODE_PROBS[_RFC_TO_TABLE_BMODE[a]][_RFC_TO_TABLE_BMODE[l]]
+          for l in range(10))
+    for a in range(10))
+
+# 16x16 mode of a non-B_PRED macroblock implies this submode for all 16
+# subblocks when used as above/left context for a neighboring B_PRED MB.
+_IMPLIED_BMODE = {DC_PRED: B_DC_PRED, V_PRED: B_VE_PRED,
+                  H_PRED: B_HE_PRED, TM_PRED: B_TM_PRED}
+
+ZIGZAG = (0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+# DCT token extra-bit probabilities (RFC 6386 section 13.2, Pcat1..Pcat6)
+_PCAT = (
+    (159,),
+    (165, 145),
+    (173, 148, 140),
+    (176, 155, 140, 135),
+    (180, 157, 141, 134, 130),
+    (254, 254, 243, 230, 196, 177, 153, 140, 133, 130, 129),
+)
+_CAT_BASE = (5, 7, 11, 19, 35, 67)
+
+
+def _clamp7bit(q: int) -> int:
+    return 0 if q < 0 else 127 if q > 127 else q
+
+
+# --------------------------------------------------------------------------
+# frame header (RFC 6386 sections 9.1-9.11, key frames only)
+# --------------------------------------------------------------------------
+
+
+class _Frame:
+    """Parsed per-frame state."""
+
+    __slots__ = (
+        "width", "height", "mb_w", "mb_h",
+        "seg_enabled", "seg_update_map", "seg_abs", "seg_quant", "seg_lf",
+        "seg_tree_probs", "filter_type", "filter_level", "sharpness",
+        "lf_delta_enabled", "ref_lf_deltas", "mode_lf_deltas",
+        "coeff_probs", "use_skip", "prob_skip_false",
+        "dequant",  # per segment: (y1dc, y1ac, y2dc, y2ac, uvdc, uvac)
+        "bd", "token_bds",
+    )
+
+
+def parse_frame(data: bytes) -> _Frame:
+    if len(data) < 10:
+        raise VP8Error("VP8 payload too short")
+    tag = data[0] | (data[1] << 8) | (data[2] << 16)
+    if tag & 1:
+        raise VP8Error("not a key frame (WebP stills must be key frames)")
+    first_part_size = tag >> 5
+    if data[3:6] != b"\x9d\x01\x2a":
+        raise VP8Error("bad VP8 start code")
+    w16, h16 = struct.unpack_from("<HH", data, 6)
+    f = _Frame()
+    f.width = w16 & 0x3FFF
+    f.height = h16 & 0x3FFF
+    if f.width == 0 or f.height == 0:
+        raise VP8Error("zero frame dimension")
+    f.mb_w = (f.width + 15) >> 4
+    f.mb_h = (f.height + 15) >> 4
+
+    part0 = 10
+    if part0 + first_part_size > len(data):
+        raise VP8Error("truncated first partition")
+    bd = BoolDecoder(data, part0, part0 + first_part_size)
+    f.bd = bd
+
+    bd.bit()  # color space (must be 0 for WebP)
+    bd.bit()  # clamping type
+
+    # segmentation (9.3)
+    f.seg_enabled = bd.bit()
+    f.seg_update_map = 0
+    f.seg_abs = 0
+    f.seg_quant = [0, 0, 0, 0]
+    f.seg_lf = [0, 0, 0, 0]
+    f.seg_tree_probs = [255, 255, 255]
+    if f.seg_enabled:
+        f.seg_update_map = bd.bit()
+        update_data = bd.bit()
+        if update_data:
+            f.seg_abs = bd.bit()
+            for i in range(4):
+                if bd.bit():
+                    f.seg_quant[i] = bd.signed(7)
+            for i in range(4):
+                if bd.bit():
+                    f.seg_lf[i] = bd.signed(6)
+        if f.seg_update_map:
+            for i in range(3):
+                if bd.bit():
+                    f.seg_tree_probs[i] = bd.literal(8)
+
+    # loop filter (9.4)
+    f.filter_type = bd.bit()  # 1 = simple
+    f.filter_level = bd.literal(6)
+    f.sharpness = bd.literal(3)
+    f.lf_delta_enabled = bd.bit()
+    f.ref_lf_deltas = [0, 0, 0, 0]
+    f.mode_lf_deltas = [0, 0, 0, 0]
+    if f.lf_delta_enabled and bd.bit():
+        for i in range(4):
+            if bd.bit():
+                f.ref_lf_deltas[i] = bd.signed(6)
+        for i in range(4):
+            if bd.bit():
+                f.mode_lf_deltas[i] = bd.signed(6)
+
+    # token partitions (9.5)
+    n_parts = 1 << bd.literal(2)
+    part_start = part0 + first_part_size
+    sizes_bytes = (n_parts - 1) * 3
+    if part_start + sizes_bytes > len(data):
+        raise VP8Error("truncated partition size table")
+    f.token_bds = []
+    off = part_start + sizes_bytes
+    for i in range(n_parts):
+        if i < n_parts - 1:
+            sz = (data[part_start + 3 * i]
+                  | (data[part_start + 3 * i + 1] << 8)
+                  | (data[part_start + 3 * i + 2] << 16))
+        else:
+            sz = len(data) - off
+        if off + sz > len(data) or sz < 0:
+            raise VP8Error("truncated token partition")
+        f.token_bds.append(BoolDecoder(data, off, off + sz))
+        off += sz
+
+    # quantizers (9.6)
+    y_ac_qi = bd.literal(7)
+    y_dc_delta = bd.signed(4) if bd.bit() else 0
+    y2_dc_delta = bd.signed(4) if bd.bit() else 0
+    y2_ac_delta = bd.signed(4) if bd.bit() else 0
+    uv_dc_delta = bd.signed(4) if bd.bit() else 0
+    uv_ac_delta = bd.signed(4) if bd.bit() else 0
+    f.dequant = []
+    for seg in range(4):
+        if f.seg_enabled:
+            q = f.seg_quant[seg] if f.seg_abs else y_ac_qi + f.seg_quant[seg]
+            q = _clamp7bit(q)
+        else:
+            q = y_ac_qi
+        y1dc = DC_QLOOKUP[_clamp7bit(q + y_dc_delta)]
+        y1ac = AC_QLOOKUP[q]
+        y2dc = DC_QLOOKUP[_clamp7bit(q + y2_dc_delta)] * 2
+        y2ac = AC_QLOOKUP[_clamp7bit(q + y2_ac_delta)] * 155 // 100
+        if y2ac < 8:
+            y2ac = 8
+        # chroma DC is capped at index 117 (value 132), RFC 6386 14.1
+        uvdc_i = q + uv_dc_delta
+        uvdc = DC_QLOOKUP[117 if uvdc_i > 117 else 0 if uvdc_i < 0 else uvdc_i]
+        uvac = AC_QLOOKUP[_clamp7bit(q + uv_ac_delta)]
+        f.dequant.append((y1dc, y1ac, y2dc, y2ac, uvdc, uvac))
+
+    # refresh entropy (key frame: single bit, 9.7/9.8)
+    bd.bit()
+
+    # coefficient probability updates (13.4)
+    probs = [[[list(COEFF_PROBS[i][j][k]) for k in range(3)]
+              for j in range(8)] for i in range(4)]
+    for i in range(4):
+        for j in range(8):
+            for k in range(3):
+                row = probs[i][j][k]
+                upd = COEFF_UPDATE_PROBS[i][j][k]
+                for n in range(11):
+                    if bd.get(upd[n]):
+                        row[n] = bd.literal(8)
+    f.coeff_probs = probs
+
+    # macroblock no-coeff skip (9.10)
+    f.use_skip = bd.bit()
+    f.prob_skip_false = bd.literal(8) if f.use_skip else 0
+    return f
+
+
+# --------------------------------------------------------------------------
+# coefficient decoding (RFC 6386 section 13)
+# --------------------------------------------------------------------------
+
+
+def _get_coeffs(bd: BoolDecoder, type_probs, ctx: int, dq_dc: int,
+                dq_ac: int, first: int, out) -> int:
+    """Decode one 4x4 block's tokens into ``out`` (natural order,
+    dequantized).  Returns the position where EOB was hit (16 if the
+    block ran full); entropy context for neighbors is ``ret > first``."""
+    n = first
+    get = bd.get
+    p = type_probs[BANDS[n]][ctx]
+    while n < 16:
+        if not get(p[0]):
+            return n  # end of block
+        # run of zeros (no EOB permitted immediately after a zero token)
+        while not get(p[1]):
+            n += 1
+            if n == 16:
+                return 16
+            p = type_probs[BANDS[n]][0]
+        # non-zero value
+        if not get(p[2]):
+            v = 1
+            nctx = 2 if False else 1
+        else:
+            nctx = 2
+            if not get(p[3]):
+                if not get(p[4]):
+                    v = 2
+                else:
+                    v = 4 if get(p[5]) else 3
+            else:
+                if not get(p[6]):
+                    if not get(p[7]):
+                        cat = 0
+                    else:
+                        cat = 1
+                else:
+                    if not get(p[8]):
+                        cat = 2 if not get(p[9]) else 3
+                    else:
+                        cat = 4 if not get(p[10]) else 5
+                v = _CAT_BASE[cat]
+                extra = 0
+                for pb in _PCAT[cat]:
+                    extra = (extra << 1) | get(pb)
+                v += extra
+        if get(128):
+            v = -v
+        out[ZIGZAG[n]] = v * (dq_dc if n == 0 else dq_ac)
+        n += 1
+        if n == 16:
+            return 16
+        p = type_probs[BANDS[n]][nctx]
+    return 16
+
+
+# --------------------------------------------------------------------------
+# inverse transforms (RFC 6386 section 14.3-14.4)
+# --------------------------------------------------------------------------
+
+
+def _iwht4x4(ip):
+    """Inverse Walsh-Hadamard for the Y2 block -> 16 DC values."""
+    tmp = [0] * 16
+    for i in range(4):
+        a1 = ip[i] + ip[12 + i]
+        b1 = ip[4 + i] + ip[8 + i]
+        c1 = ip[4 + i] - ip[8 + i]
+        d1 = ip[i] - ip[12 + i]
+        tmp[i] = a1 + b1
+        tmp[4 + i] = c1 + d1
+        tmp[8 + i] = a1 - b1
+        tmp[12 + i] = d1 - c1
+    out = [0] * 16
+    for i in range(4):
+        base = 4 * i
+        a1 = tmp[base] + tmp[base + 3]
+        b1 = tmp[base + 1] + tmp[base + 2]
+        c1 = tmp[base + 1] - tmp[base + 2]
+        d1 = tmp[base] - tmp[base + 3]
+        out[base] = (a1 + b1 + 3) >> 3
+        out[base + 1] = (c1 + d1 + 3) >> 3
+        out[base + 2] = (a1 - b1 + 3) >> 3
+        out[base + 3] = (d1 - c1 + 3) >> 3
+    return out
+
+
+_COS = 20091  # cospi8sqrt2minus1, Q16
+_SIN = 35468  # sinpi8sqrt2, Q16
+
+
+def _idct4x4(ip):
+    """4x4 inverse DCT (fixed point per RFC 6386 14.3)."""
+    tmp = [0] * 16
+    for i in range(4):
+        a1 = ip[i] + ip[8 + i]
+        b1 = ip[i] - ip[8 + i]
+        t1 = (ip[4 + i] * _SIN) >> 16
+        t2 = ip[12 + i] + ((ip[12 + i] * _COS) >> 16)
+        c1 = t1 - t2
+        t1 = ip[4 + i] + ((ip[4 + i] * _COS) >> 16)
+        t2 = (ip[12 + i] * _SIN) >> 16
+        d1 = t1 + t2
+        tmp[i] = a1 + d1
+        tmp[12 + i] = a1 - d1
+        tmp[4 + i] = b1 + c1
+        tmp[8 + i] = b1 - c1
+    out = [0] * 16
+    for i in range(4):
+        base = 4 * i
+        a1 = tmp[base] + tmp[base + 2]
+        b1 = tmp[base] - tmp[base + 2]
+        t1 = (tmp[base + 1] * _SIN) >> 16
+        t2 = tmp[base + 3] + ((tmp[base + 3] * _COS) >> 16)
+        c1 = t1 - t2
+        t1 = tmp[base + 1] + ((tmp[base + 1] * _COS) >> 16)
+        t2 = (tmp[base + 3] * _SIN) >> 16
+        d1 = t1 + t2
+        out[base] = (a1 + d1 + 4) >> 3
+        out[base + 3] = (a1 - d1 + 4) >> 3
+        out[base + 1] = (b1 + c1 + 4) >> 3
+        out[base + 2] = (b1 - c1 + 4) >> 3
+    return out
+
+
+def _add_residual(buf, row0: int, col0: int, res) -> None:
+    """Add a 4x4 residual into the prediction buffer with clamping."""
+    k = 0
+    for r in range(4):
+        line = buf[row0 + r]
+        for c in range(4):
+            v = line[col0 + c] + res[k]
+            line[col0 + c] = 0 if v < 0 else 255 if v > 255 else v
+            k += 1
+
+
+# --------------------------------------------------------------------------
+# intra prediction (RFC 6386 section 12)
+# --------------------------------------------------------------------------
+
+
+def _pred_16_or_8(buf, size: int, mode: int, have_above: bool,
+                  have_left: bool) -> None:
+    """Whole-block DC/V/H/TM prediction into buf[1..size][1..size].
+
+    ``buf`` carries above samples in row 0 (col 0 = top-left) and left
+    samples in column 0."""
+    if mode == DC_PRED:
+        if have_above and have_left:
+            s = sum(buf[0][1:size + 1]) + sum(buf[r][0] for r in range(1, size + 1))
+            shift = 5 if size == 16 else 4
+            dc = (s + size) >> shift
+        elif have_above:
+            s = sum(buf[0][1:size + 1])
+            dc = (s + (size >> 1)) >> (4 if size == 16 else 3)
+        elif have_left:
+            s = sum(buf[r][0] for r in range(1, size + 1))
+            dc = (s + (size >> 1)) >> (4 if size == 16 else 3)
+        else:
+            dc = 128
+        for r in range(1, size + 1):
+            line = buf[r]
+            for c in range(1, size + 1):
+                line[c] = dc
+    elif mode == V_PRED:
+        top = buf[0]
+        for r in range(1, size + 1):
+            line = buf[r]
+            for c in range(1, size + 1):
+                line[c] = top[c]
+    elif mode == H_PRED:
+        for r in range(1, size + 1):
+            line = buf[r]
+            left = line[0]
+            for c in range(1, size + 1):
+                line[c] = left
+    else:  # TM_PRED
+        top = buf[0]
+        p = top[0]
+        for r in range(1, size + 1):
+            line = buf[r]
+            left = line[0]
+            for c in range(1, size + 1):
+                v = left + top[c] - p
+                line[c] = 0 if v < 0 else 255 if v > 255 else v
+
+
+def _avg2(a, b):
+    return (a + b + 1) >> 1
+
+
+def _avg3(a, b, c):
+    return (a + 2 * b + c + 2) >> 2
+
+
+def _pred_b(buf, row0: int, col0: int, mode: int, top_right) -> None:
+    """4x4 subblock prediction into buf[row0..][col0..].
+
+    Above samples: buf[row0-1][col0..col0+3]; above-right: ``top_right``
+    (4 samples); left: buf[row0..row0+3][col0-1]; top-left:
+    buf[row0-1][col0-1]."""
+    a_row = buf[row0 - 1]
+    A = a_row[col0:col0 + 4]
+    X = a_row[col0 - 1]
+    L = [buf[row0 + r][col0 - 1] for r in range(4)]
+    if mode == B_DC_PRED:
+        dc = (A[0] + A[1] + A[2] + A[3] + L[0] + L[1] + L[2] + L[3] + 4) >> 3
+        for r in range(4):
+            line = buf[row0 + r]
+            line[col0] = line[col0 + 1] = line[col0 + 2] = line[col0 + 3] = dc
+    elif mode == B_TM_PRED:
+        for r in range(4):
+            line = buf[row0 + r]
+            left = L[r]
+            for c in range(4):
+                v = left + A[c] - X
+                line[col0 + c] = 0 if v < 0 else 255 if v > 255 else v
+    elif mode == B_VE_PRED:
+        E = top_right[0]
+        vals = (_avg3(X, A[0], A[1]), _avg3(A[0], A[1], A[2]),
+                _avg3(A[1], A[2], A[3]), _avg3(A[2], A[3], E))
+        for r in range(4):
+            line = buf[row0 + r]
+            line[col0:col0 + 4] = vals
+    elif mode == B_HE_PRED:
+        rows = (_avg3(X, L[0], L[1]), _avg3(L[0], L[1], L[2]),
+                _avg3(L[1], L[2], L[3]), _avg3(L[2], L[3], L[3]))
+        for r in range(4):
+            line = buf[row0 + r]
+            v = rows[r]
+            line[col0] = line[col0 + 1] = line[col0 + 2] = line[col0 + 3] = v
+    elif mode == B_LD_PRED:
+        A4 = list(A) + list(top_right)
+        d = [_avg3(A4[i], A4[i + 1], A4[i + 2]) for i in range(6)]
+        d.append(_avg3(A4[6], A4[7], A4[7]))
+        for r in range(4):
+            line = buf[row0 + r]
+            for c in range(4):
+                line[col0 + c] = d[r + c]
+    elif mode == B_RD_PRED:
+        I, J, K, Lx = L
+        A0, B0, C0, D0 = A
+        d = [_avg3(Lx, K, J), _avg3(K, J, I), _avg3(J, I, X),
+             _avg3(I, X, A0), _avg3(X, A0, B0), _avg3(A0, B0, C0),
+             _avg3(B0, C0, D0)]
+        for r in range(4):
+            line = buf[row0 + r]
+            for c in range(4):
+                line[col0 + c] = d[3 - r + c]
+    elif mode == B_VR_PRED:
+        I, J, K, _ = L
+        A0, B0, C0, D0 = A
+        line0 = (_avg2(X, A0), _avg2(A0, B0), _avg2(B0, C0), _avg2(C0, D0))
+        line1 = (_avg3(I, X, A0), _avg3(X, A0, B0), _avg3(A0, B0, C0),
+                 _avg3(B0, C0, D0))
+        buf[row0][col0:col0 + 4] = line0
+        buf[row0 + 1][col0:col0 + 4] = line1
+        buf[row0 + 2][col0:col0 + 4] = (_avg3(J, I, X),) + line0[:3]
+        buf[row0 + 3][col0:col0 + 4] = (_avg3(K, J, I),) + line1[:3]
+    elif mode == B_VL_PRED:
+        A0, B0, C0, D0 = A
+        E, F, G, H = top_right
+        buf[row0][col0:col0 + 4] = (_avg2(A0, B0), _avg2(B0, C0),
+                                    _avg2(C0, D0), _avg2(D0, E))
+        buf[row0 + 1][col0:col0 + 4] = (_avg3(A0, B0, C0), _avg3(B0, C0, D0),
+                                        _avg3(C0, D0, E), _avg3(D0, E, F))
+        buf[row0 + 2][col0:col0 + 4] = (_avg2(B0, C0), _avg2(C0, D0),
+                                        _avg2(D0, E), _avg3(E, F, G))
+        buf[row0 + 3][col0:col0 + 4] = (_avg3(B0, C0, D0), _avg3(C0, D0, E),
+                                        _avg3(D0, E, F), _avg3(F, G, H))
+    elif mode == B_HD_PRED:
+        I, J, K, Lx = L
+        A0, B0, C0, _ = A
+        buf[row0][col0:col0 + 4] = (_avg2(I, X), _avg3(I, X, A0),
+                                    _avg3(X, A0, B0), _avg3(A0, B0, C0))
+        buf[row0 + 1][col0:col0 + 4] = (_avg2(J, I), _avg3(J, I, X),
+                                        _avg2(I, X), _avg3(I, X, A0))
+        buf[row0 + 2][col0:col0 + 4] = (_avg2(K, J), _avg3(K, J, I),
+                                        _avg2(J, I), _avg3(J, I, X))
+        buf[row0 + 3][col0:col0 + 4] = (_avg2(Lx, K), _avg3(Lx, K, J),
+                                        _avg2(K, J), _avg3(K, J, I))
+    else:  # B_HU_PRED
+        I, J, K, Lx = L
+        buf[row0][col0:col0 + 4] = (_avg2(I, J), _avg3(I, J, K),
+                                    _avg2(J, K), _avg3(J, K, Lx))
+        buf[row0 + 1][col0:col0 + 4] = (_avg2(J, K), _avg3(J, K, Lx),
+                                        _avg2(K, Lx), _avg3(K, Lx, Lx))
+        buf[row0 + 2][col0:col0 + 4] = (_avg2(K, Lx), _avg3(K, Lx, Lx),
+                                        Lx, Lx)
+        buf[row0 + 3][col0:col0 + 4] = (Lx, Lx, Lx, Lx)
+
+
+# --------------------------------------------------------------------------
+# per-macroblock mode decoding (RFC 6386 sections 10-11, key frames)
+# --------------------------------------------------------------------------
+
+
+class _MBInfo:
+    __slots__ = ("segment", "skip", "ymode", "uvmode", "bmodes")
+
+
+def _decode_modes(f: _Frame) -> list[list[_MBInfo]]:
+    """Read the per-macroblock records from the first partition:
+    segment id, coefficient-skip flag, luma/chroma intra modes and (for
+    B_PRED) the 16 context-coded subblock modes."""
+    bd = f.bd
+    rows: list[list[_MBInfo]] = []
+    above_sub = [[B_DC_PRED] * 4 for _ in range(f.mb_w)]
+    for _my in range(f.mb_h):
+        row: list[_MBInfo] = []
+        left_sub = [B_DC_PRED] * 4
+        for mx in range(f.mb_w):
+            mb = _MBInfo()
+            mb.segment = (bd.tree(_SEGMENT_TREE, f.seg_tree_probs)
+                          if f.seg_update_map else 0)
+            mb.skip = bd.get(f.prob_skip_false) if f.use_skip else 0
+            mb.ymode = bd.tree(_KF_YMODE_TREE, _KF_YMODE_PROB)
+            if mb.ymode == B_PRED:
+                sub = [0] * 16
+                for sy in range(4):
+                    for sx in range(4):
+                        a = above_sub[mx][sx] if sy == 0 else sub[(sy - 1) * 4 + sx]
+                        l = left_sub[sy] if sx == 0 else sub[sy * 4 + sx - 1]
+                        sub[sy * 4 + sx] = bd.tree(_BMODE_TREE,
+                                                   _KF_BMODE_ROWS[a][l])
+                mb.bmodes = sub
+                above_sub[mx] = sub[12:16]
+                left_sub = [sub[3], sub[7], sub[11], sub[15]]
+            else:
+                mb.bmodes = None
+                imp = _IMPLIED_BMODE[mb.ymode]
+                above_sub[mx] = [imp] * 4
+                left_sub = [imp] * 4
+            mb.uvmode = bd.tree(_UV_MODE_TREE, _KF_UV_MODE_PROB)
+            row.append(mb)
+        rows.append(row)
+    return rows
+
+
+# --------------------------------------------------------------------------
+# reconstruction (RFC 6386 sections 12-14)
+# --------------------------------------------------------------------------
+
+
+def _mb_borders(plane, x: int, y: int, size: int, last_col: bool):
+    """Build a (size+1) x (size+1[+4]) working buffer for one
+    macroblock: row 0 carries the above samples (col 0 = above-left,
+    luma adds 4 above-right columns), column 0 the left samples.
+    Out-of-frame rules per RFC 6386 12.2: above = 127, left = 129
+    (above-left 127 on the top row, 129 elsewhere)."""
+    extra = 4 if size == 16 else 0
+    wbuf = [[0] * (size + 1 + extra) for _ in range(size + 1)]
+    x0, y0 = x * size, y * size
+    top = wbuf[0]
+    if y > 0:
+        src = plane[y0 - 1]
+        for c in range(size):
+            top[1 + c] = src[x0 + c]
+        top[0] = 129 if x == 0 else src[x0 - 1]
+        if extra:
+            if last_col:
+                tr = src[x0 + size - 1]
+                top[size + 1:size + 5] = (tr, tr, tr, tr)
+            else:
+                top[size + 1:size + 5] = src[x0 + size:x0 + size + 4]
+    else:
+        for c in range(size + 1 + extra):
+            top[c] = 127
+    if x > 0:
+        for r in range(size):
+            wbuf[1 + r][0] = plane[y0 + r][x0 - 1]
+    else:
+        for r in range(size):
+            wbuf[1 + r][0] = 129
+    return wbuf
+
+
+def _writeback(plane, wbuf, x: int, y: int, size: int) -> None:
+    x0, y0 = x * size, y * size
+    for r in range(size):
+        plane[y0 + r][x0:x0 + size] = wbuf[1 + r][1:1 + size]
+
+
+def _filter_strength(f: _Frame, segment: int, is_i4x4: bool):
+    """(level, interior_limit, hev_threshold) per RFC 6386 section 15.2
+    (key frame hev rule)."""
+    if f.seg_enabled:
+        base = f.seg_lf[segment] if f.seg_abs else f.filter_level + f.seg_lf[segment]
+    else:
+        base = f.filter_level
+    level = base
+    if f.lf_delta_enabled:
+        level += f.ref_lf_deltas[0]
+        if is_i4x4:
+            level += f.mode_lf_deltas[0]
+    level = 0 if level < 0 else 63 if level > 63 else level
+    if level == 0:
+        return 0, 0, 0
+    ilevel = level
+    if f.sharpness > 0:
+        ilevel >>= 2 if f.sharpness > 4 else 1
+        if ilevel > 9 - f.sharpness:
+            ilevel = 9 - f.sharpness
+    if ilevel < 1:
+        ilevel = 1
+    hev = 2 if level >= 40 else 1 if level >= 15 else 0
+    return level, ilevel, hev
+
+
+def _reconstruct(f: _Frame, modes):
+    """Decode residual tokens and reconstruct the full (unfiltered)
+    Y/U/V planes.  Returns (Y, U, V, finfo) with planes as lists of
+    int lists at macroblock-padded sizes and finfo a per-MB list of
+    (f_limit, ilevel, hev_thresh, f_inner) or None."""
+    mb_w, mb_h = f.mb_w, f.mb_h
+    Y = [[0] * (mb_w * 16) for _ in range(mb_h * 16)]
+    U = [[0] * (mb_w * 8) for _ in range(mb_h * 8)]
+    V = [[0] * (mb_w * 8) for _ in range(mb_h * 8)]
+    finfo: list[list[tuple | None]] = [[None] * mb_w for _ in range(mb_h)]
+
+    # non-zero contexts (out-of-frame = 0, RFC 13.4)
+    above_y = [[0] * 4 for _ in range(mb_w)]
+    above_u = [[0] * 2 for _ in range(mb_w)]
+    above_v = [[0] * 2 for _ in range(mb_w)]
+    above_y2 = [0] * mb_w
+    n_parts = len(f.token_bds)
+
+    for my in range(mb_h):
+        bd = f.token_bds[my % n_parts]
+        left_y = [0] * 4
+        left_u = [0] * 2
+        left_v = [0] * 2
+        left_y2 = 0
+        for mx in range(mb_w):
+            mb = modes[my][mx]
+            has_y2 = mb.ymode != B_PRED
+            dq = f.dequant[mb.segment]
+            any_nz = False
+            y_coeffs: list[list | None] = [None] * 16
+            u_coeffs: list[list | None] = [None] * 4
+            v_coeffs: list[list | None] = [None] * 4
+            y2_out = None
+
+            if mb.skip:
+                left_y[:] = (0, 0, 0, 0)
+                above_y[mx][:] = (0, 0, 0, 0)
+                left_u[:] = (0, 0)
+                above_u[mx][:] = (0, 0)
+                left_v[:] = (0, 0)
+                above_v[mx][:] = (0, 0)
+                if has_y2:
+                    left_y2 = above_y2[mx] = 0
+            else:
+                probs = f.coeff_probs
+                if has_y2:
+                    ctx = left_y2 + above_y2[mx]
+                    blk = [0] * 16
+                    last = _get_coeffs(bd, probs[1], ctx, dq[2], dq[3], 0, blk)
+                    left_y2 = above_y2[mx] = 1 if last > 0 else 0
+                    if last > 0:
+                        y2_out = _iwht4x4(blk)
+                        any_nz = True
+                    first = 1
+                    tprobs = probs[0]
+                    ydc, yac = dq[0], dq[1]
+                else:
+                    first = 0
+                    tprobs = probs[3]
+                    ydc, yac = dq[0], dq[1]
+                for sy in range(4):
+                    l = left_y[sy]
+                    for sx in range(4):
+                        ctx = l + above_y[mx][sx]
+                        blk = [0] * 16
+                        last = _get_coeffs(bd, tprobs, ctx, ydc, yac,
+                                           first, blk)
+                        nz = 1 if last > first else 0
+                        if nz:
+                            y_coeffs[sy * 4 + sx] = blk
+                            any_nz = True
+                        l = nz
+                        above_y[mx][sx] = nz
+                    left_y[sy] = l
+                for plane_coeffs, left_c, above_c in (
+                        (u_coeffs, left_u, above_u[mx]),
+                        (v_coeffs, left_v, above_v[mx])):
+                    for sy in range(2):
+                        l = left_c[sy]
+                        for sx in range(2):
+                            ctx = l + above_c[sx]
+                            blk = [0] * 16
+                            last = _get_coeffs(bd, probs[2], ctx, dq[4],
+                                               dq[5], 0, blk)
+                            nz = 1 if last > 0 else 0
+                            if nz:
+                                plane_coeffs[sy * 2 + sx] = blk
+                                any_nz = True
+                            l = nz
+                            above_c[sx] = nz
+                        left_c[sy] = l
+
+            # ---- luma reconstruction
+            last_col = mx == mb_w - 1
+            ybuf = _mb_borders(Y, mx, my, 16, last_col)
+            if mb.ymode == B_PRED:
+                mb_tr = tuple(ybuf[0][17:21])
+                for sy in range(4):
+                    row0 = 1 + sy * 4
+                    for sx in range(4):
+                        col0 = 1 + sx * 4
+                        if sx == 3:
+                            tr = mb_tr
+                        else:
+                            tr = tuple(ybuf[row0 - 1][col0 + 4:col0 + 8])
+                        _pred_b(ybuf, row0, col0, mb.bmodes[sy * 4 + sx], tr)
+                        blk = y_coeffs[sy * 4 + sx]
+                        if blk is not None:
+                            _add_residual(ybuf, row0, col0, _idct4x4(blk))
+            else:
+                have_above, have_left = my > 0, mx > 0
+                _pred_16_or_8(ybuf, 16, mb.ymode, have_above, have_left)
+                for i in range(16):
+                    blk = y_coeffs[i]
+                    dc = y2_out[i] if y2_out is not None else 0
+                    if blk is None:
+                        if dc == 0:
+                            continue
+                        blk = [0] * 16
+                        y_coeffs[i] = blk
+                    blk[0] = dc
+                    _add_residual(ybuf, 1 + (i >> 2) * 4, 1 + (i & 3) * 4,
+                                  _idct4x4(blk))
+            _writeback(Y, ybuf, mx, my, 16)
+
+            # ---- chroma reconstruction
+            have_above, have_left = my > 0, mx > 0
+            for plane, coeffs in ((U, u_coeffs), (V, v_coeffs)):
+                cbuf = _mb_borders(plane, mx, my, 8, last_col)
+                _pred_16_or_8(cbuf, 8, mb.uvmode, have_above, have_left)
+                for i in range(4):
+                    blk = coeffs[i]
+                    if blk is not None:
+                        _add_residual(cbuf, 1 + (i >> 1) * 4, 1 + (i & 1) * 4,
+                                      _idct4x4(blk))
+                _writeback(plane, cbuf, mx, my, 8)
+
+            # ---- loop-filter info
+            level, ilevel, hev = _filter_strength(f, mb.segment, not has_y2)
+            if level > 0:
+                f_inner = (not has_y2) or any_nz
+                finfo[my][mx] = (2 * level + ilevel, ilevel, hev, f_inner)
+    return Y, U, V, finfo
+
+
+# --------------------------------------------------------------------------
+# in-loop deblocking filter (RFC 6386 section 15), vectorized per edge
+# --------------------------------------------------------------------------
+
+
+def _c8(v):
+    return np.clip(v, -128, 127)
+
+
+def _edge_window(plane: np.ndarray, vertical: bool, pos: int,
+                 start: int, length: int) -> np.ndarray:
+    """Return an (N, 8) int32 copy of the pixels straddling an edge:
+    columns 0..3 = p3..p0, 4..7 = q0..q3."""
+    if vertical:
+        win = plane[start:start + length, pos - 4:pos + 4]
+    else:
+        win = plane[pos - 4:pos + 4, start:start + length].T
+    return win.astype(np.int32)
+
+
+def _edge_writeback(plane: np.ndarray, vertical: bool, pos: int,
+                    start: int, win: np.ndarray) -> None:
+    if vertical:
+        plane[start:start + win.shape[0], pos - 4:pos + 4] = win
+    else:
+        plane[pos - 4:pos + 4, start:start + win.shape[0]] = win.T
+
+
+def _filter_mask(win, limit: int, ilimit: int):
+    p3, p2, p1, p0, q0, q1, q2, q3 = (win[:, k] for k in range(8))
+    m = (2 * np.abs(p0 - q0) + (np.abs(p1 - q1) >> 1)) <= limit
+    for a, b in ((p3, p2), (p2, p1), (p1, p0), (q3, q2), (q2, q1), (q1, q0)):
+        m &= np.abs(a - b) <= ilimit
+    return m
+
+
+def _hev_mask(win, thresh: int):
+    p1, p0, q0, q1 = win[:, 2], win[:, 3], win[:, 4], win[:, 5]
+    return (np.abs(p1 - p0) > thresh) | (np.abs(q1 - q0) > thresh)
+
+
+def _normal_filter(plane, vertical, pos, start, length, limit, ilimit,
+                   hev_t, mb_edge: bool) -> None:
+    win = _edge_window(plane, vertical, pos, start, length)
+    mask = _filter_mask(win, limit, ilimit)
+    if not mask.any():
+        return
+    hev = _hev_mask(win, hev_t)
+    s = win - 128  # signed domain
+    p2, p1, p0, q0, q1, q2 = (s[:, k] for k in range(1, 7))
+    w = _c8(_c8(p1 - q1) + 3 * (q0 - p0))
+    if mb_edge:
+        m_hev = mask & hev
+        m_soft = mask & ~hev
+        # hev rows: common_adjust with outer taps
+        F = _c8(w + 4) >> 3
+        E = _c8(w + 3) >> 3
+        nq0 = np.where(m_hev, _c8(q0 - F), q0)
+        np0 = np.where(m_hev, _c8(p0 + E), p0)
+        # non-hev rows: 6-tap filter
+        a27 = _c8((27 * w + 63) >> 7)
+        a18 = _c8((18 * w + 63) >> 7)
+        a9 = _c8((9 * w + 63) >> 7)
+        nq0 = np.where(m_soft, _c8(q0 - a27), nq0)
+        np0 = np.where(m_soft, _c8(p0 + a27), np0)
+        nq1 = np.where(m_soft, _c8(q1 - a18), q1)
+        np1 = np.where(m_soft, _c8(p1 + a18), p1)
+        nq2 = np.where(m_soft, _c8(q2 - a9), q2)
+        np2 = np.where(m_soft, _c8(p2 + a9), p2)
+        s[:, 1], s[:, 2], s[:, 3] = np2, np1, np0
+        s[:, 4], s[:, 5], s[:, 6] = nq0, nq1, nq2
+    else:
+        # subblock filter: outer taps only under hev
+        a = _c8(np.where(hev, _c8(p1 - q1), 0) + 3 * (q0 - p0))
+        F = _c8(a + 4) >> 3
+        E = _c8(a + 3) >> 3
+        np0 = np.where(mask, _c8(p0 + E), p0)
+        nq0 = np.where(mask, _c8(q0 - F), q0)
+        a2 = _c8(F + 1) >> 1
+        m_soft = mask & ~hev
+        np1 = np.where(m_soft, _c8(p1 + a2), p1)
+        nq1 = np.where(m_soft, _c8(q1 - a2), q1)
+        s[:, 2], s[:, 3], s[:, 4], s[:, 5] = np1, np0, nq0, nq1
+    _edge_writeback(plane, vertical, pos, start, s + 128)
+
+
+def _simple_filter(plane, vertical, pos, start, length, limit) -> None:
+    win = _edge_window(plane, vertical, pos, start, length)
+    p1, p0, q0, q1 = (win[:, k] - 128 for k in range(2, 6))
+    mask = (2 * np.abs(p0 - q0) + (np.abs(p1 - q1) >> 1)) <= limit
+    if not mask.any():
+        return
+    a = _c8(_c8(p1 - q1) + 3 * (q0 - p0))
+    F = _c8(a + 4) >> 3
+    E = _c8(a + 3) >> 3
+    win[:, 3] = np.where(mask, _c8(p0 + E) + 128, win[:, 3])
+    win[:, 4] = np.where(mask, _c8(q0 - F) + 128, win[:, 4])
+    _edge_writeback(plane, vertical, pos, start, win)
+
+
+def _loop_filter(f: _Frame, Y: np.ndarray, U: np.ndarray, V: np.ndarray,
+                 finfo) -> None:
+    """Apply the in-loop filter in macroblock raster order: left MB
+    edge, interior vertical edges, top MB edge, interior horizontal
+    edges (RFC 6386 section 15 / the order libwebp uses, which the
+    bit-exactness tests pin)."""
+    simple = f.filter_type == 1
+    for my in range(f.mb_h):
+        for mx in range(f.mb_w):
+            info = finfo[my][mx]
+            if info is None:
+                continue
+            limit, ilimit, hev_t, inner = info
+            x0, y0 = mx * 16, my * 16
+            cx0, cy0 = mx * 8, my * 8
+            if simple:
+                if mx > 0:
+                    _simple_filter(Y, True, x0, y0, 16, limit + 4)
+                if inner:
+                    for dx in (4, 8, 12):
+                        _simple_filter(Y, True, x0 + dx, y0, 16, limit)
+                if my > 0:
+                    _simple_filter(Y, False, y0, x0, 16, limit + 4)
+                if inner:
+                    for dy in (4, 8, 12):
+                        _simple_filter(Y, False, y0 + dy, x0, 16, limit)
+            else:
+                if mx > 0:
+                    _normal_filter(Y, True, x0, y0, 16, limit + 4, ilimit,
+                                   hev_t, True)
+                    _normal_filter(U, True, cx0, cy0, 8, limit + 4, ilimit,
+                                   hev_t, True)
+                    _normal_filter(V, True, cx0, cy0, 8, limit + 4, ilimit,
+                                   hev_t, True)
+                if inner:
+                    for dx in (4, 8, 12):
+                        _normal_filter(Y, True, x0 + dx, y0, 16, limit,
+                                       ilimit, hev_t, False)
+                    _normal_filter(U, True, cx0 + 4, cy0, 8, limit, ilimit,
+                                   hev_t, False)
+                    _normal_filter(V, True, cx0 + 4, cy0, 8, limit, ilimit,
+                                   hev_t, False)
+                if my > 0:
+                    _normal_filter(Y, False, y0, x0, 16, limit + 4, ilimit,
+                                   hev_t, True)
+                    _normal_filter(U, False, cy0, cx0, 8, limit + 4, ilimit,
+                                   hev_t, True)
+                    _normal_filter(V, False, cy0, cx0, 8, limit + 4, ilimit,
+                                   hev_t, True)
+                if inner:
+                    for dy in (4, 8, 12):
+                        _normal_filter(Y, False, y0 + dy, x0, 16, limit,
+                                       ilimit, hev_t, False)
+                    _normal_filter(U, False, cy0 + 4, cx0, 8, limit, ilimit,
+                                   hev_t, False)
+                    _normal_filter(V, False, cy0 + 4, cx0, 8, limit, ilimit,
+                                   hev_t, False)
+
+
+# --------------------------------------------------------------------------
+# top level: YUV planes, fancy upsampling, RGB conversion
+# --------------------------------------------------------------------------
+
+
+def decode_yuv(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a raw VP8 key-frame payload to cropped, loop-filtered
+    (Y, U, V) uint8 planes — the same surface libwebp's
+    ``WebPDecodeYUV`` returns (``webp_native.decode_yuv`` is the test
+    oracle)."""
+    f = parse_frame(data)
+    modes = _decode_modes(f)
+    Yl, Ul, Vl, finfo = _reconstruct(f, modes)
+    Y = np.array(Yl, dtype=np.uint8)
+    U = np.array(Ul, dtype=np.uint8)
+    V = np.array(Vl, dtype=np.uint8)
+    if f.filter_level > 0 or f.seg_enabled:
+        _loop_filter(f, Y, U, V, finfo)
+    cw, ch = (f.width + 1) >> 1, (f.height + 1) >> 1
+    return (Y[:f.height, :f.width].copy(), U[:ch, :cw].copy(),
+            V[:ch, :cw].copy())
+
+
+def _upsample_row_pair(T: np.ndarray, B: np.ndarray, W: int):
+    """libwebp's fancy upsampler for one pair of chroma rows -> two
+    output rows of length W, reproducing its exact double-rounded
+    integer arithmetic (dsp/upsampling.c UPSAMPLE_FUNC)."""
+    top = np.empty(W, np.int32)
+    bot = np.empty(W, np.int32)
+    top[0] = (3 * T[0] + B[0] + 2) >> 2
+    bot[0] = (3 * B[0] + T[0] + 2) >> 2
+    n = (W - 1) >> 1
+    if n:
+        tl, t = T[:n], T[1:n + 1]
+        l, b = B[:n], B[1:n + 1]
+        avg = tl + t + l + b + 8
+        d12 = (avg + 2 * (t + l)) >> 3
+        d03 = (avg + 2 * (tl + b)) >> 3
+        top[1:2 * n:2] = (d12 + tl) >> 1
+        top[2:2 * n + 1:2] = (d03 + t) >> 1
+        bot[1:2 * n:2] = (d03 + l) >> 1
+        bot[2:2 * n + 1:2] = (d12 + b) >> 1
+    if not (W & 1):
+        top[W - 1] = (3 * T[-1] + B[-1] + 2) >> 2
+        bot[W - 1] = (3 * B[-1] + T[-1] + 2) >> 2
+    return top, bot
+
+
+def _fancy_upsample(C: np.ndarray, W: int, H: int) -> np.ndarray:
+    """2x chroma upsampling with libwebp's row pairing: output row 0
+    mirrors chroma row 0, rows 2i+1/2i+2 blend chroma rows i/i+1, and
+    an even-height tail row mirrors the last chroma row."""
+    C = C.astype(np.int32)
+    out = np.empty((H, W), np.int32)
+    out[0], _ = _upsample_row_pair(C[0], C[0], W)
+    for i in range(C.shape[0] - 1):
+        t, b = _upsample_row_pair(C[i], C[i + 1], W)
+        out[2 * i + 1] = t
+        if 2 * i + 2 < H:
+            out[2 * i + 2] = b
+    if not (H & 1):
+        out[H - 1], _ = _upsample_row_pair(C[-1], C[-1], W)
+    return out
+
+
+def _yuv_to_rgba(Y: np.ndarray, U: np.ndarray, V: np.ndarray) -> np.ndarray:
+    """libwebp's fixed-point YUV->RGB (dsp/yuv.h, YUV_FIX2 = 6)."""
+    y = Y.astype(np.int32)
+    u = U
+    v = V
+    ylin = (y * 19077) >> 8
+    r = ylin + ((v * 26149) >> 8) - 14234
+    g = ylin - ((u * 6419) >> 8) - ((v * 13320) >> 8) + 8708
+    b = ylin + ((u * 33050) >> 8) - 17685
+    mask2 = (256 << 6) - 1
+    out = np.empty(Y.shape + (4,), np.uint8)
+    out[..., 0] = np.clip(r, 0, mask2) >> 6
+    out[..., 1] = np.clip(g, 0, mask2) >> 6
+    out[..., 2] = np.clip(b, 0, mask2) >> 6
+    out[..., 3] = 255
+    return out
+
+
+def decode_rgba(data: bytes) -> np.ndarray:
+    """Raw VP8 key-frame payload -> (H, W, 4) uint8 RGBA, bit-exact
+    with libwebp's default (fancy-upsampling) ``WebPDecodeRGBA``."""
+    Y, U, V = decode_yuv(data)
+    H, W = Y.shape
+    u = _fancy_upsample(U, W, H)
+    v = _fancy_upsample(V, W, H)
+    return _yuv_to_rgba(Y, u, v)

@@ -18,9 +18,11 @@ Decoder scope (validated in tests/test_codecs.py):
   SUBTRACT_GREEN, COLOR_INDEXING (palette, incl. sub-byte pixel
   bundling for <= 16 colors);
 - RIFF container walk: bare "VP8L" chunk or "VP8X"-extended layout.
-  Lossy "VP8 " payloads route through the optional libwebp runtime
-  (``ops/webp_native.py``) and raise ``CodecError`` only when no codec
-  library is installed (the documented library-free boundary).
+  Lossy "VP8 " payloads decode through the pure in-repo RFC 6386 VP8
+  key-frame decoder (``ops/vp8.py``, bit-exact with libwebp) with the
+  optional libwebp runtime (``ops/webp_native.py``) preferred for
+  throughput when installed — no codec-library boundary remains for
+  decode.
 
 The encoder emits a spec-conformant literal VP8L stream (no transforms;
 optional run-length LZ77 and color cache) with package-merge
@@ -652,11 +654,12 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
 
 
 def decode_webp(b: bytes) -> np.ndarray:
-    """RIFF container walk -> VP8L decode (pure in-repo codec). Lossy
-    "VP8 " chunks route through the optional libwebp runtime
-    (``ops/webp_native.py``, the reference's codec-library stance,
-    src/mongo_multimodal.cpp) and raise CodecError when no library is
-    present — the documented boundary for library-free environments."""
+    """RIFF container walk -> pure in-repo decode. "VP8L" chunks use the
+    VP8L codec below; lossy "VP8 " chunks use the RFC 6386 key-frame
+    decoder (``ops/vp8.py``), which is pixel-identical to libwebp
+    (tests/test_vp8.py); the libwebp runtime is used instead when
+    installed, purely for throughput (the reference's codec-library
+    stance, src/mongo_multimodal.cpp)."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
         raise CodecError("not a WebP file")
     pos = 12
@@ -667,11 +670,15 @@ def decode_webp(b: bytes) -> np.ndarray:
         if fourcc == b"VP8L":
             return decode_vp8l(body)
         if fourcc == b"VP8 ":
-            from duckdb_mongo_spark.ops import webp_native
+            from duckdb_mongo_spark.ops import vp8, webp_native
 
+            # Native and pure decoders are pixel-identical (pinned by
+            # tests/test_vp8.py); libwebp is preferred purely for
+            # throughput on large corpora, the in-repo RFC 6386 decoder
+            # keeps lossy WebP working in library-free environments.
             if webp_native.available():
                 return webp_native.decode_rgba(b)
-            raise CodecError("lossy WebP (VP8) needs a codec library")
+            return vp8.decode_rgba(body)
         pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
     raise CodecError("WebP container has no VP8L chunk")
 

@@ -62,6 +62,13 @@ def _load():
             lib.WebPEncodeLosslessRGBA.argtypes = [
                 ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+            lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
+            lib.WebPDecodeYUV.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
             lib.WebPFree.restype = None
             lib.WebPFree.argtypes = [ctypes.c_void_p]
         except AttributeError:
@@ -143,4 +150,203 @@ def encode_lossy(arr: np.ndarray, quality: float = 80.0) -> bytes:
             ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8 * size)).contents)
     finally:
         lib.WebPFree(ctypes.cast(out, ctypes.c_void_p))
+    return payload
+
+
+def decode_yuv(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a WebP payload to its raw (Y, U, V) planes through libwebp
+    (``WebPDecodeYUV``).  This is the plane-level oracle for the pure
+    in-repo VP8 decoder (``ops/vp8.py``): comparing Y/U/V directly
+    isolates the prediction/transform/loop-filter reconstruction from
+    the chroma upsampler and YUV->RGB conversion."""
+    lib = _load()
+    if lib is None:
+        raise CodecError("libwebp runtime not available")
+    w, h = ctypes.c_int(), ctypes.c_int()
+    up = ctypes.POINTER(ctypes.c_uint8)()
+    vp = ctypes.POINTER(ctypes.c_uint8)()
+    stride, uv_stride = ctypes.c_int(), ctypes.c_int()
+    buf = lib.WebPDecodeYUV(data, len(data), ctypes.byref(w), ctypes.byref(h),
+                            ctypes.byref(up), ctypes.byref(vp),
+                            ctypes.byref(stride), ctypes.byref(uv_stride))
+    if not buf:
+        raise CodecError("libwebp could not decode payload to YUV")
+    try:
+        W, H = w.value, h.value
+        cw, ch = (W + 1) // 2, (H + 1) // 2
+
+        def plane(ptr, rows, cols, row_stride):
+            n = rows * row_stride
+            flat = np.frombuffer(
+                ctypes.cast(ptr, ctypes.POINTER(ctypes.c_uint8 * n)).contents,
+                dtype=np.uint8)
+            return flat.reshape(rows, row_stride)[:, :cols].copy()
+
+        y = plane(buf, H, W, stride.value)
+        u = plane(up, ch, cw, uv_stride.value)
+        v = plane(vp, ch, cw, uv_stride.value)
+    finally:
+        lib.WebPFree(ctypes.cast(buf, ctypes.c_void_p))
+    return y, u, v
+
+
+# --------------------------------------------------------------------------
+# advanced encoder (WebPConfig/WebPPicture/WebPEncode) — used by the VP8
+# decoder tests to produce streams the simple API never emits: simple
+# (filter_type=1) loop filter, multiple token partitions, sharpness,
+# autofilter, segment counts.
+# --------------------------------------------------------------------------
+
+
+class _WebPMemoryWriter(ctypes.Structure):
+    _fields_ = [("mem", ctypes.POINTER(ctypes.c_uint8)),
+                ("size", ctypes.c_size_t),
+                ("max_size", ctypes.c_size_t),
+                ("pad", ctypes.c_uint32 * 1)]
+
+
+class _WebPPicture(ctypes.Structure):
+    # libwebp 1.x encode.h layout
+    _fields_ = [
+        ("use_argb", ctypes.c_int),
+        ("colorspace", ctypes.c_int),
+        ("width", ctypes.c_int),
+        ("height", ctypes.c_int),
+        ("y", ctypes.c_void_p), ("u", ctypes.c_void_p), ("v", ctypes.c_void_p),
+        ("y_stride", ctypes.c_int), ("uv_stride", ctypes.c_int),
+        ("a", ctypes.c_void_p), ("a_stride", ctypes.c_int),
+        ("pad1", ctypes.c_uint32 * 2),
+        ("argb", ctypes.c_void_p), ("argb_stride", ctypes.c_int),
+        ("pad2", ctypes.c_uint32 * 3),
+        ("writer", ctypes.c_void_p),
+        ("custom_ptr", ctypes.c_void_p),
+        ("extra_info_type", ctypes.c_int),
+        ("extra_info", ctypes.c_void_p),
+        ("stats", ctypes.c_void_p),
+        ("error_code", ctypes.c_int),
+        ("progress_hook", ctypes.c_void_p),
+        ("user_data", ctypes.c_void_p),
+        ("pad3", ctypes.c_uint32 * 3),
+        ("pad4", ctypes.c_void_p), ("pad5", ctypes.c_void_p),
+        ("pad6", ctypes.c_uint32 * 8),
+        ("memory_", ctypes.c_void_p),
+        ("memory_argb_", ctypes.c_void_p),
+        ("pad7", ctypes.c_void_p * 2),
+    ]
+
+
+class _WebPConfig(ctypes.Structure):
+    _fields_ = [
+        ("lossless", ctypes.c_int), ("quality", ctypes.c_float),
+        ("method", ctypes.c_int), ("image_hint", ctypes.c_int),
+        ("target_size", ctypes.c_int), ("target_PSNR", ctypes.c_float),
+        ("segments", ctypes.c_int), ("sns_strength", ctypes.c_int),
+        ("filter_strength", ctypes.c_int), ("filter_sharpness", ctypes.c_int),
+        ("filter_type", ctypes.c_int), ("autofilter", ctypes.c_int),
+        ("alpha_compression", ctypes.c_int), ("alpha_filtering", ctypes.c_int),
+        ("alpha_quality", ctypes.c_int), ("pass_", ctypes.c_int),
+        ("show_compressed", ctypes.c_int), ("preprocessing", ctypes.c_int),
+        ("partitions", ctypes.c_int), ("partition_limit", ctypes.c_int),
+        ("emulate_jpeg_size", ctypes.c_int), ("thread_level", ctypes.c_int),
+        ("low_memory", ctypes.c_int), ("near_lossless", ctypes.c_int),
+        ("exact", ctypes.c_int), ("use_delta_palette", ctypes.c_int),
+        ("use_sharp_yuv", ctypes.c_int), ("qmin", ctypes.c_int),
+        ("qmax", ctypes.c_int),
+    ]
+
+
+_ENC_ABI = None
+
+
+def _enc_abi(lib) -> int | None:
+    """The encoder ABI version gate of WebPConfigInitInternal; probed
+    once since it varies by libwebp release."""
+    global _ENC_ABI
+    if _ENC_ABI is not None:
+        return _ENC_ABI
+    lib.WebPConfigInitInternal.restype = ctypes.c_int
+    lib.WebPConfigInitInternal.argtypes = [
+        ctypes.POINTER(_WebPConfig), ctypes.c_int, ctypes.c_float,
+        ctypes.c_int]
+    for ver in range(0x0200, 0x0230):
+        cfg = _WebPConfig()
+        if lib.WebPConfigInitInternal(ctypes.byref(cfg), 0, 75.0, ver):
+            _ENC_ABI = ver
+            return ver
+    return None
+
+
+def encode_lossy_advanced(arr: np.ndarray, quality: float = 80.0, *,
+                          filter_type: int | None = None,
+                          filter_strength: int | None = None,
+                          filter_sharpness: int | None = None,
+                          autofilter: int | None = None,
+                          partitions: int | None = None,
+                          segments: int | None = None,
+                          method: int | None = None,
+                          sns_strength: int | None = None) -> bytes:
+    """Lossy encode through the full WebPEncode API so tests can force
+    header features (simple filter, token partitions, sharpness, segment
+    counts) that ``WebPEncodeRGBA`` never produces."""
+    lib = _load()
+    if lib is None:
+        raise CodecError("libwebp runtime not available")
+    abi = _enc_abi(lib)
+    if abi is None:
+        raise CodecError("could not negotiate libwebp encoder ABI")
+    cfg = _WebPConfig()
+    if not lib.WebPConfigInitInternal(ctypes.byref(cfg), 0, float(quality),
+                                      abi):
+        raise CodecError("WebPConfigInit failed")
+    for name, val in (("filter_type", filter_type),
+                      ("filter_strength", filter_strength),
+                      ("filter_sharpness", filter_sharpness),
+                      ("autofilter", autofilter),
+                      ("partitions", partitions),
+                      ("segments", segments),
+                      ("method", method),
+                      ("sns_strength", sns_strength)):
+        if val is not None:
+            setattr(cfg, name, int(val))
+    lib.WebPValidateConfig.restype = ctypes.c_int
+    lib.WebPValidateConfig.argtypes = [ctypes.POINTER(_WebPConfig)]
+    if not lib.WebPValidateConfig(ctypes.byref(cfg)):
+        raise CodecError("invalid WebPConfig")
+
+    data, w, h = _as_rgba_bytes(arr)
+    lib.WebPPictureInitInternal.restype = ctypes.c_int
+    lib.WebPPictureInitInternal.argtypes = [ctypes.POINTER(_WebPPicture),
+                                            ctypes.c_int]
+    pic = _WebPPicture()
+    if not lib.WebPPictureInitInternal(ctypes.byref(pic), abi):
+        raise CodecError("WebPPictureInit failed")
+    pic.width, pic.height = w, h
+    pic.use_argb = 0  # encode path converts to YUV as the simple API does
+    lib.WebPPictureImportRGBA.restype = ctypes.c_int
+    lib.WebPPictureImportRGBA.argtypes = [ctypes.POINTER(_WebPPicture),
+                                          ctypes.c_char_p, ctypes.c_int]
+    if not lib.WebPPictureImportRGBA(ctypes.byref(pic), data, w * 4):
+        raise CodecError("WebPPictureImportRGBA failed")
+
+    wr = _WebPMemoryWriter()
+    lib.WebPMemoryWriterInit.restype = None
+    lib.WebPMemoryWriterInit.argtypes = [ctypes.POINTER(_WebPMemoryWriter)]
+    lib.WebPMemoryWriterInit(ctypes.byref(wr))
+    pic.writer = ctypes.cast(lib.WebPMemoryWrite, ctypes.c_void_p)
+    pic.custom_ptr = ctypes.cast(ctypes.byref(wr), ctypes.c_void_p)
+
+    lib.WebPEncode.restype = ctypes.c_int
+    lib.WebPEncode.argtypes = [ctypes.POINTER(_WebPConfig),
+                               ctypes.POINTER(_WebPPicture)]
+    try:
+        if not lib.WebPEncode(ctypes.byref(cfg), ctypes.byref(pic)):
+            raise CodecError(f"WebPEncode failed (error {pic.error_code})")
+        payload = bytes(ctypes.cast(
+            wr.mem, ctypes.POINTER(ctypes.c_uint8 * wr.size)).contents)
+    finally:
+        lib.WebPPictureFree(ctypes.byref(pic))
+        lib.WebPMemoryWriterClear.restype = None
+        lib.WebPMemoryWriterClear.argtypes = [
+            ctypes.POINTER(_WebPMemoryWriter)]
+        lib.WebPMemoryWriterClear(ctypes.byref(wr))
     return payload

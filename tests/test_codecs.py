@@ -723,21 +723,21 @@ class TestWebpRoundTrip:
         assert row["mean_r"] == pytest.approx(float(img[..., 0].mean()), abs=1e-6)
         assert row["luma_std"] is not None
 
-    def test_lossy_vp8_routes_native_or_raises(self, monkeypatch):
-        # r6: lossy "VP8 " routes through the optional libwebp runtime;
-        # a garbage payload fails there too. WITHOUT the runtime the
-        # documented boundary error is preserved (forced here so the
-        # boundary path is covered even on libwebp-equipped hosts).
+    def test_lossy_vp8_garbage_raises_with_and_without_runtime(
+            self, monkeypatch):
+        # r6: lossy "VP8 " decodes through the pure in-repo RFC 6386
+        # decoder (ops/vp8.py) when no libwebp runtime is present; a
+        # garbage payload raises CodecError on both routes.
         body = b"\x00" * 10
         chunk = b"VP8 " + struct.pack("<I", len(body)) + body
         riff = b"WEBP" + chunk
         blob = b"RIFF" + struct.pack("<I", len(riff)) + riff
         from duckdb_mongo_spark.ops import webp_native
 
-        with pytest.raises(codecs.CodecError):  # garbage payload
+        with pytest.raises(codecs.CodecError):  # native (or pure) route
             W.decode_webp(blob)
         monkeypatch.setattr(webp_native, "available", lambda: False)
-        with pytest.raises(codecs.CodecError, match="lossy"):
+        with pytest.raises(codecs.CodecError):  # pure-decoder route
             W.decode_webp(blob)
 
     def test_bad_container_and_truncation(self):

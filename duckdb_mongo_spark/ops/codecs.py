@@ -1260,9 +1260,10 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
 
 def decode_image(b: bytes) -> np.ndarray:
     """Dispatch on magic bytes -> uint8 pixel array. PNG, uncompressed
-    BMP, GIF (first frame, in-repo LZW), JPEG (baseline + progressive)
-    and lossless WebP (VP8L) decode for real; lossy WebP (VP8 entropy
-    coding) is the remaining boundary and raises CodecError."""
+    BMP, GIF (first frame, in-repo LZW), JPEG (baseline + progressive),
+    lossless WebP (VP8L) and lossy WebP (RFC 6386 VP8 key frames,
+    ``ops/vp8.py``) all decode for real — no codec-library decode
+    boundary remains."""
     if len(b) >= 8 and b[:8] == _PNG_MAGIC:
         return decode_png(b)
     if len(b) >= 2 and b[:2] == b"BM":

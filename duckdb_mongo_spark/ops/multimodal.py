@@ -14,11 +14,12 @@ Design for 100 TB media pipelines:
   library (``ops/codecs.py``): PNG (stdlib zlib), uncompressed BMP,
   GIF (in-repo LZW, first frame), PCM WAV, JPEG (baseline AND
   progressive, in-repo T.81 Huffman+IDCT), lossless WebP (in-repo VP8L,
-  RFC 9649) — ``image_pixel_features``, ``resize_image``,
-  ``audio_pixel_features`` decode actual bytes to numpy arrays. Only
-  LOSSY WebP's VP8 entropy coding still needs a codec library; those
-  payloads degrade to header-metadata-only (never crash the
-  pipeline). ``fake_decode_meta``
+  RFC 9649) AND lossy WebP (in-repo RFC 6386 VP8 key-frame decoder,
+  ``ops/vp8.py``, bit-exact with libwebp; the libwebp runtime is used
+  instead when installed, purely for throughput) —
+  ``image_pixel_features``, ``resize_image``, ``audio_pixel_features``
+  decode actual bytes to numpy arrays with no decode codec-library
+  boundary left. ``fake_decode_meta``
   remains the deterministic md5-derived stand-in for synthetic payloads
   so all Spark-side plumbing (schema, partitioning, UDF signatures,
   batch shapes) is testable without real media files.
@@ -318,11 +319,11 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 def image_pixel_features(df: DataFrame, media_col: str = "media") -> DataFrame:
     """REAL pixel decode + feature extraction for PNG / uncompressed BMP /
-    GIF / JPEG (baseline + progressive) / lossless-WebP payloads (in-repo
-    stdlib+numpy codecs, ``ops/codecs.py`` + ``ops/webp.py``):
-    per-channel means, Rec.601 luma mean/std, aspect ratio. Payloads the
-    in-repo codec can't decode (lossy WebP) yield null features but
-    still get mime + dimensions via header parse.
+    GIF / JPEG (baseline + progressive) / WebP (lossless VP8L and lossy
+    VP8) payloads (in-repo stdlib+numpy codecs, ``ops/codecs.py`` +
+    ``ops/webp.py`` + ``ops/vp8.py``): per-channel means, Rec.601 luma
+    mean/std, aspect ratio. Genuinely undecodable payloads yield null
+    features but still get mime + dimensions via header parse.
 
     Arrow-batched ``mapInPandas``; output = input schema minus payload
     plus IMAGE_FEATURES_SCHEMA. Grayscale images report the gray mean in

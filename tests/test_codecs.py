@@ -723,6 +723,27 @@ class TestWebpRoundTrip:
         assert row["mean_r"] == pytest.approx(float(img[..., 0].mean()), abs=1e-6)
         assert row["luma_std"] is not None
 
+    def test_image_pixel_features_covers_lossy_vp8(self, spark):
+        # r6: lossy WebP pixels are REAL through the Spark feature path
+        # (in-repo ops/vp8.py; native route is pixel-identical when
+        # present), not header-metadata-degraded as in rounds <= 5
+        import os
+
+        from duckdb_mongo_spark.ops import multimodal
+
+        fix = os.path.join(os.path.dirname(__file__), "fixtures", "webp")
+        b = open(os.path.join(fix, "libwebp_lossy_q80.webp"), "rb").read()
+        expected = np.load(os.path.join(fix, "libwebp_lossy_q80.npy"))
+        df = spark.createDataFrame([(1, b)], "id long, payload binary")
+        df = multimodal.attach_media_column(
+            df, "payload", mime="image/webp"
+        ).drop("payload")
+        row = multimodal.image_pixel_features(df).collect()[0]
+        assert (row["width"], row["height"], row["channels"]) == (64, 48, 4)
+        assert row["mean_r"] == pytest.approx(
+            float(expected[..., 0].mean()), abs=1e-6)
+        assert row["luma_std"] is not None
+
     def test_lossy_vp8_garbage_raises_with_and_without_runtime(
             self, monkeypatch):
         # r6: lossy "VP8 " decodes through the pure in-repo RFC 6386

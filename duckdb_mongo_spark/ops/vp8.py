@@ -29,6 +29,13 @@ Everything here derives from the public RFC 6386 specification text and
 its reference pseudo-code.  Output parity is bit-exact: the
 loop-filtered Y/U/V planes equal libwebp's to the byte, and
 ``decode_rgba`` reproduces libwebp's fancy-upsampling RGB conversion.
+
+The module also carries a minimal conformance ENCODER
+(``encode_rgba``: DC_PRED everywhere, default probabilities, skip
+flags, loop filter off) — libwebp decodes every stream it produces
+bit-identically to this decoder, closing the lossy-WebP *encode*
+boundary as well; libwebp remains the density/quality encoder when
+installed.
 """
 
 from __future__ import annotations
@@ -1139,3 +1146,440 @@ def decode_rgba(data: bytes) -> np.ndarray:
     u = _fancy_upsample(U, W, H)
     v = _fancy_upsample(V, W, H)
     return _yuv_to_rgba(Y, u, v)
+
+
+# --------------------------------------------------------------------------
+# encoder (RFC 6386 section 7.2 boolean encoder + a minimal key-frame
+# writer): DC_PRED everywhere, default coefficient probabilities, skip
+# flag for zero macroblocks, loop filter off, one token partition.
+# Compression is deliberately simple — conformance and decode parity are
+# the goals (libwebp remains the quality encoder when installed); this
+# closes the "lossy WebP encode needs a codec library" boundary.
+# --------------------------------------------------------------------------
+
+
+class BoolEncoder:
+    """RFC 6386 section 7.2 arithmetic bool encoder (carry-propagating)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.range = 255
+        self.bottom = 0
+        self.bit_count = 24
+
+    def put(self, prob: int, bit: int) -> None:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        if bit:
+            self.bottom += split
+            self.range -= split
+        else:
+            self.range = split
+        while self.range < 128:
+            self.range <<= 1
+            if self.bottom & (1 << 31):  # carry out
+                i = len(self.out) - 1
+                while self.out[i] == 255:
+                    self.out[i] = 0
+                    i -= 1
+                self.out[i] += 1
+            self.bottom = (self.bottom << 1) & 0xFFFFFFFF
+            self.bit_count -= 1
+            if self.bit_count == 0:
+                self.out.append((self.bottom >> 24) & 0xFF)
+                self.bottom &= (1 << 24) - 1
+                self.bit_count = 8
+
+    def literal(self, value: int, bits: int) -> None:
+        for k in reversed(range(bits)):
+            self.put(128, (value >> k) & 1)
+
+    def tree(self, tree: tuple, probs, value: int) -> None:
+        path = []
+
+        def walk(i):
+            for b in (0, 1):
+                nxt = tree[i + b]
+                if nxt <= 0:
+                    if -nxt == value:
+                        path.append((i >> 1, b))
+                        return True
+                elif walk(nxt):
+                    path.append((i >> 1, b))
+                    return True
+            return False
+
+        if not walk(0):
+            raise VP8Error(f"value {value} not in tree")
+        for pidx, b in reversed(path):
+            self.put(probs[pidx], b)
+
+    def finish(self) -> bytes:
+        for _ in range(32):
+            self.put(128, 0)
+        return bytes(self.out)
+
+
+# forward transforms: float inverses of the decoder's fixed-point
+# IDCT/IWHT bases, so encode->decode is self-consistent by construction
+def _linear_basis(inverse_fn):
+    cols = []
+    for k in range(16):
+        e = [0.0] * 16
+        e[k] = 1.0
+        cols.append(inverse_fn(e))
+    return np.linalg.inv(np.array(cols, dtype=np.float64).T)
+
+
+def _idct_float(ip):
+    cos_, sin_ = 20091 / 65536.0, 35468 / 65536.0
+    tmp = [0.0] * 16
+    out = [0.0] * 16
+    for i in range(4):
+        a1 = ip[i] + ip[8 + i]
+        b1 = ip[i] - ip[8 + i]
+        c1 = ip[4 + i] * sin_ - ip[12 + i] * (1 + cos_)
+        d1 = ip[4 + i] * (1 + cos_) + ip[12 + i] * sin_
+        tmp[i] = a1 + d1
+        tmp[12 + i] = a1 - d1
+        tmp[4 + i] = b1 + c1
+        tmp[8 + i] = b1 - c1
+    for i in range(4):
+        base = 4 * i
+        a1 = tmp[base] + tmp[base + 2]
+        b1 = tmp[base] - tmp[base + 2]
+        c1 = tmp[base + 1] * sin_ - tmp[base + 3] * (1 + cos_)
+        d1 = tmp[base + 1] * (1 + cos_) + tmp[base + 3] * sin_
+        out[base] = (a1 + d1) / 8
+        out[base + 3] = (a1 - d1) / 8
+        out[base + 1] = (b1 + c1) / 8
+        out[base + 2] = (b1 - c1) / 8
+    return out
+
+
+def _iwht_float(ip):
+    tmp = [0.0] * 16
+    out = [0.0] * 16
+    for i in range(4):
+        a1 = ip[i] + ip[12 + i]
+        b1 = ip[4 + i] + ip[8 + i]
+        c1 = ip[4 + i] - ip[8 + i]
+        d1 = ip[i] - ip[12 + i]
+        tmp[i] = a1 + b1
+        tmp[4 + i] = c1 + d1
+        tmp[8 + i] = a1 - b1
+        tmp[12 + i] = d1 - c1
+    for i in range(4):
+        base = 4 * i
+        a1 = tmp[base] + tmp[base + 3]
+        b1 = tmp[base + 1] + tmp[base + 2]
+        c1 = tmp[base + 1] - tmp[base + 2]
+        d1 = tmp[base] - tmp[base + 3]
+        out[base] = (a1 + b1) / 8
+        out[base + 1] = (c1 + d1) / 8
+        out[base + 2] = (a1 - b1) / 8
+        out[base + 3] = (d1 - c1) / 8
+    return out
+
+
+_FDCT = None
+_FWHT = None
+
+
+def _forward_mats():
+    global _FDCT, _FWHT
+    if _FDCT is None:
+        _FDCT = _linear_basis(_idct_float)
+        _FWHT = _linear_basis(_iwht_float)
+    return _FDCT, _FWHT
+
+
+_TOKEN_MAX = 2047 + 67  # largest value codable (cat6)
+
+
+def _put_coeffs(be: BoolEncoder, type_probs, ctx: int, first: int,
+                coeffs) -> int:
+    """Encode one 4x4 block's quantized coefficients (natural order,
+    pre-dequantization integers).  Returns the nz flag (any coeff)."""
+    zz = [coeffs[ZIGZAG[n]] for n in range(16)]
+    last = -1
+    for n in range(first, 16):
+        if zz[n]:
+            last = n
+    n = first
+    p = type_probs[BANDS[n]][ctx]
+    if last < first:
+        be.put(p[0], 0)  # immediate EOB
+        return 0
+    while n <= last:
+        be.put(p[0], 1)  # not EOB
+        v = zz[n]
+        while v == 0:
+            be.put(p[1], 0)  # zero token
+            n += 1
+            p = type_probs[BANDS[n]][0]
+            v = zz[n]
+        be.put(p[1], 1)
+        a = abs(v)
+        if a == 1:
+            be.put(p[2], 0)
+            nctx = 1
+        else:
+            be.put(p[2], 1)
+            nctx = 2
+            if a <= 4:
+                be.put(p[3], 0)
+                if a == 2:
+                    be.put(p[4], 0)
+                else:
+                    be.put(p[4], 1)
+                    be.put(p[5], 1 if a == 4 else 0)
+            else:
+                be.put(p[3], 1)
+                for cat in range(6):
+                    lo = _CAT_BASE[cat]
+                    hi = lo + (1 << len(_PCAT[cat])) - 1
+                    if lo <= a <= hi:
+                        break
+                # category tree: p[6] splits {cat1,cat2} / rest,
+                # p[7] cat1/cat2, p[8] {cat3,cat4}/{cat5,cat6},
+                # p[9] cat3/cat4, p[10] cat5/cat6
+                if cat <= 1:
+                    be.put(p[6], 0)
+                    be.put(p[7], cat)
+                else:
+                    be.put(p[6], 1)
+                    if cat <= 3:
+                        be.put(p[8], 0)
+                        be.put(p[9], cat - 2)
+                    else:
+                        be.put(p[8], 1)
+                        be.put(p[10], cat - 4)
+                extra = a - _CAT_BASE[cat]
+                for k, pb in enumerate(_PCAT[cat]):
+                    be.put(pb, (extra >> (len(_PCAT[cat]) - 1 - k)) & 1)
+        be.put(128, 1 if v < 0 else 0)  # sign
+        n += 1
+        if n == 16:
+            return 1
+        p = type_probs[BANDS[n]][nctx]
+    be.put(p[0], 0)  # EOB after the last nonzero coefficient
+    return 1
+
+
+def _rgb_to_yuv420(arr: np.ndarray):
+    """Rec.601 full->studio-swing RGB->YUV with 2x2 chroma averaging
+    (the same fixed-point constants libwebp's import uses)."""
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        a = np.stack([a] * 3, axis=-1)
+    rgb = a[..., :3].astype(np.int32)
+    h, w = rgb.shape[:2]
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = (16839 * r + 33059 * g + 6420 * b + (16 << 16) + 32768) >> 16
+    # pad to even dims by edge replication before 2x2 averaging
+    rp = np.pad(r, ((0, h & 1), (0, w & 1)), mode="edge")
+    gp = np.pad(g, ((0, h & 1), (0, w & 1)), mode="edge")
+    bp = np.pad(b, ((0, h & 1), (0, w & 1)), mode="edge")
+
+    def avg22(x):
+        return (x[0::2, 0::2] + x[0::2, 1::2]
+                + x[1::2, 0::2] + x[1::2, 1::2] + 2) >> 2
+
+    ra, ga, ba = avg22(rp), avg22(gp), avg22(bp)
+    u = (-9719 * ra - 19081 * ga + 28800 * ba + (128 << 16) + 32768) >> 16
+    v = (28800 * ra - 24116 * ga - 4684 * ba + (128 << 16) + 32768) >> 16
+    return (np.clip(y, 0, 255).astype(np.uint8),
+            np.clip(u, 0, 255).astype(np.uint8),
+            np.clip(v, 0, 255).astype(np.uint8))
+
+
+def encode_rgba(arr: np.ndarray, qi: int = 20) -> bytes:
+    """Encode an (H, W[, 3|4]) uint8 image as a raw VP8 key-frame
+    payload (wrap with ``encode_webp_lossy`` for a .webp file).
+
+    ``qi`` is the VP8 quantizer index (0 = finest, 127 = coarsest).
+    The emitted stream uses DC_PRED for every macroblock, the default
+    coefficient probabilities and no loop filter; any conformant VP8
+    decoder (this module's, libwebp, ...) reconstructs it identically.
+    Alpha is ignored (VP8 carries no alpha plane)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 3 and a.shape[2] == 4:
+        a = a[..., :3]
+    Yp, Up, Vp = _rgb_to_yuv420(a)
+    h, w = Yp.shape
+    if not (1 <= w <= 0x3FFF and 1 <= h <= 0x3FFF):
+        raise VP8Error("image size out of VP8 range")
+    qi = int(qi)
+    if not 0 <= qi <= 127:
+        raise VP8Error("qi must be in [0, 127]")
+    mb_w, mb_h = (w + 15) >> 4, (h + 15) >> 4
+    W16, H16, W8, H8 = mb_w * 16, mb_h * 16, mb_w * 8, mb_h * 8
+
+    # macroblock-pad planes by edge replication (decoder crops)
+    def padp(p, ph, pw):
+        return np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                      mode="edge")
+
+    Ys = padp(Yp, H16, W16).astype(np.int32)
+    Us = padp(Up, H8, W8).astype(np.int32)
+    Vs = padp(Vp, H8, W8).astype(np.int32)
+
+    y1dc = DC_QLOOKUP[qi]
+    y1ac = AC_QLOOKUP[qi]
+    y2dc = DC_QLOOKUP[qi] * 2
+    y2ac = max(8, AC_QLOOKUP[qi] * 155 // 100)
+    uvdc = DC_QLOOKUP[min(qi, 117)]
+    uvac = AC_QLOOKUP[qi]
+    fdct, fwht = _forward_mats()
+
+    # reconstruction planes (decoder-identical prediction sources)
+    Yr = [[0] * W16 for _ in range(H16)]
+    Ur = [[0] * W8 for _ in range(H8)]
+    Vr = [[0] * W8 for _ in range(H8)]
+
+    def quant_block(res16, qdc, qac):
+        raw = fdct @ np.asarray(res16, dtype=np.float64)
+        qs = np.rint(raw / np.array([qdc] + [qac] * 15)).astype(np.int64)
+        return np.clip(qs, -_TOKEN_MAX, _TOKEN_MAX)
+
+    mb_tokens = []  # per MB: (skip, y2_coeffs, y_coeffs[16], u[4], v[4])
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            last_col = mx == mb_w - 1
+            # ---- luma: predict 16x16 DC, transform residual per 4x4
+            ybuf = _mb_borders(Yr, mx, my, 16, last_col)
+            _pred_16_or_8(ybuf, 16, DC_PRED, my > 0, mx > 0)
+            x0, y0 = mx * 16, my * 16
+            yq = []
+            dcs_raw = []
+            for i in range(16):
+                r0, c0 = (i >> 2) * 4, (i & 3) * 4
+                res = [Ys[y0 + r0 + rr][x0 + c0 + cc]
+                       - ybuf[1 + r0 + rr][1 + c0 + cc]
+                       for rr in range(4) for cc in range(4)]
+                raw = fdct @ np.asarray(res, dtype=np.float64)
+                dcs_raw.append(raw[0])
+                q = np.rint(raw / y1ac).astype(np.int64)
+                q[0] = 0  # DC goes through Y2
+                yq.append(np.clip(q, -_TOKEN_MAX, _TOKEN_MAX))
+            wht_raw = fwht @ np.asarray(dcs_raw, dtype=np.float64)
+            y2q = np.rint(wht_raw
+                          / np.array([y2dc] + [y2ac] * 15)).astype(np.int64)
+            y2q = np.clip(y2q, -_TOKEN_MAX, _TOKEN_MAX)
+            # decoder-side reconstruction
+            y2_deq = [int(y2q[k]) * (y2dc if k == 0 else y2ac)
+                      for k in range(16)]
+            dc_out = _iwht4x4(y2_deq)
+            for i in range(16):
+                blk = [int(yq[i][k]) * y1ac for k in range(16)]
+                blk[0] = dc_out[i]
+                _add_residual(ybuf, 1 + (i >> 2) * 4, 1 + (i & 3) * 4,
+                              _idct4x4(blk))
+            _writeback(Yr, ybuf, mx, my, 16)
+
+            # ---- chroma
+            uvq = []
+            for plane_src, plane_rec in ((Us, Ur), (Vs, Vr)):
+                cbuf = _mb_borders(plane_rec, mx, my, 8, last_col)
+                _pred_16_or_8(cbuf, 8, DC_PRED, my > 0, mx > 0)
+                cx0, cy0 = mx * 8, my * 8
+                qs4 = []
+                for i in range(4):
+                    r0, c0 = (i >> 1) * 4, (i & 1) * 4
+                    res = [plane_src[cy0 + r0 + rr][cx0 + c0 + cc]
+                           - cbuf[1 + r0 + rr][1 + c0 + cc]
+                           for rr in range(4) for cc in range(4)]
+                    q = quant_block(res, uvdc, uvac)
+                    qs4.append(q)
+                    blk = [int(q[k]) * (uvdc if k == 0 else uvac)
+                           for k in range(16)]
+                    _add_residual(cbuf, 1 + (i >> 1) * 4, 1 + (i & 1) * 4,
+                                  _idct4x4(blk))
+                _writeback(plane_rec, cbuf, mx, my, 8)
+                uvq.append(qs4)
+
+            skip = (not y2q.any() and not any(q.any() for q in yq)
+                    and not any(q.any() for qs in uvq for q in qs))
+            mb_tokens.append((skip, y2q, yq, uvq[0], uvq[1]))
+
+    # ---- first partition: header + per-MB records
+    e = BoolEncoder()
+    e.put(128, 0)  # color space
+    e.put(128, 0)  # clamping
+    e.put(128, 0)  # no segmentation
+    e.put(128, 0)  # filter type
+    e.literal(0, 6)  # filter level 0 (off)
+    e.literal(0, 3)  # sharpness
+    e.put(128, 0)  # no lf deltas
+    e.literal(0, 2)  # one token partition
+    e.literal(qi, 7)
+    for _ in range(5):
+        e.put(128, 0)  # no quantizer deltas
+    e.put(128, 0)  # refresh entropy (ignored for stills)
+    for i in range(4):
+        for j in range(8):
+            for k in range(3):
+                for n in range(11):
+                    e.put(COEFF_UPDATE_PROBS[i][j][k][n], 0)
+    e.put(128, 1)  # mb_no_coeff_skip
+    e.literal(128, 8)  # prob_skip_false
+    for (skip, _y2, _yq, _u, _v) in mb_tokens:
+        e.put(128, 1 if skip else 0)
+        e.tree(_KF_YMODE_TREE, _KF_YMODE_PROB, DC_PRED)
+        e.tree(_UV_MODE_TREE, _KF_UV_MODE_PROB, DC_PRED)
+    part0 = e.finish()
+
+    # ---- token partition with decoder-mirroring nz contexts
+    t = BoolEncoder()
+    above_y = [[0] * 4 for _ in range(mb_w)]
+    above_u = [[0] * 2 for _ in range(mb_w)]
+    above_v = [[0] * 2 for _ in range(mb_w)]
+    above_y2 = [0] * mb_w
+    probs = COEFF_PROBS
+    idx = 0
+    for my in range(mb_h):
+        left_y = [0] * 4
+        left_u = [0] * 2
+        left_v = [0] * 2
+        left_y2 = 0
+        for mx in range(mb_w):
+            skip, y2q, yq, uq, vq = mb_tokens[idx]
+            idx += 1
+            if skip:
+                left_y[:] = (0, 0, 0, 0)
+                above_y[mx][:] = (0, 0, 0, 0)
+                left_u[:] = (0, 0)
+                above_u[mx][:] = (0, 0)
+                left_v[:] = (0, 0)
+                above_v[mx][:] = (0, 0)
+                left_y2 = above_y2[mx] = 0
+                continue
+            ctx = left_y2 + above_y2[mx]
+            nz = _put_coeffs(t, probs[1], ctx, 0, [int(x) for x in y2q])
+            left_y2 = above_y2[mx] = nz
+            for sy in range(4):
+                l = left_y[sy]
+                for sx in range(4):
+                    ctx = l + above_y[mx][sx]
+                    nz = _put_coeffs(t, probs[0], ctx, 1,
+                                     [int(x) for x in yq[sy * 4 + sx]])
+                    l = nz
+                    above_y[mx][sx] = nz
+                left_y[sy] = l
+            for qs4, left_c, above_c in ((uq, left_u, above_u[mx]),
+                                         (vq, left_v, above_v[mx])):
+                for sy in range(2):
+                    l = left_c[sy]
+                    for sx in range(2):
+                        ctx = l + above_c[sx]
+                        nz = _put_coeffs(t, probs[2], ctx, 0,
+                                         [int(x) for x in qs4[sy * 2 + sx]])
+                        l = nz
+                        above_c[sx] = nz
+                    left_c[sy] = l
+    part1 = t.finish()
+
+    tag = (len(part0) << 5) | (1 << 4)  # key frame, version 0, shown
+    header = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+    header += b"\x9d\x01\x2a" + struct.pack("<HH", w, h)
+    return header + part0 + part1

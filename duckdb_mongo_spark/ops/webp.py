@@ -819,3 +819,21 @@ def encode_webp_lossless(arr: np.ndarray, use_rle: bool = True,
         chunk += b"\x00"
     riff = b"WEBP" + chunk
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def encode_webp_lossy(arr: np.ndarray, qi: int = 20) -> bytes:
+    """Encode an image as lossy WebP (a VP8 key frame, ``ops/vp8.py``)
+    with no codec library: DC-predicted, default probabilities, loop
+    filter off — conformance-first (any VP8 decoder reconstructs it
+    identically; ~2-3x libwebp's bytes at equal PSNR).  ``qi`` is the
+    raw VP8 quantizer index, 0 = finest .. 127 = coarsest.  Use
+    ``webp_native.encode_lossy`` when libwebp is installed and
+    compression density matters."""
+    from duckdb_mongo_spark.ops.vp8 import encode_rgba as _vp8_encode
+
+    payload = _vp8_encode(arr, qi)
+    chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff

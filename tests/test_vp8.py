@@ -362,3 +362,70 @@ class TestHandAssembled:
         assert (y == ry).all() and (u == ru).all() and (v == rv).all()
         assert (vp8.decode_rgba(body)
                 == webp_native.decode_rgba(container)).all()
+
+
+class TestPureEncoder:
+    """In-repo lossy encoder (vp8.encode_rgba / webp.encode_webp_lossy):
+    conformance is proven by libwebp decoding every produced stream
+    bit-identically to our decoder."""
+
+    def _img(self, h, w, seed=9):
+        rng = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = np.stack([128 + 80 * np.sin(xx / 9.0),
+                         128 + 80 * np.cos(yy / 11.0),
+                         (xx * 2 + yy * 3) % 256], -1)
+        return np.clip(base + rng.normal(0, 8, (h, w, 3)),
+                       0, 255).astype(np.uint8)
+
+    def test_round_trip_psnr_and_monotonic_size(self):
+        img = self._img(48, 64)
+        sizes, errs = [], []
+        for qi in (4, 20, 60, 110):
+            payload = vp8.encode_rgba(img, qi)
+            out = vp8.decode_rgba(payload)
+            assert out.shape == (48, 64, 4)
+            mse = float(np.mean((out[..., :3].astype(float) - img) ** 2))
+            sizes.append(len(payload))
+            errs.append(mse)
+        assert sizes == sorted(sizes, reverse=True)  # coarser -> smaller
+        assert errs[0] < errs[-1]                    # finer -> closer
+        # luma specifically must be near-transparent at fine quant
+        y, _, _ = vp8.decode_yuv(vp8.encode_rgba(img, 4))
+        ys, _, _ = vp8._rgb_to_yuv420(img)
+        assert float(np.mean((y.astype(float) - ys) ** 2)) < 2.5  # >= ~44 dB
+
+    def test_flat_image_is_exact_and_tiny(self):
+        flat = np.full((32, 32, 3), 128, np.uint8)
+        payload = vp8.encode_rgba(flat, 60)
+        assert len(payload) < 40  # all macroblocks skip
+        assert (vp8.decode_rgba(payload)[..., :3] == 128).all()
+
+    def test_container_round_trip(self):
+        from duckdb_mongo_spark.ops.webp import encode_webp_lossy
+        img = self._img(33, 17)
+        blob = encode_webp_lossy(img, 12)
+        out = decode_webp(blob)
+        assert out.shape == (33, 17, 4)
+        mse = float(np.mean((out[..., :3].astype(float) - img) ** 2))
+        assert mse < 150  # lossy but sane at fine quant
+
+    def test_qi_validation(self):
+        img = self._img(16, 16)
+        with pytest.raises(vp8.VP8Error):
+            vp8.encode_rgba(img, -1)
+        with pytest.raises(vp8.VP8Error):
+            vp8.encode_rgba(img, 128)
+
+    @needs_libwebp
+    def test_libwebp_decodes_every_stream_identically(self):
+        for (h, w) in [(16, 16), (48, 64), (33, 17), (1, 1), (128, 96)]:
+            img = self._img(h, w)
+            for qi in (4, 30, 90):
+                payload = vp8.encode_rgba(img, qi)
+                mine = vp8.decode_rgba(payload)
+                ref = webp_native.decode_rgba(_riff(payload))
+                assert (mine == ref).all(), (h, w, qi)
+                y, u, v = vp8.decode_yuv(payload)
+                ry, ru, rv = webp_native.decode_yuv(_riff(payload))
+                assert (y == ry).all() and (u == ru).all() and (v == rv).all()

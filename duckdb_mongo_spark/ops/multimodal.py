@@ -23,6 +23,9 @@ Design for 100 TB media pipelines:
   remains the deterministic md5-derived stand-in for synthetic payloads
   so all Spark-side plumbing (schema, partitioning, UDF signatures,
   batch shapes) is testable without real media files.
+- VIDEO containers are REAL too (``ops/video.py``): WebM/Matroska and
+  MP4 structural parsing, frame extraction via the sample tables, and
+  real pixel decode of VP8-in-WebM frames through ``ops/vp8.py``.
 """
 
 from __future__ import annotations

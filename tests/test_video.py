@@ -1,0 +1,189 @@
+"""Video container layer (ops/video.py): REAL WebM/EBML and MP4/ISO-BMFF
+structural parsing, frame extraction through the sample tables, and the
+Spark ops — with VP8-in-WebM frames decoding to real pixels through the
+in-repo RFC 6386 decoder (no codec library anywhere in the chain:
+vp8.encode_rgba -> mux_webm_vp8 -> parse -> vp8.decode_yuv)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from duckdb_mongo_spark.ops import video, vp8
+from duckdb_mongo_spark.ops.video import (
+    VideoError,
+    mux_webm_vp8,
+    parse_mp4,
+    parse_video,
+    parse_webm,
+)
+
+
+def _frame_images(n=5, h=48, w=64):
+    out = []
+    for i in range(n):
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.clip(np.stack([120 + 60 * np.sin(xx / 7 + i),
+                                120 + 60 * np.cos(yy / 9 + i),
+                                (xx + yy + i * 30) % 256], -1),
+                      0, 255).astype(np.uint8)
+        out.append(img)
+    return out
+
+
+@pytest.fixture(scope="module")
+def webm_blob():
+    frames = [vp8.encode_rgba(img, 20) for img in _frame_images()]
+    return video.mux_webm_vp8(frames, 64, 48), frames
+
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+def _build_mp4(samples, keyframe_ids, chunks, codec=b"vp08",
+               use_co64=False, fixed_size=None):
+    """Minimal ISO-BMFF builder: `chunks` is a list of per-chunk sample
+    counts summing to len(samples)."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mdat = _box(b"mdat", b"".join(samples))
+    mdat_payload_off = len(ftyp) + 8
+    # chunk offsets
+    offs, pos, s_idx = [], mdat_payload_off, 0
+    for cnt in chunks:
+        offs.append(pos)
+        for _ in range(cnt):
+            pos += len(samples[s_idx])
+            s_idx += 1
+    entry = _box(codec, b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+                 + struct.pack(">HH", 64, 48) + b"\x00" * 46)
+    stsd = _box(b"stsd", struct.pack(">II", 0, 1) + entry)
+    stts = _box(b"stts", struct.pack(">II", 0, 1)
+                + struct.pack(">II", len(samples), 1000))
+    stss = _box(b"stss", struct.pack(">II", 0, len(keyframe_ids))
+                + b"".join(struct.pack(">I", k) for k in keyframe_ids))
+    if fixed_size is not None:
+        stsz = _box(b"stsz", struct.pack(">III", 0, fixed_size, len(samples)))
+    else:
+        stsz = _box(b"stsz", struct.pack(">III", 0, 0, len(samples))
+                    + b"".join(struct.pack(">I", len(s)) for s in samples))
+    # stsc runs: collapse equal consecutive counts
+    runs, first = [], 1
+    for i, cnt in enumerate(chunks):
+        if not runs or runs[-1][1] != cnt:
+            runs.append((i + 1, cnt))
+    stsc = _box(b"stsc", struct.pack(">II", 0, len(runs))
+                + b"".join(struct.pack(">III", fc, cnt, 1)
+                           for fc, cnt in runs))
+    if use_co64:
+        stco = _box(b"co64", struct.pack(">II", 0, len(offs))
+                    + b"".join(struct.pack(">Q", o) for o in offs))
+    else:
+        stco = _box(b"stco", struct.pack(">II", 0, len(offs))
+                    + b"".join(struct.pack(">I", o) for o in offs))
+    stbl = _box(b"stbl", stsd + stts + stss + stsz + stsc + stco)
+    hdlr = _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"h\x00")
+    mdhd = _box(b"mdhd", b"\x00" * 12 + struct.pack(">II", 1000, 5000)
+                + b"\x00" * 4)
+    mdia = _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl))
+    mvhd = _box(b"mvhd", b"\x00" * 12 + struct.pack(">II", 1000, 5000)
+                + b"\x00" * 80)
+    moov = _box(b"moov", mvhd + _box(b"trak", mdia))
+    return ftyp + mdat + moov
+
+
+class TestWebm:
+    def test_mux_parse_round_trip(self, webm_blob):
+        blob, frames = webm_blob
+        v = parse_webm(blob)
+        assert v.container == "webm"
+        assert v.codec == "V_VP8"
+        assert (v.width, v.height) == (64, 48)
+        assert v.n_frames == 5 and v.n_keyframes == 5
+        assert v.duration_s == pytest.approx(0.2)
+        assert [f[2] for f in v.frames] == frames
+        assert [f[0] for f in v.frames] == pytest.approx(
+            [0.0, 0.04, 0.08, 0.12, 0.16])
+
+    def test_extracted_frame_decodes_identically(self, webm_blob):
+        blob, frames = webm_blob
+        v = parse_webm(blob)
+        img = _frame_images()[3]
+        y, _, _ = vp8.decode_yuv(v.frames[3][2])
+        ys, _, _ = vp8._rgb_to_yuv420(img)
+        # lossy, but close at qi=20
+        assert float(np.mean((y.astype(float) - ys) ** 2)) < 60.0
+
+    def test_dispatch_and_errors(self, webm_blob):
+        assert parse_video(webm_blob[0]).container == "webm"
+        with pytest.raises(VideoError):
+            parse_video(b"\x00" * 20)
+        with pytest.raises(VideoError):
+            parse_webm(b"\x1aE\xdf\xa3")  # truncated after magic
+
+
+class TestMp4:
+    def test_multi_chunk_sample_resolution(self):
+        samples = [b"A" * 4, b"B" * 6, b"C" * 2, b"D" * 9, b"E" * 1]
+        blob = _build_mp4(samples, keyframe_ids=[1, 4], chunks=[2, 2, 1])
+        v = parse_mp4(blob)
+        assert v.container == "mp4" and v.codec == "vp08"
+        assert (v.width, v.height) == (64, 48)
+        assert v.duration_s == pytest.approx(5.0)
+        assert [f[2] for f in v.frames] == samples
+        assert [f[1] for f in v.frames] == [True, False, False, True, False]
+        assert [f[0] for f in v.frames] == pytest.approx(
+            [0.0, 1.0, 2.0, 3.0, 4.0])
+
+    def test_co64_and_fixed_size(self):
+        samples = [b"XYZW"] * 3
+        blob = _build_mp4(samples, keyframe_ids=[1], chunks=[3],
+                          use_co64=True, fixed_size=4)
+        v = parse_mp4(blob)
+        assert [f[2] for f in v.frames] == samples
+        assert v.n_keyframes == 1
+
+    def test_errors(self):
+        with pytest.raises(VideoError):
+            parse_mp4(b"\x00" * 16)
+        ftyp = _box(b"ftyp", b"isomAAAA")
+        with pytest.raises(VideoError, match="moov"):
+            parse_mp4(ftyp)
+
+
+class TestSparkOps:
+    def test_video_meta(self, spark, webm_blob):
+        blob, _ = webm_blob
+        df = spark.createDataFrame(
+            [(1, bytearray(blob)), (2, bytearray(b"garbage" * 4))],
+            "id long, payload binary")
+        rows = {r["id"]: r for r in video.video_meta(df).collect()}
+        r = rows[1]
+        assert (r["container"], r["codec"]) == ("webm", "V_VP8")
+        assert (r["width"], r["height"]) == (64, 48)
+        assert r["n_frames"] == 5 and r["n_keyframes"] == 5
+        assert rows[2]["container"] is None  # unparsable -> nulls
+
+    def test_frame_sample_and_features(self, spark, webm_blob):
+        blob, frames = webm_blob
+        df = spark.createDataFrame([(7, bytearray(blob))],
+                                   "vid long, payload binary")
+        sampled = video.video_frame_sample(df, every_n=2, max_frames=2)
+        rows = sorted(sampled.collect(), key=lambda r: r["frame_index"])
+        assert [r["frame_index"] for r in rows] == [0, 2]  # every 2nd, cap 2
+        assert all(r["is_keyframe"] for r in rows)
+        assert bytes(rows[1]["frame_payload"]) == frames[2]
+        feats = video.video_frame_features(sampled).collect()
+        y0, _, _ = vp8.decode_yuv(frames[0])
+        by_idx = {r["frame_index"]: r for r in feats}
+        assert by_idx[0]["frame_width"] == 64
+        assert by_idx[0]["mean_luma"] == pytest.approx(float(y0.mean()))
+        assert by_idx[0]["std_luma"] == pytest.approx(float(y0.std()))
+
+    def test_frame_sample_cap_is_enforced(self, spark, webm_blob):
+        blob, _ = webm_blob
+        df = spark.createDataFrame([(1, bytearray(blob))],
+                                   "id long, payload binary")
+        assert video.video_frame_sample(df, max_frames=3).count() == 3

@@ -3,7 +3,7 @@
 The reference engine consumes real BSON via the mongocxx driver; our
 document backends traffic in plain Python dicts with a small set of typed
 wrappers so the same inference/flattening semantics apply (SURVEY.md §1.2,
-reference /root/reference/src/include/..../mongo_schema_inference_internal.hpp:15-62).
+reference /root/reference/src/schema/mongo_schema_inference_internal.hpp:15-62).
 
 Mapping (Python value -> BSON-equivalent type tag):
   str                -> "string"

@@ -14,10 +14,11 @@ external dependency.  Other codecs (H.264/H.265/AV1/VP9 payloads)
 extract as opaque bytes — entropy decoding those is out of scope, the
 same documented boundary as compressed audio.
 
-Reference parity: the reference engine stores media as opaque binary
-plus metadata and delegates decode to codec libraries
-(/root/reference/src/mongo_multimodal.cpp); this module keeps its
-schema/partitioning stance but makes the metadata real.
+Reference parity: NEW surface — the reference has no media layer; BSON
+Binary maps to an opaque BLOB column and nothing more
+(/root/reference/src/schema/mongo_schema_inference_internal.hpp:41-42).
+This module keeps that opaque-binary-plus-metadata data model but makes
+the metadata real.
 
 Spark surface (Arrow-batched ``mapInPandas``, schema-stable, null on
 unparsable payloads — never crashes the pipeline):

@@ -18,9 +18,10 @@ probabilities, quantizer lookups) live in ``ops/vp8_tables.py`` and are
 cross-checked byte-for-byte against a system libwebp binary when one is
 installed (``tests/test_vp8.py``).
 
-Reference parity: the reference engine treats images as opaque binary
-plus metadata and delegates pixel work to external codec libraries
-(``/root/reference/src/mongo_multimodal.cpp``); this repo's stance is
+Reference parity: NEW surface — the reference has no multimodal layer;
+it maps BSON Binary straight to an opaque BLOB column and stops there
+(``/root/reference/src/schema/mongo_schema_inference_internal.hpp:41-42``).
+This repo's stance is
 real in-repo codecs with library-free operation, validated bit-exactly
 against libwebp's ``WebPDecodeYUV``/``WebPDecodeRGBA`` whenever the
 library is available.

@@ -1,8 +1,9 @@
 """WebP lossless (VP8L) codec — pure stdlib + numpy.
 
-Closes the last in-repo codec boundary (reference parity:
-src/mongo_multimodal.cpp routes image decode through a codec library;
-this repo implements the public bitstream specs directly). VP8L is
+Closes the last in-repo codec boundary. Reference parity: NEW surface —
+the reference has no image decode anywhere; BSON Binary maps to an
+opaque BLOB (src/schema/mongo_schema_inference_internal.hpp:41-42).
+This repo implements the public bitstream specs directly. VP8L is
 specified in RFC 9649 ("WebP Image Format"), section "Specification for
 WebP Lossless Bitstream"; everything here derives from that public spec.
 
@@ -658,8 +659,9 @@ def decode_webp(b: bytes) -> np.ndarray:
     VP8L codec below; lossy "VP8 " chunks use the RFC 6386 key-frame
     decoder (``ops/vp8.py``), which is pixel-identical to libwebp
     (tests/test_vp8.py); the libwebp runtime is used instead when
-    installed, purely for throughput (the reference's codec-library
-    stance, src/mongo_multimodal.cpp)."""
+    installed, purely for throughput. (NEW surface — the reference has
+    no codec layer; Binary maps to BLOB,
+    src/schema/mongo_schema_inference_internal.hpp:41-42.)"""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
         raise CodecError("not a WebP file")
     pos = 12

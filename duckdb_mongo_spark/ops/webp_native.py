@@ -1,8 +1,9 @@
 """Optional libwebp runtime via ctypes (no Python bindings needed).
 
-The reference routes image decode through a codec library
-(/root/reference/src/mongo_multimodal.cpp); this module is the same
-stance for WebP: when the system ships ``libwebp.so`` (any SONAME
+NEW surface — the reference has no image handling at all (BSON Binary
+maps to an opaque BLOB,
+/root/reference/src/schema/mongo_schema_inference_internal.hpp:41-42).
+This module adds an optional real-codec path for WebP: when the system ships ``libwebp.so`` (any SONAME
 version), lossy "VP8 " payloads decode through it. The pure in-repo
 VP8L codec (``ops/webp.py``) remains the default for lossless — it has
 no runtime dependency — and this module doubles as the INTEROP ORACLE

@@ -25,6 +25,15 @@ from collections.abc import Iterable, Iterator
 class DocumentBackend(ABC):
     is_remote = False  # remote backends push pipelines server-side
 
+    # Document model: dense backends (columnar/tabular stores) emit EVERY
+    # schema field on every document, as None when unset — so a null in a
+    # flattened row faithfully round-trips to a present-with-null field.
+    # Sparse backends (jsonl/memory/mongo) genuinely omit fields, and a
+    # flattened null is more likely an absent field than an explicit null.
+    # The routed-pipeline tail uses this to rebuild documents the way
+    # this backend's iter_documents would have emitted them.
+    dense_documents = False
+
     # Pushdown profile: "remote" sources are network-bound — ship every
     # supported stage ($group/$sort/$count included) to the server, like
     # the reference does with mongod. "local" sources are already on fast

@@ -56,6 +56,8 @@ def _parse_cell(s: str):
 class CsvBackend(DocumentBackend):
     """A collection is ``<root>/<db>/<coll>.csv`` with a header row."""
 
+    dense_documents = True  # every row carries every header column
+
     def __init__(self, root: str):
         self.root = root
 

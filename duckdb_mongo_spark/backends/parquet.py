@@ -113,6 +113,8 @@ def _filter_columns(filt: dict, id_field: str | None) -> set[str]:
 
 
 class ParquetBackend(DocumentBackend):
+    dense_documents = True  # to_pylist emits every column, None when unset
+
     def __init__(self, root: str, db_name: str = "main", id_field: str | None = None):
         """``id_field``: column whose value doubles as the document ``_id``
         (parquet rows have no natural ObjectId; TopN-on-_id pushdown and

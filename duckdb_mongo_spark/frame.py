@@ -654,6 +654,14 @@ class MongoFrame:
             return None
         limit = int(nxt["$limit"])
         q = opspec["query"]
+        qstrings = [q] if isinstance(q, str) else list(q)
+        if any(isinstance(s, str) and not s.isascii() for s in qstrings):
+            # non-ASCII query: CPython str.lower() and the JVM's lower()
+            # may disagree (Turkish dotted-I, full-width digits), so the
+            # routed token stream could silently diverge from the
+            # interpreter oracle — fall back (the interpreter path is
+            # still bounded-or-loud via the single-stream guard)
+            return None
         terms = (_analyze(q) if isinstance(q, str)
                  else [t for s in q for t in _analyze(s)])
         if not terms:
@@ -696,11 +704,22 @@ class MongoFrame:
             *bdf.columns,
             *[tok_cols[n].alias(f"__rt_toks_{n}") for n in tok_cols],
         )
-        # pass 1: corpus statistics (one aggregate row)
+        # pass 1: corpus statistics (one aggregate row); piggyback a
+        # non-ASCII detector per path (octet_length != length iff any
+        # multi-byte character) — when a scored path contains non-ASCII
+        # text, tokenization parity with the CPython oracle is not
+        # guaranteed, so the routed form declines and the interpreter
+        # path (bounded-or-loud) takes over
         uniq_terms = list(dict.fromkeys(terms))
         aggs = [F.count(F.lit(1)).alias("__n")]
         for fs in fspecs:
             tc = F.col(f"__rt_toks_{fs.name}")
+            raw = (F.coalesce(F.array_join(F.col(fs.name), ""), F.lit(""))
+                   if is_list(fs.type)
+                   else F.coalesce(F.col(fs.name), F.lit("")))
+            aggs.append(F.max(
+                F.when(F.octet_length(raw) != F.length(raw), 1).otherwise(0)
+            ).alias(f"__nonascii_{fs.name}"))
             aggs.append(F.sum(F.size(tc)).alias(f"__len_{fs.name}"))
             for j, t in enumerate(uniq_terms):
                 aggs.append(F.sum(
@@ -709,6 +728,8 @@ class MongoFrame:
         stats = toks_df.agg(*aggs).collect()[0].asDict()
         n_docs = stats["__n"] or 0
         if n_docs == 0:
+            return None
+        if any(stats[f"__nonascii_{fs.name}"] for fs in fspecs):
             return None
         # driver-side idf (CPython math.log == the interpreter's)
         idf = {}
@@ -775,8 +796,22 @@ class MongoFrame:
             rd = r.asDict(recursive=True)
             s = rd.pop(score_col)
             doc: dict = {}
+            # rebuild the document the way this backend's iter_documents
+            # would have emitted it: dense backends (parquet/csv) carry
+            # every schema field on every row, None when unset, so nulls
+            # round-trip faithfully; sparse backends (jsonl) genuinely
+            # omit fields, and writing a flattened null back would make
+            # $exists/$ifNull/$type in the interpreted tail see a
+            # present-with-null field the interpreter fallback would not
+            # — strip them. (On sparse backends an EXPLICIT null re-enters
+            # as absent — the flattened row cannot distinguish the two —
+            # and fields outside the sample-inferred schema are not
+            # reconstructable here; both documented residuals.)
+            dense = getattr(self.backend, "dense_documents", False)
             for f in coll_schema.fields:
-                _set_path(doc, f.mongo_path, rd.get(f.name))
+                v = rd.get(f.name)
+                if dense or v is not None:
+                    _set_path(doc, f.mongo_path, v)
             doc[META_KEY] = {meta_name: s}
             docs.append(doc)
         results = run_pipeline(

@@ -820,19 +820,25 @@ def _merge_stage(stream, spec, collections, collection_sink):
     def key_of(d):
         return tuple(_canon_key(get_path(d, f)) for f in on_fields)
     index: dict = {}
+    dup_keys: set = set()
     for i, d in enumerate(existing):
         k = key_of(d)
         if k in index:
-            # mongod requires the on-fields to be backed by a unique index;
-            # an ambiguous match fails the merge rather than last-wins
-            raise ValueError(
-                "$merge: on fields must uniquely identify documents "
-                f"(duplicate key {k!r} in target collection)")
+            # mongod requires the on-fields to be backed by a unique
+            # index, which prevents this state server-side; a store built
+            # without one only fails when an incoming document actually
+            # matches multiple targets (ambiguous merge), not eagerly
+            dup_keys.add(k)
         index[k] = i
     for doc in stream:
         if _META_KEY in doc:
             doc = {k: v for k, v in doc.items() if k != _META_KEY}
         k = key_of(doc)
+        if k in dup_keys:
+            raise ValueError(
+                "$merge: on fields must uniquely identify documents "
+                f"(incoming document matches duplicate key {k!r} "
+                "in target collection)")
         i = index.get(k)
         if i is None:
             if when_not == "insert":

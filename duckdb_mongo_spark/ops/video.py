@@ -151,7 +151,12 @@ def parse_webm(b: bytes, want_frames: bool = True) -> VideoInfo:
     for eid, s, e in _walk_ebml(b, pos, len(b)):
         if eid != _SEGMENT:
             continue
-        for eid2, s2, e2 in _walk_ebml(b, s, e):
+        # two passes: resolve Info + Tracks before touching any Cluster,
+        # so SimpleBlocks are never attributed to the video stream while
+        # the track map is still unknown (clusters may precede Tracks;
+        # audio-only files must yield no video frames)
+        segment_children = list(_walk_ebml(b, s, e))
+        for eid2, s2, e2 in segment_children:
             if eid2 == _INFO:
                 for eid3, s3, e3 in _walk_ebml(b, s2, e2):
                     if eid3 == _TIMECODE_SCALE:
@@ -180,14 +185,17 @@ def parse_webm(b: bytes, want_frames: bool = True) -> VideoInfo:
                     if ttype == 1 and video_track is None:  # video
                         video_track = tnum
                         info.codec, info.width, info.height = codec, w, h
-            elif eid2 == _CLUSTER and want_frames:
+        if want_frames and video_track is not None:
+            for eid2, s2, e2 in segment_children:
+                if eid2 != _CLUSTER:
+                    continue
                 cluster_tc = 0
                 for eid3, s3, e3 in _walk_ebml(b, s2, e2):
                     if eid3 == _CLUSTER_TIMECODE:
                         cluster_tc = _ebml_uint(b, s3, e3)
                     elif eid3 == _SIMPLE_BLOCK:
                         tnum, p = _read_vint(b, s3, keep_marker=False)
-                        if video_track is not None and tnum != video_track:
+                        if tnum != video_track:
                             continue
                         rel_tc = struct.unpack(">h", b[p:p + 2])[0]
                         flags = b[p + 2]

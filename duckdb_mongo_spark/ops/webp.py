@@ -605,7 +605,15 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     br.bits(1)  # alpha-is-used hint
     if br.bits(3) != 0:
         raise CodecError("unsupported VP8L version")
+    return _decode_vp8l_body(br, w, h)
 
+
+def _decode_vp8l_body(br: _BitReader, w: int, h: int) -> np.ndarray:
+    """Transforms + entropy-coded image of known dimensions -> RGBA.
+
+    Split out of ``decode_vp8l`` because ALPH chunks carry exactly this
+    headerless stream (RFC 9649 "Alpha" — implicit dimensions, no
+    signature / size / version bits)."""
     full_w = w
     transforms = []  # applied inverse in reverse read order
     seen = set()
@@ -654,6 +662,60 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     return rgba
 
 
+def _decode_alph(body: bytes, w: int, h: int) -> np.ndarray:
+    """Decode an ALPH chunk -> (H, W) uint8 alpha plane (RFC 9649).
+
+    Header byte: 2 reserved bits, 2 pre-processing bits (informational),
+    2 filtering bits F, 2 compression bits C.  C=0 is a raw row-major
+    plane; C=1 is a headerless VP8L stream of implicit dimensions whose
+    green channel carries the alpha values.  F in {1,2,3} applies the
+    horizontal / vertical / gradient per-pixel predictor, inverted here
+    exactly as libwebp's {Horizontal,Vertical,Gradient}Unfilter do."""
+    if not body:
+        raise CodecError("empty ALPH chunk")
+    head = body[0]
+    compression = head & 3
+    filt = (head >> 2) & 3
+    if compression == 0:
+        if len(body) - 1 < w * h:
+            raise CodecError("ALPH raw plane truncated")
+        alpha = np.frombuffer(body[1:1 + w * h], np.uint8).reshape(h, w).copy()
+    elif compression == 1:
+        rgba = _decode_vp8l_body(_BitReader(body[1:]), w, h)
+        alpha = rgba[..., 1].copy()  # alpha rides the green channel
+    else:
+        raise CodecError(f"ALPH: unknown compression method {compression}")
+    if filt == 0:
+        return alpha
+    plane = alpha.astype(np.int32)
+    if filt == 1:  # horizontal: pred = left; row>0 col0 preds from above
+        np.cumsum(plane[0], out=plane[0])
+        plane[0] &= 0xFF
+        for y in range(1, h):
+            row = plane[y]
+            row[0] = (row[0] + plane[y - 1][0]) & 0xFF
+            np.cumsum(row, out=row)
+            row &= 0xFF
+    elif filt == 2:  # vertical: pred = above; row 0 unfilters horizontally
+        np.cumsum(plane[0], out=plane[0])
+        np.cumsum(plane, axis=0, out=plane)
+        plane &= 0xFF
+    elif filt == 3:  # gradient: clip(left + above - above_left)
+        np.cumsum(plane[0], out=plane[0])
+        plane[0] &= 0xFF
+        for y in range(1, h):
+            prev, row = plane[y - 1], plane[y]
+            left = int(prev[0])
+            top_left = left
+            for x in range(w):
+                top = int(prev[x])
+                grad = min(255, max(0, left + top - top_left))
+                left = (int(row[x]) + grad) & 0xFF
+                row[x] = left
+                top_left = top
+    return plane.astype(np.uint8)
+
+
 def decode_webp(b: bytes) -> np.ndarray:
     """RIFF container walk -> pure in-repo decode. "VP8L" chunks use the
     VP8L codec below; lossy "VP8 " chunks use the RFC 6386 key-frame
@@ -665,12 +727,15 @@ def decode_webp(b: bytes) -> np.ndarray:
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
         raise CodecError("not a WebP file")
     pos = 12
+    alph_body = None
     while pos + 8 <= len(b):
         fourcc = b[pos:pos + 4]
         (size,) = struct.unpack("<I", b[pos + 4:pos + 8])
         body = b[pos + 8:pos + 8 + size]
         if fourcc == b"VP8L":
             return decode_vp8l(body)
+        if fourcc == b"ALPH":
+            alph_body = body  # precedes the VP8 chunk in VP8X containers
         if fourcc == b"VP8 ":
             from duckdb_mongo_spark.ops import vp8, webp_native
 
@@ -680,7 +745,12 @@ def decode_webp(b: bytes) -> np.ndarray:
             # keeps lossy WebP working in library-free environments.
             if webp_native.available():
                 return webp_native.decode_rgba(b)
-            return vp8.decode_rgba(body)
+            rgba = vp8.decode_rgba(body)
+            if alph_body is not None:
+                rgba[..., 3] = _decode_alph(
+                    alph_body, rgba.shape[1], rgba.shape[0]
+                )
+            return rgba
         pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
     raise CodecError("WebP container has no VP8L chunk")
 

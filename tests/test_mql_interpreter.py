@@ -1198,6 +1198,26 @@ class TestOutAndMerge:
         with pytest.raises(ValueError, match="sink"):
             run_pipeline([], [{"$out": "t"}])
 
+    def test_merge_duplicate_on_key_deferred_to_match_time(self):
+        # mongod only fails when a source document actually matches
+        # multiple targets; pre-existing duplicates an incoming doc never
+        # touches must not fail the merge (round-6 advice item)
+        store, resolver, sink = self._store()
+        store["target"] = [{"k": "dup", "n": 1}, {"k": "dup", "n": 2},
+                           {"k": "a", "n": 3}]
+        run_pipeline(
+            [{"k": "a", "n": 30}, {"k": "b", "n": 4}],
+            [{"$merge": {"into": "target", "on": "k"}}],
+            collections=resolver, collection_sink=sink,
+        )
+        assert sorted((d["k"], d["n"]) for d in store["target"]) == \
+            [("a", 30), ("b", 4), ("dup", 1), ("dup", 2)]
+        store["target"] = [{"k": "dup", "n": 1}, {"k": "dup", "n": 2}]
+        with pytest.raises(ValueError, match="uniquely identify"):
+            run_pipeline([{"k": "dup", "n": 9}],
+                         [{"$merge": {"into": "target", "on": "k"}}],
+                         collections=resolver, collection_sink=sink)
+
     def test_out_through_wire_fake(self):
         from duckdb_mongo_spark.testing.fake_mongo import FakeMongoClient
 

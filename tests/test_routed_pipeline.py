@@ -337,6 +337,46 @@ class TestSearchTextRouting:
         exp = _interpreter_rows(be, "main", "posts", pipe)
         assert [g["_id"] for g in got] == [e["_id"] for e in exp]
 
+    def test_non_ascii_query_falls_back(self, spark, tmp_path):
+        # CPython str.lower() and JVM lower() may disagree off-ASCII
+        # (Turkish dotted-I etc.) — the routed form must decline
+        pipe = self._pipe("spark İstanbul", "body")
+        be = self._backend(tmp_path)
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        got = [r.asDict() for r in mf.df().collect()]
+        assert mf.last_exec_path != "routed:search_text"
+        exp = _interpreter_rows(be, "main", "posts", pipe)
+        assert [g["_id"] for g in got] == [e["_id"] for e in exp]
+
+    def test_non_ascii_corpus_falls_back(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({
+                "_id": [1, 2, 3],
+                "title": ["plain", "plain two", "İstanbul daily"],
+                "body": ["spark engine", "engine room", "spark haberleri"],
+            }),
+            str(tmp_path / "posts.parquet"))
+        be = ParquetBackend(str(tmp_path), db_name="main")
+        # non-ASCII in a SCORED path -> fallback, still interpreter-equal
+        pipe = self._pipe("spark", ["title", "body"])
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        got = [r.asDict() for r in mf.df().collect()]
+        assert mf.last_exec_path != "routed:search_text"
+        exp = _interpreter_rows(be, "main", "posts", pipe)
+        assert [g["_id"] for g in got] == [e["_id"] for e in exp]
+        assert [g["score"] for g in got] == [e["score"] for e in exp]
+        # ASCII-only scored path ('body') routes even though 'title'
+        # holds non-ASCII text elsewhere in the collection
+        pipe = self._pipe("spark", "body")
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        got = [r.asDict() for r in mf.df().collect()]
+        assert mf.last_exec_path == "routed:search_text"
+        exp = _interpreter_rows(be, "main", "posts", pipe)
+        assert [g["score"] for g in got] == [e["score"] for e in exp]
+
     def test_documents_table_parity(self, spark, sf_dir):
         # real corpus: the driver's documents table, text column
         be = ParquetBackend(sf_dir, db_name="main", id_field="doc_id")
@@ -358,3 +398,74 @@ class TestSearchTextRouting:
         assert [g["score"] for g in got] == [e["score"] for e in exp]
         assert sorted((g["score"], g["doc_id"]) for g in got) == \
             sorted((e["score"], e["doc_id"]) for e in exp)
+
+
+class TestRoutedTailDocumentRebuild:
+    """The routed tail rebuilds documents the way the backend's
+    iter_documents would emit them (round-6 advice): sparse backends
+    (jsonl) omit fields that flattened to null, dense backends
+    (parquet) keep them as present-with-null — so $exists/$ifNull in
+    the interpreted tail matches the interpreter fallback path."""
+
+    BODIES = ["spark engine", "engine room", "spark spark", "duck pond"]
+
+    def _jsonl_backend(self, tmp_path):
+        import json
+        import os
+
+        from duckdb_mongo_spark.backends import JsonlBackend
+
+        os.makedirs(tmp_path / "main", exist_ok=True)
+        docs = [{"_id": i + 1, "body": b} for i, b in enumerate(self.BODIES)]
+        docs[0]["tag"] = "hot"  # every other doc genuinely LACKS `tag`
+        with open(tmp_path / "main" / "posts.jsonl", "w") as f:
+            for d in docs:
+                f.write(json.dumps(d) + "\n")
+        return JsonlBackend(str(tmp_path))
+
+    def _pq_backend(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({
+                "_id": [1, 2, 3, 4],
+                "body": self.BODIES,
+                "tag": ["hot", None, None, None],  # dense: present nulls
+            }),
+            str(tmp_path / "posts.parquet"))
+        return ParquetBackend(str(tmp_path), db_name="main")
+
+    def _pipe(self, exists):
+        return [
+            {"$search": {"text": {"query": "spark engine duck",
+                                  "path": "body"}}},
+            {"$limit": 10},
+            {"$match": {"tag": {"$exists": exists}}},
+            {"$addFields": {"t": {"$ifNull": ["$tag", "none"]},
+                            "score": {"$meta": "searchScore"}}},
+        ]
+
+    @pytest.mark.parametrize("exists", [True, False])
+    def test_sparse_backend_exists_parity(self, spark, tmp_path, exists):
+        be = self._jsonl_backend(tmp_path)
+        pipe = self._pipe(exists)
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        got = [r.asDict() for r in mf.df().collect()]
+        assert mf.last_exec_path == "routed:search_text"
+        exp = _interpreter_rows(be, "main", "posts", pipe)
+        assert [g["_id"] for g in got] == [e["_id"] for e in exp]
+        assert [g["t"] for g in got] == [e["t"] for e in exp]
+        assert [g["score"] for g in got] == [e["score"] for e in exp]
+
+    @pytest.mark.parametrize("exists", [True, False])
+    def test_dense_backend_exists_parity(self, spark, tmp_path, exists):
+        be = self._pq_backend(tmp_path)
+        pipe = self._pipe(exists)
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        got = [r.asDict() for r in mf.df().collect()]
+        assert mf.last_exec_path == "routed:search_text"
+        exp = _interpreter_rows(be, "main", "posts", pipe)
+        assert [g["_id"] for g in got] == [e["_id"] for e in exp]
+        assert [g["t"] for g in got] == [e["t"] for e in exp]
+        assert [g["score"] for g in got] == [e["score"] for e in exp]

@@ -123,6 +123,54 @@ class TestWebm:
         with pytest.raises(VideoError):
             parse_webm(b"\x1aE\xdf\xa3")  # truncated after magic
 
+    def _resegment(self, blob, order):
+        """Rebuild the muxed file with segment children reordered /
+        filtered. `order` maps child element ids to new positions."""
+        from duckdb_mongo_spark.ops import video as V
+        pos = 4
+        size, pos = V._read_vint(blob, pos, keep_marker=False)
+        header = blob[:pos + size]
+        children = {}
+        for eid, s, e in V._walk_ebml(blob, pos + size, len(blob)):
+            assert eid == V._SEGMENT
+            for eid2, s2, e2 in V._walk_ebml(blob, s, e):
+                # re-emit the full child element (id + size + payload)
+                children[eid2] = V._el(eid2, blob[s2:e2])
+        payload = b"".join(children[eid] for eid in order)
+        return header + V._el(V._SEGMENT, payload)
+
+    def test_cluster_before_tracks_still_yields_frames(self, webm_blob):
+        # streaming muxers may emit Clusters before the Tracks element;
+        # the two-pass parse must still attribute blocks to the video
+        # track (round-6 advice: no frames while video_track unknown)
+        from duckdb_mongo_spark.ops import video as V
+        blob, frames = webm_blob
+        reordered = self._resegment(blob, [V._CLUSTER, V._INFO, V._TRACKS])
+        v = parse_webm(reordered)
+        assert [f[2] for f in v.frames] == frames
+        assert v.codec == "V_VP8"
+
+    def test_audio_only_file_yields_no_video_frames(self, webm_blob):
+        # replace the video TrackEntry with an audio one (TrackType=2):
+        # SimpleBlocks must NOT surface as video frames
+        from duckdb_mongo_spark.ops import video as V
+        blob, _ = webm_blob
+        pos = 4
+        size, pos = V._read_vint(blob, pos, keep_marker=False)
+        audio_track = V._el(V._TRACKS, V._el(V._TRACK_ENTRY, b"".join([
+            V._el_uint(0xD7, 1), V._el_uint(0x73C5, 1),
+            V._el_uint(V._TRACK_TYPE, 2), V._el(V._CODEC_ID, b"A_VORBIS"),
+        ])))
+        children = {}
+        for eid, s, e in V._walk_ebml(blob, pos + size, len(blob)):
+            for eid2, s2, e2 in V._walk_ebml(blob, s, e):
+                children[eid2] = V._el(eid2, blob[s2:e2])
+        payload = children[V._INFO] + audio_track + children[V._CLUSTER]
+        rebuilt = blob[:pos + size] + V._el(V._SEGMENT, payload)
+        v = parse_webm(rebuilt)
+        assert v.frames == [] and v.n_frames == 0
+        assert v.codec is None and v.width is None
+
 
 class TestMp4:
     def test_multi_chunk_sample_resolution(self):

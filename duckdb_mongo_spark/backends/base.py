@@ -123,6 +123,18 @@ class DocumentBackend(ABC):
                     break
         return list(out)
 
+    def fast_count(self, db, coll) -> int | None:
+        """Unfiltered row count when it is METADATA-cheap (parquet
+        footer stats); None when counting would require a data pass —
+        callers gating on size must then decide without it."""
+        return None
+
+    def fingerprint(self, db, coll):
+        """Cheap content-version token for cache invalidation (file
+        paths + sizes + mtimes for file backends). None = unknown —
+        caches then key on backend identity for the session."""
+        return None
+
     def count(self, db, coll, filter=None) -> int:
         # the __schema sentinel doc is engine metadata, never data: every
         # count path must agree with the scan path (which drops it in

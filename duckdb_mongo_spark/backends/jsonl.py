@@ -82,6 +82,14 @@ class JsonlBackend(DocumentBackend):
             )
         return []
 
+    def fingerprint(self, db, coll):
+        files = self._files(db, coll)
+        if not files:
+            return None
+        return tuple(
+            (p, os.path.getsize(p), os.path.getmtime(p)) for p in files
+        )
+
     def list_databases(self):
         return sorted(
             d for d in os.listdir(self.root)

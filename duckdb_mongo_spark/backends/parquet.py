@@ -434,6 +434,24 @@ class ParquetBackend(DocumentBackend):
             )
         return self._schema_doc_probe[key]
 
+    def fast_count(self, db, coll):
+        if db != self.db_name or not self._files(coll):
+            return None
+        return self.count(db, coll)
+
+    def fingerprint(self, db, coll):
+        import os
+
+        try:
+            files = self._files(coll)
+        except Exception:
+            return None
+        if not files:
+            return None
+        return tuple(
+            (p, os.path.getsize(p), os.path.getmtime(p)) for p in sorted(files)
+        )
+
     def count(self, db, coll, filter=None):
         if filter:
             return super().count(db, coll, filter)

@@ -564,7 +564,17 @@ class MongoFrame:
         """Compile a ``$vectorSearch`` spec against the collection schema
         to a distributed scored-and-top-k'd DataFrame. Returns
         ``(scored_df, limit, meta_name, score_col)`` or None when the
-        path is not a numeric vector column."""
+        path is not a numeric vector column.
+
+        ANN contract (Atlas semantics): when the spec carries
+        ``numCandidates`` and ``exact`` is not true, the scorer consults
+        the cached per-collection IVF(-PQ) index
+        (``ops/vector_index.py``) and scores only the probed candidate
+        cells — ``numCandidates`` sets the probe breadth, recall rises
+        with it, and ``numCandidates >= corpus`` degenerates to the
+        exact scan (bit-identical to ``exact: true``). Candidates are
+        re-ranked with the SAME score expression as the exact path, so
+        ``vectorSearchScore`` is always the true Atlas formula."""
         import math
 
         from duckdb_mongo_spark.mql.interpreter import parse_vector_search_spec
@@ -576,15 +586,24 @@ class MongoFrame:
         if fspec is None or not is_list(fspec.type) or fspec.type[1] not in (
                 "DOUBLE", "BIGINT"):
             return None  # not a numeric vector column — interpreter path
-        base = MongoFrame(
-            spark=self.spark, backend=self.backend, db=self.db, coll=self.coll,
-            schema=coll_schema, schema_mode=self.schema_mode,
-            num_partitions=self.num_partitions, manual_filter=vfilter,
-            direct=self.direct,
-        )
-        bdf = base.df()
-        self._routed_base_path = base.last_exec_path
         d = len(qv)
+        self._routed_ann = None
+        bdf = None
+        if not bool(spec.get("exact", False)) \
+                and spec.get("numCandidates") is not None:
+            bdf = self._try_ann_candidates(
+                int(spec["numCandidates"]), qv, similarity, vfilter,
+                fspec, coll_schema, d)
+        if bdf is None:
+            base = MongoFrame(
+                spark=self.spark, backend=self.backend, db=self.db,
+                coll=self.coll, schema=coll_schema,
+                schema_mode=self.schema_mode,
+                num_partitions=self.num_partitions, manual_filter=vfilter,
+                direct=self.direct,
+            )
+            bdf = base.df()
+            self._routed_base_path = base.last_exec_path
         vec = F.col(fspec.name).cast("array<double>")
         qarr = F.array(*[F.lit(float(x)) for x in qv])
         dot = F.aggregate(
@@ -619,6 +638,79 @@ class MongoFrame:
             .limit(limit)
         )
         return scored, limit, "vectorSearchScore", "__rt_score"
+
+    def _try_ann_candidates(self, nc, qv, similarity, vfilter, fspec,
+                            coll_schema, d):
+        """Candidate DataFrame for an approximate ``$vectorSearch``
+        (``numCandidates`` present, ``exact`` not true), or None when the
+        exact scan is the right plan:
+
+        - ``numCandidates >= corpus`` (metadata fast-count, or the
+          index's own count): ANN degenerates to exact — bit-identical
+          results, no index consulted;
+        - the pre-filter is outside the translatable subset: the exact
+          path pushes it into the scan with full MQL semantics;
+        - probing would touch every cell: pruning buys nothing.
+
+        Otherwise returns the probed cells of the cached IVF index
+        (filter applied to candidates — Atlas pre-filter semantics),
+        with a PQ-ADC preselect down to ``numCandidates`` ids when the
+        codes sidecar exists and the probe overshoots by
+        ``SPARK_GRAFT_ANN_ADC_FACTOR``x. Sets ``self._routed_ann`` with
+        probe diagnostics (tests assert the pruned plan through it)."""
+        from duckdb_mongo_spark.ops import vector_index as VI
+
+        try:
+            n = self.backend.fast_count(self.db, self.coll)
+        except Exception:
+            n = None
+        if n is not None and nc >= n:
+            return None
+        family = "l2" if similarity == "euclidean" else "cos"
+        if family == "cos" and not any(float(x) != 0.0 for x in qv):
+            return None  # zero query vector: cosine is a constant — exact
+        fcol = None
+        if vfilter is not None:
+            cols_by_path = {f.mongo_path: f.name for f in coll_schema.fields}
+            fcol = VI.translate_match_filter(vfilter, cols_by_path)
+            if fcol is None:
+                return None
+        idx = VI.cached_index(
+            self.backend, self.db, self.coll, fspec.mongo_path, d, family)
+        if idx is None:
+            base = MongoFrame(
+                spark=self.spark, backend=self.backend, db=self.db,
+                coll=self.coll, schema=coll_schema,
+                schema_mode=self.schema_mode,
+                num_partitions=self.num_partitions, direct=self.direct,
+            )
+            bdf = base.df()
+            id_name = "_id" if "_id" in bdf.columns else None
+            idx = VI.get_collection_vector_index(
+                self.backend, self.db, self.coll, bdf, fspec.name,
+                fspec.mongo_path, d, id_name, family=family)
+        if nc >= idx.corpus_n:
+            return None
+        cells, est_probed = VI.probe_cells(idx, qv, nc)
+        if cells is None:
+            return None
+        cand = idx.assigned.where(F.col("__cell").isin(cells))
+        ann = {"cells": len(cells), "n_cells": len(idx.centroids),
+               "est_probed": est_probed, "corpus_n": idx.corpus_n,
+               "adc": False}
+        if fcol is not None:
+            # Atlas pre-filter: restrict candidates BEFORE the top-k cut
+            cand = cand.where(fcol)
+        elif idx.codes is not None and est_probed >= VI._adc_factor() * nc:
+            pks = VI.adc_preselect(idx, cells, qv, similarity, nc)
+            if pks is not None:
+                cand = cand.join(
+                    F.broadcast(pks),
+                    F.col(idx.id_name) == F.col("__pk")).drop("__pk")
+                ann["adc"] = True
+        self._routed_ann = ann
+        self._routed_base_path = "vector_index"
+        return cand.drop("__cell")
 
     def _route_search_text(self, spec, coll_schema):
         """Distributed BM25 for a stage-1 ``$search`` with a single

@@ -33,9 +33,13 @@ QV = [0.1 * (i % 7) - 0.25 for i in range(64)]  # matches embeddings dim=64
 
 
 def _vs_pipeline(similarity=None, vfilter=None, tail=True):
+    # numCandidates >= corpus (sf0.001 embeddings = 500): ANN degenerates
+    # to the exact scan, so these parity tests stay bit-identical to the
+    # interpreter; sub-corpus numCandidates is covered by
+    # tests/test_vector_ann.py with recall bounds
     spec = {
         "index": "default", "path": "embedding", "queryVector": QV,
-        "numCandidates": 200, "limit": 12,
+        "numCandidates": 600, "limit": 12,
     }
     if similarity:
         spec["similarity"] = similarity

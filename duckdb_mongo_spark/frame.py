@@ -712,39 +712,18 @@ class MongoFrame:
         self._routed_base_path = "vector_index"
         return cand.drop("__cell")
 
-    def _route_search_text(self, spec, coll_schema):
-        """Distributed BM25 for a stage-1 ``$search`` with a single
-        ``text`` operator followed by ``$limit`` (the Atlas relevance
-        shape). Two passes: one aggregate job for the corpus statistics
-        (N, per-path total token length, per-(path, term) doc
-        frequency — all bounded by the query's term count), then a
-        scored scan with distributed top-k. idf values are computed
-        driver-side in Python (same ``math.log`` as the interpreter
-        oracle, ``mql/search.py``) and enter the plan as literals, so
-        the JVM side only performs IEEE-deterministic +*/ in the
-        interpreter's exact association order — scores match the
-        single-stream oracle bit-for-bit on ASCII corpora. Returns None
-        (fallback) for any other $search shape."""
-        import math
-
-        from duckdb_mongo_spark.mql.search import _K1, _B, _analyze
+    def _parse_text_clause(self, opspec, fm):
+        """Validate one ``text`` clause: ASCII query with tokens, string
+        (or array-of-string) schema paths. Returns (fspecs, terms) or
+        None when the clause needs the interpreter."""
+        from duckdb_mongo_spark.mql.search import _analyze
         from duckdb_mongo_spark.schema.types import is_list
 
-        body = dict(spec)
-        body.pop("index", None)
-        body.pop("highlight", None)
-        if "count" in body or len(body) != 1 or "text" not in body:
+        if not isinstance(opspec, dict) or "query" not in opspec \
+                or "path" not in opspec:
             return None
-        opspec = body["text"]
-        if not isinstance(opspec, dict) or "query" not in opspec:
-            return None
-        # the routed form needs a following $limit to bound the collect
-        nxt = (self.manual_pipeline[1]
-               if len(self.manual_pipeline) > 1 else None)
-        if not (isinstance(nxt, dict) and len(nxt) == 1
-                and next(iter(nxt)) == "$limit"):
-            return None
-        limit = int(nxt["$limit"])
+        if "score" in opspec:
+            return None  # boost shapes — interpreter semantics
         q = opspec["query"]
         qstrings = [q] if isinstance(q, str) else list(q)
         if any(isinstance(s, str) and not s.isascii() for s in qstrings):
@@ -760,7 +739,6 @@ class MongoFrame:
             return None
         p = opspec["path"]
         paths = [p] if isinstance(p, str) else list(p)
-        fm = {f.mongo_path: f for f in coll_schema.fields}
         fspecs = []
         for pth in paths:
             fs = fm.get(pth)
@@ -768,6 +746,203 @@ class MongoFrame:
                     is_list(fs.type) and fs.type[1] == "VARCHAR")):
                 return None  # non-string path — interpreter semantics
             fspecs.append(fs)
+        return fspecs, terms
+
+    def _search_filter_cond(self, clause, fm):
+        """Translate a compound ``filter``/``mustNot`` clause
+        (equals/range/in/exists over scalar schema fields) to a Spark
+        Column with the oracle's matching semantics (``mql/search.py``
+        ``_eval_operator``): type-strict equality, numeric/string
+        ranges, MISSING never matches. Returns None outside the subset
+        — the caller then falls back to the interpreter."""
+        from duckdb_mongo_spark.schema.types import is_list
+
+        if not isinstance(clause, dict) or len(clause) != 1:
+            return None
+        (cop, cspec), = clause.items()
+        if not isinstance(cspec, dict) or not isinstance(
+                cspec.get("path"), str):
+            return None
+        fs = fm.get(cspec["path"])
+        dense = getattr(self.backend, "dense_documents", False)
+        if cop == "exists":
+            if set(cspec) - {"path"} or fs is None:
+                return None
+            # dense backends emit every schema field on every document
+            # (present-with-null), so `exists` is True for all rows —
+            # exactly what the oracle sees through iter_documents
+            return F.lit(True) if dense else F.col(fs.name).isNotNull()
+        if fs is None or is_list(fs.type) or not isinstance(fs.type, str):
+            return None
+        col = F.col(fs.name)
+        numeric = fs.type in ("DOUBLE", "BIGINT", "INTEGER", "INT",
+                              "FLOAT", "SMALLINT", "TINYINT", "HUGEINT")
+
+        def lit_ok(v):
+            if isinstance(v, bool):
+                return fs.type == "BOOLEAN"
+            if isinstance(v, (int, float)):
+                return numeric
+            if isinstance(v, str):
+                return fs.type == "VARCHAR"
+            return False
+
+        if cop == "equals":
+            if set(cspec) - {"path", "value"}:
+                return None
+            v = cspec.get("value")
+            return (col == F.lit(v)) if lit_ok(v) else None
+        if cop == "range":
+            if set(cspec) - {"path", "gt", "gte", "lt", "lte"}:
+                return None
+            bounds = {b: cspec[b] for b in ("gt", "gte", "lt", "lte")
+                      if b in cspec}
+            if not bounds or not all(
+                    lit_ok(v) and not isinstance(v, bool)
+                    for v in bounds.values()):
+                return None
+            cond = None
+            for b, v in bounds.items():
+                c = {"gt": col > F.lit(v), "gte": col >= F.lit(v),
+                     "lt": col < F.lit(v), "lte": col <= F.lit(v)}[b]
+                cond = c if cond is None else (cond & c)
+            return cond
+        if cop == "in":
+            if set(cspec) - {"path", "value"}:
+                return None
+            v = cspec.get("value")
+            if not isinstance(v, list) or not v \
+                    or not all(lit_ok(x) for x in v):
+                return None
+            return col.isin(v)
+        return None
+
+    def _route_search_text(self, spec, coll_schema):
+        """Distributed BM25 for a stage-1 ``$search`` followed by
+        ``$limit`` — a single ``text`` operator, or ``compound`` whose
+        must/should clauses are all ``text`` (scores sum, Lucene-style),
+        whose filter/mustNot clauses are equals/range/in/exists over
+        scalar fields (translated to JVM conditions — the "filter
+        clauses as $match" stance) or, for mustNot, ``text``
+        (term-containment check, since BM25 > 0 iff any query term is
+        present). ``minimumShouldMatch`` and the pure-should
+        at-least-one rule compile to a matched-clause counter condition.
+
+        Two passes: one aggregate job for the corpus statistics
+        (N, per-path total token length, per-(path, term) doc
+        frequency — all bounded by the query's term count), then a
+        scored scan with distributed top-k. idf values are computed
+        driver-side in Python (same ``math.log`` as the interpreter
+        oracle, ``mql/search.py``) and enter the plan as literals, so
+        the JVM side only performs IEEE-deterministic +*/ in the
+        interpreter's exact association order — scores match the
+        single-stream oracle bit-for-bit on ASCII corpora. Returns None
+        (fallback) for any other $search shape (phrase, autocomplete,
+        count, score boosts, nested compound)."""
+        import math
+
+        from duckdb_mongo_spark.mql.search import _B, _K1
+        from duckdb_mongo_spark.schema.types import is_list
+
+        body = dict(spec)
+        body.pop("index", None)
+        body.pop("highlight", None)
+        if "count" in body or len(body) != 1:
+            return None
+        (op, opspec), = body.items()
+        if not isinstance(opspec, dict):
+            return None
+        fm = {f.mongo_path: f for f in coll_schema.fields}
+
+        def _as_list(v):
+            if v is None:
+                return []
+            return [v] if isinstance(v, dict) else list(v)
+
+        text_must, text_should, cond_filters, mustnot = [], [], [], []
+        msm = 0
+        if op == "text":
+            tc = self._parse_text_clause(opspec, fm)
+            if tc is None:
+                return None
+            text_must.append(tc)
+            has_must, has_filter, has_should = True, False, False
+        elif op == "compound":
+            known = {"must", "should", "mustNot", "filter",
+                     "minimumShouldMatch"}
+            if set(opspec) - known:
+                return None
+            msm = int(opspec.get("minimumShouldMatch", 0))
+            for cl in _as_list(opspec.get("must")):
+                if not (isinstance(cl, dict) and len(cl) == 1
+                        and "text" in cl):
+                    return None  # non-text must (incl. nested compound)
+                tc = self._parse_text_clause(cl["text"], fm)
+                if tc is None:
+                    return None
+                text_must.append(tc)
+            for cl in _as_list(opspec.get("should")):
+                if not (isinstance(cl, dict) and len(cl) == 1
+                        and "text" in cl):
+                    return None
+                tc = self._parse_text_clause(cl["text"], fm)
+                if tc is None:
+                    return None
+                text_should.append(tc)
+            for cl in _as_list(opspec.get("filter")):
+                c = self._search_filter_cond(cl, fm)
+                if c is None:
+                    return None
+                cond_filters.append(c)
+            for cl in _as_list(opspec.get("mustNot")):
+                if isinstance(cl, dict) and len(cl) == 1 and "text" in cl:
+                    tc = self._parse_text_clause(cl["text"], fm)
+                    if tc is None:
+                        return None
+                    mustnot.append(("text", tc))
+                    continue
+                c = self._search_filter_cond(cl, fm)
+                if c is None:
+                    return None
+                mustnot.append(("cond", c))
+            has_must = bool(opspec.get("must"))
+            has_filter = bool(opspec.get("filter"))
+            has_should = bool(text_should)
+        else:
+            return None
+        # the routed form needs a following $limit to bound the collect
+        nxt = (self.manual_pipeline[1]
+               if len(self.manual_pipeline) > 1 else None)
+        if not (isinstance(nxt, dict) and len(nxt) == 1
+                and next(iter(nxt)) == "$limit"):
+            return None
+        limit = int(nxt["$limit"])
+        # union of every text-touched path (scoring AND mustNot — token
+        # parity matters for containment too); scoring paths drive stats
+        all_text = text_must + text_should + [p for k, p in mustnot
+                                              if k == "text"]
+        scoring = text_must + text_should
+        if not all_text:
+            # condition-only compound: nothing to score or tokenize —
+            # still routable (constant 0.0 scores, ties unspecified)
+            if not (cond_filters or mustnot):
+                return None
+        fspecs = []
+        seen_paths = set()
+        for fss, _terms in all_text:
+            for fs in fss:
+                if fs.name not in seen_paths:
+                    seen_paths.add(fs.name)
+                    fspecs.append(fs)
+        # (path, term) pairs that need document frequencies (scoring only)
+        df_pairs = []
+        seen_pairs = set()
+        for fss, terms in scoring:
+            for fs in fss:
+                for t in dict.fromkeys(terms):
+                    if (fs.name, t) not in seen_pairs:
+                        seen_pairs.add((fs.name, t))
+                        df_pairs.append((fs, t))
         base = MongoFrame(
             spark=self.spark, backend=self.backend, db=self.db, coll=self.coll,
             schema=coll_schema, schema_mode=self.schema_mode,
@@ -796,13 +971,13 @@ class MongoFrame:
             *bdf.columns,
             *[tok_cols[n].alias(f"__rt_toks_{n}") for n in tok_cols],
         )
-        # pass 1: corpus statistics (one aggregate row); piggyback a
-        # non-ASCII detector per path (octet_length != length iff any
-        # multi-byte character) — when a scored path contains non-ASCII
-        # text, tokenization parity with the CPython oracle is not
-        # guaranteed, so the routed form declines and the interpreter
-        # path (bounded-or-loud) takes over
-        uniq_terms = list(dict.fromkeys(terms))
+        # pass 1: corpus statistics (one aggregate row, bounded by the
+        # query's path x term count); piggyback a non-ASCII detector per
+        # path (octet_length != length iff any multi-byte character) —
+        # when a scored path contains non-ASCII text, tokenization
+        # parity with the CPython oracle is not guaranteed, so the
+        # routed form declines and the interpreter path
+        # (bounded-or-loud) takes over
         aggs = [F.count(F.lit(1)).alias("__n")]
         for fs in fspecs:
             tc = F.col(f"__rt_toks_{fs.name}")
@@ -813,55 +988,101 @@ class MongoFrame:
                 F.when(F.octet_length(raw) != F.length(raw), 1).otherwise(0)
             ).alias(f"__nonascii_{fs.name}"))
             aggs.append(F.sum(F.size(tc)).alias(f"__len_{fs.name}"))
-            for j, t in enumerate(uniq_terms):
-                aggs.append(F.sum(
-                    F.when(F.array_contains(tc, t), 1).otherwise(0)
-                ).alias(f"__df_{fs.name}_{j}"))
-        stats = toks_df.agg(*aggs).collect()[0].asDict()
-        n_docs = stats["__n"] or 0
-        if n_docs == 0:
-            return None
-        if any(stats[f"__nonascii_{fs.name}"] for fs in fspecs):
-            return None
+        for j, (fs, t) in enumerate(df_pairs):
+            tc = F.col(f"__rt_toks_{fs.name}")
+            aggs.append(F.sum(
+                F.when(F.array_contains(tc, t), 1).otherwise(0)
+            ).alias(f"__df_{j}"))
+        if fspecs:
+            stats = toks_df.agg(*aggs).collect()[0].asDict()
+            n_docs = stats["__n"] or 0
+            if n_docs == 0:
+                return None
+            if any(stats[f"__nonascii_{fs.name}"] for fs in fspecs):
+                return None
+        else:
+            stats, n_docs = {}, 1  # condition-only compound: no scoring
         # driver-side idf (CPython math.log == the interpreter's)
         idf = {}
         avg_len = {}
         for fs in fspecs:
-            avg_len[fs.name] = (stats[f"__len_{fs.name}"] or 0) / n_docs
-            for j, t in enumerate(uniq_terms):
-                dfreq = stats[f"__df_{fs.name}_{j}"] or 0
-                idf[(fs.name, t)] = math.log(
-                    1.0 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
-        # pass 2: per-doc score in the interpreter's exact op order:
-        # score = sum over paths of (sum over terms of
+            avg_len[fs.name] = (stats.get(f"__len_{fs.name}") or 0) / n_docs
+        for j, (fs, t) in enumerate(df_pairs):
+            dfreq = stats.get(f"__df_{j}") or 0
+            idf[(fs.name, t)] = math.log(
+                1.0 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+
+        # pass 2: per-clause BM25 in the interpreter's exact op order:
+        # clause = sum over paths of (sum over terms of
         #   idf * (tf * (k1+1)) / (tf + k1*(1 - b + b*dl/avg)))
+        def clause_score(fss, terms):
+            cs = F.lit(0.0)
+            for fs in fss:
+                tc = F.col(f"__rt_toks_{fs.name}")
+                dl = F.size(tc).cast("double")
+                avg = avg_len[fs.name]
+                if avg:
+                    norm = F.lit(_K1) * (F.lit(1.0 - _B)
+                                         + F.lit(_B) * dl / F.lit(avg))
+                else:
+                    norm = F.lit(_K1 * (1.0 - _B))
+                pscore = F.lit(0.0)
+                for t in terms:  # term ORDER (with dups) as interpreter
+                    # NB: the lambda must be unary (pyspark reads a
+                    # second parameter as the element-index); `t` is
+                    # captured at F.filter call time, in this iteration
+                    tf = F.size(F.filter(tc, lambda x: x == t)) \
+                        .cast("double")
+                    contrib = F.when(
+                        tf > 0,
+                        F.lit(idf[(fs.name, t)]) * (tf * F.lit(_K1 + 1.0))
+                        / (tf + norm),
+                    ).otherwise(F.lit(0.0))
+                    pscore = pscore + contrib
+                cs = cs + pscore
+            return cs
+
+        # compound total/conditions in the oracle's evaluation order
+        # (must sums, then matched-should sums; _eval_compound)
         total = F.lit(0.0)
-        for fs in fspecs:
-            tc = F.col(f"__rt_toks_{fs.name}")
-            dl = F.size(tc).cast("double")
-            avg = avg_len[fs.name]
-            if avg:
-                norm = F.lit(_K1) * (F.lit(1.0 - _B)
-                                     + F.lit(_B) * dl / F.lit(avg))
+        conds = []
+        for fss, terms in text_must:
+            cs = clause_score(fss, terms)
+            conds.append(cs > 0.0)
+            total = total + cs
+        if text_should:
+            matched = F.lit(0)
+            for fss, terms in text_should:
+                cs = clause_score(fss, terms)
+                total = total + F.when(cs > 0.0, cs).otherwise(F.lit(0.0))
+                matched = matched + F.when(cs > 0.0, F.lit(1)) \
+                    .otherwise(F.lit(0))
+            need = msm
+            if not has_must and not has_filter:
+                need = max(1, need)  # pure-should: at least one hit
+            if need > 0:
+                conds.append(matched >= need)
+        conds.extend(cond_filters)
+        for kind, payload in mustnot:
+            if kind == "text":
+                # BM25 > 0 iff any query term appears in any path (idf is
+                # always positive), so mustNot text is term containment
+                fss, terms = payload
+                overlap = F.lit(False)
+                tarr = F.array(*[F.lit(t) for t in dict.fromkeys(terms)])
+                for fs in fss:
+                    overlap = overlap | F.arrays_overlap(
+                        F.col(f"__rt_toks_{fs.name}"), tarr)
+                conds.append(~overlap)
             else:
-                norm = F.lit(_K1 * (1.0 - _B))
-            pscore = F.lit(0.0)
-            for t in terms:  # term ORDER (with duplicates) as interpreter
-                # NB: the lambda must be unary (pyspark reads a second
-                # parameter as the element-index); `t` is captured at
-                # F.filter call time, inside this iteration
-                tf = F.size(F.filter(tc, lambda x: x == t)).cast("double")
-                contrib = F.when(
-                    tf > 0,
-                    F.lit(idf[(fs.name, t)]) * (tf * F.lit(_K1 + 1.0))
-                    / (tf + norm),
-                ).otherwise(F.lit(0.0))
-                pscore = pscore + contrib
-            total = total + pscore
+                # NULL comparisons (absent fields) don't match the
+                # clause, so the doc PASSES mustNot — like the oracle
+                conds.append(F.coalesce(~payload, F.lit(True)))
+        scored = toks_df.withColumn("__rt_score", total)
+        for c in conds:
+            scored = scored.where(c)
         scored = (
-            toks_df.withColumn("__rt_score", total)
-            .where(F.col("__rt_score") > 0.0)
-            .orderBy(F.col("__rt_score").desc())
+            scored.orderBy(F.col("__rt_score").desc())
             .limit(limit)
             .drop(*[f"__rt_toks_{fs.name}" for fs in fspecs])
         )

@@ -330,10 +330,25 @@ class TestSearchTextRouting:
         exp = _interpreter_rows(be, "main", "posts", pipe)
         assert [g["_id"] for g in got] == [e["_id"] for e in exp]
 
-    def test_compound_falls_back(self, spark, tmp_path):
+    def test_compound_of_text_routes(self, spark, tmp_path):
+        # r7: compound whose clauses are all text routes (see
+        # TestCompoundSearchRouting for the full matrix)
         be = self._backend(tmp_path)
         pipe = [{"$search": {"compound": {"must": [
                     {"text": {"query": "spark", "path": "body"}}]}}},
+                {"$limit": 5},
+                {"$addFields": {"score": {"$meta": "searchScore"}}}]
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        got = [r.asDict() for r in mf.df().collect()]
+        assert mf.last_exec_path == "routed:search_text"
+        exp = _interpreter_rows(be, "main", "posts", pipe)
+        assert [g["_id"] for g in got] == [e["_id"] for e in exp]
+        assert [g["score"] for g in got] == [e["score"] for e in exp]
+
+    def test_phrase_falls_back(self, spark, tmp_path):
+        be = self._backend(tmp_path)
+        pipe = [{"$search": {"compound": {"must": [
+                    {"phrase": {"query": "spark engine", "path": "body"}}]}}},
                 {"$limit": 5}]
         mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
         got = [r.asDict() for r in mf.df().collect()]
@@ -473,3 +488,147 @@ class TestRoutedTailDocumentRebuild:
         assert [g["_id"] for g in got] == [e["_id"] for e in exp]
         assert [g["t"] for g in got] == [e["t"] for e in exp]
         assert [g["score"] for g in got] == [e["score"] for e in exp]
+
+
+class TestCompoundSearchRouting:
+    """r7: $search compound routes when must/should are all text, filter
+    and mustNot are equals/range/in/exists (JVM conditions) or text
+    containment (mustNot). Scores bit-identical to the interpreter
+    oracle (mql/search.py _eval_compound); everything else falls back."""
+
+    DOCS = [
+        {"_id": 1, "title": "spark engine", "body": "fast data engine",
+         "year": 2020, "kind": "infra", "starred": True},
+        {"_id": 2, "title": "duck pond", "body": "the duck swims in a pond",
+         "year": 2018, "kind": "nature", "starred": False},
+        {"_id": 3, "title": "spark and duck", "body": "engines and ducks",
+         "year": 2021, "kind": "infra", "starred": False},
+        {"_id": 4, "title": "cooking fast", "body": "how to cook rice fast",
+         "year": 2019, "kind": "food", "starred": True},
+        {"_id": 5, "title": "spark spark", "body": "spark engine spark",
+         "year": 2022, "kind": "infra", "starred": False},
+        {"_id": 6, "title": None, "body": "spark notes", "year": None,
+         "kind": "infra", "starred": None},
+    ]
+
+    def _backend(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        cols = {k: [d[k] for d in self.DOCS]
+                for k in ("_id", "title", "body", "year", "kind", "starred")}
+        pq.write_table(pa.table(cols), str(tmp_path / "posts.parquet"))
+        return ParquetBackend(str(tmp_path), db_name="main")
+
+    def _run(self, spark, tmp_path, compound, limit=10, expect_routed=True):
+        pipe = [{"$search": {"compound": compound}}, {"$limit": limit},
+                {"$addFields": {"score": {"$meta": "searchScore"}}}]
+        be = self._backend(tmp_path)
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        got = [r.asDict() for r in mf.df().collect()]
+        if expect_routed:
+            assert mf.last_exec_path == "routed:search_text", compound
+        else:
+            assert mf.last_exec_path != "routed:search_text", compound
+        exp = _interpreter_rows(be, "main", "posts", pipe)
+        assert [g["_id"] for g in got] == [e["_id"] for e in exp], compound
+        assert [g["score"] for g in got] == [e["score"] for e in exp], compound
+        return got
+
+    def test_must_plus_should_scores(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, {
+            "must": [{"text": {"query": "spark", "path": "body"}}],
+            "should": [{"text": {"query": "engine", "path": "body"}},
+                       {"text": {"query": "notes", "path": "body"}}],
+        })
+        assert {g["_id"] for g in got} == {5, 6}
+
+    def test_multi_must_conjunction(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, {
+            "must": [{"text": {"query": "spark", "path": "title"}},
+                     {"text": {"query": "duck", "path": "title"}}],
+        })
+        assert [g["_id"] for g in got] == [3]
+
+    def test_minimum_should_match(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, {
+            "should": [{"text": {"query": "spark", "path": "body"}},
+                       {"text": {"query": "engine", "path": "body"}},
+                       {"text": {"query": "duck", "path": "body"}}],
+            "minimumShouldMatch": 2,
+        })
+        # only doc 5 ("spark engine spark") matches two clauses — no
+        # stemming, so "engines"/"ducks" never match "engine"/"duck"
+        assert {g["_id"] for g in got} == {5}
+
+    def test_pure_should_needs_one_hit(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, {
+            "should": [{"text": {"query": "duck", "path": "body"}}],
+        })
+        assert {g["_id"] for g in got} == {2}
+
+    def test_filter_range_and_equals(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, {
+            "must": [{"text": {"query": "spark engine duck",
+                               "path": ["title", "body"]}}],
+            "filter": [{"range": {"path": "year", "gte": 2019, "lt": 2022}},
+                       {"equals": {"path": "kind", "value": "infra"}}],
+        })
+        assert {g["_id"] for g in got} == {1, 3}
+
+    def test_filter_in_and_exists(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, {
+            "must": [{"text": {"query": "spark", "path": "body"}}],
+            "filter": [{"in": {"path": "kind", "value": ["infra", "food"]}},
+                       {"exists": {"path": "year"}}],
+        })
+        # dense (parquet) backend: every schema field exists on every row
+        # — doc 6's null year still "exists", like iter_documents emits it
+        assert {g["_id"] for g in got} == {5, 6}
+
+    def test_must_not_condition_and_text(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, {
+            "must": [{"text": {"query": "spark engine duck fast",
+                               "path": "body"}}],
+            "mustNot": [{"equals": {"path": "starred", "value": True}},
+                        {"text": {"query": "pond", "path": "body"}}],
+        })
+        # 1,4 starred=True out; 2 has pond; 3 has no exact query token
+        # (no stemming); 6 starred=null passes mustNot
+        assert {g["_id"] for g in got} == {5, 6}
+
+    def test_boolean_equals_filter(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, {
+            "must": [{"text": {"query": "fast spark duck",
+                               "path": "body"}}],
+            "filter": [{"equals": {"path": "starred", "value": True}}],
+        })
+        assert {g["_id"] for g in got} == {1, 4}
+
+    @pytest.mark.parametrize("compound", [
+        # non-text must
+        {"must": [{"equals": {"path": "kind", "value": "infra"}}]},
+        # nested compound
+        {"must": [{"compound": {"must": [
+            {"text": {"query": "spark", "path": "body"}}]}}]},
+        # phrase in should
+        {"should": [{"phrase": {"query": "spark engine", "path": "body"}}]},
+        # score boost on a text clause
+        {"must": [{"text": {"query": "spark", "path": "body",
+                            "score": {"boost": {"value": 2}}}}]},
+        # filter on an unknown field
+        {"must": [{"text": {"query": "spark", "path": "body"}}],
+         "filter": [{"range": {"path": "nope", "gte": 1}}]},
+        # unknown compound key
+        {"must": [{"text": {"query": "spark", "path": "body"}}],
+         "boost": 2},
+    ])
+    def test_outside_subset_falls_back(self, spark, tmp_path, compound):
+        self._run(spark, tmp_path, compound, expect_routed=False)
+
+    def test_condition_only_compound_routes(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, {
+            "filter": [{"range": {"path": "year", "gte": 2020}}],
+        })
+        assert {g["_id"] for g in got} == {1, 3, 5}
+        assert all(g["score"] == 0.0 for g in got)

@@ -330,16 +330,31 @@ _sql_query(
     # half-up round) — 1.34 -> 1.06 s median at sf1.
 )
 
+# q19 (brand revenue) + q14 (promo revenue share) in ONE tagged-union
+# ledger entry (r7 fold — the q_semi_anti_join template — freeing a slot
+# for span_dedup): both lineitem x part shapes stay driver-oracle-proven
 _sql_query(
-    "q19_brand_revenue",
+    "q_promo_brand_revenue",
     ["lineitem", "part"],
     f"""
-    SELECT p.p_brand, COUNT(*) AS n, {_dsum('l.l_extendedprice', 2)} AS total
+    SELECT 'q19' AS shape, p.p_brand AS grp, COUNT(*) AS n,
+           {_dsum('l.l_extendedprice', 2)} AS total
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     WHERE p.p_type = 'PROMO' AND l.l_quantity >= 10
     GROUP BY p.p_brand
-    ORDER BY p.p_brand
+    UNION ALL
+    SELECT 'q14' AS shape, 'promo_pct' AS grp, COUNT(*) AS n,
+           100.0 * {_dsum('promo', 6)} / {_dsum('volume', 6)} AS total
+    FROM (
+        SELECT l.l_extendedprice * (1 - l.l_discount) AS volume,
+               CASE WHEN p.p_type LIKE 'PROMO%'
+                    THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END AS promo
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    ) t
+    ORDER BY shape, grp
     """,
 )
 
@@ -485,31 +500,6 @@ _sql_query(
 )
 
 
-# time bucketing + JSON extraction in one grouped scan (merged from the
-# r1 q_time_bucket / q_json_extract entries)
-_sql_query(
-    "q_time_bucket",
-    ["events"],
-    f"""
-    SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n,
-           {_dsum('value', 6)} AS v,
-           CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
-    FROM events
-    WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
-    GROUP BY date_trunc('hour', ts), event_type
-    ORDER BY h, event_type
-    """,
-    oracle=f"""
-    SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n,
-           {_dsum('value', 6)} AS v,
-           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
-    FROM events
-    WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
-    GROUP BY date_trunc('hour', ts), event_type
-    ORDER BY h, event_type
-    """,
-)
-
 _sql_query(
     "q_sessionize",
     ["events"],
@@ -614,22 +604,6 @@ _sql_query(
     # count rows instead of the full orders fact — the q18 shape again;
     # COALESCE(n, 0) keeps the no-orders customers that
     # COUNT(o_orderkey) gave 0. Measured 0.96 -> 0.84 s at sf1.
-)
-
-_sql_query(
-    "q14_promo_revenue",
-    ["lineitem", "part"],
-    f"""
-    SELECT 100.0 * {_dsum('promo', 6)} / {_dsum('volume', 6)} AS promo_revenue
-    FROM (
-        SELECT l.l_extendedprice * (1 - l.l_discount) AS volume,
-               CASE WHEN p.p_type LIKE 'PROMO%'
-                    THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END AS promo
-        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
-          AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
-    ) t
-    """,
 )
 
 _sql_query(
@@ -1630,37 +1604,177 @@ def _q_time_rollup(spark, sf_dir):
         group_cols=["event_type"],
         resolutions=["hour", "day"],
     )
-    return (
+    rollup = (
         out.withColumn("total", F.col("total").cast("double"))
         .withColumn("mn", F.col("mn").cast("double"))
         .withColumn("mx", F.col("mx").cast("double"))
-        # Column ORDER must match the oracle's SELECT order: the driver's
-        # value hash is positional (r3 verdict — values were exact, order off).
-        .select("resolution", "event_type", "bucket", "n", "total", "mn", "mx")
-        .orderBy("resolution", "event_type", "bucket")
+        .select(F.lit("rollup").alias("shape"), "resolution", "event_type",
+                "bucket", "n", "total", "mn", "mx")
     )
+    # r7 fold: the r1 time-bucket + JSON-extraction shape rides the same
+    # tagged union (shape='bucket'; sum_k in the mn slot, mx unused) —
+    # freeing a ledger slot for profile_summarize while get_json_object
+    # stays driver-oracle-proven
+    bucket = spark.sql(f"""
+        SELECT 'bucket' AS shape, 'hour' AS resolution, event_type,
+               date_trunc('hour', ts) AS bucket, COUNT(*) AS n,
+               {_dsum('value', 6)} AS total,
+               CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT))
+                    AS DOUBLE) AS mn,
+               CAST(NULL AS DOUBLE) AS mx
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+        GROUP BY date_trunc('hour', ts), event_type
+    """)
+    # Column ORDER must match the oracle's SELECT order: the driver's
+    # value hash is positional (r3 verdict — values were exact, order off).
+    return rollup.unionAll(bucket).orderBy(
+        "shape", "resolution", "event_type", "bucket")
 
 
 _register(
     "q_time_rollup",
     _q_time_rollup,
-    """
-    SELECT 'hour' AS resolution, event_type, date_trunc('hour', ts) AS bucket,
+    f"""
+    SELECT 'rollup' AS shape, 'hour' AS resolution, event_type,
+           date_trunc('hour', ts) AS bucket,
            COUNT(event_id) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
            CAST(MIN(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS mn,
            CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS mx
     FROM events GROUP BY event_type, date_trunc('hour', ts)
     UNION ALL
-    SELECT 'day' AS resolution, event_type, date_trunc('day', ts) AS bucket,
+    SELECT 'rollup' AS shape, 'day' AS resolution, event_type,
+           date_trunc('day', ts) AS bucket,
            COUNT(event_id) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
            CAST(MIN(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS mn,
            CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS mx
     FROM events GROUP BY event_type, date_trunc('day', ts)
-    ORDER BY resolution, event_type, bucket
+    UNION ALL
+    SELECT 'bucket' AS shape, 'hour' AS resolution, event_type,
+           date_trunc('hour', ts) AS bucket, COUNT(*) AS n,
+           {_dsum('value', 6)} AS total,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS DOUBLE) AS mn,
+           CAST(NULL AS DOUBLE) AS mx
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+    GROUP BY date_trunc('hour', ts), event_type
+    ORDER BY shape, resolution, event_type, bucket
     """,
 )
+
+
+def _span_dedup(spark, sf_dir):
+    """Exact-substring span dedup (ops/span_dedup.py, the Lee et al.
+    2022 semantics): duplicated >= k-token windows keep their
+    lexicographically-first occurrence; later occurrences merge into
+    removal spans (0-based start, exclusive end). exact_grams=True keys
+    the duplicate relation on the gram TEXT so the DuckDB oracle
+    reproduces it with zero hash-collision caveats (r6 verdict item:
+    span_dedup deserves a driver-green row)."""
+    from duckdb_mongo_spark.ops.span_dedup import duplicate_spans
+
+    _views(spark, sf_dir, "documents")
+    return duplicate_spans(
+        spark.table("documents"), "doc_id", "text", k=5,
+        max_gram_freq=1000, exact_grams=True,
+    ).orderBy("doc_id", "span_start")
+
+
+_register(
+    "span_dedup",
+    _span_dedup,
+    f"""
+    WITH tk AS (SELECT doc_id, {_SHINGLE_TOKS_SQL} AS t FROM documents),
+    occ0 AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 5 + 1),
+                    i -> struct_pack(p := i - 1,
+                                     g := array_to_string(t[i:i+4], ' ')))) AS og
+      FROM tk WHERE len(t) >= 5),
+    occ AS (SELECT doc_id, og.p AS pos0, og.g AS g FROM occ0),
+    rn AS (SELECT doc_id, pos0,
+                  ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos0) AS rn,
+                  COUNT(*) OVER (PARTITION BY g) AS cnt
+           FROM occ),
+    marked AS (SELECT DISTINCT doc_id, pos0
+               FROM rn WHERE cnt > 1 AND cnt <= 1000 AND rn > 1),
+    isl0 AS (SELECT doc_id, pos0 AS s,
+                    MAX(pos0 + 5) OVER (PARTITION BY doc_id ORDER BY pos0
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+             FROM marked),
+    isl AS (SELECT doc_id, s,
+                   SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY s) AS island
+            FROM isl0)
+    SELECT doc_id, CAST(MIN(s) AS BIGINT) AS span_start,
+           CAST(MAX(s) + 5 AS BIGINT) AS span_end
+    FROM isl GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """,
+)
+
+
+def _profile_summarize(spark, sf_dir):
+    """SUMMARIZE-parity profiler (ops/profile.py) hash-proven on its
+    EXACT statistics: count, null percentage, numeric min/max/avg/std
+    (rounded — both engines' float drift is ~1e-8 relative), string and
+    timestamp min/max as rendered strings. The engine-approximate stats
+    (HLL approx_unique, t-digest quartiles) stay under the tolerance
+    pytest (tests/test_profile.py vs real DuckDB SUMMARIZE) — two
+    different sketches can never hash-match and are not asked to."""
+    from pyspark.sql import functions as F
+
+    from duckdb_mongo_spark.ops.profile import summarize
+
+    _views(spark, sf_dir, "lineitem")
+    s = summarize(spark.table("lineitem"),
+                  cols=["l_orderkey", "l_quantity", "l_extendedprice",
+                        "l_returnflag", "l_shipdate"])
+    return s.select(
+        "column_name", "count",
+        F.col("null_percentage").alias("null_pct"),
+        F.when(F.col("avg").isNotNull(),
+               F.round(F.col("min").cast("double"), 4)).alias("min_num"),
+        F.when(F.col("avg").isNotNull(),
+               F.round(F.col("max").cast("double"), 4)).alias("max_num"),
+        F.when(F.col("avg").isNull(), F.col("min")).alias("min_str"),
+        F.when(F.col("avg").isNull(), F.col("max")).alias("max_str"),
+        F.round(F.col("avg").cast("double"), 2).alias("avg_r"),
+        F.round(F.col("std").cast("double"), 2).alias("std_r"),
+    ).orderBy("column_name")
+
+
+def _profile_oracle() -> str:
+    def num(c):
+        return f"""
+      SELECT '{c}' AS column_name, COUNT(*) AS count,
+             ROUND(100.0 * SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                   / COUNT(*), 2) AS null_pct,
+             ROUND(CAST(MIN({c}) AS DOUBLE), 4) AS min_num,
+             ROUND(CAST(MAX({c}) AS DOUBLE), 4) AS max_num,
+             CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+             ROUND(AVG({c}), 2) AS avg_r, ROUND(STDDEV_SAMP({c}), 2) AS std_r
+      FROM lineitem"""
+
+    def st(c):
+        return f"""
+      SELECT '{c}' AS column_name, COUNT(*) AS count,
+             ROUND(100.0 * SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                   / COUNT(*), 2) AS null_pct,
+             CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+             CAST(MIN({c}) AS VARCHAR) AS min_str,
+             CAST(MAX({c}) AS VARCHAR) AS max_str,
+             CAST(NULL AS DOUBLE) AS avg_r, CAST(NULL AS DOUBLE) AS std_r
+      FROM lineitem"""
+
+    return " UNION ALL ".join(
+        [num("l_orderkey"), num("l_quantity"), num("l_extendedprice"),
+         st("l_returnflag"), st("l_shipdate")]) + " ORDER BY column_name"
+
+
+_register("profile_summarize", _profile_summarize, _profile_oracle())
 
 
 # ===========================================================================

@@ -119,6 +119,27 @@ def _install_lean_line_items(qs: dict, oracles: dict) -> None:
       AND o_orderpriority IS NOT NULL
     """
 
+    # r7 folded q_time_bucket into the q_time_rollup tagged union; the
+    # bench keeps the original lean time-bucket line item so the
+    # per-query series stays comparable across rounds
+    _tb_sql = """
+    SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v,
+           CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+    GROUP BY date_trunc('hour', ts), event_type
+    ORDER BY h, event_type
+    """
+
+    def _time_bucket(spark, sf_dir, _sql=_tb_sql):
+        entry._views(spark, sf_dir, "events")
+        return spark.sql(_sql)
+
+    qs["q_time_bucket"] = _time_bucket
+    oracles["q_time_bucket"] = _tb_sql.replace(
+        "get_json_object(props, '$.k')", "props->>'k'")
+
     def _q_emb(spark, sf_dir):
         entry._views(spark, sf_dir, "embeddings")
         emb = spark.table("embeddings")
@@ -310,6 +331,13 @@ def _ratio_stats(sp_samples: dict, dk_samples: dict) -> dict:
       DuckDB samples spread more than 2x (max/min) within the run — the
       outlier-variance queries are named in ``trimmed_out`` so the
       exclusion is visible, never silent.
+    - ``vs_duckdb_floor`` (r7): totals of per-query MINIMA. Host noise
+      only ever ADDS wall time, so each engine's min-of-N is its best
+      estimate of the noise-free cost and the floor ratio bounds how
+      much of the raw ratio is jitter: raw >> floor means the artifact
+      caught a burst, raw ~= floor means the raw number is real. This is
+      the in-artifact variance bound for the round-over-round drift of
+      the single-sample driver artifact.
     """
     import statistics
 
@@ -347,6 +375,10 @@ def _ratio_stats(sp_samples: dict, dk_samples: dict) -> dict:
     if noisy and dsum > 0:
         out["vs_duckdb_trimmed"] = round(ssum / dsum, 2)
         out["trimmed_out"] = sorted(noisy)
+    dmin = sum(min(v) for v in dk_samples.values() if v)
+    smin = sum(min(sp_samples[n]) for n in dk_samples if sp_samples.get(n))
+    if dmin > 0 and smin > 0:
+        out["vs_duckdb_floor"] = round(smin / dmin, 2)
     return out
 
 
@@ -654,7 +686,8 @@ def main() -> None:
         "queries": out["queries"],
         "sf": out["sf"],
     }
-    for k in ("duckdb_total_sec", "vs_duckdb", "vs_duckdb_paired", "vs_duckdb_trimmed"):
+    for k in ("duckdb_total_sec", "vs_duckdb", "vs_duckdb_paired",
+              "vs_duckdb_trimmed", "vs_duckdb_floor"):
         if k in out:
             compact[k] = out[k]
     # r4 verdict item 4: the sf1 stable statistics (and the sf10 text

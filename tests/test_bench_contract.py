@@ -48,6 +48,7 @@ def test_bench_stdout_is_one_json_line():
     assert len(lines[-1]) < 1900, f"final line too big for driver tail: {len(lines[-1])}"
     allowed = {"metric", "value", "unit", "queries", "sf", "duckdb_total_sec",
                "vs_duckdb", "vs_duckdb_paired", "vs_duckdb_trimmed",
+               "vs_duckdb_floor",
                "sf1_vs_duckdb", "sf1_paired", "sf1_trimmed", "sf10_text_ratio"}
     assert set(out) <= allowed, f"final line must stay compact: {set(out) - allowed}"
     assert all(isinstance(v, (int, float)) for v in out["queries"].values())

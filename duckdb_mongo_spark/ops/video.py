@@ -525,15 +525,21 @@ def video_frame_sample(df: "DataFrame", payload_col: str = "payload",
 
 def video_frame_features(df: "DataFrame",
                          frame_col: str = "frame_payload") -> "DataFrame":
-    """REAL pixel statistics for VP8 frame payloads (decoded by
-    ``ops/vp8.py``, no codec library); other codecs yield nulls."""
+    """REAL pixel statistics for decodable frame payloads — VP8 key
+    frames (``ops/vp8.py``, luma plane stats) and JPEG frames as carried
+    by MJPEG-in-MP4 tracks (``ops/codecs.decode_jpeg``, BT.601 luma) —
+    with no codec library anywhere in the chain; payloads of other
+    codecs yield nulls, never errors."""
     import pandas as _pd
 
     out_schema = _schema_minus(df, FRAME_FEATURES_SCHEMA, frame_col)
     names = [f.name for f in out_schema.fields]
 
     def gen(batches):
+        import numpy as _np
+
         from duckdb_mongo_spark.ops import vp8 as _vp8
+        from duckdb_mongo_spark.ops.codecs import decode_jpeg as _djpeg
 
         for pdf in batches:
             rows = {n: [] for n in names}
@@ -541,10 +547,21 @@ def video_frame_features(df: "DataFrame",
                 for n in names:
                     if n not in FRAME_FEATURES_SCHEMA.fieldNames():
                         rows[n].append(r[n])
+                payload = bytes(r[frame_col])
                 try:
-                    y, _u, _v = _vp8.decode_yuv(bytes(r[frame_col]))
-                    vals = (int(y.shape[1]), int(y.shape[0]),
-                            float(y.mean()), float(y.std()))
+                    if payload[:2] == b"\xff\xd8":  # JPEG SOI (MJPEG-in-MP4)
+                        arr = _djpeg(payload)
+                        if arr.ndim == 2:
+                            y = arr.astype(_np.float64)
+                        else:
+                            y = (0.299 * arr[..., 0] + 0.587 * arr[..., 1]
+                                 + 0.114 * arr[..., 2])
+                        vals = (int(y.shape[1]), int(y.shape[0]),
+                                float(y.mean()), float(y.std()))
+                    else:
+                        y, _u, _v = _vp8.decode_yuv(payload)
+                        vals = (int(y.shape[1]), int(y.shape[0]),
+                                float(y.mean()), float(y.std()))
                 except Exception:
                     vals = (None, None, None, None)
                 for n, x in zip(FRAME_FEATURES_SCHEMA.fieldNames(), vals):

@@ -235,3 +235,54 @@ class TestSparkOps:
         df = spark.createDataFrame([(1, bytearray(blob))],
                                    "id long, payload binary")
         assert video.video_frame_sample(df, max_frames=3).count() == 3
+
+
+class TestMjpegMp4:
+    """r7: MJPEG-in-MP4 — the sample-table extraction already yields
+    frame payloads and ops/codecs.py already decodes JPEG; wiring them
+    gives real pixels for the second container with zero new codec
+    work (round-6 verdict item #6)."""
+
+    def _mjpeg_mp4(self):
+        from duckdb_mongo_spark.ops.codecs import encode_jpeg
+
+        imgs = _frame_images(n=3)
+        samples = [encode_jpeg(img, quality=85) for img in imgs]
+        blob = _build_mp4(samples, keyframe_ids=[1, 2, 3],
+                          chunks=[3], codec=b"jpeg")
+        return blob, samples, imgs
+
+    def test_parse_and_extract(self):
+        blob, samples, _ = self._mjpeg_mp4()
+        v = parse_mp4(blob)
+        assert v.codec == "jpeg" and v.n_frames == 3
+        assert [f[2] for f in v.frames] == samples
+
+    def test_features_match_direct_jpeg_decode(self, spark):
+        from duckdb_mongo_spark.ops.codecs import decode_jpeg
+
+        blob, samples, _ = self._mjpeg_mp4()
+        df = spark.createDataFrame([(1, bytearray(blob))],
+                                   "vid long, payload binary")
+        sampled = video.video_frame_sample(df, every_n=1, max_frames=10)
+        feats = {r["frame_index"]: r
+                 for r in video.video_frame_features(sampled).collect()}
+        assert len(feats) == 3
+        for i, payload in enumerate(samples):
+            arr = decode_jpeg(payload)
+            y = (0.299 * arr[..., 0] + 0.587 * arr[..., 1]
+                 + 0.114 * arr[..., 2])
+            assert feats[i]["frame_width"] == 64
+            assert feats[i]["frame_height"] == 48
+            assert feats[i]["mean_luma"] == pytest.approx(float(y.mean()))
+            assert feats[i]["std_luma"] == pytest.approx(float(y.std()))
+
+    def test_opaque_codec_still_nulls(self, spark):
+        blob = _build_mp4([b"\x00\x01notavideo" * 4], keyframe_ids=[1],
+                          chunks=[1], codec=b"avc1")
+        df = spark.createDataFrame([(1, bytearray(blob))],
+                                   "vid long, payload binary")
+        sampled = video.video_frame_sample(df, every_n=1, max_frames=10)
+        feats = video.video_frame_features(sampled).collect()
+        assert len(feats) == 1
+        assert feats[0]["mean_luma"] is None  # opaque, null not crash

@@ -75,6 +75,31 @@ def _to_wire(v):
     return v
 
 
+def _cursor_guard(it):
+    """Translate driver cursor-invalidation errors into the engine's
+    ``CursorError`` while a scan drains a cursor batch-by-batch.
+
+    Matched by class NAME (pymongo's ``CursorNotFound``, or the wire
+    fake's stand-in of the same name) so the contract is pinned without
+    importing pymongo. Everything else — notably AutoReconnect-class
+    transient network errors — propagates unchanged: the retry unit is
+    the Spark task (which re-opens a fresh cursor and re-reads its
+    partition completely), never a partially-consumed cursor, so a
+    mid-stream failure must fail loudly instead of truncating."""
+    from duckdb_mongo_spark.errors import CursorError
+
+    try:
+        yield from it
+    except Exception as exc:  # noqa: BLE001 — name-based driver-error match
+        if type(exc).__name__ == "CursorNotFound":
+            raise CursorError(
+                f"server cursor invalidated mid-scan ({exc}); results "
+                "would be truncated — the task fails and a retry "
+                "re-reads this partition with a fresh cursor"
+            ) from exc
+        raise
+
+
 class PymongoBackend(DocumentBackend):  # pragma: no cover - needs live server
     is_remote = True
     pushdown_profile = "remote"
@@ -123,17 +148,18 @@ class PymongoBackend(DocumentBackend):  # pragma: no cover - needs live server
         )
 
     def iter_documents(self, db, coll) -> Iterator[dict]:
-        return (_from_wire(d) for d in self.client[db][coll].find({}))
+        return _cursor_guard(
+            _from_wire(d) for d in self.client[db][coll].find({}))
 
     def find(self, db, coll, filter=None, projection=None, limit=None):
         cur = self.client[db][coll].find(_to_wire(filter or {}), projection)
         if limit:
             cur = cur.limit(limit)
-        return (_from_wire(d) for d in cur)
+        return _cursor_guard(_from_wire(d) for d in cur)
 
     def aggregate(self, db, coll, pipeline, seed=None):
         cur = self.client[db][coll].aggregate(_to_wire(list(pipeline)), allowDiskUse=True)
-        return (_from_wire(d) for d in cur)
+        return _cursor_guard(_from_wire(d) for d in cur)
 
     def sample(self, db, coll, n, seed=42):
         return list(self.aggregate(db, coll, [{"$sample": {"size": n}}]))

@@ -22,6 +22,18 @@ class NotImplementedInEngine(MongoSparkError):
     """Operation intentionally unsupported (e.g. writes — the reference is read-only)."""
 
 
+class CursorError(MongoSparkError):
+    """A server cursor became invalid mid-scan (CursorNotFound: idle
+    timeout, server restart, or explicit killCursors).
+
+    Continuing would silently truncate the scan's results, so the error
+    propagates and fails the Spark task — a task retry opens a FRESH
+    cursor and re-reads the partition completely. Transient network
+    errors (AutoReconnect-class) propagate unchanged for the same
+    reason: the retry unit is the task, never a partially-consumed
+    cursor."""
+
+
 class SchemaEnforcementError(MongoSparkError):
     """FAILFAST mode hit a document that does not conform to the schema.
 

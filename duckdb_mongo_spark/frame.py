@@ -536,6 +536,7 @@ class MongoFrame:
         if not isinstance(head, dict) or len(head) != 1:
             return None
         (op, spec), = head.items()
+        self._routed_count_meta = None
         from duckdb_mongo_spark.schema.infer import resolve_schema
 
         if op == "$vectorSearch":
@@ -555,6 +556,18 @@ class MongoFrame:
             # the $limit consumed by the routed top-k is pipeline[1]
             rest = list(self.manual_pipeline[2:])
             tag = "routed:search_text"
+        elif op == "$searchMeta":
+            coll_schema = resolve_schema(self.backend, self.db, self.coll)
+            meta_docs = self._route_search_meta(spec, coll_schema)
+            if meta_docs is None:
+                return None
+            from duckdb_mongo_spark.mql.interpreter import run_pipeline
+
+            results = run_pipeline(
+                meta_docs, list(self.manual_pipeline[1:]), seed=42,
+                collections=lambda c: self.backend.iter_documents(self.db, c),
+            )
+            return self._flatten_interpreted(results, "routed:search_meta")
         elif op == "$geoNear":
             coll_schema = resolve_schema(self.backend, self.db, self.coll)
             routed = self._route_geo_near(spec, coll_schema)
@@ -950,42 +963,45 @@ class MongoFrame:
         return (cand.orderBy(F.col("__gn_proxy").asc())
                 .limit(limit + 8).drop("__gn_proxy"))
 
-    def _route_search_text(self, spec, coll_schema):
-        """Distributed BM25 for a stage-1 ``$search`` followed by
-        ``$limit`` — a single ``text`` operator, or ``compound`` whose
-        must/should clauses are all ``text`` (scores sum, Lucene-style),
-        whose filter/mustNot clauses are equals/range/in/exists over
-        scalar fields (translated to JVM conditions — the "filter
-        clauses as $match" stance) or, for mustNot, ``text``
-        (term-containment check, since BM25 > 0 iff any query term is
-        present). ``minimumShouldMatch`` and the pure-should
-        at-least-one rule compile to a matched-clause counter condition.
-
-        Two passes: one aggregate job for the corpus statistics
-        (N, per-path total token length, per-(path, term) doc
-        frequency — all bounded by the query's term count), then a
-        scored scan with distributed top-k. idf values are computed
-        driver-side in Python (same ``math.log`` as the interpreter
-        oracle, ``mql/search.py``) and enter the plan as literals, so
-        the JVM side only performs IEEE-deterministic +*/ in the
-        interpreter's exact association order — scores match the
-        single-stream oracle bit-for-bit on ASCII corpora. Returns None
-        (fallback) for any other $search shape (phrase, autocomplete,
-        count, score boosts, nested compound)."""
-        import math
-
-        from duckdb_mongo_spark.mql.search import _B, _K1
+    @staticmethod
+    def _tokens_of(fs):
+        """lucene.standard-ish tokenizer as a JVM expression (lowercase,
+        split on non-alphanumeric runs) — the Spark twin of the oracle's
+        ``_analyze`` on ASCII text; array-of-strings fields concat their
+        element token lists."""
         from duckdb_mongo_spark.schema.types import is_list
 
+        col = F.col(fs.name)
+        if is_list(fs.type):
+            return F.flatten(F.transform(
+                F.coalesce(col, F.array()),
+                lambda s: F.filter(
+                    F.split(F.lower(F.coalesce(s, F.lit(""))),
+                            "[^0-9a-z]+"),
+                    lambda x: x != ""),
+            ))
+        return F.filter(
+            F.split(F.lower(F.coalesce(col, F.lit(""))), "[^0-9a-z]+"),
+            lambda x: x != "")
+
+    def _parse_search_clauses(self, spec, fm):
+        """Shared $search/$searchMeta spec parse: a single ``text``
+        operator or ``compound`` of routable clauses (text must/should;
+        equals/range/in/exists or text for filter/mustNot). Returns
+        ``(text_must, text_should, cond_filters, mustnot, msm, has_must,
+        has_filter, has_should, count_spec)`` or None for shapes that
+        need the interpreter."""
         body = dict(spec)
         body.pop("index", None)
         body.pop("highlight", None)
-        if "count" in body or len(body) != 1:
+        count_spec = body.pop("count", None)
+        if count_spec is not None and not isinstance(count_spec, dict):
+            return None
+        if len(body) != 1:
             return None
         (op, opspec), = body.items()
         if not isinstance(opspec, dict):
             return None
-        fm = {f.mongo_path: f for f in coll_schema.fields}
 
         def _as_list(v):
             if v is None:
@@ -1043,6 +1059,138 @@ class MongoFrame:
             has_should = bool(text_should)
         else:
             return None
+        return (text_must, text_should, cond_filters, mustnot, msm,
+                has_must, has_filter, has_should, count_spec)
+
+    def _search_match_cond(self, text_must, text_should, cond_filters,
+                           mustnot, msm, has_must, has_filter):
+        """The clause logic as ONE boolean Column over the tokenized
+        frame — term CONTAINMENT stands in for BM25 > 0 (idf is always
+        positive and norm >= k1*(1-b) > 0, so a text clause scores > 0
+        iff any query term appears in any of its paths). Used for count
+        aggregation ($search count / $searchMeta), where only matching
+        matters, never score values."""
+
+        def overlap(fss, terms):
+            tarr = F.array(*[F.lit(t) for t in dict.fromkeys(terms)])
+            c = F.lit(False)
+            for fs in fss:
+                c = c | F.arrays_overlap(F.col(f"__rt_toks_{fs.name}"), tarr)
+            return c
+
+        cond = F.lit(True)
+        for fss, terms in text_must:
+            cond = cond & overlap(fss, terms)
+        if text_should:
+            matched = F.lit(0)
+            for fss, terms in text_should:
+                matched = matched + F.when(overlap(fss, terms),
+                                           F.lit(1)).otherwise(F.lit(0))
+            need = msm
+            if not has_must and not has_filter:
+                need = max(1, need)
+            if need > 0:
+                cond = cond & (matched >= need)
+        for c in cond_filters:
+            cond = cond & c
+        for kind, payload in mustnot:
+            if kind == "text":
+                cond = cond & ~overlap(*payload)
+            else:
+                cond = cond & F.coalesce(~payload, F.lit(True))
+        return cond
+
+    def _route_search_meta(self, spec, coll_schema):
+        """Distributed ``$searchMeta``: one aggregate job counts the
+        corpus-wide matches of a routable text/compound shape (term
+        containment stands in for BM25 > 0) and returns the stage's
+        single output document ``{"count": {"total": N}}`` for the
+        remaining stages to interpret. The same non-ASCII detector as
+        the scored route rides the job — a non-ASCII corpus falls back
+        to the interpreter, whose tokenizer is the semantics oracle.
+        Returns None for unroutable shapes (the guarded interpreter
+        path then runs)."""
+        from duckdb_mongo_spark.schema.types import is_list
+
+        fm = {f.mongo_path: f for f in coll_schema.fields}
+        parsed = self._parse_search_clauses(spec, fm)
+        if parsed is None:
+            return None
+        (text_must, text_should, cond_filters, mustnot, msm,
+         has_must, has_filter, _has_should, _count_spec) = parsed
+        all_text = text_must + text_should + [p for k, p in mustnot
+                                              if k == "text"]
+        if not all_text:
+            return None  # condition-only: nothing to tokenize — interpreter
+        fspecs, seen = [], set()
+        for fss, _terms in all_text:
+            for fs in fss:
+                if fs.name not in seen:
+                    seen.add(fs.name)
+                    fspecs.append(fs)
+        base = MongoFrame(
+            spark=self.spark, backend=self.backend, db=self.db,
+            coll=self.coll, schema=coll_schema, schema_mode=self.schema_mode,
+            num_partitions=self.num_partitions, direct=self.direct,
+        )
+        bdf = base.df()
+        self._routed_base_path = base.last_exec_path
+        toks_df = bdf.select(
+            *bdf.columns,
+            *[self._tokens_of(fs).alias(f"__rt_toks_{fs.name}")
+              for fs in fspecs],
+        )
+        match_cond = self._search_match_cond(
+            text_must, text_should, cond_filters, mustnot, msm,
+            has_must, has_filter)
+        aggs = [F.sum(F.when(match_cond, 1).otherwise(0)).alias("__matched")]
+        for fs in fspecs:
+            raw = (F.coalesce(F.array_join(F.col(fs.name), ""), F.lit(""))
+                   if is_list(fs.type)
+                   else F.coalesce(F.col(fs.name), F.lit("")))
+            aggs.append(F.max(
+                F.when(F.octet_length(raw) != F.length(raw), 1).otherwise(0)
+            ).alias(f"__nonascii_{fs.name}"))
+        stats = toks_df.agg(*aggs).collect()[0].asDict()
+        if any(stats[f"__nonascii_{fs.name}"] for fs in fspecs):
+            return None
+        return [{"count": {"total": int(stats["__matched"] or 0)}}]
+
+    def _route_search_text(self, spec, coll_schema):
+        """Distributed BM25 for a stage-1 ``$search`` followed by
+        ``$limit`` — a single ``text`` operator, or ``compound`` whose
+        must/should clauses are all ``text`` (scores sum, Lucene-style),
+        whose filter/mustNot clauses are equals/range/in/exists over
+        scalar fields (translated to JVM conditions — the "filter
+        clauses as $match" stance) or, for mustNot, ``text``
+        (term-containment check, since BM25 > 0 iff any query term is
+        present). ``minimumShouldMatch`` and the pure-should
+        at-least-one rule compile to a matched-clause counter condition.
+
+        Two passes: one aggregate job for the corpus statistics
+        (N, per-path total token length, per-(path, term) doc
+        frequency — all bounded by the query's term count), then a
+        scored scan with distributed top-k. idf values are computed
+        driver-side in Python (same ``math.log`` as the interpreter
+        oracle, ``mql/search.py``) and enter the plan as literals, so
+        the JVM side only performs IEEE-deterministic +*/ in the
+        interpreter's exact association order — scores match the
+        single-stream oracle bit-for-bit on ASCII corpora. A ``count``
+        spec rides the pass-1 job (containment-based matched total into
+        the $meta count slot). Returns None (fallback) for any other
+        $search shape (phrase, autocomplete, score boosts, nested
+        compound)."""
+        import math
+
+        from duckdb_mongo_spark.mql.search import _B, _K1
+        from duckdb_mongo_spark.schema.types import is_list
+
+        fm = {f.mongo_path: f for f in coll_schema.fields}
+        parsed = self._parse_search_clauses(spec, fm)
+        if parsed is None:
+            return None
+        (text_must, text_should, cond_filters, mustnot, msm,
+         has_must, has_filter, has_should, count_spec) = parsed
         # the routed form needs a following $limit to bound the collect
         nxt = (self.manual_pipeline[1]
                if len(self.manual_pipeline) > 1 else None)
@@ -1058,7 +1206,7 @@ class MongoFrame:
         if not all_text:
             # condition-only compound: nothing to score or tokenize —
             # still routable (constant 0.0 scores, ties unspecified)
-            if not (cond_filters or mustnot):
+            if not (cond_filters or mustnot) or count_spec is not None:
                 return None
         fspecs = []
         seen_paths = set()
@@ -1083,23 +1231,7 @@ class MongoFrame:
         )
         bdf = base.df()
         self._routed_base_path = base.last_exec_path
-
-        def tokens_of(fs):
-            col = F.col(fs.name)
-            if is_list(fs.type):
-                # array-of-strings field: concat element token lists
-                return F.flatten(F.transform(
-                    F.coalesce(col, F.array()),
-                    lambda s: F.filter(
-                        F.split(F.lower(F.coalesce(s, F.lit(""))),
-                                "[^0-9a-z]+"),
-                        lambda x: x != ""),
-                ))
-            return F.filter(
-                F.split(F.lower(F.coalesce(col, F.lit(""))), "[^0-9a-z]+"),
-                lambda x: x != "")
-
-        tok_cols = {fs.name: tokens_of(fs) for fs in fspecs}
+        tok_cols = {fs.name: self._tokens_of(fs) for fs in fspecs}
         toks_df = bdf.select(
             *bdf.columns,
             *[tok_cols[n].alias(f"__rt_toks_{n}") for n in tok_cols],
@@ -1126,6 +1258,14 @@ class MongoFrame:
             aggs.append(F.sum(
                 F.when(F.array_contains(tc, t), 1).otherwise(0)
             ).alias(f"__df_{j}"))
+        if count_spec is not None:
+            # $search count: the corpus-wide matched total rides the same
+            # pass-1 job (containment stands in for score > 0)
+            match_cond = self._search_match_cond(
+                text_must, text_should, cond_filters, mustnot, msm,
+                has_must, has_filter)
+            aggs.append(F.sum(
+                F.when(match_cond, 1).otherwise(0)).alias("__matched"))
         if fspecs:
             stats = toks_df.agg(*aggs).collect()[0].asDict()
             n_docs = stats["__n"] or 0
@@ -1135,6 +1275,14 @@ class MongoFrame:
                 return None
         else:
             stats, n_docs = {}, 1  # condition-only compound: no scoring
+        if count_spec is not None:
+            total = int(stats.get("__matched") or 0)
+            self._routed_count_meta = {
+                "searchScoreDetails": None,
+                "count": ({"lowerBound": total}
+                          if count_spec.get("type") == "lowerBound"
+                          else {"total": total}),
+            }
         # driver-side idf (CPython math.log == the interpreter's)
         idf = {}
         avg_len = {}
@@ -1284,7 +1432,10 @@ class MongoFrame:
             rd = r.asDict(recursive=True)
             s = rd.pop(score_col)
             doc = self._rebuild_doc(rd, coll_schema)
-            doc[META_KEY] = {meta_name: s}
+            meta = {meta_name: s}
+            if getattr(self, "_routed_count_meta", None):
+                meta.update(self._routed_count_meta)
+            doc[META_KEY] = meta
             docs.append(doc)
         results = run_pipeline(
             docs, rest, seed=42,

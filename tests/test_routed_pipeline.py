@@ -754,3 +754,101 @@ class TestGeoNearRouting:
         assert mf.last_exec_path != "routed:geo_near"
         exp = _interpreter_rows(be, "main", "places", pipe)
         assert [g["_id"] for g in got] == [e["_id"] for e in exp]
+
+
+class TestSearchCountAndMetaRouting:
+    """r7: $search `count` rides the routed pass-1 job (containment
+    stands in for score>0) and stage-1 $searchMeta routes to one
+    distributed count aggregate."""
+
+    DOCS = [
+        # distinct body lengths: tie-free BM25 scores (tie order between
+        # equal scores is unspecified, like Atlas)
+        {"_id": 1, "body": "spark engine fast"},
+        {"_id": 2, "body": "duck pond"},
+        {"_id": 3, "body": "spark and the small ducks"},
+        {"_id": 4, "body": "cooking rice"},
+        {"_id": 5, "body": "spark spark spark"},
+    ]
+
+    def _backend(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({"_id": [d["_id"] for d in self.DOCS],
+                      "body": [d["body"] for d in self.DOCS]}),
+            str(tmp_path / "posts.parquet"))
+        return ParquetBackend(str(tmp_path), db_name="main")
+
+    def test_search_count_total(self, spark, tmp_path):
+        pipe = [
+            {"$search": {"text": {"query": "spark", "path": "body"},
+                         "count": {"type": "total"}}},
+            {"$limit": 2},
+            {"$addFields": {"c": {"$meta": "count"},
+                            "score": {"$meta": "searchScore"}}},
+            {"$project": {"_id": 1, "total": "$c.total", "score": 1}},
+        ]
+        be = self._backend(tmp_path)
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        got = [r.asDict() for r in mf.df().collect()]
+        assert mf.last_exec_path == "routed:search_text"
+        exp = _interpreter_rows(be, "main", "posts", pipe)
+        assert [g["_id"] for g in got] == [e["_id"] for e in exp]
+        assert [g["score"] for g in got] == [e["score"] for e in exp]
+        # corpus-wide matched total (3 docs contain 'spark'), on only
+        # the limit-2 returned docs
+        assert [g["total"] for g in got] == [e["total"] for e in exp] == [3, 3]
+
+    def test_search_count_lower_bound(self, spark, tmp_path):
+        pipe = [
+            {"$search": {"text": {"query": "spark duck", "path": "body"},
+                         "count": {"type": "lowerBound"}}},
+            {"$limit": 10},
+            {"$addFields": {"c": {"$meta": "count"}}},
+            {"$project": {"_id": 1, "lb": "$c.lowerBound"}},
+        ]
+        be = self._backend(tmp_path)
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        got = [r.asDict() for r in mf.df().collect()]
+        assert mf.last_exec_path == "routed:search_text"
+        exp = _interpreter_rows(be, "main", "posts", pipe)
+        assert sorted(g["_id"] for g in got) == sorted(e["_id"] for e in exp)
+        assert {g["lb"] for g in got} == {e["lb"] for e in exp} == {4}
+
+    def test_search_meta_routes(self, spark, tmp_path):
+        pipe = [{"$searchMeta": {"text": {"query": "spark",
+                                          "path": "body"}}}]
+        be = self._backend(tmp_path)
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        got = [r.asDict(recursive=True) for r in mf.df().collect()]
+        assert mf.last_exec_path == "routed:search_meta"
+        exp = _interpreter_rows(be, "main", "posts", pipe)
+        assert len(got) == len(exp) == 1
+        assert got[0]["count_total"] == 3  # flattened count.total leaf
+        assert exp[0] == {"count": {"total": 3}}
+
+    def test_search_meta_compound_with_filter(self, spark, tmp_path):
+        pipe = [{"$searchMeta": {"compound": {
+            "must": [{"text": {"query": "spark duck", "path": "body"}}],
+            "mustNot": [{"text": {"query": "cooking", "path": "body"}}],
+        }}}]
+        be = self._backend(tmp_path)
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        got = [r.asDict(recursive=True) for r in mf.df().collect()]
+        assert mf.last_exec_path == "routed:search_meta"
+        exp = _interpreter_rows(be, "main", "posts", pipe)
+        assert got[0]["count_total"] == 4
+        assert exp[0] == {"count": {"total": 4}}
+
+    def test_search_meta_phrase_falls_back(self, spark, tmp_path):
+        pipe = [{"$searchMeta": {"phrase": {"query": "spark engine",
+                                            "path": "body"}}}]
+        be = self._backend(tmp_path)
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        got = [r.asDict(recursive=True) for r in mf.df().collect()]
+        assert mf.last_exec_path != "routed:search_meta"
+        exp = _interpreter_rows(be, "main", "posts", pipe)
+        assert got[0]["count_total"] == 1
+        assert exp[0] == {"count": {"total": 1}}

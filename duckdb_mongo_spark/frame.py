@@ -705,8 +705,8 @@ class MongoFrame:
             return None  # zero query vector: cosine is a constant — exact
         fcol = None
         if vfilter is not None:
-            cols_by_path = {f.mongo_path: f.name for f in coll_schema.fields}
-            fcol = VI.translate_match_filter(vfilter, cols_by_path)
+            fields_by_path = {f.mongo_path: f for f in coll_schema.fields}
+            fcol = VI.translate_match_filter(vfilter, fields_by_path)
             if fcol is None:
                 return None
         idx = VI.cached_index(

@@ -317,17 +317,40 @@ def adc_preselect(index: CollectionVectorIndex, cells, qv,
 # ---------------------------------------------------------------------------
 
 _SCALARS = (int, float, str, bool, type(None))
+_NUMERIC_TYPES = ("DOUBLE", "BIGINT", "INTEGER", "INT", "FLOAT",
+                  "SMALLINT", "TINYINT", "HUGEINT")
 
 
-def translate_match_filter(flt, columns_by_path: dict) -> "F.Column | None":
+def _lit_compat(fs, v) -> bool:
+    """Literal/column type compatibility — a mismatched comparison in
+    mongod matches NOTHING (type bracketing), while Spark would CAST and
+    can throw (e.g. 'a' vs BIGINT). Incompatible pairs are rejected so
+    the caller falls back to the exact path's interpreted filter."""
+    t = getattr(fs, "type", None)
+    if not isinstance(t, str):
+        return False
+    if isinstance(v, bool):
+        return t == "BOOLEAN"
+    if isinstance(v, (int, float)):
+        return t in _NUMERIC_TYPES
+    if isinstance(v, str):
+        return t == "VARCHAR"
+    return False
+
+
+def translate_match_filter(flt, fields_by_path: dict) -> "F.Column | None":
     """Translate a ``$vectorSearch`` pre-filter ($match semantics) to a
-    Spark Column over the flattened schema. Supports the shapes Atlas
+    Spark Column over the flattened schema. ``fields_by_path`` maps
+    dotted document paths to schema field specs (``.name`` flattened
+    column, ``.type`` engine type). Supports the shapes Atlas
     vector-index filters allow (equality / range / in over scalar
     fields, $and/$or) with mongod's missing-field semantics
     (absent == null in the flattened row: $ne/$nin match it, $eq/ranges
-    don't). Returns None for anything outside the subset — the caller
-    then keeps the exact path, where the filter is pushed into the scan
-    and interpreted with full MQL semantics."""
+    don't) and mongod's type bracketing (a literal whose type cannot
+    match the column's falls outside the subset — Spark's implicit cast
+    would diverge or throw). Returns None for anything outside the
+    subset — the caller then keeps the exact path, where the filter is
+    pushed into the scan and interpreted with full MQL semantics."""
     if not isinstance(flt, dict):
         return None
     conjuncts = []
@@ -335,7 +358,7 @@ def translate_match_filter(flt, columns_by_path: dict) -> "F.Column | None":
         if key == "$and" or key == "$or":
             if not isinstance(val, list) or not val:
                 return None
-            parts = [translate_match_filter(v, columns_by_path) for v in val]
+            parts = [translate_match_filter(v, fields_by_path) for v in val]
             if any(p is None for p in parts):
                 return None
             acc = parts[0]
@@ -345,18 +368,22 @@ def translate_match_filter(flt, columns_by_path: dict) -> "F.Column | None":
             continue
         if key.startswith("$"):
             return None
-        name = columns_by_path.get(key)
-        if name is None:
-            return None
-        col = F.col(name)
+        fs = fields_by_path.get(key)
+        if fs is None or not isinstance(getattr(fs, "type", None), str):
+            return None  # unknown path / non-scalar column — exact path
+        col = F.col(fs.name)
         if isinstance(val, dict):
             for op, v in val.items():
-                c = _translate_op(col, op, v)
+                c = _translate_op(fs, col, op, v)
                 if c is None:
                     return None
                 conjuncts.append(c)
+        elif val is None:
+            conjuncts.append(col.isNull())
         elif isinstance(val, _SCALARS):
-            conjuncts.append(col.isNull() if val is None else (col == F.lit(val)))
+            if not _lit_compat(fs, val):
+                return None
+            conjuncts.append(col == F.lit(val))
         else:
             return None
     if not conjuncts:
@@ -367,25 +394,30 @@ def translate_match_filter(flt, columns_by_path: dict) -> "F.Column | None":
     return acc
 
 
-def _translate_op(col, op, v):
+def _translate_op(fs, col, op, v):
     if op in ("$gt", "$gte", "$lt", "$lte"):
-        if not isinstance(v, (int, float, str)) or isinstance(v, bool):
+        if isinstance(v, bool) or not _lit_compat(fs, v) \
+                or not isinstance(v, (int, float, str)):
             return None
         return {"$gt": col > F.lit(v), "$gte": col >= F.lit(v),
                 "$lt": col < F.lit(v), "$lte": col <= F.lit(v)}[op]
     if op == "$eq":
-        if not isinstance(v, _SCALARS):
+        if v is None:
+            return col.isNull()
+        if not isinstance(v, _SCALARS) or not _lit_compat(fs, v):
             return None
-        return col.isNull() if v is None else (col == F.lit(v))
+        return col == F.lit(v)
     if op == "$ne":
-        if not isinstance(v, _SCALARS):
-            return None
         if v is None:
             return col.isNotNull()
+        if not isinstance(v, _SCALARS) or not _lit_compat(fs, v):
+            return None
         return col.isNull() | (col != F.lit(v))  # absent/null matches $ne
     if op in ("$in", "$nin"):
         if not isinstance(v, list) or not all(
                 isinstance(x, _SCALARS) for x in v):
+            return None
+        if not all(x is None or _lit_compat(fs, x) for x in v):
             return None
         vals = [x for x in v if x is not None]
         has_null = any(x is None for x in v)

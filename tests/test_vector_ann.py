@@ -284,10 +284,14 @@ class TestFilterTranslator:
     ROWS = [(1, 5, "a"), (2, None, "b"), (3, 9, None), (4, 0, "a")]
 
     def _apply(self, spark, flt):
+        from collections import namedtuple
+
         from duckdb_mongo_spark.mql.match import matches_filter
 
         df = spark.createDataFrame(self.ROWS, ["_id", "n", "s"])
-        cols = {"_id": "_id", "n": "n", "s": "s"}
+        FS = namedtuple("FS", "name type")
+        cols = {"_id": FS("_id", "BIGINT"), "n": FS("n", "BIGINT"),
+                "s": FS("s", "VARCHAR")}
         col = VI.translate_match_filter(flt, cols)
         assert col is not None, f"untranslatable: {flt}"
         got = sorted(r._id for r in df.where(col).collect())
@@ -330,5 +334,9 @@ class TestFilterTranslator:
         {},
     ])
     def test_outside_subset_returns_none(self, flt):
-        cols = {"_id": "_id", "n": "n", "s": "s"}
+        from collections import namedtuple
+
+        FS = namedtuple("FS", "name type")
+        cols = {"_id": FS("_id", "BIGINT"), "n": FS("n", "BIGINT"),
+                "s": FS("s", "VARCHAR")}
         assert VI.translate_match_filter(flt, cols) is None

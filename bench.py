@@ -372,7 +372,14 @@ def _ratio_stats(sp_samples: dict, dk_samples: dict) -> dict:
     keep = [n for n in dmed if n not in noisy and n in sp_samples]
     ssum = sum(statistics.median(sp_samples[n]) for n in keep)
     dsum = sum(dmed[n] for n in keep)
-    if noisy and dsum > 0:
+    dtot_all = sum(dmed.values())
+    # r7 guard: a trim that discards most of the workload weight is a
+    # misleading statistic, not a robust one (observed: a noisy-host run
+    # trimmed 8 of 20 items including the heaviest line — 60% of the
+    # DuckDB total — and "trimmed" tripled the raw ratio). Emit it only
+    # while the kept items still carry >= 60% of the DuckDB-side weight;
+    # otherwise the floor ratio is the variance evidence.
+    if noisy and dsum > 0 and dtot_all > 0 and dsum >= 0.6 * dtot_all:
         out["vs_duckdb_trimmed"] = round(ssum / dsum, 2)
         out["trimmed_out"] = sorted(noisy)
     dmin = sum(min(v) for v in dk_samples.values() if v)

@@ -15,7 +15,7 @@ module scope, and the core scan/pushdown surface must stay importable
 
 from __future__ import annotations
 
-__all__ = ["chunking", "codecs", "dedup", "joins", "multimodal", "packing", "partitioning", "pii", "profile", "quality", "rollup", "sampling", "sharding", "similarity", "sketches", "span_dedup", "text", "webp"]
+__all__ = ["chunking", "codecs", "dedup", "joins", "multimodal", "packing", "partitioning", "pii", "profile", "quality", "rollup", "sampling", "sharding", "similarity", "sketches", "span_dedup", "text", "vector_index", "video", "vp8", "webp", "webp_native"]
 
 
 def __getattr__(name: str):

@@ -551,6 +551,16 @@ class MongoFrame:
             coll_schema = resolve_schema(self.backend, self.db, self.coll)
             routed = self._route_search_text(spec, coll_schema)
             if routed is None:
+                body = dict(spec)
+                body.pop("index", None)
+                body.pop("highlight", None)
+                if len(body) == 1 and "phrase" in body:
+                    routed = self._route_search_phrase(
+                        body["phrase"], coll_schema)
+                elif len(body) == 1 and next(iter(body)) in (
+                        "equals", "range", "in", "exists"):
+                    routed = self._route_search_cond_op(body, coll_schema)
+            if routed is None:
                 return None
             scored, limit, meta_name, score_col = routed
             # the $limit consumed by the routed top-k is pipeline[1]
@@ -1155,6 +1165,127 @@ class MongoFrame:
         if any(stats[f"__nonascii_{fs.name}"] for fs in fspecs):
             return None
         return [{"count": {"total": int(stats["__matched"] or 0)}}]
+
+    def _route_search_cond_op(self, clause, coll_schema):
+        """Top-level constant-score ``$search`` operators (equals /
+        range / in / exists) + ``$limit``: selection is one translated
+        JVM condition, every match scores 1.0 (the oracle's constant),
+        so the plan is a pushed filter + limit — no scoring pass at
+        all. Tie order among the equal scores is unspecified."""
+        fm = {f.mongo_path: f for f in coll_schema.fields}
+        cond = self._search_filter_cond(clause, fm)
+        if cond is None:
+            return None
+        nxt = (self.manual_pipeline[1]
+               if len(self.manual_pipeline) > 1 else None)
+        if not (isinstance(nxt, dict) and len(nxt) == 1
+                and next(iter(nxt)) == "$limit"):
+            return None
+        limit = int(nxt["$limit"])
+        base = MongoFrame(
+            spark=self.spark, backend=self.backend, db=self.db,
+            coll=self.coll, schema=coll_schema, schema_mode=self.schema_mode,
+            num_partitions=self.num_partitions, direct=self.direct,
+        )
+        bdf = base.df()
+        self._routed_base_path = base.last_exec_path
+        scored = (bdf.where(cond)
+                  .withColumn("__rt_score", F.lit(1.0))
+                  .limit(limit))
+        return scored, limit, "searchScore", "__rt_score"
+
+    def _route_search_phrase(self, opspec, coll_schema):
+        """Distributed ``$search {phrase}`` + ``$limit``: constant-score
+        selection, so the plan is a filter, not a scorer. The
+        subsequence-with-slop predicate is the ORACLE'S OWN matcher
+        (``mql/search._phrase_matches``) run inside an Arrow-batched
+        ``mapInPandas`` over the partitioned scan's token arrays —
+        distributed, and match-identical to the interpreter by
+        construction (same CPython function, same token stream on ASCII
+        corpora; the usual non-ASCII detector declines otherwise). All
+        matches score 1.0, so which ``limit`` of >limit matches return
+        is unspecified — the same tie contract as equal BM25 scores."""
+        from duckdb_mongo_spark.mql.search import _analyze
+        from duckdb_mongo_spark.schema.types import is_list
+
+        if not isinstance(opspec, dict) or "query" not in opspec \
+                or "path" not in opspec or "score" in opspec:
+            return None
+        extra = set(opspec) - {"query", "path", "slop"}
+        if extra:
+            return None
+        q = opspec["query"]
+        qstrings = [q] if isinstance(q, str) else list(q)
+        if not qstrings or any(not isinstance(s, str) or not s.isascii()
+                               for s in qstrings):
+            return None
+        phrases = [_analyze(s) for s in qstrings]
+        slop = int(opspec.get("slop", 0))
+        fm = {f.mongo_path: f for f in coll_schema.fields}
+        p = opspec["path"]
+        paths = [p] if isinstance(p, str) else list(p)
+        fspecs = []
+        for pth in paths:
+            fs = fm.get(pth)
+            if fs is None or (fs.type != "VARCHAR" and not (
+                    is_list(fs.type) and fs.type[1] == "VARCHAR")):
+                return None
+            fspecs.append(fs)
+        nxt = (self.manual_pipeline[1]
+               if len(self.manual_pipeline) > 1 else None)
+        if not (isinstance(nxt, dict) and len(nxt) == 1
+                and next(iter(nxt)) == "$limit"):
+            return None
+        limit = int(nxt["$limit"])
+        base = MongoFrame(
+            spark=self.spark, backend=self.backend, db=self.db,
+            coll=self.coll, schema=coll_schema, schema_mode=self.schema_mode,
+            num_partitions=self.num_partitions, direct=self.direct,
+        )
+        bdf = base.df()
+        self._routed_base_path = base.last_exec_path
+        toks_df = bdf.select(
+            *bdf.columns,
+            *[self._tokens_of(fs).alias(f"__rt_toks_{fs.name}")
+              for fs in fspecs],
+        )
+        # cheap JVM pass: non-ASCII detection over the matched paths only
+        aggs = []
+        for fs in fspecs:
+            raw = (F.coalesce(F.array_join(F.col(fs.name), ""), F.lit(""))
+                   if is_list(fs.type)
+                   else F.coalesce(F.col(fs.name), F.lit("")))
+            aggs.append(F.max(
+                F.when(F.octet_length(raw) != F.length(raw), 1).otherwise(0)
+            ).alias(f"__nonascii_{fs.name}"))
+        stats = toks_df.agg(*aggs).collect()[0].asDict()
+        if any(stats[f"__nonascii_{fs.name}"] for fs in fspecs):
+            return None
+
+        tok_names = [f"__rt_toks_{fs.name}" for fs in fspecs]
+        out_schema = toks_df.schema
+
+        def kernel(batches):
+            from duckdb_mongo_spark.mql.search import _phrase_matches
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mask = []
+                for row_toks in zip(*[pdf[n] for n in tok_names]):
+                    mask.append(any(
+                        _phrase_matches(list(toks), ph, slop)
+                        for toks in row_toks if toks is not None
+                        for ph in phrases))
+                yield pdf[mask]
+
+        scored = (
+            toks_df.mapInPandas(kernel, schema=out_schema)
+            .withColumn("__rt_score", F.lit(1.0))
+            .limit(limit)
+            .drop(*tok_names)
+        )
+        return scored, limit, "searchScore", "__rt_score"
 
     def _route_search_text(self, spec, coll_schema):
         """Distributed BM25 for a stage-1 ``$search`` followed by

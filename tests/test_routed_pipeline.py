@@ -852,3 +852,99 @@ class TestSearchCountAndMetaRouting:
         exp = _interpreter_rows(be, "main", "posts", pipe)
         assert got[0]["count_total"] == 1
         assert exp[0] == {"count": {"total": 1}}
+
+
+class TestPhraseAndCondOpRouting:
+    """r7: the remaining top-level $search operators route — phrase via
+    the oracle's own matcher inside Arrow-batched mapInPandas
+    (match-identical by construction), equals/range/in/exists as one
+    translated JVM condition. All matches score a constant 1.0, so
+    ordering among them is unspecified (set-compared here)."""
+
+    DOCS = [
+        {"_id": 1, "body": "the quick brown fox jumps", "year": 2020},
+        {"_id": 2, "body": "quick red fox", "year": 2018},
+        {"_id": 3, "body": "the brown quick fox", "year": 2021},
+        {"_id": 4, "body": "a very quick and brown old fox", "year": 2019},
+        {"_id": 5, "body": None, "year": None},
+    ]
+
+    def _backend(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({k: [d[k] for d in self.DOCS]
+                      for k in ("_id", "body", "year")}),
+            str(tmp_path / "posts.parquet"))
+        return ParquetBackend(str(tmp_path), db_name="main")
+
+    def _run(self, spark, tmp_path, search, limit=10, expect_routed=True):
+        pipe = [{"$search": search}, {"$limit": limit},
+                {"$addFields": {"score": {"$meta": "searchScore"}}}]
+        be = self._backend(tmp_path)
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        got = [r.asDict() for r in mf.df().collect()]
+        if expect_routed:
+            assert mf.last_exec_path == "routed:search_text", search
+        else:
+            assert mf.last_exec_path != "routed:search_text", search
+        exp = _interpreter_rows(be, "main", "posts", pipe)
+        assert sorted((g["_id"], g["score"]) for g in got) == \
+            sorted((e["_id"], e["score"]) for e in exp), search
+        return got
+
+    def test_phrase_exact_adjacency(self, spark, tmp_path):
+        got = self._run(spark, tmp_path,
+                        {"phrase": {"query": "quick brown", "path": "body"}})
+        assert {g["_id"] for g in got} == {1}
+        assert all(g["score"] == 1.0 for g in got)
+
+    def test_phrase_with_slop(self, spark, tmp_path):
+        got = self._run(spark, tmp_path,
+                        {"phrase": {"query": "quick fox", "path": "body",
+                                    "slop": 1}})
+        # slop 1: one extra gap position allowed — docs 1/2/3 have at
+        # most one token between "quick" and "fox"; doc 4 needs three
+        assert {g["_id"] for g in got} == {1, 2, 3}
+
+    def test_phrase_multi_query_list(self, spark, tmp_path):
+        got = self._run(spark, tmp_path,
+                        {"phrase": {"query": ["brown fox", "red fox"],
+                                    "path": "body"}})
+        assert {g["_id"] for g in got} == {1, 2}
+
+    def test_equals_range_in_exists(self, spark, tmp_path):
+        got = self._run(spark, tmp_path,
+                        {"range": {"path": "year", "gte": 2019,
+                                   "lt": 2021}})
+        assert {g["_id"] for g in got} == {1, 4}
+        got = self._run(spark, tmp_path,
+                        {"equals": {"path": "year", "value": 2018}})
+        assert {g["_id"] for g in got} == {2}
+        got = self._run(spark, tmp_path,
+                        {"in": {"path": "year", "value": [2018, 2021]}})
+        assert {g["_id"] for g in got} == {2, 3}
+        # dense (parquet) backend: every schema field exists on every
+        # document — doc 5's null year included, like iter_documents
+        got = self._run(spark, tmp_path, {"exists": {"path": "year"}})
+        assert {g["_id"] for g in got} == {1, 2, 3, 4, 5}
+
+    @pytest.mark.parametrize("search", [
+        {"phrase": {"query": "quick brown", "path": "body",
+                    "score": {"boost": {"value": 2}}}},
+        {"phrase": {"query": "çabuk tilki", "path": "body"}},  # non-ASCII
+        {"equals": {"path": "year", "value": "not-a-year"}},   # type clash
+    ])
+    def test_outside_subset_falls_back(self, spark, tmp_path, search):
+        self._run(spark, tmp_path, search, expect_routed=False)
+
+    def test_phrase_no_limit_falls_back(self, spark, tmp_path):
+        pipe = [{"$search": {"phrase": {"query": "quick brown",
+                                        "path": "body"}}}]
+        be = self._backend(tmp_path)
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        got = [r.asDict() for r in mf.df().collect()]
+        assert mf.last_exec_path != "routed:search_text"
+        exp = _interpreter_rows(be, "main", "posts", pipe)
+        assert sorted(g["_id"] for g in got) == sorted(e["_id"] for e in exp)

@@ -1020,11 +1020,24 @@ class MongoFrame:
 
         text_must, text_should, cond_filters, mustnot = [], [], [], []
         msm = 0
+
+        def scored_clause(cl):
+            """must/should clause -> ("text", (fspecs, terms)) for BM25
+            scoring, ("cond", Column) for a constant-score-1.0 operator
+            (equals/range/in/exists — the oracle's 1.0), or None."""
+            if not (isinstance(cl, dict) and len(cl) == 1):
+                return None
+            if "text" in cl:
+                tc = self._parse_text_clause(cl["text"], fm)
+                return None if tc is None else ("text", tc)
+            c = self._search_filter_cond(cl, fm)
+            return None if c is None else ("cond", c)
+
         if op == "text":
             tc = self._parse_text_clause(opspec, fm)
             if tc is None:
                 return None
-            text_must.append(tc)
+            text_must.append(("text", tc))
             has_must, has_filter, has_should = True, False, False
         elif op == "compound":
             known = {"must", "should", "mustNot", "filter",
@@ -1033,21 +1046,15 @@ class MongoFrame:
                 return None
             msm = int(opspec.get("minimumShouldMatch", 0))
             for cl in _as_list(opspec.get("must")):
-                if not (isinstance(cl, dict) and len(cl) == 1
-                        and "text" in cl):
-                    return None  # non-text must (incl. nested compound)
-                tc = self._parse_text_clause(cl["text"], fm)
-                if tc is None:
-                    return None
-                text_must.append(tc)
+                sc = scored_clause(cl)
+                if sc is None:
+                    return None  # phrase/nested compound — interpreter
+                text_must.append(sc)
             for cl in _as_list(opspec.get("should")):
-                if not (isinstance(cl, dict) and len(cl) == 1
-                        and "text" in cl):
+                sc = scored_clause(cl)
+                if sc is None:
                     return None
-                tc = self._parse_text_clause(cl["text"], fm)
-                if tc is None:
-                    return None
-                text_should.append(tc)
+                text_should.append(sc)
             for cl in _as_list(opspec.get("filter")):
                 c = self._search_filter_cond(cl, fm)
                 if c is None:
@@ -1088,13 +1095,18 @@ class MongoFrame:
                 c = c | F.arrays_overlap(F.col(f"__rt_toks_{fs.name}"), tarr)
             return c
 
+        def clause_hit(kind, payload):
+            if kind == "text":
+                return overlap(*payload)
+            return payload  # constant-score condition clause
+
         cond = F.lit(True)
-        for fss, terms in text_must:
-            cond = cond & overlap(fss, terms)
+        for kind, payload in text_must:
+            cond = cond & clause_hit(kind, payload)
         if text_should:
             matched = F.lit(0)
-            for fss, terms in text_should:
-                matched = matched + F.when(overlap(fss, terms),
+            for kind, payload in text_should:
+                matched = matched + F.when(clause_hit(kind, payload),
                                            F.lit(1)).otherwise(F.lit(0))
             need = msm
             if not has_must and not has_filter:
@@ -1128,8 +1140,8 @@ class MongoFrame:
             return None
         (text_must, text_should, cond_filters, mustnot, msm,
          has_must, has_filter, _has_should, _count_spec) = parsed
-        all_text = text_must + text_should + [p for k, p in mustnot
-                                              if k == "text"]
+        all_text = [p for k, p in text_must + text_should if k == "text"] \
+            + [p for k, p in mustnot if k == "text"]
         if not all_text:
             return None  # condition-only: nothing to tokenize — interpreter
         fspecs, seen = [], set()
@@ -1331,9 +1343,9 @@ class MongoFrame:
         limit = int(nxt["$limit"])
         # union of every text-touched path (scoring AND mustNot — token
         # parity matters for containment too); scoring paths drive stats
-        all_text = text_must + text_should + [p for k, p in mustnot
-                                              if k == "text"]
-        scoring = text_must + text_should
+        all_text = [p for k, p in text_must + text_should if k == "text"] \
+            + [p for k, p in mustnot if k == "text"]
+        scoring = [p for k, p in text_must + text_should if k == "text"]
         if not all_text:
             # condition-only compound: nothing to score or tokenize —
             # still routable (constant 0.0 scores, ties unspecified)
@@ -1458,16 +1470,26 @@ class MongoFrame:
         # (must sums, then matched-should sums; _eval_compound)
         total = F.lit(0.0)
         conds = []
-        for fss, terms in text_must:
-            cs = clause_score(fss, terms)
-            conds.append(cs > 0.0)
-            total = total + cs
+        for kind, payload in text_must:
+            if kind == "text":
+                cs = clause_score(*payload)
+                conds.append(cs > 0.0)
+                total = total + cs
+            else:  # constant-score operator: must match, contributes 1.0
+                conds.append(payload)
+                total = total + F.lit(1.0)
         if text_should:
             matched = F.lit(0)
-            for fss, terms in text_should:
-                cs = clause_score(fss, terms)
-                total = total + F.when(cs > 0.0, cs).otherwise(F.lit(0.0))
-                matched = matched + F.when(cs > 0.0, F.lit(1)) \
+            for kind, payload in text_should:
+                if kind == "text":
+                    cs = clause_score(*payload)
+                    hit = cs > 0.0
+                    total = total + F.when(hit, cs).otherwise(F.lit(0.0))
+                else:
+                    hit = payload
+                    total = total + F.when(hit, F.lit(1.0)) \
+                        .otherwise(F.lit(0.0))
+                matched = matched + F.when(hit, F.lit(1)) \
                     .otherwise(F.lit(0))
             need = msm
             if not has_must and not has_filter:

@@ -948,3 +948,69 @@ class TestPhraseAndCondOpRouting:
         assert mf.last_exec_path != "routed:search_text"
         exp = _interpreter_rows(be, "main", "posts", pipe)
         assert sorted(g["_id"] for g in got) == sorted(e["_id"] for e in exp)
+
+
+class TestCompoundCondClauses:
+    """r7: equals/range/in/exists inside compound must/should route too,
+    contributing the oracle's constant 1.0 to the relevance score."""
+
+    def _run(self, spark, tmp_path, compound, expect_routed=True):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        docs = [
+            {"_id": 1, "body": "spark engine", "year": 2020},
+            {"_id": 2, "body": "duck pond", "year": 2018},
+            {"_id": 3, "body": "spark rises over the pond", "year": 2021},
+            {"_id": 4, "body": "plain text", "year": None},
+        ]
+        pq.write_table(
+            pa.table({k: [d[k] for d in docs]
+                      for k in ("_id", "body", "year")}),
+            str(tmp_path / "posts.parquet"))
+        be = ParquetBackend(str(tmp_path), db_name="main")
+        pipe = [{"$search": {"compound": compound}}, {"$limit": 10},
+                {"$addFields": {"score": {"$meta": "searchScore"}}}]
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        got = [r.asDict() for r in mf.df().collect()]
+        if expect_routed:
+            assert mf.last_exec_path == "routed:search_text", compound
+        else:
+            assert mf.last_exec_path != "routed:search_text", compound
+        exp = _interpreter_rows(be, "main", "posts", pipe)
+        assert sorted((g["_id"], g["score"]) for g in got) == \
+            sorted((e["_id"], e["score"]) for e in exp), compound
+        return got
+
+    def test_equals_must_plus_text_score(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, {
+            "must": [{"text": {"query": "spark", "path": "body"}},
+                     {"range": {"path": "year", "gte": 2020}}],
+        })
+        # BM25 + the range clause's constant 1.0
+        assert {g["_id"] for g in got} == {1, 3}
+        assert all(g["score"] > 1.0 for g in got)
+
+    def test_cond_should_counts_toward_msm(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, {
+            "should": [{"text": {"query": "spark", "path": "body"}},
+                       {"equals": {"path": "year", "value": 2018}},
+                       {"in": {"path": "year", "value": [2020, 2021]}}],
+            "minimumShouldMatch": 2,
+        })
+        assert {g["_id"] for g in got} == {1, 3}
+
+    def test_exists_must_on_dense_backend(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, {
+            "must": [{"exists": {"path": "year"}}],
+            "mustNot": [{"text": {"query": "pond", "path": "body"}}],
+        })
+        # dense backend: year "exists" on every doc (even the null), so
+        # only the pond docs drop; every score is the exists constant
+        assert {g["_id"] for g in got} == {1, 4}
+        assert all(g["score"] == 1.0 for g in got)
+
+    def test_phrase_in_compound_still_falls_back(self, spark, tmp_path):
+        self._run(spark, tmp_path, {
+            "must": [{"phrase": {"query": "spark engine", "path": "body"}}],
+        }, expect_routed=False)

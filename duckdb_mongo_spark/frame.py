@@ -1024,12 +1024,17 @@ class MongoFrame:
         def scored_clause(cl):
             """must/should clause -> ("text", (fspecs, terms)) for BM25
             scoring, ("cond", Column) for a constant-score-1.0 operator
-            (equals/range/in/exists — the oracle's 1.0), or None."""
+            (equals/range/in/exists — the oracle's 1.0), ("compound",
+            parsed-subtree) for a nested compound, or None."""
             if not (isinstance(cl, dict) and len(cl) == 1):
                 return None
             if "text" in cl:
                 tc = self._parse_text_clause(cl["text"], fm)
                 return None if tc is None else ("text", tc)
+            if "compound" in cl:
+                sub = self._parse_search_clauses(
+                    {"compound": cl["compound"]}, fm)
+                return None if sub is None else ("compound", sub)
             c = self._search_filter_cond(cl, fm)
             return None if c is None else ("cond", c)
 
@@ -1061,16 +1066,10 @@ class MongoFrame:
                     return None
                 cond_filters.append(c)
             for cl in _as_list(opspec.get("mustNot")):
-                if isinstance(cl, dict) and len(cl) == 1 and "text" in cl:
-                    tc = self._parse_text_clause(cl["text"], fm)
-                    if tc is None:
-                        return None
-                    mustnot.append(("text", tc))
-                    continue
-                c = self._search_filter_cond(cl, fm)
-                if c is None:
+                sc = scored_clause(cl)
+                if sc is None:
                     return None
-                mustnot.append(("cond", c))
+                mustnot.append(sc)
             has_must = bool(opspec.get("must"))
             has_filter = bool(opspec.get("filter"))
             has_should = bool(text_should)
@@ -1079,48 +1078,83 @@ class MongoFrame:
         return (text_must, text_should, cond_filters, mustnot, msm,
                 has_must, has_filter, has_should, count_spec)
 
-    def _search_match_cond(self, text_must, text_should, cond_filters,
-                           mustnot, msm, has_must, has_filter):
-        """The clause logic as ONE boolean Column over the tokenized
-        frame — term CONTAINMENT stands in for BM25 > 0 (idf is always
-        positive and norm >= k1*(1-b) > 0, so a text clause scores > 0
-        iff any query term appears in any of its paths). Used for count
-        aggregation ($search count / $searchMeta), where only matching
-        matters, never score values."""
+    @staticmethod
+    def _overlap_cond(fss, terms):
+        """Term CONTAINMENT over the tokenized frame — equivalent to
+        BM25 > 0 (idf is always positive and norm >= k1*(1-b) > 0, so a
+        text clause scores > 0 iff any query term appears in any of its
+        paths). Never null (token arrays coalesce to empty)."""
+        tarr = F.array(*[F.lit(t) for t in dict.fromkeys(terms)])
+        c = F.lit(False)
+        for fs in fss:
+            c = c | F.arrays_overlap(F.col(f"__rt_toks_{fs.name}"), tarr)
+        return c
 
-        def overlap(fss, terms):
-            tarr = F.array(*[F.lit(t) for t in dict.fromkeys(terms)])
-            c = F.lit(False)
-            for fs in fss:
-                c = c | F.arrays_overlap(F.col(f"__rt_toks_{fs.name}"), tarr)
-            return c
+    def _build_compound(self, parsed, clause_score):
+        """Compile a parsed $search tree (``_parse_search_clauses``,
+        nested compounds included) to ``(score, match)`` Columns with
+        the oracle's ``_eval_compound`` semantics: must clauses all
+        match and their scores sum; should clauses add their score when
+        they hit and count toward minimumShouldMatch (pure-should needs
+        at least one hit per LEVEL); filter/mustNot gate without
+        scoring; condition clauses score the constant 1.0; a nested
+        compound contributes its own (score, match) pair. ``clause_score``
+        maps a text clause to its BM25 Column — pass None for the
+        containment-only mode (count aggregation: matching matters,
+        score values never do)."""
+        (text_must, text_should, cond_filters, mustnot, msm,
+         has_must, has_filter, _has_should, _cs) = parsed
 
-        def clause_hit(kind, payload):
+        def hit_and_score(kind, payload):
             if kind == "text":
-                return overlap(*payload)
-            return payload  # constant-score condition clause
+                if clause_score is None:
+                    return self._overlap_cond(*payload), F.lit(0.0)
+                cs = clause_score(*payload)
+                return cs > 0.0, cs
+            if kind == "cond":
+                return payload, F.lit(1.0)
+            return tuple(reversed(self._build_compound(payload,
+                                                       clause_score)))
 
+        total = F.lit(0.0)
         cond = F.lit(True)
         for kind, payload in text_must:
-            cond = cond & clause_hit(kind, payload)
+            h, s = hit_and_score(kind, payload)
+            cond = cond & h
+            total = total + s
         if text_should:
             matched = F.lit(0)
             for kind, payload in text_should:
-                matched = matched + F.when(clause_hit(kind, payload),
-                                           F.lit(1)).otherwise(F.lit(0))
+                h, s = hit_and_score(kind, payload)
+                total = total + F.when(h, s).otherwise(F.lit(0.0))
+                matched = matched + F.when(h, F.lit(1)).otherwise(F.lit(0))
             need = msm
             if not has_must and not has_filter:
-                need = max(1, need)
+                need = max(1, need)  # pure-should: at least one hit
             if need > 0:
                 cond = cond & (matched >= need)
         for c in cond_filters:
             cond = cond & c
         for kind, payload in mustnot:
             if kind == "text":
-                cond = cond & ~overlap(*payload)
-            else:
+                cond = cond & ~self._overlap_cond(*payload)
+            elif kind == "cond":
                 cond = cond & F.coalesce(~payload, F.lit(True))
-        return cond
+            else:  # nested compound: pass when the subtree does NOT match
+                _s, sub_cond = self._build_compound(payload, clause_score)
+                cond = cond & F.coalesce(~sub_cond, F.lit(True))
+        return total, cond
+
+    def _iter_text_clauses(self, parsed):
+        """Every text clause anywhere in the parsed tree (must/should/
+        mustNot, nested compounds included) — drives token columns,
+        corpus statistics, and the non-ASCII detector."""
+        (text_must, text_should, _cf, mustnot, *_rest) = parsed
+        for kind, payload in text_must + text_should + list(mustnot):
+            if kind == "text":
+                yield payload
+            elif kind == "compound":
+                yield from self._iter_text_clauses(payload)
 
     def _route_search_meta(self, spec, coll_schema):
         """Distributed ``$searchMeta``: one aggregate job counts the
@@ -1138,10 +1172,7 @@ class MongoFrame:
         parsed = self._parse_search_clauses(spec, fm)
         if parsed is None:
             return None
-        (text_must, text_should, cond_filters, mustnot, msm,
-         has_must, has_filter, _has_should, _count_spec) = parsed
-        all_text = [p for k, p in text_must + text_should if k == "text"] \
-            + [p for k, p in mustnot if k == "text"]
+        all_text = list(self._iter_text_clauses(parsed))
         if not all_text:
             return None  # condition-only: nothing to tokenize — interpreter
         fspecs, seen = [], set()
@@ -1162,9 +1193,7 @@ class MongoFrame:
             *[self._tokens_of(fs).alias(f"__rt_toks_{fs.name}")
               for fs in fspecs],
         )
-        match_cond = self._search_match_cond(
-            text_must, text_should, cond_filters, mustnot, msm,
-            has_must, has_filter)
+        _score, match_cond = self._build_compound(parsed, None)
         aggs = [F.sum(F.when(match_cond, 1).otherwise(0)).alias("__matched")]
         for fs in fspecs:
             raw = (F.coalesce(F.array_join(F.col(fs.name), ""), F.lit(""))
@@ -1341,11 +1370,11 @@ class MongoFrame:
                 and next(iter(nxt)) == "$limit"):
             return None
         limit = int(nxt["$limit"])
-        # union of every text-touched path (scoring AND mustNot — token
-        # parity matters for containment too); scoring paths drive stats
-        all_text = [p for k, p in text_must + text_should if k == "text"] \
-            + [p for k, p in mustnot if k == "text"]
-        scoring = [p for k, p in text_must + text_should if k == "text"]
+        # union of every text-touched path anywhere in the tree (scoring,
+        # mustNot and nested compounds — token parity matters for
+        # containment too); idf stats are computed for the same set (a
+        # mustNot text clause's pairs are unused but harmless)
+        all_text = list(self._iter_text_clauses(parsed))
         if not all_text:
             # condition-only compound: nothing to score or tokenize —
             # still routable (constant 0.0 scores, ties unspecified)
@@ -1358,10 +1387,10 @@ class MongoFrame:
                 if fs.name not in seen_paths:
                     seen_paths.add(fs.name)
                     fspecs.append(fs)
-        # (path, term) pairs that need document frequencies (scoring only)
+        # (path, term) pairs that need document frequencies
         df_pairs = []
         seen_pairs = set()
-        for fss, terms in scoring:
+        for fss, terms in all_text:
             for fs in fss:
                 for t in dict.fromkeys(terms):
                     if (fs.name, t) not in seen_pairs:
@@ -1404,9 +1433,7 @@ class MongoFrame:
         if count_spec is not None:
             # $search count: the corpus-wide matched total rides the same
             # pass-1 job (containment stands in for score > 0)
-            match_cond = self._search_match_cond(
-                text_must, text_should, cond_filters, mustnot, msm,
-                has_must, has_filter)
+            _s, match_cond = self._build_compound(parsed, None)
             aggs.append(F.sum(
                 F.when(match_cond, 1).otherwise(0)).alias("__matched"))
         if fspecs:
@@ -1466,57 +1493,14 @@ class MongoFrame:
                 cs = cs + pscore
             return cs
 
-        # compound total/conditions in the oracle's evaluation order
-        # (must sums, then matched-should sums; _eval_compound)
-        total = F.lit(0.0)
-        conds = []
-        for kind, payload in text_must:
-            if kind == "text":
-                cs = clause_score(*payload)
-                conds.append(cs > 0.0)
-                total = total + cs
-            else:  # constant-score operator: must match, contributes 1.0
-                conds.append(payload)
-                total = total + F.lit(1.0)
-        if text_should:
-            matched = F.lit(0)
-            for kind, payload in text_should:
-                if kind == "text":
-                    cs = clause_score(*payload)
-                    hit = cs > 0.0
-                    total = total + F.when(hit, cs).otherwise(F.lit(0.0))
-                else:
-                    hit = payload
-                    total = total + F.when(hit, F.lit(1.0)) \
-                        .otherwise(F.lit(0.0))
-                matched = matched + F.when(hit, F.lit(1)) \
-                    .otherwise(F.lit(0))
-            need = msm
-            if not has_must and not has_filter:
-                need = max(1, need)  # pure-should: at least one hit
-            if need > 0:
-                conds.append(matched >= need)
-        conds.extend(cond_filters)
-        for kind, payload in mustnot:
-            if kind == "text":
-                # BM25 > 0 iff any query term appears in any path (idf is
-                # always positive), so mustNot text is term containment
-                fss, terms = payload
-                overlap = F.lit(False)
-                tarr = F.array(*[F.lit(t) for t in dict.fromkeys(terms)])
-                for fs in fss:
-                    overlap = overlap | F.arrays_overlap(
-                        F.col(f"__rt_toks_{fs.name}"), tarr)
-                conds.append(~overlap)
-            else:
-                # NULL comparisons (absent fields) don't match the
-                # clause, so the doc PASSES mustNot — like the oracle
-                conds.append(F.coalesce(~payload, F.lit(True)))
-        scored = toks_df.withColumn("__rt_score", total)
-        for c in conds:
-            scored = scored.where(c)
+        # compound total/condition in the oracle's evaluation order
+        # (must sums, then matched-should sums; _eval_compound) — the
+        # recursive builder handles nested compounds identically
+        total, cond = self._build_compound(parsed, clause_score)
         scored = (
-            scored.orderBy(F.col("__rt_score").desc())
+            toks_df.withColumn("__rt_score", total)
+            .where(cond)
+            .orderBy(F.col("__rt_score").desc())
             .limit(limit)
             .drop(*[f"__rt_toks_{fs.name}" for fs in fspecs])
         )

@@ -608,9 +608,6 @@ class TestCompoundSearchRouting:
     @pytest.mark.parametrize("compound", [
         # non-text must
         {"must": [{"equals": {"path": "kind", "value": "infra"}}]},
-        # nested compound
-        {"must": [{"compound": {"must": [
-            {"text": {"query": "spark", "path": "body"}}]}}]},
         # phrase in should
         {"should": [{"phrase": {"query": "spark engine", "path": "body"}}]},
         # score boost on a text clause
@@ -625,6 +622,37 @@ class TestCompoundSearchRouting:
     ])
     def test_outside_subset_falls_back(self, spark, tmp_path, compound):
         self._run(spark, tmp_path, compound, expect_routed=False)
+
+    def test_nested_compound_routes(self, spark, tmp_path):
+        # r7 second pass: nested compounds compile recursively — the
+        # inner tree contributes its own (score, match) pair
+        got = self._run(spark, tmp_path, {
+            "must": [{"compound": {
+                "should": [{"text": {"query": "spark", "path": "body"}},
+                           {"text": {"query": "duck", "path": "title"}}],
+            }}],
+            "mustNot": [{"compound": {
+                "must": [{"text": {"query": "pond", "path": "body"}}],
+            }}],
+        })
+        # inner should: spark-in-body or duck-in-title; outer mustNot
+        # drops the pond doc (2); scores = sum of inner should hits
+        assert {g["_id"] for g in got} == {3, 5, 6}
+
+    def test_nested_compound_with_conditions(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, {
+            "should": [
+                {"text": {"query": "fast", "path": "body"}},
+                {"compound": {
+                    "must": [{"text": {"query": "spark", "path": "body"}}],
+                    "filter": [{"range": {"path": "year", "gte": 2021}}],
+                }},
+            ],
+            "minimumShouldMatch": 1,
+        })
+        # clause 1: docs with "fast" in body; clause 2: spark-in-body
+        # AND year>=2021 (inner filter gates, contributes no score)
+        assert {g["_id"] for g in got} == {1, 4, 5}
 
     def test_condition_only_compound_routes(self, spark, tmp_path):
         got = self._run(spark, tmp_path, {

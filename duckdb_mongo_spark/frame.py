@@ -994,6 +994,83 @@ class MongoFrame:
             F.split(F.lower(F.coalesce(col, F.lit(""))), "[^0-9a-z]+"),
             lambda x: x != "")
 
+    def _parse_phrase_clause(self, opspec, fm):
+        """Validate one ``phrase`` clause: ASCII query string(s) with
+        tokens, string (or array-of-string) schema paths, non-negative
+        integer slop, no score boost. Returns (fspecs, phrases, slop)
+        or None when the clause needs the interpreter."""
+        from duckdb_mongo_spark.mql.search import _analyze
+        from duckdb_mongo_spark.schema.types import is_list
+
+        if not isinstance(opspec, dict) or "query" not in opspec \
+                or "path" not in opspec or "score" in opspec:
+            return None
+        if set(opspec) - {"query", "path", "slop"}:
+            return None
+        q = opspec["query"]
+        qstrings = [q] if isinstance(q, str) else list(q)
+        if not qstrings or any(not isinstance(s, str) or not s.isascii()
+                               for s in qstrings):
+            return None
+        phrases = [_analyze(s) for s in qstrings]
+        slop = int(opspec.get("slop", 0))
+        p = opspec["path"]
+        paths = [p] if isinstance(p, str) else list(p)
+        fspecs = []
+        for pth in paths:
+            fs = fm.get(pth)
+            if fs is None or (fs.type != "VARCHAR" and not (
+                    is_list(fs.type) and fs.type[1] == "VARCHAR")):
+                return None
+            fspecs.append(fs)
+        return fspecs, phrases, slop
+
+    def _iter_phrase_clauses(self, parsed):
+        """Every phrase clause anywhere in the parsed tree, in a
+        deterministic walk order — drives the one mapInPandas pass that
+        materializes their match columns."""
+        (text_must, text_should, _cf, mustnot, *_rest) = parsed
+        for kind, payload in text_must + text_should + list(mustnot):
+            if kind == "phrase":
+                yield payload
+            elif kind == "compound":
+                yield from self._iter_phrase_clauses(payload)
+
+    @staticmethod
+    def _with_phrase_cols(toks_df, phrase_clauses):
+        """Materialize one boolean column per phrase clause via a single
+        Arrow-batched ``mapInPandas`` pass running the ORACLE'S OWN
+        matcher (``mql/search._phrase_matches``) over the token arrays —
+        distributed, match-identical by construction. Returns
+        (frame, [column names])."""
+        from pyspark.sql import types as T
+
+        names = [f"__rt_ph_{i}" for i in range(len(phrase_clauses))]
+        specs = [([f"__rt_toks_{fs.name}" for fs in fss], phrases, slop)
+                 for fss, phrases, slop in phrase_clauses]
+        out_schema = T.StructType(
+            list(toks_df.schema.fields)
+            + [T.StructField(n, T.BooleanType()) for n in names])
+
+        def kernel(batches):
+            from duckdb_mongo_spark.mql.search import _phrase_matches
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out = pdf.copy()
+                for n, (tok_names, phrases, slop) in zip(names, specs):
+                    mask = []
+                    for row_toks in zip(*[pdf[c] for c in tok_names]):
+                        mask.append(any(
+                            _phrase_matches(list(toks), ph, slop)
+                            for toks in row_toks if toks is not None
+                            for ph in phrases))
+                    out[n] = mask
+                yield out
+
+        return toks_df.mapInPandas(kernel, schema=out_schema), names
+
     def _parse_search_clauses(self, spec, fm):
         """Shared $search/$searchMeta spec parse: a single ``text``
         operator or ``compound`` of routable clauses (text must/should;
@@ -1022,15 +1099,21 @@ class MongoFrame:
         msm = 0
 
         def scored_clause(cl):
-            """must/should clause -> ("text", (fspecs, terms)) for BM25
-            scoring, ("cond", Column) for a constant-score-1.0 operator
-            (equals/range/in/exists — the oracle's 1.0), ("compound",
-            parsed-subtree) for a nested compound, or None."""
+            """must/should/mustNot clause -> ("text", (fspecs, terms))
+            for BM25 scoring, ("cond", Column) for a constant-score-1.0
+            operator (equals/range/in/exists — the oracle's 1.0),
+            ("phrase", (fspecs, phrases, slop)) for a constant-score
+            phrase (match column precomputed by one mapInPandas pass),
+            ("compound", parsed-subtree) for a nested compound, or
+            None."""
             if not (isinstance(cl, dict) and len(cl) == 1):
                 return None
             if "text" in cl:
                 tc = self._parse_text_clause(cl["text"], fm)
                 return None if tc is None else ("text", tc)
+            if "phrase" in cl:
+                pc = self._parse_phrase_clause(cl["phrase"], fm)
+                return None if pc is None else ("phrase", pc)
             if "compound" in cl:
                 sub = self._parse_search_clauses(
                     {"compound": cl["compound"]}, fm)
@@ -1090,7 +1173,7 @@ class MongoFrame:
             c = c | F.arrays_overlap(F.col(f"__rt_toks_{fs.name}"), tarr)
         return c
 
-    def _build_compound(self, parsed, clause_score):
+    def _build_compound(self, parsed, clause_score, phrase_cols=None):
         """Compile a parsed $search tree (``_parse_search_clauses``,
         nested compounds included) to ``(score, match)`` Columns with
         the oracle's ``_eval_compound`` semantics: must clauses all
@@ -1113,8 +1196,12 @@ class MongoFrame:
                 return cs > 0.0, cs
             if kind == "cond":
                 return payload, F.lit(1.0)
-            return tuple(reversed(self._build_compound(payload,
-                                                       clause_score)))
+            if kind == "phrase":
+                # match column precomputed by _with_phrase_cols; the
+                # oracle scores every phrase match a constant 1.0
+                return F.col(phrase_cols[id(payload)]), F.lit(1.0)
+            return tuple(reversed(self._build_compound(
+                payload, clause_score, phrase_cols)))
 
         total = F.lit(0.0)
         cond = F.lit(True)
@@ -1140,8 +1227,11 @@ class MongoFrame:
                 cond = cond & ~self._overlap_cond(*payload)
             elif kind == "cond":
                 cond = cond & F.coalesce(~payload, F.lit(True))
+            elif kind == "phrase":
+                cond = cond & ~F.col(phrase_cols[id(payload)])
             else:  # nested compound: pass when the subtree does NOT match
-                _s, sub_cond = self._build_compound(payload, clause_score)
+                _s, sub_cond = self._build_compound(
+                    payload, clause_score, phrase_cols)
                 cond = cond & F.coalesce(~sub_cond, F.lit(True))
         return total, cond
 
@@ -1173,10 +1263,16 @@ class MongoFrame:
         if parsed is None:
             return None
         all_text = list(self._iter_text_clauses(parsed))
-        if not all_text:
+        phrase_clauses = list(self._iter_phrase_clauses(parsed))
+        if not all_text and not phrase_clauses:
             return None  # condition-only: nothing to tokenize — interpreter
         fspecs, seen = [], set()
         for fss, _terms in all_text:
+            for fs in fss:
+                if fs.name not in seen:
+                    seen.add(fs.name)
+                    fspecs.append(fs)
+        for fss, _phrases, _slop in phrase_clauses:
             for fs in fss:
                 if fs.name not in seen:
                     seen.add(fs.name)
@@ -1193,7 +1289,13 @@ class MongoFrame:
             *[self._tokens_of(fs).alias(f"__rt_toks_{fs.name}")
               for fs in fspecs],
         )
-        _score, match_cond = self._build_compound(parsed, None)
+        phrase_col_map = {}
+        if phrase_clauses:
+            toks_df, _ph = self._with_phrase_cols(toks_df, phrase_clauses)
+            phrase_col_map = {id(p): n
+                              for p, n in zip(phrase_clauses, _ph)}
+        _score, match_cond = self._build_compound(
+            parsed, None, phrase_col_map)
         aggs = [F.sum(F.when(match_cond, 1).otherwise(0)).alias("__matched")]
         for fs in fspecs:
             raw = (F.coalesce(F.array_join(F.col(fs.name), ""), F.lit(""))
@@ -1375,7 +1477,8 @@ class MongoFrame:
         # containment too); idf stats are computed for the same set (a
         # mustNot text clause's pairs are unused but harmless)
         all_text = list(self._iter_text_clauses(parsed))
-        if not all_text:
+        phrase_clauses = list(self._iter_phrase_clauses(parsed))
+        if not all_text and not phrase_clauses:
             # condition-only compound: nothing to score or tokenize —
             # still routable (constant 0.0 scores, ties unspecified)
             if not (cond_filters or mustnot) or count_spec is not None:
@@ -1383,6 +1486,11 @@ class MongoFrame:
         fspecs = []
         seen_paths = set()
         for fss, _terms in all_text:
+            for fs in fss:
+                if fs.name not in seen_paths:
+                    seen_paths.add(fs.name)
+                    fspecs.append(fs)
+        for fss, _phrases, _slop in phrase_clauses:
             for fs in fss:
                 if fs.name not in seen_paths:
                     seen_paths.add(fs.name)
@@ -1408,6 +1516,18 @@ class MongoFrame:
             *bdf.columns,
             *[tok_cols[n].alias(f"__rt_toks_{n}") for n in tok_cols],
         )
+        stats_df = toks_df
+        ph_names = []
+        phrase_col_map = {}
+        if phrase_clauses:
+            toks_df, ph_names = self._with_phrase_cols(
+                toks_df, phrase_clauses)
+            phrase_col_map = {id(p): n
+                              for p, n in zip(phrase_clauses, ph_names)}
+            if count_spec is not None:
+                # the count condition may reference phrase columns, so
+                # pass 1 must run through the phrase kernel too
+                stats_df = toks_df
         # pass 1: corpus statistics (one aggregate row, bounded by the
         # query's path x term count); piggyback a non-ASCII detector per
         # path (octet_length != length iff any multi-byte character) —
@@ -1433,11 +1553,12 @@ class MongoFrame:
         if count_spec is not None:
             # $search count: the corpus-wide matched total rides the same
             # pass-1 job (containment stands in for score > 0)
-            _s, match_cond = self._build_compound(parsed, None)
+            _s, match_cond = self._build_compound(
+                parsed, None, phrase_col_map)
             aggs.append(F.sum(
                 F.when(match_cond, 1).otherwise(0)).alias("__matched"))
         if fspecs:
-            stats = toks_df.agg(*aggs).collect()[0].asDict()
+            stats = stats_df.agg(*aggs).collect()[0].asDict()
             n_docs = stats["__n"] or 0
             if n_docs == 0:
                 return None
@@ -1496,13 +1617,14 @@ class MongoFrame:
         # compound total/condition in the oracle's evaluation order
         # (must sums, then matched-should sums; _eval_compound) — the
         # recursive builder handles nested compounds identically
-        total, cond = self._build_compound(parsed, clause_score)
+        total, cond = self._build_compound(
+            parsed, clause_score, phrase_col_map)
         scored = (
             toks_df.withColumn("__rt_score", total)
             .where(cond)
             .orderBy(F.col("__rt_score").desc())
             .limit(limit)
-            .drop(*[f"__rt_toks_{fs.name}" for fs in fspecs])
+            .drop(*[f"__rt_toks_{fs.name}" for fs in fspecs], *ph_names)
         )
         return scored, limit, "searchScore", "__rt_score"
 

@@ -345,16 +345,18 @@ class TestSearchTextRouting:
         assert [g["_id"] for g in got] == [e["_id"] for e in exp]
         assert [g["score"] for g in got] == [e["score"] for e in exp]
 
-    def test_phrase_falls_back(self, spark, tmp_path):
+    def test_phrase_in_compound_routes(self, spark, tmp_path):
+        # r7 final pass: phrase clauses route via precomputed match
+        # columns (one mapInPandas pass running the oracle's matcher)
         be = self._backend(tmp_path)
         pipe = [{"$search": {"compound": {"must": [
                     {"phrase": {"query": "spark engine", "path": "body"}}]}}},
                 {"$limit": 5}]
         mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
         got = [r.asDict() for r in mf.df().collect()]
-        assert mf.last_exec_path != "routed:search_text"
+        assert mf.last_exec_path == "routed:search_text"
         exp = _interpreter_rows(be, "main", "posts", pipe)
-        assert [g["_id"] for g in got] == [e["_id"] for e in exp]
+        assert sorted(g["_id"] for g in got) == sorted(e["_id"] for e in exp)
 
     def test_non_ascii_query_falls_back(self, spark, tmp_path):
         # CPython str.lower() and JVM lower() may disagree off-ASCII
@@ -608,8 +610,6 @@ class TestCompoundSearchRouting:
     @pytest.mark.parametrize("compound", [
         # non-text must
         {"must": [{"equals": {"path": "kind", "value": "infra"}}]},
-        # phrase in should
-        {"should": [{"phrase": {"query": "spark engine", "path": "body"}}]},
         # score boost on a text clause
         {"must": [{"text": {"query": "spark", "path": "body",
                             "score": {"boost": {"value": 2}}}}]},
@@ -1038,7 +1038,26 @@ class TestCompoundCondClauses:
         assert {g["_id"] for g in got} == {1, 4}
         assert all(g["score"] == 1.0 for g in got)
 
-    def test_phrase_in_compound_still_falls_back(self, spark, tmp_path):
+    def test_phrase_in_compound_routes_with_score(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, {
+            "must": [{"phrase": {"query": "spark", "path": "body"}}],
+            "should": [{"text": {"query": "pond", "path": "body"}}],
+        })
+        # phrase constant 1.0 + matched-should BM25 where it hits
+        assert {g["_id"] for g in got} == {1, 3}
+        by = {g["_id"]: g["score"] for g in got}
+        assert by[1] == 1.0 and by[3] > 1.0  # doc 3 also hits "pond"
+
+    def test_phrase_in_should_and_mustnot(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, {
+            "should": [{"phrase": {"query": "spark", "path": "body"}},
+                       {"text": {"query": "duck", "path": "body"}}],
+            "mustNot": [{"phrase": {"query": "plain text", "path": "body"}}],
+        })
+        assert {g["_id"] for g in got} == {1, 2, 3}
+
+    def test_phrase_with_boost_still_falls_back(self, spark, tmp_path):
         self._run(spark, tmp_path, {
-            "must": [{"phrase": {"query": "spark engine", "path": "body"}}],
+            "must": [{"phrase": {"query": "spark engine", "path": "body",
+                                 "score": {"boost": {"value": 2}}}}],
         }, expect_routed=False)

@@ -756,18 +756,37 @@ class MongoFrame:
         self._routed_base_path = "vector_index"
         return cand.drop("__cell")
 
+    @staticmethod
+    def _parse_score_mod(opspec):
+        """Atlas ``score`` option -> ("boost", v) / ("constant", v) /
+        None, or the string "unsupported" for shapes needing the
+        interpreter (boost-by-path, function scores)."""
+        mod = opspec.get("score")
+        if mod is None:
+            return None
+        if isinstance(mod, dict) and len(mod) == 1:
+            (kind, body), = mod.items()
+            if kind in ("boost", "constant") and isinstance(body, dict) \
+                    and set(body) == {"value"} \
+                    and isinstance(body["value"], (int, float)) \
+                    and not isinstance(body["value"], bool):
+                return (kind, float(body["value"]))
+        return "unsupported"
+
     def _parse_text_clause(self, opspec, fm):
         """Validate one ``text`` clause: ASCII query with tokens, string
-        (or array-of-string) schema paths. Returns (fspecs, terms) or
-        None when the clause needs the interpreter."""
+        (or array-of-string) schema paths, optional boost/constant score
+        modifier. Returns (fspecs, terms, score_mod) or None when the
+        clause needs the interpreter."""
         from duckdb_mongo_spark.mql.search import _analyze
         from duckdb_mongo_spark.schema.types import is_list
 
         if not isinstance(opspec, dict) or "query" not in opspec \
                 or "path" not in opspec:
             return None
-        if "score" in opspec:
-            return None  # boost shapes — interpreter semantics
+        mod = self._parse_score_mod(opspec)
+        if mod == "unsupported":
+            return None
         q = opspec["query"]
         qstrings = [q] if isinstance(q, str) else list(q)
         if any(isinstance(s, str) and not s.isascii() for s in qstrings):
@@ -790,7 +809,7 @@ class MongoFrame:
                     is_list(fs.type) and fs.type[1] == "VARCHAR")):
                 return None  # non-string path — interpreter semantics
             fspecs.append(fs)
-        return fspecs, terms
+        return fspecs, terms, mod
 
     def _search_filter_cond(self, clause, fm):
         """Translate a compound ``filter``/``mustNot`` clause
@@ -1003,9 +1022,12 @@ class MongoFrame:
         from duckdb_mongo_spark.schema.types import is_list
 
         if not isinstance(opspec, dict) or "query" not in opspec \
-                or "path" not in opspec or "score" in opspec:
+                or "path" not in opspec:
             return None
-        if set(opspec) - {"query", "path", "slop"}:
+        if set(opspec) - {"query", "path", "slop", "score"}:
+            return None
+        mod = self._parse_score_mod(opspec)
+        if mod == "unsupported":
             return None
         q = opspec["query"]
         qstrings = [q] if isinstance(q, str) else list(q)
@@ -1023,7 +1045,7 @@ class MongoFrame:
                     is_list(fs.type) and fs.type[1] == "VARCHAR")):
                 return None
             fspecs.append(fs)
-        return fspecs, phrases, slop
+        return fspecs, phrases, slop, mod
 
     def _iter_phrase_clauses(self, parsed):
         """Every phrase clause anywhere in the parsed tree, in a
@@ -1047,7 +1069,7 @@ class MongoFrame:
 
         names = [f"__rt_ph_{i}" for i in range(len(phrase_clauses))]
         specs = [([f"__rt_toks_{fs.name}" for fs in fss], phrases, slop)
-                 for fss, phrases, slop in phrase_clauses]
+                 for fss, phrases, slop, _mod in phrase_clauses]
         out_schema = T.StructType(
             list(toks_df.schema.fields)
             + [T.StructField(n, T.BooleanType()) for n in names])
@@ -1188,18 +1210,29 @@ class MongoFrame:
         (text_must, text_should, cond_filters, mustnot, msm,
          has_must, has_filter, _has_should, _cs) = parsed
 
+        def apply_mod(score, mod):
+            # boost multiplies the matched clause's score, constant
+            # replaces it; matching is decided on the UN-modified base
+            # (the oracle mods only non-None scores)
+            if mod is None:
+                return score
+            kind, v = mod
+            return score * F.lit(v) if kind == "boost" else F.lit(v)
+
         def hit_and_score(kind, payload):
             if kind == "text":
+                fss, terms, mod = payload
                 if clause_score is None:
-                    return self._overlap_cond(*payload), F.lit(0.0)
-                cs = clause_score(*payload)
-                return cs > 0.0, cs
+                    return self._overlap_cond(fss, terms), F.lit(0.0)
+                cs = clause_score(fss, terms)
+                return cs > 0.0, apply_mod(cs, mod)
             if kind == "cond":
                 return payload, F.lit(1.0)
             if kind == "phrase":
                 # match column precomputed by _with_phrase_cols; the
-                # oracle scores every phrase match a constant 1.0
-                return F.col(phrase_cols[id(payload)]), F.lit(1.0)
+                # oracle scores a phrase match 1.0 before modifiers
+                return (F.col(phrase_cols[id(payload)]),
+                        apply_mod(F.lit(1.0), payload[3]))
             return tuple(reversed(self._build_compound(
                 payload, clause_score, phrase_cols)))
 
@@ -1224,7 +1257,7 @@ class MongoFrame:
             cond = cond & c
         for kind, payload in mustnot:
             if kind == "text":
-                cond = cond & ~self._overlap_cond(*payload)
+                cond = cond & ~self._overlap_cond(payload[0], payload[1])
             elif kind == "cond":
                 cond = cond & F.coalesce(~payload, F.lit(True))
             elif kind == "phrase":
@@ -1267,12 +1300,12 @@ class MongoFrame:
         if not all_text and not phrase_clauses:
             return None  # condition-only: nothing to tokenize — interpreter
         fspecs, seen = [], set()
-        for fss, _terms in all_text:
+        for fss, _terms, _mod in all_text:
             for fs in fss:
                 if fs.name not in seen:
                     seen.add(fs.name)
                     fspecs.append(fs)
-        for fss, _phrases, _slop in phrase_clauses:
+        for fss, _phrases, _slop, _mod in phrase_clauses:
             for fs in fss:
                 if fs.name not in seen:
                     seen.add(fs.name)
@@ -1346,34 +1379,16 @@ class MongoFrame:
         distributed, and match-identical to the interpreter by
         construction (same CPython function, same token stream on ASCII
         corpora; the usual non-ASCII detector declines otherwise). All
-        matches score 1.0, so which ``limit`` of >limit matches return
-        is unspecified — the same tie contract as equal BM25 scores."""
-        from duckdb_mongo_spark.mql.search import _analyze
+        matches score 1.0 (times any boost, or a constant replacement),
+        so which ``limit`` of >limit matches return is unspecified — the
+        same tie contract as equal BM25 scores."""
         from duckdb_mongo_spark.schema.types import is_list
 
-        if not isinstance(opspec, dict) or "query" not in opspec \
-                or "path" not in opspec or "score" in opspec:
-            return None
-        extra = set(opspec) - {"query", "path", "slop"}
-        if extra:
-            return None
-        q = opspec["query"]
-        qstrings = [q] if isinstance(q, str) else list(q)
-        if not qstrings or any(not isinstance(s, str) or not s.isascii()
-                               for s in qstrings):
-            return None
-        phrases = [_analyze(s) for s in qstrings]
-        slop = int(opspec.get("slop", 0))
         fm = {f.mongo_path: f for f in coll_schema.fields}
-        p = opspec["path"]
-        paths = [p] if isinstance(p, str) else list(p)
-        fspecs = []
-        for pth in paths:
-            fs = fm.get(pth)
-            if fs is None or (fs.type != "VARCHAR" and not (
-                    is_list(fs.type) and fs.type[1] == "VARCHAR")):
-                return None
-            fspecs.append(fs)
+        pc = self._parse_phrase_clause(opspec, fm)
+        if pc is None:
+            return None
+        fspecs, phrases, slop, mod = pc
         nxt = (self.manual_pipeline[1]
                if len(self.manual_pipeline) > 1 else None)
         if not (isinstance(nxt, dict) and len(nxt) == 1
@@ -1422,9 +1437,14 @@ class MongoFrame:
                         for ph in phrases))
                 yield pdf[mask]
 
+        base_score = F.lit(1.0)
+        if mod is not None:
+            kind, v = mod
+            base_score = F.lit(v) if kind == "constant" \
+                else base_score * F.lit(v)
         scored = (
             toks_df.mapInPandas(kernel, schema=out_schema)
-            .withColumn("__rt_score", F.lit(1.0))
+            .withColumn("__rt_score", base_score)
             .limit(limit)
             .drop(*tok_names)
         )
@@ -1485,12 +1505,12 @@ class MongoFrame:
                 return None
         fspecs = []
         seen_paths = set()
-        for fss, _terms in all_text:
+        for fss, _terms, _mod in all_text:
             for fs in fss:
                 if fs.name not in seen_paths:
                     seen_paths.add(fs.name)
                     fspecs.append(fs)
-        for fss, _phrases, _slop in phrase_clauses:
+        for fss, _phrases, _slop, _mod in phrase_clauses:
             for fs in fss:
                 if fs.name not in seen_paths:
                     seen_paths.add(fs.name)
@@ -1498,7 +1518,7 @@ class MongoFrame:
         # (path, term) pairs that need document frequencies
         df_pairs = []
         seen_pairs = set()
-        for fss, terms in all_text:
+        for fss, terms, _mod in all_text:
             for fs in fss:
                 for t in dict.fromkeys(terms):
                     if (fs.name, t) not in seen_pairs:

@@ -193,9 +193,31 @@ def _clauses(spec, key) -> list[dict]:
     return [cl] if isinstance(cl, dict) else list(cl)
 
 
+def _apply_score_mod(base, spec):
+    """Atlas ``score`` option on an operator: ``boost.value`` multiplies
+    the clause score, ``constant.value`` replaces it (match unchanged).
+    ``boost.path`` (boost-by-field) and ``function`` shapes need index
+    metadata and raise loudly rather than silently mis-scoring."""
+    mod = spec.get("score") if isinstance(spec, dict) else None
+    if base is None or mod is None:
+        return base
+    if not isinstance(mod, dict) or len(mod) != 1:
+        raise ValueError(f"$search: unsupported score option {mod!r}")
+    (kind, body), = mod.items()
+    if kind == "boost" and isinstance(body, dict) and set(body) == {"value"}:
+        return base * float(body["value"])
+    if kind == "constant" and isinstance(body, dict) \
+            and set(body) == {"value"}:
+        return float(body["value"])
+    raise ValueError(f"$search: unsupported score option {mod!r}")
+
+
 def _eval_clause(clause: dict, corpus_cache, docs, i: int):
     (op, spec), = clause.items()
-    return _eval_operator(op, spec, corpus_cache, docs, i)
+    base = _eval_operator(op, spec, corpus_cache, docs, i)
+    if op == "compound":
+        return base  # score options attach to operators, not compound
+    return _apply_score_mod(base, spec)
 
 
 def _eval_compound(spec, corpus_cache, docs, i: int):
@@ -243,6 +265,8 @@ def search_stage(docs, spec, meta_key: str) -> list[dict]:
     scored = []
     for i in range(len(docs)):
         s = _eval_operator(op, opspec, corpus_cache, docs, i)
+        if op != "compound":
+            s = _apply_score_mod(s, opspec)
         if s is not None:
             scored.append((s, i))
     scored.sort(key=lambda t: (-t[0], t[1]))

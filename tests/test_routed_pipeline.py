@@ -610,9 +610,6 @@ class TestCompoundSearchRouting:
     @pytest.mark.parametrize("compound", [
         # non-text must
         {"must": [{"equals": {"path": "kind", "value": "infra"}}]},
-        # score boost on a text clause
-        {"must": [{"text": {"query": "spark", "path": "body",
-                            "score": {"boost": {"value": 2}}}}]},
         # filter on an unknown field
         {"must": [{"text": {"query": "spark", "path": "body"}}],
          "filter": [{"range": {"path": "nope", "gte": 1}}]},
@@ -959,13 +956,24 @@ class TestPhraseAndCondOpRouting:
         assert {g["_id"] for g in got} == {1, 2, 3, 4, 5}
 
     @pytest.mark.parametrize("search", [
-        {"phrase": {"query": "quick brown", "path": "body",
-                    "score": {"boost": {"value": 2}}}},
         {"phrase": {"query": "çabuk tilki", "path": "body"}},  # non-ASCII
         {"equals": {"path": "year", "value": "not-a-year"}},   # type clash
     ])
     def test_outside_subset_falls_back(self, spark, tmp_path, search):
         self._run(spark, tmp_path, search, expect_routed=False)
+
+    def test_unsupported_score_shape_fails_loudly(self, spark, tmp_path):
+        # boost-by-path / function scores need index metadata: both the
+        # routed path (declines) and the interpreter (raises) refuse to
+        # silently mis-score
+        be = self._backend(tmp_path)
+        pipe = [{"$search": {"phrase": {
+                    "query": "quick brown", "path": "body",
+                    "score": {"function": {"log": {}}}}}},
+                {"$limit": 5}]
+        with pytest.raises(ValueError, match="unsupported score option"):
+            mongo_scan(spark, be, "main", "posts",
+                       pipeline=pipe).df().collect()
 
     def test_phrase_no_limit_falls_back(self, spark, tmp_path):
         pipe = [{"$search": {"phrase": {"query": "quick brown",
@@ -1056,8 +1064,29 @@ class TestCompoundCondClauses:
         })
         assert {g["_id"] for g in got} == {1, 2, 3}
 
-    def test_phrase_with_boost_still_falls_back(self, spark, tmp_path):
-        self._run(spark, tmp_path, {
+    def test_score_modifiers_route(self, spark, tmp_path):
+        # r7: boost multiplies, constant replaces — both in the oracle
+        # and the routed builder
+        got = self._run(spark, tmp_path, {
             "must": [{"phrase": {"query": "spark engine", "path": "body",
-                                 "score": {"boost": {"value": 2}}}}],
-        }, expect_routed=False)
+                                 "score": {"boost": {"value": 2.5}}}}],
+        })
+        assert [(g["_id"], g["score"]) for g in got] == [(1, 2.5)]
+        got = self._run(spark, tmp_path, {
+            "should": [{"text": {"query": "spark", "path": "body",
+                                 "score": {"constant": {"value": 7.0}}}},
+                       {"equals": {"path": "year", "value": 2018}}],
+            "minimumShouldMatch": 1,
+        })
+        by = {g["_id"]: g["score"] for g in got}
+        assert by[1] == by[3] == 7.0  # constant replaces BM25
+        assert by[2] == 1.0           # equals clause alone
+
+    def test_boosted_top_level_text_routes(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, {
+            "must": [{"text": {"query": "spark", "path": "body",
+                               "score": {"boost": {"value": 3}}}}],
+        })
+        # 3x the unboosted BM25, still bit-identical to the oracle
+        # (parity asserted in _run); every score strictly positive
+        assert all(g["score"] > 0 for g in got)

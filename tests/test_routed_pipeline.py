@@ -1090,3 +1090,49 @@ class TestCompoundCondClauses:
         # 3x the unboosted BM25, still bit-identical to the oracle
         # (parity asserted in _run); every score strictly positive
         assert all(g["score"] > 0 for g in got)
+
+
+class TestRoutedPathsOnEmptyCollection:
+    """Driver-smoke insurance: every routed path degrades cleanly on an
+    empty collection (schema-only parquet), matching the interpreter."""
+
+    def _backend(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({"_id": pa.array([], pa.int64()),
+                      "body": pa.array([], pa.string()),
+                      "year": pa.array([], pa.int64()),
+                      "emb": pa.array([], pa.list_(pa.float64())),
+                      "pos": pa.array([], pa.list_(pa.float64()))}),
+            str(tmp_path / "empty.parquet"))
+        return ParquetBackend(str(tmp_path), db_name="main")
+
+    @pytest.mark.parametrize("pipe", [
+        [{"$search": {"text": {"query": "spark", "path": "body"}}},
+         {"$limit": 5}],
+        [{"$search": {"phrase": {"query": "spark engine", "path": "body"}}},
+         {"$limit": 5}],
+        [{"$search": {"range": {"path": "year", "gte": 1}}}, {"$limit": 5}],
+        [{"$vectorSearch": {"index": "i", "path": "emb",
+                            "queryVector": [1.0, 0.0],
+                            "numCandidates": 10, "limit": 5}}],
+        [{"$geoNear": {"near": [0.0, 0.0], "distanceField": "d",
+                       "key": "pos"}}, {"$limit": 5}],
+    ])
+    def test_empty_yields_empty(self, spark, tmp_path, pipe):
+        be = self._backend(tmp_path)
+        mf = mongo_scan(spark, be, "main", "empty", pipeline=pipe)
+        assert mf.df().collect() == []
+        assert _interpreter_rows(be, "main", "empty", pipe) == []
+
+    def test_search_meta_on_empty(self, spark, tmp_path):
+        be = self._backend(tmp_path)
+        pipe = [{"$searchMeta": {"text": {"query": "spark",
+                                          "path": "body"}}}]
+        mf = mongo_scan(spark, be, "main", "empty", pipeline=pipe)
+        got = [r.asDict(recursive=True) for r in mf.df().collect()]
+        exp = _interpreter_rows(be, "main", "empty", pipe)
+        assert exp == [{"count": {"total": 0}}]
+        assert len(got) == 1 and got[0]["count_total"] == 0

@@ -1,0 +1,119 @@
+"""Property test: random $search compound trees — text/phrase/condition
+clauses, score modifiers, nesting — produce BIT-IDENTICAL (id, score)
+sets through the routed distributed path and the single-stream
+interpreter oracle. Ties (equal scores) have unspecified order on both
+sides, so the compare is score-sorted."""
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from duckdb_mongo_spark.backends import ParquetBackend
+from duckdb_mongo_spark.mql.interpreter import run_pipeline
+from duckdb_mongo_spark.scan import mongo_scan
+
+DOCS = [
+    {"_id": 1, "body": "spark engine fast data", "title": "spark intro",
+     "year": 2020, "tag": "a"},
+    {"_id": 2, "body": "the duck swims in a pond", "title": "nature duck",
+     "year": 2018, "tag": "b"},
+    {"_id": 3, "body": "spark and ducks share a pond", "title": "mixed",
+     "year": 2021, "tag": "a"},
+    {"_id": 4, "body": "fast rice cooking engine", "title": "kitchen",
+     "year": 2019, "tag": "c"},
+    {"_id": 5, "body": "spark spark engine spark", "title": "spark spark",
+     "year": 2022, "tag": "b"},
+    {"_id": 6, "body": None, "title": "empty body", "year": None,
+     "tag": "a"},
+    {"_id": 7, "body": "pond pond pond duck", "title": None, "year": 2020,
+     "tag": None},
+]
+
+_WORDS = ["spark", "engine", "duck", "pond", "fast", "rice", "nothing"]
+_PATHS = st.sampled_from(["body", "title", ["body", "title"]])
+_MOD = st.one_of(
+    st.none(),
+    st.builds(lambda v: {"boost": {"value": v}},
+              st.sampled_from([0.5, 2, 3.0])),
+    st.builds(lambda v: {"constant": {"value": v}},
+              st.sampled_from([4.0, 0.25])),
+)
+
+
+def _with_mod(spec, mod):
+    if mod is not None:
+        spec["score"] = mod
+    return spec
+
+
+_text = st.builds(
+    lambda words, path, mod: {"text": _with_mod(
+        {"query": " ".join(words), "path": path}, mod)},
+    st.lists(st.sampled_from(_WORDS), min_size=1, max_size=3),
+    _PATHS, _MOD)
+_phrase = st.builds(
+    lambda words, path, slop, mod: {"phrase": _with_mod(
+        {"query": " ".join(words), "path": path, "slop": slop}, mod)},
+    st.lists(st.sampled_from(_WORDS), min_size=2, max_size=2),
+    _PATHS, st.sampled_from([0, 1, 2]), _MOD)
+_cond = st.one_of(
+    st.builds(lambda v: {"equals": {"path": "tag", "value": v}},
+              st.sampled_from(["a", "b", "zz"])),
+    st.builds(lambda lo: {"range": {"path": "year", "gte": lo}},
+              st.sampled_from([2019, 2021])),
+    st.builds(lambda vs: {"in": {"path": "year", "value": vs}},
+              st.lists(st.sampled_from([2018, 2020, 2022]),
+                       min_size=1, max_size=2)),
+    st.just({"exists": {"path": "year"}}),
+)
+_clause = st.one_of(_text, _phrase, _cond)
+
+
+def _compound(depth):
+    inner = _clause if depth == 0 else st.one_of(
+        _clause, st.builds(lambda c: {"compound": c}, _compound(depth - 1)))
+    return st.builds(
+        lambda must, should, mustnot, flt, msm: {
+            k: v for k, v in (
+                ("must", must), ("should", should),
+                ("mustNot", mustnot), ("filter", flt),
+                ("minimumShouldMatch", msm if should else 0),
+            ) if v
+        },
+        st.lists(inner, max_size=2),
+        st.lists(inner, max_size=2),
+        st.lists(inner, max_size=1),
+        st.lists(_cond, max_size=1),
+        st.sampled_from([0, 1, 2]),
+    )
+
+
+@pytest.fixture(scope="module")
+def search_backend(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = tmp_path_factory.mktemp("searchprop")
+    pq.write_table(
+        pa.table({k: [d[k] for d in DOCS]
+                  for k in ("_id", "body", "title", "year", "tag")}),
+        str(tmp / "posts.parquet"))
+    return ParquetBackend(str(tmp), db_name="main")
+
+
+class TestRandomCompoundParity:
+    @settings(max_examples=30, deadline=None)
+    @given(compound=_compound(1))
+    def test_routed_matches_interpreter(self, spark, search_backend,
+                                        compound):
+        pipe = [{"$search": {"compound": compound}}, {"$limit": 10},
+                {"$addFields": {"score": {"$meta": "searchScore"}}},
+                {"$project": {"_id": 1, "score": 1}}]
+        mf = mongo_scan(spark, search_backend, "main", "posts",
+                        pipeline=pipe)
+        got = sorted((r["_id"], r["score"]) for r in mf.df().collect())
+        docs = [d for d in search_backend.iter_documents("main", "posts")]
+        exp = sorted((d["_id"], d["score"])
+                     for d in run_pipeline(docs, pipe))
+        assert got == exp, (compound, mf.last_exec_path)

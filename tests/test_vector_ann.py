@@ -340,3 +340,45 @@ class TestFilterTranslator:
         cols = {"_id": FS("_id", "BIGINT"), "n": FS("n", "BIGINT"),
                 "s": FS("s", "VARCHAR")}
         assert VI.translate_match_filter(flt, cols) is None
+
+
+@pytest.fixture(scope="module")
+def ann_prop_corpus(tmp_path_factory):
+    # one shared corpus: the first query builds the IVF index, every
+    # following property example reuses the cache (same fingerprint)
+    tmp = tmp_path_factory.mktemp("annprop")
+    return _write_clustered(tmp, n=1200, d=24, n_clusters=8, seed=19)
+
+
+class TestAnnProperties:
+    """Property sweep over (query, numCandidates, filter): the routed
+    ANN path must always return true Atlas scores for docs that satisfy
+    the filter, in descending order, and degenerate to the exact result
+    when numCandidates covers the corpus."""
+
+    def test_random_queries_and_filters(self, spark, ann_prop_corpus):
+        import numpy as np
+
+        be, _ = ann_prop_corpus
+        rng = np.random.default_rng(5)
+        filters = [None, {"label": {"$gte": 3}}, {"label": {"$in": [0, 2, 5]}},
+                   {"label": {"$ne": 1}}, {"label": {"$lt": 6}}]
+        for i in range(10):
+            q = rng.normal(size=24).tolist()
+            nc = int(rng.choice([60, 150, 400, 1200, 2000]))
+            vf = filters[i % len(filters)]
+            sim = ["cosine", "dotProduct", "euclidean"][i % 3]
+            mf = mongo_scan(spark, be, "main", "vecs",
+                            pipeline=_pipe(q, nc=nc, sim=sim, vfilter=vf))
+            got = [r.asDict() for r in mf.df().collect()]
+            truth = _exact_scores(be, "vecs", q, sim=sim, vfilter=vf)
+            assert all(g["_id"] in truth for g in got), (i, nc, vf, sim)
+            assert all(g["score"] == truth[g["_id"]] for g in got), \
+                (i, nc, vf, sim)
+            scores = [g["score"] for g in got]
+            assert scores == sorted(scores, reverse=True), (i, nc, vf, sim)
+            if nc >= 1200:  # covers the corpus: exact by contract
+                exact_top = sorted(truth.items(),
+                                   key=lambda t: (-t[1], t[0]))[:20]
+                assert {g["_id"] for g in got} == \
+                    {d for d, _ in exact_top}, (i, nc, vf, sim)

@@ -382,8 +382,12 @@ def _ratio_stats(sp_samples: dict, dk_samples: dict) -> dict:
     if noisy and dsum > 0 and dtot_all > 0 and dsum >= 0.6 * dtot_all:
         out["vs_duckdb_trimmed"] = round(ssum / dsum, 2)
         out["trimmed_out"] = sorted(noisy)
-    dmin = sum(min(v) for v in dk_samples.values() if v)
-    smin = sum(min(sp_samples[n]) for n in dk_samples if sp_samples.get(n))
+    # Both sums over the SAME key set: summing dmin over all DuckDB keys
+    # but smin only over the intersection would bias the ratio low
+    # whenever the key sets diverge (Spark would look faster for free).
+    floor_keys = [n for n in dk_samples if dk_samples[n] and sp_samples.get(n)]
+    dmin = sum(min(dk_samples[n]) for n in floor_keys)
+    smin = sum(min(sp_samples[n]) for n in floor_keys)
     if dmin > 0 and smin > 0:
         out["vs_duckdb_floor"] = round(smin / dmin, 2)
     return out

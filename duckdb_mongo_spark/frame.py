@@ -833,8 +833,13 @@ class MongoFrame:
                 return None
             # dense backends emit every schema field on every document
             # (present-with-null), so `exists` is True for all rows —
-            # exactly what the oracle sees through iter_documents
-            return F.lit(True) if dense else F.col(fs.name).isNotNull()
+            # exactly what the oracle sees through iter_documents. On
+            # SPARSE backends a flattened null is ambiguous between
+            # "absent" and "present with explicit null": isNotNull()
+            # would call the latter absent while the oracle's get_path
+            # matches it, a silent divergence — decline and let the
+            # interpreter decide per-document.
+            return F.lit(True) if dense else None
         if fs is None or is_list(fs.type) or not isinstance(fs.type, str):
             return None
         col = F.col(fs.name)

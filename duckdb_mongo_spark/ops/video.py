@@ -547,8 +547,11 @@ def video_frame_features(df: "DataFrame",
                 for n in names:
                     if n not in FRAME_FEATURES_SCHEMA.fieldNames():
                         rows[n].append(r[n])
-                payload = bytes(r[frame_col])
                 try:
+                    # bytes() stays inside the try: a null payload is a
+                    # "not decodable" row under the contract, not a task
+                    # failure (None -> TypeError is caught here).
+                    payload = bytes(r[frame_col])
                     if payload[:2] == b"\xff\xd8":  # JPEG SOI (MJPEG-in-MP4)
                         arr = _djpeg(payload)
                         if arr.ndim == 2:

@@ -1036,6 +1036,39 @@ class TestCompoundCondClauses:
         })
         assert {g["_id"] for g in got} == {1, 3}
 
+    def test_exists_on_sparse_backend_falls_back(self, spark, tmp_path):
+        # jsonl is sparse: a flattened null is ambiguous between
+        # "absent" and "present with explicit null", so routed `exists`
+        # can't reproduce the oracle's get_path semantics from the
+        # column alone — it must decline (r8 ADVICE fix; previously
+        # isNotNull() silently excluded explicit-null fields)
+        import json
+
+        from duckdb_mongo_spark.backends import JsonlBackend
+
+        docs = [
+            {"_id": 1, "body": "spark engine", "year": 2020},
+            {"_id": 2, "body": "spark pond", "year": None},  # explicit null
+            {"_id": 3, "body": "spark swims"},               # truly absent
+        ]
+        (tmp_path / "main").mkdir()
+        with open(tmp_path / "main" / "posts.jsonl", "w") as f:
+            for d in docs:
+                f.write(json.dumps(d) + "\n")
+        be = JsonlBackend(str(tmp_path))
+        pipe = [{"$search": {"compound": {
+                    "must": [{"text": {"query": "spark", "path": "body"}},
+                             {"exists": {"path": "year"}}]}}},
+                {"$limit": 10}]
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        got = [r.asDict() for r in mf.df().collect()]
+        assert mf.last_exec_path != "routed:search_text"
+        exp = _interpreter_rows(be, "main", "posts", pipe)
+        # oracle: doc 2's explicit-null year EXISTS (get_path != MISSING)
+        # — the old isNotNull() routing would have dropped it
+        assert sorted(g["_id"] for g in got) == \
+            sorted(e["_id"] for e in exp) == [1, 2]
+
     def test_exists_must_on_dense_backend(self, spark, tmp_path):
         got = self._run(spark, tmp_path, {
             "must": [{"exists": {"path": "year"}}],

@@ -692,16 +692,26 @@ class MongoFrame:
         - ``numCandidates >= corpus`` (metadata fast-count, or the
           index's own count): ANN degenerates to exact — bit-identical
           results, no index consulted;
-        - the pre-filter is outside the translatable subset: the exact
-          path pushes it into the scan with full MQL semantics;
-        - probing would touch every cell: pruning buys nothing.
+        - no stable ``_id`` to round-trip candidates through the scan
+          (Atlas requires ``_id`` for the same reason);
+        - probing would touch every cell, or the candidate id set
+          outgrows ``SPARK_GRAFT_ANN_FETCH_MAX``: pruning buys nothing.
 
-        Otherwise returns the probed cells of the cached IVF index
-        (filter applied to candidates — Atlas pre-filter semantics),
-        with a PQ-ADC preselect down to ``numCandidates`` ids when the
-        codes sidecar exists and the probe overshoots by
-        ``SPARK_GRAFT_ANN_ADC_FACTOR``x. Sets ``self._routed_ann`` with
-        probe diagnostics (tests assert the pruned plan through it)."""
+        Otherwise probes the durable IVF(-PQ) sidecar
+        (``ops/vector_index.py``): the probed cells' ids — after a
+        PQ-ADC preselect down to ``numCandidates`` when the code column
+        exists and the probe overshoots by SPARK_GRAFT_ANN_ADC_FACTORx —
+        are pushed back into the BACKEND scan as an ``_id $in`` filter
+        (row-group-pruned locally, the _id index on a real server). The
+        pre-filter rides the same scan with FULL MQL semantics (any
+        filter shape routes — r8; the translated-subset gate is gone),
+        and when it leaves fewer than ``numCandidates`` survivors the
+        probe widens adaptively (Atlas filters during index traversal,
+        so its recall doesn't degrade with filter selectivity; neither
+        does ours). Sets ``self._routed_ann`` with probe diagnostics
+        (tests assert the pruned plan through it)."""
+        import math as _math
+
         from duckdb_mongo_spark.ops import vector_index as VI
 
         try:
@@ -713,12 +723,6 @@ class MongoFrame:
         family = "l2" if similarity == "euclidean" else "cos"
         if family == "cos" and not any(float(x) != 0.0 for x in qv):
             return None  # zero query vector: cosine is a constant — exact
-        fcol = None
-        if vfilter is not None:
-            fields_by_path = {f.mongo_path: f for f in coll_schema.fields}
-            fcol = VI.translate_match_filter(vfilter, fields_by_path)
-            if fcol is None:
-                return None
         idx = VI.cached_index(
             self.backend, self.db, self.coll, fspec.mongo_path, d, family)
         if idx is None:
@@ -733,28 +737,58 @@ class MongoFrame:
             idx = VI.get_collection_vector_index(
                 self.backend, self.db, self.coll, bdf, fspec.name,
                 fspec.mongo_path, d, id_name, family=family)
+            if idx is None:
+                return None
         if nc >= idx.corpus_n:
             return None
-        cells, est_probed = VI.probe_cells(idx, qv, nc)
-        if cells is None:
-            return None
-        cand = idx.assigned.where(F.col("__cell").isin(cells))
-        ann = {"cells": len(cells), "n_cells": len(idx.centroids),
-               "est_probed": est_probed, "corpus_n": idx.corpus_n,
-               "adc": False}
-        if fcol is not None:
-            # Atlas pre-filter: restrict candidates BEFORE the top-k cut
-            cand = cand.where(fcol)
-        elif idx.codes is not None and est_probed >= VI._adc_factor() * nc:
-            pks = VI.adc_preselect(idx, cells, qv, similarity, nc)
-            if pks is not None:
-                cand = cand.join(
-                    F.broadcast(pks),
-                    F.col(idx.id_name) == F.col("__pk")).drop("__pk")
-                ann["adc"] = True
-        self._routed_ann = ann
+        fetch_max = VI._fetch_max()
+        target = nc
+        reprobes = 0
+        while True:
+            cells, probed = VI.probe_cells(idx, qv, target)
+            if cells is None:
+                return None  # probe covers the corpus — exact scan wins
+            use_adc = (vfilter is None and idx.has_codes
+                       and probed >= VI._adc_factor() * nc)
+            if use_adc:
+                pkdf = VI.adc_preselect(idx, cells, qv, similarity, nc)
+                id_bound = nc + idx.zero_n
+            else:
+                pkdf = VI.candidate_pks(idx, cells)
+                id_bound = int(probed)
+            if id_bound > fetch_max:
+                return None  # id-list push would cost more than it prunes
+            ids = [r[0] for r in pkdf.collect()]  # bounded: <= fetch_max
+            if not ids:
+                return None
+            mfilter = {"_id": {"$in": ids}}
+            if vfilter is not None:
+                mfilter = {"$and": [mfilter, vfilter]}
+            base = MongoFrame(
+                spark=self.spark, backend=self.backend, db=self.db,
+                coll=self.coll, schema=coll_schema,
+                schema_mode=self.schema_mode,
+                num_partitions=self.num_partitions, manual_filter=mfilter,
+                direct=self.direct,
+            )
+            cand = base.df()
+            if vfilter is None or probed >= idx.corpus_n or reprobes >= 3:
+                break
+            eff = cand.count()  # one job over the id-pruned scan
+            if eff >= nc:
+                break
+            reprobes += 1
+            sel = max(eff, 1) / max(probed, 1.0)
+            target = max(int(probed * 2),
+                         int(_math.ceil(nc / sel * 1.25)))
+        n_real = len([c for c in cells if c >= 0])
+        self._routed_ann = {
+            "cells": n_real, "n_cells": len(idx.centroids),
+            "est_probed": probed, "corpus_n": idx.corpus_n,
+            "adc": use_adc, "reprobes": reprobes, "pushed_ids": len(ids),
+        }
         self._routed_base_path = "vector_index"
-        return cand.drop("__cell")
+        return cand
 
     @staticmethod
     def _parse_score_mod(opspec):

@@ -1,4 +1,5 @@
-"""Per-collection IVF(-PQ) vector index for approximate ``$vectorSearch``.
+"""Durable per-collection IVF(-PQ) vector index for approximate
+``$vectorSearch``.
 
 Atlas ``$vectorSearch`` is ANN by contract — ``numCandidates`` < corpus
 means the server consults an index and considers only a candidate
@@ -6,43 +7,63 @@ subset. The reference ships the stage verbatim to the server
 (/root/reference/src/mongo_table_function.cpp); on local backends this
 module supplies the index the server would have had:
 
-- **Coarse quantizer** (the ``ivf_index`` stance, ``ops/similarity.py``):
-  seeded KMeans fit on a bounded deterministic sample, then ONE
-  distributed assignment pass adds a ``__cell`` column. The assigned
-  DataFrame is persisted (MEMORY_AND_DISK) and cached per
-  (backend, db, coll, path, dim, data-fingerprint) — queries after the
-  first touch only their probed cells. At 100 TB the persisted frame is
-  the in-session analog of a written index sidecar table; the build is
-  one pass, the same cost contract as building any secondary index.
-- **PQ codes sidecar** (``pq_train``/``pq_encode`` reuse): for
-  high-dimension vectors (>= SPARK_GRAFT_PQ_MIN_DIM, default 128) a
-  narrow (id, __cell, code m-bytes, __norm) table is built alongside.
-  Query-time ADC preselect scans only this sidecar for the probed
-  cells, takes the top ``numCandidates`` ids, and broadcast-joins the
-  (<= 10k by Atlas contract) winners back to full rows. For small
-  dimensions the JVM exact scorer is cheaper than an Arrow round-trip,
-  so the sidecar is skipped — measured stance, not a guess: ADC costs
-  m byte-gathers/row in Python vs d fused multiplies/row in whole-stage
-  codegen, and the break-even is well above d=64.
+- **Durable postings sidecar** (r8): the index is a NARROW parquet
+  table ``(__pk, __cell, __norm[, code])`` written once per
+  (collection-fingerprint, path, dim, metric-family) under
+  ``SPARK_GRAFT_INDEX_DIR``, range-partitioned and sorted by ``__cell``
+  so a probe's ``__cell IN (...)`` filter prunes files and row groups
+  at the scan. A fresh session LOADS the sidecar by fingerprint instead
+  of rebuilding (``load_count`` vs ``build_count``), and nothing keeps
+  a second full-row copy of the collection in memory — the 100 TB
+  design is the local design: the index is data layout, not cache.
+- **Coarse quantizer**: seeded KMeans fit on a bounded deterministic
+  sample, one distributed assignment pass. Cell sizes in the sidecar
+  metadata are EXACT (counted from the written postings, k rows), so
+  probe breadth arithmetic is not an estimate.
+- **Zero-norm pseudo-cell** (cos family): zero vectors score a
+  CONSTANT 0.5 under Atlas cosine, which outranks every negatively
+  similar doc — excluding them from the index would make them
+  unreachable for any ``numCandidates`` < corpus. They are stored
+  under ``__cell = -1`` and that pseudo-cell is probed on EVERY
+  cos-family query, so they compete in the exact re-rank like any
+  candidate.
+- **PQ codes sidecar column** (``pq_train``/``pq_encode`` reuse): for
+  high-dimension vectors (>= SPARK_GRAFT_PQ_MIN_DIM, default 128) the
+  postings carry an m-byte PQ code. Query-time ADC preselect scans
+  only the probed cells of the narrow sidecar and keeps the top
+  ``numCandidates`` ids; the (<= 10k by Atlas contract) winners are
+  pushed back into the BACKEND scan as an ``_id $in`` filter —
+  pyarrow row-group pruning locally, the server's _id index against a
+  real mongod. For small dimensions the JVM exact scorer is cheaper
+  than an Arrow round-trip, so the code column is skipped.
 - **Exact re-rank**: candidates are always re-scored with the SAME JVM
   score expression as the exact path, so ``{$meta: "vectorSearchScore"}``
   is the true Atlas score formula — approximation only decides WHICH
   rows are considered, never what a score means.
 
-Recall contract: probing accumulates estimated cell sizes (KMeans
-sample cluster sizes scaled to the corpus) until >= numCandidates, so
-recall rises monotonically with numCandidates, reaching exactness when
-numCandidates >= corpus (the frame layer short-circuits that case to
-the exact scorer before any index is built or consulted).
+Recall contract: probing accumulates exact cell sizes until
+>= numCandidates, so recall rises monotonically with numCandidates,
+reaching exactness when numCandidates >= corpus (the frame layer
+short-circuits that case to the exact scanner before any index is
+consulted). Under a selective pre-filter the frame layer re-probes
+adaptively (frame._try_ann_candidates) until the FILTERED candidate
+count reaches numCandidates — Atlas filters during index traversal, so
+its recall does not degrade with filter selectivity; neither does ours.
 """
 from __future__ import annotations
 
+import hashlib
+import json
 import math
 import os
+import tempfile
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_META_VERSION = 2
+
 
 def _fit_sample() -> int:
     return int(os.environ.get("SPARK_GRAFT_IVF_FIT_SAMPLE", "100000"))
@@ -55,23 +76,46 @@ def _pq_min_dim() -> int:
 def _adc_factor() -> float:
     return float(os.environ.get("SPARK_GRAFT_ANN_ADC_FACTOR", "4"))
 
+
+def _index_root() -> str:
+    return os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR",
+        os.path.join(tempfile.gettempdir(), "spark_graft_vector_index"))
+
+
+def _fetch_max() -> int:
+    """Largest candidate-id set the frame layer will collect and push
+    into the backend scan as an ``$in``. Beyond it the pruning value of
+    ANN is gone relative to the plan-string/driver cost of the id list,
+    so the caller degrades to the exact scan (loud in the diagnostics).
+    With PQ-ADC active the id set is <= numCandidates <= 10k (Atlas
+    contract), far under this bound."""
+    return int(os.environ.get("SPARK_GRAFT_ANN_FETCH_MAX", "200000"))
+
+
 _CACHE: dict = {}
-build_count = 0  # test introspection: how many indexes were built
+build_count = 0  # test introspection: how many indexes were BUILT
+load_count = 0   # ... and how many were loaded from a durable sidecar
 
 
 @dataclass
 class CollectionVectorIndex:
     centroids: object          # np.ndarray (k, d)
-    est_sizes: object          # np.ndarray (k,) corpus-scaled cell sizes
-    corpus_n: int              # valid vectors in the collection
-    assigned: DataFrame        # persisted: base columns + __cell
+    cell_sizes: object         # np.ndarray (k,) EXACT per-cell row counts
+    corpus_n: int              # valid vectors in the collection (incl zero)
+    zero_n: int                # zero-norm rows in the cos pseudo-cell
+    postings: DataFrame        # lazy sidecar scan: __pk, __cell, __norm[, code]
     vec_name: str
     d: int
-    id_name: str | None
+    id_name: str
     family: str = "cos"        # "cos": spherical cells; "l2": raw cells
-    codes: DataFrame | None = None   # persisted sidecar: id, __cell, code, __norm
     codebooks: list | None = None
+    sidecar: str | None = None  # directory the index was written/loaded from
     extra: dict = field(default_factory=dict)
+
+    @property
+    def has_codes(self) -> bool:
+        return self.codebooks is not None
 
 
 def _cache_key(backend, db, coll, mongo_path, d, family):
@@ -86,6 +130,12 @@ def _cache_key(backend, db, coll, mongo_path, d, family):
     return (type(backend).__name__, ident, db, coll, mongo_path, d, family)
 
 
+def _sidecar_dir(key) -> str:
+    return os.path.join(
+        _index_root(),
+        hashlib.sha1(repr(key).encode()).hexdigest()[:24])
+
+
 def cached_index(backend, db, coll, mongo_path, d, family):
     """Cache peek — lets callers skip building the base scan frame when
     the index already exists (fingerprint re-checked, so stale file
@@ -94,18 +144,33 @@ def cached_index(backend, db, coll, mongo_path, d, family):
 
 
 def clear_vector_index_cache() -> int:
-    """Drop every cached collection index (unpersisting its frames).
-    Wired into ``catalog.clear_cache()`` — the reference's all-or-nothing
-    invalidation stance (src/mongo_clear_cache.cpp)."""
+    """Drop every in-memory index handle. Wired into
+    ``catalog.clear_cache()`` — the reference's all-or-nothing metadata
+    invalidation stance (src/mongo_clear_cache.cpp). Durable sidecars
+    stay on disk (an index is data, not cache): the next query reloads
+    by fingerprint without rebuilding. ``drop_vector_index_sidecars``
+    deletes the disk side too."""
     n = len(_CACHE)
-    for idx in _CACHE.values():
-        for df in (idx.assigned, idx.codes):
-            if df is not None:
-                try:
-                    df.unpersist()
-                except Exception:
-                    pass
     _CACHE.clear()
+    return n
+
+
+def drop_vector_index_sidecars() -> int:
+    """Delete every durable sidecar under the index root (and the
+    in-memory handles pointing at them). Returns the number of sidecar
+    directories removed. The explicit "drop index" verb — fingerprint
+    rotation already orphans stale sidecars, this reclaims them."""
+    import shutil
+
+    root = _index_root()
+    n = 0
+    if os.path.isdir(root):
+        for name in os.listdir(root):
+            p = os.path.join(root, name)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+                n += 1
+    clear_vector_index_cache()
     return n
 
 
@@ -122,54 +187,97 @@ def _valid_vectors(bdf: DataFrame, vec_name: str, d: int):
     )
 
 
+def _load_sidecar(spark, key, sdir) -> "CollectionVectorIndex | None":
+    """Load a committed sidecar (meta.json present = commit marker).
+    Version/shape mismatches read as a miss, never an error."""
+    global load_count
+    import numpy as np
+
+    meta_path = os.path.join(sdir, "meta.json")
+    if not os.path.isfile(meta_path):
+        return None
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("version") != _META_VERSION:
+            return None
+        arrs = np.load(os.path.join(sdir, "arrays.npz"))
+        codebooks = None
+        if meta["n_codebooks"]:
+            codebooks = [arrs[f"cb{i}"] for i in range(meta["n_codebooks"])]
+        postings = spark.read.parquet(os.path.join(sdir, "postings"))
+        idx = CollectionVectorIndex(
+            centroids=arrs["centroids"], cell_sizes=arrs["cell_sizes"],
+            corpus_n=int(meta["corpus_n"]), zero_n=int(meta["zero_n"]),
+            postings=postings, vec_name=meta["vec_name"], d=int(meta["d"]),
+            id_name=meta["id_name"], family=meta["family"],
+            codebooks=codebooks, sidecar=sdir,
+        )
+    except Exception:
+        return None
+    _CACHE[key] = idx
+    load_count += 1
+    return idx
+
+
 def get_collection_vector_index(
     backend, db, coll, bdf: DataFrame, vec_name: str, mongo_path: str,
     d: int, id_name: str | None, family: str = "cos", seed: int = 42,
-) -> CollectionVectorIndex:
-    """Build-or-fetch the IVF(-PQ) index for one collection vector path.
-    ``bdf`` must be the UNFILTERED base scan (query filters are applied
-    to candidates at probe time, never baked into the index).
+) -> "CollectionVectorIndex | None":
+    """Build-load-or-fetch the IVF(-PQ) index for one collection vector
+    path. ``bdf`` must be the UNFILTERED base scan (query filters are
+    applied to candidates at probe time, never baked into the index).
+    Returns None when no index is possible — no stable id column to
+    join candidates back through (Atlas requires ``_id`` for exactly
+    this reason), or no valid vectors to fit.
 
     ``family`` picks the cell geometry: "cos" trains cells on
     NORMALIZED vectors (cosine neighborhoods are L2 neighborhoods on
     the unit sphere, |a-b|^2 = 2 - 2cos — raw-vector cells would group
     by magnitude, not direction), "l2" on raw vectors (euclidean
-    similarity). Zero-norm vectors are excluded from a "cos" index —
-    they score a constant 0.5 under cosine, so recall can only miss
-    ties. dotProduct queries use the "cos" family: cells capture
-    direction and the exact re-rank restores magnitude — extreme norm
-    variance degrades recall, a documented MIPS-on-IVF limitation."""
+    similarity). Zero-norm vectors go to the always-probed ``-1``
+    pseudo-cell of a "cos" index — their constant 0.5 score outranks
+    negatively similar docs, so leaving them out would lose them
+    entirely, not just lose ties. dotProduct queries use the "cos"
+    family: cells capture direction and the exact re-rank restores
+    magnitude — extreme norm variance degrades recall, a documented
+    MIPS-on-IVF limitation."""
     global build_count
     key = _cache_key(backend, db, coll, mongo_path, d, family)
     idx = _CACHE.get(key)
     if idx is not None:
         return idx
+    if id_name is None or id_name not in bdf.columns:
+        return None  # no stable id: candidates can't round-trip the scan
+
+    durable = key[1] is not None and not isinstance(key[1], int)
+    sdir = _sidecar_dir(key)
+    if durable:
+        idx = _load_sidecar(bdf.sparkSession, key, sdir)
+        if idx is not None:
+            return idx
 
     import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
-    from pyspark.storagelevel import StorageLevel
 
     valid = _valid_vectors(bdf, vec_name, d)
     vec = F.col(vec_name).cast("array<double>")
+    nrm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
     if family == "cos":
-        nrm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
-        valid = valid.where(nrm > 0.0)
+        fit_src = valid.where(nrm > 0.0)
         feat_arr = F.transform(vec, lambda x: x / nrm)
     else:
+        fit_src = valid
         feat_arr = vec
-    feat = valid.withColumn("__features", array_to_vector(feat_arr))
-    # bounded deterministic-ish sample (orderBy the id column when the
-    # schema has one — same stance as ivf_index's orderBy(c_id))
-    sample_src = feat.select("__features")
-    if id_name is not None and id_name in bdf.columns:
-        sample_src = (feat.orderBy(id_name).limit(_fit_sample())
-                      .select("__features"))
-    else:
-        sample_src = sample_src.limit(_fit_sample())
+    feat = fit_src.withColumn("__features", array_to_vector(feat_arr))
+    # bounded deterministic sample (orderBy the id column — same stance
+    # as ivf_index's orderBy(c_id))
+    sample_src = (feat.orderBy(id_name).limit(_fit_sample())
+                  .select("__features"))
     n_fit = sample_src.count()
     if n_fit == 0:
-        raise ValueError("vector index: no valid vectors to fit")
+        return None  # nothing to fit (e.g. all-zero cos corpus) — exact path
     k_env = os.environ.get("SPARK_GRAFT_IVF_CENTROIDS")
     k = int(k_env) if k_env else max(1, min(1024, round(math.sqrt(n_fit) * 2)))
     k = min(k, n_fit)
@@ -177,15 +285,13 @@ def get_collection_vector_index(
                    predictionCol="__cell").fit(sample_src)
     centroids = np.asarray([list(c) for c in model.clusterCenters()],
                            dtype=np.float64)
-    fit_sizes = np.asarray(model.summary.clusterSizes, dtype=np.float64)
 
-    assigned = model.transform(feat).drop("__features").persist(
-        StorageLevel.MEMORY_AND_DISK)
-    corpus_n = assigned.count()  # one distributed job; materializes the persist
-    est_sizes = fit_sizes / max(1.0, float(n_fit)) * float(corpus_n)
+    assigned = model.transform(feat).select(
+        F.col(id_name).alias("__pk"), F.col("__cell").cast("int"),
+        nrm.alias("__norm"))
 
-    codes = codebooks = None
-    if d >= _pq_min_dim() and id_name is not None and id_name in bdf.columns:
+    codebooks = None
+    if d >= _pq_min_dim():
         from duckdb_mongo_spark.ops.similarity import pq_encode, pq_train
 
         # ~8 dims per subspace (FAISS-typical granularity): 32 one-byte
@@ -195,29 +301,62 @@ def get_collection_vector_index(
         # distortion stops scaling with vector magnitude spread.
         # dotProduct restores magnitude via the stored __norm.
         m = max(1, min(64, d // 8))
-        code_src = valid
+        code_src = fit_src
         code_vec = vec_name
         if family == "cos":
-            code_src = valid.withColumn("__nvec", feat_arr)
+            code_src = fit_src.withColumn("__nvec", feat_arr)
             code_vec = "__nvec"
         codebooks = pq_train(code_src, m=m, c_id=id_name, c_vec=code_vec,
                              seed=seed, fit_sample_size=_fit_sample())
-        norms = assigned.select(
-            F.col(id_name).alias("__pk"), F.col("__cell"),
-            F.sqrt(F.aggregate(vec, F.lit(0.0),
-                               lambda acc, x: acc + x * x)).alias("__norm"))
-        codes = (
-            pq_encode(code_src, codebooks, c_id=id_name, c_vec=code_vec)
-            .withColumnRenamed(id_name, "__pk")
-            .join(norms, "__pk")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        codes.count()
+        codes = (pq_encode(code_src, codebooks, c_id=id_name, c_vec=code_vec)
+                 .withColumnRenamed(id_name, "__pk"))
+        assigned = assigned.join(codes, "__pk")
+    postings = assigned
+    if family == "cos":
+        zeros = valid.where(~(nrm > 0.0)).select(
+            F.col(id_name).alias("__pk"),
+            F.lit(-1).cast("int").alias("__cell"),
+            F.lit(0.0).alias("__norm"))
+        if codebooks is not None:
+            zeros = zeros.withColumn("code", F.lit(None).cast("binary"))
+        postings = postings.unionByName(zeros)
+
+    post_dir = os.path.join(sdir, "postings")
+    nparts = max(1, min(64, math.ceil(k / 16)))
+    (postings.repartitionByRange(nparts, "__cell")
+     .sortWithinPartitions("__cell")
+     .write.mode("overwrite").parquet(post_dir))
+    postings = bdf.sparkSession.read.parquet(post_dir)
+
+    # EXACT cell sizes from the written sidecar (k+1 driver rows) —
+    # probe arithmetic is then a guarantee, not a sample-scaled guess
+    sizes = {int(r["__cell"]): int(r["n"]) for r in
+             postings.groupBy("__cell").agg(F.count("*").alias("n"))
+             .collect()}
+    zero_n = sizes.pop(-1, 0)
+    cell_sizes = np.zeros(k, dtype=np.int64)
+    for c, n in sizes.items():
+        cell_sizes[c] = n
+    corpus_n = int(cell_sizes.sum()) + zero_n
+
+    arrays = {"centroids": centroids, "cell_sizes": cell_sizes}
+    n_cb = 0
+    if codebooks is not None:
+        for i, cb in enumerate(codebooks):
+            arrays[f"cb{i}"] = np.asarray(cb, dtype=np.float64)
+        n_cb = len(codebooks)
+    np.savez(os.path.join(sdir, "arrays.npz"), **arrays)
+    meta = {"version": _META_VERSION, "d": d, "family": family,
+            "id_name": id_name, "vec_name": vec_name,
+            "mongo_path": mongo_path, "corpus_n": corpus_n,
+            "zero_n": zero_n, "k": k, "n_codebooks": n_cb}
+    with open(os.path.join(sdir, "meta.json"), "w") as f:
+        json.dump(meta, f)  # written LAST: presence == committed
 
     idx = CollectionVectorIndex(
-        centroids=centroids, est_sizes=est_sizes, corpus_n=corpus_n,
-        assigned=assigned, vec_name=vec_name, d=d, id_name=id_name,
-        family=family, codes=codes, codebooks=codebooks,
+        centroids=centroids, cell_sizes=cell_sizes, corpus_n=corpus_n,
+        zero_n=zero_n, postings=postings, vec_name=vec_name, d=d,
+        id_name=id_name, family=family, codebooks=codebooks, sidecar=sdir,
     )
     _CACHE[key] = idx
     build_count += 1
@@ -227,10 +366,11 @@ def get_collection_vector_index(
 def probe_cells(index: CollectionVectorIndex, qv, num_candidates: int):
     """Rank cells by L2 distance of the query to each centroid (k-means
     cells are L2-Voronoi — an inner-product probe would favor large-norm
-    centroids, ops/similarity.py ivf_pq_topk) and accumulate estimated
+    centroids, ops/similarity.py ivf_pq_topk) and accumulate EXACT
     sizes until >= num_candidates. The query is normalized first for
-    "cos"-family indexes (the cells live on the unit sphere). Returns
-    (cells, est_probed); cells is None when every cell would be probed
+    "cos"-family indexes (the cells live on the unit sphere), and the
+    zero-norm pseudo-cell (-1) is appended to every cos probe. Returns
+    (cells, n_probed); cells is None when every cell would be probed
     (no pruning value)."""
     import numpy as np
 
@@ -242,28 +382,40 @@ def probe_cells(index: CollectionVectorIndex, qv, num_candidates: int):
     c = index.centroids
     dist = (c * c).sum(1) - 2.0 * (c @ q)
     order = np.lexsort((np.arange(len(c)), dist))
-    cum = np.cumsum(index.est_sizes[order])
+    sizes = np.asarray(index.cell_sizes, dtype=np.float64)
+    cum = np.cumsum(sizes[order]) + float(index.zero_n)
     n_cells = int(np.searchsorted(cum, float(num_candidates)) + 1)
     if n_cells >= len(c):
         return None, float(index.corpus_n)
     cells = [int(x) for x in order[:n_cells]]
+    if index.zero_n:
+        cells.append(-1)
     return cells, float(cum[n_cells - 1])
+
+
+def candidate_pks(index: CollectionVectorIndex, cells) -> DataFrame:
+    """One-column (__pk) frame of every posting in the probed cells —
+    a file/row-group-pruned scan of the narrow sidecar."""
+    return (index.postings.where(F.col("__cell").isin(cells))
+            .select("__pk"))
 
 
 def adc_preselect(index: CollectionVectorIndex, cells, qv,
                   similarity: str, num_candidates: int) -> DataFrame | None:
-    """PQ asymmetric-distance preselect over the narrow codes sidecar:
-    score only (id, code) rows of the probed cells, keep the top
-    ``num_candidates`` ids under the query's similarity ordering.
+    """PQ asymmetric-distance preselect over the narrow postings
+    sidecar: score only (id, code) rows of the probed cells, keep the
+    top ``num_candidates`` ids under the query's similarity ordering.
     Returns a 1-column (__pk) DataFrame (broadcast-class, <= 10k by the
-    Atlas limit contract) or None when the sidecar doesn't exist.
+    Atlas limit contract) or None when no code column exists.
 
     "cos"-family codes hold NORMALIZED vectors, so the IP partial sum is
     |q|*cos — already monotonic in cosine; dotProduct multiplies the
     stored exact ``__norm`` back in; "l2" codes hold raw vectors and use
-    the L2 expansion. The survivors are exact re-ranked by the caller,
-    so ADC error can only cost recall, never score fidelity."""
-    if index.codes is None or index.codebooks is None:
+    the L2 expansion. Zero-norm pseudo-cell rows carry no code and ride
+    past the ADC cut unconditionally (they are candidates by contract).
+    The survivors are exact re-ranked by the caller, so ADC error can
+    only cost recall, never score fidelity."""
+    if index.codebooks is None:
         return None
     import numpy as np
     import pandas as pd
@@ -283,9 +435,7 @@ def adc_preselect(index: CollectionVectorIndex, cells, qv,
         else:
             lut[j, : c.shape[0]] = c @ qs
 
-    src = index.codes
-    if cells is not None:
-        src = src.where(F.col("__cell").isin(cells))
+    src = index.postings.where(F.col("__cell").isin(cells))
     pk_type = src.schema["__pk"].dataType
     out_schema = T.StructType([
         T.StructField("__pk", pk_type),
@@ -306,126 +456,12 @@ def adc_preselect(index: CollectionVectorIndex, cells, qv,
                 s = s * pdf["__norm"].to_numpy()
             yield pd.DataFrame({"__pk": pdf["__pk"], "__adc": s})
 
-    scored = src.select("__pk", "code", "__norm").mapInPandas(
-        kernel, schema=out_schema)
+    scored = (src.where(F.col("code").isNotNull())
+              .select("__pk", "code", "__norm")
+              .mapInPandas(kernel, schema=out_schema))
     order = F.col("__adc").asc() if want_l2 else F.col("__adc").desc()
-    return scored.orderBy(order).limit(num_candidates).select("__pk")
-
-
-# ---------------------------------------------------------------------------
-# Mongo-filter -> Spark Column translation (conservative subset)
-# ---------------------------------------------------------------------------
-
-_SCALARS = (int, float, str, bool, type(None))
-_NUMERIC_TYPES = ("DOUBLE", "BIGINT", "INTEGER", "INT", "FLOAT",
-                  "SMALLINT", "TINYINT", "HUGEINT")
-
-
-def _lit_compat(fs, v) -> bool:
-    """Literal/column type compatibility — a mismatched comparison in
-    mongod matches NOTHING (type bracketing), while Spark would CAST and
-    can throw (e.g. 'a' vs BIGINT). Incompatible pairs are rejected so
-    the caller falls back to the exact path's interpreted filter."""
-    t = getattr(fs, "type", None)
-    if not isinstance(t, str):
-        return False
-    if isinstance(v, bool):
-        return t == "BOOLEAN"
-    if isinstance(v, (int, float)):
-        return t in _NUMERIC_TYPES
-    if isinstance(v, str):
-        return t == "VARCHAR"
-    return False
-
-
-def translate_match_filter(flt, fields_by_path: dict) -> "F.Column | None":
-    """Translate a ``$vectorSearch`` pre-filter ($match semantics) to a
-    Spark Column over the flattened schema. ``fields_by_path`` maps
-    dotted document paths to schema field specs (``.name`` flattened
-    column, ``.type`` engine type). Supports the shapes Atlas
-    vector-index filters allow (equality / range / in over scalar
-    fields, $and/$or) with mongod's missing-field semantics
-    (absent == null in the flattened row: $ne/$nin match it, $eq/ranges
-    don't) and mongod's type bracketing (a literal whose type cannot
-    match the column's falls outside the subset — Spark's implicit cast
-    would diverge or throw). Returns None for anything outside the
-    subset — the caller then keeps the exact path, where the filter is
-    pushed into the scan and interpreted with full MQL semantics."""
-    if not isinstance(flt, dict):
-        return None
-    conjuncts = []
-    for key, val in flt.items():
-        if key == "$and" or key == "$or":
-            if not isinstance(val, list) or not val:
-                return None
-            parts = [translate_match_filter(v, fields_by_path) for v in val]
-            if any(p is None for p in parts):
-                return None
-            acc = parts[0]
-            for p in parts[1:]:
-                acc = (acc & p) if key == "$and" else (acc | p)
-            conjuncts.append(acc)
-            continue
-        if key.startswith("$"):
-            return None
-        fs = fields_by_path.get(key)
-        if fs is None or not isinstance(getattr(fs, "type", None), str):
-            return None  # unknown path / non-scalar column — exact path
-        col = F.col(fs.name)
-        if isinstance(val, dict):
-            for op, v in val.items():
-                c = _translate_op(fs, col, op, v)
-                if c is None:
-                    return None
-                conjuncts.append(c)
-        elif val is None:
-            conjuncts.append(col.isNull())
-        elif isinstance(val, _SCALARS):
-            if not _lit_compat(fs, val):
-                return None
-            conjuncts.append(col == F.lit(val))
-        else:
-            return None
-    if not conjuncts:
-        return None
-    acc = conjuncts[0]
-    for c in conjuncts[1:]:
-        acc = acc & c
-    return acc
-
-
-def _translate_op(fs, col, op, v):
-    if op in ("$gt", "$gte", "$lt", "$lte"):
-        if isinstance(v, bool) or not _lit_compat(fs, v) \
-                or not isinstance(v, (int, float, str)):
-            return None
-        return {"$gt": col > F.lit(v), "$gte": col >= F.lit(v),
-                "$lt": col < F.lit(v), "$lte": col <= F.lit(v)}[op]
-    if op == "$eq":
-        if v is None:
-            return col.isNull()
-        if not isinstance(v, _SCALARS) or not _lit_compat(fs, v):
-            return None
-        return col == F.lit(v)
-    if op == "$ne":
-        if v is None:
-            return col.isNotNull()
-        if not isinstance(v, _SCALARS) or not _lit_compat(fs, v):
-            return None
-        return col.isNull() | (col != F.lit(v))  # absent/null matches $ne
-    if op in ("$in", "$nin"):
-        if not isinstance(v, list) or not all(
-                isinstance(x, _SCALARS) for x in v):
-            return None
-        if not all(x is None or _lit_compat(fs, x) for x in v):
-            return None
-        vals = [x for x in v if x is not None]
-        has_null = any(x is None for x in v)
-        c = col.isin(vals) if vals else F.lit(False)
-        if has_null:
-            c = c | col.isNull()
-        if op == "$in":
-            return c
-        # $nin matches docs where the field is absent too
-        return ~c | (col.isNull() if not has_null else F.lit(False))
-    return None
+    top = scored.orderBy(order).limit(num_candidates).select("__pk")
+    if index.zero_n:
+        top = top.unionByName(
+            src.where(F.col("__cell") == -1).select("__pk"))
+    return top

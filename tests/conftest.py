@@ -8,6 +8,15 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Durable ANN sidecars go to a per-run scratch root so one test run's
+# indexes can't shadow another's (tmp_path corpora get fresh fingerprints
+# anyway, but the root itself shouldn't accumulate across runs).
+if "SPARK_GRAFT_INDEX_DIR" not in os.environ:
+    import tempfile
+
+    os.environ["SPARK_GRAFT_INDEX_DIR"] = tempfile.mkdtemp(
+        prefix="spark_graft_idx_test_")
+
 
 @pytest.fixture(scope="session")
 def spark():

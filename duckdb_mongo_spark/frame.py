@@ -45,6 +45,11 @@ DIRECT_SCAN_MAX_CELLS = int(
     _os.environ.get("SPARK_GRAFT_DIRECT_SCAN_CELLS", "1000000")
 )
 
+# Per-(backend-fingerprint, db, coll, column) multibyte-text flags for
+# routed $search: once a path is known pure-ASCII (JVM tokenizer) or
+# multibyte (oracle-analyzer Arrow pass), repeat queries skip detection.
+_MB_CACHE: dict = {}
+
 
 def _pred_to_column(pred, schema):
     """Residual predicate AST → PySpark Column."""
@@ -808,7 +813,7 @@ class MongoFrame:
         return "unsupported"
 
     def _parse_text_clause(self, opspec, fm):
-        """Validate one ``text`` clause: ASCII query with tokens, string
+        """Validate one ``text`` clause: string query with tokens, string
         (or array-of-string) schema paths, optional boost/constant score
         modifier. Returns (fspecs, terms, score_mod) or None when the
         clause needs the interpreter."""
@@ -823,13 +828,11 @@ class MongoFrame:
             return None
         q = opspec["query"]
         qstrings = [q] if isinstance(q, str) else list(q)
-        if any(isinstance(s, str) and not s.isascii() for s in qstrings):
-            # non-ASCII query: CPython str.lower() and the JVM's lower()
-            # may disagree (Turkish dotted-I, full-width digits), so the
-            # routed token stream could silently diverge from the
-            # interpreter oracle — fall back (the interpreter path is
-            # still bounded-or-loud via the single-stream guard)
+        if any(not isinstance(s, str) for s in qstrings):
             return None
+        # r8: no ASCII gate — query terms come from the oracle's own
+        # _analyze on BOTH sides (they enter the plan as literals), and
+        # multibyte corpora tokenize through _with_oracle_tokens
         terms = (_analyze(q) if isinstance(q, str)
                  else [t for s in q for t in _analyze(s)])
         if not terms:
@@ -1033,10 +1036,14 @@ class MongoFrame:
 
     @staticmethod
     def _tokens_of(fs):
-        """lucene.standard-ish tokenizer as a JVM expression (lowercase,
-        split on non-alphanumeric runs) — the Spark twin of the oracle's
-        ``_analyze`` on ASCII text; array-of-strings fields concat their
-        element token lists."""
+        """The tokenizer contract's ASCII fast path as a JVM expression
+        (lowercase, split on non-``[0-9a-z]`` runs) — identical to the
+        oracle's ``_analyze`` on pure-ASCII text, in whole-stage
+        codegen; array-of-strings fields concat their element token
+        lists. Corpora containing ANY multibyte text use
+        ``_with_oracle_tokens`` instead (r8): Python and JVM case
+        tables may disagree off-ASCII, so the non-ASCII path runs the
+        oracle's own analyzer rather than a JVM twin."""
         from duckdb_mongo_spark.schema.types import is_list
 
         col = F.col(fs.name)
@@ -1052,8 +1059,87 @@ class MongoFrame:
             F.split(F.lower(F.coalesce(col, F.lit(""))), "[^0-9a-z]+"),
             lambda x: x != "")
 
+    @staticmethod
+    def _with_oracle_tokens(bdf, fspecs):
+        """Token columns produced by the ORACLE'S OWN analyzer
+        (``mql/search._analyze``) via one Arrow-batched ``mapInPandas``
+        pass — distributed, and token-identical to the interpreter by
+        construction (same CPython function, same case tables). The
+        multibyte route for ``$search``: multilingual corpora pay this
+        one Arrow pass instead of falling back to the single-stream
+        interpreter."""
+        from pyspark.sql import types as T
+
+        from duckdb_mongo_spark.schema.types import is_list
+
+        names = [f"__rt_toks_{fs.name}" for fs in fspecs]
+        specs = [(fs.name, bool(is_list(fs.type))) for fs in fspecs]
+        out_schema = T.StructType(
+            list(bdf.schema.fields)
+            + [T.StructField(n, T.ArrayType(T.StringType()))
+               for n in names])
+
+        def kernel(batches):
+            from duckdb_mongo_spark.mql.search import _analyze
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out = pdf.copy()
+                for n, (src, islist) in zip(names, specs):
+                    if islist:
+                        out[n] = [
+                            [t for el in (v if v is not None else [])
+                             for t in _analyze(el)]
+                            for v in pdf[src]]
+                    else:
+                        out[n] = [_analyze(v) for v in pdf[src]]
+                yield out
+
+        return bdf.mapInPandas(kernel, schema=out_schema)
+
+    def _mb_key(self, fs):
+        fp = getattr(self.backend, "fingerprint", None)
+        ident = None
+        if callable(fp):
+            try:
+                ident = fp(self.db, self.coll)
+            except Exception:
+                ident = None
+        if ident is None:
+            ident = id(self.backend)
+        return (type(self.backend).__name__, ident, self.db, self.coll,
+                fs.name)
+
+    def _mb_lookup(self, fspecs):
+        """(all_known, any_multibyte) for the query's text paths from
+        the per-collection flag cache — lets repeat queries pick the
+        right tokenizer without re-running detection (fingerprint-keyed,
+        so a file rewrite invalidates)."""
+        flags = [_MB_CACHE.get(self._mb_key(fs)) for fs in fspecs]
+        return (all(f is not None for f in flags),
+                any(f for f in flags if f is not None))
+
+    def _mb_store(self, fspecs, stats):
+        for fs in fspecs:
+            _MB_CACHE[self._mb_key(fs)] = bool(
+                stats.get(f"__nonascii_{fs.name}"))
+
+    @staticmethod
+    def _nonascii_agg(fs):
+        """octet_length != length iff any multi-byte character — the
+        per-path multibyte detector that rides pass-1 aggregates."""
+        from duckdb_mongo_spark.schema.types import is_list
+
+        raw = (F.coalesce(F.array_join(F.col(fs.name), ""), F.lit(""))
+               if is_list(fs.type)
+               else F.coalesce(F.col(fs.name), F.lit("")))
+        return F.max(
+            F.when(F.octet_length(raw) != F.length(raw), 1).otherwise(0)
+        ).alias(f"__nonascii_{fs.name}")
+
     def _parse_phrase_clause(self, opspec, fm):
-        """Validate one ``phrase`` clause: ASCII query string(s) with
+        """Validate one ``phrase`` clause: string query/queries with
         tokens, string (or array-of-string) schema paths, non-negative
         integer slop, no score boost. Returns (fspecs, phrases, slop)
         or None when the clause needs the interpreter."""
@@ -1070,8 +1156,7 @@ class MongoFrame:
             return None
         q = opspec["query"]
         qstrings = [q] if isinstance(q, str) else list(q)
-        if not qstrings or any(not isinstance(s, str) or not s.isascii()
-                               for s in qstrings):
+        if not qstrings or any(not isinstance(s, str) for s in qstrings):
             return None
         phrases = [_analyze(s) for s in qstrings]
         slop = int(opspec.get("slop", 0))
@@ -1310,7 +1395,7 @@ class MongoFrame:
     def _iter_text_clauses(self, parsed):
         """Every text clause anywhere in the parsed tree (must/should/
         mustNot, nested compounds included) — drives token columns,
-        corpus statistics, and the non-ASCII detector."""
+        corpus statistics, and the multibyte detector."""
         (text_must, text_should, _cf, mustnot, *_rest) = parsed
         for kind, payload in text_must + text_should + list(mustnot):
             if kind == "text":
@@ -1323,13 +1408,11 @@ class MongoFrame:
         corpus-wide matches of a routable text/compound shape (term
         containment stands in for BM25 > 0) and returns the stage's
         single output document ``{"count": {"total": N}}`` for the
-        remaining stages to interpret. The same non-ASCII detector as
-        the scored route rides the job — a non-ASCII corpus falls back
-        to the interpreter, whose tokenizer is the semantics oracle.
-        Returns None for unroutable shapes (the guarded interpreter
-        path then runs)."""
-        from duckdb_mongo_spark.schema.types import is_list
-
+        remaining stages to interpret. Multibyte corpora route too
+        (r8): the multibyte detector rides the first job, and a flagged
+        corpus recounts over oracle-analyzer tokens instead of falling
+        back. Returns None for unroutable shapes (the guarded
+        interpreter path then runs)."""
         fm = {f.mongo_path: f for f in coll_schema.fields}
         parsed = self._parse_search_clauses(spec, fm)
         if parsed is None:
@@ -1356,29 +1439,31 @@ class MongoFrame:
         )
         bdf = base.df()
         self._routed_base_path = base.last_exec_path
-        toks_df = bdf.select(
-            *bdf.columns,
-            *[self._tokens_of(fs).alias(f"__rt_toks_{fs.name}")
-              for fs in fspecs],
-        )
-        phrase_col_map = {}
-        if phrase_clauses:
-            toks_df, _ph = self._with_phrase_cols(toks_df, phrase_clauses)
-            phrase_col_map = {id(p): n
-                              for p, n in zip(phrase_clauses, _ph)}
-        _score, match_cond = self._build_compound(
-            parsed, None, phrase_col_map)
-        aggs = [F.sum(F.when(match_cond, 1).otherwise(0)).alias("__matched")]
-        for fs in fspecs:
-            raw = (F.coalesce(F.array_join(F.col(fs.name), ""), F.lit(""))
-                   if is_list(fs.type)
-                   else F.coalesce(F.col(fs.name), F.lit("")))
-            aggs.append(F.max(
-                F.when(F.octet_length(raw) != F.length(raw), 1).otherwise(0)
-            ).alias(f"__nonascii_{fs.name}"))
-        stats = toks_df.agg(*aggs).collect()[0].asDict()
-        if any(stats[f"__nonascii_{fs.name}"] for fs in fspecs):
-            return None
+        mb_known, mb_any = self._mb_lookup(fspecs)
+
+        def matched_total(arrow, detect):
+            tdf = (self._with_oracle_tokens(bdf, fspecs) if arrow
+                   else bdf.select(
+                       *bdf.columns,
+                       *[self._tokens_of(fs).alias(f"__rt_toks_{fs.name}")
+                         for fs in fspecs]))
+            pmap = {}
+            if phrase_clauses:
+                tdf, _ph = self._with_phrase_cols(tdf, phrase_clauses)
+                pmap = {id(p): n for p, n in zip(phrase_clauses, _ph)}
+            _score, match_cond = self._build_compound(parsed, None, pmap)
+            aggs = [F.sum(F.when(match_cond, 1).otherwise(0))
+                    .alias("__matched")]
+            if detect:
+                aggs += [self._nonascii_agg(fs) for fs in fspecs]
+            return tdf.agg(*aggs).collect()[0].asDict()
+
+        stats = matched_total(mb_any, detect=not mb_any and not mb_known)
+        if not mb_any and not mb_known:
+            self._mb_store(fspecs, stats)
+            if any(stats.get(f"__nonascii_{fs.name}") for fs in fspecs):
+                # multibyte corpus: recount over oracle-analyzer tokens
+                stats = matched_total(True, detect=False)
         return [{"count": {"total": int(stats["__matched"] or 0)}}]
 
     def _route_search_cond_op(self, clause, coll_schema):
@@ -1416,13 +1501,12 @@ class MongoFrame:
         (``mql/search._phrase_matches``) run inside an Arrow-batched
         ``mapInPandas`` over the partitioned scan's token arrays —
         distributed, and match-identical to the interpreter by
-        construction (same CPython function, same token stream on ASCII
-        corpora; the usual non-ASCII detector declines otherwise). All
+        construction (same CPython function; r8: multibyte corpora get
+        their token arrays from the oracle's analyzer too, so the
+        parity argument holds off-ASCII). All
         matches score 1.0 (times any boost, or a constant replacement),
         so which ``limit`` of >limit matches return is unspecified — the
         same tie contract as equal BM25 scores."""
-        from duckdb_mongo_spark.schema.types import is_list
-
         fm = {f.mongo_path: f for f in coll_schema.fields}
         pc = self._parse_phrase_clause(opspec, fm)
         if pc is None:
@@ -1441,23 +1525,24 @@ class MongoFrame:
         )
         bdf = base.df()
         self._routed_base_path = base.last_exec_path
-        toks_df = bdf.select(
-            *bdf.columns,
-            *[self._tokens_of(fs).alias(f"__rt_toks_{fs.name}")
-              for fs in fspecs],
-        )
-        # cheap JVM pass: non-ASCII detection over the matched paths only
-        aggs = []
-        for fs in fspecs:
-            raw = (F.coalesce(F.array_join(F.col(fs.name), ""), F.lit(""))
-                   if is_list(fs.type)
-                   else F.coalesce(F.col(fs.name), F.lit("")))
-            aggs.append(F.max(
-                F.when(F.octet_length(raw) != F.length(raw), 1).otherwise(0)
-            ).alias(f"__nonascii_{fs.name}"))
-        stats = toks_df.agg(*aggs).collect()[0].asDict()
-        if any(stats[f"__nonascii_{fs.name}"] for fs in fspecs):
-            return None
+        mb_known, mb_any = self._mb_lookup(fspecs)
+        if not mb_any and not mb_known:
+            # cheap JVM pass: multibyte detection over the matched
+            # paths only (cached per collection+path afterwards)
+            stats = bdf.agg(
+                *[self._nonascii_agg(fs) for fs in fspecs]
+            ).collect()[0].asDict()
+            self._mb_store(fspecs, stats)
+            mb_any = any(stats.get(f"__nonascii_{fs.name}")
+                         for fs in fspecs)
+        if mb_any:
+            toks_df = self._with_oracle_tokens(bdf, fspecs)
+        else:
+            toks_df = bdf.select(
+                *bdf.columns,
+                *[self._tokens_of(fs).alias(f"__rt_toks_{fs.name}")
+                  for fs in fspecs],
+            )
 
         tok_names = [f"__rt_toks_{fs.name}" for fs in fspecs]
         out_schema = toks_df.schema
@@ -1508,7 +1593,8 @@ class MongoFrame:
         oracle, ``mql/search.py``) and enter the plan as literals, so
         the JVM side only performs IEEE-deterministic +*/ in the
         interpreter's exact association order — scores match the
-        single-stream oracle bit-for-bit on ASCII corpora. A ``count``
+        single-stream oracle bit-for-bit (multibyte corpora tokenize
+        through the oracle's own analyzer — r8). A ``count``
         spec rides the pass-1 job (containment-based matched total into
         the $meta count slot). Returns None (fallback) for any other
         $search shape (phrase, autocomplete, score boosts, nested
@@ -1516,7 +1602,6 @@ class MongoFrame:
         import math
 
         from duckdb_mongo_spark.mql.search import _B, _K1
-        from duckdb_mongo_spark.schema.types import is_list
 
         fm = {f.mongo_path: f for f in coll_schema.fields}
         parsed = self._parse_search_clauses(spec, fm)
@@ -1570,58 +1655,75 @@ class MongoFrame:
         )
         bdf = base.df()
         self._routed_base_path = base.last_exec_path
-        tok_cols = {fs.name: self._tokens_of(fs) for fs in fspecs}
-        toks_df = bdf.select(
-            *bdf.columns,
-            *[tok_cols[n].alias(f"__rt_toks_{n}") for n in tok_cols],
-        )
-        stats_df = toks_df
-        ph_names = []
-        phrase_col_map = {}
-        if phrase_clauses:
-            toks_df, ph_names = self._with_phrase_cols(
-                toks_df, phrase_clauses)
-            phrase_col_map = {id(p): n
-                              for p, n in zip(phrase_clauses, ph_names)}
+        mb_known, mb_any = self._mb_lookup(fspecs)
+        use_arrow = bool(fspecs) and mb_any
+
+        def build_frames(arrow):
+            """(toks_df, stats_df, phrase col names, id->col map) for
+            either token producer — JVM expression (pure-ASCII fast
+            path) or the oracle analyzer's Arrow pass (multibyte)."""
+            if arrow:
+                tdf = self._with_oracle_tokens(bdf, fspecs)
+            else:
+                tdf = bdf.select(
+                    *bdf.columns,
+                    *[self._tokens_of(fs).alias(f"__rt_toks_{fs.name}")
+                      for fs in fspecs],
+                )
+            sdf = tdf
+            pnames = []
+            pmap = {}
+            if phrase_clauses:
+                tdf, pnames = self._with_phrase_cols(tdf, phrase_clauses)
+                pmap = {id(p): n for p, n in zip(phrase_clauses, pnames)}
+                if count_spec is not None:
+                    # the count condition may reference phrase columns,
+                    # so pass 1 must run through the phrase kernel too
+                    sdf = tdf
+            return tdf, sdf, pnames, pmap
+
+        def run_stats(sdf, pmap, detect):
+            """Pass 1: corpus statistics (one aggregate row, bounded by
+            the query's path x term count); a multibyte detector per
+            path rides along on the first JVM-tokenized look at a
+            collection (detect=True) — a flagged path means JVM tokens
+            can diverge from the CPython oracle, so the caller swaps to
+            the oracle analyzer and recomputes."""
+            aggs = [F.count(F.lit(1)).alias("__n")]
+            for fs in fspecs:
+                tc = F.col(f"__rt_toks_{fs.name}")
+                if detect:
+                    aggs.append(self._nonascii_agg(fs))
+                aggs.append(F.sum(F.size(tc)).alias(f"__len_{fs.name}"))
+            for j, (fs, t) in enumerate(df_pairs):
+                tc = F.col(f"__rt_toks_{fs.name}")
+                aggs.append(F.sum(
+                    F.when(F.array_contains(tc, t), 1).otherwise(0)
+                ).alias(f"__df_{j}"))
             if count_spec is not None:
-                # the count condition may reference phrase columns, so
-                # pass 1 must run through the phrase kernel too
-                stats_df = toks_df
-        # pass 1: corpus statistics (one aggregate row, bounded by the
-        # query's path x term count); piggyback a non-ASCII detector per
-        # path (octet_length != length iff any multi-byte character) —
-        # when a scored path contains non-ASCII text, tokenization
-        # parity with the CPython oracle is not guaranteed, so the
-        # routed form declines and the interpreter path
-        # (bounded-or-loud) takes over
-        aggs = [F.count(F.lit(1)).alias("__n")]
-        for fs in fspecs:
-            tc = F.col(f"__rt_toks_{fs.name}")
-            raw = (F.coalesce(F.array_join(F.col(fs.name), ""), F.lit(""))
-                   if is_list(fs.type)
-                   else F.coalesce(F.col(fs.name), F.lit("")))
-            aggs.append(F.max(
-                F.when(F.octet_length(raw) != F.length(raw), 1).otherwise(0)
-            ).alias(f"__nonascii_{fs.name}"))
-            aggs.append(F.sum(F.size(tc)).alias(f"__len_{fs.name}"))
-        for j, (fs, t) in enumerate(df_pairs):
-            tc = F.col(f"__rt_toks_{fs.name}")
-            aggs.append(F.sum(
-                F.when(F.array_contains(tc, t), 1).otherwise(0)
-            ).alias(f"__df_{j}"))
-        if count_spec is not None:
-            # $search count: the corpus-wide matched total rides the same
-            # pass-1 job (containment stands in for score > 0)
-            _s, match_cond = self._build_compound(
-                parsed, None, phrase_col_map)
-            aggs.append(F.sum(
-                F.when(match_cond, 1).otherwise(0)).alias("__matched"))
+                # $search count: the corpus-wide matched total rides the
+                # same pass-1 job (containment stands in for score > 0)
+                _s, match_cond = self._build_compound(parsed, None, pmap)
+                aggs.append(F.sum(
+                    F.when(match_cond, 1).otherwise(0)).alias("__matched"))
+            return sdf.agg(*aggs).collect()[0].asDict()
+
+        toks_df, stats_df, ph_names, phrase_col_map = build_frames(use_arrow)
         if fspecs:
-            stats = stats_df.agg(*aggs).collect()[0].asDict()
+            detect = not use_arrow and not mb_known
+            stats = run_stats(stats_df, phrase_col_map, detect)
             n_docs = stats["__n"] or 0
+            if detect:
+                self._mb_store(fspecs, stats)
+                if any(stats.get(f"__nonascii_{fs.name}") for fs in fspecs):
+                    # multibyte corpus: swap to the oracle analyzer and
+                    # recompute the statistics over correct tokens
+                    use_arrow = True
+                    toks_df, stats_df, ph_names, phrase_col_map = \
+                        build_frames(True)
+                    stats = run_stats(stats_df, phrase_col_map, False)
+                    n_docs = stats["__n"] or 0
             if n_docs == 0:
-                return None
-            if any(stats[f"__nonascii_{fs.name}"] for fs in fspecs):
                 return None
         else:
             stats, n_docs = {}, 1  # condition-only compound: no scoring

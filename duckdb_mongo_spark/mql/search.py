@@ -19,20 +19,35 @@ best-effort), so a pipeline that needs a live Atlas index fails loudly.
 from __future__ import annotations
 
 import math
-import re
 
 from duckdb_mongo_spark.mql.match import MISSING, compare_values, get_path
 
 _K1 = 1.2
 _B = 0.75
 
-_TOKEN_RE = re.compile(r"[0-9a-z]+")
-
-
 def _analyze(text) -> list[str]:
+    """lucene.standard-ish analyzer, pinned as the engine-wide
+    tokenizer CONTRACT (r8): lowercase the text (CPython full case
+    mapping), then emit maximal runs of alphanumeric codepoints
+    (``str.isalnum`` — Unicode L* + Nd/Nl/No; underscores, marks and
+    punctuation separate). On ASCII text this is exactly runs of
+    ``[0-9a-z]`` — the JVM twin (``frame._tokens_of``) reproduces that
+    fast path in whole-stage codegen, and NON-ASCII corpora route
+    through an Arrow pass running THIS function (parity by
+    construction, no Python-vs-JVM case-table skew)."""
     if not isinstance(text, str):
         return []
-    return _TOKEN_RE.findall(text.lower())
+    out: list[str] = []
+    cur: list[str] = []
+    for ch in text.lower():
+        if ch.isalnum():
+            cur.append(ch)
+        elif cur:
+            out.append("".join(cur))
+            cur = []
+    if cur:
+        out.append("".join(cur))
+    return out
 
 
 def _paths(spec) -> list[str]:

@@ -358,18 +358,21 @@ class TestSearchTextRouting:
         exp = _interpreter_rows(be, "main", "posts", pipe)
         assert sorted(g["_id"] for g in got) == sorted(e["_id"] for e in exp)
 
-    def test_non_ascii_query_falls_back(self, spark, tmp_path):
-        # CPython str.lower() and JVM lower() may disagree off-ASCII
-        # (Turkish dotted-I etc.) — the routed form must decline
+    def test_non_ascii_query_routes(self, spark, tmp_path):
+        # r8: query terms come from the oracle's _analyze on both sides
+        # (plan literals), so a non-ASCII query routes — terms absent
+        # from an ASCII corpus simply contribute 0
         pipe = self._pipe("spark İstanbul", "body")
         be = self._backend(tmp_path)
         mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
         got = [r.asDict() for r in mf.df().collect()]
-        assert mf.last_exec_path != "routed:search_text"
+        assert mf.last_exec_path == "routed:search_text"
         exp = _interpreter_rows(be, "main", "posts", pipe)
         assert [g["_id"] for g in got] == [e["_id"] for e in exp]
+        assert [g["score"] for g in got] == [e["score"] for e in exp]
 
-    def test_non_ascii_corpus_falls_back(self, spark, tmp_path):
+    def test_non_ascii_corpus_routes_via_oracle_tokens(self, spark,
+                                                       tmp_path):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -381,16 +384,26 @@ class TestSearchTextRouting:
             }),
             str(tmp_path / "posts.parquet"))
         be = ParquetBackend(str(tmp_path), db_name="main")
-        # non-ASCII in a SCORED path -> fallback, still interpreter-equal
+        # r8: non-ASCII in a SCORED path routes too — the token columns
+        # come from an Arrow pass running the oracle's own analyzer, so
+        # scores stay bit-identical to the interpreter
         pipe = self._pipe("spark", ["title", "body"])
         mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
         got = [r.asDict() for r in mf.df().collect()]
-        assert mf.last_exec_path != "routed:search_text"
+        assert mf.last_exec_path == "routed:search_text"
         exp = _interpreter_rows(be, "main", "posts", pipe)
         assert [g["_id"] for g in got] == [e["_id"] for e in exp]
         assert [g["score"] for g in got] == [e["score"] for e in exp]
-        # ASCII-only scored path ('body') routes even though 'title'
-        # holds non-ASCII text elsewhere in the collection
+        # a multibyte QUERY against the multibyte path scores too
+        pipe = self._pipe("İstanbul haberleri", ["title", "body"])
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        got = [r.asDict() for r in mf.df().collect()]
+        assert mf.last_exec_path == "routed:search_text"
+        exp = _interpreter_rows(be, "main", "posts", pipe)
+        assert [g["_id"] for g in got] == [e["_id"] for e in exp]
+        assert [g["score"] for g in got] == [e["score"] for e in exp]
+        assert got  # the Turkish terms really matched something
+        # ASCII-only scored path ('body') keeps the JVM fast path
         pipe = self._pipe("spark", "body")
         mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
         got = [r.asDict() for r in mf.df().collect()]
@@ -956,11 +969,17 @@ class TestPhraseAndCondOpRouting:
         assert {g["_id"] for g in got} == {1, 2, 3, 4, 5}
 
     @pytest.mark.parametrize("search", [
-        {"phrase": {"query": "çabuk tilki", "path": "body"}},  # non-ASCII
         {"equals": {"path": "year", "value": "not-a-year"}},   # type clash
     ])
     def test_outside_subset_falls_back(self, spark, tmp_path, search):
         self._run(spark, tmp_path, search, expect_routed=False)
+
+    def test_non_ascii_phrase_routes(self, spark, tmp_path):
+        # r8: a non-ASCII phrase query routes (oracle-analyzed terms on
+        # both sides); no doc matches the Turkish phrase here, and the
+        # empty result is interpreter-equal
+        self._run(spark, tmp_path,
+                  {"phrase": {"query": "çabuk tilki", "path": "body"}})
 
     def test_unsupported_score_shape_fails_loudly(self, spark, tmp_path):
         # boost-by-path / function scores need index metadata: both the

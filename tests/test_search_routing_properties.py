@@ -31,6 +31,11 @@ DOCS = [
 ]
 
 _WORDS = ["spark", "engine", "duck", "pond", "fast", "rice", "nothing"]
+# mixed scripts: Cyrillic, Turkish (dotted/dotless i), CJK, accented
+# Latin, Greek, Arabic — the multilingual corpus a training-data
+# pipeline actually sees (r8: routes via the oracle-analyzer Arrow pass)
+_UWORDS = ["спарк", "движок", "ördek", "göl", "日本語", "データ",
+           "café", "Ελλάδα", "بيانات", "duck", "nothing"]
 _PATHS = st.sampled_from(["body", "title", ["body", "title"]])
 _MOD = st.one_of(
     st.none(),
@@ -47,16 +52,6 @@ def _with_mod(spec, mod):
     return spec
 
 
-_text = st.builds(
-    lambda words, path, mod: {"text": _with_mod(
-        {"query": " ".join(words), "path": path}, mod)},
-    st.lists(st.sampled_from(_WORDS), min_size=1, max_size=3),
-    _PATHS, _MOD)
-_phrase = st.builds(
-    lambda words, path, slop, mod: {"phrase": _with_mod(
-        {"query": " ".join(words), "path": path, "slop": slop}, mod)},
-    st.lists(st.sampled_from(_WORDS), min_size=2, max_size=2),
-    _PATHS, st.sampled_from([0, 1, 2]), _MOD)
 _cond = st.one_of(
     st.builds(lambda v: {"equals": {"path": "tag", "value": v}},
               st.sampled_from(["a", "b", "zz"])),
@@ -67,12 +62,27 @@ _cond = st.one_of(
                        min_size=1, max_size=2)),
     st.just({"exists": {"path": "year"}}),
 )
-_clause = st.one_of(_text, _phrase, _cond)
 
 
-def _compound(depth):
-    inner = _clause if depth == 0 else st.one_of(
-        _clause, st.builds(lambda c: {"compound": c}, _compound(depth - 1)))
+def _clause_of(words):
+    text = st.builds(
+        lambda ws, path, mod: {"text": _with_mod(
+            {"query": " ".join(ws), "path": path}, mod)},
+        st.lists(st.sampled_from(words), min_size=1, max_size=3),
+        _PATHS, _MOD)
+    phrase = st.builds(
+        lambda ws, path, slop, mod: {"phrase": _with_mod(
+            {"query": " ".join(ws), "path": path, "slop": slop}, mod)},
+        st.lists(st.sampled_from(words), min_size=2, max_size=2),
+        _PATHS, st.sampled_from([0, 1, 2]), _MOD)
+    return st.one_of(text, phrase, _cond)
+
+
+def _compound(depth, words=_WORDS):
+    clause = _clause_of(words)
+    inner = clause if depth == 0 else st.one_of(
+        clause,
+        st.builds(lambda c: {"compound": c}, _compound(depth - 1, words)))
     return st.builds(
         lambda must, should, mustnot, flt, msm: {
             k: v for k, v in (
@@ -102,18 +112,76 @@ def search_backend(tmp_path_factory):
     return ParquetBackend(str(tmp), db_name="main")
 
 
+UDOCS = [
+    {"_id": 1, "body": "спарк движок fast данные", "title": "спарк intro",
+     "year": 2020, "tag": "a"},
+    {"_id": 2, "body": "ördek gölde yüzüyor İstanbul", "title": "doğa ördek",
+     "year": 2018, "tag": "b"},
+    {"_id": 3, "body": "спарк ve ördek aynı göl 日本語", "title": "mixed",
+     "year": 2021, "tag": "a"},
+    {"_id": 4, "body": "日本語のデータ処理は速い café", "title": "kitchen",
+     "year": 2019, "tag": "c"},
+    {"_id": 5, "body": "спарк спарк движок спарк", "title": "спарк спарк",
+     "year": 2022, "tag": "b"},
+    {"_id": 6, "body": None, "title": "empty body", "year": None,
+     "tag": "a"},
+    {"_id": 7, "body": "بيانات بيانات duck Ελλάδα", "title": None,
+     "year": 2020, "tag": None},
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_backend(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = tmp_path_factory.mktemp("searchuprop")
+    pq.write_table(
+        pa.table({k: [d[k] for d in UDOCS]
+                  for k in ("_id", "body", "title", "year", "tag")}),
+        str(tmp / "posts.parquet"))
+    return ParquetBackend(str(tmp), db_name="main")
+
+
+def _parity(spark, backend, compound):
+    pipe = [{"$search": {"compound": compound}}, {"$limit": 10},
+            {"$addFields": {"score": {"$meta": "searchScore"}}},
+            {"$project": {"_id": 1, "score": 1}}]
+    mf = mongo_scan(spark, backend, "main", "posts", pipeline=pipe)
+    got = sorted((r["_id"], r["score"]) for r in mf.df().collect())
+    docs = [d for d in backend.iter_documents("main", "posts")]
+    exp = sorted((d["_id"], d["score"]) for d in run_pipeline(docs, pipe))
+    assert got == exp, (compound, mf.last_exec_path)
+    return mf
+
+
 class TestRandomCompoundParity:
     @settings(max_examples=30, deadline=None)
     @given(compound=_compound(1))
     def test_routed_matches_interpreter(self, spark, search_backend,
                                         compound):
-        pipe = [{"$search": {"compound": compound}}, {"$limit": 10},
-                {"$addFields": {"score": {"$meta": "searchScore"}}},
-                {"$project": {"_id": 1, "score": 1}}]
-        mf = mongo_scan(spark, search_backend, "main", "posts",
-                        pipeline=pipe)
-        got = sorted((r["_id"], r["score"]) for r in mf.df().collect())
-        docs = [d for d in search_backend.iter_documents("main", "posts")]
-        exp = sorted((d["_id"], d["score"])
-                     for d in run_pipeline(docs, pipe))
-        assert got == exp, (compound, mf.last_exec_path)
+        _parity(spark, search_backend, compound)
+
+
+class TestMixedScriptParity:
+    """r8 done-criterion: routed-vs-interpreter BIT-IDENTICAL scores
+    over a mixed-script corpus (Cyrillic/Turkish/CJK/Arabic/Greek/
+    accented Latin) with mixed-script queries — the routed side's token
+    columns come from the oracle's own analyzer, so parity holds by
+    construction."""
+
+    @settings(max_examples=30, deadline=None)
+    @given(compound=_compound(1, words=_UWORDS))
+    def test_routed_matches_interpreter(self, spark, unicode_backend,
+                                        compound):
+        _parity(spark, unicode_backend, compound)
+
+    def test_multibyte_corpus_routes_not_falls_back(self, spark,
+                                                    unicode_backend):
+        # the whole point of r8 item #2: no interpreter fallback for
+        # multilingual text — and scores still match bit-for-bit
+        mf = _parity(spark, unicode_backend, {
+            "must": [{"text": {"query": "спарк ördek",
+                               "path": ["body", "title"]}}],
+        })
+        assert mf.last_exec_path == "routed:search_text"

@@ -152,3 +152,98 @@ def packing_stats(packed: DataFrame, tokens_col: str, budget: int) -> DataFrame:
             F.col("n_packed_seqs") <= F.ceil(F.col("lb_seqs") * 11 / 9) + 1,
         )
     )
+
+
+def pack_sequences_contiguous(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    num_shards: int = 256,
+    salt: str = "",
+) -> DataFrame:
+    """GPT-style concat-and-split packing: within each md5 shard,
+    documents concatenate in ``id_col`` order into one token stream cut
+    every ``budget`` tokens — zero padding waste except the final
+    partial sequence per shard, and a document MAY span consecutive
+    sequences (the standard pretraining tradeoff BFD refuses:
+    ``pack_sequences`` never splits but pads; this form never pads but
+    splits). Returns ``id_col`` + ``tokens`` + ``shard`` + ``seq_id``
+    (= shard * 2^32 + floor(offset / budget), the same global-id
+    convention as ``pack_sequences``) + ``seq_off`` (the document's
+    start position inside its first sequence) + ``end_seq`` (the last
+    sequence it touches; == seq_id when it fits).
+
+    Pure window arithmetic — ONE shuffle on the shard key, exclusive
+    prefix-sum per shard, no Python in the plan — and every output
+    value is reproduced by the DuckDB oracle ``pack_contiguous_sql``
+    (md5 sharding and the offset recurrence are engine-independent
+    facts). Deterministic under any partitioning for fixed
+    (budget, num_shards, salt)."""
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if num_shards <= 0:
+        raise ValueError("num_shards must be positive")
+    slim = df.select(
+        id_col,
+        F.col(tokens_col).cast("long").alias("tokens"),
+        hash_bucket(F.col(id_col).cast("string"), salt, num_shards)
+        .alias("shard"),
+    )
+    w = (Window.partitionBy("shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    off = F.coalesce(F.sum("tokens").over(w), F.lit(0).cast("long"))
+    b = F.lit(budget).cast("long")
+    base = F.col("shard").cast("long") * F.lit(1 << 32).cast("long")
+    start = F.floor(off / b).cast("long")
+    # tokens == 0 spans nothing: end pins to start (floor((off-1)/b)
+    # could point at the previous sequence)
+    end = F.greatest(
+        start, F.floor((off + F.col("tokens") - 1) / b).cast("long"))
+    return slim.select(
+        id_col,
+        "tokens",
+        "shard",
+        (base + start).alias("seq_id"),
+        (off % b).alias("seq_off"),
+        (base + end).alias("end_seq"),
+    )
+
+
+def pack_contiguous_sql(
+    source_sql: str,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    num_shards: int = 256,
+    salt: str = "",
+) -> str:
+    """DuckDB oracle reproducing :func:`pack_sequences_contiguous`
+    exactly: same md5 shard (15 hex chars = 60 bits, exact in BIGINT on
+    both engines — the ``ops.sampling.hash_bucket`` contract), same
+    exclusive prefix sum, same integer offset arithmetic."""
+    key = f"CAST({id_col} AS VARCHAR)"
+    if salt:
+        key = f"'{salt}:' || {key}"
+    return f"""
+    WITH s AS (
+        SELECT {id_col}, CAST({tokens_col} AS BIGINT) AS tokens,
+               CAST(CAST('0x' || substring(md5({key}), 1, 15) AS BIGINT)
+                    % {num_shards} AS BIGINT) AS shard
+        FROM ({source_sql})),
+    o AS (
+        SELECT *, COALESCE(SUM(tokens) OVER (
+                   PARTITION BY shard ORDER BY {id_col}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS off
+        FROM s)
+    SELECT {id_col}, tokens, shard,
+           shard * 4294967296 + off // {budget} AS seq_id,
+           off % {budget} AS seq_off,
+           shard * 4294967296
+               + greatest(off // {budget},
+                          (off + tokens - 1) // {budget}) AS end_seq
+    FROM o
+    """

@@ -164,3 +164,83 @@ class TestValidation:
     def test_bad_buckets(self, docs):
         with pytest.raises(ValueError):
             pack_sequences(docs, "doc_id", "n_tokens", 10, num_buckets=0)
+
+
+class TestContiguousPacking:
+    """r8: GPT-style concat-and-split packing — window arithmetic only,
+    value-identical to the DuckDB oracle (the ledger's seq_packing
+    entry runs the same pair at driver scale)."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id string, n_tokens long")
+
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from duckdb_mongo_spark.ops.packing import (
+            pack_contiguous_sql,
+            pack_sequences_contiguous,
+        )
+
+        random.seed(5)
+        rows = [(f"d{i:04d}", random.randint(0, 900)) for i in range(400)]
+        df = self._df(spark, rows)
+        got = sorted(
+            tuple(r) for r in pack_sequences_contiguous(
+                df, "doc_id", "n_tokens", budget=256, num_shards=8
+            ).collect())
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT * FROM (VALUES "
+            + ",".join(f"('{i}', {n})" for i, n in rows)
+            + ") v(doc_id, n_tokens)")
+        exp = sorted(tuple(r) for r in con.execute(
+            pack_contiguous_sql("SELECT doc_id, n_tokens FROM t",
+                                "doc_id", "n_tokens", budget=256,
+                                num_shards=8)).fetchall())
+        assert got == exp
+
+    def test_contiguity_invariants(self, spark):
+        from duckdb_mongo_spark.ops.packing import pack_sequences_contiguous
+
+        random.seed(7)
+        rows = [(f"d{i:04d}", random.randint(0, 300)) for i in range(300)]
+        out = pack_sequences_contiguous(
+            self._df(spark, rows), "doc_id", "n_tokens",
+            budget=128, num_shards=4).collect()
+        assert len(out) == len(rows)
+        by_shard: dict = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r)
+        for shard, members in by_shard.items():
+            members.sort(key=lambda r: r["doc_id"])
+            off = 0
+            for m in members:
+                # the offset recurrence: docs tile the shard stream
+                assert m["seq_id"] == (shard << 32) + off // 128
+                assert m["seq_off"] == off % 128
+                want_end = max(off // 128, (off + m["tokens"] - 1) // 128)
+                assert m["end_seq"] == (shard << 32) + want_end
+                off += m["tokens"]
+
+    def test_deterministic_under_repartition(self, spark):
+        from duckdb_mongo_spark.ops.packing import pack_sequences_contiguous
+
+        rows = [(f"d{i:03d}", (i * 37) % 200) for i in range(200)]
+        a = sorted(tuple(r) for r in pack_sequences_contiguous(
+            self._df(spark, rows), "doc_id", "n_tokens", 64,
+            num_shards=5).collect())
+        b = sorted(tuple(r) for r in pack_sequences_contiguous(
+            self._df(spark, rows).repartition(13), "doc_id", "n_tokens",
+            64, num_shards=5).collect())
+        assert a == b
+
+    def test_validation(self, spark):
+        from duckdb_mongo_spark.ops.packing import pack_sequences_contiguous
+
+        df = self._df(spark, [("a", 1)])
+        with pytest.raises(ValueError):
+            pack_sequences_contiguous(df, "doc_id", "n_tokens", 0)
+        with pytest.raises(ValueError):
+            pack_sequences_contiguous(df, "doc_id", "n_tokens", 8,
+                                      num_shards=0)

@@ -1336,7 +1336,10 @@ def _sim_cosine_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    hof = cosine_topk(queries, emb, k=5).withColumn("kernel", F.lit("hof"))
+    # dim=64 is a property of the driver testdata embedding model
+    # (TESTDATA.md) — passing it avoids the _vector_dim first() probe
+    # job and unlocks the unrolled whole-stage-codegen score (r8)
+    hof = cosine_topk(queries, emb, k=5, dim=64).withColumn("kernel", F.lit("hof"))
     gemm = cosine_topk_vectorized(queries, emb, k=5).withColumn("kernel", F.lit("gemm"))
     return hof.unionByName(gemm).orderBy("kernel", "q_id", "rank")
 

@@ -57,8 +57,18 @@ def cosine_topk(
     q_vec: str = "q_vec",
     c_id: str = "vec_id",
     c_vec: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for each query vector.
+    """Exact top-k cosine neighbors for each query vector — the
+    JVM-pure form (HOF zip_with/aggregate score): no Python anywhere in
+    the plan, at the cost of interpreted per-element lambda evaluation.
+    ``cosine_topk_vectorized`` is the fast path at scale; this form
+    exists for plan purity and as its independent cross-check (the
+    ledger's doubled oracle holds both to DuckDB). ``dim`` is accepted
+    for signature parity and ignored. (r8 measured the tempting
+    "unroll the fold to d element_at terms for codegen" variant at
+    6x SLOWER than the HOF fold on d=64 — the giant expression falls
+    out of JIT-compilable method size — so the fold stays.)
 
     The query side is broadcast (small); ties broken by corpus id so
     results are fully deterministic. Output: q_id, vec_id, score, rank.
@@ -189,7 +199,7 @@ def cosine_topk_vectorized(
     c_vec: str = "embedding",
 ) -> DataFrame:
     """Exact top-k cosine via an Arrow-batched numpy kernel
-    (``mapInPandas``) — same results as ``cosine_topk``, different
+    (``mapInArrow``) — same results as ``cosine_topk``, different
     execution: per-batch matrix multiply instead of per-element
     higher-order-function evaluation.
 
@@ -198,18 +208,31 @@ def cosine_topk_vectorized(
     does ONE (B×d)·(d×Q) GEMM. At 100 TB this is the fast path — HOF
     lambdas evaluate interpreted per element, a GEMM runs at memory
     bandwidth. Scores are rounded like the HOF path so both agree.
+
+    Two r8 upgrades, measured at sf10 (200k×64d corpus, 10 queries,
+    0.89 → 0.64 s vs DuckDB's 0.41 — at the Python-stage floor):
+    - each batch PRESELECTS its per-query top-k under the final
+      ordering key (rounded score desc, c_id asc) before anything
+      crosses Arrow back to the JVM — the global top-k is a subset of
+      every batch's top-k, so results are identical while the kernel
+      output (and ranking-window input) shrinks from
+      |corpus|×|queries| rows to batches×|queries|×k;
+    - the kernel reads the Arrow ListArray's flat values buffer and
+      reshapes (``mapInArrow``) — the matrix is built with ZERO
+      per-row Python, where the pandas path paid an object conversion
+      per corpus row.
     """
     import numpy as np
-    import pandas as pd
 
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
     q_rows = queries.select(q_id, q_vec).collect()
-    q_ids = [r[0] for r in q_rows]
+    q_ids = np.asarray([r[0] for r in q_rows])
     q_mat = np.asarray([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
     q_norm[q_norm == 0.0] = 1.0
+    d = q_mat.shape[1] if len(q_rows) else 0
 
     out_schema = T.StructType([
         T.StructField("q_id", queries.schema[q_id].dataType),
@@ -218,26 +241,76 @@ def cosine_topk_vectorized(
     ])
 
     def kernel(batches):
-        for pdf in batches:
-            c_mat = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["cv"]], dtype=np.float64
-            )
-            if c_mat.size == 0:
+        import pyarrow as pa
+
+        out_fields = None
+        for rb in batches:
+            if out_fields is None:
+                out_fields = [pa.field("q_id", _arrow_id_type(rb.column(0))),
+                              pa.field("c_id", rb.schema.field(0).type),
+                              pa.field("score", pa.float64())]
+            n_c = rb.num_rows
+            if n_c == 0:
                 continue
+            cv = rb.column(1)
+            if cv.null_count:
+                raise ValueError(
+                    "cosine_topk_vectorized: null corpus vectors — filter "
+                    "them out upstream (the exact scorer excludes them)")
+            offs = cv.offsets.to_numpy()
+            if d and not (np.diff(offs) == d).all():
+                raise ValueError(
+                    "cosine_topk_vectorized: ragged corpus vectors "
+                    f"(expected dim {d})")
+            vals = cv.values.to_numpy(zero_copy_only=False)
+            c_mat = vals[offs[0]:offs[-1]].reshape(n_c, d) if d else \
+                np.zeros((n_c, 0))
+            cid = rb.column(0).to_numpy(zero_copy_only=False)
             c_norm = np.linalg.norm(c_mat, axis=1)
             c_norm[c_norm == 0.0] = 1.0
-            scores = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)
-            n_c, n_q = scores.shape
-            yield pd.DataFrame({
-                "q_id": np.repeat(np.asarray(q_ids), n_c),
-                "c_id": np.tile(pdf["c_id"].to_numpy(), n_q),
-                "score": np.round(scores.T.reshape(-1), ROUND),
-            })
+            scores = np.round(
+                (c_mat @ q_mat.T) / np.outer(c_norm, q_norm), ROUND)
+            n_q = scores.shape[1]
+            if n_c <= k:
+                sel_q = np.repeat(q_ids, n_c)
+                sel_c = np.tile(cid, n_q)
+                sel_s = scores.T.reshape(-1)
+            else:
+                # per-query top-k under the FINAL key (score desc, c_id
+                # asc): stable argsort over -score on rows pre-sorted by
+                # c_id keeps the id tiebreak — NaNs sort last, like the
+                # window's descending order drops them past rank k
+                by_id = np.argsort(cid, kind="stable")
+                outs_q, outs_c, outs_s = [], [], []
+                for j in range(n_q):
+                    s = scores[by_id, j]
+                    sel = by_id[np.argsort(-s, kind="stable")[:k]]
+                    outs_q.append(np.repeat(q_ids[j: j + 1], len(sel)))
+                    outs_c.append(cid[sel])
+                    outs_s.append(scores[sel, j])
+                sel_q = np.concatenate(outs_q)
+                sel_c = np.concatenate(outs_c)
+                sel_s = np.concatenate(outs_s)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(sel_q, type=out_fields[0].type),
+                 pa.array(sel_c, type=out_fields[1].type),
+                 pa.array(sel_s, type=pa.float64())],
+                schema=pa.schema(out_fields))
+
+    def _arrow_id_type(_c):
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        try:
+            return to_arrow_type(out_schema["q_id"].dataType)
+        except Exception:
+            return pa.array(q_ids[:1]).type if len(q_ids) else pa.int64()
 
     c = ensure_min_parallelism(corpus).select(
         F.col(c_id).alias("c_id"), _as_double(F.col(c_vec)).alias("cv")
     )
-    scored = c.mapInPandas(kernel, schema=out_schema)
+    scored = c.mapInArrow(kernel, schema=out_schema)
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

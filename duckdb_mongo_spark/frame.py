@@ -562,6 +562,9 @@ class MongoFrame:
                 if len(body) == 1 and "phrase" in body:
                     routed = self._route_search_phrase(
                         body["phrase"], coll_schema)
+                elif len(body) == 1 and "autocomplete" in body:
+                    routed = self._route_search_phrase(
+                        body["autocomplete"], coll_schema, op="autocomplete")
                 elif len(body) == 1 and next(iter(body)) in (
                         "equals", "range", "in", "exists"):
                     routed = self._route_search_cond_op(body, coll_schema)
@@ -1171,47 +1174,99 @@ class MongoFrame:
             fspecs.append(fs)
         return fspecs, phrases, slop, mod
 
+    def _parse_autocomplete_clause(self, opspec, fm):
+        """Validate one ``autocomplete`` clause (r8): string query or
+        queries, string (or array-of-string) schema paths, tokenOrder
+        any/sequential, optional boost/constant score modifier. fuzzy
+        declines to the interpreter (which raises loudly — the gram
+        index's edit-distance expansion has no local stand-in).
+        Returns (fspecs, analyzed query term lists, tokenOrder, mod) —
+        the same payload shape as phrase, so the match-column pass and
+        compound builder treat both uniformly."""
+        from duckdb_mongo_spark.mql.search import _analyze
+        from duckdb_mongo_spark.schema.types import is_list
+
+        if not isinstance(opspec, dict) or "query" not in opspec \
+                or "path" not in opspec:
+            return None
+        if set(opspec) - {"query", "path", "tokenOrder", "score"}:
+            return None  # fuzzy et al.: interpreter semantics
+        mod = self._parse_score_mod(opspec)
+        if mod == "unsupported":
+            return None
+        token_order = opspec.get("tokenOrder", "any")
+        if token_order not in ("any", "sequential"):
+            return None
+        q = opspec["query"]
+        qstrings = [q] if isinstance(q, str) else list(q)
+        if not qstrings or any(not isinstance(s, str) for s in qstrings):
+            return None
+        qterms = [_analyze(s) for s in qstrings]
+        p = opspec["path"]
+        paths = [p] if isinstance(p, str) else list(p)
+        fspecs = []
+        for pth in paths:
+            fs = fm.get(pth)
+            if fs is None or (fs.type != "VARCHAR" and not (
+                    is_list(fs.type) and fs.type[1] == "VARCHAR")):
+                return None
+            fspecs.append(fs)
+        return fspecs, qterms, token_order, mod
+
     def _iter_phrase_clauses(self, parsed):
-        """Every phrase clause anywhere in the parsed tree, in a
+        """Every match-column clause (phrase AND autocomplete — r8)
+        anywhere in the parsed tree, as ``(kind, payload)`` in a
         deterministic walk order — drives the one mapInPandas pass that
         materializes their match columns."""
         (text_must, text_should, _cf, mustnot, *_rest) = parsed
         for kind, payload in text_must + text_should + list(mustnot):
-            if kind == "phrase":
-                yield payload
+            if kind in ("phrase", "auto"):
+                yield kind, payload
             elif kind == "compound":
                 yield from self._iter_phrase_clauses(payload)
 
     @staticmethod
-    def _with_phrase_cols(toks_df, phrase_clauses):
-        """Materialize one boolean column per phrase clause via a single
-        Arrow-batched ``mapInPandas`` pass running the ORACLE'S OWN
-        matcher (``mql/search._phrase_matches``) over the token arrays —
-        distributed, match-identical by construction. Returns
+    def _with_phrase_cols(toks_df, clauses):
+        """Materialize one boolean column per phrase/autocomplete
+        clause via a single Arrow-batched ``mapInPandas`` pass running
+        the ORACLE'S OWN matchers (``mql/search._phrase_matches`` /
+        ``_autocomplete_matches``) over the token arrays — distributed,
+        match-identical by construction. Returns
         (frame, [column names])."""
         from pyspark.sql import types as T
 
-        names = [f"__rt_ph_{i}" for i in range(len(phrase_clauses))]
-        specs = [([f"__rt_toks_{fs.name}" for fs in fss], phrases, slop)
-                 for fss, phrases, slop, _mod in phrase_clauses]
+        names = [f"__rt_ph_{i}" for i in range(len(clauses))]
+        specs = [
+            (kind, [f"__rt_toks_{fs.name}" for fs in payload[0]],
+             payload[1], payload[2])
+            for kind, payload in clauses]
         out_schema = T.StructType(
             list(toks_df.schema.fields)
             + [T.StructField(n, T.BooleanType()) for n in names])
 
         def kernel(batches):
-            from duckdb_mongo_spark.mql.search import _phrase_matches
+            from duckdb_mongo_spark.mql.search import (
+                _autocomplete_matches,
+                _phrase_matches,
+            )
+
+            def match(kind, toks, queries, arg):
+                if kind == "phrase":
+                    return any(_phrase_matches(toks, ph, arg)
+                               for ph in queries)
+                return any(_autocomplete_matches(toks, qt, arg)
+                           for qt in queries)
 
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 out = pdf.copy()
-                for n, (tok_names, phrases, slop) in zip(names, specs):
+                for n, (kind, tok_names, queries, arg) in zip(names, specs):
                     mask = []
                     for row_toks in zip(*[pdf[c] for c in tok_names]):
                         mask.append(any(
-                            _phrase_matches(list(toks), ph, slop)
-                            for toks in row_toks if toks is not None
-                            for ph in phrases))
+                            match(kind, list(toks), queries, arg)
+                            for toks in row_toks if toks is not None))
                     out[n] = mask
                 yield out
 
@@ -1260,6 +1315,9 @@ class MongoFrame:
             if "phrase" in cl:
                 pc = self._parse_phrase_clause(cl["phrase"], fm)
                 return None if pc is None else ("phrase", pc)
+            if "autocomplete" in cl:
+                ac = self._parse_autocomplete_clause(cl["autocomplete"], fm)
+                return None if ac is None else ("auto", ac)
             if "compound" in cl:
                 sub = self._parse_search_clauses(
                     {"compound": cl["compound"]}, fm)
@@ -1352,9 +1410,10 @@ class MongoFrame:
                 return cs > 0.0, apply_mod(cs, mod)
             if kind == "cond":
                 return payload, F.lit(1.0)
-            if kind == "phrase":
+            if kind in ("phrase", "auto"):
                 # match column precomputed by _with_phrase_cols; the
-                # oracle scores a phrase match 1.0 before modifiers
+                # oracle scores a phrase/autocomplete match 1.0 before
+                # modifiers
                 return (F.col(phrase_cols[id(payload)]),
                         apply_mod(F.lit(1.0), payload[3]))
             return tuple(reversed(self._build_compound(
@@ -1384,7 +1443,7 @@ class MongoFrame:
                 cond = cond & ~self._overlap_cond(payload[0], payload[1])
             elif kind == "cond":
                 cond = cond & F.coalesce(~payload, F.lit(True))
-            elif kind == "phrase":
+            elif kind in ("phrase", "auto"):
                 cond = cond & ~F.col(phrase_cols[id(payload)])
             else:  # nested compound: pass when the subtree does NOT match
                 _s, sub_cond = self._build_compound(
@@ -1427,7 +1486,7 @@ class MongoFrame:
                 if fs.name not in seen:
                     seen.add(fs.name)
                     fspecs.append(fs)
-        for fss, _phrases, _slop, _mod in phrase_clauses:
+        for _kind, (fss, _q, _arg, _mod) in phrase_clauses:
             for fs in fss:
                 if fs.name not in seen:
                     seen.add(fs.name)
@@ -1450,7 +1509,7 @@ class MongoFrame:
             pmap = {}
             if phrase_clauses:
                 tdf, _ph = self._with_phrase_cols(tdf, phrase_clauses)
-                pmap = {id(p): n for p, n in zip(phrase_clauses, _ph)}
+                pmap = {id(p): n for (_k, p), n in zip(phrase_clauses, _ph)}
             _score, match_cond = self._build_compound(parsed, None, pmap)
             aggs = [F.sum(F.when(match_cond, 1).otherwise(0))
                     .alias("__matched")]
@@ -1494,24 +1553,29 @@ class MongoFrame:
                   .limit(limit))
         return scored, limit, "searchScore", "__rt_score"
 
-    def _route_search_phrase(self, opspec, coll_schema):
-        """Distributed ``$search {phrase}`` + ``$limit``: constant-score
-        selection, so the plan is a filter, not a scorer. The
-        subsequence-with-slop predicate is the ORACLE'S OWN matcher
-        (``mql/search._phrase_matches``) run inside an Arrow-batched
-        ``mapInPandas`` over the partitioned scan's token arrays —
-        distributed, and match-identical to the interpreter by
-        construction (same CPython function; r8: multibyte corpora get
-        their token arrays from the oracle's analyzer too, so the
-        parity argument holds off-ASCII). All
-        matches score 1.0 (times any boost, or a constant replacement),
-        so which ``limit`` of >limit matches return is unspecified — the
-        same tie contract as equal BM25 scores."""
+    def _route_search_phrase(self, opspec, coll_schema, op="phrase"):
+        """Distributed ``$search {phrase}``/``{autocomplete}`` +
+        ``$limit``: constant-score selection, so the plan is a filter,
+        not a scorer. The predicate (subsequence-with-slop, or r8's
+        prefix matching with tokenOrder) is the ORACLE'S OWN matcher
+        (``mql/search._phrase_matches`` / ``_autocomplete_matches``)
+        run inside an Arrow-batched ``mapInPandas`` over the
+        partitioned scan's token arrays — distributed, and
+        match-identical to the interpreter by construction (same
+        CPython function; multibyte corpora get their token arrays from
+        the oracle's analyzer too, so the parity argument holds
+        off-ASCII). All matches score 1.0 (times any boost, or a
+        constant replacement), so which ``limit`` of >limit matches
+        return is unspecified — the same tie contract as equal BM25
+        scores."""
         fm = {f.mongo_path: f for f in coll_schema.fields}
-        pc = self._parse_phrase_clause(opspec, fm)
+        if op == "phrase":
+            pc = self._parse_phrase_clause(opspec, fm)
+        else:
+            pc = self._parse_autocomplete_clause(opspec, fm)
         if pc is None:
             return None
-        fspecs, phrases, slop, mod = pc
+        fspecs, queries, arg, mod = pc
         nxt = (self.manual_pipeline[1]
                if len(self.manual_pipeline) > 1 else None)
         if not (isinstance(nxt, dict) and len(nxt) == 1
@@ -1548,23 +1612,28 @@ class MongoFrame:
         out_schema = toks_df.schema
 
         def kernel(batches):
-            from duckdb_mongo_spark.mql.search import _phrase_matches
+            from duckdb_mongo_spark.mql.search import (
+                _autocomplete_matches,
+                _phrase_matches,
+            )
 
+            matcher = (_phrase_matches if op == "phrase"
+                       else _autocomplete_matches)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 mask = []
                 for row_toks in zip(*[pdf[n] for n in tok_names]):
                     mask.append(any(
-                        _phrase_matches(list(toks), ph, slop)
+                        matcher(list(toks), q, arg)
                         for toks in row_toks if toks is not None
-                        for ph in phrases))
+                        for q in queries))
                 yield pdf[mask]
 
         base_score = F.lit(1.0)
         if mod is not None:
-            kind, v = mod
-            base_score = F.lit(v) if kind == "constant" \
+            mkind, v = mod
+            base_score = F.lit(v) if mkind == "constant" \
                 else base_score * F.lit(v)
         scored = (
             toks_df.mapInPandas(kernel, schema=out_schema)
@@ -1634,7 +1703,7 @@ class MongoFrame:
                 if fs.name not in seen_paths:
                     seen_paths.add(fs.name)
                     fspecs.append(fs)
-        for fss, _phrases, _slop, _mod in phrase_clauses:
+        for _kind, (fss, _q, _arg, _mod) in phrase_clauses:
             for fs in fss:
                 if fs.name not in seen_paths:
                     seen_paths.add(fs.name)
@@ -1675,7 +1744,7 @@ class MongoFrame:
             pmap = {}
             if phrase_clauses:
                 tdf, pnames = self._with_phrase_cols(tdf, phrase_clauses)
-                pmap = {id(p): n for p, n in zip(phrase_clauses, pnames)}
+                pmap = {id(p): n for (_k, p), n in zip(phrase_clauses, pnames)}
                 if count_spec is not None:
                     # the count condition may reference phrase columns,
                     # so pass 1 must run through the phrase kernel too

@@ -108,6 +108,34 @@ class _Corpus:
         return score
 
 
+def _autocomplete_matches(tokens: list[str], qterms: list[str],
+                          token_order: str) -> bool:
+    """Search-as-you-type prefix matching — the engine's pinned
+    ``autocomplete`` semantics (index-free stand-in for Atlas
+    edge-gram indexes): every analyzed query term must PREFIX-match a
+    document token; ``tokenOrder: "sequential"`` additionally requires
+    the matched tokens to appear at strictly increasing positions
+    (greedy earliest-match, the usual prefix-sequence check). Scores
+    are a constant 1.0 — Atlas autocomplete relevance is a property of
+    the gram index, which has no local stand-in; constants keep routed
+    and interpreted results identical (same contract as phrase)."""
+    if not qterms:
+        return False
+    if token_order == "sequential":
+        pos = 0
+        for t in qterms:
+            nxt = None
+            for j in range(pos, len(tokens)):
+                if tokens[j].startswith(t):
+                    nxt = j + 1
+                    break
+            if nxt is None:
+                return False
+            pos = nxt
+        return True
+    return all(any(tok.startswith(t) for tok in tokens) for t in qterms)
+
+
 def _phrase_matches(tokens: list[str], phrase: list[str], slop: int) -> bool:
     """Token subsequence with at most ``slop`` total extra gap positions."""
     if not phrase:
@@ -191,6 +219,25 @@ def _eval_operator(op: str, spec, corpus_cache, docs, i: int):
         return 1.0 if any(
             any(_equals_value(x, want) for want in spec["value"]) for x in vals
         ) else None
+    if op == "autocomplete":
+        if "fuzzy" in spec:
+            # fuzzy autocomplete needs the gram index's edit-distance
+            # expansion — no deterministic local stand-in; loud, like
+            # every unsupported surface here
+            raise ValueError("$search autocomplete: fuzzy is unsupported")
+        token_order = spec.get("tokenOrder", "any")
+        if token_order not in ("any", "sequential"):
+            raise ValueError(
+                f"$search autocomplete: bad tokenOrder {token_order!r}")
+        queries = (spec["query"] if isinstance(spec["query"], list)
+                   else [spec["query"]])
+        paths = _paths(spec)
+        for p in paths:
+            toks = _field_tokens(d, p)
+            for q in queries:
+                if _autocomplete_matches(toks, _analyze(q), token_order):
+                    return 1.0  # constant; Atlas scoring is index-bound
+        return None
     if op == "compound":
         return _eval_compound(spec, corpus_cache, docs, i)
     raise ValueError(f"unsupported $search operator: {op!r}")

@@ -72,7 +72,23 @@ class TestStructuredOperators:
 
     def test_unsupported_operator_raises(self):
         with pytest.raises(ValueError, match="unsupported \\$search operator"):
-            run({"autocomplete": {"query": "sp", "path": "t"}})
+            run({"moreLikeThis": {"like": {"t": "spark"}}})
+
+    def test_autocomplete_prefix_semantics(self):
+        # r8: autocomplete is supported — prefix matching, constant 1.0
+        out = run({"autocomplete": {"query": "sp", "path": "t"}},
+                  extra=[{"$addFields": {"s": {"$meta": "searchScore"}}}])
+        assert {d["_id"] for d in out} == {1, 2}
+        assert all(d["s"] == 1.0 for d in out)
+        # sequential: "is" then "fa*" appears in order only in doc 1
+        out = run({"autocomplete": {"query": "is fa", "path": "t",
+                                    "tokenOrder": "sequential"}})
+        assert [d["_id"] for d in out] == [1]
+
+    def test_autocomplete_fuzzy_raises(self):
+        with pytest.raises(ValueError, match="fuzzy"):
+            run({"autocomplete": {"query": "sp", "path": "t",
+                                  "fuzzy": {}}})
 
 
 class TestCompound:

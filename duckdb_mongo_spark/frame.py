@@ -51,6 +51,16 @@ DIRECT_SCAN_MAX_CELLS = int(
 _MB_CACHE: dict = {}
 
 
+def _fold(init, cols, op):
+    """Left fold of Columns from ``init`` — the oracle's evaluation
+    order for add/multiply score expressions (IEEE + and * are
+    order-sensitive, so the routed side must associate identically)."""
+    acc = init
+    for c in cols:
+        acc = (acc + c) if op == "+" else (acc * c)
+    return acc
+
+
 def _pred_to_column(pred, schema):
     """Residual predicate AST → PySpark Column."""
     if isinstance(pred, P.Cmp):
@@ -799,10 +809,71 @@ class MongoFrame:
         return cand
 
     @staticmethod
-    def _parse_score_mod(opspec):
+    def _score_path_col(fm, path, undefined):
+        """Numeric doc-path Column for score expressions with the
+        oracle's ``_path_number`` semantics: missing / non-numeric /
+        boolean -> the ``undefined`` default."""
+        und = F.lit(float(undefined))
+        fs = fm.get(path)
+        if fs is None or getattr(fs, "type", None) not in (
+                "DOUBLE", "BIGINT", "INTEGER", "INT", "FLOAT",
+                "SMALLINT", "TINYINT", "HUGEINT"):
+            return und
+        return F.coalesce(F.col(fs.name).cast("double"), und)
+
+    def _compile_score_function(self, expr, fm):
+        """Column builder (score Column -> Column) for the IEEE-exact
+        subset of Atlas ``function`` scores — score/constant/path/add/
+        multiply, the same fold order as the oracle's
+        ``_eval_score_function`` so results stay bit-identical
+        (+ and * are IEEE-deterministic given identical inputs).
+        Returns None for transcendental shapes (log/log1p/gauss): JVM
+        libm can differ from CPython by an ulp, so those evaluate on
+        the interpreter instead of silently drifting."""
+        if isinstance(expr, (int, float)) and not isinstance(expr, bool):
+            c = float(expr)
+            return lambda s: F.lit(c)
+        if not isinstance(expr, dict) or len(expr) != 1:
+            return None
+        (kind, body), = expr.items()
+        if kind == "score":
+            return (lambda s: s) if body == "relevance" else None
+        if kind == "constant":
+            if isinstance(body, bool) or not isinstance(body, (int, float)):
+                return None
+            c = float(body)
+            return lambda s: F.lit(c)
+        if kind == "path":
+            if isinstance(body, str):
+                col = self._score_path_col(fm, body, 0.0)
+            elif isinstance(body, dict) and set(body) <= \
+                    {"value", "undefined"} and isinstance(
+                        body.get("value"), str):
+                col = self._score_path_col(
+                    fm, body["value"], body.get("undefined", 0.0))
+            else:
+                return None
+            return lambda s, _c=col: _c
+        if kind in ("add", "multiply"):
+            if not isinstance(body, list) or not body:
+                return None
+            subs = [self._compile_score_function(e, fm) for e in body]
+            if any(sub is None for sub in subs):
+                return None
+            if kind == "add":
+                # the oracle's sum() starts at 0.0
+                return lambda s, _subs=subs: _fold(
+                    F.lit(0.0), [f(s) for f in _subs], "+")
+            return lambda s, _subs=subs: _fold(
+                F.lit(1.0), [f(s) for f in _subs], "*")
+        return None
+
+    def _parse_score_mod(self, opspec, fm=None):
         """Atlas ``score`` option -> ("boost", v) / ("constant", v) /
-        None, or the string "unsupported" for shapes needing the
-        interpreter (boost-by-path, function scores)."""
+        ("boost_col", Column) / ("func", builder) / None, or the string
+        "unsupported" for shapes needing the interpreter (transcendental
+        function scores — which the oracle evaluates, r8 — or malformed
+        options, which it rejects loudly)."""
         mod = opspec.get("score")
         if mod is None:
             return None
@@ -813,6 +884,16 @@ class MongoFrame:
                     and isinstance(body["value"], (int, float)) \
                     and not isinstance(body["value"], bool):
                 return (kind, float(body["value"]))
+            if kind == "boost" and fm is not None \
+                    and isinstance(body, dict) \
+                    and set(body) <= {"path", "undefined"} \
+                    and isinstance(body.get("path"), str):
+                return ("boost_col", self._score_path_col(
+                    fm, body["path"], body.get("undefined", 0.0)))
+            if kind == "function" and fm is not None:
+                fn = self._compile_score_function(body, fm)
+                if fn is not None:
+                    return ("func", fn)
         return "unsupported"
 
     def _parse_text_clause(self, opspec, fm):
@@ -826,7 +907,7 @@ class MongoFrame:
         if not isinstance(opspec, dict) or "query" not in opspec \
                 or "path" not in opspec:
             return None
-        mod = self._parse_score_mod(opspec)
+        mod = self._parse_score_mod(opspec, fm)
         if mod == "unsupported":
             return None
         q = opspec["query"]
@@ -852,12 +933,15 @@ class MongoFrame:
         return fspecs, terms, mod
 
     def _search_filter_cond(self, clause, fm):
-        """Translate a compound ``filter``/``mustNot`` clause
-        (equals/range/in/exists over scalar schema fields) to a Spark
-        Column with the oracle's matching semantics (``mql/search.py``
+        """Translate a compound condition clause (equals/range/in/
+        exists over scalar schema fields) to ``(Column, score_mod)``
+        with the oracle's matching semantics (``mql/search.py``
         ``_eval_operator``): type-strict equality, numeric/string
-        ranges, MISSING never matches. Returns None outside the subset
-        — the caller then falls back to the interpreter."""
+        ranges, MISSING never matches. The mod (r8: boost/boost.path/
+        constant/compilable function) applies to the clause's constant
+        1.0 in scoring contexts; filter/mustNot callers ignore it, like
+        the oracle. Returns None outside the subset — the caller then
+        falls back to the interpreter."""
         from duckdb_mongo_spark.schema.types import is_list
 
         if not isinstance(clause, dict) or len(clause) != 1:
@@ -866,10 +950,13 @@ class MongoFrame:
         if not isinstance(cspec, dict) or not isinstance(
                 cspec.get("path"), str):
             return None
+        mod = self._parse_score_mod(cspec, fm)
+        if mod == "unsupported":
+            return None  # interpreter semantics (it raises on bad shapes)
         fs = fm.get(cspec["path"])
         dense = getattr(self.backend, "dense_documents", False)
         if cop == "exists":
-            if set(cspec) - {"path"} or fs is None:
+            if set(cspec) - {"path", "score"} or fs is None:
                 return None
             # dense backends emit every schema field on every document
             # (present-with-null), so `exists` is True for all rows —
@@ -879,7 +966,7 @@ class MongoFrame:
             # would call the latter absent while the oracle's get_path
             # matches it, a silent divergence — decline and let the
             # interpreter decide per-document.
-            return F.lit(True) if dense else None
+            return (F.lit(True), mod) if dense else None
         if fs is None or is_list(fs.type) or not isinstance(fs.type, str):
             return None
         col = F.col(fs.name)
@@ -896,12 +983,12 @@ class MongoFrame:
             return False
 
         if cop == "equals":
-            if set(cspec) - {"path", "value"}:
+            if set(cspec) - {"path", "value", "score"}:
                 return None
             v = cspec.get("value")
-            return (col == F.lit(v)) if lit_ok(v) else None
+            return (col == F.lit(v), mod) if lit_ok(v) else None
         if cop == "range":
-            if set(cspec) - {"path", "gt", "gte", "lt", "lte"}:
+            if set(cspec) - {"path", "gt", "gte", "lt", "lte", "score"}:
                 return None
             bounds = {b: cspec[b] for b in ("gt", "gte", "lt", "lte")
                       if b in cspec}
@@ -914,15 +1001,15 @@ class MongoFrame:
                 c = {"gt": col > F.lit(v), "gte": col >= F.lit(v),
                      "lt": col < F.lit(v), "lte": col <= F.lit(v)}[b]
                 cond = c if cond is None else (cond & c)
-            return cond
+            return cond, mod
         if cop == "in":
-            if set(cspec) - {"path", "value"}:
+            if set(cspec) - {"path", "value", "score"}:
                 return None
             v = cspec.get("value")
             if not isinstance(v, list) or not v \
                     or not all(lit_ok(x) for x in v):
                 return None
-            return col.isin(v)
+            return col.isin(v), mod
         return None
 
     def _route_geo_near(self, spec, coll_schema):
@@ -1154,7 +1241,7 @@ class MongoFrame:
             return None
         if set(opspec) - {"query", "path", "slop", "score"}:
             return None
-        mod = self._parse_score_mod(opspec)
+        mod = self._parse_score_mod(opspec, fm)
         if mod == "unsupported":
             return None
         q = opspec["query"]
@@ -1191,7 +1278,7 @@ class MongoFrame:
             return None
         if set(opspec) - {"query", "path", "tokenOrder", "score"}:
             return None  # fuzzy et al.: interpreter semantics
-        mod = self._parse_score_mod(opspec)
+        mod = self._parse_score_mod(opspec, fm)
         if mod == "unsupported":
             return None
         token_order = opspec.get("tokenOrder", "any")
@@ -1323,7 +1410,7 @@ class MongoFrame:
                     {"compound": cl["compound"]}, fm)
                 return None if sub is None else ("compound", sub)
             c = self._search_filter_cond(cl, fm)
-            return None if c is None else ("cond", c)
+            return None if c is None else ("cond", c)  # (Column, mod)
 
         if op == "text":
             tc = self._parse_text_clause(opspec, fm)
@@ -1351,7 +1438,7 @@ class MongoFrame:
                 c = self._search_filter_cond(cl, fm)
                 if c is None:
                     return None
-                cond_filters.append(c)
+                cond_filters.append(c[0])  # mod parsed, never scores
             for cl in _as_list(opspec.get("mustNot")):
                 sc = scored_clause(cl)
                 if sc is None:
@@ -1393,13 +1480,22 @@ class MongoFrame:
          has_must, has_filter, _has_should, _cs) = parsed
 
         def apply_mod(score, mod):
-            # boost multiplies the matched clause's score, constant
-            # replaces it; matching is decided on the UN-modified base
-            # (the oracle mods only non-None scores)
+            # boost multiplies the matched clause's score (by a value
+            # or a doc-path Column), constant replaces it, func runs
+            # the compiled expression (clamped at 0 like the oracle);
+            # matching is decided on the UN-modified base (the oracle
+            # mods only non-None scores)
             if mod is None:
                 return score
             kind, v = mod
-            return score * F.lit(v) if kind == "boost" else F.lit(v)
+            if kind == "boost":
+                return score * F.lit(v)
+            if kind == "boost_col":
+                return score * v
+            if kind == "func":
+                fx = v(score)
+                return F.when(fx > 0.0, fx).otherwise(F.lit(0.0))
+            return F.lit(v)
 
         def hit_and_score(kind, payload):
             if kind == "text":
@@ -1409,7 +1505,8 @@ class MongoFrame:
                 cs = clause_score(fss, terms)
                 return cs > 0.0, apply_mod(cs, mod)
             if kind == "cond":
-                return payload, F.lit(1.0)
+                ccol, cmod = payload
+                return ccol, apply_mod(F.lit(1.0), cmod)
             if kind in ("phrase", "auto"):
                 # match column precomputed by _with_phrase_cols; the
                 # oracle scores a phrase/autocomplete match 1.0 before
@@ -1442,7 +1539,7 @@ class MongoFrame:
             if kind == "text":
                 cond = cond & ~self._overlap_cond(payload[0], payload[1])
             elif kind == "cond":
-                cond = cond & F.coalesce(~payload, F.lit(True))
+                cond = cond & F.coalesce(~payload[0], F.lit(True))
             elif kind in ("phrase", "auto"):
                 cond = cond & ~F.col(phrase_cols[id(payload)])
             else:  # nested compound: pass when the subtree does NOT match
@@ -1532,9 +1629,10 @@ class MongoFrame:
         so the plan is a pushed filter + limit — no scoring pass at
         all. Tie order among the equal scores is unspecified."""
         fm = {f.mongo_path: f for f in coll_schema.fields}
-        cond = self._search_filter_cond(clause, fm)
-        if cond is None:
+        got = self._search_filter_cond(clause, fm)
+        if got is None:
             return None
+        cond, cmod = got
         nxt = (self.manual_pipeline[1]
                if len(self.manual_pipeline) > 1 else None)
         if not (isinstance(nxt, dict) and len(nxt) == 1
@@ -1548,8 +1646,20 @@ class MongoFrame:
         )
         bdf = base.df()
         self._routed_base_path = base.last_exec_path
+        base_score = F.lit(1.0)
+        if cmod is not None:
+            mkind, v = cmod
+            if mkind == "constant":
+                base_score = F.lit(v)
+            elif mkind == "boost":
+                base_score = base_score * F.lit(v)
+            elif mkind == "boost_col":
+                base_score = base_score * v
+            else:  # func over the 1.0 base, 0-clamped like the oracle
+                fx = v(base_score)
+                base_score = F.when(fx > 0.0, fx).otherwise(F.lit(0.0))
         scored = (bdf.where(cond)
-                  .withColumn("__rt_score", F.lit(1.0))
+                  .withColumn("__rt_score", base_score)
                   .limit(limit))
         return scored, limit, "searchScore", "__rt_score"
 
@@ -1633,8 +1743,15 @@ class MongoFrame:
         base_score = F.lit(1.0)
         if mod is not None:
             mkind, v = mod
-            base_score = F.lit(v) if mkind == "constant" \
-                else base_score * F.lit(v)
+            if mkind == "constant":
+                base_score = F.lit(v)
+            elif mkind == "boost":
+                base_score = base_score * F.lit(v)
+            elif mkind == "boost_col":
+                base_score = base_score * v
+            else:  # func: compiled expression over the 1.0 base, 0-clamped
+                fx = v(base_score)
+                base_score = F.when(fx > 0.0, fx).otherwise(F.lit(0.0))
         scored = (
             toks_df.mapInPandas(kernel, schema=out_schema)
             .withColumn("__rt_score", base_score)

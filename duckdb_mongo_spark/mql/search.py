@@ -255,11 +255,76 @@ def _clauses(spec, key) -> list[dict]:
     return [cl] if isinstance(cl, dict) else list(cl)
 
 
-def _apply_score_mod(base, spec):
+def _path_number(doc, path, undefined=0.0) -> float:
+    """Numeric value of a document path for score expressions —
+    missing / non-numeric / boolean values take the ``undefined``
+    default (Atlas path-score semantics)."""
+    v = get_path(doc, path)
+    if v is MISSING or isinstance(v, bool) or not isinstance(v, (int, float)):
+        return float(undefined)
+    return float(v)
+
+
+def _eval_score_function(expr, base: float, doc) -> float:
+    """Atlas ``score: {function: ...}`` expression tree (r8): all of
+    its inputs are DOC-LOCAL (the relevance score, document field
+    values, constants) — no index metadata involved — so the full
+    surface evaluates deterministically here. Pinned semantics:
+    ``score`` = the clause's unmodified relevance score; ``path`` =
+    the field's numeric value (``undefined`` default, 0.0 when not
+    given); ``constant``; ``add``/``multiply`` fold left;
+    ``log`` = log10(x) with non-positive x scoring 0; ``log1p`` =
+    log10(x+1) likewise; ``gauss`` = decay^(max(0, |v-origin|-offset)^2
+    / scale^2) with decay default 0.5 and offset default 0."""
+    if isinstance(expr, (int, float)) and not isinstance(expr, bool):
+        return float(expr)
+    if not isinstance(expr, dict) or len(expr) != 1:
+        raise ValueError(f"$search: unsupported function score {expr!r}")
+    (kind, body), = expr.items()
+    if kind == "score":
+        if body != "relevance":
+            raise ValueError(f"$search: unsupported score source {body!r}")
+        return base
+    if kind == "constant":
+        return float(body)
+    if kind == "path":
+        if isinstance(body, str):
+            return _path_number(doc, body)
+        return _path_number(doc, body["value"], body.get("undefined", 0.0))
+    if kind == "add":
+        return sum(_eval_score_function(e, base, doc) for e in body)
+    if kind == "multiply":
+        out = 1.0
+        for e in body:
+            out *= _eval_score_function(e, base, doc)
+        return out
+    if kind == "log":
+        x = _eval_score_function(body, base, doc)
+        return math.log10(x) if x > 0 else 0.0
+    if kind == "log1p":
+        x = _eval_score_function(body, base, doc) + 1.0
+        return math.log10(x) if x > 0 else 0.0
+    if kind == "gauss":
+        v = _path_number(doc, body["path"], body.get("undefined", 0.0)) \
+            if isinstance(body.get("path"), str) else \
+            _eval_score_function(body["path"], base, doc)
+        origin = float(body["origin"])
+        scale = float(body["scale"])
+        offset = float(body.get("offset", 0.0))
+        decay = float(body.get("decay", 0.5))
+        dist = max(0.0, abs(v - origin) - offset)
+        return decay ** ((dist * dist) / (scale * scale))
+    raise ValueError(f"$search: unsupported function score {expr!r}")
+
+
+def _apply_score_mod(base, spec, doc=None):
     """Atlas ``score`` option on an operator: ``boost.value`` multiplies
-    the clause score, ``constant.value`` replaces it (match unchanged).
-    ``boost.path`` (boost-by-field) and ``function`` shapes need index
-    metadata and raise loudly rather than silently mis-scoring."""
+    the clause score, ``boost.path`` multiplies by a document field's
+    numeric value (``undefined`` default when absent), ``constant.value``
+    replaces it, and ``function`` evaluates a doc-local expression tree
+    (r8 — see ``_eval_score_function``; a negative final function score
+    clamps to 0, the documented Atlas behavior). Matching is always
+    decided on the UN-modified base."""
     mod = spec.get("score") if isinstance(spec, dict) else None
     if base is None or mod is None:
         return base
@@ -268,9 +333,15 @@ def _apply_score_mod(base, spec):
     (kind, body), = mod.items()
     if kind == "boost" and isinstance(body, dict) and set(body) == {"value"}:
         return base * float(body["value"])
+    if kind == "boost" and isinstance(body, dict) \
+            and set(body) <= {"path", "undefined"} and "path" in body:
+        return base * _path_number(doc, body["path"],
+                                   body.get("undefined", 0.0))
     if kind == "constant" and isinstance(body, dict) \
             and set(body) == {"value"}:
         return float(body["value"])
+    if kind == "function":
+        return max(0.0, _eval_score_function(body, base, doc))
     raise ValueError(f"$search: unsupported score option {mod!r}")
 
 
@@ -279,7 +350,7 @@ def _eval_clause(clause: dict, corpus_cache, docs, i: int):
     base = _eval_operator(op, spec, corpus_cache, docs, i)
     if op == "compound":
         return base  # score options attach to operators, not compound
-    return _apply_score_mod(base, spec)
+    return _apply_score_mod(base, spec, docs[i])
 
 
 def _eval_compound(spec, corpus_cache, docs, i: int):
@@ -328,7 +399,7 @@ def search_stage(docs, spec, meta_key: str) -> list[dict]:
     for i in range(len(docs)):
         s = _eval_operator(op, opspec, corpus_cache, docs, i)
         if op != "compound":
-            s = _apply_score_mod(s, opspec)
+            s = _apply_score_mod(s, opspec, docs[i])
         if s is not None:
             scored.append((s, i))
     scored.sort(key=lambda t: (-t[0], t[1]))

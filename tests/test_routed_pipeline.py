@@ -983,16 +983,16 @@ class TestPhraseAndCondOpRouting:
         self._run(spark, tmp_path,
                   {"phrase": {"query": "çabuk tilki", "path": "body"}})
 
-    def test_unsupported_score_shape_fails_loudly(self, spark, tmp_path):
-        # boost-by-path / function scores need index metadata: both the
-        # routed path (declines) and the interpreter (raises) refuse to
-        # silently mis-score
+    def test_malformed_score_shape_fails_loudly(self, spark, tmp_path):
+        # r8: function scores are SUPPORTED (doc-local), but a
+        # malformed expression still refuses to silently mis-score —
+        # the routed path declines and the interpreter raises
         be = self._backend(tmp_path)
         pipe = [{"$search": {"phrase": {
                     "query": "quick brown", "path": "body",
                     "score": {"function": {"log": {}}}}}},
                 {"$limit": 5}]
-        with pytest.raises(ValueError, match="unsupported score option"):
+        with pytest.raises(ValueError, match="unsupported function score"):
             mongo_scan(spark, be, "main", "posts",
                        pipeline=pipe).df().collect()
 
@@ -1301,3 +1301,104 @@ class TestAutocompleteRouting:
         with pytest.raises(Exception, match="fuzzy"):
             mongo_scan(spark, be, "main", "posts",
                        pipeline=pipe).df().collect()
+
+
+class TestFunctionScores:
+    """r8: Atlas boost.path and function scores are DOC-LOCAL (relevance
+    score + document fields + constants — no index metadata), so the
+    oracle evaluates the full surface and the router compiles the
+    IEEE-exact subset (score/constant/path/add/multiply, boost.path) to
+    Columns with the oracle's fold order — bit-identical scores.
+    Transcendental shapes (log/log1p/gauss) stay on the interpreter:
+    JVM libm may differ from CPython by an ulp."""
+
+    DOCS = [
+        {"_id": 1, "body": "spark engine", "views": 10, "w": 2.5},
+        {"_id": 2, "body": "spark spark engine", "views": 3, "w": None},
+        {"_id": 3, "body": "duck pond", "views": 7, "w": 1.0},
+        {"_id": 4, "body": "spark", "views": None, "w": 4.0},
+    ]
+
+    def _run(self, spark, tmp_path, search, expect_routed=True):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sub = tmp_path / "fs"
+        if not sub.exists():
+            sub.mkdir()
+            pq.write_table(
+                pa.table({k: [d[k] for d in self.DOCS]
+                          for k in ("_id", "body", "views", "w")}),
+                str(sub / "posts.parquet"))
+        be = ParquetBackend(str(sub), db_name="main")
+        pipe = [{"$search": search}, {"$limit": 10},
+                {"$addFields": {"score": {"$meta": "searchScore"}}}]
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        got = [r.asDict() for r in mf.df().collect()]
+        if expect_routed:
+            assert mf.last_exec_path == "routed:search_text", search
+        else:
+            assert mf.last_exec_path != "routed:search_text", search
+        exp = _interpreter_rows(be, "main", "posts", pipe)
+        assert sorted((g["_id"], g["score"]) for g in got) == \
+            sorted((e["_id"], e["score"]) for e in exp), search
+        return {g["_id"]: g["score"] for g in got}
+
+    def test_boost_path_multiplies_by_field(self, spark, tmp_path):
+        base = self._run(spark, tmp_path,
+                         {"text": {"query": "spark", "path": "body"}})
+        got = self._run(spark, tmp_path, {"text": {
+            "query": "spark", "path": "body",
+            "score": {"boost": {"path": "views", "undefined": 0.5}}}})
+        assert got[1] == base[1] * 10 and got[2] == base[2] * 3
+        assert got[4] == base[4] * 0.5  # null views -> undefined default
+
+    def test_function_arithmetic_routes(self, spark, tmp_path):
+        base = self._run(spark, tmp_path,
+                         {"text": {"query": "spark", "path": "body"}})
+        got = self._run(spark, tmp_path, {"text": {
+            "query": "spark", "path": "body",
+            "score": {"function": {"add": [
+                {"multiply": [{"score": "relevance"},
+                              {"path": {"value": "w", "undefined": 1.0}}]},
+                {"constant": 0.25},
+            ]}}}})
+        assert got[1] == base[1] * 2.5 + 0.25
+        assert got[2] == base[2] * 1.0 + 0.25  # null w -> undefined
+        assert got[4] == base[4] * 4.0 + 0.25
+
+    def test_function_clamps_negative_to_zero(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, {"text": {
+            "query": "spark", "path": "body",
+            "score": {"function": {"constant": -2.0}}}})
+        assert set(got.values()) == {0.0}
+
+    def test_transcendental_falls_back_but_works(self, spark, tmp_path):
+        import math
+
+        base = self._run(spark, tmp_path,
+                         {"text": {"query": "spark", "path": "body"}})
+        got = self._run(spark, tmp_path, {"text": {
+            "query": "spark", "path": "body",
+            "score": {"function": {"multiply": [
+                {"score": "relevance"},
+                {"log": {"path": {"value": "views", "undefined": 1.0}}},
+            ]}}}}, expect_routed=False)
+        assert got[1] == pytest.approx(base[1] * math.log10(10))
+        assert 4 not in got or got[4] == 0.0  # log(1)=0 -> score 0... match?
+
+    def test_boost_path_inside_compound(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, {"compound": {
+            "should": [
+                {"text": {"query": "spark", "path": "body",
+                          "score": {"function": {"multiply": [
+                              {"score": "relevance"},
+                              {"constant": 2.0}]}}}},
+                {"equals": {"path": "views", "value": 7,
+                            "score": {"boost": {"path": "views"}}}},
+            ],
+        }})
+        base = self._run(spark, tmp_path,
+                         {"text": {"query": "spark", "path": "body"}})
+        assert got[1] == base[1] * 2.0
+        assert got[3] == 7.0  # equals constant 1.0 * views 7

@@ -43,6 +43,14 @@ _MOD = st.one_of(
               st.sampled_from([0.5, 2, 3.0])),
     st.builds(lambda v: {"constant": {"value": v}},
               st.sampled_from([4.0, 0.25])),
+    # r8: doc-local score shapes — boost-by-path and the IEEE-exact
+    # function subset route; parity must hold either way
+    st.builds(lambda u: {"boost": {"path": "year", "undefined": u}},
+              st.sampled_from([0.0, 1.5])),
+    st.builds(lambda c: {"function": {"add": [
+        {"multiply": [{"score": "relevance"}, {"constant": c}]},
+        {"path": {"value": "year", "undefined": 0.5}}]}},
+        st.sampled_from([0.5, 2.0])),
 )
 
 

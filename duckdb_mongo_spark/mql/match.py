@@ -329,6 +329,50 @@ def _apply_op(actual, op, arg, doc):
         return _point_in_geometry(pt[0], pt[1], geom)
     if op in ("$near", "$nearSphere"):
         return _geo_near_match(actual, arg, op)
+    if op == "$mod":
+        # mongod: [divisor, remainder] over numeric values; non-integer
+        # operands TRUNCATE (server behavior); divide-by-zero errors
+        if not isinstance(arg, (list, tuple)) or len(arg) != 2:
+            raise ValueError("$mod requires [divisor, remainder]")
+        div, rem = int(arg[0]), int(arg[1])
+        if div == 0:
+            raise ValueError("$mod: divisor cannot be 0")
+        vals = actual if isinstance(actual, list) else [actual]
+        out = False
+        for v in vals:
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                continue
+            # C-style truncated remainder (mongod), not Python's floored
+            out = out or (int(v) - int(int(v) / div) * div) == rem
+        return out
+    if op in ("$bitsAllSet", "$bitsAnySet", "$bitsAllClear",
+              "$bitsAnyClear"):
+        # mask forms: int mask or list of bit POSITIONS; numeric values
+        # only (whole numbers — mongod rejects fractional), arrays
+        # match per-element like every other operator here
+        if isinstance(arg, (list, tuple)):
+            mask = 0
+            for p in arg:
+                mask |= 1 << int(p)
+        else:
+            mask = int(arg)
+        vals = actual if isinstance(actual, list) else [actual]
+        for v in vals:
+            if isinstance(v, bool) or not isinstance(v, (int, float)) \
+                    or v != int(v):
+                continue
+            bits = int(v)
+            if op == "$bitsAllSet" and (bits & mask) == mask:
+                return True
+            if op == "$bitsAnySet" and (bits & mask) != 0:
+                return True
+            if op == "$bitsAllClear" and (bits & mask) == 0:
+                return True
+            if op == "$bitsAnyClear" and (bits & mask) != mask:
+                return True
+        return False
+    if op == "$comment":
+        return True  # metadata: matches everything, like the server
     raise ValueError(f"unsupported match operator: {op}")
 
 
@@ -375,6 +419,8 @@ def matches_filter(doc: dict, filt: dict) -> bool:
         elif key == "$expr":
             if not _truthy(eval_expr(cond, doc)):
                 return False
+        elif key == "$comment":
+            pass  # query metadata: no match effect, like the server
         elif key.startswith("$"):
             raise ValueError(f"unsupported top-level operator: {key}")
         else:

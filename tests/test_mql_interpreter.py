@@ -72,6 +72,39 @@ class TestMatch:
         assert not matches_filter({}, {"a": {"$gt": 0}})
         assert not matches_filter({"a": None}, {"a": {"$gt": 0}})
 
+    def test_mod(self):
+        # mongod $mod: C-style TRUNCATED remainder, operands truncate,
+        # arrays match per element, divisor 0 errors (r8)
+        assert matches_filter({"a": 10}, {"a": {"$mod": [4, 2]}})
+        assert not matches_filter({"a": 10}, {"a": {"$mod": [4, 1]}})
+        assert matches_filter({"a": -10}, {"a": {"$mod": [4, -2]}})
+        assert matches_filter({"a": 10.7}, {"a": {"$mod": [4, 2]}})
+        assert matches_filter({"a": [3, 10]}, {"a": {"$mod": [5, 0]}})
+        assert not matches_filter({"a": "x"}, {"a": {"$mod": [4, 0]}})
+        with pytest.raises(ValueError, match="divisor"):
+            matches_filter({"a": 1}, {"a": {"$mod": [0, 1]}})
+
+    def test_bitwise_operators(self):
+        # masks as int or bit-position lists; fractional values never
+        # match; arrays per element (r8)
+        d = {"a": 54}  # 0b110110
+        assert matches_filter(d, {"a": {"$bitsAllSet": [1, 5]}})
+        assert matches_filter(d, {"a": {"$bitsAllSet": 50}})
+        assert not matches_filter(d, {"a": {"$bitsAllSet": [0, 1]}})
+        assert matches_filter(d, {"a": {"$bitsAnySet": [0, 1]}})
+        assert matches_filter(d, {"a": {"$bitsAllClear": [0, 3]}})
+        assert matches_filter(d, {"a": {"$bitsAnyClear": [1, 0]}})
+        assert not matches_filter(d, {"a": {"$bitsAnyClear": [1, 5]}})
+        assert not matches_filter({"a": 2.5}, {"a": {"$bitsAnySet": 3}})
+        assert matches_filter({"a": [2, 8]}, {"a": {"$bitsAllSet": 8}})
+
+    def test_comment_is_metadata(self):
+        assert matches_filter({"a": 1}, {"a": 1, "$comment": "why"})
+        assert matches_filter(
+            {"a": 1}, {"a": {"$eq": 1, "$comment": "inline"}})
+        assert not matches_filter(
+            {"a": 2}, {"a": 1, "$comment": "still filters"})
+
 
 class TestPipeline:
     def test_match_project_limit(self):

@@ -429,7 +429,7 @@ class TestAnnProperties:
         be, _ = ann_prop_corpus
         rng = np.random.default_rng(5)
         filters = [None, {"label": {"$gte": 3}}, {"label": {"$in": [0, 2, 5]}},
-                   {"label": {"$ne": 1}}, {"label": {"$lt": 6}}]
+                   {"label": {"$ne": 1}}, {"label": {"$mod": [3, 1]}}]
         for i in range(10):
             q = rng.normal(size=24).tolist()
             nc = int(rng.choice([60, 150, 400, 1200, 2000]))

@@ -1276,8 +1276,15 @@ class MongoFrame:
         if not isinstance(opspec, dict) or "query" not in opspec \
                 or "path" not in opspec:
             return None
-        if set(opspec) - {"query", "path", "tokenOrder", "score"}:
-            return None  # fuzzy et al.: interpreter semantics
+        if set(opspec) - {"query", "path", "tokenOrder", "score", "fuzzy"}:
+            return None  # unknown options: interpreter semantics
+        fuzzy = opspec.get("fuzzy")
+        if fuzzy is not None and (
+                not isinstance(fuzzy, dict)
+                or set(fuzzy) - {"maxEdits", "prefixLength",
+                                 "maxExpansions"}
+                or int(fuzzy.get("maxEdits", 2)) not in (1, 2)):
+            return None  # malformed: the interpreter raises loudly
         mod = self._parse_score_mod(opspec, fm)
         if mod == "unsupported":
             return None
@@ -1298,7 +1305,7 @@ class MongoFrame:
                     is_list(fs.type) and fs.type[1] == "VARCHAR")):
                 return None
             fspecs.append(fs)
-        return fspecs, qterms, token_order, mod
+        return fspecs, qterms, (token_order, fuzzy), mod
 
     def _iter_phrase_clauses(self, parsed):
         """Every match-column clause (phrase AND autocomplete — r8)
@@ -1341,7 +1348,7 @@ class MongoFrame:
                 if kind == "phrase":
                     return any(_phrase_matches(toks, ph, arg)
                                for ph in queries)
-                return any(_autocomplete_matches(toks, qt, arg)
+                return any(_autocomplete_matches(toks, qt, arg[0], arg[1])
                            for qt in queries)
 
             for pdf in batches:
@@ -1727,15 +1734,19 @@ class MongoFrame:
                 _phrase_matches,
             )
 
-            matcher = (_phrase_matches if op == "phrase"
-                       else _autocomplete_matches)
+            if op == "phrase":
+                def matcher(toks, q, a=arg):
+                    return _phrase_matches(toks, q, a)
+            else:
+                def matcher(toks, q, a=arg):
+                    return _autocomplete_matches(toks, q, a[0], a[1])
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 mask = []
                 for row_toks in zip(*[pdf[n] for n in tok_names]):
                     mask.append(any(
-                        matcher(list(toks), q, arg)
+                        matcher(list(toks), q)
                         for toks in row_toks if toks is not None
                         for q in queries))
                 yield pdf[mask]

@@ -108,8 +108,42 @@ class _Corpus:
         return score
 
 
+def _prefix_edit_distance(q: str, t: str) -> int:
+    """min over prefixes t' of t of editdist(q, t') — the natural
+    fuzzy-PREFIX metric for search-as-you-type: how many edits to turn
+    the typed query term into the START of the token. One Levenshtein
+    DP over (q, t); the answer is the minimum of the final row."""
+    prev = list(range(len(q) + 1))
+    best = prev[-1]
+    for ch in t:
+        cur = [prev[0] + 1]
+        for i, qc in enumerate(q):
+            cur.append(min(prev[i] + (qc != ch),   # substitute/keep
+                           prev[i + 1] + 1,        # delete from q...
+                           cur[i] + 1))            # insert into q
+        prev = cur
+        best = min(best, prev[-1])
+    return best
+
+
+def _fuzzy_prefix_match(q: str, t: str, max_edits: int,
+                        prefix_length: int) -> bool:
+    """Pinned fuzzy-autocomplete term test: the first ``prefix_length``
+    characters must match exactly (Atlas fuzzy.prefixLength), then the
+    remainder of the query term must be within ``max_edits`` prefix
+    edit distance of the token's remainder."""
+    if prefix_length:
+        if len(q) < prefix_length or len(t) < prefix_length \
+                or q[:prefix_length] != t[:prefix_length]:
+            return False
+        q, t = q[prefix_length:], t[prefix_length:]
+    if not q:
+        return True
+    return _prefix_edit_distance(q, t) <= max_edits
+
+
 def _autocomplete_matches(tokens: list[str], qterms: list[str],
-                          token_order: str) -> bool:
+                          token_order: str, fuzzy=None) -> bool:
     """Search-as-you-type prefix matching — the engine's pinned
     ``autocomplete`` semantics (index-free stand-in for Atlas
     edge-gram indexes): every analyzed query term must PREFIX-match a
@@ -118,22 +152,39 @@ def _autocomplete_matches(tokens: list[str], qterms: list[str],
     (greedy earliest-match, the usual prefix-sequence check). Scores
     are a constant 1.0 — Atlas autocomplete relevance is a property of
     the gram index, which has no local stand-in; constants keep routed
-    and interpreted results identical (same contract as phrase)."""
+    and interpreted results identical (same contract as phrase).
+
+    ``fuzzy`` (r8): ``{maxEdits (default 2), prefixLength (default 0),
+    maxExpansions}`` — a term prefix-matches within ``maxEdits`` of
+    prefix edit distance after an exact ``prefixLength`` head
+    (``_fuzzy_prefix_match``). ``maxExpansions`` caps the INDEX
+    expansion on Atlas and has no local analog: this stand-in behaves
+    as unbounded expansions (a documented superset)."""
     if not qterms:
         return False
+    if fuzzy is not None:
+        max_edits = int(fuzzy.get("maxEdits", 2))
+        prefix_length = int(fuzzy.get("prefixLength", 0))
+
+        def hit(tok, term):
+            return _fuzzy_prefix_match(term, tok, max_edits, prefix_length)
+    else:
+        def hit(tok, term):
+            return tok.startswith(term)
+
     if token_order == "sequential":
         pos = 0
         for t in qterms:
             nxt = None
             for j in range(pos, len(tokens)):
-                if tokens[j].startswith(t):
+                if hit(tokens[j], t):
                     nxt = j + 1
                     break
             if nxt is None:
                 return False
             pos = nxt
         return True
-    return all(any(tok.startswith(t) for tok in tokens) for t in qterms)
+    return all(any(hit(tok, t) for tok in tokens) for t in qterms)
 
 
 def _phrase_matches(tokens: list[str], phrase: list[str], slop: int) -> bool:
@@ -220,11 +271,15 @@ def _eval_operator(op: str, spec, corpus_cache, docs, i: int):
             any(_equals_value(x, want) for want in spec["value"]) for x in vals
         ) else None
     if op == "autocomplete":
-        if "fuzzy" in spec:
-            # fuzzy autocomplete needs the gram index's edit-distance
-            # expansion — no deterministic local stand-in; loud, like
-            # every unsupported surface here
-            raise ValueError("$search autocomplete: fuzzy is unsupported")
+        fuzzy = spec.get("fuzzy")
+        if fuzzy is not None:
+            if not isinstance(fuzzy, dict) or set(fuzzy) - {
+                    "maxEdits", "prefixLength", "maxExpansions"}:
+                raise ValueError(
+                    f"$search autocomplete: bad fuzzy {fuzzy!r}")
+            if int(fuzzy.get("maxEdits", 2)) not in (1, 2):
+                raise ValueError(
+                    "$search autocomplete: fuzzy.maxEdits must be 1 or 2")
         token_order = spec.get("tokenOrder", "any")
         if token_order not in ("any", "sequential"):
             raise ValueError(
@@ -235,7 +290,8 @@ def _eval_operator(op: str, spec, corpus_cache, docs, i: int):
         for p in paths:
             toks = _field_tokens(d, p)
             for q in queries:
-                if _autocomplete_matches(toks, _analyze(q), token_order):
+                if _autocomplete_matches(toks, _analyze(q), token_order,
+                                         fuzzy):
                     return 1.0  # constant; Atlas scoring is index-bound
         return None
     if op == "compound":

@@ -85,10 +85,29 @@ class TestStructuredOperators:
                                     "tokenOrder": "sequential"}})
         assert [d["_id"] for d in out] == [1]
 
-    def test_autocomplete_fuzzy_raises(self):
-        with pytest.raises(ValueError, match="fuzzy"):
+    def test_autocomplete_fuzzy_prefix_edits(self):
+        # r8 session 2: fuzzy = prefix edit distance after an exact
+        # prefixLength head; "sparc" is 1 edit from a prefix of "spark"
+        out = run({"autocomplete": {"query": "sparc", "path": "t",
+                                    "fuzzy": {"maxEdits": 1}}})
+        assert {d["_id"] for d in out} == {1, 2}
+        # prefixLength pins the head: "zpark" fails prefixLength=1
+        out = run({"autocomplete": {"query": "zpark", "path": "t",
+                                    "fuzzy": {"maxEdits": 1,
+                                              "prefixLength": 1}}})
+        assert out == []
+        # ... but matches with no prefix requirement (substitute z->s)
+        out = run({"autocomplete": {"query": "zpark", "path": "t",
+                                    "fuzzy": {"maxEdits": 1}}})
+        assert {d["_id"] for d in out} == {1, 2}
+
+    def test_autocomplete_fuzzy_validation(self):
+        with pytest.raises(ValueError, match="maxEdits"):
             run({"autocomplete": {"query": "sp", "path": "t",
-                                  "fuzzy": {}}})
+                                  "fuzzy": {"maxEdits": 3}}})
+        with pytest.raises(ValueError, match="bad fuzzy"):
+            run({"autocomplete": {"query": "sp", "path": "t",
+                                  "fuzzy": {"nope": 1}}})
 
 
 class TestCompound:

@@ -1292,13 +1292,38 @@ class TestAutocompleteRouting:
         assert sorted(g["_id"] for g in got) == \
             sorted(e["_id"] for e in exp) == [2]
 
-    def test_fuzzy_falls_back_and_raises(self, spark, tmp_path):
+    def test_fuzzy_routes_with_parity(self, spark, tmp_path):
+        # r8 session 2: fuzzy autocomplete routes too — prefix edit
+        # distance via the oracle's own _fuzzy_prefix_match in the
+        # Arrow pass. "sparkx" is 1 edit from a prefix of
+        # "sparkling"/"sparks"/"spark"
+        got = self._run(spark, tmp_path,
+                        {"autocomplete": {"query": "sparkx", "path": "body",
+                                          "fuzzy": {"maxEdits": 1}}})
+        assert {g["_id"] for g in got} == {1, 3, 4}
+        # prefixLength forces the exact head
+        got = self._run(spark, tmp_path,
+                        {"autocomplete": {"query": "zpark", "path": "body",
+                                          "fuzzy": {"maxEdits": 1,
+                                                    "prefixLength": 2}}})
+        assert got == []
+        # fuzzy inside a compound mustNot
+        got = self._run(spark, tmp_path, {"compound": {
+            "should": [{"autocomplete": {"query": "wat", "path": "body"}}],
+            "mustNot": [{"autocomplete": {
+                "query": "sparc", "path": "body",
+                "fuzzy": {"maxEdits": 1}}}],
+        }})
+        # wat* docs (1, 4) minus fuzzy spark-matchers (1, 3, 4) -> none
+        assert got == []
+
+    def test_malformed_fuzzy_falls_back_and_raises(self, spark, tmp_path):
         be = self._backend(tmp_path)
         pipe = [{"$search": {"autocomplete": {
                     "query": "spark", "path": "body",
-                    "fuzzy": {"maxEdits": 1}}}},
+                    "fuzzy": {"maxEdits": 5}}}},
                 {"$limit": 10}]
-        with pytest.raises(Exception, match="fuzzy"):
+        with pytest.raises(Exception, match="maxEdits"):
             mongo_scan(spark, be, "main", "posts",
                        pipeline=pipe).df().collect()
 

@@ -138,7 +138,7 @@ class TestAnnRouting:
         assert mf.last_exec_path == "routed:vector_search"
         assert mf._routed_ann is None
 
-    def test_ann_with_translatable_filter(self, spark, tmp_path):
+    def test_ann_with_simple_filter(self, spark, tmp_path):
         be, q = _write_clustered(tmp_path)
         vf = {"label": {"$gte": 4}}
         mf = mongo_scan(spark, be, "main", "vecs",

@@ -1577,6 +1577,10 @@ class MongoFrame:
         back. Returns None for unroutable shapes (the guarded
         interpreter path then runs)."""
         fm = {f.mongo_path: f for f in coll_schema.fields}
+        body = dict(spec)
+        body.pop("index", None)
+        if set(body) == {"facet"}:
+            return self._route_facet_meta(body["facet"], coll_schema, fm)
         parsed = self._parse_search_clauses(spec, fm)
         if parsed is None:
             return None
@@ -1628,6 +1632,227 @@ class MongoFrame:
                 # multibyte corpus: recount over oracle-analyzer tokens
                 stats = matched_total(True, detect=False)
         return [{"count": {"total": int(stats["__matched"] or 0)}}]
+
+    def _route_facet_meta(self, facet_spec, coll_schema, fm):
+        """Distributed ``$searchMeta {facet}`` (r8): ALL facets compute
+        in ONE explode + ONE groupBy shuffle — each matching row emits
+        (facet, bucket-key) entries (string values / array elements
+        verbatim; numeric values bucketed by a boundary when-chain;
+        a per-doc sentinel carries the match count), the grouped counts
+        are windowed to each facet's bucket cap, and the driver
+        assembles the oracle-shaped result document
+        (``mql/search.facet_meta`` pins the semantics). Returns the
+        one-doc list for the remaining stages to interpret, or None for
+        shapes that keep the guarded interpreter (unroutable operator,
+        date facets — timezone parity not pinned — or paths outside the
+        resolved schema)."""
+        from pyspark.sql import Window
+
+        from duckdb_mongo_spark.schema.types import is_list
+
+        if not isinstance(facet_spec, dict) \
+                or not isinstance(facet_spec.get("facets"), dict) \
+                or not facet_spec["facets"]:
+            return None  # malformed: the interpreter raises loudly
+
+        numeric_types = ("DOUBLE", "BIGINT", "INTEGER", "INT", "FLOAT",
+                         "SMALLINT", "TINYINT", "HUGEINT")
+        plans = []  # (name, kind, fs, spec-extras)
+        caps = []
+        for name, fs_spec in facet_spec["facets"].items():
+            if not isinstance(fs_spec, dict):
+                return None
+            ftype = fs_spec.get("type")
+            path = fs_spec.get("path")
+            fs = fm.get(path) if isinstance(path, str) else None
+            if fs is None:
+                return None  # unknown path: interpreter decides
+            if ftype == "string":
+                if not (fs.type == "VARCHAR" or (
+                        is_list(fs.type) and fs.type[1] == "VARCHAR")):
+                    return None
+                nb = int(fs_spec.get("numBuckets", 10))
+                plans.append((name, "string", fs, nb))
+                caps.append(nb)
+            elif ftype == "number":
+                bounds = fs_spec.get("boundaries")
+                if not isinstance(bounds, list) or len(bounds) < 2 \
+                        or any(isinstance(b, bool)
+                               or not isinstance(b, (int, float))
+                               for b in bounds) \
+                        or any(not bounds[i] < bounds[i + 1]
+                               for i in range(len(bounds) - 1)):
+                    return None  # bad boundaries: interpreter raises
+                scalar_num = fs.type in numeric_types
+                list_num = is_list(fs.type) and fs.type[1] in numeric_types
+                if not (scalar_num or list_num):
+                    return None
+                plans.append((name, "number", fs,
+                              (bounds, "default" in fs_spec)))
+                caps.append(len(bounds))
+            else:
+                return None  # date (tz parity unpinned) / bad type
+        op = facet_spec.get("operator")
+        parsed = None
+        if op is not None:
+            if not (isinstance(op, dict) and len(op) == 1):
+                return None
+            if next(iter(op)) not in ("text", "compound"):
+                # single-operator facet (range/equals/phrase/...): a
+                # one-must compound matches the same docs
+                op = {"compound": {"must": [op]}}
+            parsed = self._parse_search_clauses(dict(op), fm)
+            if parsed is None:
+                return None
+
+        base = MongoFrame(
+            spark=self.spark, backend=self.backend, db=self.db,
+            coll=self.coll, schema=coll_schema, schema_mode=self.schema_mode,
+            num_partitions=self.num_partitions, direct=self.direct,
+        )
+        bdf = base.df()
+        self._routed_base_path = base.last_exec_path
+
+        def facet_entries():
+            """One array<struct<f,k>> per facet; string keys verbatim,
+            numeric keys = bucket index ("__d" = default/out-of-range,
+            dropped later unless the facet names a default)."""
+            arrays = []
+
+            def _entry_of(nm):
+                # NB: pyspark reads a second lambda parameter as the
+                # element INDEX — close over the name via a factory,
+                # never a default arg
+                return lambda x: F.struct(
+                    F.lit(nm).alias("f"), x.alias("k"))
+
+            for name, kind, fs, extra in plans:
+                col = F.col(fs.name)
+                if kind == "string":
+                    if is_list(fs.type):
+                        # null ELEMENTS never count (the oracle's
+                        # isinstance(x, str) guard)
+                        arrays.append(F.filter(
+                            F.transform(F.coalesce(col, F.array()),
+                                        _entry_of(name)),
+                            lambda e: e["k"].isNotNull()))
+                    else:
+                        arrays.append(F.when(col.isNull(), F.array())
+                                      .otherwise(F.array(F.struct(
+                                          F.lit(name).alias("f"),
+                                          col.alias("k")))))
+                    continue
+                bounds, _has_dflt = extra
+
+                def bucket_key(x, _b=bounds):
+                    k = F.when(x.isNull(), F.lit(None))
+                    k = k.when(x < F.lit(_b[0]), F.lit("__d"))
+                    for i in range(1, len(_b)):
+                        k = k.when(x < F.lit(_b[i]), F.lit(str(i - 1)))
+                    return k.otherwise(F.lit("__d"))
+
+                def _num_entry_of(nm, bk):
+                    return lambda x: F.struct(
+                        F.lit(nm).alias("f"), bk(x).alias("k"))
+
+                if is_list(fs.type):
+                    arrays.append(F.filter(
+                        F.transform(F.coalesce(col, F.array()),
+                                    _num_entry_of(name, bucket_key)),
+                        lambda e: e["k"].isNotNull()))
+                else:
+                    arrays.append(
+                        F.when(bucket_key(col).isNull(), F.array())
+                        .otherwise(F.array(F.struct(
+                            F.lit(name).alias("f"),
+                            bucket_key(col).alias("k")))))
+            # per-doc sentinel: the matched total (count.lowerBound)
+            arrays.append(F.array(F.struct(
+                F.lit("__doc").alias("f"), F.lit("").alias("k"))))
+            return F.concat(*arrays)
+
+        def run_counts(arrow):
+            tdf = bdf
+            match_cond = F.lit(True)
+            if parsed is not None:
+                fspecs, seen = [], set()
+                for fss, _t, _m in self._iter_text_clauses(parsed):
+                    for fs in fss:
+                        if fs.name not in seen:
+                            seen.add(fs.name)
+                            fspecs.append(fs)
+                phrase_clauses = list(self._iter_phrase_clauses(parsed))
+                for _k, (fss, _a, _b, _m) in phrase_clauses:
+                    for fs in fss:
+                        if fs.name not in seen:
+                            seen.add(fs.name)
+                            fspecs.append(fs)
+                if fspecs:
+                    tdf = (self._with_oracle_tokens(bdf, fspecs) if arrow
+                           else bdf.select(
+                               *bdf.columns,
+                               *[self._tokens_of(fs)
+                                 .alias(f"__rt_toks_{fs.name}")
+                                 for fs in fspecs]))
+                pmap = {}
+                if phrase_clauses:
+                    tdf, _ph = self._with_phrase_cols(tdf, phrase_clauses)
+                    pmap = {id(p): n
+                            for (_k, p), n in zip(phrase_clauses, _ph)}
+                _s, match_cond = self._build_compound(parsed, None, pmap)
+                if not arrow and fspecs:
+                    mb_known, mb_any = self._mb_lookup(fspecs)
+                    if mb_any:
+                        return None  # caller re-runs with arrow tokens
+                    if not mb_known:
+                        stats = bdf.agg(*[self._nonascii_agg(fs)
+                                          for fs in fspecs]) \
+                            .collect()[0].asDict()
+                        self._mb_store(fspecs, stats)
+                        if any(stats.get(f"__nonascii_{fs.name}")
+                               for fs in fspecs):
+                            return None
+            cap = max(caps) + 1
+            w = Window.partitionBy("f").orderBy(
+                F.col("count").desc(), F.col("k").asc())
+            rows = (tdf.where(match_cond)
+                    .select(F.explode(facet_entries()).alias("e"))
+                    .select(F.col("e.f").alias("f"), F.col("e.k").alias("k"))
+                    .groupBy("f", "k").agg(F.count(F.lit(1)).alias("count"))
+                    .withColumn("__rn", F.row_number().over(w))
+                    .where((F.col("__rn") <= cap) | (F.col("k") == "__d"))
+                    .collect())
+            return rows
+
+        rows = run_counts(False)
+        if rows is None:
+            rows = run_counts(True)  # multibyte corpus: oracle tokens
+        by_facet: dict = {}
+        total = 0
+        for r in rows:
+            if r["f"] == "__doc":
+                total = int(r["count"])
+            else:
+                by_facet.setdefault(r["f"], {})[r["k"]] = int(r["count"])
+        out_facets = {}
+        for name, kind, _fs, extra in plans:
+            counts = by_facet.get(name, {})
+            if kind == "string":
+                top = sorted(counts.items(),
+                             key=lambda t: (-t[1], t[0]))[:extra]
+                out_facets[name] = {"buckets": [
+                    {"_id": k, "count": n} for k, n in top]}
+            else:
+                bounds, has_dflt = extra
+                buckets = [{"_id": bounds[i],
+                            "count": counts.get(str(i), 0)}
+                           for i in range(len(bounds) - 1)]
+                if has_dflt:
+                    buckets.append(
+                        {"_id": facet_spec["facets"][name]["default"],
+                         "count": counts.get("__d", 0)})
+                out_facets[name] = {"buckets": buckets}
+        return [{"count": {"lowerBound": total}, "facet": out_facets}]
 
     def _route_search_cond_op(self, clause, coll_schema):
         """Top-level constant-score ``$search`` operators (equals /

@@ -1227,9 +1227,14 @@ def run_pipeline(docs, pipeline, seed: int | None = None, collections=None,
             from duckdb_mongo_spark.mql.search import search_stage
             stream = iter(search_stage(stream, spec, _META_KEY))
         elif op == "$searchMeta":
-            from duckdb_mongo_spark.mql.search import search_stage
-            hits = search_stage(stream, spec, _META_KEY)
-            stream = iter([{"count": {"total": len(hits)}}])
+            from duckdb_mongo_spark.mql.search import facet_meta, search_stage
+            body = dict(spec)
+            body.pop("index", None)
+            if set(body) == {"facet"}:
+                stream = iter([facet_meta(stream, body["facet"], _META_KEY)])
+            else:
+                hits = search_stage(stream, spec, _META_KEY)
+                stream = iter([{"count": {"total": len(hits)}}])
         elif op == "$redact":
             def _redact(ds, sp=spec):
                 for d in ds:

@@ -472,3 +472,95 @@ def search_stage(docs, spec, meta_key: str) -> list[dict]:
         nd[meta_key] = meta
         out.append(nd)
     return out
+
+
+def facet_meta(docs, facet_spec, meta_key: str) -> dict:
+    """``$searchMeta {facet}`` over materialized docs — the engine's
+    pinned facet semantics (r8):
+
+    - ``operator`` (optional) selects the matching docs through the
+      normal ``$search`` evaluation; absent means every document.
+    - string facets count each STRING value (array elements
+      individually) of ``path`` among the matches; the top
+      ``numBuckets`` (default 10) buckets return ordered by
+      (count desc, value asc) — a deterministic refinement of Atlas's
+      count ordering.
+    - number/date facets require ascending ``boundaries`` (>= 2);
+      bucket ``_id`` is the lower boundary, values bucket into
+      [b_i, b_{i+1}); out-of-range values count toward the ``default``
+      bucket when one is named and are dropped otherwise; missing or
+      differently-typed values never count. ALL boundary buckets
+      return (zeros included) in boundary order, then the default.
+    - the result document is Atlas-shaped:
+      ``{"count": {"lowerBound": N}, "facet": {name: {"buckets":
+      [{"_id": ..., "count": ...}, ...]}, ...}}``.
+    """
+    import datetime as _dt
+    from bisect import bisect_right
+
+    docs = list(docs)
+    if not isinstance(facet_spec, dict) or "facets" not in facet_spec \
+            or not isinstance(facet_spec["facets"], dict) \
+            or not facet_spec["facets"]:
+        raise ValueError(f"$searchMeta: bad facet spec {facet_spec!r}")
+    op = facet_spec.get("operator")
+    hits = search_stage(docs, dict(op), meta_key) if op is not None else docs
+
+    def _values(d, path):
+        v = get_path(d, path)
+        if v is MISSING:
+            return []
+        return v if isinstance(v, list) else [v]
+
+    out_facets = {}
+    for name, fs in facet_spec["facets"].items():
+        ftype = fs.get("type")
+        path = fs.get("path")
+        if not isinstance(path, str):
+            raise ValueError(f"$searchMeta facet {name!r}: path required")
+        if ftype == "string":
+            counts: dict = {}
+            for d in hits:
+                for x in _values(d, path):
+                    if isinstance(x, str):
+                        counts[x] = counts.get(x, 0) + 1
+            nb = int(fs.get("numBuckets", 10))
+            top = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[:nb]
+            out_facets[name] = {
+                "buckets": [{"_id": k, "count": n} for k, n in top]}
+        elif ftype in ("number", "date"):
+            bounds = fs.get("boundaries")
+            if not isinstance(bounds, list) or len(bounds) < 2 or any(
+                    not (bounds[i] < bounds[i + 1])
+                    for i in range(len(bounds) - 1)):
+                raise ValueError(
+                    f"$searchMeta facet {name!r}: boundaries must be an "
+                    "ascending list of at least 2 values")
+
+            def ok(x):
+                if ftype == "number":
+                    return (isinstance(x, (int, float))
+                            and not isinstance(x, bool))
+                return isinstance(x, _dt.datetime)
+
+            counts_n = [0] * (len(bounds) - 1)
+            dflt = 0
+            for d in hits:
+                for x in _values(d, path):
+                    if not ok(x):
+                        continue
+                    j = bisect_right(bounds, x) - 1
+                    if 0 <= j < len(counts_n):
+                        counts_n[j] += 1
+                    else:
+                        dflt += 1
+            buckets = [{"_id": bounds[i], "count": counts_n[i]}
+                       for i in range(len(counts_n))]
+            if "default" in fs:
+                buckets.append({"_id": fs["default"], "count": dflt})
+            out_facets[name] = {"buckets": buckets}
+        else:
+            raise ValueError(
+                f"$searchMeta facet {name!r}: type must be "
+                f"string/number/date, got {ftype!r}")
+    return {"count": {"lowerBound": len(hits)}, "facet": out_facets}

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from dataclasses import replace
 
+import json
+
 import pytest
 
 from duckdb_mongo_spark.backends import ParquetBackend
@@ -1427,3 +1429,150 @@ class TestFunctionScores:
                          {"text": {"query": "spark", "path": "body"}})
         assert got[1] == base[1] * 2.0
         assert got[3] == 7.0  # equals constant 1.0 * views 7
+
+
+class TestFacetMetaRouting:
+    """r8 session 2: `$searchMeta {facet}` — the operator's main
+    real-world use — computes ALL facets in ONE explode + ONE groupBy
+    shuffle, and the assembled document matches the interpreter oracle
+    (mql/search.facet_meta) exactly."""
+
+    DOCS = [
+        {"_id": 1, "t": "spark is fast", "kind": "infra",
+         "tags": ["hot", "new"], "views": 10},
+        {"_id": 2, "t": "spark streaming", "kind": "infra",
+         "tags": ["hot"], "views": 25},
+        {"_id": 3, "t": "duckdb engine", "kind": "db", "tags": None,
+         "views": 7},
+        {"_id": 4, "t": "spark sql", "kind": "db",
+         "tags": ["new", None], "views": 100},
+        {"_id": 5, "t": "plain words", "kind": None, "tags": [],
+         "views": None},
+    ]
+
+    def _backend(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sub = tmp_path / "fm"
+        if not sub.exists():
+            sub.mkdir()
+            pq.write_table(
+                pa.table({
+                    "_id": [d["_id"] for d in self.DOCS],
+                    "t": [d["t"] for d in self.DOCS],
+                    "kind": [d["kind"] for d in self.DOCS],
+                    "tags": pa.array([d["tags"] for d in self.DOCS],
+                                     type=pa.list_(pa.string())),
+                    "views": [d["views"] for d in self.DOCS],
+                }),
+                str(sub / "posts.parquet"))
+        return ParquetBackend(str(sub), db_name="main")
+
+    def _parity(self, spark, tmp_path, facet, expect_routed=True):
+        be = self._backend(tmp_path)
+        pipe = [{"$searchMeta": {"facet": facet}}]
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        got = [r.asDict() for r in mf.df().collect()]
+        if expect_routed:
+            assert mf.last_exec_path == "routed:search_meta", facet
+        exp = _interpreter_rows(be, "main", "posts", pipe)
+        assert len(got) == len(exp) == 1
+        # the flattened row renders the nested result as JSON; parse it
+        # back and compare against the oracle's raw document
+        assert json.loads(got[0]["facet"]) == exp[0]["facet"], facet
+        assert got[0]["count_lowerBound"] == exp[0]["count"]["lowerBound"]
+        return got[0]
+
+    def test_string_number_facets_with_operator(self, spark, tmp_path):
+        out = self._parity(spark, tmp_path, {
+            "operator": {"text": {"query": "spark", "path": "t"}},
+            "facets": {
+                "kinds": {"type": "string", "path": "kind"},
+                "v": {"type": "number", "path": "views",
+                      "boundaries": [0, 10, 50], "default": "other"},
+            }})
+        assert out["count_lowerBound"] == 3
+
+    def test_array_facet_and_num_buckets(self, spark, tmp_path):
+        out = self._parity(spark, tmp_path, {
+            "facets": {"tags": {"type": "string", "path": "tags",
+                                "numBuckets": 1}}})
+        # no operator: all docs; top-1 = "hot"/"new" tie broken by value
+        assert '"hot"' in out["facet"]
+        assert out["count_lowerBound"] == 5
+
+    def test_range_operator_and_no_default(self, spark, tmp_path):
+        self._parity(spark, tmp_path, {
+            "operator": {"range": {"path": "views", "gte": 8}},
+            "facets": {"v": {"type": "number", "path": "views",
+                             "boundaries": [0, 20, 200]}}})
+
+    def test_compound_operator_with_phrase(self, spark, tmp_path):
+        self._parity(spark, tmp_path, {
+            "operator": {"compound": {
+                "must": [{"phrase": {"query": "spark", "path": "t"}}],
+                "mustNot": [{"text": {"query": "sql", "path": "t"}}]}},
+            "facets": {"kinds": {"type": "string", "path": "kind"}}})
+
+    def test_multibyte_corpus_facets_route(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sub = tmp_path / "fmu"
+        sub.mkdir()
+        pq.write_table(
+            pa.table({
+                "_id": [1, 2, 3],
+                "t": ["спарк движок", "ördek gölü", "спарк sql"],
+                "kind": ["infra", "nature", "db"],
+            }),
+            str(sub / "posts.parquet"))
+        be = ParquetBackend(str(sub), db_name="main")
+        pipe = [{"$searchMeta": {"facet": {
+            "operator": {"text": {"query": "спарк", "path": "t"}},
+            "facets": {"kinds": {"type": "string", "path": "kind"}}}}}]
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        got = [r.asDict() for r in mf.df().collect()]
+        assert mf.last_exec_path == "routed:search_meta"
+        exp = _interpreter_rows(be, "main", "posts", pipe)
+        assert json.loads(got[0]["facet"]) == exp[0]["facet"]
+        assert got[0]["count_lowerBound"] == 2
+
+    def test_bad_spec_raises_via_interpreter(self, spark, tmp_path):
+        be = self._backend(tmp_path)
+        pipe = [{"$searchMeta": {"facet": {
+            "facets": {"v": {"type": "number", "path": "views",
+                             "boundaries": [50, 10]}}}}}]
+        with pytest.raises(Exception, match="boundaries"):
+            mongo_scan(spark, be, "main", "posts",
+                       pipeline=pipe).df().collect()
+
+    def test_date_facet_stays_on_interpreter(self, spark, tmp_path):
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sub = tmp_path / "fdt"
+        sub.mkdir()
+        ts = [dt.datetime(2024, 1, i + 1) for i in range(4)]
+        pq.write_table(
+            pa.table({"_id": [1, 2, 3, 4], "ts": ts}),
+            str(sub / "posts.parquet"))
+        be = ParquetBackend(str(sub), db_name="main")
+        pipe = [{"$searchMeta": {"facet": {"facets": {
+            "d": {"type": "date", "path": "ts",
+                  "boundaries": [dt.datetime(2024, 1, 1),
+                                 dt.datetime(2024, 1, 3),
+                                 dt.datetime(2024, 1, 9)]}}}}}]
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        got = [r.asDict() for r in mf.df().collect()]
+        assert mf.last_exec_path != "routed:search_meta"
+        exp = _interpreter_rows(be, "main", "posts", pipe)
+        # date buckets render datetimes; compare COUNTS per bucket
+        exp_counts = [b["count"]
+                      for b in exp[0]["facet"]["d"]["buckets"]]
+        got_counts = [b["count"]
+                      for b in json.loads(got[0]["facet"])["d"]["buckets"]]
+        assert got_counts == exp_counts == [2, 2]

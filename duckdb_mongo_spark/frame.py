@@ -1307,6 +1307,69 @@ class MongoFrame:
             fspecs.append(fs)
         return fspecs, qterms, (token_order, fuzzy), mod
 
+    def _parse_near_clause(self, opspec, fm):
+        """Validate one ``near`` clause (r8): NUMERIC origin, positive
+        pivot, numeric (or array-of-numeric) schema paths, optional
+        score modifier. Date origins decline to the interpreter
+        (timestamp-timezone parity is not pinned JVM-side); geo origins
+        raise there. Returns (fspecs, origin, pivot, mod) — the score
+        is pure IEEE arithmetic (pivot/(pivot+|v-origin|)), so routed
+        values are bit-identical to the oracle."""
+        if not isinstance(opspec, dict) or "path" not in opspec \
+                or "origin" not in opspec or "pivot" not in opspec:
+            return None
+        if set(opspec) - {"path", "origin", "pivot", "score"}:
+            return None
+        mod = self._parse_score_mod(opspec, fm)
+        if mod == "unsupported":
+            return None
+        origin, pivot = opspec["origin"], opspec["pivot"]
+        if isinstance(origin, bool) or not isinstance(origin, (int, float)):
+            return None  # date/geo origins: interpreter semantics
+        if isinstance(pivot, bool) or not isinstance(pivot, (int, float)) \
+                or not pivot > 0:
+            return None  # the interpreter raises loudly
+        from duckdb_mongo_spark.schema.types import is_list
+
+        numeric = ("DOUBLE", "BIGINT", "INTEGER", "INT", "FLOAT",
+                   "SMALLINT", "TINYINT", "HUGEINT")
+        p = opspec["path"]
+        paths = [p] if isinstance(p, str) else list(p)
+        fspecs = []
+        for pth in paths:
+            fs = fm.get(pth)
+            if fs is None or not (
+                    fs.type in numeric
+                    or (is_list(fs.type) and fs.type[1] in numeric)):
+                return None
+            fspecs.append(fs)
+        return fspecs, float(origin), float(pivot), mod
+
+    @staticmethod
+    def _near_score_col(payload):
+        """Best (closest-value) near score across paths and array
+        elements — greatest/array_max ignore nulls, mirroring the
+        oracle's max over comparable values; null when nothing
+        comparable exists (no match)."""
+        from duckdb_mongo_spark.schema.types import is_list
+
+        fss, origin, pivot, _mod = payload
+        per_path = []
+        for fs in fss:
+            col = F.col(fs.name)
+            if is_list(fs.type):
+                per_path.append(F.array_max(F.transform(
+                    F.coalesce(col, F.array()),
+                    lambda x: F.lit(pivot)
+                    / (F.lit(pivot)
+                       + F.abs(x.cast("double") - F.lit(origin))))))
+            else:
+                per_path.append(
+                    F.lit(pivot)
+                    / (F.lit(pivot)
+                       + F.abs(col.cast("double") - F.lit(origin))))
+        return per_path[0] if len(per_path) == 1 else F.greatest(*per_path)
+
     def _iter_phrase_clauses(self, parsed):
         """Every match-column clause (phrase AND autocomplete — r8)
         anywhere in the parsed tree, as ``(kind, payload)`` in a
@@ -1412,6 +1475,9 @@ class MongoFrame:
             if "autocomplete" in cl:
                 ac = self._parse_autocomplete_clause(cl["autocomplete"], fm)
                 return None if ac is None else ("auto", ac)
+            if "near" in cl:
+                nc = self._parse_near_clause(cl["near"], fm)
+                return None if nc is None else ("near", nc)
             if "compound" in cl:
                 sub = self._parse_search_clauses(
                     {"compound": cl["compound"]}, fm)
@@ -1424,6 +1490,12 @@ class MongoFrame:
             if tc is None:
                 return None
             text_must.append(("text", tc))
+            has_must, has_filter, has_should = True, False, False
+        elif op == "near":
+            nc = self._parse_near_clause(opspec, fm)
+            if nc is None:
+                return None
+            text_must.append(("near", nc))
             has_must, has_filter, has_should = True, False, False
         elif op == "compound":
             known = {"must", "should", "mustNot", "filter",
@@ -1520,6 +1592,12 @@ class MongoFrame:
                 # modifiers
                 return (F.col(phrase_cols[id(payload)]),
                         apply_mod(F.lit(1.0), payload[3]))
+            if kind == "near":
+                cs = self._near_score_col(payload)
+                if clause_score is None:
+                    return cs.isNotNull(), F.lit(0.0)
+                return cs.isNotNull(), apply_mod(
+                    F.coalesce(cs, F.lit(0.0)), payload[3])
             return tuple(reversed(self._build_compound(
                 payload, clause_score, phrase_cols)))
 
@@ -1549,11 +1627,23 @@ class MongoFrame:
                 cond = cond & F.coalesce(~payload[0], F.lit(True))
             elif kind in ("phrase", "auto"):
                 cond = cond & ~F.col(phrase_cols[id(payload)])
+            elif kind == "near":
+                cond = cond & self._near_score_col(payload).isNull()
             else:  # nested compound: pass when the subtree does NOT match
                 _s, sub_cond = self._build_compound(
                     payload, clause_score, phrase_cols)
                 cond = cond & F.coalesce(~sub_cond, F.lit(True))
         return total, cond
+
+    def _iter_all_clauses(self, parsed):
+        """Every (kind, payload) clause anywhere in the parsed tree
+        (nested compounds flattened)."""
+        (text_must, text_should, _cf, mustnot, *_rest) = parsed
+        for kind, payload in text_must + text_should + list(mustnot):
+            if kind == "compound":
+                yield from self._iter_all_clauses(payload)
+            else:
+                yield kind, payload
 
     def _iter_text_clauses(self, parsed):
         """Every text clause anywhere in the parsed tree (must/should/
@@ -2044,7 +2134,10 @@ class MongoFrame:
         # mustNot text clause's pairs are unused but harmless)
         all_text = list(self._iter_text_clauses(parsed))
         phrase_clauses = list(self._iter_phrase_clauses(parsed))
-        if not all_text and not phrase_clauses:
+        has_near = any(
+            k == "near"
+            for k, _p in self._iter_all_clauses(parsed))
+        if not all_text and not phrase_clauses and not has_near:
             # condition-only compound: nothing to score or tokenize —
             # still routable (constant 0.0 scores, ties unspecified)
             if not (cond_filters or mustnot) or count_spec is not None:

@@ -294,9 +294,70 @@ def _eval_operator(op: str, spec, corpus_cache, docs, i: int):
                                          fuzzy):
                     return 1.0  # constant; Atlas scoring is index-bound
         return None
+    if op == "near":
+        return _eval_near(spec, d)
     if op == "compound":
         return _eval_compound(spec, corpus_cache, docs, i)
     raise ValueError(f"unsupported $search operator: {op!r}")
+
+
+_EPOCH = None
+
+
+def _dt_micros(x) -> int:
+    """Exact integer microseconds since epoch from a datetime —
+    timedelta arithmetic, no float rounding."""
+    global _EPOCH
+    import datetime as _dt
+
+    if _EPOCH is None:
+        _EPOCH = _dt.datetime(1970, 1, 1)
+    base = _EPOCH
+    if x.tzinfo is not None:
+        base = _EPOCH.replace(tzinfo=_dt.timezone.utc)
+    td = x - base
+    return (td.days * 86_400_000_000 + td.seconds * 1_000_000
+            + td.microseconds)
+
+
+def _eval_near(spec, d):
+    """Atlas ``near`` (numeric/date proximity): score =
+    pivot / (pivot + dist), dist = |value - origin| (dates: integer
+    microsecond difference over 1000.0 — exact milliseconds). The
+    CLOSEST value wins across paths and array elements; docs without
+    a comparable value don't match. pivot must be positive. Geo
+    origins are ``$geoNear``'s territory and raise here."""
+    import datetime as _dt
+
+    origin = spec.get("origin")
+    pivot = spec.get("pivot")
+    if isinstance(pivot, bool) or not isinstance(pivot, (int, float)) \
+            or not pivot > 0:
+        raise ValueError("$search near: pivot must be a positive number")
+    is_date = isinstance(origin, _dt.datetime)
+    if not is_date and (isinstance(origin, bool)
+                        or not isinstance(origin, (int, float))):
+        raise ValueError(
+            "$search near: origin must be a number or date "
+            "(geo proximity is $geoNear)")
+    best = None
+    for p in _paths(spec):
+        v = get_path(d, p)
+        if v is MISSING:
+            continue
+        for x in (v if isinstance(v, list) else [v]):
+            if is_date:
+                if not isinstance(x, _dt.datetime):
+                    continue
+                dist = abs(_dt_micros(x) - _dt_micros(origin)) / 1000.0
+            else:
+                if isinstance(x, bool) or not isinstance(x, (int, float)):
+                    continue
+                dist = abs(float(x) - float(origin))
+            s = float(pivot) / (float(pivot) + dist)
+            if best is None or s > best:
+                best = s
+    return best
 
 
 def _equals_value(a, b) -> bool:

@@ -1576,3 +1576,108 @@ class TestFacetMetaRouting:
         got_counts = [b["count"]
                       for b in json.loads(got[0]["facet"])["d"]["buckets"]]
         assert got_counts == exp_counts == [2, 2]
+
+
+class TestNearRouting:
+    """r8 session 2: the `near` operator (numeric proximity scoring,
+    score = pivot/(pivot+|v-origin|)) routes with bit-identical scores
+    — the formula is pure IEEE arithmetic. Date origins stay on the
+    interpreter (timezone parity unpinned); geo origins are $geoNear's
+    territory and raise there."""
+
+    DOCS = [
+        {"_id": 1, "t": "spark one", "views": 100, "samples": [5, 90]},
+        {"_id": 2, "t": "spark two", "views": 80, "samples": None},
+        {"_id": 3, "t": "other", "views": None, "samples": [60]},
+        {"_id": 4, "t": "spark four", "views": 95, "samples": []},
+    ]
+
+    def _run(self, spark, tmp_path, search, expect_routed=True):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sub = tmp_path / "nr"
+        if not sub.exists():
+            sub.mkdir()
+            pq.write_table(
+                pa.table({
+                    "_id": [d["_id"] for d in self.DOCS],
+                    "t": [d["t"] for d in self.DOCS],
+                    "views": [d["views"] for d in self.DOCS],
+                    "samples": pa.array(
+                        [d["samples"] for d in self.DOCS],
+                        type=pa.list_(pa.int64())),
+                }),
+                str(sub / "posts.parquet"))
+        be = ParquetBackend(str(sub), db_name="main")
+        pipe = [{"$search": search}, {"$limit": 10},
+                {"$addFields": {"score": {"$meta": "searchScore"}}}]
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        got = [r.asDict() for r in mf.df().collect()]
+        if expect_routed:
+            assert mf.last_exec_path == "routed:search_text", search
+        else:
+            assert mf.last_exec_path != "routed:search_text", search
+        exp = _interpreter_rows(be, "main", "posts", pipe)
+        assert sorted((g["_id"], g["score"]) for g in got) == \
+            sorted((e["_id"], e["score"]) for e in exp), search
+        return {g["_id"]: g["score"] for g in got}
+
+    def test_top_level_near(self, spark, tmp_path):
+        got = self._run(spark, tmp_path,
+                        {"near": {"path": "views", "origin": 100,
+                                  "pivot": 10}})
+        assert got == {1: 1.0, 2: 10 / 30, 4: 10 / 15}
+
+    def test_array_path_takes_closest_element(self, spark, tmp_path):
+        got = self._run(spark, tmp_path,
+                        {"near": {"path": "samples", "origin": 100,
+                                  "pivot": 20}})
+        assert got[1] == 20 / 30 and got[3] == 20 / 60
+        assert 2 not in got and 4 not in got  # null / empty array
+
+    def test_near_in_compound_sums_with_bm25(self, spark, tmp_path):
+        base = self._run(spark, tmp_path,
+                         {"text": {"query": "spark", "path": "t"}})
+        got = self._run(spark, tmp_path, {"compound": {
+            "must": [{"text": {"query": "spark", "path": "t"}},
+                     {"near": {"path": "views", "origin": 100,
+                               "pivot": 10,
+                               "score": {"boost": {"value": 2.0}}}}],
+        }})
+        assert got[1] == base[1] + 2.0
+        assert got[2] == base[2] + 2.0 * (10 / 30)
+        assert 3 not in got  # null views fails the near must
+
+    def test_near_in_mustnot(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, {"compound": {
+            "should": [{"text": {"query": "spark", "path": "t"}}],
+            "mustNot": [{"near": {"path": "samples", "origin": 100,
+                                  "pivot": 5}}],
+        }})
+        # docs with any samples value are excluded: doc 1 drops
+        assert set(got) == {2, 4}
+
+    def test_date_origin_falls_back_but_works(self, spark, tmp_path):
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sub = tmp_path / "nrd"
+        sub.mkdir()
+        pq.write_table(
+            pa.table({"_id": [1, 2],
+                      "ts": [dt.datetime(2024, 1, 1),
+                             dt.datetime(2024, 1, 3)]}),
+            str(sub / "posts.parquet"))
+        be = ParquetBackend(str(sub), db_name="main")
+        pipe = [{"$search": {"near": {
+                    "path": "ts", "origin": dt.datetime(2024, 1, 1),
+                    "pivot": 86400000.0}}},
+                {"$limit": 5},
+                {"$addFields": {"score": {"$meta": "searchScore"}}}]
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        got = {r["_id"]: r["score"] for r in mf.df().collect()}
+        assert mf.last_exec_path != "routed:search_text"
+        assert got[1] == 1.0 and got[2] == 86400000 / (3 * 86400000)

@@ -1345,6 +1345,41 @@ class MongoFrame:
             fspecs.append(fs)
         return fspecs, float(origin), float(pivot), mod
 
+    def _parse_wildcard_clause(self, opspec, fm):
+        """Validate one ``wildcard`` clause (r8): string pattern(s),
+        string (or array-of-string) schema paths, optional score
+        modifier. ``allowAnalyzedField: true`` is analyzer-dependent
+        and declines (the interpreter raises). Matching is
+        keyword-field semantics — the WHOLE un-analyzed value,
+        case-sensitive — via the oracle's own compiled patterns in the
+        match-column Arrow pass, so parity is by construction."""
+        from duckdb_mongo_spark.schema.types import is_list
+
+        if not isinstance(opspec, dict) or "query" not in opspec \
+                or "path" not in opspec:
+            return None
+        if set(opspec) - {"query", "path", "allowAnalyzedField", "score"}:
+            return None
+        if opspec.get("allowAnalyzedField"):
+            return None  # interpreter raises loudly
+        mod = self._parse_score_mod(opspec, fm)
+        if mod == "unsupported":
+            return None
+        q = opspec["query"]
+        qstrings = [q] if isinstance(q, str) else list(q)
+        if not qstrings or any(not isinstance(x, str) for x in qstrings):
+            return None
+        p = opspec["path"]
+        paths = [p] if isinstance(p, str) else list(p)
+        fspecs = []
+        for pth in paths:
+            fs = fm.get(pth)
+            if fs is None or (fs.type != "VARCHAR" and not (
+                    is_list(fs.type) and fs.type[1] == "VARCHAR")):
+                return None
+            fspecs.append(fs)
+        return fspecs, qstrings, None, mod
+
     @staticmethod
     def _near_score_col(payload):
         """Best (closest-value) near score across paths and array
@@ -1377,7 +1412,7 @@ class MongoFrame:
         materializes their match columns."""
         (text_must, text_should, _cf, mustnot, *_rest) = parsed
         for kind, payload in text_must + text_should + list(mustnot):
-            if kind in ("phrase", "auto"):
+            if kind in ("phrase", "auto", "wc"):
                 yield kind, payload
             elif kind == "compound":
                 yield from self._iter_phrase_clauses(payload)
@@ -1394,7 +1429,9 @@ class MongoFrame:
 
         names = [f"__rt_ph_{i}" for i in range(len(clauses))]
         specs = [
-            (kind, [f"__rt_toks_{fs.name}" for fs in payload[0]],
+            (kind,
+             [fs.name if kind == "wc" else f"__rt_toks_{fs.name}"
+              for fs in payload[0]],
              payload[1], payload[2])
             for kind, payload in clauses]
         out_schema = T.StructType(
@@ -1404,13 +1441,26 @@ class MongoFrame:
         def kernel(batches):
             from duckdb_mongo_spark.mql.search import (
                 _autocomplete_matches,
+                _compile_wildcards,
                 _phrase_matches,
             )
 
-            def match(kind, toks, queries, arg):
+            wc_pats = {i: _compile_wildcards(sp[2])
+                       for i, sp in enumerate(specs) if sp[0] == "wc"}
+
+            def match(kind, toks, queries, arg, i):
                 if kind == "phrase":
                     return any(_phrase_matches(toks, ph, arg)
                                for ph in queries)
+                if kind == "wc":
+                    # raw keyword-field values: scalar string or the
+                    # array's string elements, never analyzed
+                    vals = (toks if isinstance(toks, str)
+                            else [x for x in toks if isinstance(x, str)])
+                    if isinstance(vals, str):
+                        vals = [vals]
+                    return any(p.fullmatch(v)
+                               for v in vals for p in wc_pats[i])
                 return any(_autocomplete_matches(toks, qt, arg[0], arg[1])
                            for qt in queries)
 
@@ -1418,12 +1468,15 @@ class MongoFrame:
                 if len(pdf) == 0:
                     continue
                 out = pdf.copy()
-                for n, (kind, tok_names, queries, arg) in zip(names, specs):
+                for j, (n, (kind, cols, queries, arg)) in enumerate(
+                        zip(names, specs)):
                     mask = []
-                    for row_toks in zip(*[pdf[c] for c in tok_names]):
+                    for row_vals in zip(*[pdf[c] for c in cols]):
                         mask.append(any(
-                            match(kind, list(toks), queries, arg)
-                            for toks in row_toks if toks is not None))
+                            match(kind,
+                                  v if kind == "wc" else list(v),
+                                  queries, arg, j)
+                            for v in row_vals if v is not None))
                     out[n] = mask
                 yield out
 
@@ -1478,6 +1531,9 @@ class MongoFrame:
             if "near" in cl:
                 nc = self._parse_near_clause(cl["near"], fm)
                 return None if nc is None else ("near", nc)
+            if "wildcard" in cl:
+                wc = self._parse_wildcard_clause(cl["wildcard"], fm)
+                return None if wc is None else ("wc", wc)
             if "compound" in cl:
                 sub = self._parse_search_clauses(
                     {"compound": cl["compound"]}, fm)
@@ -1496,6 +1552,12 @@ class MongoFrame:
             if nc is None:
                 return None
             text_must.append(("near", nc))
+            has_must, has_filter, has_should = True, False, False
+        elif op == "wildcard":
+            wc = self._parse_wildcard_clause(opspec, fm)
+            if wc is None:
+                return None
+            text_must.append(("wc", wc))
             has_must, has_filter, has_should = True, False, False
         elif op == "compound":
             known = {"must", "should", "mustNot", "filter",
@@ -1586,10 +1648,10 @@ class MongoFrame:
             if kind == "cond":
                 ccol, cmod = payload
                 return ccol, apply_mod(F.lit(1.0), cmod)
-            if kind in ("phrase", "auto"):
+            if kind in ("phrase", "auto", "wc"):
                 # match column precomputed by _with_phrase_cols; the
-                # oracle scores a phrase/autocomplete match 1.0 before
-                # modifiers
+                # oracle scores phrase/autocomplete/wildcard matches
+                # 1.0 before modifiers
                 return (F.col(phrase_cols[id(payload)]),
                         apply_mod(F.lit(1.0), payload[3]))
             if kind == "near":
@@ -1625,7 +1687,7 @@ class MongoFrame:
                 cond = cond & ~self._overlap_cond(payload[0], payload[1])
             elif kind == "cond":
                 cond = cond & F.coalesce(~payload[0], F.lit(True))
-            elif kind in ("phrase", "auto"):
+            elif kind in ("phrase", "auto", "wc"):
                 cond = cond & ~F.col(phrase_cols[id(payload)])
             elif kind == "near":
                 cond = cond & self._near_score_col(payload).isNull()
@@ -1685,6 +1747,8 @@ class MongoFrame:
                     seen.add(fs.name)
                     fspecs.append(fs)
         for _kind, (fss, _q, _arg, _mod) in phrase_clauses:
+            if _kind == "wc":
+                continue  # wildcard matches raw values — no token cols
             for fs in fss:
                 if fs.name not in seen:
                     seen.add(fs.name)
@@ -1873,6 +1937,8 @@ class MongoFrame:
                             fspecs.append(fs)
                 phrase_clauses = list(self._iter_phrase_clauses(parsed))
                 for _k, (fss, _a, _b, _m) in phrase_clauses:
+                    if _k == "wc":
+                        continue  # raw-value matching, no token cols
                     for fs in fss:
                         if fs.name not in seen:
                             seen.add(fs.name)
@@ -2135,7 +2201,7 @@ class MongoFrame:
         all_text = list(self._iter_text_clauses(parsed))
         phrase_clauses = list(self._iter_phrase_clauses(parsed))
         has_near = any(
-            k == "near"
+            k in ("near", "wc")
             for k, _p in self._iter_all_clauses(parsed))
         if not all_text and not phrase_clauses and not has_near:
             # condition-only compound: nothing to score or tokenize —
@@ -2150,6 +2216,8 @@ class MongoFrame:
                     seen_paths.add(fs.name)
                     fspecs.append(fs)
         for _kind, (fss, _q, _arg, _mod) in phrase_clauses:
+            if _kind == "wc":
+                continue  # wildcard matches raw values — no token cols
             for fs in fss:
                 if fs.name not in seen_paths:
                     seen_paths.add(fs.name)

@@ -296,9 +296,63 @@ def _eval_operator(op: str, spec, corpus_cache, docs, i: int):
         return None
     if op == "near":
         return _eval_near(spec, d)
+    if op == "wildcard":
+        extra = set(spec) - {"query", "path", "allowAnalyzedField", "score"}
+        if extra:
+            raise ValueError(f"$search wildcard: bad options {extra}")
+        if spec.get("allowAnalyzedField"):
+            raise ValueError(
+                "$search wildcard: allowAnalyzedField is analyzer/"
+                "index-dependent and unsupported")
+        queries = (spec["query"] if isinstance(spec["query"], list)
+                   else [spec["query"]])
+        pats = _compile_wildcards(queries)
+        for p in _paths(spec):
+            v = get_path(d, p)
+            if v is MISSING:
+                continue
+            for x in (v if isinstance(v, list) else [v]):
+                if isinstance(x, str) and any(
+                        pt.fullmatch(x) for pt in pats):
+                    return 1.0  # constant; keyword-field semantics
+        return None
     if op == "compound":
         return _eval_compound(spec, corpus_cache, docs, i)
     raise ValueError(f"unsupported $search operator: {op!r}")
+
+
+def _compile_wildcards(queries):
+    """Shared compile for oracle AND the routed Arrow kernel — DOTALL
+    so ``*``/``?`` cross newlines like Lucene wildcards do."""
+    import re as _re
+
+    return [_re.compile(_wildcard_regex(q), _re.DOTALL) for q in queries]
+
+
+def _wildcard_regex(pattern: str) -> str:
+    """Lucene wildcard -> Python regex source: ``*`` = any sequence,
+    ``?`` = exactly one char, ``\\`` escapes the next char; everything
+    else is literal, the WHOLE (un-analyzed) field value must match,
+    case-sensitively — keyword-field semantics, the Atlas default
+    (``allowAnalyzedField: false``)."""
+    import re as _re
+
+    out = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):
+            out.append(_re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if c == "*":
+            out.append(".*")
+        elif c == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(c))
+        i += 1
+    return "".join(out)
 
 
 _EPOCH = None

@@ -1681,3 +1681,82 @@ class TestNearRouting:
         got = {r["_id"]: r["score"] for r in mf.df().collect()}
         assert mf.last_exec_path != "routed:search_text"
         assert got[1] == 1.0 and got[2] == 86400000 / (3 * 86400000)
+
+
+class TestWildcardRouting:
+    """r8 session 2: `wildcard` (keyword-field semantics — the WHOLE
+    un-analyzed value, case-sensitive, * / ? / backslash-escape)
+    routes through the match-column Arrow pass running the oracle's
+    own compiled patterns."""
+
+    DOCS = [
+        {"_id": 1, "sku": "ABC-123-X", "t": "spark one"},
+        {"_id": 2, "sku": "ABC-999-Y", "t": "spark two"},
+        {"_id": 3, "sku": "abc-123-x", "t": "three"},
+        {"_id": 4, "sku": None, "t": "spark four"},
+    ]
+
+    def _run(self, spark, tmp_path, search, expect_routed=True):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sub = tmp_path / "wc"
+        if not sub.exists():
+            sub.mkdir()
+            pq.write_table(
+                pa.table({k: [d[k] for d in self.DOCS]
+                          for k in ("_id", "sku", "t")}),
+                str(sub / "posts.parquet"))
+        be = ParquetBackend(str(sub), db_name="main")
+        pipe = [{"$search": search}, {"$limit": 10},
+                {"$addFields": {"score": {"$meta": "searchScore"}}}]
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        got = [r.asDict() for r in mf.df().collect()]
+        if expect_routed:
+            assert mf.last_exec_path == "routed:search_text", search
+        exp = _interpreter_rows(be, "main", "posts", pipe)
+        assert sorted((g["_id"], g["score"]) for g in got) == \
+            sorted((e["_id"], e["score"]) for e in exp), search
+        return {g["_id"]: g["score"] for g in got}
+
+    def test_top_level_patterns(self, spark, tmp_path):
+        got = self._run(spark, tmp_path,
+                        {"wildcard": {"query": "ABC-*-X", "path": "sku"}})
+        assert set(got) == {1} and got[1] == 1.0
+        got = self._run(spark, tmp_path,
+                        {"wildcard": {"query": "ABC-???-?", "path": "sku"}})
+        assert set(got) == {1, 2}
+        # case-sensitive keyword semantics
+        got = self._run(spark, tmp_path,
+                        {"wildcard": {"query": "abc*", "path": "sku"}})
+        assert set(got) == {3}
+
+    def test_wildcard_in_compound_and_mustnot(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, {"compound": {
+            "must": [{"text": {"query": "spark", "path": "t"}},
+                     {"wildcard": {"query": "ABC*", "path": "sku"}}],
+        }})
+        assert set(got) == {1, 2}
+        got = self._run(spark, tmp_path, {"compound": {
+            "should": [{"text": {"query": "spark", "path": "t"}}],
+            "mustNot": [{"wildcard": {"query": "*-X", "path": "sku"}}],
+        }})
+        assert set(got) == {2, 4}
+
+    def test_allow_analyzed_field_raises(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sub = tmp_path / "wcx"
+        sub.mkdir()
+        pq.write_table(
+            pa.table({"_id": [1], "sku": ["A"]}),
+            str(sub / "posts.parquet"))
+        be = ParquetBackend(str(sub), db_name="main")
+        pipe = [{"$search": {"wildcard": {
+                    "query": "a*", "path": "sku",
+                    "allowAnalyzedField": True}}},
+                {"$limit": 5}]
+        with pytest.raises(Exception, match="allowAnalyzedField"):
+            mongo_scan(spark, be, "main", "posts",
+                       pipeline=pipe).df().collect()

@@ -4,16 +4,27 @@ The reference ships ``$search`` pipelines to Atlas verbatim (it is a
 server-side stage, like ``$vectorSearch``); this module is the hermetic
 stand-in so manual ``pipeline :=`` queries using it are executable and
 testable. Implemented operators: ``text`` (BM25 relevance), ``phrase``
-(token subsequence with ``slop``), ``equals``, ``range``, ``exists``,
-``in``, and ``compound`` (must/should/mustNot/filter with
-``minimumShouldMatch``). Scores follow Lucene's BM25 (k1=1.2, b=0.75,
+(token subsequence with ``slop``), ``autocomplete`` (prefix matching,
+tokenOrder any/sequential, fuzzy via prefix edit distance — r8),
+``near`` (numeric/date proximity, pivot/(pivot+dist) — r8),
+``wildcard`` (keyword-field glob, whole un-analyzed value — r8),
+``equals``, ``range``, ``exists``, ``in``, and ``compound``
+(must/should/mustNot/filter with ``minimumShouldMatch``); plus
+``$searchMeta`` ``count`` and ``facet`` (string/number/date buckets —
+r8, ``facet_meta``). Score options: ``boost`` (value or path),
+``constant``, and doc-local ``function`` expression trees (r8).
+Scores follow Lucene's BM25 (k1=1.2, b=0.75,
 idf = ln(1 + (N - df + 0.5)/(df + 0.5))) and surface through
 ``{$meta: "searchScore"}``. Results return in descending score order
 (Atlas relevance order); ties keep input order.
 
-Analyzer: ``lucene.standard``-ish — lowercase, split on
-non-alphanumeric runs. Unsupported operators raise (no silent
-best-effort), so a pipeline that needs a live Atlas index fails loudly.
+Analyzer: the pinned engine-wide contract in ``_analyze`` (lowercase +
+alphanumeric-codepoint runs; see its docstring). Operators whose
+semantics cannot be pinned without live index metadata —
+``moreLikeThis``, ``queryString``, Lucene-dialect ``regex``,
+``embeddedDocument``, analyzed-field wildcard — raise loudly (no
+silent best-effort), so a pipeline that needs a live Atlas index
+fails visibly.
 """
 
 from __future__ import annotations

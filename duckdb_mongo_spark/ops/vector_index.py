@@ -49,6 +49,16 @@ consulted). Under a selective pre-filter the frame layer re-probes
 adaptively (frame._try_ann_candidates) until the FILTERED candidate
 count reaches numCandidates — Atlas filters during index traversal, so
 its recall does not degrade with filter selectivity; neither does ours.
+
+Durability contract: ``meta.json`` is written LAST, so its presence is
+the commit marker — a build killed mid-write leaves no meta and the
+next query rebuilds cleanly. CONCURRENT writers (two drivers sharing
+one SPARK_GRAFT_INDEX_DIR building the same fingerprint) race
+last-wins with a window where a reader can see a sidecar being
+overwritten; single-writer-per-index-root is the deployment
+assumption (the usual one for index maintenance jobs). Stale
+fingerprints simply orphan their directories —
+``drop_vector_index_sidecars`` reclaims them.
 """
 from __future__ import annotations
 

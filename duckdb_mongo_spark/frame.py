@@ -569,6 +569,13 @@ class MongoFrame:
                 body = dict(spec)
                 body.pop("index", None)
                 body.pop("highlight", None)
+                if len(body) == 1 and "queryString" in body:
+                    # translate first: a queryString can reduce to a
+                    # bare phrase, which routes through the chain below
+                    top, tspec = self._translate_query_string(
+                        body["queryString"])
+                    if top is not None:
+                        body = {top: tspec}
                 if len(body) == 1 and "phrase" in body:
                     routed = self._route_search_phrase(
                         body["phrase"], coll_schema)
@@ -1345,6 +1352,29 @@ class MongoFrame:
             fspecs.append(fs)
         return fspecs, float(origin), float(pivot), mod
 
+    @staticmethod
+    def _translate_query_string(opspec):
+        """``queryString`` -> its translated (op, spec) via the shared
+        ``parse_query_string`` — the SAME translation the oracle runs,
+        so the routed tree is the oracle's tree. (None, None) declines:
+        malformed specs and Lucene specials raise in the interpreter;
+        score modifiers on the whole queryString would need mods on
+        compound results, which the oracle reserves for operators."""
+        from duckdb_mongo_spark.mql.search import parse_query_string
+
+        if not isinstance(opspec, dict) \
+                or set(opspec) - {"defaultPath", "query"} \
+                or not isinstance(opspec.get("defaultPath"), str) \
+                or not isinstance(opspec.get("query"), str):
+            return None, None
+        try:
+            translated = parse_query_string(
+                opspec["query"], opspec["defaultPath"])
+        except ValueError:
+            return None, None  # the interpreter raises the same error
+        (top, tspec), = translated.items()
+        return top, tspec
+
     def _parse_wildcard_clause(self, opspec, fm):
         """Validate one ``wildcard`` clause (r8): string pattern(s),
         string (or array-of-string) schema paths, optional score
@@ -1500,6 +1530,10 @@ class MongoFrame:
         (op, opspec), = body.items()
         if not isinstance(opspec, dict):
             return None
+        if op == "queryString":
+            op, opspec = self._translate_query_string(opspec)
+            if op is None:
+                return None
 
         def _as_list(v):
             if v is None:
@@ -1534,6 +1568,9 @@ class MongoFrame:
             if "wildcard" in cl:
                 wc = self._parse_wildcard_clause(cl["wildcard"], fm)
                 return None if wc is None else ("wc", wc)
+            if "queryString" in cl:
+                top, tspec = self._translate_query_string(cl["queryString"])
+                return None if top is None else scored_clause({top: tspec})
             if "compound" in cl:
                 sub = self._parse_search_clauses(
                     {"compound": cl["compound"]}, fm)

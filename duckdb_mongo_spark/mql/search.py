@@ -19,9 +19,11 @@ idf = ln(1 + (N - df + 0.5)/(df + 0.5))) and surface through
 (Atlas relevance order); ties keep input order.
 
 Analyzer: the pinned engine-wide contract in ``_analyze`` (lowercase +
-alphanumeric-codepoint runs; see its docstring). Operators whose
-semantics cannot be pinned without live index metadata —
-``moreLikeThis``, ``queryString``, Lucene-dialect ``regex``,
+alphanumeric-codepoint runs; see its docstring). ``queryString``
+translates its Lucene-syntax subset to these operators
+(``parse_query_string`` — one shared translation, so routing comes
+free). Operators whose semantics cannot be pinned without live index
+metadata — ``moreLikeThis``, Lucene-dialect ``regex``,
 ``embeddedDocument``, analyzed-field wildcard — raise loudly (no
 silent best-effort), so a pipeline that needs a live Atlas index
 fails visibly.
@@ -327,6 +329,17 @@ def _eval_operator(op: str, spec, corpus_cache, docs, i: int):
                         pt.fullmatch(x) for pt in pats):
                     return 1.0  # constant; keyword-field semantics
         return None
+    if op == "queryString":
+        extra = set(spec) - {"defaultPath", "query", "score"}
+        if extra:
+            raise ValueError(f"$search queryString: bad options {extra}")
+        if not isinstance(spec.get("defaultPath"), str) \
+                or not isinstance(spec.get("query"), str):
+            raise ValueError(
+                "$search queryString: defaultPath and query are required")
+        translated = parse_query_string(spec["query"], spec["defaultPath"])
+        (top, tspec), = translated.items()
+        return _eval_operator(top, tspec, corpus_cache, docs, i)
     if op == "compound":
         return _eval_compound(spec, corpus_cache, docs, i)
     raise ValueError(f"unsupported $search operator: {op!r}")
@@ -690,3 +703,136 @@ def facet_meta(docs, facet_spec, meta_key: str) -> dict:
                 f"$searchMeta facet {name!r}: type must be "
                 f"string/number/date, got {ftype!r}")
     return {"count": {"lowerBound": len(hits)}, "facet": out_facets}
+
+
+def parse_query_string(query: str, default_path: str) -> dict:
+    """Lucene ``queryString`` syntax -> a ``$search`` operator spec
+    built ONLY from supported operators (text / phrase / compound) —
+    one shared translation, so the interpreter and the routed path
+    execute the same tree by construction. Pinned subset:
+
+    - terms (analyzed ``text`` over the default or ``field:``-prefixed
+      path), ``"quoted phrases"`` (``phrase``), ``AND``/``&&``,
+      ``OR``/``||``, ``NOT``, parentheses; adjacency = OR (Lucene's
+      default operator); precedence NOT > AND > OR.
+    - ``NOT x`` compiles to ``{"compound": {"mustNot": [x]}}`` — it
+      matches everything x does not, scoring 0 (pinned; Lucene's
+      pure-negative behavior is index-dependent).
+    - Lucene specials without a pinned local meaning — wildcards,
+      fuzzy/boost suffixes, ranges, escapes (``* ? ~ ^ [ ] { } \\``) —
+      raise loudly instead of silently degrading to literals.
+    """
+    specials = set('*?~^[]{}\\')
+
+    # --- tokenizer: parens, colons, quoted strings, bare terms ---
+    toks: list[tuple[str, str]] = []
+    i, n = 0, len(query)
+    while i < n:
+        c = query[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c in "()":
+            toks.append((c, c))
+            i += 1
+            continue
+        if c == '"':
+            j = query.find('"', i + 1)
+            if j < 0:
+                raise ValueError("$search queryString: unclosed quote")
+            toks.append(("quoted", query[i + 1:j]))
+            i = j + 1
+            continue
+        j = i
+        while j < n and not query[j].isspace() and query[j] not in '()"':
+            j += 1
+        word = query[i:j]
+        i = j
+        bad = specials & set(word)
+        if bad:
+            raise ValueError(
+                f"$search queryString: unsupported syntax {sorted(bad)} "
+                f"in {word!r}")
+        if word in ("AND", "&&"):
+            toks.append(("AND", word))
+        elif word in ("OR", "||"):
+            toks.append(("OR", word))
+        elif word == "NOT":
+            toks.append(("NOT", word))
+        else:
+            # field:term / field:"phrase"? the colon splits here; a
+            # trailing colon grabs the NEXT quoted/term token
+            if ":" in word:
+                field, _, rest = word.partition(":")
+                if not field:
+                    raise ValueError(
+                        f"$search queryString: bad clause {word!r}")
+                toks.append(("field", field))
+                if rest:
+                    toks.append(("term", rest))
+            else:
+                toks.append(("term", word))
+
+    # --- recursive descent: or := and (OR and)* ; adjacency = OR ---
+    pos = 0
+
+    def peek():
+        return toks[pos][0] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def clause():
+        kind = peek()
+        if kind == "(":
+            take()
+            node = parse_or()
+            if peek() != ")":
+                raise ValueError("$search queryString: missing ')'")
+            take()
+            return node
+        path = default_path
+        if kind == "field":
+            path = take()[1]
+            kind = peek()
+        if kind == "quoted":
+            return {"phrase": {"query": take()[1], "path": path}}
+        if kind == "term":
+            return {"text": {"query": take()[1], "path": path}}
+        raise ValueError("$search queryString: expected a term")
+
+    def unary():
+        if peek() == "NOT":
+            take()
+            return {"compound": {"mustNot": [unary()]}}
+        return clause()
+
+    def parse_and():
+        nodes = [unary()]
+        while peek() == "AND":
+            take()
+            nodes.append(unary())
+        if len(nodes) == 1:
+            return nodes[0]
+        return {"compound": {"must": nodes}}
+
+    def parse_or():
+        nodes = [parse_and()]
+        while peek() in ("OR",) or peek() in (
+                "term", "quoted", "field", "(", "NOT"):
+            if peek() == "OR":
+                take()
+            nodes.append(parse_and())
+        if len(nodes) == 1:
+            return nodes[0]
+        return {"compound": {"should": nodes}}
+
+    if not toks:
+        raise ValueError("$search queryString: empty query")
+    tree = parse_or()
+    if pos != len(toks):
+        raise ValueError("$search queryString: trailing tokens")
+    return tree

@@ -1760,3 +1760,73 @@ class TestWildcardRouting:
         with pytest.raises(Exception, match="allowAnalyzedField"):
             mongo_scan(spark, be, "main", "posts",
                        pipeline=pipe).df().collect()
+
+
+class TestQueryStringRouting:
+    """r8 session 3: `queryString` translates its Lucene-syntax subset
+    to text/phrase/compound via ONE shared function
+    (mql/search.parse_query_string), so the routed tree IS the
+    oracle's tree — parity and routing come free."""
+
+    DOCS = [
+        {"_id": 1, "title": "spark intro", "body": "fast data engine"},
+        {"_id": 2, "title": "duck pond", "body": "the duck swims slowly"},
+        {"_id": 3, "title": "spark deep dive", "body": "slow but thorough"},
+        {"_id": 4, "title": "cooking", "body": "fast rice"},
+    ]
+
+    def _run(self, spark, tmp_path, qs, expect_routed=True):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sub = tmp_path / "qs"
+        if not sub.exists():
+            sub.mkdir()
+            pq.write_table(
+                pa.table({k: [d[k] for d in self.DOCS]
+                          for k in ("_id", "title", "body")}),
+                str(sub / "posts.parquet"))
+        be = ParquetBackend(str(sub), db_name="main")
+        pipe = [{"$search": {"queryString": {"defaultPath": "body",
+                                             "query": qs}}},
+                {"$limit": 10},
+                {"$addFields": {"score": {"$meta": "searchScore"}}}]
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        got = [r.asDict() for r in mf.df().collect()]
+        if expect_routed:
+            assert mf.last_exec_path == "routed:search_text", qs
+        exp = _interpreter_rows(be, "main", "posts", pipe)
+        assert sorted((g["_id"], g["score"]) for g in got) == \
+            sorted((e["_id"], e["score"]) for e in exp), qs
+        return {g["_id"] for g in got}
+
+    def test_and_or_not(self, spark, tmp_path):
+        assert self._run(spark, tmp_path, "fast AND engine") == {1}
+        assert self._run(spark, tmp_path, "duck OR rice") == {2, 4}
+        assert self._run(spark, tmp_path,
+                         "fast AND NOT rice") == {1}
+        # adjacency is OR (Lucene default operator)
+        assert self._run(spark, tmp_path, "duck rice") == {2, 4}
+
+    def test_field_override_and_phrase(self, spark, tmp_path):
+        assert self._run(spark, tmp_path, 'title:spark') == {1, 3}
+        assert self._run(spark, tmp_path,
+                         'title:"deep dive"') == {3}
+        assert self._run(spark, tmp_path,
+                         '(title:spark) AND slow') == {3}
+
+    def test_specials_raise(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sub = tmp_path / "qsx"
+        sub.mkdir()
+        pq.write_table(pa.table({"_id": [1], "body": ["x"]}),
+                       str(sub / "posts.parquet"))
+        be = ParquetBackend(str(sub), db_name="main")
+        pipe = [{"$search": {"queryString": {
+                    "defaultPath": "body", "query": "spa*"}}},
+                {"$limit": 5}]
+        with pytest.raises(Exception, match="unsupported syntax"):
+            mongo_scan(spark, be, "main", "posts",
+                       pipeline=pipe).df().collect()

@@ -1331,8 +1331,12 @@ class MongoFrame:
         if mod == "unsupported":
             return None
         origin, pivot = opspec["origin"], opspec["pivot"]
-        if isinstance(origin, bool) or not isinstance(origin, (int, float)):
-            return None  # date/geo origins: interpreter semantics
+        import datetime as _dt
+
+        is_date = isinstance(origin, _dt.datetime)
+        if not is_date and (isinstance(origin, bool)
+                            or not isinstance(origin, (int, float))):
+            return None  # geo origins: the interpreter raises
         if isinstance(pivot, bool) or not isinstance(pivot, (int, float)) \
                 or not pivot > 0:
             return None  # the interpreter raises loudly
@@ -1345,12 +1349,23 @@ class MongoFrame:
         fspecs = []
         for pth in paths:
             fs = fm.get(pth)
-            if fs is None or not (
-                    fs.type in numeric
-                    or (is_list(fs.type) and fs.type[1] in numeric)):
+            if fs is None:
+                return None
+            if is_date:
+                # the session pins spark.sql.session.timeZone=UTC, so
+                # unix_micros(col) equals the oracle's exact
+                # integer-microsecond arithmetic; scalar TIMESTAMP only
+                if fs.type != "TIMESTAMP":
+                    return None
+            elif not (fs.type in numeric
+                      or (is_list(fs.type) and fs.type[1] in numeric)):
                 return None
             fspecs.append(fs)
-        return fspecs, float(origin), float(pivot), mod
+        if is_date:
+            from duckdb_mongo_spark.mql.search import _dt_micros
+
+            return fspecs, ("ts", _dt_micros(origin)), float(pivot), mod
+        return fspecs, ("num", float(origin)), float(pivot), mod
 
     @staticmethod
     def _translate_query_string(opspec):
@@ -1418,11 +1433,17 @@ class MongoFrame:
         comparable exists (no match)."""
         from duckdb_mongo_spark.schema.types import is_list
 
-        fss, origin, pivot, _mod = payload
+        fss, (okind, origin), pivot, _mod = payload
         per_path = []
         for fs in fss:
             col = F.col(fs.name)
-            if is_list(fs.type):
+            if okind == "ts":
+                # exact integer micros difference over 1000.0 — the
+                # oracle's formula verbatim (UTC session timezone)
+                dist = (F.abs(F.unix_micros(col) - F.lit(origin))
+                        .cast("double") / F.lit(1000.0))
+                per_path.append(F.lit(pivot) / (F.lit(pivot) + dist))
+            elif is_list(fs.type):
                 per_path.append(F.array_max(F.transform(
                     F.coalesce(col, F.array()),
                     lambda x: F.lit(pivot)
@@ -1865,24 +1886,36 @@ class MongoFrame:
                 nb = int(fs_spec.get("numBuckets", 10))
                 plans.append((name, "string", fs, nb))
                 caps.append(nb)
-            elif ftype == "number":
+            elif ftype in ("number", "date"):
+                import datetime as _dt
+
                 bounds = fs_spec.get("boundaries")
+                ok_b = (lambda b: isinstance(b, _dt.datetime)) \
+                    if ftype == "date" else \
+                    (lambda b: not isinstance(b, bool)
+                     and isinstance(b, (int, float)))
                 if not isinstance(bounds, list) or len(bounds) < 2 \
-                        or any(isinstance(b, bool)
-                               or not isinstance(b, (int, float))
-                               for b in bounds) \
+                        or any(not ok_b(b) for b in bounds) \
                         or any(not bounds[i] < bounds[i + 1]
                                for i in range(len(bounds) - 1)):
                     return None  # bad boundaries: interpreter raises
-                scalar_num = fs.type in numeric_types
-                list_num = is_list(fs.type) and fs.type[1] in numeric_types
-                if not (scalar_num or list_num):
-                    return None
-                plans.append((name, "number", fs,
+                if ftype == "date":
+                    # UTC session timezone: unix_micros(col) equals the
+                    # oracle's exact integer-microsecond arithmetic;
+                    # scalar TIMESTAMP columns only
+                    if fs.type != "TIMESTAMP":
+                        return None
+                else:
+                    scalar_num = fs.type in numeric_types
+                    list_num = (is_list(fs.type)
+                                and fs.type[1] in numeric_types)
+                    if not (scalar_num or list_num):
+                        return None
+                plans.append((name, ftype, fs,
                               (bounds, "default" in fs_spec)))
                 caps.append(len(bounds))
             else:
-                return None  # date (tz parity unpinned) / bad type
+                return None  # unknown facet type: interpreter raises
         op = facet_spec.get("operator")
         parsed = None
         if op is not None:
@@ -1934,8 +1967,16 @@ class MongoFrame:
                                           col.alias("k")))))
                     continue
                 bounds, _has_dflt = extra
+                if kind == "date":
+                    from duckdb_mongo_spark.mql.search import _dt_micros
 
-                def bucket_key(x, _b=bounds):
+                    bvals = [_dt_micros(b) for b in bounds]
+                else:
+                    bvals = bounds
+
+                def bucket_key(x, _b=bvals, _date=(kind == "date")):
+                    if _date:
+                        x = F.unix_micros(x)
                     k = F.when(x.isNull(), F.lit(None))
                     k = k.when(x < F.lit(_b[0]), F.lit("__d"))
                     for i in range(1, len(_b)):

@@ -1548,7 +1548,7 @@ class TestFacetMetaRouting:
             mongo_scan(spark, be, "main", "posts",
                        pipeline=pipe).df().collect()
 
-    def test_date_facet_stays_on_interpreter(self, spark, tmp_path):
+    def test_date_facet_routes(self, spark, tmp_path):
         import datetime as dt
 
         import pyarrow as pa
@@ -1556,7 +1556,7 @@ class TestFacetMetaRouting:
 
         sub = tmp_path / "fdt"
         sub.mkdir()
-        ts = [dt.datetime(2024, 1, i + 1) for i in range(4)]
+        ts = [dt.datetime(2024, 1, i + 1, 6) for i in range(4)]
         pq.write_table(
             pa.table({"_id": [1, 2, 3, 4], "ts": ts}),
             str(sub / "posts.parquet"))
@@ -1568,7 +1568,8 @@ class TestFacetMetaRouting:
                                  dt.datetime(2024, 1, 9)]}}}}}]
         mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
         got = [r.asDict() for r in mf.df().collect()]
-        assert mf.last_exec_path != "routed:search_meta"
+        # r8 session 3: UTC session timezone pins the arithmetic — routed
+        assert mf.last_exec_path == "routed:search_meta"
         exp = _interpreter_rows(be, "main", "posts", pipe)
         # date buckets render datetimes; compare COUNTS per bucket
         exp_counts = [b["count"]
@@ -1658,7 +1659,7 @@ class TestNearRouting:
         # docs with any samples value are excluded: doc 1 drops
         assert set(got) == {2, 4}
 
-    def test_date_origin_falls_back_but_works(self, spark, tmp_path):
+    def test_date_origin_routes_exactly(self, spark, tmp_path):
         import datetime as dt
 
         import pyarrow as pa
@@ -1666,21 +1667,30 @@ class TestNearRouting:
 
         sub = tmp_path / "nrd"
         sub.mkdir()
+        # NON-midnight times: all-midnight timestamp columns infer as
+        # DATE (the midnight-UTC heuristic), and DATE columns decline
+        # routing (raw docs may still carry datetimes - ambiguity is
+        # the interpreter's to resolve)
         pq.write_table(
             pa.table({"_id": [1, 2],
-                      "ts": [dt.datetime(2024, 1, 1),
-                             dt.datetime(2024, 1, 3)]}),
+                      "ts": [dt.datetime(2024, 1, 1, 6),
+                             dt.datetime(2024, 1, 3, 6)]}),
             str(sub / "posts.parquet"))
         be = ParquetBackend(str(sub), db_name="main")
         pipe = [{"$search": {"near": {
-                    "path": "ts", "origin": dt.datetime(2024, 1, 1),
+                    "path": "ts", "origin": dt.datetime(2024, 1, 1, 6),
                     "pivot": 86400000.0}}},
                 {"$limit": 5},
                 {"$addFields": {"score": {"$meta": "searchScore"}}}]
         mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
         got = {r["_id"]: r["score"] for r in mf.df().collect()}
-        assert mf.last_exec_path != "routed:search_text"
+        # r8 session 3: the session pins UTC, so date distance is exact
+        # integer-microsecond arithmetic on BOTH sides — routed
+        assert mf.last_exec_path == "routed:search_text"
         assert got[1] == 1.0 and got[2] == 86400000 / (3 * 86400000)
+        exp = {d["_id"]: d["score"] for d in _interpreter_rows(
+            be, "main", "posts", pipe)}
+        assert got == exp
 
 
 class TestWildcardRouting:

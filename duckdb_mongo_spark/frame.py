@@ -1390,6 +1390,24 @@ class MongoFrame:
         (top, tspec), = translated.items()
         return top, tspec
 
+    @staticmethod
+    def _translate_mlt(opspec):
+        """``moreLikeThis`` -> its translated (op, spec) via the shared
+        ``translate_more_like_this`` (same function the oracle runs).
+        (None, None) declines — malformed specs raise in the
+        interpreter; a score modifier on the whole clause would need
+        mods on compound results, which the oracle reserves for
+        operators."""
+        from duckdb_mongo_spark.mql.search import translate_more_like_this
+
+        if not isinstance(opspec, dict) or set(opspec) != {"like"}:
+            return None, None
+        try:
+            translated = translate_more_like_this(opspec)
+        except ValueError:
+            return None, None  # the interpreter raises the same error
+        return "compound", translated["compound"]
+
     def _parse_wildcard_clause(self, opspec, fm):
         """Validate one ``wildcard`` clause (r8): string pattern(s),
         string (or array-of-string) schema paths, optional score
@@ -1555,6 +1573,10 @@ class MongoFrame:
             op, opspec = self._translate_query_string(opspec)
             if op is None:
                 return None
+        if op == "moreLikeThis":
+            op, opspec = self._translate_mlt(opspec)
+            if op is None:
+                return None
 
         def _as_list(v):
             if v is None:
@@ -1591,6 +1613,9 @@ class MongoFrame:
                 return None if wc is None else ("wc", wc)
             if "queryString" in cl:
                 top, tspec = self._translate_query_string(cl["queryString"])
+                return None if top is None else scored_clause({top: tspec})
+            if "moreLikeThis" in cl:
+                top, tspec = self._translate_mlt(cl["moreLikeThis"])
                 return None if top is None else scored_clause({top: tspec})
             if "compound" in cl:
                 sub = self._parse_search_clauses(

@@ -22,11 +22,14 @@ Analyzer: the pinned engine-wide contract in ``_analyze`` (lowercase +
 alphanumeric-codepoint runs; see its docstring). ``queryString``
 translates its Lucene-syntax subset to these operators
 (``parse_query_string`` — one shared translation, so routing comes
-free). Operators whose semantics cannot be pinned without live index
-metadata — ``moreLikeThis``, Lucene-dialect ``regex``,
-``embeddedDocument``, analyzed-field wildcard — raise loudly (no
-silent best-effort), so a pipeline that needs a live Atlas index
-fails visibly.
+free). ``moreLikeThis`` pins to a text-should disjunction over the
+like-documents' analyzed string paths (``translate_more_like_this``
+— Atlas's representative-term selection is index-statistic-bound and
+unpublished; ALL terms is the deterministic superset). Operators
+whose semantics cannot be pinned without live index metadata —
+Lucene-dialect ``regex``, ``embeddedDocument``, analyzed-field
+wildcard, ``text.fuzzy`` — raise loudly (no silent best-effort), so a
+pipeline that needs a live Atlas index fails visibly.
 """
 
 from __future__ import annotations
@@ -329,6 +332,10 @@ def _eval_operator(op: str, spec, corpus_cache, docs, i: int):
                         pt.fullmatch(x) for pt in pats):
                     return 1.0  # constant; keyword-field semantics
         return None
+    if op == "moreLikeThis":
+        translated = translate_more_like_this(spec)
+        return _eval_operator("compound", translated["compound"],
+                              corpus_cache, docs, i)
     if op == "queryString":
         extra = set(spec) - {"defaultPath", "query", "score"}
         if extra:
@@ -836,3 +843,49 @@ def parse_query_string(query: str, default_path: str) -> dict:
     if pos != len(toks):
         raise ValueError("$search queryString: trailing tokens")
     return tree
+
+
+def translate_more_like_this(spec) -> dict:
+    """``moreLikeThis`` -> a compound-should of ``text`` clauses — the
+    engine's pinned semantics (Atlas extracts "representative terms"
+    using index statistics it does not publish; this local stand-in
+    uses ALL the like-documents' analyzed text, one clause per dotted
+    string path, BM25-scored like any text disjunction). Shared by the
+    oracle and the router, so the routed tree is the oracle's tree.
+    String values merge per path across like documents; arrays
+    contribute their string elements; non-string leaves are ignored;
+    no string content anywhere raises."""
+    like = spec.get("like")
+    if like is None:
+        raise ValueError("$search moreLikeThis: like is required")
+    if set(spec) - {"like", "score"}:
+        raise ValueError(
+            f"$search moreLikeThis: bad options {set(spec) - {'like'}}")
+    docs = like if isinstance(like, list) else [like]
+    by_path: dict = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{prefix}.{k}" if prefix else str(k))
+            return
+        if isinstance(node, list):
+            for el in node:
+                if isinstance(el, str):
+                    by_path.setdefault(prefix, []).append(el)
+            return
+        if isinstance(node, str) and prefix:
+            by_path.setdefault(prefix, []).append(node)
+
+    for d in docs:
+        if not isinstance(d, dict):
+            raise ValueError(
+                "$search moreLikeThis: like must be document(s)")
+        walk(d, "")
+    clauses = [{"text": {"query": vals, "path": p}}
+               for p, vals in sorted(by_path.items())
+               if any(_analyze(v) for v in vals)]
+    if not clauses:
+        raise ValueError(
+            "$search moreLikeThis: no analyzable text in like documents")
+    return {"compound": {"should": clauses}}

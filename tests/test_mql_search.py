@@ -72,7 +72,12 @@ class TestStructuredOperators:
 
     def test_unsupported_operator_raises(self):
         with pytest.raises(ValueError, match="unsupported \\$search operator"):
-            run({"moreLikeThis": {"like": {"t": "spark"}}})
+            run({"embeddedDocument": {"path": "items", "operator": {}}})
+
+    def test_more_like_this_pins_to_text_should(self):
+        # r8 session 3: all analyzed like-doc text, BM25 disjunction
+        out = run({"moreLikeThis": {"like": {"t": "spark"}}})
+        assert {d["_id"] for d in out} == {1, 2}
 
     def test_autocomplete_prefix_semantics(self):
         # r8: autocomplete is supported — prefix matching, constant 1.0

@@ -1840,3 +1840,73 @@ class TestQueryStringRouting:
         with pytest.raises(Exception, match="unsupported syntax"):
             mongo_scan(spark, be, "main", "posts",
                        pipeline=pipe).df().collect()
+
+
+class TestMoreLikeThisRouting:
+    """r8 session 3: `moreLikeThis` pins to a text-should disjunction
+    over the like-documents' analyzed string paths (shared
+    translation), so it routes like any compound of text clauses."""
+
+    DOCS = [
+        {"_id": 1, "t": "spark is a fast engine", "tag": "infra"},
+        {"_id": 2, "t": "ducks swim in ponds", "tag": "nature"},
+        {"_id": 3, "t": "spark engine tuning", "tag": "infra"},
+        {"_id": 4, "t": "cooking rice", "tag": "food"},
+    ]
+
+    def _run(self, spark, tmp_path, like, expect_routed=True):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sub = tmp_path / "mlt"
+        if not sub.exists():
+            sub.mkdir()
+            pq.write_table(
+                pa.table({k: [d[k] for d in self.DOCS]
+                          for k in ("_id", "t", "tag")}),
+                str(sub / "posts.parquet"))
+        be = ParquetBackend(str(sub), db_name="main")
+        pipe = [{"$search": {"moreLikeThis": {"like": like}}},
+                {"$limit": 10},
+                {"$addFields": {"score": {"$meta": "searchScore"}}}]
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        got = [r.asDict() for r in mf.df().collect()]
+        if expect_routed:
+            assert mf.last_exec_path == "routed:search_text", like
+        exp = _interpreter_rows(be, "main", "posts", pipe)
+        assert sorted((g["_id"], g["score"]) for g in got) == \
+            sorted((e["_id"], e["score"]) for e in exp), like
+        return {g["_id"] for g in got}
+
+    def test_single_like_doc(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, {"t": "spark engine"})
+        assert got == {1, 3}
+
+    def test_multiple_like_docs_merge_paths(self, spark, tmp_path):
+        got = self._run(spark, tmp_path,
+                        [{"t": "spark"}, {"tag": "food"}])
+        assert got == {1, 3, 4}
+
+    def test_nested_like_fields(self, spark, tmp_path):
+        # nested dict paths flatten to dotted paths; unknown paths make
+        # the translated text clause unroutable -> interpreter, where
+        # unknown paths simply score nothing
+        got = self._run(spark, tmp_path,
+                        {"t": "rice", "meta": {"x": "zzz"}},
+                        expect_routed=False)
+        assert got == {4}
+
+    def test_no_text_raises(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sub = tmp_path / "mltx"
+        sub.mkdir()
+        pq.write_table(pa.table({"_id": [1], "t": ["x"]}),
+                       str(sub / "posts.parquet"))
+        be = ParquetBackend(str(sub), db_name="main")
+        pipe = [{"$search": {"moreLikeThis": {"like": {"n": 5}}}},
+                {"$limit": 5}]
+        with pytest.raises(Exception, match="no analyzable text"):
+            mongo_scan(spark, be, "main", "posts",
+                       pipeline=pipe).df().collect()

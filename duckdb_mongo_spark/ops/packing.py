@@ -240,10 +240,10 @@ def pack_contiguous_sql(
                0) AS off
         FROM s)
     SELECT {id_col}, tokens, shard,
-           shard * 4294967296 + off // {budget} AS seq_id,
-           off % {budget} AS seq_off,
-           shard * 4294967296
+           CAST(shard * 4294967296 + off // {budget} AS BIGINT) AS seq_id,
+           CAST(off % {budget} AS BIGINT) AS seq_off,
+           CAST(shard * 4294967296
                + greatest(off // {budget},
-                          (off + tokens - 1) // {budget}) AS end_seq
+                          (off + tokens - 1) // {budget}) AS BIGINT) AS end_seq
     FROM o
     """

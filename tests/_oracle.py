@@ -38,6 +38,40 @@ def lint_surface_schema(df):
     ]
 
 
+# Arrow-side mirror of SURFACE_TYPES for the ORACLE result. The r8 blind
+# spot: `fetchall()` converts DuckDB HUGEINT to Python int, so an oracle
+# whose window SUM(BIGINT) escaped as HUGEINT looked identical locally
+# while the driver's Arrow fetch materialized decimal128(38,0) -> Decimal
+# and hash-failed (seq_packing, r8's only red row). compare() now drains
+# DuckDB through fetch_arrow_table() — the driver's protocol — and lints
+# the Arrow schema, so oracle-side surface drift is a local failure.
+def _arrow_type_ok(t) -> bool:
+    import pyarrow as pa
+
+    return (
+        pa.types.is_boolean(t)
+        or pa.types.is_signed_integer(t)
+        or pa.types.is_float64(t)
+        or pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_date(t)
+        or pa.types.is_timestamp(t)
+        or pa.types.is_null(t)
+    )
+
+
+def lint_oracle_arrow_schema(tbl):
+    """Return [(col, arrow_type), ...] for oracle columns whose Arrow
+    surface type the driver's hash would materialize differently from a
+    Spark {bool,int,double,string,date,timestamp} column (HUGEINT ->
+    decimal128, DECIMAL, float32, unsigned ints, nested types)."""
+    return [
+        (f.name, str(f.type))
+        for f in tbl.schema
+        if not _arrow_type_ok(f.type)
+    ]
+
+
 def duckdb_con(sf_dir: str):
     import duckdb
 
@@ -118,9 +152,14 @@ def rows_key(rows, cols):
 def compare(spark_df, con, sql) -> dict:
     spark_rows = spark_df.collect()
     spark_cols = spark_df.columns
-    res = con.execute(sql)
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    # Drain DuckDB through Arrow — the driver's fetch protocol. fetchall()
+    # collapses HUGEINT->int and hides exactly the surface drift the
+    # driver's hash sees (r8 seq_packing).
+    tbl = con.execute(sql).fetch_arrow_table()
+    duck_cols = list(tbl.schema.names)
+    _py_cols = [c.to_pylist() for c in tbl.columns]
+    duck_rows = list(zip(*_py_cols)) if _py_cols else []
+    oracle_bad = lint_oracle_arrow_schema(tbl)
     out = {
         "rows_spark": len(spark_rows),
         "rows_duck": len(duck_rows),
@@ -142,7 +181,9 @@ def compare(spark_df, con, sql) -> dict:
         out["first_diffs"] = diffs[:3]
     sa = strict_rows_key([tuple(r) for r in spark_rows])
     sb = strict_rows_key(duck_rows)
-    out["strict_match"] = sa == sb
+    out["strict_match"] = sa == sb and not oracle_bad
+    if oracle_bad:
+        out["oracle_bad_types"] = oracle_bad
     if out["value_match"] and not out["strict_match"]:
         out["first_diffs"] = [(x, y) for x, y in zip(sa, sb) if x != y][:3]
     return out

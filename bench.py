@@ -81,12 +81,11 @@ def _install_lean_line_items(qs: dict, oracles: dict) -> None:
 
     r3 merged two ledger entries to free driver-ledger slots
     (mongo_count_pushdown now also carries the grouped COUNT(col)/SUM
-    path; sim_cosine_topk runs both exact kernels tagged+unioned). For
-    the BENCH those merges would double-count Spark's fixed per-query
-    plan floor against near-zero DuckDB oracles and break per-query
-    comparability across rounds — so the bench swaps in the original
-    lean shapes, which still exercise the same operators ($count
-    pushdown; each cosine kernel as its own line item)."""
+    path). For the BENCH those merges would double-count Spark's fixed
+    per-query plan floor against near-zero DuckDB oracles and break
+    per-query comparability across rounds — so the bench swaps in the
+    original lean shapes, which still exercise the same operators
+    ($count pushdown, lean OR filter, window top-k, time bucket)."""
     import __spark_entry__ as entry
     from pyspark.sql import functions as F
 
@@ -161,44 +160,9 @@ def _install_lean_line_items(qs: dict, oracles: dict) -> None:
     oracles["q_time_bucket"] = _tb_sql.replace(
         "get_json_object(props, '$.k')", "props->>'k'")
 
-    def _q_emb(spark, sf_dir):
-        entry._views(spark, sf_dir, "embeddings")
-        emb = spark.table("embeddings")
-        return (
-            emb.filter(F.col("vec_id") < 10).select(
-                F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-            ),
-            emb,
-        )
-
-    def _cos_hof(spark, sf_dir):
-        from duckdb_mongo_spark.ops.similarity import cosine_topk
-
-        q, emb = _q_emb(spark, sf_dir)
-        return cosine_topk(q, emb, k=5, dim=64).orderBy("q_id", "rank")
-
-    def _cos_gemm(spark, sf_dir):
-        from duckdb_mongo_spark.ops.similarity import cosine_topk_vectorized
-
-        q, emb = _q_emb(spark, sf_dir)
-        return cosine_topk_vectorized(q, emb, k=5).orderBy("q_id", "rank")
-
-    single = f"""
-    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-               FROM embeddings WHERE vec_id < 10),
-    c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-    scored AS (SELECT q_id, c_id, {entry._COSINE_SQL} AS score FROM q, c),
-    ranked AS (SELECT q_id, c_id, score,
-                      ROW_NUMBER() OVER (PARTITION BY q_id
-                                         ORDER BY score DESC, c_id) AS rank
-               FROM scored)
-    SELECT q_id, c_id AS vec_id, score, CAST(rank AS BIGINT) AS rank
-    FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
-    """
-    qs["sim_cosine_topk"] = _cos_hof
-    qs["sim_cosine_topk_vectorized"] = _cos_gemm
-    oracles["sim_cosine_topk"] = single
-    oracles["sim_cosine_topk_vectorized"] = single
+    # r9: the ledgered sim_cosine_topk entry IS the lean GEMM shape now
+    # (r8 verdict #3 — the HOF kernel is a pytest-only parity cross-check,
+    # so no lean override and no second cosine line item is needed).
 
 
 def _native_pipeline_section(spark, sf_dir, qs, iters=3):
@@ -600,7 +564,6 @@ def main() -> None:
         "dedup_minhash_signatures",
         "dedup_simhash",
         "sim_cosine_topk",
-        "sim_cosine_topk_vectorized",
     ]
 
     # warmup, mirroring the reference harness's warmup COUNT(*)
@@ -715,12 +678,12 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — scale evidence is auxiliary
             print(f"# sf10 section failed: {exc}", file=sys.stderr)
         try:
-            # r8: at-scale evidence for the cosine top-k pair (the r7
-            # weak-perf flag) — 200k x 64-d corpus, data-proportional
-            # GEMM/HOF work vs DuckDB's list_dot_product
+            # r8/r9: at-scale evidence for cosine top-k — 200k x 64-d
+            # corpus, data-proportional GEMM work vs DuckDB's
+            # list_dot_product (GEMM is the sole benched kernel since r9)
             sf10s = _sf10_section(
                 spark, qs, oracles,
-                ["sim_cosine_topk", "sim_cosine_topk_vectorized"],
+                ["sim_cosine_topk"],
                 ["embeddings"])
             if sf10s is not None:
                 out["sf10_sim"] = sf10s

@@ -217,6 +217,23 @@ class TestSimilarity:
         assert sorted([tuple(r) for r in hof], key=lambda t: (t[0], t[3])) == \
                sorted([tuple(r) for r in vec], key=lambda t: (t[0], t[3]))
 
+    def test_hof_kernel_matches_duckdb_oracle(self, spark, sf_dir):
+        # r9: the HOF kernel left the ledger/bench (GEMM is the scale
+        # primary per the r8 verdict); this keeps it oracle-proven on the
+        # driver testdata. Together with test_vectorized_matches_hof_path
+        # it transitively holds the GEMM path to true DuckDB values.
+        import __spark_entry__ as entry
+        from _oracle import compare, duckdb_con
+        from pyspark.sql import functions as F
+
+        entry._views(spark, sf_dir, "embeddings")
+        emb = spark.table("embeddings")
+        q = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+        df = similarity.cosine_topk(q, emb, k=5, dim=64).orderBy("q_id", "rank")
+        res = compare(df, duckdb_con(sf_dir), entry._COSINE_TOPK_SQL)
+        assert res["value_match"] and res["strict_match"], res
+
     def test_lsh_recall_on_identical(self, spark, corpus):
         q = spark.createDataFrame([("q1", [1.0, 0.0, 0.0])], ["q_id", "q_vec"])
         out = similarity.lsh_topk(q, corpus, k=1, n_planes=4)

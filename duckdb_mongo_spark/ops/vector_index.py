@@ -50,15 +50,17 @@ adaptively (frame._try_ann_candidates) until the FILTERED candidate
 count reaches numCandidates — Atlas filters during index traversal, so
 its recall does not degrade with filter selectivity; neither does ours.
 
-Durability contract: ``meta.json`` is written LAST, so its presence is
-the commit marker — a build killed mid-write leaves no meta and the
-next query rebuilds cleanly. CONCURRENT writers (two drivers sharing
-one SPARK_GRAFT_INDEX_DIR building the same fingerprint) race
-last-wins with a window where a reader can see a sidecar being
-overwritten; single-writer-per-index-root is the deployment
-assumption (the usual one for index maintenance jobs). Stale
-fingerprints simply orphan their directories —
-``drop_vector_index_sidecars`` reclaims them.
+Durability contract (r9, versioned): each build writes a fresh
+``v-<token>/`` directory (postings, arrays.npz, then meta.json LAST
+within the version) and commits it by atomically renaming a pointer
+file onto ``CURRENT`` (``os.replace`` — POSIX rename atomicity).
+Readers resolve ``CURRENT`` once at load and keep file handles into
+that immutable version, so CONCURRENT builders of the same
+fingerprint race safely last-wins: a reader never observes a torn or
+half-overwritten index, only the previously committed version. A
+build killed mid-write leaves an uncommitted ``v-*`` dir that no
+reader resolves. Superseded versions and orphaned fingerprints are
+reclaimed by ``drop_vector_index_sidecars``.
 """
 from __future__ import annotations
 
@@ -67,12 +69,13 @@ import json
 import math
 import os
 import tempfile
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_META_VERSION = 2
+_META_VERSION = 3  # r9: versioned sidecar layout (CURRENT pointer commit)
 
 
 def _fit_sample() -> int:
@@ -146,6 +149,36 @@ def _sidecar_dir(key) -> str:
         hashlib.sha1(repr(key).encode()).hexdigest()[:24])
 
 
+def _current_version_dir(sdir: str) -> str | None:
+    """Resolve the committed version of a sidecar, or None. ``CURRENT``
+    names the version directory; a version without its meta.json (a
+    builder died between pointer write and... impossible by ordering,
+    but also a hand-truncated dir) reads as uncommitted."""
+    try:
+        with open(os.path.join(sdir, "CURRENT")) as f:
+            name = f.read().strip()
+    except OSError:
+        return None
+    if not name or os.sep in name or name.startswith("."):
+        return None
+    vdir = os.path.join(sdir, name)
+    return vdir if os.path.isfile(os.path.join(vdir, "meta.json")) else None
+
+
+def _commit_version(sdir: str, vname: str) -> None:
+    """Atomically publish ``vname`` as the sidecar's committed version.
+    The tmp pointer is per-version-named so two racing builders never
+    write the same tmp file; ``os.replace`` is the atomic swap — a
+    concurrent reader sees either the old pointer or the new one,
+    never a partial file."""
+    tmp = os.path.join(sdir, f".CURRENT.{vname}")
+    with open(tmp, "w") as f:
+        f.write(vname)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(sdir, "CURRENT"))
+
+
 def cached_index(backend, db, coll, mongo_path, d, family):
     """Cache peek — lets callers skip building the base scan frame when
     the index already exists (fingerprint re-checked, so stale file
@@ -198,30 +231,31 @@ def _valid_vectors(bdf: DataFrame, vec_name: str, d: int):
 
 
 def _load_sidecar(spark, key, sdir) -> "CollectionVectorIndex | None":
-    """Load a committed sidecar (meta.json present = commit marker).
-    Version/shape mismatches read as a miss, never an error."""
+    """Load a committed sidecar (CURRENT pointer -> immutable version
+    dir). Version/shape mismatches read as a miss, never an error."""
     global load_count
     import numpy as np
 
-    meta_path = os.path.join(sdir, "meta.json")
-    if not os.path.isfile(meta_path):
+    vdir = _current_version_dir(sdir)
+    if vdir is None:
         return None
+    meta_path = os.path.join(vdir, "meta.json")
     try:
         with open(meta_path) as f:
             meta = json.load(f)
         if meta.get("version") != _META_VERSION:
             return None
-        arrs = np.load(os.path.join(sdir, "arrays.npz"))
+        arrs = np.load(os.path.join(vdir, "arrays.npz"))
         codebooks = None
         if meta["n_codebooks"]:
             codebooks = [arrs[f"cb{i}"] for i in range(meta["n_codebooks"])]
-        postings = spark.read.parquet(os.path.join(sdir, "postings"))
+        postings = spark.read.parquet(os.path.join(vdir, "postings"))
         idx = CollectionVectorIndex(
             centroids=arrs["centroids"], cell_sizes=arrs["cell_sizes"],
             corpus_n=int(meta["corpus_n"]), zero_n=int(meta["zero_n"]),
             postings=postings, vec_name=meta["vec_name"], d=int(meta["d"]),
             id_name=meta["id_name"], family=meta["family"],
-            codebooks=codebooks, sidecar=sdir,
+            codebooks=codebooks, sidecar=vdir,
         )
     except Exception:
         return None
@@ -331,7 +365,12 @@ def get_collection_vector_index(
             zeros = zeros.withColumn("code", F.lit(None).cast("binary"))
         postings = postings.unionByName(zeros)
 
-    post_dir = os.path.join(sdir, "postings")
+    # Fresh immutable version dir; committed only by the CURRENT rename
+    # below, so concurrent builders and readers never interleave files.
+    vname = f"v-{uuid.uuid4().hex[:16]}"
+    vdir = os.path.join(sdir, vname)
+    os.makedirs(vdir, exist_ok=True)
+    post_dir = os.path.join(vdir, "postings")
     nparts = max(1, min(64, math.ceil(k / 16)))
     (postings.repartitionByRange(nparts, "__cell")
      .sortWithinPartitions("__cell")
@@ -355,18 +394,19 @@ def get_collection_vector_index(
         for i, cb in enumerate(codebooks):
             arrays[f"cb{i}"] = np.asarray(cb, dtype=np.float64)
         n_cb = len(codebooks)
-    np.savez(os.path.join(sdir, "arrays.npz"), **arrays)
+    np.savez(os.path.join(vdir, "arrays.npz"), **arrays)
     meta = {"version": _META_VERSION, "d": d, "family": family,
             "id_name": id_name, "vec_name": vec_name,
             "mongo_path": mongo_path, "corpus_n": corpus_n,
             "zero_n": zero_n, "k": k, "n_codebooks": n_cb}
-    with open(os.path.join(sdir, "meta.json"), "w") as f:
-        json.dump(meta, f)  # written LAST: presence == committed
+    with open(os.path.join(vdir, "meta.json"), "w") as f:
+        json.dump(meta, f)  # last file within the version dir
+    _commit_version(sdir, vname)  # atomic publish: old version stays intact
 
     idx = CollectionVectorIndex(
         centroids=centroids, cell_sizes=cell_sizes, corpus_n=corpus_n,
         zero_n=zero_n, postings=postings, vec_name=vec_name, d=d,
-        id_name=id_name, family=family, codebooks=codebooks, sidecar=sdir,
+        id_name=id_name, family=family, codebooks=codebooks, sidecar=vdir,
     )
     _CACHE[key] = idx
     build_count += 1

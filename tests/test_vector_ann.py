@@ -242,6 +242,59 @@ class TestAnnRouting:
         mf2.df().collect()
         assert VI.build_count == n0 + 2  # rebuilt for the new fingerprint
 
+    def test_concurrent_rebuild_never_tears_a_reader(self, spark, tmp_path):
+        # r9 (r8 verdict #4): sidecar commits are versioned — each build
+        # writes an immutable v-<token>/ dir and atomically renames the
+        # CURRENT pointer. Two builders of one fingerprint race
+        # last-wins; a reader holding the previously committed version
+        # keeps scanning intact files, never a torn index. Simulated in
+        # one session: build v1, hold its postings handle, force a
+        # second build (cache cleared, sidecar load bypassed — a builder
+        # that started before v1 committed), then check both sides.
+        be, q = _write_clustered(tmp_path)
+        mf1 = mongo_scan(spark, be, "main", "vecs",
+                         pipeline=_pipe(q, nc=150))
+        r1 = {r["_id"] for r in mf1.df().collect()}
+        idx1 = VI.cached_index(be, "main", "vecs", "emb", 32, "cos")
+        v1_dir = idx1.sidecar
+        v1_rows = idx1.postings.count()
+        sdir = os.path.dirname(v1_dir)
+        assert VI._current_version_dir(sdir) == v1_dir
+
+        VI.clear_vector_index_cache()
+        orig_load = VI._load_sidecar
+        VI._load_sidecar = lambda *a, **k: None  # concurrent builder's miss
+        try:
+            mf2 = mongo_scan(spark, be, "main", "vecs",
+                             pipeline=_pipe(q, nc=150))
+            r2 = {r["_id"] for r in mf2.df().collect()}
+        finally:
+            VI._load_sidecar = orig_load
+        idx2 = VI.cached_index(be, "main", "vecs", "emb", 32, "cos")
+        v2_dir = idx2.sidecar
+        assert v2_dir != v1_dir          # never overwritten in place
+        assert r2 == r1                  # same data, same committed result
+        # the old reader's version is untouched and still fully scannable
+        assert idx1.postings.count() == v1_rows
+        assert os.path.isfile(os.path.join(v1_dir, "meta.json"))
+        # the pointer swapped atomically to the new version; a fresh
+        # session resolves v2 (reload, not rebuild)
+        assert VI._current_version_dir(sdir) == v2_dir
+        VI.clear_vector_index_cache()
+        l0, b0 = VI.load_count, VI.build_count
+        mf3 = mongo_scan(spark, be, "main", "vecs",
+                         pipeline=_pipe(q, nc=150))
+        assert {r["_id"] for r in mf3.df().collect()} == r1
+        assert (VI.load_count, VI.build_count) == (l0 + 1, b0)
+        idx3 = VI.cached_index(be, "main", "vecs", "emb", 32, "cos")
+        assert idx3.sidecar == v2_dir
+        # an uncommitted (killed mid-write) build is invisible to readers
+        os.makedirs(os.path.join(sdir, "v-torn"), exist_ok=True)
+        assert VI._current_version_dir(sdir) == v2_dir
+        # drop reclaims every version of the fingerprint, stale included
+        VI.drop_vector_index_sidecars()
+        assert not os.path.isdir(v1_dir) and not os.path.isdir(v2_dir)
+
     def test_euclidean_uses_l2_family(self, spark, tmp_path):
         be, q = _write_clustered(tmp_path)
         mf = mongo_scan(spark, be, "main", "vecs",

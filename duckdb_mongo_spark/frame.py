@@ -1408,11 +1408,13 @@ class MongoFrame:
             return None, None  # the interpreter raises the same error
         return "compound", translated["compound"]
 
-    def _parse_wildcard_clause(self, opspec, fm):
-        """Validate one ``wildcard`` clause (r8): string pattern(s),
-        string (or array-of-string) schema paths, optional score
-        modifier. ``allowAnalyzedField: true`` is analyzer-dependent
-        and declines (the interpreter raises). Matching is
+    def _parse_wildcard_clause(self, opspec, fm, op="wildcard"):
+        """Validate one ``wildcard`` or ``regex`` clause (r8; regex r9):
+        string pattern(s), string (or array-of-string) schema paths,
+        optional score modifier. ``allowAnalyzedField: true`` is
+        analyzer-dependent and declines (the interpreter raises), as
+        does a regex using Lucene's automaton-algebra operators (the
+        oracle's translator raises the loud error). Matching is
         keyword-field semantics — the WHOLE un-analyzed value,
         case-sensitive — via the oracle's own compiled patterns in the
         match-column Arrow pass, so parity is by construction."""
@@ -1432,6 +1434,13 @@ class MongoFrame:
         qstrings = [q] if isinstance(q, str) else list(q)
         if not qstrings or any(not isinstance(x, str) for x in qstrings):
             return None
+        if op == "regex":
+            from duckdb_mongo_spark.mql.search import _compile_lucene_regexes
+
+            try:
+                _compile_lucene_regexes(qstrings)
+            except ValueError:
+                return None  # interpreter raises the same loud error
         p = opspec["path"]
         paths = [p] if isinstance(p, str) else list(p)
         fspecs = []
@@ -1481,7 +1490,7 @@ class MongoFrame:
         materializes their match columns."""
         (text_must, text_should, _cf, mustnot, *_rest) = parsed
         for kind, payload in text_must + text_should + list(mustnot):
-            if kind in ("phrase", "auto", "wc"):
+            if kind in ("phrase", "auto", "wc", "rx"):
                 yield kind, payload
             elif kind == "compound":
                 yield from self._iter_phrase_clauses(payload)
@@ -1499,7 +1508,7 @@ class MongoFrame:
         names = [f"__rt_ph_{i}" for i in range(len(clauses))]
         specs = [
             (kind,
-             [fs.name if kind == "wc" else f"__rt_toks_{fs.name}"
+             [fs.name if kind in ("wc", "rx") else f"__rt_toks_{fs.name}"
               for fs in payload[0]],
              payload[1], payload[2])
             for kind, payload in clauses]
@@ -1510,18 +1519,21 @@ class MongoFrame:
         def kernel(batches):
             from duckdb_mongo_spark.mql.search import (
                 _autocomplete_matches,
+                _compile_lucene_regexes,
                 _compile_wildcards,
                 _phrase_matches,
             )
 
-            wc_pats = {i: _compile_wildcards(sp[2])
-                       for i, sp in enumerate(specs) if sp[0] == "wc"}
+            wc_pats = {
+                i: (_compile_wildcards(sp[2]) if sp[0] == "wc"
+                    else _compile_lucene_regexes(sp[2]))
+                for i, sp in enumerate(specs) if sp[0] in ("wc", "rx")}
 
             def match(kind, toks, queries, arg, i):
                 if kind == "phrase":
                     return any(_phrase_matches(toks, ph, arg)
                                for ph in queries)
-                if kind == "wc":
+                if kind in ("wc", "rx"):
                     # raw keyword-field values: scalar string or the
                     # array's string elements, never analyzed
                     vals = (toks if isinstance(toks, str)
@@ -1543,7 +1555,7 @@ class MongoFrame:
                     for row_vals in zip(*[pdf[c] for c in cols]):
                         mask.append(any(
                             match(kind,
-                                  v if kind == "wc" else list(v),
+                                  v if kind in ("wc", "rx") else list(v),
                                   queries, arg, j)
                             for v in row_vals if v is not None))
                     out[n] = mask
@@ -1611,6 +1623,9 @@ class MongoFrame:
             if "wildcard" in cl:
                 wc = self._parse_wildcard_clause(cl["wildcard"], fm)
                 return None if wc is None else ("wc", wc)
+            if "regex" in cl:
+                rx = self._parse_wildcard_clause(cl["regex"], fm, op="regex")
+                return None if rx is None else ("rx", rx)
             if "queryString" in cl:
                 top, tspec = self._translate_query_string(cl["queryString"])
                 return None if top is None else scored_clause({top: tspec})
@@ -1641,6 +1656,12 @@ class MongoFrame:
             if wc is None:
                 return None
             text_must.append(("wc", wc))
+            has_must, has_filter, has_should = True, False, False
+        elif op == "regex":
+            rx = self._parse_wildcard_clause(opspec, fm, op="regex")
+            if rx is None:
+                return None
+            text_must.append(("rx", rx))
             has_must, has_filter, has_should = True, False, False
         elif op == "compound":
             known = {"must", "should", "mustNot", "filter",
@@ -1731,7 +1752,7 @@ class MongoFrame:
             if kind == "cond":
                 ccol, cmod = payload
                 return ccol, apply_mod(F.lit(1.0), cmod)
-            if kind in ("phrase", "auto", "wc"):
+            if kind in ("phrase", "auto", "wc", "rx"):
                 # match column precomputed by _with_phrase_cols; the
                 # oracle scores phrase/autocomplete/wildcard matches
                 # 1.0 before modifiers
@@ -1770,7 +1791,7 @@ class MongoFrame:
                 cond = cond & ~self._overlap_cond(payload[0], payload[1])
             elif kind == "cond":
                 cond = cond & F.coalesce(~payload[0], F.lit(True))
-            elif kind in ("phrase", "auto", "wc"):
+            elif kind in ("phrase", "auto", "wc", "rx"):
                 cond = cond & ~F.col(phrase_cols[id(payload)])
             elif kind == "near":
                 cond = cond & self._near_score_col(payload).isNull()
@@ -1830,8 +1851,8 @@ class MongoFrame:
                     seen.add(fs.name)
                     fspecs.append(fs)
         for _kind, (fss, _q, _arg, _mod) in phrase_clauses:
-            if _kind == "wc":
-                continue  # wildcard matches raw values — no token cols
+            if _kind in ("wc", "rx"):
+                continue  # wildcard/regex match raw values — no token cols
             for fs in fss:
                 if fs.name not in seen:
                     seen.add(fs.name)
@@ -2040,7 +2061,7 @@ class MongoFrame:
                             fspecs.append(fs)
                 phrase_clauses = list(self._iter_phrase_clauses(parsed))
                 for _k, (fss, _a, _b, _m) in phrase_clauses:
-                    if _k == "wc":
+                    if _k in ("wc", "rx"):
                         continue  # raw-value matching, no token cols
                     for fs in fss:
                         if fs.name not in seen:
@@ -2304,7 +2325,7 @@ class MongoFrame:
         all_text = list(self._iter_text_clauses(parsed))
         phrase_clauses = list(self._iter_phrase_clauses(parsed))
         has_near = any(
-            k in ("near", "wc")
+            k in ("near", "wc", "rx")
             for k, _p in self._iter_all_clauses(parsed))
         if not all_text and not phrase_clauses and not has_near:
             # condition-only compound: nothing to score or tokenize —
@@ -2319,8 +2340,8 @@ class MongoFrame:
                     seen_paths.add(fs.name)
                     fspecs.append(fs)
         for _kind, (fss, _q, _arg, _mod) in phrase_clauses:
-            if _kind == "wc":
-                continue  # wildcard matches raw values — no token cols
+            if _kind in ("wc", "rx"):
+                continue  # wildcard/regex match raw values — no token cols
             for fs in fss:
                 if fs.name not in seen_paths:
                     seen_paths.add(fs.name)

@@ -8,7 +8,9 @@ testable. Implemented operators: ``text`` (BM25 relevance), ``phrase``
 tokenOrder any/sequential, fuzzy via prefix edit distance — r8),
 ``near`` (numeric/date proximity, pivot/(pivot+dist) — r8),
 ``wildcard`` (keyword-field glob, whole un-analyzed value — r8),
-``equals``, ``range``, ``exists``, ``in``, and ``compound``
+``regex`` (Lucene RegExp dialect over keyword fields — r9,
+``_lucene_regex_source``), ``equals``, ``range``, ``exists``, ``in``,
+and ``compound``
 (must/should/mustNot/filter with ``minimumShouldMatch``); plus
 ``$searchMeta`` ``count`` and ``facet`` (string/number/date buckets —
 r8, ``facet_meta``). Score options: ``boost`` (value or path),
@@ -25,11 +27,12 @@ translates its Lucene-syntax subset to these operators
 free). ``moreLikeThis`` pins to a text-should disjunction over the
 like-documents' analyzed string paths (``translate_more_like_this``
 — Atlas's representative-term selection is index-statistic-bound and
-unpublished; ALL terms is the deterministic superset). Operators
-whose semantics cannot be pinned without live index metadata —
-Lucene-dialect ``regex``, ``embeddedDocument``, analyzed-field
-wildcard, ``text.fuzzy`` — raise loudly (no silent best-effort), so a
-pipeline that needs a live Atlas index fails visibly.
+unpublished; ALL terms is the deterministic superset). Constructs
+whose semantics cannot be pinned without live index metadata or
+Lucene's automaton algebra — ``embeddedDocument``, analyzed-field
+wildcard/regex, ``text.fuzzy``, and the ``regex`` automaton operators
+``~`` ``&`` ``<n-m>`` ``#`` — raise loudly (no silent best-effort), so
+a pipeline that needs a live Atlas index fails visibly.
 """
 
 from __future__ import annotations
@@ -312,26 +315,19 @@ def _eval_operator(op: str, spec, corpus_cache, docs, i: int):
         return None
     if op == "near":
         return _eval_near(spec, d)
-    if op == "wildcard":
+    if op in ("wildcard", "regex"):
         extra = set(spec) - {"query", "path", "allowAnalyzedField", "score"}
         if extra:
-            raise ValueError(f"$search wildcard: bad options {extra}")
+            raise ValueError(f"$search {op}: bad options {extra}")
         if spec.get("allowAnalyzedField"):
             raise ValueError(
-                "$search wildcard: allowAnalyzedField is analyzer/"
+                f"$search {op}: allowAnalyzedField is analyzer/"
                 "index-dependent and unsupported")
         queries = (spec["query"] if isinstance(spec["query"], list)
                    else [spec["query"]])
-        pats = _compile_wildcards(queries)
-        for p in _paths(spec):
-            v = get_path(d, p)
-            if v is MISSING:
-                continue
-            for x in (v if isinstance(v, list) else [v]):
-                if isinstance(x, str) and any(
-                        pt.fullmatch(x) for pt in pats):
-                    return 1.0  # constant; keyword-field semantics
-        return None
+        pats = (_compile_wildcards(queries) if op == "wildcard"
+                else _compile_lucene_regexes(queries))
+        return _keyword_value_match(d, spec, pats)
     if op == "moreLikeThis":
         translated = translate_more_like_this(spec)
         return _eval_operator("compound", translated["compound"],
@@ -352,12 +348,112 @@ def _eval_operator(op: str, spec, corpus_cache, docs, i: int):
     raise ValueError(f"unsupported $search operator: {op!r}")
 
 
+def _keyword_value_match(d, spec, pats):
+    """Shared wildcard/regex keyword-field matcher: the WHOLE
+    un-analyzed value (scalar string or each string element of an
+    array), case-sensitive, constant 1.0 score — Atlas term-level
+    semantics with ``allowAnalyzedField: false`` (the default)."""
+    for p in _paths(spec):
+        v = get_path(d, p)
+        if v is MISSING:
+            continue
+        for x in (v if isinstance(v, list) else [v]):
+            if isinstance(x, str) and any(pt.fullmatch(x) for pt in pats):
+                return 1.0
+    return None
+
+
 def _compile_wildcards(queries):
     """Shared compile for oracle AND the routed Arrow kernel — DOTALL
     so ``*``/``?`` cross newlines like Lucene wildcards do."""
     import re as _re
 
     return [_re.compile(_wildcard_regex(q), _re.DOTALL) for q in queries]
+
+
+def _compile_lucene_regexes(queries):
+    """Shared compile for oracle AND the routed Arrow kernel — DOTALL
+    because Lucene's ``.`` matches every character, newline included;
+    matching is via ``fullmatch`` because Lucene regexes are implicitly
+    anchored to the whole term."""
+    import re as _re
+
+    out = []
+    for q in queries:
+        src = _lucene_regex_source(q)
+        try:
+            out.append(_re.compile(src, _re.DOTALL))
+        except _re.error as e:
+            raise ValueError(f"$search regex: bad pattern {q!r}: {e}")
+    return out
+
+
+def _lucene_regex_source(pattern: str) -> str:
+    """Lucene RegExp syntax -> Python regex source (r9).
+
+    The structurally shared core maps one-to-one: literals, ``\\``
+    escapes, ``.`` (any char — DOTALL at compile), ``?`` ``*`` ``+``,
+    ``{n}``/``{n,}``/``{n,m}``, alternation ``|``, grouping ``()``,
+    character classes ``[...]`` with negation and ranges, and the
+    default-enabled optional operator ``@`` (any string). Lucene has no
+    anchor operators — matching is always whole-term — so ``^``/``$``
+    are literal characters here and get escaped. The automaton-algebra
+    operators with no backtracking-regex equivalent — ``~`` complement,
+    ``&`` intersection, ``<n-m>`` numeric interval, ``#`` empty
+    language — raise loudly: emulating them would need Lucene's
+    automaton construction and a silent approximation would change
+    match semantics (the same loud-raise stance as analyzed-field
+    wildcard)."""
+    import re as _re
+
+    out = []
+    i, n = 0, len(pattern)
+    in_class = False
+    while i < n:
+        c = pattern[i]
+        if c == "\\":
+            if i + 1 >= n:
+                raise ValueError("$search regex: trailing backslash")
+            out.append(_re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+                out.append("]")
+            elif c in "^-":
+                out.append(c)  # negation / range — same meaning in re
+            else:
+                out.append(_re.escape(c))
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            out.append("[")
+        elif c in "~&#" or c == "<":
+            raise ValueError(
+                f"$search regex: Lucene automaton operator {c!r} "
+                "(complement/intersection/interval/empty-language) has "
+                "no regex-engine equivalent and is unsupported")
+        elif c == "@":
+            out.append(".*")  # Lucene 'any string' (enabled by default)
+        elif c == "{":
+            m = _re.match(r"\{\d+(,\d*)?\}", pattern[i:])
+            if not m:
+                raise ValueError(
+                    f"$search regex: bad repetition at index {i} in "
+                    f"{pattern!r}")
+            out.append(m.group(0))
+            i += len(m.group(0))
+            continue
+        elif c in ".?*+|()":
+            out.append(c)
+        else:
+            out.append(_re.escape(c))
+        i += 1
+    if in_class:
+        raise ValueError(f"$search regex: unterminated class in {pattern!r}")
+    return "".join(out)
 
 
 def _wildcard_regex(pattern: str) -> str:

@@ -70,6 +70,60 @@ class TestStructuredOperators:
         out = run({"in": {"path": "views", "value": [1, 3]}})
         assert {d["_id"] for d in out} == {2, 4}
 
+    def test_regex_keyword_semantics(self):
+        # r9: Lucene RegExp dialect — whole un-analyzed value,
+        # case-sensitive, constant 1.0 score
+        docs = [
+            {"_id": 1, "sku": "ABC-123-X"},
+            {"_id": 2, "sku": "ABC-99-Y"},
+            {"_id": 3, "sku": "abc-123-x"},
+            {"_id": 4, "sku": ["Z-1", "ABC-7-X"]},  # array element matches
+            {"_id": 5},
+        ]
+        out = run({"regex": {"query": "ABC-[0-9]+-X", "path": "sku"}},
+                  docs=docs,
+                  extra=[{"$addFields": {"s": {"$meta": "searchScore"}}}])
+        assert {d["_id"] for d in out} == {1, 4}
+        assert all(d["s"] == 1.0 for d in out)
+        # implicit anchoring: a substring match is NOT a match
+        out = run({"regex": {"query": "[0-9]+", "path": "sku"}}, docs=docs)
+        assert out == []
+        # Lucene `@` = any string; `.` crosses newlines (DOTALL stance)
+        out = run({"regex": {"query": "ABC@", "path": "sku"}}, docs=docs)
+        assert {d["_id"] for d in out} == {1, 2, 4}
+        out = run({"regex": {"query": "A.C-(123|99)-.", "path": "sku"}},
+                  docs=docs)
+        assert {d["_id"] for d in out} == {1, 2}
+        # quantified groups and classes
+        out = run({"regex": {"query": "(ABC-)?99?-?[A-Z]{1}",
+                             "path": "sku"}}, docs=docs)
+        assert {d["_id"] for d in out} == {2}
+
+    def test_regex_newline_and_literal_anchors(self):
+        docs = [{"_id": 1, "v": "a\nb"}, {"_id": 2, "v": "a^b$"}]
+        out = run({"regex": {"query": "a.b", "path": "v"}}, docs=docs)
+        assert {d["_id"] for d in out} == {1}
+        # ^ and $ are LITERAL characters in Lucene RegExp
+        out = run({"regex": {"query": "a^b$", "path": "v"}}, docs=docs)
+        assert {d["_id"] for d in out} == {2}
+
+    def test_regex_automaton_operators_raise(self):
+        for pat in ("a~b", "a&b", "<1-100>", "a#"):
+            with pytest.raises(ValueError, match="automaton"):
+                run({"regex": {"query": pat, "path": "sku"}},
+                    docs=[{"_id": 1, "sku": "a"}])
+        with pytest.raises(ValueError, match="bad repetition"):
+            run({"regex": {"query": "a{x}", "path": "sku"}},
+                docs=[{"_id": 1, "sku": "a"}])
+        with pytest.raises(ValueError, match="allowAnalyzedField"):
+            run({"regex": {"query": "a", "path": "sku",
+                           "allowAnalyzedField": True}},
+                docs=[{"_id": 1, "sku": "a"}])
+        # escaped automaton chars are plain literals
+        out = run({"regex": {"query": "a\\&b", "path": "sku"}},
+                  docs=[{"_id": 1, "sku": "a&b"}])
+        assert [d["_id"] for d in out] == [1]
+
     def test_unsupported_operator_raises(self):
         with pytest.raises(ValueError, match="unsupported \\$search operator"):
             run({"embeddedDocument": {"path": "items", "operator": {}}})

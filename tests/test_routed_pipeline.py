@@ -1772,6 +1772,101 @@ class TestWildcardRouting:
                        pipeline=pipe).df().collect()
 
 
+class TestRegexRouting:
+    """r9: `regex` (Lucene RegExp dialect, keyword-field semantics)
+    routes through the same match-column Arrow pass as wildcard,
+    running the oracle's own compiled patterns — parity by
+    construction. Automaton-algebra patterns raise the oracle's loud
+    error through the fallback path."""
+
+    DOCS = [
+        {"_id": 1, "sku": "ABC-123-X", "t": "spark one"},
+        {"_id": 2, "sku": "ABC-999-Y", "t": "spark two"},
+        {"_id": 3, "sku": "abc-123-x", "t": "three"},
+        {"_id": 4, "sku": None, "t": "spark four"},
+    ]
+
+    def _run(self, spark, tmp_path, search, expect_routed=True):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sub = tmp_path / "rx"
+        if not sub.exists():
+            sub.mkdir()
+            pq.write_table(
+                pa.table({k: [d[k] for d in self.DOCS]
+                          for k in ("_id", "sku", "t")}),
+                str(sub / "posts.parquet"))
+        be = ParquetBackend(str(sub), db_name="main")
+        pipe = [{"$search": search}, {"$limit": 10},
+                {"$addFields": {"score": {"$meta": "searchScore"}}}]
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        got = [r.asDict() for r in mf.df().collect()]
+        if expect_routed:
+            assert mf.last_exec_path == "routed:search_text", search
+        exp = _interpreter_rows(be, "main", "posts", pipe)
+        assert sorted((g["_id"], g["score"]) for g in got) == \
+            sorted((e["_id"], e["score"]) for e in exp), search
+        return {g["_id"]: g["score"] for g in got}
+
+    def test_top_level_patterns(self, spark, tmp_path):
+        got = self._run(spark, tmp_path,
+                        {"regex": {"query": "ABC-[0-9]+-X", "path": "sku"}})
+        assert set(got) == {1} and got[1] == 1.0
+        # implicit whole-term anchoring: substring does not match
+        got = self._run(spark, tmp_path,
+                        {"regex": {"query": "[0-9]+", "path": "sku"}})
+        assert set(got) == set()
+        # alternation + classes + Lucene @ (any string); case-sensitive
+        got = self._run(spark, tmp_path,
+                        {"regex": {"query": "(ABC|abc)-1.*", "path": "sku"}})
+        assert set(got) == {1, 3}
+        got = self._run(spark, tmp_path,
+                        {"regex": {"query": "abc@", "path": "sku"}})
+        assert set(got) == {3}
+
+    def test_regex_in_compound_and_mustnot(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, {"compound": {
+            "must": [{"text": {"query": "spark", "path": "t"}},
+                     {"regex": {"query": "ABC-[0-9]{3}-[XY]",
+                                "path": "sku"}}],
+        }})
+        assert set(got) == {1, 2}
+        got = self._run(spark, tmp_path, {"compound": {
+            "should": [{"text": {"query": "spark", "path": "t"}}],
+            "mustNot": [{"regex": {"query": ".*-X", "path": "sku"}}],
+        }})
+        assert set(got) == {2, 4}
+        # boost modifier applies to the constant 1.0
+        got = self._run(spark, tmp_path, {"compound": {
+            "should": [{"regex": {"query": "ABC-.*",
+                                  "path": "sku",
+                                  "score": {"boost": {"value": 3}}}}],
+        }})
+        assert got == {1: 3.0, 2: 3.0}
+
+    def test_automaton_operator_raises_loudly(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sub = tmp_path / "rxx"
+        sub.mkdir()
+        pq.write_table(
+            pa.table({"_id": [1], "sku": ["A"]}),
+            str(sub / "posts.parquet"))
+        be = ParquetBackend(str(sub), db_name="main")
+        for pat, msg in ((r"a&b", "automaton"),
+                         (r"<1-9>", "automaton"),
+                         (r"a", "allowAnalyzedField")):
+            spec = {"query": pat, "path": "sku"}
+            if msg == "allowAnalyzedField":
+                spec["allowAnalyzedField"] = True
+            pipe = [{"$search": {"regex": spec}}, {"$limit": 5}]
+            with pytest.raises(Exception, match=msg):
+                mongo_scan(spark, be, "main", "posts",
+                           pipeline=pipe).df().collect()
+
+
 class TestQueryStringRouting:
     """r8 session 3: `queryString` translates its Lucene-syntax subset
     to text/phrase/compound via ONE shared function

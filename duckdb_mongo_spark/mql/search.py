@@ -9,8 +9,10 @@ tokenOrder any/sequential, fuzzy via prefix edit distance — r8),
 ``near`` (numeric/date proximity, pivot/(pivot+dist) — r8),
 ``wildcard`` (keyword-field glob, whole un-analyzed value — r8),
 ``regex`` (Lucene RegExp dialect over keyword fields — r9,
-``_lucene_regex_source``), ``equals``, ``range``, ``exists``, ``in``,
-and ``compound``
+``_lucene_regex_source``), ``embeddedDocument`` (per-array-element
+nested-document evaluation with score aggregation — r9,
+``_eval_embedded_document``), ``equals``, ``range``, ``exists``,
+``in``, and ``compound``
 (must/should/mustNot/filter with ``minimumShouldMatch``); plus
 ``$searchMeta`` ``count`` and ``facet`` (string/number/date buckets —
 r8, ``facet_meta``). Score options: ``boost`` (value or path),
@@ -29,10 +31,10 @@ like-documents' analyzed string paths (``translate_more_like_this``
 — Atlas's representative-term selection is index-statistic-bound and
 unpublished; ALL terms is the deterministic superset). Constructs
 whose semantics cannot be pinned without live index metadata or
-Lucene's automaton algebra — ``embeddedDocument``, analyzed-field
-wildcard/regex, ``text.fuzzy``, and the ``regex`` automaton operators
-``~`` ``&`` ``<n-m>`` ``#`` — raise loudly (no silent best-effort), so
-a pipeline that needs a live Atlas index fails visibly.
+Lucene's automaton algebra — analyzed-field wildcard/regex,
+``text.fuzzy``, and the ``regex`` automaton operators ``~`` ``&``
+``<n-m>`` ``#`` — raise loudly (no silent best-effort), so a pipeline
+that needs a live Atlas index fails visibly.
 """
 
 from __future__ import annotations
@@ -345,7 +347,78 @@ def _eval_operator(op: str, spec, corpus_cache, docs, i: int):
         return _eval_operator(top, tspec, corpus_cache, docs, i)
     if op == "compound":
         return _eval_compound(spec, corpus_cache, docs, i)
+    if op == "embeddedDocument":
+        return _eval_embedded_document(spec, corpus_cache, docs, i)
     raise ValueError(f"unsupported $search operator: {op!r}")
+
+
+def _nest(path: str, el):
+    """Wrap an array element back under its fully-qualified embedded
+    path, so inner-operator paths (Atlas requires them fully qualified,
+    e.g. ``items.name`` inside ``path: "items"``) resolve unchanged."""
+    out = el
+    for seg in reversed(path.split(".")):
+        out = {seg: out}
+    return out
+
+
+def _eval_embedded_document(spec, corpus_cache, docs, i: int):
+    """``embeddedDocument`` (r9): Atlas indexes each element of the
+    array at ``path`` as its own nested Lucene document, evaluates
+    ``operator`` independently per element, and aggregates the matching
+    elements' scores into the parent's score (``score.embedded.
+    aggregate``: sum — the documented default — maximum, minimum or
+    mean; ``score.embedded.outerScore`` then applies ordinary score
+    options to the aggregate). Locally the nested-document corpus is
+    exactly the set of embedded documents across the collection, so
+    inner BM25 statistics use that sub-corpus — the same statistics a
+    nested Lucene index computes. $elemMatch-shaped matching: the
+    parent matches iff at least one element matches."""
+    extra = set(spec) - {"path", "operator", "score"}
+    if extra:
+        raise ValueError(f"$search embeddedDocument: bad options {extra}")
+    path = spec.get("path")
+    inner = spec.get("operator")
+    if not isinstance(path, str) or not isinstance(inner, dict) \
+            or len(inner) != 1:
+        raise ValueError("$search embeddedDocument: path and a single "
+                         "operator are required")
+    agg, outer = "sum", None
+    mod = spec.get("score")
+    if mod is not None:
+        if not (isinstance(mod, dict) and set(mod) == {"embedded"}
+                and isinstance(mod["embedded"], dict)
+                and set(mod["embedded"]) <= {"aggregate", "outerScore"}):
+            raise ValueError(
+                f"$search embeddedDocument: unsupported score option {mod!r}")
+        agg = mod["embedded"].get("aggregate", "sum")
+        if agg not in ("sum", "maximum", "minimum", "mean"):
+            raise ValueError(
+                f"$search embeddedDocument: bad aggregate {agg!r}")
+        outer = mod["embedded"].get("outerScore")
+    key = ("__embedded__", path)
+    if key not in corpus_cache:
+        wrapped, by_owner = [], {}
+        for j, doc in enumerate(docs):
+            arr = get_path(doc, path)
+            if arr is MISSING or not isinstance(arr, list):
+                continue
+            for el in arr:
+                if isinstance(el, dict):
+                    by_owner.setdefault(j, []).append(len(wrapped))
+                    wrapped.append(_nest(path, el))
+        corpus_cache[key] = (wrapped, by_owner, {})
+    wrapped, by_owner, sub_cache = corpus_cache[key]
+    vals = [_eval_clause(inner, sub_cache, wrapped, idx)
+            for idx in by_owner.get(i, [])]
+    matched = [v for v in vals if v is not None]
+    if not matched:
+        return None
+    base = {"sum": sum, "maximum": max, "minimum": min,
+            "mean": lambda v: sum(v) / len(v)}[agg](matched)
+    if outer is not None:
+        base = _apply_score_mod(base, {"score": outer}, docs[i])
+    return base
 
 
 def _keyword_value_match(d, spec, pats):
@@ -646,8 +719,10 @@ def _apply_score_mod(base, spec, doc=None):
 def _eval_clause(clause: dict, corpus_cache, docs, i: int):
     (op, spec), = clause.items()
     base = _eval_operator(op, spec, corpus_cache, docs, i)
-    if op == "compound":
-        return base  # score options attach to operators, not compound
+    if op in ("compound", "embeddedDocument"):
+        # compound takes no score option; embeddedDocument's
+        # score.embedded (aggregate + outerScore) is applied inside
+        return base
     return _apply_score_mod(base, spec, docs[i])
 
 
@@ -696,7 +771,8 @@ def search_stage(docs, spec, meta_key: str) -> list[dict]:
     scored = []
     for i in range(len(docs)):
         s = _eval_operator(op, opspec, corpus_cache, docs, i)
-        if op != "compound":
+        if op not in ("compound", "embeddedDocument"):
+            # embeddedDocument's score.embedded is applied inside
             s = _apply_score_mod(s, opspec, docs[i])
         if s is not None:
             scored.append((s, i))

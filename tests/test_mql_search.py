@@ -126,7 +126,7 @@ class TestStructuredOperators:
 
     def test_unsupported_operator_raises(self):
         with pytest.raises(ValueError, match="unsupported \\$search operator"):
-            run({"embeddedDocument": {"path": "items", "operator": {}}})
+            run({"geoShape": {"path": "loc", "relation": "within"}})
 
     def test_more_like_this_pins_to_text_should(self):
         # r8 session 3: all analyzed like-doc text, BM25 disjunction
@@ -167,6 +167,117 @@ class TestStructuredOperators:
         with pytest.raises(ValueError, match="bad fuzzy"):
             run({"autocomplete": {"query": "sp", "path": "t",
                                   "fuzzy": {"nope": 1}}})
+
+
+EDOCS = [
+    {"_id": 1, "items": [{"name": "red apple", "qty": 2},
+                         {"name": "green pear", "qty": 5}]},
+    {"_id": 2, "items": [{"name": "apple pie", "qty": 1}]},
+    {"_id": 3, "items": [{"name": "banana", "qty": 9}]},
+    {"_id": 4},
+]
+
+
+class TestEmbeddedDocument:
+    """r9: per-array-element nested-document evaluation. BM25 inner
+    statistics are over the EMBEDDED-document corpus (each element is
+    its own nested Lucene doc in Atlas), hand-computed here; aggregate
+    strategies and outerScore follow the documented score.embedded
+    option (default: sum)."""
+
+    # nested corpus over items.name: 4 elements, avg len 7/4
+    def _s(self, tf, dl, df):
+        return bm25_one(tf, dl, 7 / 4, 4, df)
+
+    def run_e(self, spec, docs=EDOCS):
+        return run(spec, docs=docs,
+                   extra=[{"$addFields": {"s": {"$meta": "searchScore"}}}])
+
+    def test_text_inner_bm25_over_nested_corpus(self):
+        out = self.run_e({"embeddedDocument": {
+            "path": "items",
+            "operator": {"text": {"query": "apple", "path": "items.name"}},
+        }})
+        got = {d["_id"]: d["s"] for d in out}
+        # df(apple)=2 over the 4-element corpus; "red apple" dl=2,
+        # "apple pie" dl=2; one matching element each -> sum = element
+        assert set(got) == {1, 2}
+        assert got[1] == pytest.approx(self._s(1, 2, 2))
+        assert got[2] == pytest.approx(self._s(1, 2, 2))
+
+    def test_aggregate_strategies(self):
+        spec = lambda agg: {"embeddedDocument": {
+            "path": "items",
+            "operator": {"text": {"query": "apple pear",
+                                  "path": "items.name"}},
+            "score": {"embedded": {"aggregate": agg}},
+        }}
+        # doc 1: two matching elements (apple df=2, pear df=1)
+        s_apple = self._s(1, 2, 2)
+        s_pear = bm25_one(1, 2, 7 / 4, 4, 1)
+        for agg, expect in (("sum", s_apple + s_pear),
+                            ("maximum", max(s_apple, s_pear)),
+                            ("minimum", min(s_apple, s_pear)),
+                            ("mean", (s_apple + s_pear) / 2)):
+            got = {d["_id"]: d["s"] for d in self.run_e(spec(agg))}
+            assert got[1] == pytest.approx(expect), agg
+            assert got[2] == pytest.approx(s_apple)  # single element
+
+    def test_outer_score_and_elem_match_shape(self):
+        out = self.run_e({"embeddedDocument": {
+            "path": "items",
+            "operator": {"equals": {"path": "items.qty", "value": 5}},
+            "score": {"embedded": {
+                "aggregate": "maximum",
+                "outerScore": {"boost": {"value": 4}}}},
+        }})
+        got = {d["_id"]: d["s"] for d in out}
+        assert got == {1: 4.0}  # equals scores 1.0; boost on aggregate
+        # compound inner operator: BOTH conditions on the SAME element
+        # ($elemMatch shape) — doc 1 has apple/qty-2 and pear/qty-5
+        # elements but no apple/qty-5 element
+        out = self.run_e({"embeddedDocument": {
+            "path": "items",
+            "operator": {"compound": {"must": [
+                {"text": {"query": "apple", "path": "items.name"}},
+                {"equals": {"path": "items.qty", "value": 5}},
+            ]}},
+        }})
+        assert out == []
+
+    def test_inside_compound_and_missing_arrays(self):
+        out = run({"compound": {
+            "must": [{"embeddedDocument": {
+                "path": "items",
+                "operator": {"range": {"path": "items.qty", "gte": 9}},
+            }}],
+        }}, docs=EDOCS)
+        assert [d["_id"] for d in out] == [3]
+        # doc 4 has no items array: never matches, never errors
+        out = self.run_e({"embeddedDocument": {
+            "path": "items",
+            "operator": {"exists": {"path": "items.name"}},
+        }})
+        assert {d["_id"] for d in out} == {1, 2, 3}
+
+    def test_validation_raises(self):
+        with pytest.raises(ValueError, match="bad options"):
+            run({"embeddedDocument": {"path": "items", "operator": {},
+                                      "nope": 1}}, docs=EDOCS)
+        with pytest.raises(ValueError, match="single"):
+            run({"embeddedDocument": {"path": "items", "operator": {}}},
+                docs=EDOCS)
+        with pytest.raises(ValueError, match="bad aggregate"):
+            run({"embeddedDocument": {
+                "path": "items",
+                "operator": {"exists": {"path": "items.name"}},
+                "score": {"embedded": {"aggregate": "median"}}}},
+                docs=EDOCS)
+        with pytest.raises(ValueError, match="unsupported score option"):
+            run({"embeddedDocument": {
+                "path": "items",
+                "operator": {"exists": {"path": "items.name"}},
+                "score": {"boost": {"value": 2}}}}, docs=EDOCS)
 
 
 class TestCompound:

@@ -1867,6 +1867,44 @@ class TestRegexRouting:
                            pipeline=pipe).df().collect()
 
 
+class TestEmbeddedDocumentFallback:
+    """r9: `embeddedDocument` executes through the interpreter fallback
+    (bounded-or-loud) — per-array-element nested-doc evaluation is
+    implemented in mql/search.py; routing it would need per-element
+    BM25 stats in the JVM, which no ledger entry needs yet."""
+
+    def test_end_to_end_matches_interpreter(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        items = pa.array(
+            [[{"name": "red apple", "qty": 2},
+              {"name": "green pear", "qty": 5}],
+             [{"name": "apple pie", "qty": 1}],
+             [{"name": "banana", "qty": 9}]],
+            type=pa.list_(pa.struct(
+                [("name", pa.string()), ("qty", pa.int64())])))
+        sub = tmp_path / "ed"
+        sub.mkdir()
+        pq.write_table(pa.table({"_id": [1, 2, 3], "items": items}),
+                       str(sub / "orders.parquet"))
+        be = ParquetBackend(str(sub), db_name="main")
+        pipe = [{"$search": {"embeddedDocument": {
+                    "path": "items",
+                    "operator": {"text": {"query": "apple",
+                                          "path": "items.name"}},
+                    "score": {"embedded": {"aggregate": "maximum"}}}}},
+                {"$limit": 5},
+                {"$addFields": {"s": {"$meta": "searchScore"}}},
+                {"$project": {"_id": 1, "s": 1}}]
+        mf = mongo_scan(spark, be, "main", "orders", pipeline=pipe)
+        got = sorted((r["_id"], r["s"]) for r in mf.df().collect())
+        assert not mf.last_exec_path.startswith("routed")  # fallback
+        exp = sorted((d["_id"], d["s"])
+                     for d in _interpreter_rows(be, "main", "orders", pipe))
+        assert got == exp and {g[0] for g in got} == {1, 2}
+
+
 class TestQueryStringRouting:
     """r8 session 3: `queryString` translates its Lucene-syntax subset
     to text/phrase/compound via ONE shared function

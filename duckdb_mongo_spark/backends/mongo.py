@@ -181,7 +181,11 @@ class PymongoBackend(DocumentBackend):  # pragma: no cover - needs live server
             self.aggregate(db, coll, [{"$sample": {"size": n * 8}},
                                       {"$project": {"_id": 1}}])
         )
-        ids = sorted(d["_id"] for d in sampled)
+        # DISTINCT sampled ids: under the < 5% regime the server's
+        # random cursor may emit the same document more than once, and
+        # duplicate split points would produce empty [x, x) partitions
+        # (r9 — surfaced by the fake's variable-duplicate streams)
+        ids = sorted({d["_id"] for d in sampled})
         if len(ids) < n:
             return [ScanPartition(db, coll, 0, 1, {"range": (None, None)})]
         step = len(ids) // n

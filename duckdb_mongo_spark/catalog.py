@@ -30,6 +30,10 @@ DEFAULT_SECRET_NAME = "__default_mongo"
 _SECRET_KEYS = {
     "host", "port", "user", "password", "database", "authsource",
     "srv", "tls", "tls_ca_file", "tls_allow_invalid_certificates",
+    # extra URI query options (e.g. readPreference=secondary), merged
+    # verbatim into the connection string after the derived params —
+    # the reference accepts them via the attach path (r9)
+    "query_options",
 }
 # parameter aliases the reference accepts (test/sql/secrets/
 # secrets_validation.test: USERNAME for USER, DBNAME for DATABASE)
@@ -89,6 +93,17 @@ def build_connection_string(secret: dict) -> str:
         params.append(f"tlsCAFile={urllib.parse.quote(str(secret['tls_ca_file']), safe='')}")
     if str(secret.get("tls_allow_invalid_certificates", "")).lower() in ("1", "true"):
         params.append("tlsAllowInvalidCertificates=true")
+    if secret.get("query_options"):
+        # extra URI query options merged after the secret-derived ones
+        # (reference test_atlas_integration.cpp:124 — ATTACH
+        # '?readPreference=secondary' AS ... (SECRET ...)); values are
+        # re-encoded so userinfo-style specials can't smuggle params
+        for k, v in urllib.parse.parse_qsl(
+                str(secret["query_options"]).lstrip("?"),
+                keep_blank_values=True):
+            params.append(
+                f"{urllib.parse.quote(k, safe='')}="
+                f"{urllib.parse.quote(v, safe='')}")
     qs = ("?" + "&".join(params)) if params else ""
     return f"{scheme}://{userinfo}{host}{port}/{db}{qs}"
 
@@ -119,6 +134,11 @@ def parse_attach_string(conn: str) -> dict:
         return {"kind": "parquet", "root": rest, "dbname": dbname or "main"}
     if conn.startswith("memory:") or conn == "":
         return {"kind": "memory"}
+    if conn.startswith("?"):
+        # bare URI query options, merged with the secret's connection
+        # string (reference test_atlas_integration.cpp:121-124: ATTACH
+        # '?readPreference=secondary' AS ... (TYPE MONGO, SECRET ...))
+        return {"kind": "mongodb-kv", "query_options": conn}
     opts: dict = {"kind": "mongodb-kv"}
     for tok in conn.split():
         if "=" not in tok:
@@ -154,6 +174,8 @@ def backend_for(conn, secret: str | None = None):
                 sec[k] = opts[k]
         if "dbname" in opts:
             sec["database"] = opts["dbname"]
+        if "query_options" in opts:
+            sec["query_options"] = opts["query_options"]
         uri = build_connection_string(sec)
         dbname = sec.get("database")
     else:

@@ -78,6 +78,27 @@ class TestSecrets:
         assert "username" not in s and "dbname" not in s
         dms.drop_secret("s_alias")
 
+    def test_query_options_merge_with_secret(self):
+        # reference test_atlas_integration.cpp:121-124: ATTACH
+        # '?readPreference=secondary' AS ... (TYPE MONGO, SECRET ...)
+        # merges extra URI query options with the secret's string
+        from duckdb_mongo_spark.catalog import parse_attach_string
+
+        opts = parse_attach_string("?readPreference=secondary&appName=x y")
+        assert opts == {"kind": "mongodb-kv",
+                        "query_options": "?readPreference=secondary&appName=x y"}
+        uri = dms.build_connection_string(
+            {"host": "h", "database": "d", "authsource": "admin",
+             "query_options": "?readPreference=secondary&appName=x y"})
+        assert uri == ("mongodb://h:27017/d?authSource=admin"
+                       "&readPreference=secondary&appName=x%20y")
+        # query options are a legal secret key in their own right
+        dms.create_secret("s_qo", host="h",
+                          query_options="readPreference=nearest")
+        uri2 = dms.build_connection_string(dms.get_secret("s_qo"))
+        assert uri2.endswith("?readPreference=nearest")
+        dms.drop_secret("s_qo")
+
     def test_create_existing_errors_without_replace(self):
         # reference: CREATE SECRET on an existing name errors; CREATE OR
         # REPLACE overwrites (secrets_validation.test)

@@ -552,6 +552,85 @@ def test_small_sample_may_duplicate_like_a_random_cursor():
     assert len(set(out)) < 10  # the documented duplicate occurred
 
 
+def _partition_ids(be, parts):
+    seen = []
+    for p in parts:
+        seen += [d["_id"] for d in be.find_partition(p, filter=None)]
+    return seen
+
+
+def test_partitions_under_both_sample_regimes():
+    # r9 notch: the fake logs each command's $sample serving regime, so
+    # the backend's partition planner is proven against BOTH shapes.
+    # n=400, 4 partitions -> 32 sampled = 8% -> top-k (no duplicates)
+    be, coll = _sample_backend(n=400)
+    parts = be.partitions("sdb", "items", 4)
+    cmd = [c for c in coll.commands if "sample_regime" in c][-1]
+    assert cmd["sample_regime"] == "topk" and cmd["sample_size"] == 32
+    assert sorted(_partition_ids(be, parts)) == list(range(400))
+    # n=2000 -> 32 sampled = 1.6% -> pseudo-random cursor (duplicates)
+    be2, coll2 = _sample_backend(n=2000)
+    parts2 = be2.partitions("sdb", "items", 4)
+    cmd2 = [c for c in coll2.commands if "sample_regime" in c][-1]
+    assert cmd2["sample_regime"] == "cursor"
+    # coverage holds, every doc exactly once, despite duplicate samples
+    assert sorted(_partition_ids(be2, parts2)) == list(range(2000))
+    # ...and the split points are DISTINCT (duplicate sampled ids would
+    # otherwise produce empty [x, x) partitions)
+    points = [p.extra["range"][0] for p in parts2[1:]]
+    assert len(set(points)) == len(points) == 3
+
+
+def test_cursor_regime_duplicates_vary_per_stream():
+    # r9: the <5% regime re-emits a VARIABLE number of documents per
+    # stream (random-cursor walks restart anywhere), not exactly one —
+    # consumers can't special-case a single duplicate
+    be, coll = _sample_backend(n=2000)
+    dup_counts = set()
+    for _ in range(12):
+        out = [d["_id"] for d in be.sample("sdb", "items", 64)]
+        assert len(out) == 64
+        dup_counts.add(len(out) - len(set(out)))
+    assert all(c >= 1 for c in dup_counts)  # always at least one
+    assert len(dup_counts) > 1              # ...and not always the same
+
+
+def test_commands_logged_with_metadata():
+    # every find/aggregate/count lands in the command log with its
+    # options — the assertion surface for read-concern metadata and
+    # future wire shapes
+    be, coll = _sample_backend(n=50)
+    list(be.find("sdb", "items", filter={"_id": {"$lt": 5}}))
+    be.count("sdb", "items")
+    list(be.aggregate("sdb", "items",
+                      [{"$match": {"_id": 1}}, {"$project": {"_id": 1}}]))
+    kinds = [c["cmd"] for c in coll.commands]
+    assert kinds == ["find", "count", "aggregate"]
+    agg = coll.commands[-1]
+    assert agg["allowDiskUse"] is True  # the backend always sets it
+    assert agg["stages"] == ["$match", "$project"]
+
+
+def test_schema_inference_exercises_both_regimes():
+    from duckdb_mongo_spark.schema.infer import resolve_schema
+
+    # sample_size 20 of n=100 -> 20% -> topk regime
+    be, coll = _sample_backend(n=100)
+    s1 = resolve_schema(be, "sdb", "items", sample_size=20)
+    regimes = {c["sample_regime"] for c in coll.commands
+               if "sample_regime" in c}
+    assert regimes == {"topk"}
+    # sample_size 20 of n=2000 -> 1% -> cursor regime (duplicates)
+    be2, coll2 = _sample_backend(n=2000)
+    s2 = resolve_schema(be2, "sdb", "items", sample_size=20)
+    regimes2 = {c["sample_regime"] for c in coll2.commands
+                if "sample_regime" in c}
+    assert regimes2 == {"cursor"}
+    # same schema out of both regimes
+    assert {f.mongo_path: f.type for f in s1.fields} == \
+        {f.mongo_path: f.type for f in s2.fields}
+
+
 def test_schema_inference_over_realistic_sample():
     from duckdb_mongo_spark.schema.infer import resolve_schema
 

@@ -914,6 +914,14 @@ class MongoFrame:
         if not isinstance(opspec, dict) or "query" not in opspec \
                 or "path" not in opspec:
             return None
+        if set(opspec) - {"query", "path", "score"}:
+            # r9: fuzzy needs the corpus term dictionary (interpreter
+            # computes it; a routed expansion would be an unbounded
+            # distributed-vocabulary collect) and synonyms/matchCriteria
+            # are index-bound — decline, so the interpreter either
+            # executes fuzzy exactly or raises the loud error. Extras
+            # previously routed with the option silently dropped.
+            return None
         mod = self._parse_score_mod(opspec, fm)
         if mod == "unsupported":
             return None

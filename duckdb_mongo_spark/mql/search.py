@@ -3,7 +3,9 @@
 The reference ships ``$search`` pipelines to Atlas verbatim (it is a
 server-side stage, like ``$vectorSearch``); this module is the hermetic
 stand-in so manual ``pipeline :=`` queries using it are executable and
-testable. Implemented operators: ``text`` (BM25 relevance), ``phrase``
+testable. Implemented operators: ``text`` (BM25 relevance; r9 adds
+``fuzzy`` — whole-term Levenshtein expansion against the corpus term
+dictionary, scored as an ordinary BM25 disjunction), ``phrase``
 (token subsequence with ``slop``), ``autocomplete`` (prefix matching,
 tokenOrder any/sequential, fuzzy via prefix edit distance — r8),
 ``near`` (numeric/date proximity, pivot/(pivot+dist) — r8),
@@ -32,9 +34,11 @@ like-documents' analyzed string paths (``translate_more_like_this``
 unpublished; ALL terms is the deterministic superset). Constructs
 whose semantics cannot be pinned without live index metadata or
 Lucene's automaton algebra — analyzed-field wildcard/regex,
-``text.fuzzy``, and the ``regex`` automaton operators ``~`` ``&``
-``<n-m>`` ``#`` — raise loudly (no silent best-effort), so a pipeline
-that needs a live Atlas index fails visibly.
+``text.synonyms``/``matchCriteria``, and the ``regex`` automaton
+operators ``~`` ``&`` ``<n-m>`` ``#`` — raise loudly (no silent
+best-effort), so a pipeline that needs a live Atlas index fails
+visibly. Unknown options on any operator raise rather than silently
+changing relevance (r9).
 """
 
 from __future__ import annotations
@@ -114,6 +118,37 @@ class _Corpus:
         d = self.df.get((path, term), 0)
         return math.log(1.0 + (self.n - d + 0.5) / (d + 0.5))
 
+    def vocab(self, path) -> list[str]:
+        """Distinct corpus terms for one path (the local stand-in for
+        the Lucene term dictionary a fuzzy query expands against)."""
+        cache = getattr(self, "_vocab", None)
+        if cache is None:
+            cache = self._vocab = {}
+        if path not in cache:
+            cache[path] = sorted(
+                t for (p, t) in self.df if p == path)
+        return cache[path]
+
+    def fuzzy_expand(self, path, terms, max_edits, prefix_length):
+        """Expand each query term to every corpus term of ``path``
+        within ``max_edits`` Levenshtein edits after an exact
+        ``prefix_length`` head (r9 — the pinned ``text.fuzzy``
+        semantics; see ``_eval_operator``). Expansions concatenate per
+        query term, so a corpus term reachable from two query terms
+        contributes twice, like two disjuncts in a boolean query."""
+        cache = getattr(self, "_fuzzy", None)
+        if cache is None:
+            cache = self._fuzzy = {}
+        out = []
+        for q in terms:
+            key = (path, q, max_edits, prefix_length)
+            if key not in cache:
+                cache[key] = [
+                    t for t in self.vocab(path)
+                    if _within_edits(q, t, max_edits, prefix_length)]
+            out.extend(cache[key])
+        return out
+
     def bm25(self, i: int, path: str, terms: list[str]) -> float:
         toks = self.tokens[i].get(path)
         if toks is None:
@@ -127,6 +162,34 @@ class _Corpus:
                 continue
             score += self.idf(path, t) * (tf * (_K1 + 1.0)) / (tf + norm)
         return score
+
+
+def _within_edits(q: str, t: str, max_edits: int,
+                  prefix_length: int = 0) -> bool:
+    """Full-term fuzzy test (``text.fuzzy``, r9): after an exact
+    ``prefix_length`` head, the whole remainder of the corpus term must
+    be within ``max_edits`` Levenshtein edits (single-character
+    insert/delete/substitute — Atlas's documented definition of an
+    edit) of the query term's remainder. Contrast with
+    ``_fuzzy_prefix_match``: autocomplete fuzziness is PREFIX edit
+    distance (search-as-you-type), text fuzziness is whole-term."""
+    if prefix_length:
+        if len(q) < prefix_length or len(t) < prefix_length \
+                or q[:prefix_length] != t[:prefix_length]:
+            return False
+        q, t = q[prefix_length:], t[prefix_length:]
+    if abs(len(q) - len(t)) > max_edits:
+        return False
+    prev = list(range(len(t) + 1))
+    for i, qc in enumerate(q, 1):
+        cur = [i]
+        for j, tc in enumerate(t, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (qc != tc)))
+        if min(cur) > max_edits:
+            return False  # the band can only grow from here
+        prev = cur
+    return prev[-1] <= max_edits
 
 
 def _prefix_edit_distance(q: str, t: str) -> int:
@@ -237,6 +300,13 @@ def _eval_operator(op: str, spec, corpus_cache, docs, i: int):
     """Returns the clause score for document ``i`` — None when no match."""
     d = docs[i]
     if op == "text":
+        extra = set(spec) - {"query", "path", "fuzzy", "score"}
+        if extra:
+            # synonyms / matchCriteria are synonym-mapping/index-bound;
+            # anything unknown raises rather than silently changing
+            # relevance (r9 — extras were previously ignored)
+            raise ValueError(f"$search text: unsupported options "
+                             f"{sorted(extra)}")
         paths = _paths(spec)
         terms = _analyze(spec["query"]) if isinstance(spec["query"], str) else [
             t for q in spec["query"] for t in _analyze(q)
@@ -245,9 +315,35 @@ def _eval_operator(op: str, spec, corpus_cache, docs, i: int):
         if key not in corpus_cache:
             corpus_cache[key] = _Corpus(docs, paths)
         corpus = corpus_cache[key]
-        score = sum(corpus.bm25(i, p, terms) for p in paths)
+        fuzzy = spec.get("fuzzy")
+        if fuzzy is None:
+            score = sum(corpus.bm25(i, p, terms) for p in paths)
+            return score if score > 0.0 else None
+        # text.fuzzy (r9, pinned): each query term expands to EVERY
+        # corpus term within maxEdits whole-term Levenshtein edits
+        # after an exact prefixLength head, and the expansion scores as
+        # an ordinary BM25 disjunction (each expanded term with its own
+        # df/tf). maxExpansions caps Lucene's index expansion and has
+        # no local analog — unbounded here, the documented superset
+        # (same stance as autocomplete.fuzzy). Lucene's distance-decay
+        # boost on expanded terms is index-tuning and not applied.
+        if not isinstance(fuzzy, dict) or set(fuzzy) - {
+                "maxEdits", "prefixLength", "maxExpansions"}:
+            raise ValueError(f"$search text: bad fuzzy {fuzzy!r}")
+        max_edits = int(fuzzy.get("maxEdits", 2))
+        if max_edits not in (1, 2):
+            raise ValueError("$search text: fuzzy.maxEdits must be 1 or 2")
+        prefix_length = int(fuzzy.get("prefixLength", 0))
+        score = sum(
+            corpus.bm25(i, p, corpus.fuzzy_expand(
+                p, terms, max_edits, prefix_length))
+            for p in paths)
         return score if score > 0.0 else None
     if op == "phrase":
+        extra = set(spec) - {"query", "path", "slop", "score"}
+        if extra:
+            raise ValueError(f"$search phrase: unsupported options "
+                             f"{sorted(extra)}")
         paths = _paths(spec)
         slop = int(spec.get("slop", 0))
         queries = spec["query"] if isinstance(spec["query"], list) else [spec["query"]]
@@ -258,6 +354,9 @@ def _eval_operator(op: str, spec, corpus_cache, docs, i: int):
                     return 1.0  # constant score; Atlas phrase scoring is index-bound
         return None
     if op == "equals":
+        if set(spec) - {"path", "value", "score"}:
+            raise ValueError(f"$search equals: unsupported options "
+                             f"{sorted(set(spec) - {'path', 'value', 'score'})}")
         v = get_path(d, spec["path"])
         if v is MISSING:
             return None
@@ -265,6 +364,10 @@ def _eval_operator(op: str, spec, corpus_cache, docs, i: int):
             return 1.0 if any(_equals_value(el, spec["value"]) for el in v) else None
         return 1.0 if _equals_value(v, spec["value"]) else None
     if op == "range":
+        if set(spec) - {"path", "gt", "gte", "lt", "lte", "score"}:
+            raise ValueError(
+                "$search range: unsupported options "
+                f"{sorted(set(spec) - {'path', 'gt', 'gte', 'lt', 'lte', 'score'})}")
         v = get_path(d, spec["path"])
         vals = v if isinstance(v, list) else [v]
         for x in vals:
@@ -282,8 +385,14 @@ def _eval_operator(op: str, spec, corpus_cache, docs, i: int):
                 return 1.0
         return None
     if op == "exists":
+        if set(spec) - {"path", "score"}:
+            raise ValueError(f"$search exists: unsupported options "
+                             f"{sorted(set(spec) - {'path', 'score'})}")
         return 1.0 if get_path(d, spec["path"]) is not MISSING else None
     if op == "in":
+        if set(spec) - {"path", "value", "score"}:
+            raise ValueError(f"$search in: unsupported options "
+                             f"{sorted(set(spec) - {'path', 'value', 'score'})}")
         v = get_path(d, spec["path"])
         if v is MISSING:
             return None
@@ -292,6 +401,10 @@ def _eval_operator(op: str, spec, corpus_cache, docs, i: int):
             any(_equals_value(x, want) for want in spec["value"]) for x in vals
         ) else None
     if op == "autocomplete":
+        if set(spec) - {"query", "path", "tokenOrder", "fuzzy", "score"}:
+            raise ValueError(
+                "$search autocomplete: unsupported options "
+                f"{sorted(set(spec) - {'query', 'path', 'tokenOrder', 'fuzzy', 'score'})}")
         fuzzy = spec.get("fuzzy")
         if fuzzy is not None:
             if not isinstance(fuzzy, dict) or set(fuzzy) - {

@@ -48,6 +48,81 @@ class TestText:
         assert run({"text": {"query": "zzz", "path": "t"}}) == []
 
 
+class TestTextFuzzy:
+    """r9: text.fuzzy — whole-term Levenshtein expansion against the
+    corpus term dictionary (exact prefixLength head), scored as an
+    ordinary BM25 disjunction. Previously the option was silently
+    IGNORED (a fuzzy query just under-matched); now it is exact."""
+
+    def _score(self, tf, dl, df):
+        return bm25_one(tf, dl, 2.5, 4, df)
+
+    def test_fuzzy_expands_to_corpus_terms(self):
+        # "sparc" is 1 edit from the corpus term "spark" and nothing else
+        out = run({"text": {"query": "sparc", "path": "t",
+                            "fuzzy": {"maxEdits": 1}}},
+                  extra=[{"$addFields": {"s": {"$meta": "searchScore"}}}])
+        got = {d["_id"]: d["s"] for d in out}
+        assert set(got) == {1, 2}
+        assert got[1] == pytest.approx(self._score(1, 3, 2))
+        assert got[2] == pytest.approx(self._score(2, 3, 2))
+
+    def test_fuzzy_two_edits_and_own_df_per_expansion(self):
+        # "dat" is 2 edits from BOTH "fast" and "a" — each expanded term
+        # scores with its own df/tf, like two disjuncts
+        out = run({"text": {"query": "dat", "path": "t",
+                            "fuzzy": {"maxEdits": 2}}},
+                  extra=[{"$addFields": {"s": {"$meta": "searchScore"}}}])
+        got = {d["_id"]: d["s"] for d in out}
+        assert set(got) == {1, 3}
+        assert got[1] == pytest.approx(self._score(1, 3, 1))  # fast
+        assert got[3] == pytest.approx(self._score(1, 4, 1))  # a
+
+    def test_prefix_length_pins_the_head(self):
+        out = run({"text": {"query": "zpark", "path": "t",
+                            "fuzzy": {"maxEdits": 1}}})
+        assert {d["_id"] for d in out} == {1, 2}  # z->s substitution
+        out = run({"text": {"query": "zpark", "path": "t",
+                            "fuzzy": {"maxEdits": 1, "prefixLength": 1}}})
+        assert out == []  # exact head 'z' matches no corpus term
+
+    def test_two_query_terms_same_expansion_count_twice(self):
+        one = run({"text": {"query": "sparc", "path": "t",
+                            "fuzzy": {"maxEdits": 1}}},
+                  extra=[{"$addFields": {"s": {"$meta": "searchScore"}}}])
+        two = run({"text": {"query": "sparc spark", "path": "t",
+                            "fuzzy": {"maxEdits": 1}}},
+                  extra=[{"$addFields": {"s": {"$meta": "searchScore"}}}])
+        s1 = {d["_id"]: d["s"] for d in one}
+        s2 = {d["_id"]: d["s"] for d in two}
+        assert s2 == {k: pytest.approx(2 * v) for k, v in s1.items()}
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="maxEdits must be 1 or 2"):
+            run({"text": {"query": "x", "path": "t",
+                          "fuzzy": {"maxEdits": 3}}})
+        with pytest.raises(ValueError, match="bad fuzzy"):
+            run({"text": {"query": "x", "path": "t",
+                          "fuzzy": {"nope": 1}}})
+
+    def test_unknown_operator_options_raise(self):
+        # r9: extras were silently dropped before — synonyms and
+        # matchCriteria are index-bound and must fail visibly
+        for spec in (
+            {"text": {"query": "spark", "path": "t", "synonyms": "m"}},
+            {"text": {"query": "spark", "path": "t",
+                      "matchCriteria": "all"}},
+            {"phrase": {"query": "spark", "path": "t", "bogus": 1}},
+            {"equals": {"path": "lang", "value": "en", "bogus": 1}},
+            {"range": {"path": "views", "gte": 1, "bogus": 1}},
+            {"exists": {"path": "t", "bogus": 1}},
+            {"in": {"path": "views", "value": [1], "bogus": 1}},
+            {"autocomplete": {"query": "sp", "path": "t", "bogus": 1}},
+        ):
+            with pytest.raises(ValueError, match="unsupported options"):
+                run(spec)
+
+
 class TestPhrase:
     def test_exact_subsequence(self):
         out = run({"phrase": {"query": "spark streaming", "path": "t"}})

@@ -1867,6 +1867,68 @@ class TestRegexRouting:
                            pipeline=pipe).df().collect()
 
 
+class TestTextFuzzyFallback:
+    """r9: text.fuzzy executes exactly through the interpreter fallback
+    (expansion needs the corpus term dictionary — a routed version
+    would be an unbounded distributed-vocabulary collect). Previously a
+    fuzzy text clause ROUTED with the option silently dropped: wrong
+    results, no error. Now the router declines any text clause with
+    options beyond {query, path, score}."""
+
+    def test_fuzzy_falls_back_and_matches_interpreter(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sub = tmp_path / "fz"
+        sub.mkdir()
+        pq.write_table(
+            pa.table({"_id": [1, 2, 3],
+                      "t": ["spark is fast", "sparks fly", "duck pond"]}),
+            str(sub / "posts.parquet"))
+        be = ParquetBackend(str(sub), db_name="main")
+        pipe = [{"$search": {"text": {"query": "sparc", "path": "t",
+                                      "fuzzy": {"maxEdits": 1}}}},
+                {"$limit": 5},
+                {"$addFields": {"s": {"$meta": "searchScore"}}},
+                {"$project": {"_id": 1, "s": 1}}]
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        got = sorted((r["_id"], r["s"]) for r in mf.df().collect())
+        assert not mf.last_exec_path.startswith("routed")
+        exp = sorted((d["_id"], d["s"])
+                     for d in _interpreter_rows(be, "main", "posts", pipe))
+        assert got == exp and [g[0] for g in got] == [1]
+        # and inside a compound: the whole tree declines (fuzzy clause)
+        pipe2 = [{"$search": {"compound": {"should": [
+                    {"text": {"query": "sparc", "path": "t",
+                              "fuzzy": {"maxEdits": 1}}},
+                    {"text": {"query": "duck", "path": "t"}}]}}},
+                 {"$limit": 5},
+                 {"$addFields": {"s": {"$meta": "searchScore"}}},
+                 {"$project": {"_id": 1, "s": 1}}]
+        mf2 = mongo_scan(spark, be, "main", "posts", pipeline=pipe2)
+        got2 = sorted((r["_id"], r["s"]) for r in mf2.df().collect())
+        assert not mf2.last_exec_path.startswith("routed")
+        exp2 = sorted((d["_id"], d["s"])
+                      for d in _interpreter_rows(be, "main", "posts", pipe2))
+        assert got2 == exp2 and {g[0] for g in got2} == {1, 3}
+
+    def test_synonyms_raise_loudly(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sub = tmp_path / "syn"
+        sub.mkdir()
+        pq.write_table(pa.table({"_id": [1], "t": ["spark"]}),
+                       str(sub / "posts.parquet"))
+        be = ParquetBackend(str(sub), db_name="main")
+        pipe = [{"$search": {"text": {"query": "spark", "path": "t",
+                                      "synonyms": "mapping"}}},
+                {"$limit": 5}]
+        with pytest.raises(Exception, match="unsupported options"):
+            mongo_scan(spark, be, "main", "posts",
+                       pipeline=pipe).df().collect()
+
+
 class TestEmbeddedDocumentFallback:
     """r9: `embeddedDocument` executes through the interpreter fallback
     (bounded-or-loud) — per-array-element nested-doc evaluation is

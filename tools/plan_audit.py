@@ -29,7 +29,10 @@ PATTERNS = {
     "cartesian": r"CartesianProduct",
     "exchanges": r"Exchange (?:hash|range|SinglePartition)",
     "pythonUDF": r"BatchEvalPython|ArrowEvalPython",
-    "mapInPandas": r"MapInPandas",
+    # one column for both Arrow-batched Python stages: MapInPandas and
+    # MapInArrow (r9 — the GEMM cosine kernel is mapInArrow and was
+    # reading as 0 Python stages, under-reporting the plan)
+    "mapInPandas": r"MapInPandas|MapInArrow",
 }
 
 

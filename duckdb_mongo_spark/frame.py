@@ -903,6 +903,131 @@ class MongoFrame:
                     return ("func", fn)
         return "unsupported"
 
+    def _expand_fuzzy_text(self, spec, coll_schema, fm):
+        """Rewrite every ``text`` clause carrying ``fuzzy`` into a plain
+        multi-term text clause by expanding each analyzed query term
+        against the collection's term dictionary (r9). After expansion,
+        fuzzy text IS ordinary text — a BM25 disjunction over the
+        expanded terms, each with its own document frequency — which is
+        exactly the interpreter's pinned fuzzy scoring
+        (``mql/search.py`` ``_Corpus.fuzzy_expand``), so the rewritten
+        spec routes through the unchanged text machinery and scores
+        match the oracle bit-for-bit. For a multi-path clause the
+        expansion runs against the UNION of the paths' dictionaries:
+        a term absent from one path contributes tf=0 there, identical
+        to the oracle's per-path expansion.
+
+        The dictionary is ONE distinct-token job over the fuzzy paths
+        using the oracle's own analyzer (Arrow pass — parity by
+        construction, no multibyte detector dance), bounded by
+        ``SPARK_GRAFT_FUZZY_VOCAB_MAX`` (default 100k) distinct
+        (path, term) rows. Over budget, malformed fuzzy shapes,
+        unresolvable paths, or an empty expansion leave the spec
+        unchanged — the caller's parse then declines the fuzzy extras
+        and the bounded-or-loud interpreter decides. Scale stance: the
+        distinct-term dictionary is what a Lucene index's FST holds;
+        the bound keeps the driver collect honest and the decline
+        explicit rather than letting a web-scale vocabulary melt the
+        driver."""
+        import copy as _copy
+        import os
+
+        from duckdb_mongo_spark.mql.search import _analyze, _within_edits
+        from duckdb_mongo_spark.schema.types import is_list
+
+        def walk(node, out):
+            if not isinstance(node, dict):
+                return
+            for k, v in node.items():
+                if k == "text" and isinstance(v, dict) and "fuzzy" in v:
+                    out.append(v)
+                elif k == "compound" and isinstance(v, dict):
+                    for ck in ("must", "should", "mustNot", "filter"):
+                        sub = v.get(ck)
+                        for cl in ([sub] if isinstance(sub, dict)
+                                   else (sub or [])):
+                            walk(cl, out)
+
+        probe: list = []
+        walk({k: v for k, v in spec.items()
+              if k not in ("index", "highlight", "count")}, probe)
+        if not probe:
+            return spec
+        new_spec = _copy.deepcopy(spec)
+        found: list = []
+        walk({k: v for k, v in new_spec.items()
+              if k not in ("index", "highlight", "count")}, found)
+        plan = []
+        fuzzy_fs, seen = [], set()
+        for ts in found:
+            fz = ts.get("fuzzy")
+            if not isinstance(fz, dict) or set(fz) - {
+                    "maxEdits", "prefixLength", "maxExpansions"}:
+                return spec  # interpreter raises the loud error
+            me, pl = fz.get("maxEdits", 2), fz.get("prefixLength", 0)
+            if not isinstance(me, int) or me not in (1, 2) \
+                    or not isinstance(pl, int) or pl < 0:
+                return spec
+            q = ts.get("query")
+            qs = ([q] if isinstance(q, str)
+                  else list(q) if isinstance(q, list) else None)
+            if not qs or any(not isinstance(s, str) for s in qs):
+                return spec
+            p = ts.get("path")
+            paths = ([p] if isinstance(p, str)
+                     else list(p) if isinstance(p, list) else None)
+            if not paths:
+                return spec
+            fss = []
+            for pth in paths:
+                fs = fm.get(pth)
+                if fs is None or (fs.type != "VARCHAR" and not (
+                        is_list(fs.type) and fs.type[1] == "VARCHAR")):
+                    return spec
+                fss.append(fs)
+                if fs.name not in seen:
+                    seen.add(fs.name)
+                    fuzzy_fs.append(fs)
+            plan.append((ts, qs, fss, me, pl))
+        base = MongoFrame(
+            spark=self.spark, backend=self.backend, db=self.db,
+            coll=self.coll, schema=coll_schema, schema_mode=self.schema_mode,
+            num_partitions=self.num_partitions, direct=self.direct,
+        )
+        tdf = self._with_oracle_tokens(base.df(), fuzzy_fs)
+        parts = [
+            tdf.select(
+                F.explode(F.col(f"__rt_toks_{fs.name}")).alias("__t"),
+                F.lit(fs.name).alias("__p"))
+            for fs in fuzzy_fs]
+        u = parts[0]
+        for x in parts[1:]:
+            u = u.unionByName(x)
+        vmax = int(os.environ.get("SPARK_GRAFT_FUZZY_VOCAB_MAX", "100000"))
+        rows = u.distinct().limit(vmax + 1).collect()
+        if len(rows) > vmax:
+            return spec  # dictionary over budget: bounded-or-loud path
+        vocab_by_path: dict = {}
+        for r in rows:
+            vocab_by_path.setdefault(r["__p"], set()).add(r["__t"])
+        for ts, qs, fss, me, pl in plan:
+            vocab = sorted(set().union(
+                *[vocab_by_path.get(fs.name, set()) for fs in fss]))
+            qterms = [t for s in qs for t in _analyze(s)]
+            expanded = [t for qt in qterms for t in vocab
+                        if _within_edits(qt, t, me, pl)]
+            if not expanded:
+                return spec  # clause matches nothing — interpreter agrees
+            if len(expanded) > int(os.environ.get(
+                    "SPARK_GRAFT_FUZZY_EXPANSIONS_MAX", "256")):
+                # a very short query term within 2 edits of thousands of
+                # tokens would compile thousands of df aggregates into
+                # pass 1 — the interpreter is the better engine there
+                return spec
+            ts.pop("fuzzy")
+            ts["query"] = expanded
+        return new_spec
+
     def _parse_text_clause(self, opspec, fm):
         """Validate one ``text`` clause: string query with tokens, string
         (or array-of-string) schema paths, optional boost/constant score
@@ -1845,6 +1970,7 @@ class MongoFrame:
         body.pop("index", None)
         if set(body) == {"facet"}:
             return self._route_facet_meta(body["facet"], coll_schema, fm)
+        spec = self._expand_fuzzy_text(spec, coll_schema, fm)
         parsed = self._parse_search_clauses(spec, fm)
         if parsed is None:
             return None
@@ -2314,18 +2440,21 @@ class MongoFrame:
         from duckdb_mongo_spark.mql.search import _B, _K1
 
         fm = {f.mongo_path: f for f in coll_schema.fields}
-        parsed = self._parse_search_clauses(spec, fm)
-        if parsed is None:
-            return None
-        (text_must, text_should, cond_filters, mustnot, msm,
-         has_must, has_filter, has_should, count_spec) = parsed
         # the routed form needs a following $limit to bound the collect
+        # (checked before the fuzzy rewrite so an unroutable pipeline
+        # never pays the term-dictionary job)
         nxt = (self.manual_pipeline[1]
                if len(self.manual_pipeline) > 1 else None)
         if not (isinstance(nxt, dict) and len(nxt) == 1
                 and next(iter(nxt)) == "$limit"):
             return None
         limit = int(nxt["$limit"])
+        spec = self._expand_fuzzy_text(spec, coll_schema, fm)
+        parsed = self._parse_search_clauses(spec, fm)
+        if parsed is None:
+            return None
+        (text_must, text_should, cond_filters, mustnot, msm,
+         has_must, has_filter, has_should, count_spec) = parsed
         # union of every text-touched path anywhere in the tree (scoring,
         # mustNot and nested compounds — token parity matters for
         # containment too); idf stats are computed for the same set (a

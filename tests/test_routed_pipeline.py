@@ -1867,50 +1867,110 @@ class TestRegexRouting:
                            pipeline=pipe).df().collect()
 
 
-class TestTextFuzzyFallback:
-    """r9: text.fuzzy executes exactly through the interpreter fallback
-    (expansion needs the corpus term dictionary — a routed version
-    would be an unbounded distributed-vocabulary collect). Previously a
-    fuzzy text clause ROUTED with the option silently dropped: wrong
-    results, no error. Now the router declines any text clause with
-    options beyond {query, path, score}."""
+class TestTextFuzzyRouting:
+    """r9: text.fuzzy ROUTES — each query term expands against the
+    collection's term dictionary (one bounded distinct-token job using
+    the oracle's analyzer), after which fuzzy text is a plain BM25
+    disjunction that rides the unchanged routed-text machinery. Scores
+    match the interpreter bit-for-bit. Over-budget dictionaries or
+    oversized expansions decline to the interpreter (still exact).
+    Previously the option was silently DROPPED on the routed path."""
 
-    def test_fuzzy_falls_back_and_matches_interpreter(self, spark, tmp_path):
+    DOCS = {"_id": [1, 2, 3],
+            "t": ["spark is fast", "sparks fly", "duck pond"],
+            "u": ["alpha beta", "sparky things", "gamma"]}
+
+    def _be(self, tmp_path, name="fz"):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        sub = tmp_path / "fz"
-        sub.mkdir()
-        pq.write_table(
-            pa.table({"_id": [1, 2, 3],
-                      "t": ["spark is fast", "sparks fly", "duck pond"]}),
-            str(sub / "posts.parquet"))
-        be = ParquetBackend(str(sub), db_name="main")
-        pipe = [{"$search": {"text": {"query": "sparc", "path": "t",
-                                      "fuzzy": {"maxEdits": 1}}}},
-                {"$limit": 5},
+        sub = tmp_path / name
+        if not sub.exists():
+            sub.mkdir()
+            pq.write_table(pa.table(self.DOCS), str(sub / "posts.parquet"))
+        return ParquetBackend(str(sub), db_name="main")
+
+    def _run(self, spark, be, search, routed=True):
+        pipe = [{"$search": search}, {"$limit": 5},
                 {"$addFields": {"s": {"$meta": "searchScore"}}},
                 {"$project": {"_id": 1, "s": 1}}]
         mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
         got = sorted((r["_id"], r["s"]) for r in mf.df().collect())
-        assert not mf.last_exec_path.startswith("routed")
+        assert mf.last_exec_path.startswith("routed") == routed, search
         exp = sorted((d["_id"], d["s"])
                      for d in _interpreter_rows(be, "main", "posts", pipe))
-        assert got == exp and [g[0] for g in got] == [1]
-        # and inside a compound: the whole tree declines (fuzzy clause)
-        pipe2 = [{"$search": {"compound": {"should": [
-                    {"text": {"query": "sparc", "path": "t",
-                              "fuzzy": {"maxEdits": 1}}},
-                    {"text": {"query": "duck", "path": "t"}}]}}},
-                 {"$limit": 5},
-                 {"$addFields": {"s": {"$meta": "searchScore"}}},
-                 {"$project": {"_id": 1, "s": 1}}]
-        mf2 = mongo_scan(spark, be, "main", "posts", pipeline=pipe2)
-        got2 = sorted((r["_id"], r["s"]) for r in mf2.df().collect())
-        assert not mf2.last_exec_path.startswith("routed")
-        exp2 = sorted((d["_id"], d["s"])
-                      for d in _interpreter_rows(be, "main", "posts", pipe2))
-        assert got2 == exp2 and {g[0] for g in got2} == {1, 3}
+        assert got == exp, search
+        return {g[0]: g[1] for g in got}
+
+    def test_top_level_fuzzy_routes_with_exact_scores(self, spark, tmp_path):
+        be = self._be(tmp_path)
+        got = self._run(spark, be,
+                        {"text": {"query": "sparc", "path": "t",
+                                  "fuzzy": {"maxEdits": 1}}})
+        # "sparc" expands to "spark" (1 edit); "sparks" is 2 edits away
+        assert set(got) == {1}
+        got = self._run(spark, be,
+                        {"text": {"query": "sparc", "path": "t",
+                                  "fuzzy": {"maxEdits": 2}}})
+        assert set(got) == {1, 2}  # + "sparks"
+
+    def test_multi_path_union_dictionary(self, spark, tmp_path):
+        be = self._be(tmp_path)
+        # "sparky" lives only in u; "spark"/"sparks" only in t — the
+        # union dictionary expands across both, tf=0 where absent
+        got = self._run(spark, be,
+                        {"text": {"query": "sparkz", "path": ["t", "u"],
+                                  "fuzzy": {"maxEdits": 2}}})
+        assert set(got) == {1, 2}
+
+    def test_fuzzy_in_compound_and_mustnot(self, spark, tmp_path):
+        be = self._be(tmp_path)
+        got = self._run(spark, be, {"compound": {"should": [
+            {"text": {"query": "sparc", "path": "t",
+                      "fuzzy": {"maxEdits": 1}}},
+            {"text": {"query": "duck", "path": "t"}}]}})
+        assert set(got) == {1, 3}
+        # mustNot fuzzy: "donk" is 2 edits from both "pond" and "duck"
+        # (doc 3), excluding it from the should matches {2, 3}
+        got = self._run(spark, be, {"compound": {
+            "should": [{"text": {"query": "fly pond", "path": "t"}}],
+            "mustNot": [{"text": {"query": "donk", "path": "t",
+                                  "fuzzy": {"maxEdits": 2}}}]}})
+        assert set(got) == {2}
+        # ...and at maxEdits 1 the expansion is EMPTY: the rewrite
+        # declines, the interpreter agrees nothing is excluded
+        got = self._run(spark, be, {"compound": {
+            "should": [{"text": {"query": "fly pond", "path": "t"}}],
+            "mustNot": [{"text": {"query": "donk", "path": "t",
+                                  "fuzzy": {"maxEdits": 1}}}]}},
+            routed=False)
+        assert set(got) == {2, 3}
+
+    def test_vocab_budget_declines_to_interpreter(self, spark, tmp_path,
+                                                  monkeypatch):
+        be = self._be(tmp_path)
+        monkeypatch.setenv("SPARK_GRAFT_FUZZY_VOCAB_MAX", "2")
+        got = self._run(spark, be,
+                        {"text": {"query": "sparc", "path": "t",
+                                  "fuzzy": {"maxEdits": 1}}},
+                        routed=False)
+        assert set(got) == {1}
+
+    def test_multibyte_corpus_fuzzy_routes(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sub = tmp_path / "fzmb"
+        sub.mkdir()
+        pq.write_table(
+            pa.table({"_id": [1, 2],
+                      "t": ["привет мир", "пока свет"]}),
+            str(sub / "posts.parquet"))
+        be = ParquetBackend(str(sub), db_name="main")
+        got = self._run(spark, be,
+                        {"text": {"query": "призет", "path": "t",
+                                  "fuzzy": {"maxEdits": 1}}})
+        assert set(got) == {1}  # 1 edit from "привет"
 
     def test_synonyms_raise_loudly(self, spark, tmp_path):
         import pyarrow as pa

@@ -13,7 +13,9 @@ tokenOrder any/sequential, fuzzy via prefix edit distance — r8),
 ``regex`` (Lucene RegExp dialect over keyword fields — r9,
 ``_lucene_regex_source``), ``embeddedDocument`` (per-array-element
 nested-document evaluation with score aggregation — r9,
-``_eval_embedded_document``), ``equals``, ``range``, ``exists``,
+``_eval_embedded_document``), ``geoWithin``/``geoShape`` (point
+documents vs circle/box/GeoJSON geometries — r9, planar ray-cast pin
+shared with ``mql/match``), ``equals``, ``range``, ``exists``,
 ``in``, and ``compound``
 (must/should/mustNot/filter with ``minimumShouldMatch``); plus
 ``$searchMeta`` ``count`` and ``facet`` (string/number/date buckets —
@@ -462,7 +464,142 @@ def _eval_operator(op: str, spec, corpus_cache, docs, i: int):
         return _eval_compound(spec, corpus_cache, docs, i)
     if op == "embeddedDocument":
         return _eval_embedded_document(spec, corpus_cache, docs, i)
+    if op == "geoWithin":
+        return _eval_geo_within(spec, d)
+    if op == "geoShape":
+        return _eval_geo_shape(spec, d)
     raise ValueError(f"unsupported $search operator: {op!r}")
+
+
+def _doc_points(d, path):
+    """Every point-shaped value at ``path``: the value itself (GeoJSON
+    Point dict or legacy pair — note a legacy pair IS a 2-list, so the
+    raw value is tried first) or, failing that, each point-shaped
+    element of an array. Non-points contribute nothing (never match,
+    never error — mongod simply doesn't index them)."""
+    from duckdb_mongo_spark.mql.match import get_path as _gp
+    from duckdb_mongo_spark.mql.match import parse_point
+
+    v = _gp(d, path)
+    if v is MISSING:
+        return []
+    pt = parse_point(v)
+    if pt is not None:
+        return [pt]
+    if isinstance(v, list):
+        return [p for p in (parse_point(x) for x in v) if p is not None]
+    return []
+
+
+def _eval_geo_within(spec, d):
+    """Atlas ``geoWithin`` (r9): constant-1.0 term-level operator over
+    indexed points — exactly one of ``circle`` (GeoJSON-Point center +
+    radius in METERS on the sphere), ``box`` (bottomLeft/topRight
+    points, planar lat/lng box) or ``geometry`` (GeoJSON
+    Polygon/MultiPolygon; the engine-wide planar ray-cast pin of
+    ``mql/match._point_in_geometry`` — mongod/Atlas run the S2
+    spherical test, the documented approximation). Any point of an
+    array value matching matches the document."""
+    from duckdb_mongo_spark.mql.match import (
+        EARTH_RADIUS_M,
+        _point_in_geometry,
+        haversine_rad,
+        parse_point,
+    )
+
+    extra = set(spec) - {"path", "circle", "box", "geometry", "score"}
+    if extra:
+        raise ValueError(f"$search geoWithin: unsupported options "
+                         f"{sorted(extra)}")
+    shapes = [k for k in ("circle", "box", "geometry") if k in spec]
+    if len(shapes) != 1:
+        raise ValueError(
+            "$search geoWithin: exactly one of circle/box/geometry")
+    shape = shapes[0]
+    if shape == "circle":
+        c = spec["circle"]
+        if not isinstance(c, dict) or set(c) != {"center", "radius"}:
+            raise ValueError("$search geoWithin: circle needs "
+                             "{center, radius}")
+        ctr = parse_point(c["center"])
+        if ctr is None:
+            raise ValueError("$search geoWithin: circle.center must be "
+                             "a GeoJSON point")
+        radius = float(c["radius"])  # meters on the sphere
+
+        def hit(x, y):
+            return haversine_rad(ctr[0], ctr[1], x, y) \
+                * EARTH_RADIUS_M <= radius
+    elif shape == "box":
+        b = spec["box"]
+        if not isinstance(b, dict) or set(b) != {"bottomLeft", "topRight"}:
+            raise ValueError("$search geoWithin: box needs "
+                             "{bottomLeft, topRight}")
+        bl, tr = parse_point(b["bottomLeft"]), parse_point(b["topRight"])
+        if bl is None or tr is None:
+            raise ValueError("$search geoWithin: box corners must be "
+                             "points")
+
+        def hit(x, y):
+            return (min(bl[0], tr[0]) <= x <= max(bl[0], tr[0])
+                    and min(bl[1], tr[1]) <= y <= max(bl[1], tr[1]))
+    else:
+        geom = spec["geometry"]
+
+        def hit(x, y):
+            return _point_in_geometry(x, y, geom)
+
+    for p in _paths(spec):
+        for x, y, _gj in _doc_points(d, p):
+            if hit(x, y):
+                return 1.0
+    return None
+
+
+def _eval_geo_shape(spec, d):
+    """Atlas ``geoShape`` (r9) over POINT documents: ``within`` and
+    ``intersects`` are the point-in-geometry test (a Point query
+    geometry intersects iff coordinates are equal), ``disjoint``
+    matches when ANY indexed point does not intersect (each indexed
+    value is its own Lucene shape, a document matches if any value
+    satisfies the relation), ``contains`` is only defined here for a
+    Point query geometry (a stored point contains exactly the equal
+    point) — stored-shape algebra (polygon documents, polygon contains
+    polygon) needs an S2 library and raises loudly."""
+    from duckdb_mongo_spark.mql.match import _point_in_geometry, parse_point
+
+    extra = set(spec) - {"path", "relation", "geometry", "score"}
+    if extra:
+        raise ValueError(f"$search geoShape: unsupported options "
+                         f"{sorted(extra)}")
+    rel = spec.get("relation")
+    if rel not in ("contains", "disjoint", "intersects", "within"):
+        raise ValueError(f"$search geoShape: bad relation {rel!r}")
+    geom = spec.get("geometry")
+    if not isinstance(geom, dict):
+        raise ValueError("$search geoShape: geometry is required")
+    qpt = parse_point(geom) if geom.get("type") == "Point" else None
+    if rel == "contains" and qpt is None:
+        raise ValueError(
+            "$search geoShape: contains over stored points is only "
+            "defined for a Point query geometry (stored-shape algebra "
+            "needs S2 and is unsupported)")
+
+    def intersects(x, y):
+        if qpt is not None:
+            return x == qpt[0] and y == qpt[1]
+        return _point_in_geometry(x, y, geom)
+
+    for p in _paths(spec):
+        for x, y, _gj in _doc_points(d, p):
+            ok = intersects(x, y)
+            if rel == "disjoint":
+                ok = not ok
+            elif rel == "contains":
+                ok = x == qpt[0] and y == qpt[1]
+            if ok:
+                return 1.0
+    return None
 
 
 def _nest(path: str, el):

@@ -201,7 +201,7 @@ class TestStructuredOperators:
 
     def test_unsupported_operator_raises(self):
         with pytest.raises(ValueError, match="unsupported \\$search operator"):
-            run({"geoShape": {"path": "loc", "relation": "within"}})
+            run({"knnBeta": {"path": "v", "vector": [1.0], "k": 3}})
 
     def test_more_like_this_pins_to_text_should(self):
         # r8 session 3: all analyzed like-doc text, BM25 disjunction
@@ -242,6 +242,105 @@ class TestStructuredOperators:
         with pytest.raises(ValueError, match="bad fuzzy"):
             run({"autocomplete": {"query": "sp", "path": "t",
                                   "fuzzy": {"nope": 1}}})
+
+
+GEO_DOCS = [
+    {"_id": 1, "loc": {"type": "Point", "coordinates": [0.5, 0.5]}},
+    {"_id": 2, "loc": [10.0, 10.0]},                      # legacy pair
+    {"_id": 3, "loc": [{"type": "Point", "coordinates": [0.1, 0.1]},
+                       {"type": "Point", "coordinates": [50.0, 50.0]}]},
+    {"_id": 4, "loc": "not a point"},
+    {"_id": 5},
+]
+
+UNIT_SQUARE = {"type": "Polygon",
+               "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]]}
+
+
+class TestGeoOperators:
+    """r9: $search geoWithin (circle/box/geometry) and geoShape
+    (within/intersects/disjoint over point documents) — constant 1.0
+    scores, any point of an array matches, non-points never match."""
+
+    def run_g(self, spec, docs=GEO_DOCS):
+        return run(spec, docs=docs,
+                   extra=[{"$addFields": {"s": {"$meta": "searchScore"}}}])
+
+    def test_geo_within_geometry(self):
+        out = self.run_g({"geoWithin": {"path": "loc",
+                                        "geometry": UNIT_SQUARE}})
+        got = {d["_id"]: d["s"] for d in out}
+        assert got == {1: 1.0, 3: 1.0}  # doc 3 via its first point
+
+    def test_geo_within_box_and_circle(self):
+        out = self.run_g({"geoWithin": {"path": "loc", "box": {
+            "bottomLeft": {"type": "Point", "coordinates": [5, 5]},
+            "topRight": {"type": "Point", "coordinates": [20, 20]}}}})
+        assert {d["_id"] for d in out} == {2}
+        # circle radius is METERS on the sphere: ~157km covers 1 degree
+        out = self.run_g({"geoWithin": {"path": "loc", "circle": {
+            "center": {"type": "Point", "coordinates": [0, 0]},
+            "radius": 200_000}}})
+        assert {d["_id"] for d in out} == {1, 3}
+        out = self.run_g({"geoWithin": {"path": "loc", "circle": {
+            "center": {"type": "Point", "coordinates": [0, 0]},
+            "radius": 1_000}}})
+        assert out == []
+
+    def test_geo_within_validation(self):
+        with pytest.raises(ValueError, match="exactly one"):
+            run({"geoWithin": {"path": "loc", "geometry": UNIT_SQUARE,
+                               "box": {"bottomLeft": [0, 0],
+                                       "topRight": [1, 1]}}},
+                docs=GEO_DOCS)
+        with pytest.raises(ValueError, match="unsupported options"):
+            run({"geoWithin": {"path": "loc", "geometry": UNIT_SQUARE,
+                               "bogus": 1}}, docs=GEO_DOCS)
+
+    def test_geo_shape_relations(self):
+        within = self.run_g({"geoShape": {"path": "loc",
+                                          "relation": "within",
+                                          "geometry": UNIT_SQUARE}})
+        assert {d["_id"] for d in within} == {1, 3}
+        inter = self.run_g({"geoShape": {"path": "loc",
+                                         "relation": "intersects",
+                                         "geometry": UNIT_SQUARE}})
+        assert {d["_id"] for d in inter} == {1, 3}
+        # disjoint: ANY indexed point disjoint from the query geometry —
+        # doc 3 matches via its (50, 50) point; non-points never match
+        dis = self.run_g({"geoShape": {"path": "loc",
+                                       "relation": "disjoint",
+                                       "geometry": UNIT_SQUARE}})
+        assert {d["_id"] for d in dis} == {2, 3}
+        # intersects with a Point geometry = coordinate equality
+        eq = self.run_g({"geoShape": {"path": "loc",
+                                      "relation": "intersects",
+                                      "geometry": {"type": "Point",
+                                                   "coordinates": [10.0, 10.0]}}})
+        assert {d["_id"] for d in eq} == {2}
+
+    def test_geo_shape_contains_raises(self):
+        # stored-shape algebra (polygon contains polygon) needs S2;
+        # point docs can only contain an equal Point
+        out = self.run_g({"geoShape": {"path": "loc",
+                                       "relation": "contains",
+                                       "geometry": {"type": "Point",
+                                                    "coordinates": [10.0, 10.0]}}})
+        assert {d["_id"] for d in out} == {2}
+        with pytest.raises(ValueError, match="contains"):
+            run({"geoShape": {"path": "loc", "relation": "contains",
+                              "geometry": UNIT_SQUARE}}, docs=GEO_DOCS)
+        with pytest.raises(ValueError, match="relation"):
+            run({"geoShape": {"path": "loc", "relation": "overlaps",
+                              "geometry": UNIT_SQUARE}}, docs=GEO_DOCS)
+
+    def test_geo_in_compound_with_score(self):
+        out = run({"compound": {"should": [
+            {"geoWithin": {"path": "loc", "geometry": UNIT_SQUARE,
+                           "score": {"boost": {"value": 2.5}}}}]}},
+            docs=GEO_DOCS,
+            extra=[{"$addFields": {"s": {"$meta": "searchScore"}}}])
+        assert {d["_id"]: d["s"] for d in out} == {1: 2.5, 3: 2.5}
 
 
 EDOCS = [

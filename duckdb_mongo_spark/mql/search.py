@@ -1005,14 +1005,75 @@ def _eval_compound(spec, corpus_cache, docs, i: int):
     return score
 
 
+def _sort_key_fn(docs, sort_spec):
+    """Compile the ``$search`` ``sort`` option (r9) into a key function
+    over ``(score, i)`` tuples. Pinned semantics: keys apply in spec
+    order; ``{"$meta": "searchScore"}`` sorts by the relevance score
+    (1 ascending is allowed but unusual; Atlas defaults it descending —
+    pass -1 explicitly, we follow the given direction with -1 default
+    for the $meta form); documents MISSING a field sort AFTER documents
+    that have it regardless of direction (the documented Atlas rule);
+    values of incomparable types raise loudly (Atlas requires a single
+    indexed sort type per field). Ties keep (score desc, input order)."""
+    from functools import cmp_to_key
+
+    if not isinstance(sort_spec, dict) or not sort_spec:
+        raise ValueError(f"$search: bad sort {sort_spec!r}")
+    keys = []
+    for field, direction in sort_spec.items():
+        if isinstance(direction, dict):
+            if direction != {"$meta": "searchScore"}:
+                raise ValueError(f"$search sort: bad value {direction!r}")
+            keys.append((None, -1))  # score, Atlas's default descending
+            continue
+        if direction not in (1, -1):
+            raise ValueError(
+                f"$search sort: direction must be 1 or -1, got {direction!r}")
+        keys.append((field, int(direction)))
+
+    def _cmp_vals(a, b, field):
+        try:
+            if a == b:
+                return 0
+            return -1 if a < b else 1
+        except TypeError:
+            raise ValueError(
+                f"$search sort: incomparable values for {field!r}: "
+                f"{type(a).__name__} vs {type(b).__name__}")
+
+    def compare(t1, t2):
+        (s1, i1), (s2, i2) = t1, t2
+        for field, direction in keys:
+            if field is None:
+                if s1 != s2:
+                    return direction * (-1 if s1 < s2 else 1)
+                continue
+            v1, v2 = get_path(docs[i1], field), get_path(docs[i2], field)
+            m1, m2 = v1 is MISSING or v1 is None, v2 is MISSING or v2 is None
+            if m1 or m2:
+                if m1 != m2:
+                    return 1 if m1 else -1  # missing sorts last, always
+                continue
+            c = _cmp_vals(v1, v2, field)
+            if c:
+                return direction * c
+        if s1 != s2:  # tie-break: relevance desc, then input order
+            return -1 if s1 > s2 else 1
+        return -1 if i1 < i2 else 1
+
+    return cmp_to_key(compare)
+
+
 def search_stage(docs, spec, meta_key: str) -> list[dict]:
     """Execute ``$search`` over materialized ``docs``; returns new doc
-    dicts in descending-score order with the score in ``meta_key``."""
+    dicts in descending-score order (or the ``sort`` option's field
+    order — r9) with the score in ``meta_key``."""
     docs = [d for d in docs]
     spec = dict(spec)
     spec.pop("index", None)
     spec.pop("highlight", None)  # accepted, not rendered
     count_spec = spec.pop("count", None)
+    sort_spec = spec.pop("sort", None)
     if len(spec) != 1:
         raise ValueError(
             f"$search expects exactly one operator, got {sorted(spec)}")
@@ -1026,7 +1087,10 @@ def search_stage(docs, spec, meta_key: str) -> list[dict]:
             s = _apply_score_mod(s, opspec, docs[i])
         if s is not None:
             scored.append((s, i))
-    scored.sort(key=lambda t: (-t[0], t[1]))
+    if sort_spec is not None:
+        scored.sort(key=_sort_key_fn(docs, sort_spec))
+    else:
+        scored.sort(key=lambda t: (-t[0], t[1]))
     out = []
     total = len(scored)
     for s, i in scored:

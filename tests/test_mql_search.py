@@ -487,6 +487,63 @@ class TestCompound:
         assert {d["_id"] for d in run(spec)} == {1, 2, 3}
 
 
+class TestSortOption:
+    """r9: the $search `sort` option — field-order results instead of
+    relevance order; missing fields sort last regardless of direction;
+    {"$meta": "searchScore"} sorts by score; ties fall back to
+    (score desc, input order)."""
+
+    SDOCS = [
+        {"_id": 1, "t": "spark", "views": 10},
+        {"_id": 2, "t": "spark spark", "views": 3},
+        {"_id": 3, "t": "spark", "views": 7},
+        {"_id": 4, "t": "spark"},               # missing views
+    ]
+
+    def test_field_sort_missing_last(self):
+        out = run({"text": {"query": "spark", "path": "t"},
+                   "sort": {"views": 1}}, docs=self.SDOCS)
+        assert [d["_id"] for d in out] == [2, 3, 1, 4]
+        out = run({"text": {"query": "spark", "path": "t"},
+                   "sort": {"views": -1}}, docs=self.SDOCS)
+        assert [d["_id"] for d in out] == [1, 3, 2, 4]  # missing still last
+
+    def test_meta_score_and_compound_keys(self):
+        # secondary key breaks the equal-views tie... build docs where
+        # views ties and score differs
+        docs = [
+            {"_id": 1, "t": "spark", "views": 5},
+            {"_id": 2, "t": "spark spark", "views": 5},
+            {"_id": 3, "t": "spark", "views": 1},
+        ]
+        out = run({"text": {"query": "spark", "path": "t"},
+                   "sort": {"views": -1,
+                            "relevance": {"$meta": "searchScore"}}},
+                  docs=docs)
+        # views 5 group first, within it higher score (doc 2, tf=2) first
+        assert [d["_id"] for d in out] == [2, 1, 3]
+
+    def test_scores_still_reported(self):
+        out = run({"text": {"query": "spark", "path": "t"},
+                   "sort": {"views": 1}}, docs=self.SDOCS,
+                  extra=[{"$addFields": {"s": {"$meta": "searchScore"}}}])
+        assert all(d["s"] > 0 for d in out)
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="direction"):
+            run({"text": {"query": "spark", "path": "t"},
+                 "sort": {"views": 2}}, docs=self.SDOCS)
+        with pytest.raises(ValueError, match="bad value"):
+            run({"text": {"query": "spark", "path": "t"},
+                 "sort": {"views": {"$meta": "searchHighlights"}}},
+                docs=self.SDOCS)
+        with pytest.raises(ValueError, match="incomparable"):
+            run({"text": {"query": "spark", "path": "t"},
+                 "sort": {"views": 1}},
+                docs=[{"_id": 1, "t": "spark", "views": 5},
+                      {"_id": 2, "t": "spark", "views": "five"}])
+
+
 class TestStageWiring:
     def test_search_meta_count(self):
         out = run_pipeline(DOCS, [

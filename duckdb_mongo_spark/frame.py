@@ -903,6 +903,39 @@ class MongoFrame:
                     return ("func", fn)
         return "unsupported"
 
+    @staticmethod
+    def _translate_search_sort(sort_spec, fm):
+        """Compile the ``$search`` ``sort`` option into Spark column
+        orderings (r9). Field keys must resolve to SCALAR schema
+        columns; 1/-1 directions become asc_nulls_last/desc_nulls_last
+        — flattened rows carry absent fields as null on dense AND
+        sparse backends, so nulls-last IS the documented Atlas
+        missing-last rule. ``{"$meta": "searchScore"}`` orders by the
+        relevance score (descending, the interpreter's pin). Returns
+        None for unsortable shapes — unresolvable/array paths or bad
+        directions — so the caller declines to the interpreter, which
+        either sorts exactly or raises the loud validation error."""
+        from duckdb_mongo_spark.schema.types import is_list
+
+        if not isinstance(sort_spec, dict) or not sort_spec:
+            return None
+        out = []
+        for field, direction in sort_spec.items():
+            if isinstance(direction, dict):
+                if direction != {"$meta": "searchScore"}:
+                    return None
+                out.append(F.col("__rt_score").desc())
+                continue
+            if direction not in (1, -1) or isinstance(direction, bool):
+                return None
+            fs = fm.get(field)
+            if fs is None or is_list(fs.type) or not isinstance(fs.type, str):
+                return None
+            col = F.col(fs.name)
+            out.append(col.asc_nulls_last() if direction == 1
+                       else col.desc_nulls_last())
+        return out
+
     def _expand_fuzzy_text(self, spec, coll_schema, fm):
         """Rewrite every ``text`` clause carrying ``fuzzy`` into a plain
         multi-term text clause by expanding each analyzed query term
@@ -2449,6 +2482,12 @@ class MongoFrame:
                 and next(iter(nxt)) == "$limit"):
             return None
         limit = int(nxt["$limit"])
+        sort_cols = None
+        if isinstance(spec, dict) and "sort" in spec:
+            sort_cols = self._translate_search_sort(spec["sort"], fm)
+            if sort_cols is None:
+                return None  # unsortable shape — interpreter (exact/loud)
+            spec = {k: v for k, v in spec.items() if k != "sort"}
         spec = self._expand_fuzzy_text(spec, coll_schema, fm)
         parsed = self._parse_search_clauses(spec, fm)
         if parsed is None:
@@ -2624,10 +2663,17 @@ class MongoFrame:
         # recursive builder handles nested compounds identically
         total, cond = self._build_compound(
             parsed, clause_score, phrase_col_map)
+        # the sort option (r9) replaces relevance order: translated
+        # field orderings first (nulls last = the missing-last Atlas
+        # rule; dense AND sparse backends flatten absent to null), then
+        # score desc as the tie-break — the interpreter's pinned
+        # fallback (beyond that, ties are unspecified on both paths)
+        order = list(sort_cols or [])
+        order.append(F.col("__rt_score").desc())
         scored = (
             toks_df.withColumn("__rt_score", total)
             .where(cond)
-            .orderBy(F.col("__rt_score").desc())
+            .orderBy(*order)
             .limit(limit)
             .drop(*[f"__rt_toks_{fs.name}" for fs in fspecs], *ph_names)
         )

@@ -1989,6 +1989,73 @@ class TestTextFuzzyRouting:
                        pipeline=pipe).df().collect()
 
 
+class TestSearchSortRouting:
+    """r9: the $search `sort` option ROUTES — translated to
+    asc_nulls_last/desc_nulls_last orderings before the distributed
+    top-k, with score desc as the interpreter's pinned tie-break.
+    Sorted pagination is exactly the query a real corpus runs at
+    scale, so it must not fall back to the single-stream path."""
+
+    DOCS = {"_id": [1, 2, 3, 4],
+            "t": ["spark a", "spark spark b", "spark c", "spark d"],
+            "views": [10.0, 3.0, 7.0, None]}
+
+    def _be(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sub = tmp_path / "srt"
+        if not sub.exists():
+            sub.mkdir()
+            pq.write_table(pa.table(self.DOCS), str(sub / "posts.parquet"))
+        return ParquetBackend(str(sub), db_name="main")
+
+    def _run(self, spark, be, search, routed=True):
+        pipe = [{"$search": search}, {"$limit": 3},
+                {"$project": {"_id": 1}}]
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        got = [r["_id"] for r in mf.df().collect()]
+        assert mf.last_exec_path.startswith("routed") == routed, search
+        exp = [d["_id"] for d in _interpreter_rows(be, "main", "posts", pipe)]
+        assert got == exp, search
+        return got
+
+    def test_sorted_topk_routes_and_matches(self, spark, tmp_path):
+        be = self._be(tmp_path)
+        got = self._run(spark, be,
+                        {"text": {"query": "spark", "path": "t"},
+                         "sort": {"views": 1}})
+        assert got == [2, 3, 1]  # limit 3 cuts the missing-views doc
+        got = self._run(spark, be,
+                        {"text": {"query": "spark", "path": "t"},
+                         "sort": {"views": -1}})
+        assert got == [1, 3, 2]  # missing-last on BOTH directions
+
+    def test_meta_score_key_and_decline(self, spark, tmp_path):
+        be = self._be(tmp_path)
+        docs = {"_id": [1, 2, 3],
+                "t": ["spark", "spark spark", "spark"],
+                "grp": [1.0, 1.0, 0.0]}
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sub = tmp_path / "srt2"
+        sub.mkdir()
+        pq.write_table(pa.table(docs), str(sub / "posts.parquet"))
+        be2 = ParquetBackend(str(sub), db_name="main")
+        got = self._run(spark, be2,
+                        {"text": {"query": "spark", "path": "t"},
+                         "sort": {"grp": -1,
+                                  "rel": {"$meta": "searchScore"}}})
+        assert got == [2, 1, 3]  # grp desc, then score desc inside grp
+        # bad direction: declines, interpreter raises the loud error
+        pipe = [{"$search": {"text": {"query": "spark", "path": "t"},
+                             "sort": {"grp": 2}}}, {"$limit": 3}]
+        with pytest.raises(Exception, match="direction"):
+            mongo_scan(spark, be2, "main", "posts",
+                       pipeline=pipe).df().collect()
+
+
 class TestGeoSearchFallback:
     """r9: $search geoWithin/geoShape execute through the interpreter
     fallback (term-level geo clauses decline routing) and match the

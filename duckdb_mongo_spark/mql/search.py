@@ -1211,9 +1211,15 @@ def parse_query_string(query: str, default_path: str) -> dict:
     - ``NOT x`` compiles to ``{"compound": {"mustNot": [x]}}`` — it
       matches everything x does not, scoring 0 (pinned; Lucene's
       pure-negative behavior is index-dependent).
-    - Lucene specials without a pinned local meaning — wildcards,
-      fuzzy/boost suffixes, ranges, escapes (``* ? ~ ^ [ ] { } \\``) —
-      raise loudly instead of silently degrading to literals.
+    - a single TRAILING ``*`` (``spar*``, ``title:spar*`` — r9)
+      compiles to the ``autocomplete`` operator: prefix matching per
+      analyzed term, constant 1.0 score (Lucene's constant-score
+      wildcard rewrite; the head is analyzed with the engine analyzer,
+      a pinned deviation from Lucene's unanalyzed wildcard terms).
+    - Lucene specials without a pinned local meaning — other wildcard
+      placements, fuzzy/boost suffixes, ranges, escapes
+      (``* ? ~ ^ [ ] { } \\``) — raise loudly instead of silently
+      degrading to literals.
     """
     specials = set('*?~^[]{}\\')
 
@@ -1242,7 +1248,9 @@ def parse_query_string(query: str, default_path: str) -> dict:
         word = query[i:j]
         i = j
         bad = specials & set(word)
-        if bad:
+        if bad == {"*"} and word.count("*") == 1 and word.endswith("*"):
+            pass  # single trailing star: prefix term, emitted below
+        elif bad:
             raise ValueError(
                 f"$search queryString: unsupported syntax {sorted(bad)} "
                 f"in {word!r}")
@@ -1255,16 +1263,27 @@ def parse_query_string(query: str, default_path: str) -> dict:
         else:
             # field:term / field:"phrase"? the colon splits here; a
             # trailing colon grabs the NEXT quoted/term token
+            def emit_term(s):
+                if s.endswith("*"):
+                    head = s[:-1]
+                    if not _analyze(head):
+                        raise ValueError(
+                            "$search queryString: bare '*' wildcard "
+                            "is unsupported")
+                    toks.append(("prefix", head))
+                else:
+                    toks.append(("term", s))
+
             if ":" in word:
                 field, _, rest = word.partition(":")
-                if not field:
+                if not field or "*" in field:
                     raise ValueError(
                         f"$search queryString: bad clause {word!r}")
                 toks.append(("field", field))
                 if rest:
-                    toks.append(("term", rest))
+                    emit_term(rest)
             else:
-                toks.append(("term", word))
+                emit_term(word)
 
     # --- recursive descent: or := and (OR and)* ; adjacency = OR ---
     pos = 0
@@ -1295,6 +1314,8 @@ def parse_query_string(query: str, default_path: str) -> dict:
             return {"phrase": {"query": take()[1], "path": path}}
         if kind == "term":
             return {"text": {"query": take()[1], "path": path}}
+        if kind == "prefix":
+            return {"autocomplete": {"query": take()[1], "path": path}}
         raise ValueError("$search queryString: expected a term")
 
     def unary():
@@ -1315,7 +1336,7 @@ def parse_query_string(query: str, default_path: str) -> dict:
     def parse_or():
         nodes = [parse_and()]
         while peek() in ("OR",) or peek() in (
-                "term", "quoted", "field", "(", "NOT"):
+                "term", "quoted", "field", "(", "NOT", "prefix"):
             if peek() == "OR":
                 take()
             nodes.append(parse_and())

@@ -2186,6 +2186,14 @@ class TestQueryStringRouting:
         assert self._run(spark, tmp_path,
                          '(title:spark) AND slow') == {3}
 
+    def test_trailing_star_is_prefix_match(self, spark, tmp_path):
+        # r9: a single trailing * compiles to the autocomplete operator
+        # (prefix per analyzed term, constant score) and routes
+        assert self._run(spark, tmp_path, "sl*") == {2, 3}
+        assert self._run(spark, tmp_path, "title:spar*") == {1, 3}
+        assert self._run(spark, tmp_path,
+                         "title:spar* AND slow") == {3}
+
     def test_specials_raise(self, spark, tmp_path):
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -2195,12 +2203,15 @@ class TestQueryStringRouting:
         pq.write_table(pa.table({"_id": [1], "body": ["x"]}),
                        str(sub / "posts.parquet"))
         be = ParquetBackend(str(sub), db_name="main")
-        pipe = [{"$search": {"queryString": {
-                    "defaultPath": "body", "query": "spa*"}}},
-                {"$limit": 5}]
-        with pytest.raises(Exception, match="unsupported syntax"):
-            mongo_scan(spark, be, "main", "posts",
-                       pipeline=pipe).df().collect()
+        for q, msg in (("sp*a", "unsupported syntax"),   # mid-word star
+                       ("spa~2", "unsupported syntax"),  # fuzzy suffix
+                       ("*", "bare '\\*' wildcard")):
+            pipe = [{"$search": {"queryString": {
+                        "defaultPath": "body", "query": q}}},
+                    {"$limit": 5}]
+            with pytest.raises(Exception, match=msg):
+                mongo_scan(spark, be, "main", "posts",
+                           pipeline=pipe).df().collect()
 
 
 class TestMoreLikeThisRouting:

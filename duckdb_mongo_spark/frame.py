@@ -1739,9 +1739,13 @@ class MongoFrame:
         body = dict(spec)
         body.pop("index", None)
         body.pop("highlight", None)
+        body.pop("tracking", None)    # telemetry no-op, like the oracle
+        body.pop("concurrent", None)  # parallelism hint, always on here
         count_spec = body.pop("count", None)
         if count_spec is not None and not isinstance(count_spec, dict):
             return None
+        if body.pop("scoreDetails", False):
+            return None  # interpreter raises the loud unsupported error
         if len(body) != 1:
             return None
         (op, opspec), = body.items()

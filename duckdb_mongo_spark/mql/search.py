@@ -1071,9 +1071,16 @@ def search_stage(docs, spec, meta_key: str) -> list[dict]:
     docs = [d for d in docs]
     spec = dict(spec)
     spec.pop("index", None)
-    spec.pop("highlight", None)  # accepted, not rendered
+    spec.pop("highlight", None)   # accepted, not rendered
+    spec.pop("tracking", None)    # search-terms telemetry: no-op here
+    spec.pop("concurrent", None)  # parallelism hint: always parallel
     count_spec = spec.pop("count", None)
     sort_spec = spec.pop("sort", None)
+    if spec.pop("scoreDetails", False):
+        # the per-clause Lucene explain tree is index-format-bound;
+        # accepting true and omitting the $meta would silently break
+        # consumers that read it
+        raise ValueError("$search: scoreDetails is unsupported")
     if len(spec) != 1:
         raise ValueError(
             f"$search expects exactly one operator, got {sorted(spec)}")

@@ -544,6 +544,25 @@ class TestSortOption:
                       {"_id": 2, "t": "spark", "views": "five"}])
 
 
+class TestAuxiliaryOptions:
+    """r9: tracking (search-terms telemetry) and concurrent
+    (parallelism hint) are accepted no-ops; scoreDetails: true raises
+    (the Lucene explain tree is index-format-bound) while false is the
+    explicit default."""
+
+    def test_tracking_concurrent_accepted(self):
+        out = run({"text": {"query": "spark", "path": "t"},
+                   "tracking": {"searchTerms": "spark"},
+                   "concurrent": True,
+                   "scoreDetails": False})
+        assert {d["_id"] for d in out} == {1, 2}
+
+    def test_score_details_true_raises(self):
+        with pytest.raises(ValueError, match="scoreDetails"):
+            run({"text": {"query": "spark", "path": "t"},
+                 "scoreDetails": True})
+
+
 class TestStageWiring:
     def test_search_meta_count(self):
         out = run_pipeline(DOCS, [

@@ -144,7 +144,25 @@ def parse_attach_string(conn: str) -> dict:
         if "=" not in tok:
             raise ConnectionStringError(f"bad attach token: {tok!r}")
         k, v = tok.split("=", 1)
-        opts[k.lower()] = v
+        k = k.lower()
+        if "?" in v and k != "query_options":
+            # the reference README's documented form appends URI query
+            # options to the dbname value: 'dbname=mydb?readPreference=
+            # secondaryPreferred' (reference README.md:42). Split them
+            # into query_options so reads target db 'mydb' with the
+            # options applied; a '?' in any other kv value is ambiguous
+            # (likely a typo'd option string) — raise rather than mangle.
+            if k in ("dbname", "database"):
+                v, _, qs = v.partition("?")
+                prev = opts.get("query_options")
+                opts["query_options"] = (
+                    f"{prev.lstrip('?')}&{qs}" if prev else qs)
+            else:
+                raise ConnectionStringError(
+                    f"'?' in attach value for {k!r}; URI query options are "
+                    "only accepted on dbname=/database= or as a bare "
+                    "'?opts' attach string")
+        opts[k] = v
     return opts
 
 

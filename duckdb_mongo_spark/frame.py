@@ -1022,6 +1022,18 @@ class MongoFrame:
                     seen.add(fs.name)
                     fuzzy_fs.append(fs)
             plan.append((ts, qs, fss, me, pl))
+        # dry-run the parse with fuzzy stubbed to plain text BEFORE paying
+        # the term-dictionary job: if a sibling clause or score modifier
+        # makes the spec unroutable anyway, the interpreter redoes all the
+        # work and the vocabulary scan would be pure waste (r9 advice)
+        stub = _copy.deepcopy(spec)
+        stub_found: list = []
+        walk({k: v for k, v in stub.items()
+              if k not in ("index", "highlight", "count")}, stub_found)
+        for ts in stub_found:
+            ts.pop("fuzzy", None)
+        if self._parse_search_clauses(stub, fm) is None:
+            return spec
         base = MongoFrame(
             spark=self.spark, backend=self.backend, db=self.db,
             coll=self.coll, schema=coll_schema, schema_mode=self.schema_mode,

@@ -769,7 +769,18 @@ def _lucene_regex_source(pattern: str) -> str:
             out.append(m.group(0))
             i += len(m.group(0))
             continue
-        elif c in ".?*+|()":
+        elif c == "(":
+            # Lucene RegExp has plain groups only; '(?' would compile as a
+            # Python group EXTENSION ((?i), (?:...), (?=...)) with
+            # Python-only semantics where Lucene rejects it — raise
+            # rather than silently change match behavior
+            if i + 1 < n and pattern[i + 1] == "?":
+                raise ValueError(
+                    f"$search regex: '(?' at index {i} in {pattern!r} is "
+                    "not Lucene RegExp syntax (Python group extensions "
+                    "are unsupported)")
+            out.append(c)
+        elif c in ".?*+|)":
             out.append(c)
         else:
             out.append(_re.escape(c))

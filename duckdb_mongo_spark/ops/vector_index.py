@@ -179,6 +179,37 @@ def _commit_version(sdir: str, vname: str) -> None:
     os.replace(tmp, os.path.join(sdir, "CURRENT"))
 
 
+def _gc_stale_versions(sdir: str, keep: set) -> int:
+    """Best-effort reclaim of superseded ``v-*`` version dirs after a
+    commit (r9 advice: repeated rebuilds of one fingerprint leaked every
+    prior version until the all-or-nothing drop). The committed version
+    AND the one it superseded are kept — Spark parquet readers resolve a
+    version by PATH at load and scan lazily (no held file handles), so a
+    reader that loaded the just-superseded version must still find its
+    files; anything two generations stale (or a racing builder's
+    never-committed dir) is reclaimed. Leak bound: <= 2 versions per
+    fingerprint instead of unbounded. Failures are swallowed: GC is
+    hygiene, never correctness."""
+    import shutil
+
+    n = 0
+    try:
+        names = os.listdir(sdir)
+    except OSError:
+        return 0
+    for name in names:
+        if name.startswith("v-") and name not in keep:
+            shutil.rmtree(os.path.join(sdir, name), ignore_errors=True)
+            n += 1
+        elif name.startswith(".CURRENT.") and name[len(".CURRENT."):] not in keep:
+            # torn tmp pointer from a builder that died pre-replace
+            try:
+                os.unlink(os.path.join(sdir, name))
+            except OSError:
+                pass
+    return n
+
+
 def cached_index(backend, db, coll, mongo_path, d, family):
     """Cache peek — lets callers skip building the base scan frame when
     the index already exists (fingerprint re-checked, so stale file
@@ -401,7 +432,10 @@ def get_collection_vector_index(
             "zero_n": zero_n, "k": k, "n_codebooks": n_cb}
     with open(os.path.join(vdir, "meta.json"), "w") as f:
         json.dump(meta, f)  # last file within the version dir
+    prev = _current_version_dir(sdir)  # the version this commit supersedes
     _commit_version(sdir, vname)  # atomic publish: old version stays intact
+    _gc_stale_versions(sdir, keep={vname} | (
+        {os.path.basename(prev)} if prev else set()))
 
     idx = CollectionVectorIndex(
         centroids=centroids, cell_sizes=cell_sizes, corpus_n=corpus_n,

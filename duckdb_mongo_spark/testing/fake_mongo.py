@@ -174,8 +174,25 @@ class FakeCollection:
     def drop(self):
         self._docs.clear()
 
+    # semantically-inert options the fake records but need not act on
+    # (wire/telemetry hints). Anything else is REJECTED loudly: a future
+    # backend change passing a semantic option (sort, limit, skip, hint)
+    # must fail visibly here, not be silently swallowed while a real
+    # server would honor it (r9 advice).
+    _INERT_KWARGS = {"comment", "batch_size", "batchSize", "session",
+                     "max_time_ms", "maxTimeMS"}
+
+    def _check_kwargs(self, method: str, kw: dict) -> None:
+        bad = sorted(set(kw) - self._INERT_KWARGS)
+        if bad:
+            raise TypeError(
+                f"FakeCollection.{method} got options {bad} the fake does "
+                "not implement — implement them in the fake (with tests) "
+                "or stop passing them from the backend")
+
     # -- read surface used by PymongoBackend
     def find(self, filter=None, projection=None, **kw) -> FakeCursor:
+        self._check_kwargs("find", kw)
         self.commands.append({"cmd": "find", "filter": copy.deepcopy(filter),
                               "projection": copy.deepcopy(projection), **kw})
         docs = [d for d in self._docs if not filter or matches_filter(d, filter)]
@@ -229,6 +246,7 @@ class FakeCollection:
         # stage-1 $sample goes through the server-realistic sampler;
         # later pipeline stages run the interpreter with a fixed seed
         # (one server, one stable stream per remaining stage)
+        self._check_kwargs("aggregate", kw)
         pipeline = list(pipeline)
         cmd = {"cmd": "aggregate", "allowDiskUse": allowDiskUse,
                "stages": [next(iter(s)) for s in pipeline
@@ -257,6 +275,7 @@ class FakeCollection:
         )
 
     def count_documents(self, filter=None, **kw):
+        self._check_kwargs("count_documents", kw)
         self.commands.append({"cmd": "count",
                               "filter": copy.deepcopy(filter), **kw})
         return sum(1 for d in self._docs if not filter or matches_filter(d, filter))

@@ -99,6 +99,29 @@ class TestSecrets:
         assert uri2.endswith("?readPreference=nearest")
         dms.drop_secret("s_qo")
 
+    def test_dbname_trailing_query_options(self):
+        # reference README.md:42 documents ATTACH
+        # 'dbname=mydb?readPreference=secondaryPreferred': the suffix is
+        # URI query options, NOT part of the database name
+        from duckdb_mongo_spark.catalog import parse_attach_string
+
+        opts = parse_attach_string(
+            "host=h dbname=mydb?readPreference=secondaryPreferred")
+        assert opts["dbname"] == "mydb"
+        assert opts["query_options"] == "readPreference=secondaryPreferred"
+        # same split on the 'database' alias, merging with bare options
+        opts2 = parse_attach_string("database=d?a=1&b=2")
+        assert opts2["database"] == "d"
+        assert opts2["query_options"] == "a=1&b=2"
+        # the options reach the built URI with the clean db name
+        uri = dms.build_connection_string(
+            {"host": "h", "database": opts["dbname"],
+             "query_options": opts["query_options"]})
+        assert uri == "mongodb://h:27017/mydb?readPreference=secondaryPreferred"
+        # '?' in any other kv value is ambiguous -> loud error
+        with pytest.raises(ConnectionStringError, match="query options"):
+            parse_attach_string("host=h?tls=true")
+
     def test_create_existing_errors_without_replace(self):
         # reference: CREATE SECRET on an existing name errors; CREATE OR
         # REPLACE overwrites (secrets_validation.test)

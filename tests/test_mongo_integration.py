@@ -443,6 +443,23 @@ class TestCursorBatching:
         assert coll.getmore_calls > before
         assert coll._open_cursors == {}
 
+    def test_unknown_kwargs_rejected_loudly(self, fake):
+        # r10 (r9 advice): the fake records but REJECTS kwargs it does
+        # not implement — a backend change passing a semantic option
+        # (sort, limit-as-kwarg, hint) must fail visibly in tests, not
+        # be swallowed while a real server would honor it
+        coll = fake.client[DB]["batched"]
+        with pytest.raises(TypeError, match="sort"):
+            coll.find({}, None, sort=[("_id", -1)])
+        with pytest.raises(TypeError, match="hint"):
+            coll.aggregate([], hint="_id_")
+        with pytest.raises(TypeError, match="skip"):
+            coll.count_documents({}, skip=5)
+        # semantically-inert wire/telemetry hints still pass and are
+        # recorded on the command log
+        list(coll.find({}, None, comment="trace-1", batch_size=1000))
+        assert coll.commands[-1]["comment"] == "trace-1"
+
 
 class TestCursorFaults:
     """r7 (round-6 verdict item #7): the backend's error contract under

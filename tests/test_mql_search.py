@@ -199,6 +199,22 @@ class TestStructuredOperators:
                   docs=[{"_id": 1, "sku": "a&b"}])
         assert [d["_id"] for d in out] == [1]
 
+    def test_regex_python_group_extensions_raise(self):
+        # r10 (r9 advice): '(?i)', '(?:...)', '(?=...)' are Python group
+        # extensions Lucene RegExp rejects — raise instead of silently
+        # compiling with Python semantics (e.g. case-insensitive match)
+        for pat in ("(?i)abc", "(?:ab)c", "a(?=b)", "(?<x>a)"):
+            with pytest.raises(ValueError, match="Lucene RegExp"):
+                run({"regex": {"query": pat, "path": "sku"}},
+                    docs=[{"_id": 1, "sku": "abc"}])
+        # plain groups still work; escaped '(' + '?' is two literals
+        out = run({"regex": {"query": "(ab|cd)+", "path": "sku"}},
+                  docs=[{"_id": 1, "sku": "abcd"}, {"_id": 2, "sku": "x"}])
+        assert [d["_id"] for d in out] == [1]
+        out = run({"regex": {"query": "\\(\\?x", "path": "sku"}},
+                  docs=[{"_id": 1, "sku": "(?x"}])
+        assert [d["_id"] for d in out] == [1]
+
     def test_unsupported_operator_raises(self):
         with pytest.raises(ValueError, match="unsupported \\$search operator"):
             run({"knnBeta": {"path": "v", "vector": [1.0], "k": 3}})

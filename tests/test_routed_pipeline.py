@@ -1956,6 +1956,34 @@ class TestTextFuzzyRouting:
                         routed=False)
         assert set(got) == {1}
 
+    def test_unroutable_sibling_skips_vocab_job(self, spark, tmp_path,
+                                                monkeypatch):
+        # r10 (r9 advice): the fuzzy rewrite dry-runs the parse with
+        # fuzzy stubbed to plain text BEFORE the term-dictionary job —
+        # a spec that declines anyway (here: a transcendental log score
+        # function, interpreter-only) must not pay the vocabulary scan
+        # and then have the interpreter redo everything
+        from duckdb_mongo_spark.frame import MongoFrame
+
+        be = self._be(tmp_path)
+
+        def boom(*a, **k):
+            raise AssertionError("vocabulary job ran for an unroutable spec")
+
+        monkeypatch.setattr(MongoFrame, "_with_oracle_tokens", boom)
+        got = self._run(spark, be, {"compound": {"should": [
+            {"text": {"query": "sparc", "path": "t",
+                      "fuzzy": {"maxEdits": 1}}},
+            {"text": {"query": "duck", "path": "t",
+                      "score": {"function": {"log": {"constant": 100}}}}},
+        ]}}, routed=False)
+        assert set(got) == {1, 3}
+        # control: the same spec without the log clause DOES run the job
+        monkeypatch.undo()
+        got = self._run(spark, be, {"text": {
+            "query": "sparc", "path": "t", "fuzzy": {"maxEdits": 1}}})
+        assert set(got) == {1}
+
     def test_multibyte_corpus_fuzzy_routes(self, spark, tmp_path):
         import pyarrow as pa
         import pyarrow.parquet as pq

@@ -295,6 +295,37 @@ class TestAnnRouting:
         VI.drop_vector_index_sidecars()
         assert not os.path.isdir(v1_dir) and not os.path.isdir(v2_dir)
 
+    def test_commit_gc_bounds_version_dirs(self, spark, tmp_path):
+        # r10 (r9 advice): repeated rebuilds of one fingerprint no longer
+        # leak every prior v-* dir. The commit GC keeps the new version
+        # plus the one it superseded (a lazy Spark reader may still scan
+        # it by path) and reclaims anything older — bound <= 2.
+        be, q = _write_clustered(tmp_path, n=400)
+        orig_load = VI._load_sidecar
+        VI._load_sidecar = lambda *a, **k: None  # force fresh builds
+        try:
+            for _ in range(4):
+                VI.clear_vector_index_cache()
+                mf = mongo_scan(spark, be, "main", "vecs",
+                                pipeline=_pipe(q, nc=100))
+                mf.df().collect()
+        finally:
+            VI._load_sidecar = orig_load
+        idx = VI.cached_index(be, "main", "vecs", "emb", 32, "cos")
+        sdir = os.path.dirname(idx.sidecar)
+        vdirs = [n for n in os.listdir(sdir) if n.startswith("v-")]
+        assert len(vdirs) == 2  # committed + its immediate predecessor
+        assert os.path.basename(idx.sidecar) in vdirs
+        # CURRENT resolves to the committed survivor and reloads cleanly
+        assert VI._current_version_dir(sdir) == idx.sidecar
+        VI.clear_vector_index_cache()
+        l0 = VI.load_count
+        mf = mongo_scan(spark, be, "main", "vecs",
+                        pipeline=_pipe(q, nc=100))
+        mf.df().collect()
+        assert VI.load_count == l0 + 1
+        VI.drop_vector_index_sidecars()
+
     def test_euclidean_uses_l2_family(self, spark, tmp_path):
         be, q = _write_clustered(tmp_path)
         mf = mongo_scan(spark, be, "main", "vecs",

@@ -568,7 +568,12 @@ class MongoFrame:
             if routed is None:
                 body = dict(spec)
                 body.pop("index", None)
-                body.pop("highlight", None)
+                if "highlight" in body:
+                    # r10: highlight renders passage arrays into the
+                    # searchHighlights meta — interpreter-only; routing
+                    # would silently yield null for a $meta the oracle
+                    # populates
+                    return None
                 if len(body) == 1 and "queryString" in body:
                     # translate first: a queryString can reduce to a
                     # bare phrase, which routes through the chain below
@@ -1750,7 +1755,8 @@ class MongoFrame:
         need the interpreter."""
         body = dict(spec)
         body.pop("index", None)
-        body.pop("highlight", None)
+        if "highlight" in body:
+            return None  # r10: searchHighlights meta is interpreter-only
         body.pop("tracking", None)    # telemetry no-op, like the oracle
         body.pop("concurrent", None)  # parallelism hint, always on here
         count_spec = body.pop("count", None)

@@ -1075,14 +1075,282 @@ def _sort_key_fn(docs, sort_spec):
     return cmp_to_key(compare)
 
 
+# ---------------------------------------------------------------------------
+# highlight (r10) — the engine's pinned passage semantics.
+#
+# Atlas renders ``searchHighlights`` from Lucene's UnifiedHighlighter,
+# whose passages depend on index options with no local stand-in. This
+# engine pins a deterministic passage model derived from its OWN
+# analyzer contract (``_analyze``), documented here so routed/oracle
+# parity is by construction:
+#
+# - ``highlight: {path, maxCharsToExamine (default 500000),
+#   maxNumPassages (default 5)}``; unknown options raise.
+# - hit terms come from the analyzed-text operators of the query that
+#   reference the highlighted path: ``text`` (terms; ``fuzzy`` marks
+#   every token within the clause's edit budget), ``phrase`` (only
+#   tokens participating in a matched occurrence), ``autocomplete``
+#   (every prefix-matching token), and the keyword operators
+#   ``wildcard``/``regex`` (a matching value is ONE whole-value hit).
+#   ``compound`` contributes its must/should/filter clauses — never
+#   mustNot; ``queryString``/``moreLikeThis`` contribute through their
+#   shared translations. Constant-score condition operators (equals/
+#   range/in/exists/near/geo*) and ``embeddedDocument`` yield no text
+#   hits.
+# - a passage is one SENTENCE of the stored value — maximal spans
+#   ending after a run of ``. ! ? \n`` — containing at least one hit;
+#   its ``texts`` alternate ``{"value", "type": "text"|"hit"}`` chunks
+#   covering the sentence verbatim.
+# - passage score (pinned): ``unique_hit_terms + hit_tokens /
+#   (passage_tokens + 1)`` — monotone in distinct matched terms, ties
+#   broken toward hit-dense passages; passages sort by (score desc,
+#   path order, value index, offset) and the top ``maxNumPassages``
+#   per DOCUMENT return.
+# - only the first ``maxCharsToExamine`` characters across the
+#   document's highlighted values are examined (Atlas's budget knob).
+
+_HL_KEYS = {"path", "maxCharsToExamine", "maxNumPassages"}
+
+
+def _analyze_offsets(text: str) -> list[tuple]:
+    """``(token, start, end)`` triples over the ORIGINAL string: each
+    maximal ``isalnum`` run, lowercased. Equals ``_analyze`` wherever
+    lowercasing maps alphanumerics 1:1 (all of ASCII/Cyrillic/CJK and
+    practically everything else); a full-text lowering that changes
+    character class (Turkish dotted İ → i + combining dot) can split
+    differently in ``_analyze`` — a documented display-layer bound,
+    not a scoring path."""
+    out = []
+    cur = None
+    for i, ch in enumerate(text):
+        if ch.isalnum():
+            if cur is None:
+                cur = i
+        elif cur is not None:
+            out.append((text[cur:i].lower(), cur, i))
+            cur = None
+    if cur is not None:
+        out.append((text[cur:].lower(), cur, len(text)))
+    return out
+
+
+def _sentence_spans(text: str) -> list[tuple]:
+    """Passage segmentation: sentences end after a RUN of ``. ! ? \\n``;
+    spans concatenate back to the whole string."""
+    spans, start, i, n = [], 0, 0, len(text)
+    while i < n:
+        if text[i] in ".!?\n":
+            j = i + 1
+            while j < n and text[j] in ".!?\n":
+                j += 1
+            spans.append((start, j))
+            start = i = j
+        else:
+            i += 1
+    if start < n:
+        spans.append((start, n))
+    return spans
+
+
+def _validate_highlight(hl):
+    if not isinstance(hl, dict) or "path" not in hl \
+            or set(hl) - _HL_KEYS:
+        raise ValueError(f"$search highlight: bad spec {hl!r} "
+                         f"(expected keys from {sorted(_HL_KEYS)})")
+    p = hl["path"]
+    paths = [p] if isinstance(p, str) else list(p) if isinstance(p, list) \
+        else None
+    if not paths or any(not isinstance(x, str) for x in paths):
+        raise ValueError("$search highlight: path must be a string or "
+                         "array of strings")
+    mc = int(hl.get("maxCharsToExamine", 500000))
+    mp = int(hl.get("maxNumPassages", 5))
+    if mc <= 0 or mp <= 0:
+        raise ValueError("$search highlight: maxCharsToExamine and "
+                         "maxNumPassages must be positive")
+    return paths, mc, mp
+
+
+def _new_hl_source() -> dict:
+    return {"terms": set(), "fuzzy": [], "prefixes": [], "phrases": [],
+            "keyword": []}
+
+
+def _collect_highlight_sources(op, spec, out: dict) -> None:
+    """Walk the operator tree accumulating per-path hit sources (see the
+    module-pinned highlight contract above). Malformed specs are left to
+    the scoring pass's own validation — this walker only reads the
+    shapes it understands."""
+    if not isinstance(spec, dict):
+        return
+    if op == "text":
+        terms = (_analyze(spec.get("query"))
+                 if isinstance(spec.get("query"), str)
+                 else [t for q in spec.get("query", [])
+                       for t in _analyze(q)])
+        fz = spec.get("fuzzy")
+        for p in _paths(spec):
+            src = out.setdefault(p, _new_hl_source())
+            if isinstance(fz, dict):
+                me = int(fz.get("maxEdits", 2))
+                pl = int(fz.get("prefixLength", 0))
+                src["fuzzy"].extend((t, me, pl) for t in terms)
+            else:
+                src["terms"].update(terms)
+    elif op == "phrase":
+        qs = (spec["query"] if isinstance(spec.get("query"), list)
+              else [spec.get("query")])
+        slop = int(spec.get("slop", 0))
+        for p in _paths(spec):
+            src = out.setdefault(p, _new_hl_source())
+            src["phrases"].extend((_analyze(q), slop) for q in qs)
+    elif op == "autocomplete":
+        qs = (spec["query"] if isinstance(spec.get("query"), list)
+              else [spec.get("query")])
+        fz = spec.get("fuzzy")
+        me = int(fz.get("maxEdits", 2)) if isinstance(fz, dict) else None
+        pl = int(fz.get("prefixLength", 0)) if isinstance(fz, dict) else 0
+        for p in _paths(spec):
+            src = out.setdefault(p, _new_hl_source())
+            src["prefixes"].extend(
+                (t, me, pl) for q in qs for t in _analyze(q))
+    elif op in ("wildcard", "regex"):
+        qs = (spec["query"] if isinstance(spec.get("query"), list)
+              else [spec.get("query")])
+        pats = (_compile_wildcards(qs) if op == "wildcard"
+                else _compile_lucene_regexes(qs))
+        for p in _paths(spec):
+            out.setdefault(p, _new_hl_source())["keyword"].extend(pats)
+    elif op == "compound":
+        for key in ("must", "should", "filter"):  # mustNot never marks
+            for cl in _clauses(spec, key):
+                if isinstance(cl, dict) and len(cl) == 1:
+                    (sub_op, sub_spec), = cl.items()
+                    _collect_highlight_sources(sub_op, sub_spec, out)
+    elif op == "queryString":
+        if isinstance(spec.get("query"), str) \
+                and isinstance(spec.get("defaultPath"), str):
+            translated = parse_query_string(spec["query"],
+                                            spec["defaultPath"])
+            (top, tspec), = translated.items()
+            _collect_highlight_sources(top, tspec, out)
+    elif op == "moreLikeThis":
+        translated = translate_more_like_this(spec)
+        _collect_highlight_sources("compound", translated["compound"], out)
+    # equals/range/in/exists/near/geoWithin/geoShape/embeddedDocument:
+    # no analyzed-text hits
+
+
+def _phrase_hit_positions(tokens, phrase, slop) -> set:
+    """Token positions participating in ANY matched occurrence — the
+    same greedy scan as ``_phrase_matches``, collecting positions
+    instead of short-circuiting."""
+    hits: set = set()
+    if not phrase:
+        return hits
+    n = len(tokens)
+    for start in range(n):
+        if tokens[start] != phrase[0]:
+            continue
+        pos, budget, seq, ok = start, slop, [start], True
+        for term in phrase[1:]:
+            nxt = None
+            for j in range(pos + 1, min(n, pos + 2 + budget)):
+                if tokens[j] == term:
+                    nxt = j
+                    break
+            if nxt is None:
+                ok = False
+                break
+            budget -= nxt - pos - 1
+            pos = nxt
+            seq.append(nxt)
+        if ok:
+            hits.update(seq)
+    return hits
+
+
+def _token_hit(tok: str, src: dict) -> bool:
+    if tok in src["terms"]:
+        return True
+    for q, me, pl in src["fuzzy"]:
+        if _within_edits(q, tok, me, pl):
+            return True
+    for q, me, pl in src["prefixes"]:
+        if me is None:
+            if tok.startswith(q):
+                return True
+        elif _fuzzy_prefix_match(q, tok, me, pl):
+            return True
+    return False
+
+
+def _doc_highlights(d, paths, max_chars, max_passages, sources):
+    """The ``searchHighlights`` array for one matched document — see the
+    module-pinned highlight contract."""
+    passages = []  # (score, path_i, val_i, start, texts, path)
+    budget = max_chars
+    for pi, path in enumerate(paths):
+        src = sources.get(path)
+        if src is None:
+            continue  # no query clause touches this path: no highlights
+        v = get_path(d, path)
+        if v is MISSING:
+            continue
+        for vi, val in enumerate(v if isinstance(v, list) else [v]):
+            if not isinstance(val, str) or budget <= 0:
+                continue
+            text = val[:budget]
+            budget -= len(text)
+            if src["keyword"] and any(p.fullmatch(val)
+                                      for p in src["keyword"]):
+                # keyword operators match the WHOLE raw value as one
+                # token — the value is a single hit passage (subsumes
+                # any term passages of the same value)
+                passages.append((1.0, pi, vi, 0,
+                                 [{"value": text, "type": "hit"}], path))
+                continue
+            toks = _analyze_offsets(text)
+            tok_strs = [t[0] for t in toks]
+            hit = {k for k, (tok, _s, _e) in enumerate(toks)
+                   if _token_hit(tok, src)}
+            for phrase, slop in src["phrases"]:
+                hit |= _phrase_hit_positions(tok_strs, phrase, slop)
+            if not hit:
+                continue
+            for s, e in _sentence_spans(text):
+                span = [k for k in range(len(toks)) if s <= toks[k][1] < e]
+                hits_here = [k for k in span if k in hit]
+                if not hits_here:
+                    continue
+                texts, cur = [], s
+                for k in hits_here:
+                    ts, te = toks[k][1], toks[k][2]
+                    if ts > cur:
+                        texts.append({"value": text[cur:ts],
+                                      "type": "text"})
+                    texts.append({"value": text[ts:te], "type": "hit"})
+                    cur = te
+                if cur < e:
+                    texts.append({"value": text[cur:e], "type": "text"})
+                uniq = len({tok_strs[k] for k in hits_here})
+                score = uniq + len(hits_here) / (len(span) + 1.0)
+                passages.append((score, pi, vi, s, texts, path))
+    passages.sort(key=lambda t: (-t[0], t[1], t[2], t[3]))
+    return [{"score": sc, "path": p, "texts": tx}
+            for sc, _pi, _vi, _st, tx, p in passages[:max_passages]]
+
+
 def search_stage(docs, spec, meta_key: str) -> list[dict]:
     """Execute ``$search`` over materialized ``docs``; returns new doc
     dicts in descending-score order (or the ``sort`` option's field
-    order — r9) with the score in ``meta_key``."""
+    order — r9) with the score in ``meta_key``. The ``highlight``
+    option (r10) renders passage arrays into the ``searchHighlights``
+    meta of every returned document, per the module-pinned contract."""
     docs = [d for d in docs]
     spec = dict(spec)
     spec.pop("index", None)
-    spec.pop("highlight", None)   # accepted, not rendered
+    hl = spec.pop("highlight", None)
     spec.pop("tracking", None)    # search-terms telemetry: no-op here
     spec.pop("concurrent", None)  # parallelism hint: always parallel
     count_spec = spec.pop("count", None)
@@ -1096,6 +1364,12 @@ def search_stage(docs, spec, meta_key: str) -> list[dict]:
         raise ValueError(
             f"$search expects exactly one operator, got {sorted(spec)}")
     (op, opspec), = spec.items()
+    hl_parsed = None
+    if hl is not None:
+        paths, mc, mp = _validate_highlight(hl)  # raises on bad specs
+        sources: dict = {}
+        _collect_highlight_sources(op, opspec, sources)
+        hl_parsed = (paths, mc, mp, sources)
     corpus_cache = {}
     scored = []
     for i in range(len(docs)):
@@ -1115,6 +1389,8 @@ def search_stage(docs, spec, meta_key: str) -> list[dict]:
         nd = dict(docs[i])
         meta = dict(nd.get(meta_key) or {})
         meta["searchScore"] = s
+        if hl_parsed is not None:
+            meta["searchHighlights"] = _doc_highlights(docs[i], *hl_parsed)
         if count_spec is not None:
             meta["searchScoreDetails"] = None
             meta["count"] = {"lowerBound" if count_spec.get("type") == "lowerBound"

@@ -579,6 +579,133 @@ class TestAuxiliaryOptions:
                  "scoreDetails": True})
 
 
+class TestHighlight:
+    """r10 (r9 verdict #1): ``highlight`` renders passage arrays into
+    the ``searchHighlights`` meta per the engine's pinned contract
+    (sentence passages, analyzer token offsets, score =
+    unique_hit_terms + hit_tokens/(passage_tokens+1)) — the option was
+    previously accepted and silently dropped."""
+
+    HDOCS = [
+        {"_id": 1, "t": "Spark is fast. Spark streaming works."},
+        {"_id": 2, "t": "duckdb is a database"},
+    ]
+
+    def _hl(self, spec, docs=None, hl=None):
+        spec = dict(spec)
+        spec["highlight"] = hl or {"path": "t"}
+        out = run(spec, docs=docs or self.HDOCS,
+                  extra=[{"$project": {
+                      "_id": 1, "h": {"$meta": "searchHighlights"}}}])
+        return {d["_id"]: d["h"] for d in out}
+
+    def test_text_passages_hand_built(self):
+        h = self._hl({"text": {"query": "spark", "path": "t"}})
+        assert set(h) == {1}
+        p = h[1]
+        assert len(p) == 2  # both sentences contain a hit
+        # equal scores (1 unique term, 1 hit, 3 tokens): 1 + 1/4
+        assert p[0]["score"] == pytest.approx(1.25)
+        assert p[1]["score"] == pytest.approx(1.25)
+        assert p[0]["path"] == "t"
+        # tie broken by offset: the first sentence leads
+        assert p[0]["texts"] == [
+            {"value": "Spark", "type": "hit"},
+            {"value": " is fast.", "type": "text"}]
+        assert p[1]["texts"] == [
+            {"value": " ", "type": "text"},
+            {"value": "Spark", "type": "hit"},
+            {"value": " streaming works.", "type": "text"}]
+        # chunks concatenate back to the stored value verbatim
+        whole = "".join(c["value"] for ps in p for c in ps["texts"])
+        assert whole == self.HDOCS[0]["t"]
+
+    def test_two_term_passage_outranks(self):
+        h = self._hl({"text": {"query": "spark streaming", "path": "t"}})
+        p = h[1]
+        # sentence 2: 2 unique terms, 2 hits, 3 tokens -> 2.5; first
+        assert p[0]["score"] == pytest.approx(2.5)
+        assert [c["value"] for c in p[0]["texts"]
+                if c["type"] == "hit"] == ["Spark", "streaming"]
+        assert p[1]["score"] == pytest.approx(1.25)
+
+    def test_max_num_passages_caps(self):
+        h = self._hl({"text": {"query": "spark", "path": "t"}},
+                     hl={"path": "t", "maxNumPassages": 1})
+        assert len(h[1]) == 1
+        assert h[1][0]["texts"][0]["value"] == "Spark"
+
+    def test_max_chars_to_examine(self):
+        # budget covers only the first sentence; the second is unseen
+        h = self._hl({"text": {"query": "spark", "path": "t"}},
+                     hl={"path": "t", "maxCharsToExamine": 14})
+        assert len(h[1]) == 1
+        assert h[1][0]["texts"][0]["value"] == "Spark"
+
+    def test_phrase_marks_only_matched_occurrences(self):
+        docs = [{"_id": 1, "t": "fast spark. slow boat. fast ship"}]
+        h = self._hl({"phrase": {"query": "fast spark", "path": "t"}},
+                     docs=docs)
+        # "fast" at position 0 participates in the occurrence; the
+        # stray "fast ship" tokens do not match the phrase -> only the
+        # first sentence is a passage
+        assert len(h[1]) == 1
+        assert [c["value"] for c in h[1][0]["texts"]
+                if c["type"] == "hit"] == ["fast", "spark"]
+
+    def test_fuzzy_text_marks_edit_neighbors(self):
+        h = self._hl({"text": {"query": "sparc", "path": "t",
+                               "fuzzy": {"maxEdits": 1}}})
+        assert set(h) == {1}
+        assert h[1][0]["texts"][0] == {"value": "Spark", "type": "hit"}
+
+    def test_autocomplete_prefix_hits(self):
+        docs = [{"_id": 1, "t": "sparkling water"}]
+        h = self._hl({"autocomplete": {"query": "spark", "path": "t"}},
+                     docs=docs)
+        assert h[1][0]["texts"][0] == {"value": "sparkling", "type": "hit"}
+
+    def test_wildcard_whole_value_hit(self):
+        docs = [{"_id": 1, "sku": "spark-01"}, {"_id": 2, "sku": "x"}]
+        h = self._hl({"wildcard": {"query": "spark-*", "path": "sku"}},
+                     docs=docs, hl={"path": "sku"})
+        assert h[1] == [{"score": 1.0, "path": "sku",
+                         "texts": [{"value": "spark-01", "type": "hit"}]}]
+
+    def test_compound_filter_marks_mustnot_never(self):
+        docs = [{"_id": 1, "t": "spark is fast"}]
+        h = self._hl({"compound": {
+            "must": [{"text": {"query": "spark", "path": "t"}}],
+            "filter": [{"text": {"query": "fast", "path": "t"}}],
+            "mustNot": [{"text": {"query": "duck", "path": "t"}}]}},
+            docs=docs)
+        hits = [c["value"] for c in h[1][0]["texts"] if c["type"] == "hit"]
+        assert hits == ["spark", "fast"]
+
+    def test_untouched_path_and_array_values(self):
+        docs = [{"_id": 1, "t": "spark here", "u": ["no spark", "none"]}]
+        # highlight path not referenced by any clause -> empty array
+        h = self._hl({"text": {"query": "spark", "path": "t"}},
+                     docs=docs, hl={"path": "u"})
+        assert h[1] == []
+        # array-of-string path: per-element passages
+        h = self._hl({"text": {"query": "spark", "path": "u"}},
+                     docs=docs, hl={"path": ["t", "u"]})
+        assert [p["path"] for p in h[1]] == ["u"]
+        assert h[1][0]["texts"] == [
+            {"value": "no ", "type": "text"},
+            {"value": "spark", "type": "hit"}]
+
+    def test_bad_highlight_specs_raise(self):
+        for bad in ({"maxNumPassages": 3},              # path required
+                    {"path": 7},
+                    {"path": "t", "nope": 1},
+                    {"path": "t", "maxNumPassages": 0}):
+            with pytest.raises(ValueError, match="highlight"):
+                run({"text": {"query": "spark", "path": "t"},
+                     "highlight": bad}, docs=self.HDOCS)
+
+
 class TestStageWiring:
     def test_search_meta_count(self):
         out = run_pipeline(DOCS, [

@@ -2000,6 +2000,36 @@ class TestTextFuzzyRouting:
                                   "fuzzy": {"maxEdits": 1}}})
         assert set(got) == {1}  # 1 edit from "привет"
 
+    def test_highlight_declines_routing_and_renders(self, spark, tmp_path):
+        # r10: highlight renders searchHighlights meta — interpreter-only
+        # (a routed run would yield null for the $meta). Decline + parity.
+        be = self._be(tmp_path)
+        pipe = [{"$search": {"text": {"query": "spark", "path": "t"},
+                             "highlight": {"path": "t"}}},
+                {"$limit": 5},
+                {"$project": {"_id": 1,
+                              "h": {"$meta": "searchHighlights"}}}]
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        rows = mf.df().collect()
+        assert not mf.last_exec_path.startswith("routed")
+        def _norm(v):
+            if hasattr(v, "asDict"):
+                v = v.asDict(recursive=True)
+            if isinstance(v, list):
+                return [_norm(x) for x in v]
+            if isinstance(v, dict):
+                return {k: _norm(x) for k, x in v.items()}
+            return v
+
+        exp = {d["_id"]: _norm(d["h"])
+               for d in _interpreter_rows(be, "main", "posts", pipe)}
+        got = {r["_id"]: _norm(r["h"]) for r in rows}
+        assert set(got) == set(exp) == {1}
+        assert got == exp
+        hits = [c["value"] for p in got[1] for c in p["texts"]
+                if c["type"] == "hit"]
+        assert hits == ["spark"]
+
     def test_synonyms_raise_loudly(self, spark, tmp_path):
         import pyarrow as pa
         import pyarrow.parquet as pq

@@ -1202,6 +1202,549 @@ class MongoFrame:
             return col.isin(v), mod
         return None
 
+    def _parse_geo_clause(self, cl, fm):
+        """Validate a ``geoWithin``/``geoShape`` clause for routing
+        (r10, r9 verdict #4). Returns the match-column payload
+        ``(colspecs, spec, op, mod)`` — the kernel rides the same
+        Arrow pass as phrase/wildcard, running the ORACLE'S OWN
+        geometry evaluators (``mql/search._eval_geo_within`` /
+        ``_eval_geo_shape``) over point values rebuilt from the
+        flattened columns, so matching is parity-by-construction
+        (same CPython haversine/ray-cast, same libm). Returns None
+        outside the subset (malformed specs decline so the
+        interpreter raises its loud validation errors; paths must
+        resolve to a legacy numeric-pair column or a GeoJSON
+        coordinates+type column pair)."""
+        from duckdb_mongo_spark.mql.match import parse_point
+        from duckdb_mongo_spark.schema.types import is_list
+
+        (op, opspec), = cl.items()
+        if not isinstance(opspec, dict):
+            return None
+        mod = self._parse_score_mod(opspec, fm)
+        if mod == "unsupported":
+            return None
+        if op == "geoWithin":
+            if set(opspec) - {"path", "circle", "box", "geometry", "score"}:
+                return None
+            shapes = [k for k in ("circle", "box", "geometry")
+                      if k in opspec]
+            if len(shapes) != 1:
+                return None
+            if shapes[0] == "circle":
+                c = opspec["circle"]
+                if not isinstance(c, dict) \
+                        or set(c) != {"center", "radius"} \
+                        or parse_point(c.get("center")) is None \
+                        or isinstance(c["radius"], bool) \
+                        or not isinstance(c["radius"], (int, float)):
+                    return None
+            elif shapes[0] == "box":
+                b = opspec["box"]
+                if not isinstance(b, dict) \
+                        or set(b) != {"bottomLeft", "topRight"} \
+                        or parse_point(b.get("bottomLeft")) is None \
+                        or parse_point(b.get("topRight")) is None:
+                    return None
+            else:
+                g = opspec["geometry"]
+                if not isinstance(g, dict) \
+                        or g.get("type") not in ("Polygon", "MultiPolygon"):
+                    return None
+        else:  # geoShape
+            if set(opspec) - {"path", "relation", "geometry", "score"}:
+                return None
+            rel = opspec.get("relation")
+            g = opspec.get("geometry")
+            if rel not in ("contains", "disjoint", "intersects", "within") \
+                    or not isinstance(g, dict):
+                return None
+            if g.get("type") == "Point":
+                if parse_point(g) is None:
+                    return None
+            elif g.get("type") in ("Polygon", "MultiPolygon"):
+                if rel == "contains":
+                    return None  # stored-shape algebra: oracle raises
+            else:
+                return None
+        p = opspec.get("path")
+        paths = ([p] if isinstance(p, str)
+                 else list(p) if isinstance(p, list) else None)
+        if not paths or any(not isinstance(x, str) for x in paths):
+            return None
+
+        def point_list(t):
+            # legacy pair, or an array of pairs (each its own point)
+            return is_list(t) and (
+                t[1] in ("DOUBLE", "BIGINT")
+                or (is_list(t[1]) and t[1][1] in ("DOUBLE", "BIGINT")))
+
+        colspecs = []
+        for p_ in paths:
+            legacy = fm.get(p_)
+            gjc, gjt = fm.get(p_ + ".coordinates"), fm.get(p_ + ".type")
+            if legacy is not None and point_list(legacy.type):
+                colspecs.append(("legacy", p_, legacy.name))
+            elif gjc is not None and is_list(gjc.type) \
+                    and gjc.type[1] in ("DOUBLE", "BIGINT") \
+                    and gjt is not None and gjt.type == "VARCHAR":
+                colspecs.append(("gj", p_, gjc.name, gjt.name))
+            else:
+                return None
+        spec_clean = {k: v for k, v in opspec.items() if k != "score"}
+        return (colspecs, spec_clean, op, mod)
+
+    def _parse_embedded_clause(self, espec, fm):
+        """Validate an ``embeddedDocument`` clause for routing (r10,
+        r9 verdict #2). Returns a parsed payload or None (interpreter:
+        bounded-or-loud, and it raises the loud validation errors).
+
+        Routable subset: ``path`` resolves to a LIST<STRUCT> schema
+        field; the inner operator is ``text`` (no fuzzy — that needs
+        the element vocabulary), a condition operator (equals/range/
+        in/exists over element scalar fields), or a ``compound`` of
+        those (nested compounds included); ``score.embedded`` with the
+        four aggregate strategies and any outerScore the parent frame
+        can compile. Inner text score mods are value boosts/constants
+        only (an element-path boost resolves against the WRAPPED
+        element — interpreter semantics, declined here)."""
+        from duckdb_mongo_spark.mql.search import _analyze
+        from duckdb_mongo_spark.schema.types import is_list, is_struct
+
+        if not isinstance(espec, dict) or set(espec) - {
+                "path", "operator", "score"}:
+            return None
+        path, inner = espec.get("path"), espec.get("operator")
+        if not isinstance(path, str) or not isinstance(inner, dict) \
+                or len(inner) != 1:
+            return None
+        fs = fm.get(path)
+        if fs is None or not is_list(fs.type) or not is_struct(fs.type[1]):
+            return None
+        agg, outer_mod = "sum", None
+        mod = espec.get("score")
+        if mod is not None:
+            if not (isinstance(mod, dict) and set(mod) == {"embedded"}
+                    and isinstance(mod["embedded"], dict)
+                    and set(mod["embedded"]) <= {"aggregate", "outerScore"}):
+                return None
+            agg = mod["embedded"].get("aggregate", "sum")
+            if agg not in ("sum", "maximum", "minimum", "mean"):
+                return None
+            outer = mod["embedded"].get("outerScore")
+            if outer is not None:
+                outer_mod = self._parse_score_mod({"score": outer}, fm)
+                if outer_mod == "unsupported":
+                    return None
+
+        def subfield(p):
+            """Fully-qualified inner path -> (dotted sub, type)."""
+            if not (isinstance(p, str) and p.startswith(path + ".")):
+                return None
+            t = fs.type[1]
+            segs = p[len(path) + 1:].split(".")
+            for seg in segs:
+                if not is_struct(t):
+                    return None
+                d = dict(t[1])
+                if seg not in d:
+                    return None
+                t = d[seg]
+            return ".".join(segs), t
+
+        def el_text(ospec):
+            if not isinstance(ospec, dict) or "query" not in ospec \
+                    or "path" not in ospec \
+                    or set(ospec) - {"query", "path", "score"}:
+                return None
+            emod = self._parse_score_mod(ospec)  # value boosts only
+            if emod == "unsupported":
+                return None
+            q = ospec["query"]
+            qs = ([q] if isinstance(q, str)
+                  else list(q) if isinstance(q, list) else None)
+            if not qs or any(not isinstance(s, str) for s in qs):
+                return None
+            terms = [t for s in qs for t in _analyze(s)]
+            if not terms:
+                return None
+            ps = ospec["path"]
+            ps = ([ps] if isinstance(ps, str)
+                  else list(ps) if isinstance(ps, list) else None)
+            if not ps:
+                return None
+            esubs = []
+            for p in ps:
+                st = subfield(p)
+                if st is None:
+                    return None
+                sub, t = st
+                if t != "VARCHAR" and not (is_list(t) and t[1] == "VARCHAR"):
+                    return None
+                esubs.append((sub, t))
+            return (esubs, terms, emod)
+
+        dense = getattr(self.backend, "dense_documents", False)
+
+        def el_cond(cl):
+            """(builder(el) -> Column, mod) with the oracle's matching
+            semantics over element fields — the element twin of
+            ``_search_filter_cond``."""
+            (cop, cspec), = cl.items()
+            if not isinstance(cspec, dict) \
+                    or not isinstance(cspec.get("path"), str):
+                return None
+            cmod = self._parse_score_mod(cspec)  # value mods only
+            if cmod == "unsupported":
+                return None
+            st = subfield(cspec["path"])
+            if st is None:
+                return None
+            sub, t = st
+
+            def field_of(el):
+                c = el
+                for seg in sub.split("."):
+                    c = c.getField(seg)
+                return c
+
+            if cop == "exists":
+                if set(cspec) - {"path", "score"}:
+                    return None
+                # dense backends: element struct fields are present-
+                # with-null in the oracle's element docs, so exists is
+                # True for every element; sparse backends are ambiguous
+                # (see _search_filter_cond) — decline
+                if not dense:
+                    return None
+                return (lambda el: F.lit(True)), cmod
+            if is_list(t) or not isinstance(t, str):
+                return None
+            numeric = t in ("DOUBLE", "BIGINT", "INTEGER", "INT",
+                            "FLOAT", "SMALLINT", "TINYINT", "HUGEINT")
+
+            def lit_ok(v):
+                if isinstance(v, bool):
+                    return t == "BOOLEAN"
+                if isinstance(v, (int, float)):
+                    return numeric
+                if isinstance(v, str):
+                    return t == "VARCHAR"
+                return False
+
+            if cop == "equals":
+                if set(cspec) - {"path", "value", "score"} \
+                        or not lit_ok(cspec.get("value")):
+                    return None
+                v = cspec["value"]
+                return (lambda el: field_of(el) == F.lit(v)), cmod
+            if cop == "range":
+                if set(cspec) - {"path", "gt", "gte", "lt", "lte", "score"}:
+                    return None
+                bounds = {b: cspec[b] for b in ("gt", "gte", "lt", "lte")
+                          if b in cspec}
+                if not bounds or not all(
+                        lit_ok(v) and not isinstance(v, bool)
+                        for v in bounds.values()):
+                    return None
+
+                def rng(el, bounds=bounds):
+                    c = field_of(el)
+                    cond = None
+                    for b, v in bounds.items():
+                        x = {"gt": c > F.lit(v), "gte": c >= F.lit(v),
+                             "lt": c < F.lit(v), "lte": c <= F.lit(v)}[b]
+                        cond = x if cond is None else (cond & x)
+                    return cond
+                return rng, cmod
+            if cop == "in":
+                if set(cspec) - {"path", "value", "score"}:
+                    return None
+                v = cspec.get("value")
+                if not isinstance(v, list) or not v \
+                        or not all(lit_ok(x) for x in v):
+                    return None
+                return (lambda el, v=v: field_of(el).isin(v)), cmod
+            return None
+
+        def walk(iop, ispec):
+            """Element-level parse mirroring ``_parse_search_clauses``:
+            (must, should, filters, mustnot, msm, has_must, has_filter,
+            has_should) with clause kinds etext/econd/ecompound."""
+            if iop == "text":
+                tc = el_text(ispec)
+                return None if tc is None else (
+                    [("etext", tc)], [], [], [], 0, True, False, False)
+            if iop in ("equals", "range", "in", "exists"):
+                c = el_cond({iop: ispec})
+                return None if c is None else (
+                    [("econd", c)], [], [], [], 0, True, False, False)
+            if iop != "compound" or not isinstance(ispec, dict):
+                return None
+            if set(ispec) - {"must", "should", "mustNot", "filter",
+                             "minimumShouldMatch"}:
+                return None
+
+            def one(cl):
+                if not (isinstance(cl, dict) and len(cl) == 1):
+                    return None
+                (o, s), = cl.items()
+                if o == "text":
+                    tc = el_text(s)
+                    return None if tc is None else ("etext", tc)
+                if o in ("equals", "range", "in", "exists"):
+                    c = el_cond(cl)
+                    return None if c is None else ("econd", c)
+                if o == "compound":
+                    sub = walk("compound", s)
+                    return None if sub is None else ("ecompound", sub)
+                return None
+
+            def as_list(v):
+                return [] if v is None else (
+                    [v] if isinstance(v, dict) else list(v))
+
+            must, should, filters, mustnot = [], [], [], []
+            for cl in as_list(ispec.get("must")):
+                sc = one(cl)
+                if sc is None:
+                    return None
+                must.append(sc)
+            for cl in as_list(ispec.get("should")):
+                sc = one(cl)
+                if sc is None:
+                    return None
+                should.append(sc)
+            for cl in as_list(ispec.get("filter")):
+                sc = one(cl)
+                if sc is None:
+                    return None
+                filters.append(sc)
+            for cl in as_list(ispec.get("mustNot")):
+                sc = one(cl)
+                if sc is None:
+                    return None
+                mustnot.append(sc)
+            return (must, should, filters, mustnot,
+                    int(ispec.get("minimumShouldMatch", 0)),
+                    bool(ispec.get("must")), bool(ispec.get("filter")),
+                    bool(should))
+
+        (iop, ispec), = inner.items()
+        tree = walk(iop, ispec)
+        if tree is None:
+            return None
+        return {"fs": fs, "path": path, "tree": tree, "agg": agg,
+                "outer": outer_mod}
+
+    @staticmethod
+    def _iter_etext_clauses(tree):
+        must, should, filters, mustnot, *_ = tree
+        for kind, payload in must + should + filters + list(mustnot):
+            if kind == "etext":
+                yield payload
+            elif kind == "ecompound":
+                yield from MongoFrame._iter_etext_clauses(payload)
+
+    def _iter_embdoc_clauses(self, parsed):
+        for kind, payload in self._iter_all_clauses(parsed):
+            if kind == "embdoc":
+                yield payload
+
+    def _prepare_embedded_cols(self, pe, bdf):
+        """Compile one parsed ``embeddedDocument`` clause to
+        ``(score, match)`` PARENT-frame Columns (r10).
+
+        Spark-first shape: pass 1 is ONE aggregate over the exploded
+        element corpus (bounded driver row: element count, per-path
+        token totals, per-(path, term) document frequencies — exactly
+        the nested-index statistics the oracle's ``_Corpus`` computes
+        over embedded docs, reference src/schema/
+        mongo_schema_inference_internal.hpp:41-42 nests no further);
+        pass 2 is a pure higher-order-function expression over the
+        array column — per-element BM25/conditions inside
+        ``F.transform``, matched scores aggregated in element order
+        (``F.aggregate`` left fold == the oracle's ``sum``) — so
+        scoring adds NO shuffle, NO explode and NO join to the parent
+        plan. Multibyte element text declines to the interpreter (same
+        analyzer-parity stance as the parent text path). Returns None
+        to decline."""
+        import math as _math
+
+        from duckdb_mongo_spark.mql.search import _B, _K1
+        from duckdb_mongo_spark.schema.types import is_list
+
+        fs, tree = pe["fs"], pe["tree"]
+        etexts = list(self._iter_etext_clauses(tree))
+
+        def el_tokens(el, sub, t):
+            c = el
+            for seg in sub.split("."):
+                c = c.getField(seg)
+            if is_list(t):
+                return F.flatten(F.transform(
+                    F.coalesce(c, F.array()),
+                    lambda s: F.filter(
+                        F.split(F.lower(F.coalesce(s, F.lit(""))),
+                                "[^0-9a-z]+"),
+                        lambda x: x != "")))
+            return F.filter(
+                F.split(F.lower(F.coalesce(c, F.lit(""))), "[^0-9a-z]+"),
+                lambda x: x != "")
+
+        idf, avg_len = {}, {}
+        if etexts:
+            # distinct text subpaths + (subpath, term) df pairs
+            subs, seen = [], set()
+            pairs, seen_p = [], set()
+            for esubs, terms, _m in etexts:
+                for sub, t in esubs:
+                    if sub not in seen:
+                        seen.add(sub)
+                        subs.append((sub, t))
+                    for term in dict.fromkeys(terms):
+                        if (sub, term) not in seen_p:
+                            seen_p.add((sub, term))
+                            pairs.append((sub, t, term))
+            elems = F.filter(F.coalesce(F.col(fs.name), F.array()),
+                             lambda e: e.isNotNull())
+            el_df = bdf.select(F.explode(elems).alias("__el"))
+            el = F.col("__el")
+            aggs = [F.count(F.lit(1)).alias("__n")]
+            for j, (sub, t) in enumerate(subs):
+                tc = el_tokens(el, sub, t)
+                aggs.append(F.sum(F.size(tc)).alias(f"__len_{j}"))
+                # multibyte detector over the raw element text
+                c = el
+                for seg in sub.split("."):
+                    c = c.getField(seg)
+                raw = (F.coalesce(F.array_join(c, ""), F.lit(""))
+                       if is_list(t) else F.coalesce(c, F.lit("")))
+                aggs.append(F.max(
+                    F.when(F.octet_length(raw) != F.length(raw), 1)
+                    .otherwise(0)).alias(f"__mb_{j}"))
+            for j, (sub, t, term) in enumerate(pairs):
+                tc = el_tokens(el, sub, t)
+                aggs.append(F.sum(
+                    F.when(F.array_contains(tc, term), 1).otherwise(0)
+                ).alias(f"__df_{j}"))
+            stats = el_df.agg(*aggs).collect()[0].asDict()
+            if any(stats.get(f"__mb_{j}") for j in range(len(subs))):
+                return None  # multibyte element corpus: interpreter
+            n_el = stats["__n"] or 0
+            for j, (sub, _t) in enumerate(subs):
+                avg_len[sub] = ((stats.get(f"__len_{j}") or 0) / n_el
+                                if n_el else 0.0)
+            for j, (sub, _t, term) in enumerate(pairs):
+                dfreq = stats.get(f"__df_{j}") or 0
+                idf[(sub, term)] = _math.log(
+                    1.0 + (n_el - dfreq + 0.5) / (dfreq + 0.5))
+
+        def apply_emod(score, mod):
+            if mod is None:
+                return score
+            kind, v = mod
+            if kind == "boost":
+                return score * F.lit(v)
+            if kind == "boost_col":
+                return score * v
+            if kind == "func":
+                fx = v(score)
+                return F.when(fx > 0.0, fx).otherwise(F.lit(0.0))
+            return F.lit(v)
+
+        def etext_score(el, esubs, terms):
+            # the oracle's fold order: per path, per term (dups kept)
+            cs = F.lit(0.0)
+            for sub, t in esubs:
+                tc = el_tokens(el, sub, t)
+                dl = F.size(tc).cast("double")
+                avg = avg_len.get(sub, 0.0)
+                if avg:
+                    norm = F.lit(_K1) * (F.lit(1.0 - _B)
+                                         + F.lit(_B) * dl / F.lit(avg))
+                else:
+                    norm = F.lit(_K1 * (1.0 - _B))
+                pscore = F.lit(0.0)
+                for term in terms:
+                    # unary lambda (a 2nd param would bind the element
+                    # INDEX); `term` captured at call time per iteration
+                    tf = F.size(F.filter(tc, lambda x: x == term)) \
+                        .cast("double")
+                    contrib = F.when(
+                        tf > 0,
+                        F.lit(idf[(sub, term)]) * (tf * F.lit(_K1 + 1.0))
+                        / (tf + norm)).otherwise(F.lit(0.0))
+                    pscore = pscore + contrib
+                cs = cs + pscore
+            return cs
+
+        def build_el(tree, el):
+            """(score, match) per element — ``_eval_compound`` order."""
+            (must, should, filters, mustnot, msm,
+             has_must, has_filter, _has_should) = tree
+
+            def hs(kind, payload):
+                if kind == "etext":
+                    esubs, terms, emod = payload
+                    cs = etext_score(el, esubs, terms)
+                    return cs > 0.0, apply_emod(cs, emod)
+                if kind == "econd":
+                    cb, cmod = payload
+                    return cb(el), apply_emod(F.lit(1.0), cmod)
+                s, m = build_el(payload, el)
+                return m, s
+
+            total, cond = F.lit(0.0), F.lit(True)
+            for kind, payload in must:
+                h, s = hs(kind, payload)
+                cond = cond & h
+                total = total + s
+            if should:
+                matched = F.lit(0)
+                for kind, payload in should:
+                    h, s = hs(kind, payload)
+                    total = total + F.when(h, s).otherwise(F.lit(0.0))
+                    matched = matched + F.when(h, F.lit(1)) \
+                        .otherwise(F.lit(0))
+                need = msm
+                if not has_must and not has_filter:
+                    need = max(1, need)
+                if need > 0:
+                    cond = cond & (matched >= need)
+            for kind, payload in filters:
+                h, _s = hs(kind, payload)
+                cond = cond & h
+            for kind, payload in mustnot:
+                h, _s = hs(kind, payload)
+                cond = cond & F.coalesce(~h, F.lit(True))
+            return total, cond
+
+        elems = F.filter(F.coalesce(F.col(fs.name), F.array()),
+                         lambda e: e.isNotNull())
+
+        def pair_of(el):
+            s, m = build_el(tree, el)
+            return F.struct(s.alias("s"),
+                            F.coalesce(m, F.lit(False)).alias("m"))
+
+        mscores = F.transform(
+            F.filter(F.transform(elems, pair_of), lambda p: p["m"]),
+            lambda p: p["s"])
+        n = F.size(mscores)
+        agg = pe["agg"]
+        if agg == "maximum":
+            base = F.array_max(mscores)
+        elif agg == "minimum":
+            base = F.array_min(mscores)
+        else:
+            base = F.aggregate(mscores, F.lit(0.0), lambda a, x: a + x)
+            if agg == "mean":
+                base = base / n.cast("double")
+        base = apply_emod(base, pe["outer"])
+        match = n > 0
+        return F.when(match, base).otherwise(F.lit(0.0)), match
+
     def _route_geo_near(self, spec, coll_schema):
         """Distributed candidate selection for a stage-1 ``$geoNear``
         followed by ``$limit``: the JVM scan orders every valid location
@@ -1824,6 +2367,9 @@ class MongoFrame:
                 sub = self._parse_search_clauses(
                     {"compound": cl["compound"]}, fm)
                 return None if sub is None else ("compound", sub)
+            if "embeddedDocument" in cl:
+                ec = self._parse_embedded_clause(cl["embeddedDocument"], fm)
+                return None if ec is None else ("embdoc", ec)
             c = self._search_filter_cond(cl, fm)
             return None if c is None else ("cond", c)  # (Column, mod)
 
@@ -1850,6 +2396,12 @@ class MongoFrame:
             if rx is None:
                 return None
             text_must.append(("rx", rx))
+            has_must, has_filter, has_should = True, False, False
+        elif op == "embeddedDocument":
+            ec = self._parse_embedded_clause(opspec, fm)
+            if ec is None:
+                return None
+            text_must.append(("embdoc", ec))
             has_must, has_filter, has_should = True, False, False
         elif op == "compound":
             known = {"must", "should", "mustNot", "filter",
@@ -1897,7 +2449,8 @@ class MongoFrame:
             c = c | F.arrays_overlap(F.col(f"__rt_toks_{fs.name}"), tarr)
         return c
 
-    def _build_compound(self, parsed, clause_score, phrase_cols=None):
+    def _build_compound(self, parsed, clause_score, phrase_cols=None,
+                        embdoc_cols=None):
         """Compile a parsed $search tree (``_parse_search_clauses``,
         nested compounds included) to ``(score, match)`` Columns with
         the oracle's ``_eval_compound`` semantics: must clauses all
@@ -1952,8 +2505,16 @@ class MongoFrame:
                     return cs.isNotNull(), F.lit(0.0)
                 return cs.isNotNull(), apply_mod(
                     F.coalesce(cs, F.lit(0.0)), payload[3])
+            if kind == "embdoc":
+                # score.embedded (aggregate + outerScore) is applied
+                # inside the prepared columns, like the oracle's
+                # _eval_clause skipping the generic score mod
+                s_col, m_col = embdoc_cols[id(payload)]
+                if clause_score is None:
+                    return m_col, F.lit(0.0)
+                return m_col, s_col
             return tuple(reversed(self._build_compound(
-                payload, clause_score, phrase_cols)))
+                payload, clause_score, phrase_cols, embdoc_cols)))
 
         total = F.lit(0.0)
         cond = F.lit(True)
@@ -1983,9 +2544,12 @@ class MongoFrame:
                 cond = cond & ~F.col(phrase_cols[id(payload)])
             elif kind == "near":
                 cond = cond & self._near_score_col(payload).isNull()
+            elif kind == "embdoc":
+                cond = cond & F.coalesce(
+                    ~embdoc_cols[id(payload)][1], F.lit(True))
             else:  # nested compound: pass when the subtree does NOT match
                 _s, sub_cond = self._build_compound(
-                    payload, clause_score, phrase_cols)
+                    payload, clause_score, phrase_cols, embdoc_cols)
                 cond = cond & F.coalesce(~sub_cond, F.lit(True))
         return total, cond
 
@@ -2029,6 +2593,8 @@ class MongoFrame:
         parsed = self._parse_search_clauses(spec, fm)
         if parsed is None:
             return None
+        if any(k == "embdoc" for k, _p in self._iter_all_clauses(parsed)):
+            return None  # meta counts with embedded clauses: interpreter
         all_text = list(self._iter_text_clauses(parsed))
         phrase_clauses = list(self._iter_phrase_clauses(parsed))
         if not all_text and not phrase_clauses:
@@ -2522,10 +3088,12 @@ class MongoFrame:
         # mustNot text clause's pairs are unused but harmless)
         all_text = list(self._iter_text_clauses(parsed))
         phrase_clauses = list(self._iter_phrase_clauses(parsed))
+        embdoc_clauses = list(self._iter_embdoc_clauses(parsed))
         has_near = any(
             k in ("near", "wc", "rx")
             for k, _p in self._iter_all_clauses(parsed))
-        if not all_text and not phrase_clauses and not has_near:
+        if not all_text and not phrase_clauses and not has_near \
+                and not embdoc_clauses:
             # condition-only compound: nothing to score or tokenize —
             # still routable (constant 0.0 scores, ties unspecified)
             if not (cond_filters or mustnot) or count_spec is not None:
@@ -2560,6 +3128,15 @@ class MongoFrame:
         )
         bdf = base.df()
         self._routed_base_path = base.last_exec_path
+        embdoc_cols = {}
+        if embdoc_clauses:
+            if count_spec is not None:
+                return None  # count over embedded clauses: interpreter
+            for pe in embdoc_clauses:
+                cols = self._prepare_embedded_cols(pe, bdf)
+                if cols is None:
+                    return None  # multibyte element corpus — interpreter
+                embdoc_cols[id(pe)] = cols
         mb_known, mb_any = self._mb_lookup(fspecs)
         use_arrow = bool(fspecs) and mb_any
 
@@ -2608,7 +3185,8 @@ class MongoFrame:
             if count_spec is not None:
                 # $search count: the corpus-wide matched total rides the
                 # same pass-1 job (containment stands in for score > 0)
-                _s, match_cond = self._build_compound(parsed, None, pmap)
+                _s, match_cond = self._build_compound(
+                    parsed, None, pmap, embdoc_cols)
                 aggs.append(F.sum(
                     F.when(match_cond, 1).otherwise(0)).alias("__matched"))
             return sdf.agg(*aggs).collect()[0].asDict()
@@ -2684,7 +3262,7 @@ class MongoFrame:
         # (must sums, then matched-should sums; _eval_compound) — the
         # recursive builder handles nested compounds identically
         total, cond = self._build_compound(
-            parsed, clause_score, phrase_col_map)
+            parsed, clause_score, phrase_col_map, embdoc_cols)
         # the sort option (r9) replaces relevance order: translated
         # field orderings first (nulls last = the missing-last Atlas
         # rule; dense AND sparse backends flatten absent to null), then

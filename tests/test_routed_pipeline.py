@@ -2153,42 +2153,135 @@ class TestGeoSearchFallback:
         assert got == exp == [1]
 
 
-class TestEmbeddedDocumentFallback:
-    """r9: `embeddedDocument` executes through the interpreter fallback
-    (bounded-or-loud) — per-array-element nested-doc evaluation is
-    implemented in mql/search.py; routing it would need per-element
-    BM25 stats in the JVM, which no ledger entry needs yet."""
+class TestEmbeddedDocumentRouting:
+    """r10 (r9 verdict #2): `embeddedDocument` ROUTES — pass 1 is one
+    aggregate over the exploded element corpus (the oracle's nested
+    _Corpus statistics), pass 2 a higher-order-function expression over
+    the array column (per-element BM25/conditions inside F.transform,
+    matched scores folded in element order) — no explode, shuffle or
+    join in the scoring plan. Scores match the interpreter
+    bit-for-bit. Previously interpreter-only (bounded-or-loud)."""
 
-    def test_end_to_end_matches_interpreter(self, spark, tmp_path):
+    def _be(self, tmp_path, name="ed", extra_rows=0):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        items = pa.array(
-            [[{"name": "red apple", "qty": 2},
-              {"name": "green pear", "qty": 5}],
-             [{"name": "apple pie", "qty": 1}],
-             [{"name": "banana", "qty": 9}]],
-            type=pa.list_(pa.struct(
-                [("name", pa.string()), ("qty", pa.int64())])))
-        sub = tmp_path / "ed"
-        sub.mkdir()
-        pq.write_table(pa.table({"_id": [1, 2, 3], "items": items}),
-                       str(sub / "orders.parquet"))
-        be = ParquetBackend(str(sub), db_name="main")
-        pipe = [{"$search": {"embeddedDocument": {
-                    "path": "items",
-                    "operator": {"text": {"query": "apple",
-                                          "path": "items.name"}},
-                    "score": {"embedded": {"aggregate": "maximum"}}}}},
-                {"$limit": 5},
+        rows = [
+            [{"name": "red apple", "qty": 2},
+             {"name": "green pear", "qty": 5}],
+            [{"name": "apple pie", "qty": 1}],
+            [{"name": "banana", "qty": 9}],
+            None,
+        ]
+        items = pa.array(rows, type=pa.list_(pa.struct(
+            [("name", pa.string()), ("qty", pa.int64())])))
+        sub = tmp_path / name
+        if not sub.exists():
+            sub.mkdir()
+            pq.write_table(
+                pa.table({"_id": [1, 2, 3, 4], "items": items,
+                          "region": ["e", "w", "e", "w"]}),
+                str(sub / "orders.parquet"))
+        return ParquetBackend(str(sub), db_name="main")
+
+    def _run(self, spark, be, search, routed=True):
+        pipe = [{"$search": search}, {"$limit": 10},
                 {"$addFields": {"s": {"$meta": "searchScore"}}},
                 {"$project": {"_id": 1, "s": 1}}]
         mf = mongo_scan(spark, be, "main", "orders", pipeline=pipe)
         got = sorted((r["_id"], r["s"]) for r in mf.df().collect())
-        assert not mf.last_exec_path.startswith("routed")  # fallback
+        assert mf.last_exec_path.startswith("routed") == routed, search
         exp = sorted((d["_id"], d["s"])
                      for d in _interpreter_rows(be, "main", "orders", pipe))
-        assert got == exp and {g[0] for g in got} == {1, 2}
+        assert got == exp, search
+        return {g[0]: g[1] for g in got}
+
+    def test_text_inner_all_aggregates(self, spark, tmp_path):
+        be = self._be(tmp_path)
+        for agg in ("sum", "maximum", "minimum", "mean"):
+            got = self._run(spark, be, {"embeddedDocument": {
+                "path": "items",
+                "operator": {"text": {"query": "apple pear",
+                                      "path": "items.name"}},
+                "score": {"embedded": {"aggregate": agg}}}})
+            assert set(got) == {1, 2}, agg
+
+    def test_cond_inner_elem_match_shape(self, spark, tmp_path):
+        be = self._be(tmp_path)
+        # equals inner
+        got = self._run(spark, be, {"embeddedDocument": {
+            "path": "items",
+            "operator": {"equals": {"path": "items.qty", "value": 5}}}})
+        assert got == {1: 1.0}
+        # $elemMatch shape: BOTH conditions on the SAME element — doc 1
+        # has apple/qty-2 and pear/qty-5 but no apple/qty-5 element
+        got = self._run(spark, be, {"embeddedDocument": {
+            "path": "items",
+            "operator": {"compound": {"must": [
+                {"text": {"query": "apple", "path": "items.name"}},
+                {"equals": {"path": "items.qty", "value": 5}}]}}}})
+        assert got == {}
+        # range + exists (dense backend: exists true per element)
+        got = self._run(spark, be, {"embeddedDocument": {
+            "path": "items",
+            "operator": {"range": {"path": "items.qty", "gte": 9}}}})
+        assert got == {3: 1.0}
+
+    def test_inside_compound_and_mustnot(self, spark, tmp_path):
+        be = self._be(tmp_path)
+        got = self._run(spark, be, {"compound": {
+            "must": [{"embeddedDocument": {
+                "path": "items",
+                "operator": {"text": {"query": "apple",
+                                      "path": "items.name"}}}}],
+            "filter": [{"equals": {"path": "region", "value": "e"}}]}})
+        assert set(got) == {1}
+        got = self._run(spark, be, {"compound": {
+            "should": [{"text": {"query": "e w", "path": "region"}}],
+            "mustNot": [{"embeddedDocument": {
+                "path": "items",
+                "operator": {"text": {"query": "apple",
+                                      "path": "items.name"}}}}]}})
+        assert set(got) == {3, 4}
+
+    def test_outer_score_and_inner_boost(self, spark, tmp_path):
+        be = self._be(tmp_path)
+        got = self._run(spark, be, {"embeddedDocument": {
+            "path": "items",
+            "operator": {"equals": {"path": "items.qty", "value": 5,
+                                    "score": {"constant": {"value": 3}}}},
+            "score": {"embedded": {"aggregate": "maximum",
+                                   "outerScore": {
+                                       "boost": {"value": 4}}}}}})
+        assert got == {1: 12.0}
+
+    def test_multibyte_elements_decline_exactly(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sub = tmp_path / "edmb"
+        sub.mkdir()
+        items = pa.array(
+            [[{"name": "красное яблоко"}], [{"name": "банан"}]],
+            type=pa.list_(pa.struct([("name", pa.string())])))
+        pq.write_table(pa.table({"_id": [1, 2], "items": items}),
+                       str(sub / "orders.parquet"))
+        be = ParquetBackend(str(sub), db_name="main")
+        got = self._run(spark, be, {"embeddedDocument": {
+            "path": "items",
+            "operator": {"text": {"query": "яблоко",
+                                  "path": "items.name"}}}},
+            routed=False)
+        assert set(got) == {1}
+
+    def test_fuzzy_inner_declines_exactly(self, spark, tmp_path):
+        be = self._be(tmp_path)
+        got = self._run(spark, be, {"embeddedDocument": {
+            "path": "items",
+            "operator": {"text": {"query": "aple", "path": "items.name",
+                                  "fuzzy": {"maxEdits": 1}}}}},
+            routed=False)
+        assert set(got) == {1, 2}
 
 
 class TestQueryStringRouting:

@@ -193,3 +193,124 @@ class TestMixedScriptParity:
                                "path": ["body", "title"]}}],
         })
         assert mf.last_exec_path == "routed:search_text"
+
+
+# ---------------------------------------------------------------------------
+# r10 (r9 verdict #2): random embeddedDocument trees — routed parity
+
+EDOCS_N = 12
+_EWORDS = ["apple", "pear", "banana", "pie", "tart", "nothing"]
+
+
+@pytest.fixture(scope="module")
+def embedded_backend(tmp_path_factory):
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(77)
+    rows = []
+    for i in range(EDOCS_N):
+        if i % 7 == 6:
+            rows.append(None)  # missing array
+            continue
+        els = []
+        for _ in range(rng.randrange(0, 4)):
+            els.append({
+                "name": " ".join(rng.sample(_EWORDS[:-1],
+                                            rng.randrange(1, 3))),
+                "qty": rng.randrange(0, 6),
+            })
+        rows.append(els)
+    items = pa.array(rows, type=pa.list_(pa.struct(
+        [("name", pa.string()), ("qty", pa.int64())])))
+    tmp = tmp_path_factory.mktemp("searcheprop")
+    pq.write_table(
+        pa.table({"_id": list(range(EDOCS_N)), "items": items,
+                  "tag": [("a", "b", "c")[i % 3] for i in range(EDOCS_N)]}),
+        str(tmp / "posts.parquet"))
+    return ParquetBackend(str(tmp), db_name="main")
+
+
+_e_cond = st.one_of(
+    st.builds(lambda v: {"equals": {"path": "items.qty", "value": v}},
+              st.sampled_from([0, 2, 5])),
+    st.builds(lambda lo: {"range": {"path": "items.qty", "gte": lo}},
+              st.sampled_from([1, 4])),
+    st.builds(lambda vs: {"in": {"path": "items.qty", "value": vs}},
+              st.lists(st.sampled_from([0, 1, 2, 3]),
+                       min_size=1, max_size=2)),
+    st.just({"exists": {"path": "items.name"}}),
+)
+_e_text = st.builds(
+    lambda ws, mod: {"text": _with_mod(
+        {"query": " ".join(ws), "path": "items.name"}, mod)},
+    st.lists(st.sampled_from(_EWORDS), min_size=1, max_size=3),
+    st.one_of(st.none(),
+              st.builds(lambda v: {"boost": {"value": v}},
+                        st.sampled_from([0.5, 3.0])),
+              st.builds(lambda v: {"constant": {"value": v}},
+                        st.sampled_from([2.0]))),
+)
+_e_inner = st.one_of(
+    _e_text, _e_cond,
+    st.builds(
+        lambda must, should, mustnot, msm: {"compound": {
+            k: v for k, v in (
+                ("must", must), ("should", should), ("mustNot", mustnot),
+                ("minimumShouldMatch", msm if should else 0),
+            ) if v}},
+        st.lists(st.one_of(_e_text, _e_cond), max_size=2),
+        st.lists(st.one_of(_e_text, _e_cond), max_size=2),
+        st.lists(_e_cond, max_size=1),
+        st.sampled_from([0, 1])),
+)
+_e_score = st.one_of(
+    st.none(),
+    st.builds(
+        lambda agg, outer: {"embedded": {
+            k: v for k, v in (("aggregate", agg),
+                              ("outerScore", outer)) if v}},
+        st.sampled_from(["sum", "maximum", "minimum", "mean"]),
+        st.one_of(st.none(),
+                  st.builds(lambda v: {"boost": {"value": v}},
+                            st.sampled_from([2.0])))),
+)
+_e_clause = st.builds(
+    lambda inner, score: {"embeddedDocument": {
+        k: v for k, v in (("path", "items"), ("operator", inner),
+                          ("score", score)) if v is not None}},
+    _e_inner, _e_score)
+
+
+class TestRandomEmbeddedDocumentParity:
+    """Random nested corpora + random embeddedDocument trees (inner
+    text/cond/compound, every aggregate strategy, outerScore), both
+    standalone and inside a parent compound: routed (HOF-over-array)
+    scores are BIT-IDENTICAL to the interpreter's per-element oracle."""
+
+    @settings(max_examples=25, deadline=None)
+    @given(clause=_e_clause)
+    def test_top_level_parity(self, spark, embedded_backend, clause):
+        pipe = [{"$search": clause}, {"$limit": 15},
+                {"$addFields": {"score": {"$meta": "searchScore"}}},
+                {"$project": {"_id": 1, "score": 1}}]
+        mf = mongo_scan(spark, embedded_backend, "main", "posts",
+                        pipeline=pipe)
+        got = sorted((r["_id"], r["score"]) for r in mf.df().collect())
+        docs = list(embedded_backend.iter_documents("main", "posts"))
+        exp = sorted((d["_id"], d["score"]) for d in run_pipeline(docs, pipe))
+        assert got == exp, (clause, mf.last_exec_path)
+        assert mf.last_exec_path.startswith("routed"), clause
+
+    @settings(max_examples=15, deadline=None)
+    @given(clause=_e_clause,
+           sib=st.one_of(
+               st.builds(lambda v: {"equals": {"path": "tag", "value": v}},
+                         st.sampled_from(["a", "b"])),
+               st.none()))
+    def test_inside_compound_parity(self, spark, embedded_backend,
+                                    clause, sib):
+        compound = {"must": [clause] + ([sib] if sib else [])}
+        _parity(spark, embedded_backend, compound)

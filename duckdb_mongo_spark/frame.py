@@ -2216,7 +2216,7 @@ class MongoFrame:
         materializes their match columns."""
         (text_must, text_should, _cf, mustnot, *_rest) = parsed
         for kind, payload in text_must + text_should + list(mustnot):
-            if kind in ("phrase", "auto", "wc", "rx"):
+            if kind in ("phrase", "auto", "wc", "rx", "geo"):
                 yield kind, payload
             elif kind == "compound":
                 yield from self._iter_phrase_clauses(payload)
@@ -2232,12 +2232,21 @@ class MongoFrame:
         from pyspark.sql import types as T
 
         names = [f"__rt_ph_{i}" for i in range(len(clauses))]
+
+        def cols_of(kind, payload):
+            if kind == "geo":
+                # colspecs: ("legacy", path, col) | ("gj", path, cc, tc)
+                return [c for cs in payload[0] for c in cs[2:]]
+            if kind in ("wc", "rx"):
+                return [fs.name for fs in payload[0]]
+            return [f"__rt_toks_{fs.name}" for fs in payload[0]]
+
         specs = [
-            (kind,
-             [fs.name if kind in ("wc", "rx") else f"__rt_toks_{fs.name}"
-              for fs in payload[0]],
-             payload[1], payload[2])
+            (kind, cols_of(kind, payload), payload[1], payload[2])
             for kind, payload in clauses]
+        geo_colspecs = {i: payload[0]
+                        for i, (kind, payload) in enumerate(clauses)
+                        if kind == "geo"}
         out_schema = T.StructType(
             list(toks_df.schema.fields)
             + [T.StructField(n, T.BooleanType()) for n in names])
@@ -2247,8 +2256,53 @@ class MongoFrame:
                 _autocomplete_matches,
                 _compile_lucene_regexes,
                 _compile_wildcards,
+                _eval_geo_shape,
+                _eval_geo_within,
+                _nest,
                 _phrase_matches,
             )
+
+            def _pyval(v):
+                import numpy as np
+                if isinstance(v, np.ndarray):
+                    return v.tolist()
+                if isinstance(v, np.generic):
+                    return v.item()
+                if isinstance(v, (list, tuple)):
+                    return [_pyval(x) for x in v]
+                return v
+
+            def geo_mask(pdf, i, spec, op):
+                # rebuild each path's point value from its flattened
+                # columns and run the ORACLE'S OWN evaluator on the
+                # re-nested mini-doc — per-path OR == the oracle's
+                # multi-path loop (it returns on the first hit)
+                ev = (_eval_geo_within if op == "geoWithin"
+                      else _eval_geo_shape)
+                mask = []
+                colspecs = geo_colspecs[i]
+                series = {c: pdf[c] for cs in colspecs for c in cs[2:]}
+                for r in range(len(pdf)):
+                    hit = False
+                    for cs in colspecs:
+                        if cs[0] == "legacy":
+                            val = _pyval(series[cs[2]].iloc[r])
+                        else:
+                            coords = _pyval(series[cs[2]].iloc[r])
+                            typ = series[cs[3]].iloc[r]
+                            if coords is None and (
+                                    typ is None or typ != typ):
+                                continue  # absent field: no points
+                            val = {"type": typ, "coordinates": coords}
+                        if val is None:
+                            continue
+                        sp = dict(spec)
+                        sp["path"] = cs[1]
+                        if ev(sp, _nest(cs[1], val)) is not None:
+                            hit = True
+                            break
+                    mask.append(hit)
+                return mask
 
             wc_pats = {
                 i: (_compile_wildcards(sp[2]) if sp[0] == "wc"
@@ -2277,6 +2331,9 @@ class MongoFrame:
                 out = pdf.copy()
                 for j, (n, (kind, cols, queries, arg)) in enumerate(
                         zip(names, specs)):
+                    if kind == "geo":
+                        out[n] = geo_mask(pdf, j, queries, arg)
+                        continue
                     mask = []
                     for row_vals in zip(*[pdf[c] for c in cols]):
                         mask.append(any(
@@ -2370,6 +2427,9 @@ class MongoFrame:
             if "embeddedDocument" in cl:
                 ec = self._parse_embedded_clause(cl["embeddedDocument"], fm)
                 return None if ec is None else ("embdoc", ec)
+            if "geoWithin" in cl or "geoShape" in cl:
+                gc = self._parse_geo_clause(cl, fm)
+                return None if gc is None else ("geo", gc)
             c = self._search_filter_cond(cl, fm)
             return None if c is None else ("cond", c)  # (Column, mod)
 
@@ -2402,6 +2462,12 @@ class MongoFrame:
             if ec is None:
                 return None
             text_must.append(("embdoc", ec))
+            has_must, has_filter, has_should = True, False, False
+        elif op in ("geoWithin", "geoShape"):
+            gc = self._parse_geo_clause({op: opspec}, fm)
+            if gc is None:
+                return None
+            text_must.append(("geo", gc))
             has_must, has_filter, has_should = True, False, False
         elif op == "compound":
             known = {"must", "should", "mustNot", "filter",
@@ -2493,10 +2559,10 @@ class MongoFrame:
             if kind == "cond":
                 ccol, cmod = payload
                 return ccol, apply_mod(F.lit(1.0), cmod)
-            if kind in ("phrase", "auto", "wc", "rx"):
+            if kind in ("phrase", "auto", "wc", "rx", "geo"):
                 # match column precomputed by _with_phrase_cols; the
-                # oracle scores phrase/autocomplete/wildcard matches
-                # 1.0 before modifiers
+                # oracle scores phrase/autocomplete/wildcard/geo
+                # matches 1.0 before modifiers
                 return (F.col(phrase_cols[id(payload)]),
                         apply_mod(F.lit(1.0), payload[3]))
             if kind == "near":
@@ -2540,7 +2606,7 @@ class MongoFrame:
                 cond = cond & ~self._overlap_cond(payload[0], payload[1])
             elif kind == "cond":
                 cond = cond & F.coalesce(~payload[0], F.lit(True))
-            elif kind in ("phrase", "auto", "wc", "rx"):
+            elif kind in ("phrase", "auto", "wc", "rx", "geo"):
                 cond = cond & ~F.col(phrase_cols[id(payload)])
             elif kind == "near":
                 cond = cond & self._near_score_col(payload).isNull()
@@ -2606,8 +2672,8 @@ class MongoFrame:
                     seen.add(fs.name)
                     fspecs.append(fs)
         for _kind, (fss, _q, _arg, _mod) in phrase_clauses:
-            if _kind in ("wc", "rx"):
-                continue  # wildcard/regex match raw values — no token cols
+            if _kind in ("wc", "rx", "geo"):
+                continue  # wildcard/regex/geo match raw values — no token cols
             for fs in fss:
                 if fs.name not in seen:
                     seen.add(fs.name)
@@ -3106,8 +3172,8 @@ class MongoFrame:
                     seen_paths.add(fs.name)
                     fspecs.append(fs)
         for _kind, (fss, _q, _arg, _mod) in phrase_clauses:
-            if _kind in ("wc", "rx"):
-                continue  # wildcard/regex match raw values — no token cols
+            if _kind in ("wc", "rx", "geo"):
+                continue  # wildcard/regex/geo match raw values — no token cols
             for fs in fss:
                 if fs.name not in seen_paths:
                     seen_paths.add(fs.name)

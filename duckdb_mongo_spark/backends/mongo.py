@@ -75,6 +75,25 @@ def _to_wire(v):
     return v
 
 
+def _strip_index_definition(pipeline):
+    """Drop the engine-private ``__indexDefinition__`` payload (r10,
+    ``mql/search_index``) from ``$search``/``$searchMeta`` heads before
+    shipping a pipeline to a REAL server: there the live index holds
+    the metadata the payload stands in for, and mongod would reject the
+    unknown field."""
+    out = []
+    for stage in pipeline:
+        if isinstance(stage, dict) and len(stage) == 1:
+            (op, spec), = stage.items()
+            if op in ("$search", "$searchMeta") and isinstance(spec, dict) \
+                    and "__indexDefinition__" in spec:
+                spec = {k: v for k, v in spec.items()
+                        if k != "__indexDefinition__"}
+                stage = {op: spec}
+        out.append(stage)
+    return out
+
+
 def _cursor_guard(it):
     """Translate driver cursor-invalidation errors into the engine's
     ``CursorError`` while a scan drains a cursor batch-by-batch.
@@ -158,6 +177,7 @@ class PymongoBackend(DocumentBackend):  # pragma: no cover - needs live server
         return _cursor_guard(_from_wire(d) for d in cur)
 
     def aggregate(self, db, coll, pipeline, seed=None):
+        pipeline = _strip_index_definition(pipeline)
         cur = self.client[db][coll].aggregate(_to_wire(list(pipeline)), allowDiskUse=True)
         return _cursor_guard(_from_wire(d) for d in cur)
 

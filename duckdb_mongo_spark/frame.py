@@ -973,6 +973,11 @@ class MongoFrame:
         from duckdb_mongo_spark.mql.search import _analyze, _within_edits
         from duckdb_mongo_spark.schema.types import is_list
 
+        # r10: under an index definition the stubbed dry-run parse below
+        # also runs routes_default, so expansion only proceeds when every
+        # fuzzy path keeps the engine-contract analyzer — the dictionary
+        # job then matches the index's tokenization by construction
+
         def walk(node, out):
             if not isinstance(node, dict):
                 return
@@ -998,6 +1003,11 @@ class MongoFrame:
         plan = []
         fuzzy_fs, seen = [], set()
         for ts in found:
+            if "synonyms" in ts or "matchCriteria" in ts:
+                # fuzzy+synonyms is rejected loudly by the shared rewrite
+                # (mql/search_index.rewrite_text_spec); expanding first
+                # would silently execute what the interpreter rejects
+                return spec
             fz = ts.get("fuzzy")
             if not isinstance(fz, dict) or set(fz) - {
                     "maxEdits", "prefixLength", "maxExpansions"}:
@@ -2355,6 +2365,7 @@ class MongoFrame:
         need the interpreter."""
         body = dict(spec)
         body.pop("index", None)
+        index_payload = body.pop("__indexDefinition__", None)
         if "highlight" in body:
             return None  # r10: searchHighlights meta is interpreter-only
         body.pop("tracking", None)    # telemetry no-op, like the oracle
@@ -2368,6 +2379,28 @@ class MongoFrame:
             return None
         (op, opspec), = body.items()
         if not isinstance(opspec, dict):
+            return None
+        # r10: a search-index definition (mql/search_index) may change
+        # operator semantics. The synonyms/matchCriteria REWRITE is the
+        # same one the interpreter executes (parity by construction);
+        # afterwards, routes_default verifies the definition leaves
+        # every clause at the engine-contract default — anything else
+        # declines, and the interpreter runs the index-aware semantics
+        # (or raises the spec's loud error).
+        from duckdb_mongo_spark.mql.search_index import (
+            SearchIndex, Unroutable, rewrite_spec_tree, routes_default)
+
+        index = None
+        if index_payload is not None:
+            try:
+                index = SearchIndex.from_payload(index_payload)
+            except ValueError:
+                return None  # interpreter raises the loud error
+        try:
+            op, opspec = rewrite_spec_tree(op, opspec, index)
+        except (ValueError, Unroutable):
+            return None
+        if not routes_default(index, op, opspec):
             return None
         if op == "queryString":
             op, opspec = self._translate_query_string(opspec)

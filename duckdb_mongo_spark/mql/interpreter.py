@@ -1230,8 +1230,10 @@ def run_pipeline(docs, pipeline, seed: int | None = None, collections=None,
             from duckdb_mongo_spark.mql.search import facet_meta, search_stage
             body = dict(spec)
             body.pop("index", None)
+            idx_payload = body.pop("__indexDefinition__", None)
             if set(body) == {"facet"}:
-                stream = iter([facet_meta(stream, body["facet"], _META_KEY)])
+                stream = iter([facet_meta(stream, body["facet"], _META_KEY,
+                                          index_payload=idx_payload)])
             else:
                 hits = search_stage(stream, spec, _META_KEY)
                 stream = iter([{"count": {"total": len(hits)}}])

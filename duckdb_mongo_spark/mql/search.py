@@ -82,22 +82,25 @@ def _paths(spec) -> list[str]:
     return [p] if isinstance(p, str) else list(p)
 
 
-def _field_tokens(doc, path) -> list[str]:
+def _field_tokens(doc, path, analyze=_analyze) -> list[str]:
     v = get_path(doc, path)
     if v is MISSING:
         return []
     if isinstance(v, list):
         out = []
         for el in v:
-            out.extend(_analyze(el))
+            out.extend(analyze(el))
         return out
-    return _analyze(v)
+    return analyze(v)
 
 
 class _Corpus:
-    """Per-query corpus statistics for BM25 (built once per $search)."""
+    """Per-query corpus statistics for BM25 (built once per $search).
+    ``field_tokens`` pluggable since r10: a search-index definition may
+    assign per-path analyzers (``mql/search_index``)."""
 
-    def __init__(self, docs: list[dict], paths: list[str]):
+    def __init__(self, docs: list[dict], paths: list[str],
+                 field_tokens=_field_tokens):
         self.n = len(docs)
         self.tokens = []   # per doc: {path: [tokens]}
         df = {}            # (path, term) -> doc freq
@@ -105,7 +108,7 @@ class _Corpus:
         for d in docs:
             per = {}
             for p in paths:
-                toks = _field_tokens(d, p)
+                toks = field_tokens(d, p)
                 per[p] = toks
                 total_len[p] += len(toks)
                 for t in set(toks):
@@ -298,28 +301,56 @@ def _phrase_matches(tokens: list[str], phrase: list[str], slop: int) -> bool:
     return False
 
 
-def _eval_operator(op: str, spec, corpus_cache, docs, i: int):
-    """Returns the clause score for document ``i`` — None when no match."""
+def _eval_operator(op: str, spec, corpus_cache, docs, i: int, index=None):
+    """Returns the clause score for document ``i`` — None when no match.
+    ``index`` is a parsed ``search_index.SearchIndex`` (r10) pinning
+    per-path analyzers, token/geo/autocomplete coverage and synonym
+    mappings; ``None`` keeps the engine-contract defaults."""
     d = docs[i]
     if op == "text":
-        extra = set(spec) - {"query", "path", "fuzzy", "score"}
+        extra = set(spec) - {"query", "path", "fuzzy", "score",
+                             "synonyms", "matchCriteria"}
         if extra:
-            # synonyms / matchCriteria are synonym-mapping/index-bound;
             # anything unknown raises rather than silently changing
             # relevance (r9 — extras were previously ignored)
             raise ValueError(f"$search text: unsupported options "
                              f"{sorted(extra)}")
+        if "synonyms" in spec or "matchCriteria" in spec:
+            from duckdb_mongo_spark.mql.search_index import rewrite_text_spec
+
+            rewritten = rewrite_text_spec(spec, index)
+            if rewritten is not None:
+                # the original clause's score option is applied by the
+                # caller (_eval_clause / search_stage) on this base
+                return _eval_clause(rewritten, corpus_cache, docs, i, index)
         paths = _paths(spec)
-        terms = _analyze(spec["query"]) if isinstance(spec["query"], str) else [
-            t for q in spec["query"] for t in _analyze(q)
-        ]
-        key = tuple(paths)
+        q = spec["query"]
+        qlist = [q] if isinstance(q, str) else list(q)
+        if index is None:
+            terms = [t for s in qlist for t in _analyze(s)]
+            terms_for = {p: terms for p in paths}
+            key = tuple(paths)
+            ft = _field_tokens
+        else:
+            # per-path analyzers from the index definition: paths with
+            # no string coverage tokenize to [] (match nothing — Lucene
+            # absent-field semantics, see mql/search_index)
+            toks = {p: index.text_tokenizers(p) for p in paths}
+            terms_for = {
+                p: ([t for s in qlist for t in toks[p][1](s)]
+                    if toks[p] else []) for p in paths}
+            key = (tuple(paths), tuple(
+                index.text_analyzer_names(p) for p in paths))
+
+            def ft(d2, p2, _t=toks):
+                fns = _t.get(p2)
+                return _field_tokens(d2, p2, fns[0]) if fns else []
         if key not in corpus_cache:
-            corpus_cache[key] = _Corpus(docs, paths)
+            corpus_cache[key] = _Corpus(docs, paths, ft)
         corpus = corpus_cache[key]
         fuzzy = spec.get("fuzzy")
         if fuzzy is None:
-            score = sum(corpus.bm25(i, p, terms) for p in paths)
+            score = sum(corpus.bm25(i, p, terms_for[p]) for p in paths)
             return score if score > 0.0 else None
         # text.fuzzy (r9, pinned): each query term expands to EVERY
         # corpus term within maxEdits whole-term Levenshtein edits
@@ -338,7 +369,7 @@ def _eval_operator(op: str, spec, corpus_cache, docs, i: int):
         prefix_length = int(fuzzy.get("prefixLength", 0))
         score = sum(
             corpus.bm25(i, p, corpus.fuzzy_expand(
-                p, terms, max_edits, prefix_length))
+                p, terms_for[p], max_edits, prefix_length))
             for p in paths)
         return score if score > 0.0 else None
     if op == "phrase":
@@ -350,26 +381,52 @@ def _eval_operator(op: str, spec, corpus_cache, docs, i: int):
         slop = int(spec.get("slop", 0))
         queries = spec["query"] if isinstance(spec["query"], list) else [spec["query"]]
         for p in paths:
-            toks = _field_tokens(d, p)
+            if index is None:
+                ia = sa = _analyze
+            else:
+                fns = index.text_tokenizers(p)
+                if fns is None:
+                    continue  # path not text-indexed: matches nothing
+                ia, sa = fns
+            toks = _field_tokens(d, p, ia)
             for q in queries:
-                if _phrase_matches(toks, _analyze(q), slop):
+                if _phrase_matches(toks, sa(q), slop):
                     return 1.0  # constant score; Atlas phrase scoring is index-bound
         return None
     if op == "equals":
         if set(spec) - {"path", "value", "score"}:
             raise ValueError(f"$search equals: unsupported options "
                              f"{sorted(set(spec) - {'path', 'value', 'score'})}")
+        want = spec["value"]
+        lower = False
+        if index is not None:
+            if not index.covers_value(spec["path"], want):
+                return None  # no compatible indexed type (strings need token)
+            lower = (isinstance(want, str) and
+                     index.token_normalizer(spec["path"]) == "lowercase")
         v = get_path(d, spec["path"])
         if v is MISSING:
             return None
+
+        def eq(x):
+            if lower and isinstance(x, str):
+                return x.lower() == want.lower()
+            return _equals_value(x, want)
+
         if isinstance(v, list):
-            return 1.0 if any(_equals_value(el, spec["value"]) for el in v) else None
-        return 1.0 if _equals_value(v, spec["value"]) else None
+            return 1.0 if any(eq(el) for el in v) else None
+        return 1.0 if eq(v) else None
     if op == "range":
         if set(spec) - {"path", "gt", "gte", "lt", "lte", "score"}:
             raise ValueError(
                 "$search range: unsupported options "
                 f"{sorted(set(spec) - {'path', 'gt', 'gte', 'lt', 'lte', 'score'})}")
+        lower = False
+        if index is not None:
+            if not all(index.covers_value(spec["path"], spec[b])
+                       for b in ("gt", "gte", "lt", "lte") if b in spec):
+                return None
+            lower = index.token_normalizer(spec["path"]) == "lowercase"
         v = get_path(d, spec["path"])
         vals = v if isinstance(v, list) else [v]
         for x in vals:
@@ -379,7 +436,13 @@ def _eval_operator(op: str, spec, corpus_cache, docs, i: int):
             for bound, cmp_ok in (("gt", lambda c: c > 0), ("gte", lambda c: c >= 0),
                                   ("lt", lambda c: c < 0), ("lte", lambda c: c <= 0)):
                 if bound in spec:
-                    c = compare_values(x, spec[bound])
+                    b = spec[bound]
+                    xx = x
+                    if lower and isinstance(x, str) and isinstance(b, str):
+                        # token normalizer lowercases the stored term;
+                        # the query bound normalizes the same way
+                        xx, b = x.lower(), b.lower()
+                    c = compare_values(xx, b)
                     if c is None or not cmp_ok(c):
                         ok = False
                         break
@@ -390,17 +453,33 @@ def _eval_operator(op: str, spec, corpus_cache, docs, i: int):
         if set(spec) - {"path", "score"}:
             raise ValueError(f"$search exists: unsupported options "
                              f"{sorted(set(spec) - {'path', 'score'})}")
+        if index is not None and not index.is_indexed(spec["path"]):
+            return None  # unindexed paths never match (Lucene semantics)
         return 1.0 if get_path(d, spec["path"]) is not MISSING else None
     if op == "in":
         if set(spec) - {"path", "value", "score"}:
             raise ValueError(f"$search in: unsupported options "
                              f"{sorted(set(spec) - {'path', 'value', 'score'})}")
+        wants = spec["value"]
+        lower = False
+        if index is not None:
+            wants = [w for w in wants
+                     if index.covers_value(spec["path"], w)]
+            if not wants:
+                return None
+            lower = index.token_normalizer(spec["path"]) == "lowercase"
         v = get_path(d, spec["path"])
         if v is MISSING:
             return None
         vals = v if isinstance(v, list) else [v]
+
+        def eq(x, want):
+            if lower and isinstance(x, str) and isinstance(want, str):
+                return x.lower() == want.lower()
+            return _equals_value(x, want)
+
         return 1.0 if any(
-            any(_equals_value(x, want) for want in spec["value"]) for x in vals
+            any(eq(x, want) for want in wants) for x in vals
         ) else None
     if op == "autocomplete":
         if set(spec) - {"query", "path", "tokenOrder", "fuzzy", "score"}:
@@ -424,31 +503,52 @@ def _eval_operator(op: str, spec, corpus_cache, docs, i: int):
                    else [spec["query"]])
         paths = _paths(spec)
         for p in paths:
-            toks = _field_tokens(d, p)
+            if index is None:
+                an, min_grams, fold = _analyze, 0, False
+            else:
+                ac = index.autocomplete_def(p)  # raises on unpinnable opts
+                if ac is None:
+                    continue  # not indexed as autocomplete: matches nothing
+                an, min_grams, fold = (
+                    ac["analyzer"], ac["minGrams"], ac["foldDiacritics"])
+            toks = _field_tokens(d, p, an)
+            if fold:
+                from duckdb_mongo_spark.mql.search_index import \
+                    fold_diacritics
+
+                toks = [fold_diacritics(t) for t in toks]
             for q in queries:
-                if _autocomplete_matches(toks, _analyze(q), token_order,
-                                         fuzzy):
+                qterms = an(q)
+                if fold:
+                    qterms = [fold_diacritics(t) for t in qterms]
+                if min_grams and any(len(t) < min_grams for t in qterms):
+                    # the gram index holds no grams shorter than minGrams
+                    continue
+                if _autocomplete_matches(toks, qterms, token_order, fuzzy):
                     return 1.0  # constant; Atlas scoring is index-bound
         return None
     if op == "near":
-        return _eval_near(spec, d)
+        return _eval_near(spec, d, index)
     if op in ("wildcard", "regex"):
         extra = set(spec) - {"query", "path", "allowAnalyzedField", "score"}
         if extra:
             raise ValueError(f"$search {op}: bad options {extra}")
-        if spec.get("allowAnalyzedField"):
-            raise ValueError(
-                f"$search {op}: allowAnalyzedField is analyzer/"
-                "index-dependent and unsupported")
         queries = (spec["query"] if isinstance(spec["query"], list)
                    else [spec["query"]])
         pats = (_compile_wildcards(queries) if op == "wildcard"
                 else _compile_lucene_regexes(queries))
-        return _keyword_value_match(d, spec, pats)
+        if index is None:
+            if spec.get("allowAnalyzedField"):
+                raise ValueError(
+                    f"$search {op}: allowAnalyzedField is analyzer/"
+                    "index-dependent and unsupported — supply "
+                    "search_index= on mongo_scan")
+            return _keyword_value_match(d, spec, pats)
+        return _indexed_term_match(d, spec, pats, index, op)
     if op == "moreLikeThis":
         translated = translate_more_like_this(spec)
         return _eval_operator("compound", translated["compound"],
-                              corpus_cache, docs, i)
+                              corpus_cache, docs, i, index)
     if op == "queryString":
         extra = set(spec) - {"defaultPath", "query", "score"}
         if extra:
@@ -459,15 +559,23 @@ def _eval_operator(op: str, spec, corpus_cache, docs, i: int):
                 "$search queryString: defaultPath and query are required")
         translated = parse_query_string(spec["query"], spec["defaultPath"])
         (top, tspec), = translated.items()
-        return _eval_operator(top, tspec, corpus_cache, docs, i)
+        return _eval_operator(top, tspec, corpus_cache, docs, i, index)
     if op == "compound":
-        return _eval_compound(spec, corpus_cache, docs, i)
+        return _eval_compound(spec, corpus_cache, docs, i, index)
     if op == "embeddedDocument":
-        return _eval_embedded_document(spec, corpus_cache, docs, i)
-    if op == "geoWithin":
-        return _eval_geo_within(spec, d)
-    if op == "geoShape":
-        return _eval_geo_shape(spec, d)
+        return _eval_embedded_document(spec, corpus_cache, docs, i, index)
+    if op in ("geoWithin", "geoShape"):
+        if index is not None:
+            p = spec.get("path")
+            gp = [p] if isinstance(p, str) else p if isinstance(p, list) else None
+            if gp and not any("geo" in index.types(x) for x in gp
+                              if isinstance(x, str)):
+                # geo fields need an explicit mapping (dynamic never
+                # indexes geo) — unindexed paths match nothing; malformed
+                # specs fall through to the evaluator's loud validation
+                return None
+        return (_eval_geo_within if op == "geoWithin"
+                else _eval_geo_shape)(spec, d)
     raise ValueError(f"unsupported $search operator: {op!r}")
 
 
@@ -612,7 +720,7 @@ def _nest(path: str, el):
     return out
 
 
-def _eval_embedded_document(spec, corpus_cache, docs, i: int):
+def _eval_embedded_document(spec, corpus_cache, docs, i: int, index=None):
     """``embeddedDocument`` (r9): Atlas indexes each element of the
     array at ``path`` as its own nested Lucene document, evaluates
     ``operator`` independently per element, and aggregates the matching
@@ -646,6 +754,11 @@ def _eval_embedded_document(spec, corpus_cache, docs, i: int):
             raise ValueError(
                 f"$search embeddedDocument: bad aggregate {agg!r}")
         outer = mod["embedded"].get("outerScore")
+    if index is not None and "embeddedDocuments" not in index.types(path):
+        # embeddedDocument needs an explicit embeddedDocuments mapping
+        # (dynamic indexes sub-documents as `document`, not as nested
+        # Lucene documents) — unmapped paths match nothing
+        return None
     key = ("__embedded__", path)
     if key not in corpus_cache:
         wrapped, by_owner = [], {}
@@ -659,7 +772,7 @@ def _eval_embedded_document(spec, corpus_cache, docs, i: int):
                     wrapped.append(_nest(path, el))
         corpus_cache[key] = (wrapped, by_owner, {})
     wrapped, by_owner, sub_cache = corpus_cache[key]
-    vals = [_eval_clause(inner, sub_cache, wrapped, idx)
+    vals = [_eval_clause(inner, sub_cache, wrapped, idx, index)
             for idx in by_owner.get(i, [])]
     matched = [v for v in vals if v is not None]
     if not matched:
@@ -683,6 +796,41 @@ def _keyword_value_match(d, spec, pats):
         for x in (v if isinstance(v, list) else [v]):
             if isinstance(x, str) and any(pt.fullmatch(x) for pt in pats):
                 return 1.0
+    return None
+
+
+def _indexed_term_match(d, spec, pats, index, op):
+    """wildcard/regex under a search-index definition (r10): Lucene
+    matches the pattern against the TERM DICTIONARY, so what a term is
+    depends on how the path is indexed. ``token`` fields hold the whole
+    normalized value (``normalizer: lowercase`` lowercases the stored
+    term; the pattern matches against that, as written). ``string``
+    fields hold analyzed tokens — matching them requires
+    ``allowAnalyzedField: true`` (the Atlas-documented error otherwise)
+    and then the pattern must match ANY analyzed token. Paths with
+    neither type match nothing."""
+    allow_analyzed = bool(spec.get("allowAnalyzedField"))
+    for p in _paths(spec):
+        norm = index.token_normalizer(p)
+        fns = index.text_tokenizers(p)
+        if norm is None and fns is not None and not allow_analyzed:
+            raise ValueError(
+                f"$search {op}: path {p!r} is indexed as an analyzed "
+                "string — set allowAnalyzedField: true to match its "
+                "analyzed terms")
+        v = get_path(d, p)
+        if v is MISSING:
+            continue
+        vals = [x for x in (v if isinstance(v, list) else [v])
+                if isinstance(x, str)]
+        if norm is not None:
+            stored = [x.lower() for x in vals] if norm == "lowercase" else vals
+            if any(pt.fullmatch(x) for x in stored for pt in pats):
+                return 1.0
+        if allow_analyzed and fns is not None:
+            for x in vals:
+                if any(pt.fullmatch(t) for t in fns[0](x) for pt in pats):
+                    return 1.0
     return None
 
 
@@ -835,7 +983,7 @@ def _dt_micros(x) -> int:
             + td.microseconds)
 
 
-def _eval_near(spec, d):
+def _eval_near(spec, d, index=None):
     """Atlas ``near`` (numeric/date proximity): score =
     pivot / (pivot + dist), dist = |value - origin| (dates: integer
     microsecond difference over 1000.0 — exact milliseconds). The
@@ -857,6 +1005,8 @@ def _eval_near(spec, d):
             "(geo proximity is $geoNear)")
     best = None
     for p in _paths(spec):
+        if index is not None and not index.covers_value(p, origin):
+            continue  # path lacks a number/date mapping: matches nothing
         v = get_path(d, p)
         if v is MISSING:
             continue
@@ -977,9 +1127,9 @@ def _apply_score_mod(base, spec, doc=None):
     raise ValueError(f"$search: unsupported score option {mod!r}")
 
 
-def _eval_clause(clause: dict, corpus_cache, docs, i: int):
+def _eval_clause(clause: dict, corpus_cache, docs, i: int, index=None):
     (op, spec), = clause.items()
-    base = _eval_operator(op, spec, corpus_cache, docs, i)
+    base = _eval_operator(op, spec, corpus_cache, docs, i, index)
     if op in ("compound", "embeddedDocument"):
         # compound takes no score option; embeddedDocument's
         # score.embedded (aggregate + outerScore) is applied inside
@@ -987,23 +1137,23 @@ def _eval_clause(clause: dict, corpus_cache, docs, i: int):
     return _apply_score_mod(base, spec, docs[i])
 
 
-def _eval_compound(spec, corpus_cache, docs, i: int):
+def _eval_compound(spec, corpus_cache, docs, i: int, index=None):
     score = 0.0
     for cl in _clauses(spec, "must"):
-        s = _eval_clause(cl, corpus_cache, docs, i)
+        s = _eval_clause(cl, corpus_cache, docs, i, index)
         if s is None:
             return None
         score += s
     for cl in _clauses(spec, "mustNot"):
-        if _eval_clause(cl, corpus_cache, docs, i) is not None:
+        if _eval_clause(cl, corpus_cache, docs, i, index) is not None:
             return None
     for cl in _clauses(spec, "filter"):
-        if _eval_clause(cl, corpus_cache, docs, i) is None:
+        if _eval_clause(cl, corpus_cache, docs, i, index) is None:
             return None  # filter: must match, contributes no score
     should = _clauses(spec, "should")
     matched = 0
     for cl in should:
-        s = _eval_clause(cl, corpus_cache, docs, i)
+        s = _eval_clause(cl, corpus_cache, docs, i, index)
         if s is not None:
             matched += 1
             score += s
@@ -1176,14 +1326,24 @@ def _new_hl_source() -> dict:
             "keyword": []}
 
 
-def _collect_highlight_sources(op, spec, out: dict) -> None:
+def _collect_highlight_sources(op, spec, out: dict, index=None) -> None:
     """Walk the operator tree accumulating per-path hit sources (see the
     module-pinned highlight contract above). Malformed specs are left to
     the scoring pass's own validation — this walker only reads the
-    shapes it understands."""
+    shapes it understands. ``index`` (r10) routes synonym/matchCriteria
+    text clauses through the SAME rewrite the scorer executes, so
+    expanded synonyms highlight like Atlas's."""
     if not isinstance(spec, dict):
         return
     if op == "text":
+        if "synonyms" in spec or "matchCriteria" in spec:
+            from duckdb_mongo_spark.mql.search_index import rewrite_text_spec
+
+            rewritten = rewrite_text_spec(spec, index)
+            if rewritten is not None:
+                (sub_op, sub_spec), = rewritten.items()
+                _collect_highlight_sources(sub_op, sub_spec, out, index)
+                return
         terms = (_analyze(spec.get("query"))
                  if isinstance(spec.get("query"), str)
                  else [t for q in spec.get("query", [])
@@ -1226,17 +1386,18 @@ def _collect_highlight_sources(op, spec, out: dict) -> None:
             for cl in _clauses(spec, key):
                 if isinstance(cl, dict) and len(cl) == 1:
                     (sub_op, sub_spec), = cl.items()
-                    _collect_highlight_sources(sub_op, sub_spec, out)
+                    _collect_highlight_sources(sub_op, sub_spec, out, index)
     elif op == "queryString":
         if isinstance(spec.get("query"), str) \
                 and isinstance(spec.get("defaultPath"), str):
             translated = parse_query_string(spec["query"],
                                             spec["defaultPath"])
             (top, tspec), = translated.items()
-            _collect_highlight_sources(top, tspec, out)
+            _collect_highlight_sources(top, tspec, out, index)
     elif op == "moreLikeThis":
         translated = translate_more_like_this(spec)
-        _collect_highlight_sources("compound", translated["compound"], out)
+        _collect_highlight_sources("compound", translated["compound"], out,
+                                   index)
     # equals/range/in/exists/near/geoWithin/geoShape/embeddedDocument:
     # no analyzed-text hits
 
@@ -1350,6 +1511,12 @@ def search_stage(docs, spec, meta_key: str) -> list[dict]:
     docs = [d for d in docs]
     spec = dict(spec)
     spec.pop("index", None)
+    index = None
+    index_payload = spec.pop("__indexDefinition__", None)
+    if index_payload is not None:
+        from duckdb_mongo_spark.mql.search_index import SearchIndex
+
+        index = SearchIndex.from_payload(index_payload)
     hl = spec.pop("highlight", None)
     spec.pop("tracking", None)    # search-terms telemetry: no-op here
     spec.pop("concurrent", None)  # parallelism hint: always parallel
@@ -1367,13 +1534,23 @@ def search_stage(docs, spec, meta_key: str) -> list[dict]:
     hl_parsed = None
     if hl is not None:
         paths, mc, mp = _validate_highlight(hl)  # raises on bad specs
+        if index is not None:
+            for p in paths:
+                names = index.text_analyzer_names(p)
+                if names != ("lucene.standard", "lucene.standard"):
+                    # passage offsets are pinned to the engine-contract
+                    # analyzer; a custom analyzer's token runs would
+                    # silently misalign highlights
+                    raise ValueError(
+                        f"$search highlight: path {p!r} is not indexed "
+                        "as a lucene.standard string field")
         sources: dict = {}
-        _collect_highlight_sources(op, opspec, sources)
+        _collect_highlight_sources(op, opspec, sources, index)
         hl_parsed = (paths, mc, mp, sources)
     corpus_cache = {}
     scored = []
     for i in range(len(docs)):
-        s = _eval_operator(op, opspec, corpus_cache, docs, i)
+        s = _eval_operator(op, opspec, corpus_cache, docs, i, index)
         if op not in ("compound", "embeddedDocument"):
             # embeddedDocument's score.embedded is applied inside
             s = _apply_score_mod(s, opspec, docs[i])
@@ -1400,7 +1577,7 @@ def search_stage(docs, spec, meta_key: str) -> list[dict]:
     return out
 
 
-def facet_meta(docs, facet_spec, meta_key: str) -> dict:
+def facet_meta(docs, facet_spec, meta_key: str, index_payload=None) -> dict:
     """``$searchMeta {facet}`` over materialized docs — the engine's
     pinned facet semantics (r8):
 
@@ -1430,7 +1607,13 @@ def facet_meta(docs, facet_spec, meta_key: str) -> dict:
             or not facet_spec["facets"]:
         raise ValueError(f"$searchMeta: bad facet spec {facet_spec!r}")
     op = facet_spec.get("operator")
-    hits = search_stage(docs, dict(op), meta_key) if op is not None else docs
+    if op is not None:
+        inner = dict(op)
+        if index_payload is not None:
+            inner["__indexDefinition__"] = index_payload
+        hits = search_stage(docs, inner, meta_key)
+    else:
+        hits = docs
 
     def _values(d, path):
         v = get_path(d, path)

@@ -32,6 +32,7 @@ def mongo_scan(
     schema_mode: str = "PERMISSIVE",
     num_partitions: int = 0,  # 0 = auto (session defaultParallelism)
     secret: str | None = None,
+    search_index: dict | None = None,
 ) -> MongoFrame:
     """Scan one collection; returns a MongoFrame (lazy, pushdown-capable).
 
@@ -40,8 +41,25 @@ def mongo_scan(
     full aggregation pipeline that switches the scan to aggregate()
     (A24), ``columns`` the user-declared schema (tier 1), ``schema_mode``
     PERMISSIVE / DROPMALFORMED / FAILFAST.
+
+    ``search_index`` (r10) supplies the public Atlas search-index
+    definition JSON (or ``{index_name: definition}``) that a live
+    server would hold server-side — it pins per-path analyzers, token/
+    autocomplete/geo coverage and synonym mappings for the pipeline's
+    leading ``$search``/``$searchMeta`` stage (``mql/search_index``).
+    Synonym source collections resolve from this scan's database.
     """
     backend, _ = backend_for(conn, secret=secret)
+    if search_index is not None:
+        from duckdb_mongo_spark.mql.search_index import attach_search_index
+
+        if pipeline is None:
+            raise ValueError(
+                "search_index= requires a pipeline starting with "
+                "$search or $searchMeta")
+        pipeline = attach_search_index(
+            pipeline, search_index,
+            lambda c: backend.iter_documents(db, c))
     if pipeline is not None and columns is None:
         # Shape-changing pipelines ($group/$count/$lookup/$unwind/...):
         # the reference requires an explicit `columns` schema here

@@ -176,8 +176,16 @@ class PymongoBackend(DocumentBackend):  # pragma: no cover - needs live server
             cur = cur.limit(limit)
         return _cursor_guard(_from_wire(d) for d in cur)
 
+    def _prepare_pipeline(self, pipeline):
+        """Hook: a REAL server holds the live search index, so the
+        engine-private ``__indexDefinition__`` payload must not reach
+        the wire (mongod rejects unknown $search fields). The in-process
+        fake overrides this to keep it — there the carried payload IS
+        the live index (``testing/fake_mongo.FakeMongoBackend``)."""
+        return _strip_index_definition(pipeline)
+
     def aggregate(self, db, coll, pipeline, seed=None):
-        pipeline = _strip_index_definition(pipeline)
+        pipeline = self._prepare_pipeline(pipeline)
         cur = self.client[db][coll].aggregate(_to_wire(list(pipeline)), allowDiskUse=True)
         return _cursor_guard(_from_wire(d) for d in cur)
 

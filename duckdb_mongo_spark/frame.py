@@ -568,12 +568,32 @@ class MongoFrame:
             if routed is None:
                 body = dict(spec)
                 body.pop("index", None)
+                index_payload = body.pop("__indexDefinition__", None)
                 if "highlight" in body:
                     # r10: highlight renders passage arrays into the
                     # searchHighlights meta — interpreter-only; routing
                     # would silently yield null for a $meta the oracle
                     # populates
                     return None
+                if index_payload is not None and len(body) == 1:
+                    # r10: same gate as _parse_search_clauses — route the
+                    # phrase/autocomplete/cond fallbacks only when the
+                    # index definition leaves this operator tree at the
+                    # engine-contract default (mql/search_index)
+                    from duckdb_mongo_spark.mql.search_index import (
+                        SearchIndex, Unroutable, rewrite_spec_tree,
+                        routes_default)
+                    try:
+                        index = SearchIndex.from_payload(index_payload)
+                        (bop, bspec), = body.items()
+                        if not isinstance(bspec, dict):
+                            return None
+                        bop, bspec = rewrite_spec_tree(bop, bspec, index)
+                        if not routes_default(index, bop, bspec):
+                            return None
+                        body = {bop: bspec}
+                    except (ValueError, Unroutable):
+                        return None  # interpreter raises / handles exactly
                 if len(body) == 1 and "queryString" in body:
                     # translate first: a queryString can reduce to a
                     # bare phrase, which routes through the chain below
@@ -2686,8 +2706,30 @@ class MongoFrame:
         fm = {f.mongo_path: f for f in coll_schema.fields}
         body = dict(spec)
         body.pop("index", None)
+        idx_payload = body.pop("__indexDefinition__", None)
         if set(body) == {"facet"}:
-            return self._route_facet_meta(body["facet"], coll_schema, fm)
+            facet = body["facet"]
+            if idx_payload is not None:
+                # r10: facets route only when the definition leaves the
+                # inner operator at the engine-contract default — facet
+                # bucket collection itself is index-independent here
+                # (the pinned facet_meta contract reads stored values)
+                from duckdb_mongo_spark.mql.search_index import (
+                    SearchIndex, Unroutable, rewrite_spec_tree,
+                    routes_default)
+                inner = facet.get("operator") if isinstance(facet, dict) \
+                    else None
+                if isinstance(inner, dict) and len(inner) == 1:
+                    try:
+                        index = SearchIndex.from_payload(idx_payload)
+                        (iop, ispec), = inner.items()
+                        iop, ispec = rewrite_spec_tree(iop, ispec, index)
+                        if not routes_default(index, iop, ispec):
+                            return None
+                        facet = {**facet, "operator": {iop: ispec}}
+                    except (ValueError, Unroutable):
+                        return None
+            return self._route_facet_meta(facet, coll_schema, fm)
         spec = self._expand_fuzzy_text(spec, coll_schema, fm)
         parsed = self._parse_search_clauses(spec, fm)
         if parsed is None:

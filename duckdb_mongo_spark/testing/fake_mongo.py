@@ -333,6 +333,13 @@ class FakeMongoBackend(PymongoBackend):
     def client(self) -> FakeMongoClient:
         return self._client
 
+    def _prepare_pipeline(self, pipeline):
+        # r10: the fake IS the server — the carried __indexDefinition__
+        # payload stands in for the live search index a real mongod
+        # would consult, so it must SURVIVE to the fake's interpreter
+        # (the real-server override strips it; backends/mongo.py)
+        return list(pipeline)
+
     def __getstate__(self):
         return {
             "connection_string": self.connection_string,

@@ -106,12 +106,10 @@ class TestTextFuzzy:
                           "fuzzy": {"nope": 1}}})
 
     def test_unknown_operator_options_raise(self):
-        # r9: extras were silently dropped before — synonyms and
-        # matchCriteria are index-bound and must fail visibly
+        # r9: extras were silently dropped before — anything unknown
+        # must fail visibly
         for spec in (
-            {"text": {"query": "spark", "path": "t", "synonyms": "m"}},
-            {"text": {"query": "spark", "path": "t",
-                      "matchCriteria": "all"}},
+            {"text": {"query": "spark", "path": "t", "bogus": 1}},
             {"phrase": {"query": "spark", "path": "t", "bogus": 1}},
             {"equals": {"path": "lang", "value": "en", "bogus": 1}},
             {"range": {"path": "views", "gte": 1, "bogus": 1}},
@@ -121,6 +119,24 @@ class TestTextFuzzy:
         ):
             with pytest.raises(ValueError, match="unsupported options"):
                 run(spec)
+        # r10: synonyms is supported but needs the index definition's
+        # synonym mapping — still loud, different message
+        with pytest.raises(ValueError, match="search_index"):
+            run({"text": {"query": "spark", "path": "t", "synonyms": "m"}})
+
+    def test_match_criteria_all_without_synonyms(self):
+        # r10: matchCriteria "all" requires every term (must-compound of
+        # per-term text clauses — mql/search_index.rewrite_text_spec)
+        out = run({"text": {"query": "duckdb database", "path": "t",
+                            "matchCriteria": "all"}})
+        assert [d["_id"] for d in out] == [3]
+        out = run({"text": {"query": "spark database", "path": "t",
+                            "matchCriteria": "all"}})
+        assert out == []
+        # "any" (or absent) keeps the default multi-term OR semantics
+        out = run({"text": {"query": "spark database", "path": "t",
+                            "matchCriteria": "any"}})
+        assert {d["_id"] for d in out} == {1, 2, 3}
 
 
 class TestPhrase:

@@ -2042,7 +2042,8 @@ class TestTextFuzzyRouting:
         pipe = [{"$search": {"text": {"query": "spark", "path": "t",
                                       "synonyms": "mapping"}}},
                 {"$limit": 5}]
-        with pytest.raises(Exception, match="unsupported options"):
+        # r10: still loud, but the message now points at search_index=
+        with pytest.raises(Exception, match="search_index"):
             mongo_scan(spark, be, "main", "posts",
                        pipeline=pipe).df().collect()
 

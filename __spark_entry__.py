@@ -1552,7 +1552,12 @@ def _q_interval_join(spark, sf_dir):
         .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
         .select("user_id", "lo", "hi")
     )
-    out = interval_join_points(points, "ts", intervals, "lo", "hi", on=["user_id"])
+    # bin_width = the domain-known interval bound: the windows are
+    # day-truncated min..max, so a 1-day grid keeps the explode <= 2
+    # bins/interval (the 3600 default would shuffle up to 24x the
+    # interval side at scale; results are width-invariant)
+    out = interval_join_points(points, "ts", intervals, "lo", "hi",
+                               on=["user_id"], bin_width=86400.0)
     return out.select("event_id", "user_id", "ts", "lo", "hi").orderBy("event_id", "lo")
 
 

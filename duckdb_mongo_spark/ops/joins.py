@@ -232,6 +232,33 @@ def _bin_seq(lo: Column, hi: Column, max_bins: int | None) -> Column:
     ).otherwise(empty)
 
 
+def _auto_bin_width(pairs) -> float:
+    """Bin width from the data instead of a fixed constant: the p95
+    interval length across the given ``(df, lo_col, hi_col)`` sides
+    (one small agg job per side). A width ~the typical length means
+    each interval explodes to <= ~2 bins while a bin still holds few
+    unrelated intervals — the two failure modes of a FIXED width are
+    exactly the scale killers (width << length: the explode multiplies
+    rows by length/width, e.g. day-long intervals over an hour grid
+    shuffle 24x the interval side; width >> length: every point drags
+    in a bin full of false candidates for the residual filter to
+    discard). p95 rather than max so one outlier interval cannot
+    degrade every bin; the longer tail still joins correctly through
+    multi-bin explosion (capped by max_bins_per_interval)."""
+    best = 0.0
+    for df, lo_col, hi_col in pairs:
+        length = _num(df, hi_col) - _num(df, lo_col)
+        row = df.select(
+            F.percentile_approx(length, F.lit(0.95)).alias("p95"),
+            F.max(length).alias("mx"),
+        ).first()
+        w = row["p95"] if row is not None else None
+        if not w or w <= 0:
+            w = row["mx"] if row is not None else None
+        best = max(best, float(w) if w and w > 0 else 0.0)
+    return best if best > 0 else 3600.0
+
+
 def interval_join_points(
     points: DataFrame,
     t_col: str,
@@ -253,11 +280,22 @@ def interval_join_points(
     NULL-padded rows here would need a unique point id this operator
     should not invent.
 
+    Results are width-invariant (the residual filter is exact); only the
+    explode factor and candidate selectivity change, so pass a
+    ``bin_width`` near the TYPICAL interval length when you know it
+    (e.g. 86400.0 for day-bounded windows — a width far below the
+    length multiplies the interval side by length/width). For unknown
+    distributions, ``bin_width=None`` measures the p95 length
+    (``_auto_bin_width``) — note this evaluates the interval lineage
+    one extra time, so prefer an explicit width when the intervals
+    derive from an expensive aggregation.
+
     Plan shape: Exchange(keys+bin) → join + residual Filter, never
     BroadcastNestedLoopJoin (regression-tested in test_joins.py).
     """
     on = list(on or [])
-    w = float(bin_width)
+    w = (_auto_bin_width([(intervals, lo_col, hi_col)])
+         if bin_width is None else float(bin_width))
     pt = points.withColumn("__pt_bin", _bin(points, t_col, w))
     # prefix-rename the interval side: both inputs frequently derive
     # from the same source frame (self-join), and attribute-based
@@ -305,9 +343,15 @@ def interval_overlap_join(
     bin, so the canonical-bin rule keeps only the FIRST bin both cover
     (``bin == max(floor(l_lo/w), floor(r_lo/w))``) — a pure filter, no
     distinct/extra shuffle for dedup.
+
+    Results are width-invariant; pass a ``bin_width`` near the typical
+    interval length when known, or ``bin_width=None`` to measure it from
+    BOTH sides (p95, see ``_auto_bin_width`` — one extra evaluation of
+    each side's lineage).
     """
     on = list(on or [])
-    w = float(bin_width)
+    w = (_auto_bin_width([(left, l_lo, l_hi), (right, r_lo, r_hi)])
+         if bin_width is None else float(bin_width))
     lv = left.withColumn(
         "__l_bin",
         F.explode(_bin_seq(_bin(left, l_lo, w), _bin(left, l_hi, w), max_bins_per_interval)),

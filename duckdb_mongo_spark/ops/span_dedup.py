@@ -99,25 +99,30 @@ def duplicate_spans(
             ).otherwise(F.array().cast(empty_t))
         ).alias("__pos0", "__h"),
     )
-    owners = (
-        occ.groupBy("__h")
-        .agg(
-            F.count(F.lit(1)).alias("__cnt"),
-            F.min(F.struct(F.col(id_col), F.col("__pos0"))).alias("__owner"),
-        )
-        .filter((F.col("__cnt") > 1) & (F.col("__cnt") <= max_gram_freq))
-        .select("__h", "__owner")
-    )
+    # duplicate relation via ONE window pass over the occurrences: the
+    # agg-then-join-back formulation computes the same thing but makes
+    # Spark scan+tokenize+explode the corpus TWICE (once per join side)
+    # and sort-merge-join the full gram-keyed stream — at sf10 that was
+    # 2x the tokenize work and 3x the gram-string shuffle volume for
+    # zero semantic difference. One Exchange(__h) + sort feeds both the
+    # count and the canonical-owner min; each (doc, pos) occurrence
+    # appears exactly once, so no post-join distinct is needed either.
+    wh = Window.partitionBy("__h")
     marked = (
-        occ.join(owners, "__h")
+        occ.withColumn("__cnt", F.count(F.lit(1)).over(wh))
+        .withColumn(
+            "__owner",
+            F.min(F.struct(F.col(id_col), F.col("__pos0"))).over(wh),
+        )
         .filter(
-            ~(
+            (F.col("__cnt") > 1)
+            & (F.col("__cnt") <= max_gram_freq)
+            & ~(
                 (F.col(id_col) == F.col("__owner").getField(id_col))
                 & (F.col("__pos0") == F.col("__owner.__pos0"))
             )
         )
         .select(F.col(id_col), F.col("__pos0").alias("__start"))
-        .distinct()
     )
     # island merge: spans [start, start+k) per doc, ordered by start
     w = Window.partitionBy(id_col).orderBy("__start")

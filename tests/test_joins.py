@@ -190,6 +190,40 @@ class TestIntervalJoins:
               ON l.user_id = rv.user_id AND l.lo <= rv.hi AND rv.lo <= l.hi
         """)
 
+    def test_auto_bin_width_matches_fixed(self, clicks, errors, spark):
+        # bin_width=None (opt-in): p95-length-derived width — results
+        # must be width-invariant vs an explicit grid
+        iv = errors.select(
+            "user_id",
+            F.col("ts").alias("lo"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("hi"),
+            "value",
+        )
+        fixed = interval_join_points(
+            clicks, "ts", iv, "lo", "hi", on=["user_id"], bin_width=3600.0)
+        auto = interval_join_points(
+            clicks, "ts", iv, "lo", "hi", on=["user_id"], bin_width=None)
+        key = lambda r: (r["event_id"], r["lo"])  # noqa: E731
+        assert sorted(auto.collect(), key=key) == \
+            sorted(fixed.collect(), key=key)
+        # overlap join: auto width measured from BOTH sides
+        lv = clicks.select(
+            "event_id", "user_id", F.col("ts").alias("lo"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("hi"))
+        f2 = interval_overlap_join(
+            lv, "lo", "hi", iv, "lo", "hi", on=["user_id"], bin_width=3600.0)
+        a2 = interval_overlap_join(
+            lv, "lo", "hi", iv, "lo", "hi", on=["user_id"], bin_width=None)
+        k2 = lambda r: (r["event_id"], r["lo_r"] if "lo_r" in r else r["lo"])  # noqa: E731
+        assert sorted(a2.collect(), key=k2) == sorted(f2.collect(), key=k2)
+
+    def test_auto_bin_width_empty_intervals(self, spark):
+        left = spark.createDataFrame([(1, 5.0)], "id int, t double")
+        iv = spark.createDataFrame([], "lo double, hi double")
+        out = interval_join_points(left, "t", iv, "lo", "hi",
+                                   bin_width=None)
+        assert out.collect() == []
+
     def test_multi_bin_overlap_emitted_once(self, spark):
         # intervals sharing MANY bins (width 10) must still pair up once
         left = spark.createDataFrame([(1, 0.0, 95.0)], "id int, lo double, hi double")

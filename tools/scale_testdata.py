@@ -41,11 +41,37 @@ FIXED_TABLES = ("region", "nation")
 ROW_GROUPS = 64
 
 
-def scale(src: str, out: str, factor: int, only: set[str] | None = None) -> None:
+def _salt_tokens(texts, i: int):
+    """Append ``z{i}`` to every ``[A-Za-z0-9]+`` token run of replica
+    ``i`` (replica 0 stays verbatim). The engine-wide text tokenizer is
+    lowercase [a-z0-9]+ runs, so each salted token stays ONE token and
+    replicas become token-disjoint: within-replica duplicate/near-dup
+    structure is preserved exactly (every token transforms identically
+    everywhere) while cross-replica pairs vanish. Without this,
+    verbatim replication makes every document 100-way identical and
+    near-dup PAIR counts grow quadratically in the factor — measuring
+    a degenerate corpus, not scale."""
+    import re
+
+    if i == 0:
+        return texts
+    suf = f"z{i}"
+    pat = re.compile(r"[A-Za-z0-9]+")
+    repl = lambda m: m.group(0) + suf  # noqa: E731
+    return pa.array(
+        [None if t is None else pat.sub(repl, t) for t in texts.to_pylist()],
+        type=texts.type)
+
+
+def scale(src: str, out: str, factor: int, only: set[str] | None = None,
+          salt_text: dict[str, str] | None = None) -> None:
     """Scale ``src`` into ``out`` by ``factor``. ``only`` restricts to a
     subset of tables (e.g. {"documents"} for the text-corpus-only sf10
     used to measure floor amortization) — key domains touching excluded
-    tables still shift consistently for the included ones."""
+    tables still shift consistently for the included ones. ``salt_text``
+    maps table -> text column to token-salt per replica (see
+    ``_salt_tokens``) for similarity/dedup workloads where verbatim
+    replication degenerates."""
     os.makedirs(out, exist_ok=True)
     domains = {
         dom: [(t, c) for t, c in cols if only is None or t in only]
@@ -81,6 +107,11 @@ def scale(src: str, out: str, factor: int, only: set[str] | None = None) -> None
                     idx = rep.schema.get_field_index(col)
                     shifted = pc.add(rep.column(col), pa.scalar(i * off))
                     rep = rep.set_column(idx, col, shifted.cast(rep.schema.field(col).type))
+                tcol = (salt_text or {}).get(name)
+                if tcol is not None and i > 0:
+                    idx = rep.schema.get_field_index(tcol)
+                    salted = _salt_tokens(rep.column(tcol).combine_chunks(), i)
+                    rep = rep.set_column(idx, tcol, salted)
                 replicas.append(rep)
         merged = pa.concat_tables(replicas)
         rg = max(4096, (merged.num_rows + ROW_GROUPS - 1) // ROW_GROUPS)

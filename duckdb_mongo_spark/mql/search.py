@@ -846,11 +846,29 @@ def _compile_lucene_regexes(queries):
     """Shared compile for oracle AND the routed Arrow kernel — DOTALL
     because Lucene's ``.`` matches every character, newline included;
     matching is via ``fullmatch`` because Lucene regexes are implicitly
-    anchored to the whole term."""
+    anchored to the whole term.
+
+    Patterns using the automaton-algebra operators (``~`` complement,
+    ``&`` intersection, ``<n-m>`` numeric interval, ``#`` empty
+    language) have no backtracking-regex equivalent and compile through
+    the DFA engine instead (r10, ``mql/lucene_regex`` — same fullmatch
+    surface, linear-time matching, bounded-or-loud state cap); the
+    shared-core majority stays on CPython's C regex engine."""
     import re as _re
+
+    from duckdb_mongo_spark.mql.lucene_regex import (
+        LuceneRegex, LuceneRegexError, needs_automaton)
 
     out = []
     for q in queries:
+        if needs_automaton(q):
+            try:
+                out.append(LuceneRegex(q))
+            except LuceneRegexError:
+                raise
+            except (ValueError, RecursionError) as e:
+                raise ValueError(f"$search regex: bad pattern {q!r}: {e}")
+            continue
         src = _lucene_regex_source(q)
         try:
             out.append(_re.compile(src, _re.DOTALL))
@@ -869,12 +887,11 @@ def _lucene_regex_source(pattern: str) -> str:
     default-enabled optional operator ``@`` (any string). Lucene has no
     anchor operators — matching is always whole-term — so ``^``/``$``
     are literal characters here and get escaped. The automaton-algebra
-    operators with no backtracking-regex equivalent — ``~`` complement,
-    ``&`` intersection, ``<n-m>`` numeric interval, ``#`` empty
-    language — raise loudly: emulating them would need Lucene's
-    automaton construction and a silent approximation would change
-    match semantics (the same loud-raise stance as analyzed-field
-    wildcard)."""
+    operators — ``~`` complement, ``&`` intersection, ``<n-m>`` numeric
+    interval, ``#`` empty language — have no backtracking-regex
+    equivalent; patterns using them never reach this translator
+    (``_compile_lucene_regexes`` routes them through the r10 DFA engine,
+    ``mql/lucene_regex``), so hitting one here raises as a guard."""
     import re as _re
 
     out = []

@@ -198,11 +198,22 @@ class TestStructuredOperators:
         out = run({"regex": {"query": "a^b$", "path": "v"}}, docs=docs)
         assert {d["_id"] for d in out} == {2}
 
-    def test_regex_automaton_operators_raise(self):
-        for pat in ("a~b", "a&b", "<1-100>", "a#"):
-            with pytest.raises(ValueError, match="automaton"):
-                run({"regex": {"query": pat, "path": "sku"}},
-                    docs=[{"_id": 1, "sku": "a"}])
+    def test_regex_automaton_operators_evaluate(self):
+        # r10: the automaton-algebra operators route through the DFA
+        # engine instead of raising (tests/test_lucene_regex.py pins the
+        # full semantics; this is the $search wiring check)
+        docs = [{"_id": 1, "sku": "ab"}, {"_id": 2, "sku": "b"},
+                {"_id": 3, "sku": "42"}]
+        assert [d["_id"] for d in run(
+            {"regex": {"query": "a~(c)", "path": "sku"}}, docs=docs)] == [1]
+        assert [d["_id"] for d in run(
+            {"regex": {"query": ".*b&a.*", "path": "sku"}},
+            docs=docs)] == [1]
+        assert [d["_id"] for d in run(
+            {"regex": {"query": "<40-45>", "path": "sku"}},
+            docs=docs)] == [3]
+        assert run({"regex": {"query": "#", "path": "sku"}},
+                   docs=docs) == []
         with pytest.raises(ValueError, match="bad repetition"):
             run({"regex": {"query": "a{x}", "path": "sku"}},
                 docs=[{"_id": 1, "sku": "a"}])

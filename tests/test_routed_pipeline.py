@@ -1845,26 +1845,45 @@ class TestRegexRouting:
         }})
         assert got == {1: 3.0, 2: 3.0}
 
-    def test_automaton_operator_raises_loudly(self, spark, tmp_path):
+    def test_automaton_operators_route(self, spark, tmp_path):
+        # r10: the automaton-algebra operators compile through the DFA
+        # engine (mql/lucene_regex) and ride the same routed Arrow pass
+        # as plain regexes — previously they raised
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         sub = tmp_path / "rxx"
         sub.mkdir()
         pq.write_table(
+            pa.table({"_id": [1, 2, 3], "sku": ["a7", "b7", "a12"]}),
+            str(sub / "posts.parquet"))
+        be = ParquetBackend(str(sub), db_name="main")
+        for pat, want in ((r"a.*&~(a7)", {3}),
+                          (r".<10-20>", {3}),
+                          (r"[ab]7", {1, 2})):
+            pipe = [{"$search": {"regex": {"query": pat, "path": "sku"}}},
+                    {"$limit": 5}, {"$project": {"_id": 1}}]
+            mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+            got = {r["_id"] for r in mf.df().collect()}
+            assert mf.last_exec_path == "routed:search_text", pat
+            assert got == want, pat
+
+    def test_analyzed_field_still_raises(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sub = tmp_path / "rxa"
+        sub.mkdir()
+        pq.write_table(
             pa.table({"_id": [1], "sku": ["A"]}),
             str(sub / "posts.parquet"))
         be = ParquetBackend(str(sub), db_name="main")
-        for pat, msg in ((r"a&b", "automaton"),
-                         (r"<1-9>", "automaton"),
-                         (r"a", "allowAnalyzedField")):
-            spec = {"query": pat, "path": "sku"}
-            if msg == "allowAnalyzedField":
-                spec["allowAnalyzedField"] = True
-            pipe = [{"$search": {"regex": spec}}, {"$limit": 5}]
-            with pytest.raises(Exception, match=msg):
-                mongo_scan(spark, be, "main", "posts",
-                           pipeline=pipe).df().collect()
+        pipe = [{"$search": {"regex": {
+            "query": "a", "path": "sku", "allowAnalyzedField": True}}},
+            {"$limit": 5}]
+        with pytest.raises(Exception, match="allowAnalyzedField"):
+            mongo_scan(spark, be, "main", "posts",
+                       pipeline=pipe).df().collect()
 
 
 class TestTextFuzzyRouting:

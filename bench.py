@@ -424,7 +424,9 @@ def _sf1_section(spark, qs, bench_queries, oracles, iters=5):
     return out
 
 
-def _sf10_section(spark, qs, oracles, names, tables, iters=3):
+def _sf10_section(spark, qs, oracles, names, tables, iters=3,
+                  out_env="SPARK_GRAFT_SF10_DIR", default_dir="/tmp/sf10_docs",
+                  salt_text=None, dk_iters=None, warm_dk=True):
     """Floor-amortization evidence (r4 verdict item 3): the text/dedup
     ops carry a fixed ~0.5 s mapInPandas+groupBy stage floor that at
     sf1's 6 MB corpus already exceeds DuckDB's entire sub-second query —
@@ -439,7 +441,7 @@ def _sf10_section(spark, qs, oracles, names, tables, iters=3):
     """
     import statistics
 
-    out_dir = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/sf10_docs")
+    out_dir = os.environ.get(out_env, default_dir)
     src = "/root/testdata/sf0.1"
     try:
         stale = set()
@@ -455,24 +457,25 @@ def _sf10_section(spark, qs, oracles, names, tables, iters=3):
                 os.path.dirname(os.path.abspath(__file__)), "tools"))
             from scale_testdata import scale
 
-            scale(src, out_dir, 100, only=stale)
+            scale(src, out_dir, 100, only=stale, salt_text=salt_text)
     except Exception as exc:  # noqa: BLE001 — scale evidence is auxiliary
         print(f"# sf10 staging failed ({exc}); skipping", file=sys.stderr)
         return None
     con = _duckdb_connect(out_dir, oracles)
+    dk_iters = iters if dk_iters is None else dk_iters
     for name in names:  # warm both engines
         _consume(qs[name](spark, out_dir))
-        if con is not None and name in oracles:
+        if warm_dk and con is not None and name in oracles:
             _dk_consume(con, oracles[name])
     timings, dk = {}, {}
     sp_samples, dk_samples = {}, {}
     for name in names:
         samples, dsamples = [], []
-        for _ in range(iters):
+        for i in range(iters):
             t0 = time.perf_counter()
             _consume(qs[name](spark, out_dir))
             samples.append(time.perf_counter() - t0)
-            if con is not None and name in oracles:
+            if con is not None and name in oracles and i < dk_iters:
                 t0 = time.perf_counter()
                 _dk_consume(con, oracles[name])
                 dsamples.append(time.perf_counter() - t0)
@@ -689,6 +692,42 @@ def main() -> None:
                 out["sf10_sim"] = sf10s
         except Exception as exc:  # noqa: BLE001 — scale evidence is auxiliary
             print(f"# sf10_sim section failed: {exc}", file=sys.stderr)
+        try:
+            # r10 (r9 advice #5): at-scale evidence for the temporal
+            # joins — 10M events (100x sf0.1), replica-shifted user keys
+            # keep join selectivity sf-invariant
+            sf10j = _sf10_section(
+                spark, qs, oracles,
+                ["q_asof_join", "q_interval_join"],
+                ["events"],
+                out_env="SPARK_GRAFT_SF10J_DIR",
+                default_dir="/tmp/sf10_joins")
+            if sf10j is not None:
+                out["sf10_joins"] = sf10j
+        except Exception as exc:  # noqa: BLE001 — scale evidence is auxiliary
+            print(f"# sf10_joins section failed: {exc}", file=sys.stderr)
+        try:
+            # r10 (r9 advice #5): span dedup + LSH near-dup at 500k docs.
+            # The text column is token-SALTED per replica (scale_testdata
+            # _salt_tokens): verbatim replication would make every doc
+            # 100-way identical and pair counts quadratic in the factor —
+            # a degenerate corpus, not scale. DuckDB's span/LSH oracles
+            # run 30-220 s here, so: no DuckDB warm (columnar scans of a
+            # just-written file are already page-hot) and one DuckDB
+            # sample per query; Spark medians over 2.
+            sf10d = _sf10_section(
+                spark, qs, oracles,
+                ["span_dedup", "dedup_minhash_lsh"],
+                ["documents"],
+                iters=2,
+                out_env="SPARK_GRAFT_SF10J_DIR",
+                default_dir="/tmp/sf10_joins",
+                salt_text={"documents": "text"},
+                dk_iters=1, warm_dk=False)
+            if sf10d is not None:
+                out["sf10_dedup"] = sf10d
+        except Exception as exc:  # noqa: BLE001 — scale evidence is auxiliary
+            print(f"# sf10_dedup section failed: {exc}", file=sys.stderr)
     # Two stdout lines: full detail first, then a COMPACT final line. The
     # driver machine-reads a ~2 kB tail of stdout; round 3's single giant
     # line (detail + sf1 + native sections) outgrew that tail and parsed as
@@ -720,6 +759,10 @@ def main() -> None:
         compact["sf10_text_ratio"] = out["sf10_text"]["per_query_ratio"]
     if "sf10_sim" in out and "per_query_ratio" in out["sf10_sim"]:
         compact["sf10_sim_ratio"] = out["sf10_sim"]["per_query_ratio"]
+    if "sf10_joins" in out and "per_query_ratio" in out["sf10_joins"]:
+        compact["sf10_joins_ratio"] = out["sf10_joins"]["per_query_ratio"]
+    if "sf10_dedup" in out and "per_query_ratio" in out["sf10_dedup"]:
+        compact["sf10_dedup_ratio"] = out["sf10_dedup"]["per_query_ratio"]
     detail_line = json.dumps(out)
     final_line = json.dumps(compact, separators=(",", ":"))
     if detail_line != final_line:

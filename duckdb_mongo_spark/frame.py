@@ -576,21 +576,30 @@ class MongoFrame:
                     # populates
                     return None
                 if index_payload is not None and len(body) == 1:
-                    # r10: same gate as _parse_search_clauses — route the
-                    # phrase/autocomplete/cond fallbacks only when the
-                    # index definition leaves this operator tree at the
-                    # engine-contract default (mql/search_index)
+                    # r10: same gate as _parse_search_clauses — the
+                    # phrase/autocomplete/cond fallbacks route when the
+                    # index leaves the tree at the engine default, or
+                    # (phrase) under one custom analyzer pair, which the
+                    # phrase route's token/query analysis picks up from
+                    # the stashed ctx (mql/search_index)
                     from duckdb_mongo_spark.mql.search_index import (
                         SearchIndex, Unroutable, rewrite_spec_tree,
-                        routes_default)
+                        text_route_analyzers)
                     try:
                         index = SearchIndex.from_payload(index_payload)
                         (bop, bspec), = body.items()
                         if not isinstance(bspec, dict):
                             return None
                         bop, bspec = rewrite_spec_tree(bop, bspec, index)
-                        if not routes_default(index, bop, bspec):
+                        mode, pair = text_route_analyzers(
+                            index, bop, bspec)
+                        if mode == "decline":
+                            self._rt_analyzer = None
                             return None
+                        self._rt_analyzer = (
+                            (index._analyzer_fn(pair[0]),
+                             index._analyzer_fn(pair[1]), pair)
+                            if mode == "custom" else None)
                         body = {bop: bspec}
                     except (ValueError, Unroutable):
                         return None  # interpreter raises / handles exactly
@@ -1069,6 +1078,12 @@ class MongoFrame:
             ts.pop("fuzzy", None)
         if self._parse_search_clauses(stub, fm) is None:
             return spec
+        if getattr(self, "_rt_analyzer", None) is not None:
+            # r10 analyzer routing: the expansion dictionary below is
+            # built with the ENGINE-CONTRACT analyzer; under a custom
+            # index analyzer the vocabulary would mis-tokenize, so
+            # fuzzy stays with the index-aware interpreter
+            return spec
         base = MongoFrame(
             spark=self.spark, backend=self.backend, db=self.db,
             coll=self.coll, schema=coll_schema, schema_mode=self.schema_mode,
@@ -1135,10 +1150,13 @@ class MongoFrame:
         if any(not isinstance(s, str) for s in qstrings):
             return None
         # r8: no ASCII gate — query terms come from the oracle's own
-        # _analyze on BOTH sides (they enter the plan as literals), and
-        # multibyte corpora tokenize through _with_oracle_tokens
-        terms = (_analyze(q) if isinstance(q, str)
-                 else [t for s in q for t in _analyze(s)])
+        # analyzer on BOTH sides (they enter the plan as literals), and
+        # multibyte corpora tokenize through _with_oracle_tokens. Under
+        # r10 analyzer routing the SEARCH analyzer replaces _analyze.
+        ctx = getattr(self, "_rt_analyzer", None)
+        analyze = ctx[1] if ctx is not None else _analyze
+        terms = (analyze(q) if isinstance(q, str)
+                 else [t for s in q for t in analyze(s)])
         if not terms:
             return None
         p = opspec["path"]
@@ -1913,14 +1931,15 @@ class MongoFrame:
             lambda x: x != "")
 
     @staticmethod
-    def _with_oracle_tokens(bdf, fspecs):
+    def _with_oracle_tokens(bdf, fspecs, analyze=None):
         """Token columns produced by the ORACLE'S OWN analyzer
-        (``mql/search._analyze``) via one Arrow-batched ``mapInPandas``
-        pass — distributed, and token-identical to the interpreter by
-        construction (same CPython function, same case tables). The
-        multibyte route for ``$search``: multilingual corpora pay this
-        one Arrow pass instead of falling back to the single-stream
-        interpreter."""
+        (``mql/search._analyze``, or the index definition's analyzer fn
+        under r10 analyzer routing) via one Arrow-batched
+        ``mapInPandas`` pass — distributed, and token-identical to the
+        interpreter by construction (same CPython function, same case
+        tables). The multibyte route for ``$search``: multilingual
+        corpora pay this one Arrow pass instead of falling back to the
+        single-stream interpreter."""
         from pyspark.sql import types as T
 
         from duckdb_mongo_spark.schema.types import is_list
@@ -1933,7 +1952,9 @@ class MongoFrame:
                for n in names])
 
         def kernel(batches):
-            from duckdb_mongo_spark.mql.search import _analyze
+            an = analyze
+            if an is None:
+                from duckdb_mongo_spark.mql.search import _analyze as an
 
             for pdf in batches:
                 if len(pdf) == 0:
@@ -1943,10 +1964,10 @@ class MongoFrame:
                     if islist:
                         out[n] = [
                             [t for el in (v if v is not None else [])
-                             for t in _analyze(el)]
+                             for t in an(el)]
                             for v in pdf[src]]
                     else:
-                        out[n] = [_analyze(v) for v in pdf[src]]
+                        out[n] = [an(v) for v in pdf[src]]
                 yield out
 
         return bdf.mapInPandas(kernel, schema=out_schema)
@@ -2011,7 +2032,9 @@ class MongoFrame:
         qstrings = [q] if isinstance(q, str) else list(q)
         if not qstrings or any(not isinstance(s, str) for s in qstrings):
             return None
-        phrases = [_analyze(s) for s in qstrings]
+        ctx = getattr(self, "_rt_analyzer", None)
+        analyze = ctx[1] if ctx is not None else _analyze
+        phrases = [analyze(s) for s in qstrings]
         slop = int(opspec.get("slop", 0))
         p = opspec["path"]
         paths = [p] if isinstance(p, str) else list(p)
@@ -2408,7 +2431,8 @@ class MongoFrame:
         # declines, and the interpreter runs the index-aware semantics
         # (or raises the spec's loud error).
         from duckdb_mongo_spark.mql.search_index import (
-            SearchIndex, Unroutable, rewrite_spec_tree, routes_default)
+            SearchIndex, Unroutable, rewrite_spec_tree,
+            text_route_analyzers)
 
         index = None
         if index_payload is not None:
@@ -2420,8 +2444,23 @@ class MongoFrame:
             op, opspec = rewrite_spec_tree(op, opspec, index)
         except (ValueError, Unroutable):
             return None
-        if not routes_default(index, op, opspec):
-            return None
+        if index_payload is not None:
+            # r10 analyzer routing: "default" keeps the verified routed
+            # compilation unchanged; "custom" (one analyzer pair over
+            # every text/phrase path) routes with query terms analyzed
+            # by the search analyzer and corpus tokens from the index
+            # analyzer's own CPython fn (oracle-fn Arrow pass — parity
+            # by construction); anything else declines to the
+            # index-aware interpreter. Stashed on self: the clause
+            # parsers and token producers below consult it (recursive
+            # nested-compound parses carry no payload and leave it).
+            mode, pair = text_route_analyzers(index, op, opspec)
+            if mode == "decline":
+                self._rt_analyzer = None
+                return None
+            self._rt_analyzer = (
+                (index._analyzer_fn(pair[0]), index._analyzer_fn(pair[1]),
+                 pair) if mode == "custom" else None)
         if op == "queryString":
             op, opspec = self._translate_query_string(opspec)
             if op is None:
@@ -2760,10 +2799,14 @@ class MongoFrame:
         )
         bdf = base.df()
         self._routed_base_path = base.last_exec_path
+        custom_an = getattr(self, "_rt_analyzer", None)
         mb_known, mb_any = self._mb_lookup(fspecs)
 
         def matched_total(arrow, detect):
-            tdf = (self._with_oracle_tokens(bdf, fspecs) if arrow
+            tdf = (self._with_oracle_tokens(
+                       bdf, fspecs,
+                       analyze=custom_an[0] if custom_an else None)
+                   if arrow
                    else bdf.select(
                        *bdf.columns,
                        *[self._tokens_of(fs).alias(f"__rt_toks_{fs.name}")
@@ -2779,8 +2822,9 @@ class MongoFrame:
                 aggs += [self._nonascii_agg(fs) for fs in fspecs]
             return tdf.agg(*aggs).collect()[0].asDict()
 
-        stats = matched_total(mb_any, detect=not mb_any and not mb_known)
-        if not mb_any and not mb_known:
+        use_arrow = mb_any or custom_an is not None
+        stats = matched_total(use_arrow, detect=not use_arrow and not mb_known)
+        if not use_arrow and not mb_known:
             self._mb_store(fspecs, stats)
             if any(stats.get(f"__nonascii_{fs.name}") for fs in fspecs):
                 # multibyte corpus: recount over oracle-analyzer tokens
@@ -3107,8 +3151,9 @@ class MongoFrame:
         )
         bdf = base.df()
         self._routed_base_path = base.last_exec_path
+        custom_an = getattr(self, "_rt_analyzer", None)
         mb_known, mb_any = self._mb_lookup(fspecs)
-        if not mb_any and not mb_known:
+        if custom_an is None and not mb_any and not mb_known:
             # cheap JVM pass: multibyte detection over the matched
             # paths only (cached per collection+path afterwards)
             stats = bdf.agg(
@@ -3117,8 +3162,9 @@ class MongoFrame:
             self._mb_store(fspecs, stats)
             mb_any = any(stats.get(f"__nonascii_{fs.name}")
                          for fs in fspecs)
-        if mb_any:
-            toks_df = self._with_oracle_tokens(bdf, fspecs)
+        if mb_any or custom_an is not None:
+            toks_df = self._with_oracle_tokens(
+                bdf, fspecs, analyze=custom_an[0] if custom_an else None)
         else:
             toks_df = bdf.select(
                 *bdf.columns,
@@ -3278,15 +3324,22 @@ class MongoFrame:
                 if cols is None:
                     return None  # multibyte element corpus — interpreter
                 embdoc_cols[id(pe)] = cols
+        custom_an = getattr(self, "_rt_analyzer", None)
         mb_known, mb_any = self._mb_lookup(fspecs)
-        use_arrow = bool(fspecs) and mb_any
+        # r10 analyzer routing: a custom index analyzer ALWAYS tokenizes
+        # through its own CPython fn in the Arrow pass (parity by
+        # construction; no JVM twin, no multibyte detection dance)
+        use_arrow = bool(fspecs) and (mb_any or custom_an is not None)
 
         def build_frames(arrow):
             """(toks_df, stats_df, phrase col names, id->col map) for
             either token producer — JVM expression (pure-ASCII fast
-            path) or the oracle analyzer's Arrow pass (multibyte)."""
+            path) or the oracle analyzer's Arrow pass (multibyte /
+            custom index analyzer)."""
             if arrow:
-                tdf = self._with_oracle_tokens(bdf, fspecs)
+                tdf = self._with_oracle_tokens(
+                    bdf, fspecs,
+                    analyze=custom_an[0] if custom_an else None)
             else:
                 tdf = bdf.select(
                     *bdf.columns,

@@ -594,6 +594,94 @@ def routes_default(index, op, spec) -> bool:
     return True
 
 
+def text_route_analyzers(index, op, spec):
+    """Routing mode for an operator tree under ``index`` (r10 analyzer
+    routing). Returns:
+
+    - ``("default", None)`` — ``routes_default`` holds: the verified
+      routed compilation is valid unchanged;
+    - ``("custom", (index_analyzer, search_analyzer))`` — the ONLY
+      deviation from the engine contract is that every ``text``/
+      ``phrase`` path (including inside compounds and translated
+      queryStrings) resolves to the SAME supported analyzer-name pair,
+      no text clause carries ``fuzzy`` (the expansion dictionary is
+      analyzer-bound) and every other clause stays at the default: the
+      routed compiler can run with query terms analyzed by the search
+      analyzer and corpus tokens produced by the index analyzer (the
+      oracle-fn Arrow pass — parity by construction);
+    - ``("decline", None)`` — the interpreter executes the index-aware
+      semantics (or raises the spec's loud error).
+    """
+    if index is None or routes_default(index, op, spec):
+        return ("default", None)
+    names: set = set()
+    try:
+        if not _collect_text_analyzers(index, op, spec, names):
+            return ("decline", None)
+    except ValueError:
+        return ("decline", None)  # the interpreter raises the loud error
+    if len(names) != 1:
+        return ("decline", None)
+    return ("custom", next(iter(names)))
+
+
+def _collect_text_analyzers(index, op, spec, names) -> bool:
+    """routes_default's recursion with text/phrase relaxed: collect
+    their analyzer pairs into ``names``; everything else must hold the
+    engine-contract default. False ⇒ decline."""
+    if not isinstance(spec, dict):
+        return False
+    if op in ("text", "phrase"):
+        if op == "text" and "fuzzy" in spec:
+            return False
+        p = spec.get("path")
+        paths = ([p] if isinstance(p, str)
+                 else [x for x in p if isinstance(x, str)]
+                 if isinstance(p, list) else [])
+        if not paths:
+            return False
+        for x in paths:
+            nm = index.text_analyzer_names(x)
+            if nm is None:
+                return False  # uncovered path matches nothing — interpreter
+            names.add(nm)
+        return True
+    if op == "compound":
+        for key in ("must", "mustNot", "filter", "should"):
+            cls = spec.get(key, [])
+            for cl in ([cls] if isinstance(cls, dict) else list(cls)):
+                if isinstance(cl, dict) and len(cl) == 1:
+                    (sop, sspec), = cl.items()
+                    if sop in ("text", "phrase", "compound",
+                               "queryString"):
+                        if not _collect_text_analyzers(
+                                index, sop, sspec, names):
+                            return False
+                    elif not routes_default(index, sop, sspec):
+                        return False
+        return True
+    if op == "queryString":
+        if isinstance(spec.get("query"), str) and isinstance(
+                spec.get("defaultPath"), str):
+            from duckdb_mongo_spark.mql.search import parse_query_string
+
+            translated = parse_query_string(
+                spec["query"], spec["defaultPath"])
+            (top, tspec), = translated.items()
+            return _collect_text_analyzers(index, top, tspec, names)
+        return False
+    if op == "moreLikeThis":
+        # translation extracts terms with the engine-contract analyzer
+        # (the interpreter does the same); the RESULTING text clauses
+        # evaluate per-path, so their analyzers must join the set
+        from duckdb_mongo_spark.mql.search import translate_more_like_this
+
+        translated = translate_more_like_this(spec)
+        return _collect_text_analyzers(
+            index, "compound", translated["compound"], names)
+    return routes_default(index, op, spec)
+
+
 _SYN_COLLECTION_CAP = 100_000
 
 _DEFN_KEYS = frozenset({"mappings", "analyzer", "searchAnalyzer",

@@ -770,8 +770,11 @@ class TestScanLevel:
         assert [(r["_id"], r["s"]) for r in rows] == \
             [(e["_id"], e["s"]) for e in exp]
 
-    def test_custom_analyzer_declines_and_matches_interpreter(
+    def test_custom_analyzer_routes_and_matches_interpreter(
             self, spark, tmp_path):
+        # r10 analyzer routing: one analyzer pair over all text paths
+        # routes, with corpus tokens from the index analyzer's own
+        # CPython fn (oracle-fn Arrow pass)
         defn = {"mappings": {"fields": {"t": {
             "type": "string", "analyzer": "lucene.keyword"}}}}
         pipe = [{"$search": {"text": {"query": "spark is fast",
@@ -779,7 +782,7 @@ class TestScanLevel:
                 {"$limit": 5},
                 {"$project": {"_id": 1}}]
         mf, rows, exp = self._run(spark, tmp_path, pipe, defn)
-        assert mf.last_exec_path != "routed:search_text"
+        assert mf.last_exec_path == "routed:search_text"
         assert [r["_id"] for r in rows] == [e["_id"] for e in exp] == [1]
 
     def test_equals_token_routes_via_fallback(self, spark, tmp_path):
@@ -860,3 +863,142 @@ class TestScanLevel:
         be = _pq_posts(tmp_path, COLS)
         with pytest.raises(ValueError, match="pipeline"):
             mongo_scan(spark, be, "main", "posts", search_index=STR_T)
+
+
+class TestAnalyzerRouting:
+    """r10: one custom analyzer pair over all text/phrase paths ROUTES —
+    query terms analyzed by the search analyzer driver-side, corpus
+    tokens from the index analyzer's own CPython fn via the oracle-fn
+    Arrow pass (parity by construction). Score bit-parity vs the
+    index-aware interpreter; mixed pairs / fuzzy / uncovered paths
+    decline (interpreter stays exact)."""
+
+    COLS = {"_id": [1, 2, 3, 4],
+            "t": ["Spark Is Fast", "spark SPARK streaming",
+                  "duckdb is a Database", "SPARK123fast row"],
+            "u": ["Alpha Beta", "sparky THINGS", "gamma delta", "x"]}
+
+    def _run(self, spark, tmp_path, pipe, defn, score=True):
+        from duckdb_mongo_spark.scan import mongo_scan
+
+        be = _pq_posts(tmp_path, self.COLS)
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe,
+                        search_index=defn)
+        rows = [r.asDict() for r in mf.df().collect()]
+        exp = _expected(be, pipe, defn)
+        return mf, rows, exp
+
+    @staticmethod
+    def _pipe(spec, extra_proj=None):
+        proj = {"_id": 1, "s": {"$meta": "searchScore"}}
+        proj.update(extra_proj or {})
+        return [{"$search": spec}, {"$limit": 10}, {"$project": proj}]
+
+    @pytest.mark.parametrize("analyzer,query,expect_route", [
+        ("lucene.whitespace", "SPARK", True),
+        ("lucene.simple", "spark", True),
+        ("lucene.keyword", "Spark Is Fast", True),
+    ])
+    def test_text_score_parity(self, spark, tmp_path, analyzer, query,
+                               expect_route):
+        defn = {"mappings": {"fields": {"t": {
+            "type": "string", "analyzer": analyzer}}}}
+        pipe = self._pipe({"text": {"query": query, "path": "t"}})
+        mf, rows, exp = self._run(spark, tmp_path, pipe, defn)
+        assert (mf.last_exec_path == "routed:search_text") == expect_route
+        # bit-identical BM25; ties (equal scores) have unspecified order
+        # on both engines, so compare (score desc, _id)-sorted pairs
+        key = lambda p: (-p[1], p[0])  # noqa: E731
+        assert sorted([(r["_id"], r["s"]) for r in rows], key=key) == \
+            sorted([(e["_id"], e["s"]) for e in exp], key=key)
+
+    def test_custom_composed_analyzer_routes(self, spark, tmp_path):
+        defn = {
+            "analyzers": [{"name": "ws_lower",
+                           "tokenizer": {"type": "whitespace"},
+                           "tokenFilters": [{"type": "lowercase"}]}],
+            "mappings": {"fields": {"t": {
+                "type": "string", "analyzer": "ws_lower"}}},
+        }
+        pipe = self._pipe({"text": {"query": "SPARK", "path": "t"}})
+        mf, rows, exp = self._run(spark, tmp_path, pipe, defn)
+        assert mf.last_exec_path == "routed:search_text"
+        assert [(r["_id"], r["s"]) for r in rows] == \
+            [(e["_id"], e["s"]) for e in exp]
+        assert {r["_id"] for r in rows} == {1, 2}
+
+    def test_compound_text_and_condition_routes(self, spark, tmp_path):
+        defn = {"mappings": {"dynamic": True, "fields": {"t": {
+            "type": "string", "analyzer": "lucene.whitespace"}}}}
+        pipe = self._pipe({"compound": {
+            "must": [{"text": {"query": "spark", "path": "t"}}],
+            "filter": [{"range": {"path": "_id", "gte": 1, "lte": 3}}],
+        }})
+        mf, rows, exp = self._run(spark, tmp_path, pipe, defn)
+        assert mf.last_exec_path == "routed:search_text"
+        assert [(r["_id"], r["s"]) for r in rows] == \
+            [(e["_id"], e["s"]) for e in exp]
+        assert {r["_id"] for r in rows} == {2}  # case-preserving match
+
+    def test_phrase_inside_compound_routes(self, spark, tmp_path):
+        defn = {"mappings": {"fields": {"t": {
+            "type": "string", "analyzer": "lucene.whitespace"}}}}
+        pipe = self._pipe({"compound": {
+            "must": [{"phrase": {"query": "Spark Is", "path": "t"}}]}})
+        mf, rows, exp = self._run(spark, tmp_path, pipe, defn)
+        assert mf.last_exec_path == "routed:search_text"
+        assert [r["_id"] for r in rows] == [e["_id"] for e in exp] == [1]
+
+    def test_bare_phrase_routes_via_fallback(self, spark, tmp_path):
+        defn = {"mappings": {"fields": {"t": {
+            "type": "string", "analyzer": "lucene.whitespace"}}}}
+        pipe = [{"$search": {"phrase": {"query": "Is Fast", "path": "t"}}},
+                {"$limit": 10}, {"$project": {"_id": 1}}]
+        mf, rows, exp = self._run(spark, tmp_path, pipe, defn)
+        assert mf.last_exec_path == "routed:search_text"
+        assert [r["_id"] for r in rows] == [e["_id"] for e in exp] == [1]
+
+    def test_search_meta_count_routes_custom(self, spark, tmp_path):
+        from duckdb_mongo_spark.scan import mongo_scan
+
+        defn = {"mappings": {"fields": {"t": {
+            "type": "string", "analyzer": "lucene.whitespace"}}}}
+        be = _pq_posts(tmp_path, self.COLS)
+        pipe = [{"$searchMeta": {"text": {"query": "spark", "path": "t"}}}]
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe,
+                        search_index=defn)
+        rows = [r.asDict(recursive=True) for r in mf.df().collect()]
+        assert mf.last_exec_path == "routed:search_meta"
+        assert rows[0]["count_total"] == 1  # only doc 2 has bare "spark"
+
+    def test_mixed_analyzer_paths_decline(self, spark, tmp_path):
+        defn = {"mappings": {"fields": {
+            "t": {"type": "string", "analyzer": "lucene.whitespace"},
+            "u": {"type": "string"}}}}
+        pipe = self._pipe({"text": {"query": "spark", "path": ["t", "u"]}})
+        mf, rows, exp = self._run(spark, tmp_path, pipe, defn)
+        assert mf.last_exec_path != "routed:search_text"
+        assert [(r["_id"], r["s"]) for r in rows] == \
+            [(e["_id"], e["s"]) for e in exp]
+
+    def test_fuzzy_under_custom_analyzer_declines_exact(
+            self, spark, tmp_path):
+        defn = {"mappings": {"fields": {"t": {
+            "type": "string", "analyzer": "lucene.simple"}}}}
+        pipe = self._pipe({"text": {"query": "spurk", "path": "t",
+                                    "fuzzy": {"maxEdits": 1}}})
+        mf, rows, exp = self._run(spark, tmp_path, pipe, defn)
+        assert mf.last_exec_path != "routed:search_text"
+        assert [(r["_id"], r["s"]) for r in rows] == \
+            [(e["_id"], e["s"]) for e in exp]
+        assert rows  # simple analyzer: "spark" within 1 edit of "spurk"
+
+    def test_uncovered_path_declines(self, spark, tmp_path):
+        defn = {"mappings": {"fields": {"t": {
+            "type": "string", "analyzer": "lucene.whitespace"}}}}
+        pipe = self._pipe({"compound": {
+            "should": [{"text": {"query": "spark", "path": "t"}},
+                       {"text": {"query": "gamma", "path": "u"}}]}})
+        mf, rows, exp = self._run(spark, tmp_path, pipe, defn)
+        assert mf.last_exec_path != "routed:search_text"
+        assert [r["_id"] for r in rows] == [e["_id"] for e in exp]

@@ -598,22 +598,42 @@ class MongoFrame:
                             return None
                         self._rt_analyzer = (
                             (index._analyzer_fn(pair[0]),
-                             index._analyzer_fn(pair[1]), pair)
+                             index._analyzer_fn(pair[1]), pair, index)
                             if mode == "custom" else None)
                         body = {bop: bspec}
+                        if mode == "custom" and bop == "autocomplete":
+                            # bare autocomplete under an index: wrap as
+                            # a single-must compound so it rides the
+                            # full routed-text machinery (identical
+                            # semantics — a must's score IS the clause
+                            # score) with the per-path gram/fold/
+                            # analyzer options the clause parser pins
+                            wrapped = {k: v for k, v in spec.items()
+                                       if k != "autocomplete"}
+                            wrapped["compound"] = {"must": [{bop: bspec}]}
+                            routed = self._route_search_text(
+                                wrapped, coll_schema)
                     except (ValueError, Unroutable):
                         return None  # interpreter raises / handles exactly
-                if len(body) == 1 and "queryString" in body:
+                if routed is None and len(body) == 1 \
+                        and "queryString" in body:
                     # translate first: a queryString can reduce to a
                     # bare phrase, which routes through the chain below
                     top, tspec = self._translate_query_string(
                         body["queryString"])
                     if top is not None:
                         body = {top: tspec}
-                if len(body) == 1 and "phrase" in body:
+                if routed is not None:
+                    pass  # wrapped bare autocomplete already routed
+                elif len(body) == 1 and "phrase" in body:
                     routed = self._route_search_phrase(
                         body["phrase"], coll_schema)
-                elif len(body) == 1 and "autocomplete" in body:
+                elif len(body) == 1 and "autocomplete" in body \
+                        and index_payload is None:
+                    # under ANY index definition, bare autocomplete
+                    # routes via the compound wrap above or not at all —
+                    # the plain phrase route has no per-path gram/fold
+                    # machinery and would silently ignore the mapping
                     routed = self._route_search_phrase(
                         body["autocomplete"], coll_schema, op="autocomplete")
                 elif len(body) == 1 and next(iter(body)) in (
@@ -1931,7 +1951,7 @@ class MongoFrame:
             lambda x: x != "")
 
     @staticmethod
-    def _with_oracle_tokens(bdf, fspecs, analyze=None):
+    def _with_oracle_tokens(bdf, fspecs, analyze=None, extra_specs=None):
         """Token columns produced by the ORACLE'S OWN analyzer
         (``mql/search._analyze``, or the index definition's analyzer fn
         under r10 analyzer routing) via one Arrow-batched
@@ -1939,28 +1959,38 @@ class MongoFrame:
         interpreter by construction (same CPython function, same case
         tables). The multibyte route for ``$search``: multilingual
         corpora pay this one Arrow pass instead of falling back to the
-        single-stream interpreter."""
+        single-stream interpreter.
+
+        ``extra_specs``: additional ``(out_name, src_name, islist, fn)``
+        columns produced in the SAME pass with their own analyzer fns —
+        r10 autocomplete mappings tokenize independently of the text
+        pair."""
         from pyspark.sql import types as T
 
         from duckdb_mongo_spark.schema.types import is_list
 
         names = [f"__rt_toks_{fs.name}" for fs in fspecs]
-        specs = [(fs.name, bool(is_list(fs.type))) for fs in fspecs]
+        specs = [(fs.name, bool(is_list(fs.type)), None) for fs in fspecs]
+        for out_name, src, islist, fn in (extra_specs or []):
+            names.append(out_name)
+            specs.append((src, islist, fn))
         out_schema = T.StructType(
             list(bdf.schema.fields)
             + [T.StructField(n, T.ArrayType(T.StringType()))
                for n in names])
 
         def kernel(batches):
-            an = analyze
-            if an is None:
-                from duckdb_mongo_spark.mql.search import _analyze as an
+            default_an = analyze
+            if default_an is None:
+                from duckdb_mongo_spark.mql.search import \
+                    _analyze as default_an
 
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 out = pdf.copy()
-                for n, (src, islist) in zip(names, specs):
+                for n, (src, islist, fn) in zip(names, specs):
+                    an = fn if fn is not None else default_an
                     if islist:
                         out[n] = [
                             [t for el in (v if v is not None else [])
@@ -2091,6 +2121,45 @@ class MongoFrame:
                     is_list(fs.type) and fs.type[1] == "VARCHAR")):
                 return None
             fspecs.append(fs)
+        ctx = getattr(self, "_rt_analyzer", None)
+        if ctx is not None and len(ctx) > 3:
+            # r10 index mode: per-path gram/fold/analyzer options from
+            # the autocomplete mapping ride the clause payload — token
+            # columns get their OWN Arrow-pass fns (independent of the
+            # text-analyzer pair) and query terms analyze per path with
+            # the same fold + minGrams skip the interpreter applies
+            from duckdb_mongo_spark.mql.search_index import fold_diacritics
+
+            index = ctx[3]
+            cols, tok_specs, qterms_by_col = [], [], []
+            for pth, fs in zip(paths, fspecs):
+                ac = index.autocomplete_def(pth)  # walker pre-validated
+                if ac is None:
+                    return None  # unmapped path: interpreter semantics
+                an, mg = ac["analyzer"], ac["minGrams"]
+                fold = ac["foldDiacritics"]
+                if fold:
+                    def fn(v, _a=an):
+                        return [fold_diacritics(t) for t in _a(v)]
+                else:
+                    fn = an
+                qts = []
+                for s in qstrings:
+                    qt = an(s)
+                    if fold:
+                        qt = [fold_diacritics(t) for t in qt]
+                    if mg and any(len(t) < mg for t in qt):
+                        # the gram index holds no grams shorter than
+                        # minGrams — this query never matches this path
+                        continue
+                    qts.append(qt)
+                cols.append(f"__rt_act_{fs.name}")
+                tok_specs.append((f"__rt_act_{fs.name}", fs.name,
+                                  bool(is_list(fs.type)), fn))
+                qterms_by_col.append(qts)
+            acspec = {"cols": cols, "specs": tok_specs,
+                      "qterms": qterms_by_col}
+            return fspecs, qstrings, (token_order, fuzzy, acspec), mod
         return fspecs, qterms, (token_order, fuzzy), mod
 
     def _parse_near_clause(self, opspec, fm):
@@ -2262,6 +2331,21 @@ class MongoFrame:
                        + F.abs(col.cast("double") - F.lit(origin))))
         return per_path[0] if len(per_path) == 1 else F.greatest(*per_path)
 
+    @staticmethod
+    def _ac_token_specs(phrase_clauses):
+        """Deduped ``(out_name, src, islist, fn)`` token-column specs of
+        every index-mode autocomplete clause (r10) — produced in the
+        same Arrow pass as the text token columns."""
+        specs, seen = [], set()
+        for kind, payload in phrase_clauses:
+            if kind != "auto" or len(payload[2]) < 3:
+                continue
+            for ts in payload[2][2]["specs"]:
+                if ts[0] not in seen:
+                    seen.add(ts[0])
+                    specs.append(ts)
+        return specs
+
     def _iter_phrase_clauses(self, parsed):
         """Every match-column clause (phrase AND autocomplete — r8)
         anywhere in the parsed tree, as ``(kind, payload)`` in a
@@ -2292,6 +2376,9 @@ class MongoFrame:
                 return [c for cs in payload[0] for c in cs[2:]]
             if kind in ("wc", "rx"):
                 return [fs.name for fs in payload[0]]
+            if kind == "auto" and len(payload[2]) > 2:
+                # r10 index mode: per-path autocomplete token columns
+                return payload[2][2]["cols"]
             return [f"__rt_toks_{fs.name}" for fs in payload[0]]
 
         specs = [
@@ -2387,6 +2474,26 @@ class MongoFrame:
                     if kind == "geo":
                         out[n] = geo_mask(pdf, j, queries, arg)
                         continue
+                    if kind == "auto" and len(arg) > 2:
+                        # r10 index mode: query terms are PER PATH
+                        # (per-path analyzer + fold + minGrams skip),
+                        # aligned positionally with the token columns
+                        acq = arg[2]["qterms"]
+                        mask = []
+                        for row_vals in zip(*[pdf[c] for c in cols]):
+                            hit = False
+                            for v, qts in zip(row_vals, acq):
+                                if v is None:
+                                    continue
+                                toks = list(v)
+                                if any(_autocomplete_matches(
+                                        toks, qt, arg[0], arg[1])
+                                       for qt in qts):
+                                    hit = True
+                                    break
+                            mask.append(hit)
+                        out[n] = mask
+                        continue
                     mask = []
                     for row_vals in zip(*[pdf[c] for c in cols]):
                         mask.append(any(
@@ -2460,7 +2567,7 @@ class MongoFrame:
                 return None
             self._rt_analyzer = (
                 (index._analyzer_fn(pair[0]), index._analyzer_fn(pair[1]),
-                 pair) if mode == "custom" else None)
+                 pair, index) if mode == "custom" else None)
         if op == "queryString":
             op, opspec = self._translate_query_string(opspec)
             if op is None:
@@ -2788,6 +2895,8 @@ class MongoFrame:
         for _kind, (fss, _q, _arg, _mod) in phrase_clauses:
             if _kind in ("wc", "rx", "geo"):
                 continue  # wildcard/regex/geo match raw values — no token cols
+            if _kind == "auto" and len(_arg) > 2:
+                continue  # index-mode autocomplete: own token columns
             for fs in fss:
                 if fs.name not in seen:
                     seen.add(fs.name)
@@ -2800,12 +2909,14 @@ class MongoFrame:
         bdf = base.df()
         self._routed_base_path = base.last_exec_path
         custom_an = getattr(self, "_rt_analyzer", None)
+        ac_specs = self._ac_token_specs(phrase_clauses)
         mb_known, mb_any = self._mb_lookup(fspecs)
 
         def matched_total(arrow, detect):
             tdf = (self._with_oracle_tokens(
                        bdf, fspecs,
-                       analyze=custom_an[0] if custom_an else None)
+                       analyze=custom_an[0] if custom_an else None,
+                       extra_specs=ac_specs)
                    if arrow
                    else bdf.select(
                        *bdf.columns,
@@ -2822,7 +2933,7 @@ class MongoFrame:
                 aggs += [self._nonascii_agg(fs) for fs in fspecs]
             return tdf.agg(*aggs).collect()[0].asDict()
 
-        use_arrow = mb_any or custom_an is not None
+        use_arrow = mb_any or custom_an is not None or bool(ac_specs)
         stats = matched_total(use_arrow, detect=not use_arrow and not mb_known)
         if not use_arrow and not mb_known:
             self._mb_store(fspecs, stats)
@@ -3295,6 +3406,8 @@ class MongoFrame:
         for _kind, (fss, _q, _arg, _mod) in phrase_clauses:
             if _kind in ("wc", "rx", "geo"):
                 continue  # wildcard/regex/geo match raw values — no token cols
+            if _kind == "auto" and len(_arg) > 2:
+                continue  # index-mode autocomplete: own token columns
             for fs in fss:
                 if fs.name not in seen_paths:
                     seen_paths.add(fs.name)
@@ -3328,8 +3441,14 @@ class MongoFrame:
         mb_known, mb_any = self._mb_lookup(fspecs)
         # r10 analyzer routing: a custom index analyzer ALWAYS tokenizes
         # through its own CPython fn in the Arrow pass (parity by
-        # construction; no JVM twin, no multibyte detection dance)
-        use_arrow = bool(fspecs) and (mb_any or custom_an is not None)
+        # construction; no JVM twin, no multibyte detection dance);
+        # index-mode autocomplete clauses bring their own per-path
+        # token-column specs, produced in the same pass
+        ac_specs = self._ac_token_specs(phrase_clauses)
+        if ac_specs and count_spec is not None:
+            return None  # count over per-path-gram clauses: interpreter
+        use_arrow = (bool(fspecs) and (mb_any or custom_an is not None)) \
+            or bool(ac_specs)
 
         def build_frames(arrow):
             """(toks_df, stats_df, phrase col names, id->col map) for
@@ -3339,7 +3458,8 @@ class MongoFrame:
             if arrow:
                 tdf = self._with_oracle_tokens(
                     bdf, fspecs,
-                    analyze=custom_an[0] if custom_an else None)
+                    analyze=custom_an[0] if custom_an else None,
+                    extra_specs=ac_specs)
             else:
                 tdf = bdf.select(
                     *bdf.columns,

@@ -620,6 +620,11 @@ def text_route_analyzers(index, op, spec):
             return ("decline", None)
     except ValueError:
         return ("decline", None)  # the interpreter raises the loud error
+    if not names:
+        # no text/phrase clauses deviate (e.g. an autocomplete-only
+        # tree): custom mode with the engine-contract pair — correct by
+        # construction, just via the Arrow token pass
+        return ("custom", ("lucene.standard", "lucene.standard"))
     if len(names) != 1:
         return ("decline", None)
     return ("custom", next(iter(names)))
@@ -653,7 +658,8 @@ def _collect_text_analyzers(index, op, spec, names) -> bool:
                 if isinstance(cl, dict) and len(cl) == 1:
                     (sop, sspec), = cl.items()
                     if sop in ("text", "phrase", "compound",
-                               "queryString"):
+                               "queryString", "moreLikeThis",
+                               "autocomplete"):
                         if not _collect_text_analyzers(
                                 index, sop, sspec, names):
                             return False
@@ -679,6 +685,18 @@ def _collect_text_analyzers(index, op, spec, names) -> bool:
         translated = translate_more_like_this(spec)
         return _collect_text_analyzers(
             index, "compound", translated["compound"], names)
+    if op == "autocomplete":
+        # routable when every path has an edgeGram autocomplete mapping
+        # (autocomplete_def raises on other tokenizations — caught by
+        # the caller, declining to the interpreter's loud error); its
+        # per-path analyzer/gram/fold options ride the clause payload,
+        # independent of the text-analyzer pair
+        p = spec.get("path")
+        paths = ([p] if isinstance(p, str)
+                 else [x for x in p if isinstance(x, str)]
+                 if isinstance(p, list) else [])
+        return bool(paths) and all(
+            index.autocomplete_def(x) is not None for x in paths)
     return routes_default(index, op, spec)
 
 

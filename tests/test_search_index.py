@@ -1002,3 +1002,111 @@ class TestAnalyzerRouting:
         mf, rows, exp = self._run(spark, tmp_path, pipe, defn)
         assert mf.last_exec_path != "routed:search_text"
         assert [r["_id"] for r in rows] == [e["_id"] for e in exp]
+
+
+class TestAutocompleteRouting:
+    """r10: autocomplete under an index definition ROUTES — per-path
+    edgeGram mappings carry their analyzer/minGrams/foldDiacritics
+    options into the match-column Arrow pass (own token columns,
+    per-path query terms). Bare autocomplete wraps as a single-must
+    compound; under ANY index the plain phrase route never runs (it
+    would silently ignore the mapping)."""
+
+    COLS = {"_id": [1, 2, 3, 4],
+            "t": ["café racer bikes", "cafe latte", "racing cars",
+                  "Späcial token"]}
+    DOCS = [{"_id": 1, "t": "café racer bikes"},
+            {"_id": 2, "t": "cafe latte"},
+            {"_id": 3, "t": "racing cars"},
+            {"_id": 4, "t": "Späcial token"}]
+
+    def _run(self, spark, tmp_path, pipe, defn):
+        from duckdb_mongo_spark.scan import mongo_scan
+
+        be = _pq_posts(tmp_path, self.COLS)
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe,
+                        search_index=defn)
+        rows = sorted(r["_id"] for r in mf.df().collect())
+        exp = sorted(e["_id"] for e in _expected(be, pipe, defn))
+        return mf, rows, exp
+
+    @staticmethod
+    def _pipe(spec):
+        return [{"$search": spec}, {"$limit": 10},
+                {"$project": {"_id": 1}}]
+
+    def test_fold_diacritics_routes(self, spark, tmp_path):
+        defn = {"mappings": {"fields": {"t": {"type": "autocomplete"}}}}
+        pipe = self._pipe({"autocomplete": {"query": "café", "path": "t"}})
+        mf, rows, exp = self._run(spark, tmp_path, pipe, defn)
+        assert mf.last_exec_path == "routed:search_text"
+        assert rows == exp == [1, 2]  # café folds to cafe on both sides
+
+    def test_fold_disabled(self, spark, tmp_path):
+        defn = {"mappings": {"fields": {"t": {
+            "type": "autocomplete", "foldDiacritics": False}}}}
+        pipe = self._pipe({"autocomplete": {"query": "café", "path": "t"}})
+        mf, rows, exp = self._run(spark, tmp_path, pipe, defn)
+        assert mf.last_exec_path == "routed:search_text"
+        assert rows == exp == [1]
+
+    def test_min_grams_skip_routes(self, spark, tmp_path):
+        # the regression case: a skipped-short query must return NOTHING
+        # through the routed path, exactly like the interpreter (a
+        # fallback to the plain phrase route would return prefix hits)
+        defn = {"mappings": {"fields": {"t": {
+            "type": "autocomplete", "minGrams": 3}}}}
+        pipe = self._pipe({"autocomplete": {"query": "ca", "path": "t"}})
+        mf, rows, exp = self._run(spark, tmp_path, pipe, defn)
+        assert mf.last_exec_path == "routed:search_text"
+        assert rows == exp == []
+
+    def test_inside_compound_with_text(self, spark, tmp_path):
+        defn = {"mappings": {"fields": {"t": [
+            {"type": "string"}, {"type": "autocomplete"}]}}}
+        pipe = self._pipe({"compound": {
+            "must": [{"autocomplete": {"query": "rac", "path": "t"}}],
+            "should": [{"text": {"query": "cars", "path": "t"}}]}})
+        mf, rows, exp = self._run(spark, tmp_path, pipe, defn)
+        assert mf.last_exec_path == "routed:search_text"
+        assert rows == exp == [1, 3]  # racer, racing
+
+    def test_custom_autocomplete_analyzer(self, spark, tmp_path):
+        defn = {"mappings": {"fields": {"t": {
+            "type": "autocomplete", "analyzer": "lucene.whitespace",
+            "foldDiacritics": False}}}}
+        pipe = self._pipe({"autocomplete": {"query": "Spä", "path": "t"}})
+        mf, rows, exp = self._run(spark, tmp_path, pipe, defn)
+        assert mf.last_exec_path == "routed:search_text"
+        assert rows == exp == [4]  # case-preserving prefix
+
+    def test_unmapped_path_declines_matches_nothing(self, spark, tmp_path):
+        pipe = self._pipe({"autocomplete": {"query": "caf", "path": "t"}})
+        mf, rows, exp = self._run(spark, tmp_path, pipe, DYNAMIC)
+        assert mf.last_exec_path != "routed:search_text"
+        assert rows == exp == []
+
+    def test_ngram_tokenization_raises(self, spark, tmp_path):
+        from duckdb_mongo_spark.scan import mongo_scan
+
+        defn = {"mappings": {"fields": {"t": {
+            "type": "autocomplete", "tokenization": "nGram"}}}}
+        be = _pq_posts(tmp_path, self.COLS)
+        pipe = self._pipe({"autocomplete": {"query": "caf", "path": "t"}})
+        # raises at BIND time: schema inference samples the pipeline
+        # through the interpreter, which hits the loud option error
+        with pytest.raises(Exception, match="tokenization"):
+            mongo_scan(spark, be, "main", "posts", pipeline=pipe,
+                       search_index=defn).df().collect()
+
+    def test_search_meta_count_with_autocomplete(self, spark, tmp_path):
+        from duckdb_mongo_spark.scan import mongo_scan
+
+        defn = {"mappings": {"fields": {"t": {"type": "autocomplete"}}}}
+        be = _pq_posts(tmp_path, self.COLS)
+        pipe = [{"$searchMeta": {"compound": {
+            "must": [{"autocomplete": {"query": "caf", "path": "t"}}]}}}]
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe,
+                        search_index=defn)
+        rows = [r.asDict(recursive=True) for r in mf.df().collect()]
+        assert rows[0]["count_total"] == 2

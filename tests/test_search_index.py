@@ -1110,3 +1110,53 @@ class TestAutocompleteRouting:
                         search_index=defn)
         rows = [r.asDict(recursive=True) for r in mf.df().collect()]
         assert rows[0]["count_total"] == 2
+
+
+class TestSynonymsRouted:
+    """Synonym rewrites compose with analyzer routing: the shared
+    rewrite (rewrite_spec_tree) runs BEFORE the routing gate, so the
+    expanded text tree routes under the mapping's (custom) analyzer
+    with bit-identical BM25."""
+
+    def test_synonyms_under_custom_analyzer_route(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from duckdb_mongo_spark.backends import ParquetBackend
+        from duckdb_mongo_spark.scan import mongo_scan
+
+        sub = tmp_path / "synr"
+        sub.mkdir()
+        pq.write_table(pa.table({"_id": [1, 2, 3],
+                                 "t": ["my CAR is red", "an Automobile show",
+                                       "a bicycle"]}),
+                       str(sub / "posts.parquet"))
+        pq.write_table(pa.table({"_id": [1], "mappingType": ["equivalent"],
+                                 "synonyms": [["car", "automobile"]]}),
+                       str(sub / "syns.parquet"))
+        be = ParquetBackend(str(sub), db_name="main")
+        defn = {
+            "analyzers": [{"name": "ws_lower",
+                           "tokenizer": {"type": "whitespace"},
+                           "tokenFilters": [{"type": "lowercase"}]}],
+            "mappings": {"fields": {"t": {
+                "type": "string", "analyzer": "ws_lower"}}},
+            "synonyms": [{"name": "mapping", "analyzer": "ws_lower",
+                          "source": {"collection": "syns"}}],
+        }
+        pipe = [{"$search": {"text": {"query": "CAR", "path": "t",
+                                      "synonyms": "mapping"}}},
+                {"$limit": 10},
+                {"$project": {"_id": 1, "s": {"$meta": "searchScore"}}}]
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe,
+                        search_index=defn)
+        rows = sorted((r["_id"], r["s"]) for r in mf.df().collect())
+        # resolve synonyms from the backend for the oracle too
+        ap = attach_search_index(
+            pipe, defn, lambda c: list(be.iter_documents("main", c)))
+        docs = [d for d in be.iter_documents("main", "posts")
+                if d.get("_id") != "__schema"]
+        exp = sorted((e["_id"], e["s"]) for e in run_pipeline(docs, ap))
+        assert mf.last_exec_path == "routed:search_text"
+        assert rows == exp
+        assert [r[0] for r in rows] == [1, 2]

@@ -2259,13 +2259,18 @@ class MongoFrame:
     def _parse_wildcard_clause(self, opspec, fm, op="wildcard"):
         """Validate one ``wildcard`` or ``regex`` clause (r8; regex r9):
         string pattern(s), string (or array-of-string) schema paths,
-        optional score modifier. ``allowAnalyzedField: true`` is
-        analyzer-dependent and declines (the interpreter raises), as
-        does a regex using Lucene's automaton-algebra operators (the
-        oracle's translator raises the loud error). Matching is
+        optional score modifier. A regex using Lucene's automaton
+        operators compiles through the DFA engine (r10). Matching is
         keyword-field semantics — the WHOLE un-analyzed value,
         case-sensitive — via the oracle's own compiled patterns in the
-        match-column Arrow pass, so parity is by construction."""
+        match-column Arrow pass, so parity is by construction.
+
+        Under an index definition (r10): token-"none" paths keep the
+        raw-value match, ``allowAnalyzedField: true`` additionally
+        matches any ANALYZED token (the clause's arg carries the token
+        columns to match and the fspecs needing token production);
+        without an index ``allowAnalyzedField`` declines (the
+        interpreter raises — supply search_index=)."""
         from duckdb_mongo_spark.schema.types import is_list
 
         if not isinstance(opspec, dict) or "query" not in opspec \
@@ -2273,8 +2278,10 @@ class MongoFrame:
             return None
         if set(opspec) - {"query", "path", "allowAnalyzedField", "score"}:
             return None
-        if opspec.get("allowAnalyzedField"):
-            return None  # interpreter raises loudly
+        ctx = getattr(self, "_rt_analyzer", None)
+        allow = bool(opspec.get("allowAnalyzedField"))
+        if allow and ctx is None:
+            return None  # interpreter raises loudly without an index
         mod = self._parse_score_mod(opspec, fm)
         if mod == "unsupported":
             return None
@@ -2298,6 +2305,27 @@ class MongoFrame:
                     is_list(fs.type) and fs.type[1] == "VARCHAR")):
                 return None
             fspecs.append(fs)
+        if ctx is not None and len(ctx) > 3:
+            # index mode: per-path column plan mirroring the oracle's
+            # _indexed_term_match (mql/search.py) — raw value for token
+            # "none", the shared token column for analyzed-with-allow,
+            # nothing for unindexed paths (they match nothing)
+            index = ctx[3]
+            cols, toks_fs = [], []
+            for pth, fs in zip(paths, fspecs):
+                norm = index.token_normalizer(pth)
+                if norm == "lowercase":
+                    return None  # walker declines; defensive
+                analyzed = index.text_analyzer_names(pth) is not None
+                if norm is None and analyzed and not allow:
+                    return None  # interpreter raises the loud error
+                if norm == "none":
+                    cols.append(fs.name)
+                if allow and analyzed:
+                    cols.append(f"__rt_toks_{fs.name}")
+                    toks_fs.append(fs)
+            return fspecs, qstrings, {"cols": cols,
+                                      "toks_fs": toks_fs}, mod
         return fspecs, qstrings, None, mod
 
     @staticmethod
@@ -2375,6 +2403,10 @@ class MongoFrame:
                 # colspecs: ("legacy", path, col) | ("gj", path, cc, tc)
                 return [c for cs in payload[0] for c in cs[2:]]
             if kind in ("wc", "rx"):
+                if isinstance(payload[2], dict):
+                    # r10 index mode: raw cols for token paths + shared
+                    # token cols for analyzed-with-allowAnalyzedField
+                    return payload[2]["cols"]
                 return [fs.name for fs in payload[0]]
             if kind == "auto" and len(payload[2]) > 2:
                 # r10 index mode: per-path autocomplete token columns
@@ -2493,6 +2525,12 @@ class MongoFrame:
                                     break
                             mask.append(hit)
                         out[n] = mask
+                        continue
+                    if not cols:
+                        # index mode with every path unindexed: the
+                        # clause matches nothing (Lucene absent-field
+                        # semantics)
+                        out[n] = [False] * len(pdf)
                         continue
                     mask = []
                     for row_vals in zip(*[pdf[c] for c in cols]):
@@ -2894,7 +2932,13 @@ class MongoFrame:
                     fspecs.append(fs)
         for _kind, (fss, _q, _arg, _mod) in phrase_clauses:
             if _kind in ("wc", "rx", "geo"):
-                continue  # wildcard/regex/geo match raw values — no token cols
+                # wildcard/regex/geo match raw values — no token cols,
+                # EXCEPT index-mode allowAnalyzedField wildcard/regex,
+                # which matches the analyzed token columns too (r10)
+                if _kind in ("wc", "rx") and isinstance(_arg, dict):
+                    fss = _arg["toks_fs"]
+                else:
+                    continue
             if _kind == "auto" and len(_arg) > 2:
                 continue  # index-mode autocomplete: own token columns
             for fs in fss:
@@ -3405,7 +3449,13 @@ class MongoFrame:
                     fspecs.append(fs)
         for _kind, (fss, _q, _arg, _mod) in phrase_clauses:
             if _kind in ("wc", "rx", "geo"):
-                continue  # wildcard/regex/geo match raw values — no token cols
+                # wildcard/regex/geo match raw values — no token cols,
+                # EXCEPT index-mode allowAnalyzedField wildcard/regex,
+                # which matches the analyzed token columns too (r10)
+                if _kind in ("wc", "rx") and isinstance(_arg, dict):
+                    fss = _arg["toks_fs"]
+                else:
+                    continue
             if _kind == "auto" and len(_arg) > 2:
                 continue  # index-mode autocomplete: own token columns
             for fs in fss:

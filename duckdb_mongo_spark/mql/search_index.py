@@ -659,7 +659,7 @@ def _collect_text_analyzers(index, op, spec, names) -> bool:
                     (sop, sspec), = cl.items()
                     if sop in ("text", "phrase", "compound",
                                "queryString", "moreLikeThis",
-                               "autocomplete"):
+                               "autocomplete", "wildcard", "regex"):
                         if not _collect_text_analyzers(
                                 index, sop, sspec, names):
                             return False
@@ -697,6 +697,31 @@ def _collect_text_analyzers(index, op, spec, names) -> bool:
                  if isinstance(p, list) else [])
         return bool(paths) and all(
             index.autocomplete_def(x) is not None for x in paths)
+    if op in ("wildcard", "regex"):
+        # token-"none" paths match the raw stored value (the default
+        # routed semantics); with allowAnalyzedField the pattern also
+        # matches ANY analyzed token, so those paths' analyzers join
+        # the set and the clause matches against the shared token
+        # columns. lowercase normalizers and the analyzed-without-allow
+        # loud raise decline to the interpreter.
+        p = spec.get("path")
+        paths = ([p] if isinstance(p, str)
+                 else [x for x in p if isinstance(x, str)]
+                 if isinstance(p, list) else [])
+        if not paths:
+            return False
+        allow = bool(spec.get("allowAnalyzedField"))
+        for x in paths:
+            norm = index.token_normalizer(x)
+            if norm == "lowercase":
+                return False  # pattern-vs-normalized-term: interpreter
+            nm = index.text_analyzer_names(x)
+            if allow:
+                if nm is not None:
+                    names.add(nm)
+            elif norm is None and nm is not None:
+                return False  # the interpreter raises the loud error
+        return True
     return routes_default(index, op, spec)
 
 

@@ -1160,3 +1160,91 @@ class TestSynonymsRouted:
         assert mf.last_exec_path == "routed:search_text"
         assert rows == exp
         assert [r[0] for r in rows] == [1, 2]
+
+
+class TestAnalyzedWildcardRouting:
+    """r10: allowAnalyzedField wildcard/regex ROUTE under an index —
+    the pattern matches any analyzed token via the shared token
+    columns; token-"none" paths keep the raw whole-value match (both
+    when a path carries both types). lowercase normalizers and
+    analyzed-without-allow (the Atlas loud error) decline."""
+
+    COLS = {"_id": [1, 2, 3],
+            "t": ["spark is fast", "sparrow nest", "duck pond"],
+            "sku": ["AB-1", "ab-2", "AB-3"]}
+    STR = {"mappings": {"fields": {"t": {"type": "string"}}}}
+    BOTH = {"mappings": {"fields": {
+        "t": [{"type": "string"}, {"type": "token"}]}}}
+
+    def _run(self, spark, tmp_path, spec, defn):
+        from duckdb_mongo_spark.scan import mongo_scan
+
+        be = _pq_posts(tmp_path, self.COLS)
+        pipe = [{"$search": spec}, {"$limit": 10},
+                {"$project": {"_id": 1}}]
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe,
+                        search_index=defn)
+        rows = sorted(r["_id"] for r in mf.df().collect())
+        exp = sorted(e["_id"] for e in _expected(be, pipe, defn))
+        assert rows == exp
+        return mf, rows
+
+    def test_analyzed_tokens_match(self, spark, tmp_path):
+        mf, rows = self._run(spark, tmp_path,
+                             {"wildcard": {"query": "spar*", "path": "t",
+                                           "allowAnalyzedField": True}},
+                             self.STR)
+        assert mf.last_exec_path == "routed:search_text"
+        assert rows == [1, 2]
+
+    def test_automaton_regex_over_analyzed_tokens(self, spark, tmp_path):
+        mf, rows = self._run(
+            spark, tmp_path,
+            {"regex": {"query": "spar.*&~(sparrow)", "path": "t",
+                       "allowAnalyzedField": True}}, self.STR)
+        assert mf.last_exec_path == "routed:search_text"
+        assert rows == [1]
+
+    def test_token_and_string_path_matches_both_ways(
+            self, spark, tmp_path):
+        # raw whole-value hit through the token type
+        mf, rows = self._run(spark, tmp_path,
+                             {"wildcard": {"query": "duck pond", "path": "t",
+                                           "allowAnalyzedField": True}},
+                             self.BOTH)
+        assert mf.last_exec_path == "routed:search_text"
+        assert rows == [3]
+        # analyzed-token hit on the same definition
+        mf, rows = self._run(spark, tmp_path,
+                             {"wildcard": {"query": "duck*", "path": "t",
+                                           "allowAnalyzedField": True}},
+                             self.BOTH)
+        assert rows == [3]
+
+    def test_inside_compound_with_mustnot_text(self, spark, tmp_path):
+        mf, rows = self._run(spark, tmp_path, {"compound": {
+            "must": [{"wildcard": {"query": "spar*", "path": "t",
+                                   "allowAnalyzedField": True}}],
+            "mustNot": [{"text": {"query": "nest", "path": "t"}}]}},
+            self.STR)
+        assert mf.last_exec_path == "routed:search_text"
+        assert rows == [1]
+
+    def test_lowercase_normalizer_declines_exact(self, spark, tmp_path):
+        defn = {"mappings": {"fields": {
+            "sku": {"type": "token", "normalizer": "lowercase"}}}}
+        mf, rows = self._run(spark, tmp_path,
+                             {"wildcard": {"query": "ab-*", "path": "sku"}},
+                             defn)
+        assert mf.last_exec_path != "routed:search_text"
+        assert rows == [1, 2, 3]  # stored terms lowered; pattern as written
+
+    def test_analyzed_without_allow_raises(self, spark, tmp_path):
+        from duckdb_mongo_spark.scan import mongo_scan
+
+        be = _pq_posts(tmp_path, self.COLS)
+        pipe = [{"$search": {"wildcard": {"query": "spar*", "path": "t"}}},
+                {"$limit": 10}]
+        with pytest.raises(Exception, match="allowAnalyzedField"):
+            mongo_scan(spark, be, "main", "posts", pipeline=pipe,
+                       search_index=self.STR).df().collect()

@@ -314,3 +314,71 @@ class TestRandomEmbeddedDocumentParity:
                                     clause, sib):
         compound = {"must": [clause] + ([sib] if sib else [])}
         _parity(spark, embedded_backend, compound)
+
+
+# ---------------------------------------------------------------------------
+# r10: index definitions × random trees — parity whether routed or not
+
+
+_INDEX_DEFNS = [
+    # engine-contract (routes unchanged)
+    {"mappings": {"dynamic": True}},
+    # explicit std strings; year/tag unmapped (conds match nothing)
+    {"mappings": {"fields": {"body": {"type": "string"},
+                             "title": {"type": "string"}}}},
+    # custom analyzer pair over both text paths (routes via Arrow)
+    {"mappings": {"dynamic": True, "fields": {
+        "body": {"type": "string", "analyzer": "lucene.whitespace"},
+        "title": {"type": "string", "analyzer": "lucene.whitespace"}}}},
+    {"mappings": {"dynamic": True, "fields": {
+        "body": {"type": "string", "analyzer": "lucene.simple"},
+        "title": {"type": "string", "analyzer": "lucene.simple"}}}},
+    # MIXED pairs (declines to the interpreter) + token coverage
+    {"mappings": {"dynamic": True, "fields": {
+        "body": {"type": "string", "analyzer": "lucene.keyword"},
+        "title": {"type": "string"},
+        "tag": {"type": "token"}}}},
+    # partial coverage: title unmapped (matches nothing), dynamic off
+    {"mappings": {"fields": {
+        "body": {"type": "string"},
+        "tag": {"type": "token"},
+        "year": {"type": "number"}}}},
+]
+
+
+def _parity_with_index(spark, backend, compound, defn):
+    from duckdb_mongo_spark.mql.search_index import attach_search_index
+
+    pipe = [{"$search": {"compound": compound}}, {"$limit": 10},
+            {"$addFields": {"score": {"$meta": "searchScore"}}},
+            {"$project": {"_id": 1, "score": 1}}]
+    mf = mongo_scan(spark, backend, "main", "posts", pipeline=pipe,
+                    search_index=defn)
+    got = sorted((r["_id"], r["score"]) for r in mf.df().collect())
+    docs = [d for d in backend.iter_documents("main", "posts")]
+    ap = attach_search_index(pipe, defn, lambda c: [])
+    exp = sorted((d["_id"], d["score"]) for d in run_pipeline(docs, ap))
+    assert got == exp, (defn, compound, mf.last_exec_path)
+
+
+class TestIndexDefinitionParity:
+    """r10 done-criterion: under ANY index definition, routed results
+    are bit-identical to the index-aware interpreter — custom analyzer
+    pairs route through the oracle-fn Arrow pass, everything else
+    declines to the interpreter (exact either way). The definitions
+    cover the engine default, explicit/partial mappings, two custom
+    pairs, and a mixed-pair decline case."""
+
+    @settings(max_examples=36, deadline=None)
+    @given(compound=_compound(1),
+           defn=st.sampled_from(_INDEX_DEFNS))
+    def test_routed_matches_index_aware_interpreter(
+            self, spark, search_backend, compound, defn):
+        _parity_with_index(spark, search_backend, compound, defn)
+
+    @settings(max_examples=12, deadline=None)
+    @given(compound=_compound(1, words=_UWORDS),
+           defn=st.sampled_from(_INDEX_DEFNS[:4]))
+    def test_mixed_script_with_index(self, spark, unicode_backend,
+                                     compound, defn):
+        _parity_with_index(spark, unicode_backend, compound, defn)

@@ -277,3 +277,53 @@ class TestSearchIntegration:
         mf = mongo_scan(spark, be, "main", "items", pipeline=pipe)
         got = sorted(r["_id"] for r in mf.df().collect())
         assert got == [2]
+
+
+class TestAlgebraicLaws:
+    """Internal-consistency laws over enumerated strings: the automaton
+    operators must satisfy the boolean algebra they implement —
+    L(a&b) = L(a) ∩ L(b), L(a|b) = L(a) ∪ L(b), L(~a) = complement,
+    L(~~a) = L(a) — for random small patterns over a tiny alphabet."""
+
+    ALPHABET = "ab"
+
+    @classmethod
+    def _universe(cls, max_len=4):
+        from itertools import product
+        out = [""]
+        for n in range(1, max_len + 1):
+            out += ["".join(t) for t in product(cls.ALPHABET, repeat=n)]
+        return out
+
+    @classmethod
+    def _lang(cls, pattern):
+        rx = LuceneRegex(pattern)
+        return {s for s in cls._universe() if rx.fullmatch(s)}
+
+    _PAT = st.from_regex(
+        r"\A[ab]([ab.]|\*|\|[ab]|\(~\([ab][ab]?\)\)){0,4}\Z",
+        fullmatch=True)
+
+    @settings(max_examples=60, deadline=None)
+    @given(a=_PAT, b=_PAT)
+    def test_intersection_and_union_laws(self, a, b):
+        la, lb = self._lang(a), self._lang(b)
+        assert self._lang(f"({a})&({b})") == la & lb, (a, b)
+        assert self._lang(f"({a})|({b})") == la | lb, (a, b)
+
+    @settings(max_examples=60, deadline=None)
+    @given(a=_PAT)
+    def test_complement_laws(self, a):
+        la = self._lang(a)
+        univ = set(self._universe())
+        assert self._lang(f"~({a})") == univ - la, a
+        assert self._lang(f"~(~({a}))") == la, a
+        # a & ~a is the empty language; a | ~a is everything
+        assert self._lang(f"({a})&~({a})") == set(), a
+        assert self._lang(f"({a})|~({a})") == univ, a
+
+    def test_interval_intersection_with_pattern(self):
+        # digits in [10, 30] that also match 1.* (i.e. 10..19)
+        lang = {s for s in (str(v) for v in range(0, 100))
+                if LuceneRegex("<10-30>&1.").fullmatch(s)}
+        assert lang == {str(v) for v in range(10, 20)}

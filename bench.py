@@ -95,6 +95,48 @@ def _install_lean_line_items(qs: dict, oracles: dict) -> None:
     qs["mongo_count_pushdown"] = _count
     oracles["mongo_count_pushdown"] = "SELECT COUNT(*) AS count FROM supplier"
 
+    # r10: routed $search BM25 top-k as a first-class bench item — the
+    # round's $search work had plan-shape evidence but no wall-clock
+    # line. The DuckDB oracle is the same two-pass computation the
+    # routed plan runs (corpus stats, per-term BM25, top-k), over the
+    # same tokenizer SQL the dedup oracles share — a fair equivalent,
+    # score-identical at sf0.01 (verified manually; ln/log agree here).
+    def _search_text(spark, sf_dir):
+        from duckdb_mongo_spark.scan import mongo_scan
+
+        be = entry._pq_backend(sf_dir, id_field="doc_id")
+        pipe = [
+            {"$search": {"text": {"query": "spark vector merge",
+                                  "path": "text"}}},
+            {"$limit": 10},
+            {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}},
+        ]
+        return mongo_scan(spark, be, "main", "documents",
+                          pipeline=pipe).df()
+
+    qs["search_text_topk"] = _search_text
+    _t = entry._SHINGLE_TOKS_SQL
+    _bm = ("CASE WHEN tf{i} > 0 THEN ln(1 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+           " * (tf{i} * 2.2) / (tf{i} + 1.2 * (0.25 + 0.75 * dl / (total / n)))"
+           " ELSE 0 END")
+    oracles["search_text_topk"] = f"""
+    WITH tk AS (SELECT doc_id, {_t} AS t FROM documents),
+    st AS (SELECT COUNT(*) AS n, CAST(SUM(len(t)) AS DOUBLE) AS total FROM tk),
+    d AS (SELECT doc_id, len(t) AS dl,
+                 len(list_filter(t, x -> x = 'spark'))  AS tf1,
+                 len(list_filter(t, x -> x = 'vector')) AS tf2,
+                 len(list_filter(t, x -> x = 'merge'))  AS tf3
+          FROM tk),
+    f AS (SELECT COUNT(*) FILTER (WHERE tf1 > 0) AS df1,
+                 COUNT(*) FILTER (WHERE tf2 > 0) AS df2,
+                 COUNT(*) FILTER (WHERE tf3 > 0) AS df3 FROM d),
+    s AS (SELECT doc_id,
+            ({_bm.format(i=1)} + {_bm.format(i=2)} + {_bm.format(i=3)}) AS score
+          FROM d, st, f)
+    SELECT doc_id, score FROM s WHERE score > 0
+    ORDER BY score DESC LIMIT 10
+    """
+
     # r4 merged mongo_manual_filter into mongo_or_filter (tagged union) to
     # free a ledger slot; the bench keeps the lean OR-only shape so the
     # native-pipeline section's comparison query stays row-identical
@@ -674,7 +716,7 @@ def main() -> None:
             sf10 = _sf10_section(
                 spark, qs, oracles,
                 ["text_analysis", "dedup_minhash_signatures",
-                 "dedup_simhash"],
+                 "dedup_simhash", "search_text_topk"],
                 ["documents"])
             if sf10 is not None:
                 out["sf10_text"] = sf10

@@ -115,6 +115,25 @@ def _install_lean_line_items(qs: dict, oracles: dict) -> None:
                           pipeline=pipe).df()
 
     qs["search_text_topk"] = _search_text
+
+    # r11: the same query with the BM25 statistics sidecar committed
+    # (ops/text_index) — the cache-hit line the r10 verdict asked for.
+    # After the warm pass pays the one-time build, each timed iteration's
+    # build call is a fingerprint-checked no-op and the routed plan skips
+    # the pass-1 corpus aggregate entirely (N/len from meta.json, term
+    # DFs from a pruned parquet read). DuckDB runs the SAME full two-pass
+    # oracle — the line measures what a persistent index amortizes away,
+    # exactly the asymmetry the reference has (Lucene holds these stats
+    # server-side; the cold line keeps the per-query-recompute compare).
+    def _search_text_cached(spark, sf_dir):
+        from duckdb_mongo_spark.ops.text_index import build_text_stats_index
+
+        be = entry._pq_backend(sf_dir, id_field="doc_id")
+        build_text_stats_index(spark, be, "main", "documents",
+                               paths=["text"])
+        return _search_text(spark, sf_dir)
+
+    qs["search_text_topk_cached"] = _search_text_cached
     _t = entry._SHINGLE_TOKS_SQL
     _bm = ("CASE WHEN tf{i} > 0 THEN ln(1 + (n - df{i} + 0.5) / (df{i} + 0.5))"
            " * (tf{i} * 2.2) / (tf{i} + 1.2 * (0.25 + 0.75 * dl / (total / n)))"
@@ -136,6 +155,7 @@ def _install_lean_line_items(qs: dict, oracles: dict) -> None:
     SELECT doc_id, score FROM s WHERE score > 0
     ORDER BY score DESC LIMIT 10
     """
+    oracles["search_text_topk_cached"] = oracles["search_text_topk"]
 
     # r4 merged mongo_manual_filter into mongo_or_filter (tagged union) to
     # free a ledger slot; the bench keeps the lean OR-only shape so the
@@ -716,7 +736,8 @@ def main() -> None:
             sf10 = _sf10_section(
                 spark, qs, oracles,
                 ["text_analysis", "dedup_minhash_signatures",
-                 "dedup_simhash", "search_text_topk"],
+                 "dedup_simhash", "search_text_topk",
+                 "search_text_topk_cached"],
                 ["documents"])
             if sf10 is not None:
                 out["sf10_text"] = sf10

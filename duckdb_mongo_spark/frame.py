@@ -2029,6 +2029,46 @@ class MongoFrame:
             _MB_CACHE[self._mb_key(fs)] = bool(
                 stats.get(f"__nonascii_{fs.name}"))
 
+    def _text_stats_lookup(self, fspecs, df_pairs):
+        """Pass-1 corpus statistics from committed ``ops/text_index``
+        sidecars instead of a live aggregate scan (r11). Returns the
+        same dict shape ``run_stats`` produces (``__n`` / ``__len_*`` /
+        ``__df_*``), or None when any path lacks a committed sidecar
+        under its resolved analyzer key — or the handles disagree on
+        the corpus size (a mid-rebuild mix of generations) — leaving
+        the cold path unchanged. A hit also seeds the per-path
+        multibyte flags so the token-producer choice below matches the
+        tokens the statistics were built over."""
+        from duckdb_mongo_spark.ops import text_index
+
+        ctx = getattr(self, "_rt_analyzer", None)
+        handles = {}
+        for fs in fspecs:
+            if ctx is not None:
+                akey = ctx[3].analyzer_key(ctx[2][0])
+            else:
+                akey = text_index.CONTRACT_ANALYZER_KEY
+            h = text_index.cached_stats(
+                self.backend, self.db, self.coll, fs.mongo_path, akey)
+            if h is None:
+                return None
+            handles[fs.name] = h
+        if len({h.n_docs for h in handles.values()}) != 1:
+            return None
+        stats = {"__n": next(iter(handles.values())).n_docs}
+        for fs in fspecs:
+            stats[f"__len_{fs.name}"] = handles[fs.name].total_len
+        by_path: dict = {}
+        for j, (fs, t) in enumerate(df_pairs):
+            by_path.setdefault(fs.name, []).append((j, t))
+        for name, pairs in by_path.items():
+            dfs = handles[name].term_dfs([t for _j, t in pairs])
+            for j, t in pairs:
+                stats[f"__df_{j}"] = dfs[t]
+        for fs in fspecs:
+            _MB_CACHE[self._mb_key(fs)] = bool(handles[fs.name].multibyte)
+        return stats
+
     @staticmethod
     def _nonascii_agg(fs):
         """octet_length != length iff any multi-byte character — the
@@ -3488,6 +3528,18 @@ class MongoFrame:
                     return None  # multibyte element corpus — interpreter
                 embdoc_cols[id(pe)] = cols
         custom_an = getattr(self, "_rt_analyzer", None)
+        # r11: a committed statistics sidecar (ops/text_index — the
+        # local stand-in for the server-side Lucene index state the
+        # reference's $search passthrough relies on) replaces the
+        # pass-1 corpus aggregate entirely: N / total length from
+        # meta.json, per-(path, term) document frequency from a
+        # term-range-pruned parquet read. Fingerprint-keyed, so a
+        # rewritten collection misses and the live pass runs unchanged.
+        # count specs keep the live pass — the matched total is a
+        # corpus scan by definition.
+        sidecar_stats = None
+        if fspecs and count_spec is None:
+            sidecar_stats = self._text_stats_lookup(fspecs, df_pairs)
         mb_known, mb_any = self._mb_lookup(fspecs)
         # r10 analyzer routing: a custom index analyzer ALWAYS tokenizes
         # through its own CPython fn in the Arrow pass (parity by
@@ -3556,7 +3608,12 @@ class MongoFrame:
             return sdf.agg(*aggs).collect()[0].asDict()
 
         toks_df, stats_df, ph_names, phrase_col_map = build_frames(use_arrow)
-        if fspecs:
+        if fspecs and sidecar_stats is not None:
+            stats = sidecar_stats
+            n_docs = stats["__n"] or 0
+            if n_docs == 0:
+                return None
+        elif fspecs:
             detect = not use_arrow and not mb_known
             stats = run_stats(stats_df, phrase_col_map, detect)
             n_docs = stats["__n"] or 0

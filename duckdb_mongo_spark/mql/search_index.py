@@ -64,6 +64,8 @@ for the server-side metadata those tests assume.
 
 from __future__ import annotations
 
+import hashlib
+import json
 import unicodedata
 
 # ---------------------------------------------------------------------------
@@ -227,6 +229,21 @@ class SearchIndex:
         else:
             fn = base
         self._custom[spec["name"]] = fn
+
+    def analyzer_key(self, name: str) -> str:
+        """Stable identity of an analyzer for statistics-sidecar keying
+        (``ops/text_index``): builtin names are their own key; a custom
+        analyzer's key hashes its full spec, so two definitions that
+        reuse one NAME for different tokenizer/filter stacks never share
+        cached statistics."""
+        if name in self._custom:
+            spec = next(
+                (s for s in self.definition.get("analyzers", []) or []
+                 if isinstance(s, dict) and s.get("name") == name), None)
+            digest = hashlib.sha1(
+                json.dumps(spec, sort_keys=True).encode()).hexdigest()[:12]
+            return f"{name}#{digest}"
+        return name
 
     def _analyzer_fn(self, name):
         fn = self._custom.get(name) or _BUILTIN_ANALYZERS.get(name)

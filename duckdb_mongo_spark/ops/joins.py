@@ -269,6 +269,7 @@ def interval_join_points(
     bin_width: float = 3600.0,
     iv_suffix: str = "_iv",
     max_bins_per_interval: int | None = 10_000,
+    broadcast: bool = False,
 ) -> DataFrame:
     """Inner-join each point row to every interval row with
     ``lo <= t <= hi`` (and equal ``on`` keys), as an equi-join.
@@ -292,6 +293,15 @@ def interval_join_points(
 
     Plan shape: Exchange(keys+bin) → join + residual Filter, never
     BroadcastNestedLoopJoin (regression-tested in test_joins.py).
+
+    ``broadcast=True`` hints the (exploded) interval side as the
+    broadcast build: the point side then joins map-side with NO shuffle
+    at all — the classic small-dimension plan. Opt in only when the
+    interval count is bounded by a dimension (users x days, device
+    catalog windows), never when intervals scale with the fact table:
+    the hint bypasses AQE's size check, and an oversized build side
+    fails on the driver instead of degrading. Default off — AQE still
+    promotes the join to broadcast on its own when runtime stats allow.
     """
     on = list(on or [])
     w = (_auto_bin_width([(intervals, lo_col, hi_col)])
@@ -315,7 +325,7 @@ def interval_join_points(
     cond.append(t_n >= _num(intervals, lo_col, F.col(f"__iv_{lo_col}")))
     cond.append(t_n <= _num(intervals, hi_col, F.col(f"__iv_{hi_col}")))
     dup = set(points.columns)
-    joined = pt.join(iv, cond, "inner")
+    joined = pt.join(F.broadcast(iv) if broadcast else iv, cond, "inner")
     return joined.select(
         *[F.col(c) for c in points.columns],
         *[F.col(f"__iv_{c}").alias(c + iv_suffix if c in dup else c) for c in intervals.columns],
@@ -333,6 +343,7 @@ def interval_overlap_join(
     bin_width: float = 3600.0,
     r_suffix: str = "_r",
     max_bins_per_interval: int | None = 10_000,
+    broadcast: bool = False,
 ) -> DataFrame:
     """All (left, right) pairs whose closed intervals overlap —
     ``l_lo <= r_hi AND r_lo <= l_hi`` (+ equal ``on`` keys) — emitted
@@ -347,7 +358,9 @@ def interval_overlap_join(
     Results are width-invariant; pass a ``bin_width`` near the typical
     interval length when known, or ``bin_width=None`` to measure it from
     BOTH sides (p95, see ``_auto_bin_width`` — one extra evaluation of
-    each side's lineage).
+    each side's lineage). ``broadcast=True`` hints the RIGHT side as the
+    broadcast build (see ``interval_join_points`` for when that is
+    safe).
     """
     on = list(on or [])
     w = (_auto_bin_width([(left, l_lo, l_hi), (right, r_lo, r_hi)])
@@ -375,7 +388,7 @@ def interval_overlap_join(
         == F.greatest(_bin(left, l_lo, w), _bin(right, r_lo, w, F.col(f"__r_{r_lo}")))
     )
     dup = set(left.columns)
-    joined = lv.join(rv, cond, "inner")
+    joined = lv.join(F.broadcast(rv) if broadcast else rv, cond, "inner")
     return joined.select(
         *[F.col(c) for c in left.columns],
         *[F.col(f"__r_{c}").alias(c + r_suffix if c in dup else c) for c in right.columns],

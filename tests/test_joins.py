@@ -339,6 +339,42 @@ class TestIntervalJoins:
             assert "BroadcastNestedLoopJoin" not in p, p[:2000]
             assert "CartesianProduct" not in p, p[:2000]
 
+    def test_interval_broadcast_hint(self, clicks, errors):
+        # r11: the broadcast opt-in keeps results identical and turns
+        # the plan into a map-side BroadcastHashJoin (no point-side
+        # shuffle) — the dimension-sized-interval plan
+        iv = errors.select(
+            "user_id", F.col("ts").alias("lo"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("hi"), "value",
+        )
+        base = interval_join_points(
+            clicks, "ts", iv, "lo", "hi", on=["user_id"])
+        hinted = interval_join_points(
+            clicks, "ts", iv, "lo", "hi", on=["user_id"], broadcast=True)
+        plan = hinted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+        assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+        key = lambda r: (r["event_id"], str(r["lo"]))  # noqa: E731
+        assert sorted(map(key, hinted.collect())) \
+            == sorted(map(key, base.collect()))
+
+    def test_overlap_broadcast_hint(self, clicks, errors):
+        lv = clicks.select(
+            "user_id", F.col("ts").alias("lo"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("hi"))
+        rv = errors.select(
+            "user_id", F.col("ts").alias("lo"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("hi"), "value")
+        base = interval_overlap_join(
+            lv, "lo", "hi", rv, "lo", "hi", on=["user_id"])
+        hinted = interval_overlap_join(
+            lv, "lo", "hi", rv, "lo", "hi", on=["user_id"], broadcast=True)
+        plan = hinted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+        key = lambda r: tuple(str(v) for v in r)  # noqa: E731
+        assert sorted(map(key, hinted.collect())) \
+            == sorted(map(key, base.collect()))
+
 
 class TestSaltedJoin:
     def _skewed(self, spark):

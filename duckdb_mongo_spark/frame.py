@@ -583,23 +583,21 @@ class MongoFrame:
                     # phrase route's token/query analysis picks up from
                     # the stashed ctx (mql/search_index)
                     from duckdb_mongo_spark.mql.search_index import (
-                        SearchIndex, Unroutable, rewrite_spec_tree,
-                        text_route_analyzers)
+                        RoutedIndexCtx, SearchIndex, Unroutable,
+                        rewrite_spec_tree, text_route_analyzers)
                     try:
                         index = SearchIndex.from_payload(index_payload)
                         (bop, bspec), = body.items()
                         if not isinstance(bspec, dict):
                             return None
                         bop, bspec = rewrite_spec_tree(bop, bspec, index)
-                        mode, pair = text_route_analyzers(
+                        mode, _ = text_route_analyzers(
                             index, bop, bspec)
                         if mode == "decline":
                             self._rt_analyzer = None
                             return None
-                        self._rt_analyzer = (
-                            (index._analyzer_fn(pair[0]),
-                             index._analyzer_fn(pair[1]), pair, index)
-                            if mode == "custom" else None)
+                        self._rt_analyzer = (RoutedIndexCtx(index)
+                                             if mode == "custom" else None)
                         body = {bop: bspec}
                         if mode == "custom" and bop == "autocomplete":
                             # bare autocomplete under an index: wrap as
@@ -1146,8 +1144,12 @@ class MongoFrame:
     def _parse_text_clause(self, opspec, fm):
         """Validate one ``text`` clause: string query with tokens, string
         (or array-of-string) schema paths, optional boost/constant score
-        modifier. Returns (fspecs, terms, score_mod) or None when the
-        clause needs the interpreter."""
+        modifier. Returns (fspecs, terms_by_path, score_mod) — the term
+        list is PER PATH (r11: under an index definition each path's
+        SEARCH analyzer tokenizes the query independently, the
+        interpreter's ``terms_for[p]``; without one every entry is the
+        engine-contract list) — or None when the clause needs the
+        interpreter."""
         from duckdb_mongo_spark.mql.search import _analyze
         from duckdb_mongo_spark.schema.types import is_list
 
@@ -1169,16 +1171,6 @@ class MongoFrame:
         qstrings = [q] if isinstance(q, str) else list(q)
         if any(not isinstance(s, str) for s in qstrings):
             return None
-        # r8: no ASCII gate — query terms come from the oracle's own
-        # analyzer on BOTH sides (they enter the plan as literals), and
-        # multibyte corpora tokenize through _with_oracle_tokens. Under
-        # r10 analyzer routing the SEARCH analyzer replaces _analyze.
-        ctx = getattr(self, "_rt_analyzer", None)
-        analyze = ctx[1] if ctx is not None else _analyze
-        terms = (analyze(q) if isinstance(q, str)
-                 else [t for s in q for t in analyze(s)])
-        if not terms:
-            return None
         p = opspec["path"]
         paths = [p] if isinstance(p, str) else list(p)
         fspecs = []
@@ -1188,7 +1180,20 @@ class MongoFrame:
                     is_list(fs.type) and fs.type[1] == "VARCHAR")):
                 return None  # non-string path — interpreter semantics
             fspecs.append(fs)
-        return fspecs, terms, mod
+        # r8: no ASCII gate — query terms come from the oracle's own
+        # analyzer on BOTH sides (they enter the plan as literals), and
+        # multibyte corpora tokenize through _with_oracle_tokens. Under
+        # analyzer routing each path's SEARCH analyzer replaces _analyze.
+        ctx = getattr(self, "_rt_analyzer", None)
+        terms_by_path = []
+        for pth in paths:
+            analyze = ctx.search_fn(pth) if ctx is not None else _analyze
+            if analyze is None:
+                return None  # uncovered path — gate declined; defensive
+            terms_by_path.append([t for s in qstrings for t in analyze(s)])
+        if not any(terms_by_path):
+            return None  # no analyzable terms anywhere — interpreter
+        return fspecs, terms_by_path, mod
 
     def _search_filter_cond(self, clause, fm):
         """Translate a compound condition clause (equals/range/in/
@@ -1969,8 +1974,17 @@ class MongoFrame:
 
         from duckdb_mongo_spark.schema.types import is_list
 
+        # r11: `analyze` may be a {flattened_name: fn} mapping giving
+        # each path its OWN index-analyzer fn (mixed analyzer pairs);
+        # a single callable applies to every path; None entries fall
+        # back to the engine-contract analyzer
+        per_path = analyze if isinstance(analyze, dict) else None
+        if per_path is not None:
+            analyze = None
         names = [f"__rt_toks_{fs.name}" for fs in fspecs]
-        specs = [(fs.name, bool(is_list(fs.type)), None) for fs in fspecs]
+        specs = [(fs.name, bool(is_list(fs.type)),
+                  per_path.get(fs.name) if per_path is not None else None)
+                 for fs in fspecs]
         for out_name, src, islist, fn in (extra_specs or []):
             names.append(out_name)
             specs.append((src, islist, fn))
@@ -2001,6 +2015,15 @@ class MongoFrame:
                 yield out
 
         return bdf.mapInPandas(kernel, schema=out_schema)
+
+    @staticmethod
+    def _ctx_index_fns(ctx, fspecs):
+        """Per-path index-analyzer fns for ``_with_oracle_tokens``
+        (r11): ``None`` without an index ctx (contract analyzer), else
+        a ``{flattened_name: fn}`` map resolved per mongo path."""
+        if ctx is None:
+            return None
+        return {fs.name: ctx.index_fn(fs.mongo_path) for fs in fspecs}
 
     def _mb_key(self, fs):
         fp = getattr(self.backend, "fingerprint", None)
@@ -2045,7 +2068,9 @@ class MongoFrame:
         handles = {}
         for fs in fspecs:
             if ctx is not None:
-                akey = ctx[3].analyzer_key(ctx[2][0])
+                akey = ctx.stats_key(fs.mongo_path)
+                if akey is None:
+                    return None
             else:
                 akey = text_index.CONTRACT_ANALYZER_KEY
             h = text_index.cached_stats(
@@ -2085,7 +2110,10 @@ class MongoFrame:
     def _parse_phrase_clause(self, opspec, fm):
         """Validate one ``phrase`` clause: string query/queries with
         tokens, string (or array-of-string) schema paths, non-negative
-        integer slop, no score boost. Returns (fspecs, phrases, slop)
+        integer slop, no score boost. Returns
+        (fspecs, phrases_by_path, slop, mod) — the analyzed phrase
+        token lists are PER PATH (r11: each path's search analyzer
+        tokenizes the query, the interpreter's per-path ``sa(q)``) —
         or None when the clause needs the interpreter."""
         from duckdb_mongo_spark.mql.search import _analyze
         from duckdb_mongo_spark.schema.types import is_list
@@ -2102,9 +2130,6 @@ class MongoFrame:
         qstrings = [q] if isinstance(q, str) else list(q)
         if not qstrings or any(not isinstance(s, str) for s in qstrings):
             return None
-        ctx = getattr(self, "_rt_analyzer", None)
-        analyze = ctx[1] if ctx is not None else _analyze
-        phrases = [analyze(s) for s in qstrings]
         slop = int(opspec.get("slop", 0))
         p = opspec["path"]
         paths = [p] if isinstance(p, str) else list(p)
@@ -2115,7 +2140,14 @@ class MongoFrame:
                     is_list(fs.type) and fs.type[1] == "VARCHAR")):
                 return None
             fspecs.append(fs)
-        return fspecs, phrases, slop, mod
+        ctx = getattr(self, "_rt_analyzer", None)
+        phrases_by_path = []
+        for pth in paths:
+            analyze = ctx.search_fn(pth) if ctx is not None else _analyze
+            if analyze is None:
+                return None  # uncovered path — gate declined; defensive
+            phrases_by_path.append([analyze(s) for s in qstrings])
+        return fspecs, phrases_by_path, slop, mod
 
     def _parse_autocomplete_clause(self, opspec, fm):
         """Validate one ``autocomplete`` clause (r8): string query or
@@ -2162,15 +2194,15 @@ class MongoFrame:
                 return None
             fspecs.append(fs)
         ctx = getattr(self, "_rt_analyzer", None)
-        if ctx is not None and len(ctx) > 3:
+        if ctx is not None:
             # r10 index mode: per-path gram/fold/analyzer options from
             # the autocomplete mapping ride the clause payload — token
             # columns get their OWN Arrow-pass fns (independent of the
-            # text-analyzer pair) and query terms analyze per path with
+            # text analyzers) and query terms analyze per path with
             # the same fold + minGrams skip the interpreter applies
             from duckdb_mongo_spark.mql.search_index import fold_diacritics
 
-            index = ctx[3]
+            index = ctx.index
             cols, tok_specs, qterms_by_col = [], [], []
             for pth, fs in zip(paths, fspecs):
                 ac = index.autocomplete_def(pth)  # walker pre-validated
@@ -2345,12 +2377,12 @@ class MongoFrame:
                     is_list(fs.type) and fs.type[1] == "VARCHAR")):
                 return None
             fspecs.append(fs)
-        if ctx is not None and len(ctx) > 3:
+        if ctx is not None:
             # index mode: per-path column plan mirroring the oracle's
             # _indexed_term_match (mql/search.py) — raw value for token
             # "none", the shared token column for analyzed-with-allow,
             # nothing for unindexed paths (they match nothing)
-            index = ctx[3]
+            index = ctx.index
             cols, toks_fs = [], []
             for pth, fs in zip(paths, fspecs):
                 norm = index.token_normalizer(pth)
@@ -2522,9 +2554,6 @@ class MongoFrame:
                 for i, sp in enumerate(specs) if sp[0] in ("wc", "rx")}
 
             def match(kind, toks, queries, arg, i):
-                if kind == "phrase":
-                    return any(_phrase_matches(toks, ph, arg)
-                               for ph in queries)
                 if kind in ("wc", "rx"):
                     # raw keyword-field values: scalar string or the
                     # array's string elements, never analyzed
@@ -2571,6 +2600,24 @@ class MongoFrame:
                         # clause matches nothing (Lucene absent-field
                         # semantics)
                         out[n] = [False] * len(pdf)
+                        continue
+                    if kind == "phrase":
+                        # r11: phrase queries are analyzed PER PATH
+                        # (each path's search analyzer), aligned
+                        # positionally with the token columns
+                        mask = []
+                        for row_vals in zip(*[pdf[c] for c in cols]):
+                            hit = False
+                            for v, qs_p in zip(row_vals, queries):
+                                if v is None:
+                                    continue
+                                toks = list(v)
+                                if any(_phrase_matches(toks, ph, arg)
+                                       for ph in qs_p):
+                                    hit = True
+                                    break
+                            mask.append(hit)
+                        out[n] = mask
                         continue
                     mask = []
                     for row_vals in zip(*[pdf[c] for c in cols]):
@@ -2630,22 +2677,24 @@ class MongoFrame:
         except (ValueError, Unroutable):
             return None
         if index_payload is not None:
-            # r10 analyzer routing: "default" keeps the verified routed
-            # compilation unchanged; "custom" (one analyzer pair over
-            # every text/phrase path) routes with query terms analyzed
-            # by the search analyzer and corpus tokens from the index
-            # analyzer's own CPython fn (oracle-fn Arrow pass — parity
-            # by construction); anything else declines to the
-            # index-aware interpreter. Stashed on self: the clause
-            # parsers and token producers below consult it (recursive
-            # nested-compound parses carry no payload and leave it).
-            mode, pair = text_route_analyzers(index, op, opspec)
+            # r10 analyzer routing (r11: per-path pairs): "default"
+            # keeps the verified routed compilation unchanged; "custom"
+            # routes with query terms analyzed per (clause, path) by
+            # that path's search analyzer and corpus tokens from each
+            # path's index-analyzer CPython fn (oracle-fn Arrow pass —
+            # parity by construction, RoutedIndexCtx); anything else
+            # declines to the index-aware interpreter. Stashed on self:
+            # the clause parsers and token producers below consult it
+            # (recursive nested-compound parses carry no payload and
+            # leave it).
+            from duckdb_mongo_spark.mql.search_index import RoutedIndexCtx
+
+            mode, _ = text_route_analyzers(index, op, opspec)
             if mode == "decline":
                 self._rt_analyzer = None
                 return None
-            self._rt_analyzer = (
-                (index._analyzer_fn(pair[0]), index._analyzer_fn(pair[1]),
-                 pair, index) if mode == "custom" else None)
+            self._rt_analyzer = (RoutedIndexCtx(index)
+                                 if mode == "custom" else None)
         if op == "queryString":
             op, opspec = self._translate_query_string(opspec)
             if op is None:
@@ -2781,14 +2830,18 @@ class MongoFrame:
                 has_must, has_filter, has_should, count_spec)
 
     @staticmethod
-    def _overlap_cond(fss, terms):
+    def _overlap_cond(fss, terms_by_path):
         """Term CONTAINMENT over the tokenized frame — equivalent to
         BM25 > 0 (idf is always positive and norm >= k1*(1-b) > 0, so a
         text clause scores > 0 iff any query term appears in any of its
-        paths). Never null (token arrays coalesce to empty)."""
-        tarr = F.array(*[F.lit(t) for t in dict.fromkeys(terms)])
+        paths). ``terms_by_path`` is parallel to ``fss`` (r11 per-path
+        search analyzers); a path whose term list is empty can never
+        match there. Never null (token arrays coalesce to empty)."""
         c = F.lit(False)
-        for fs in fss:
+        for fs, terms in zip(fss, terms_by_path):
+            if not terms:
+                continue
+            tarr = F.array(*[F.lit(t) for t in dict.fromkeys(terms)])
             c = c | F.arrays_overlap(F.col(f"__rt_toks_{fs.name}"), tarr)
         return c
 
@@ -2999,7 +3052,7 @@ class MongoFrame:
         def matched_total(arrow, detect):
             tdf = (self._with_oracle_tokens(
                        bdf, fspecs,
-                       analyze=custom_an[0] if custom_an else None,
+                       analyze=self._ctx_index_fns(custom_an, fspecs),
                        extra_specs=ac_specs)
                    if arrow
                    else bdf.select(
@@ -3359,7 +3412,7 @@ class MongoFrame:
                          for fs in fspecs)
         if mb_any or custom_an is not None:
             toks_df = self._with_oracle_tokens(
-                bdf, fspecs, analyze=custom_an[0] if custom_an else None)
+                bdf, fspecs, analyze=self._ctx_index_fns(custom_an, fspecs))
         else:
             toks_df = bdf.select(
                 *bdf.columns,
@@ -3376,21 +3429,25 @@ class MongoFrame:
                 _phrase_matches,
             )
 
-            if op == "phrase":
-                def matcher(toks, q, a=arg):
-                    return _phrase_matches(toks, q, a)
-            else:
-                def matcher(toks, q, a=arg):
-                    return _autocomplete_matches(toks, q, a[0], a[1])
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 mask = []
                 for row_toks in zip(*[pdf[n] for n in tok_names]):
-                    mask.append(any(
-                        matcher(list(toks), q)
-                        for toks in row_toks if toks is not None
-                        for q in queries))
+                    if op == "phrase":
+                        # r11: queries are analyzed PER PATH, aligned
+                        # positionally with the token columns
+                        hit = any(
+                            _phrase_matches(list(toks), q, arg)
+                            for toks, qs_p in zip(row_toks, queries)
+                            if toks is not None for q in qs_p)
+                    else:
+                        hit = any(
+                            _autocomplete_matches(
+                                list(toks), q, arg[0], arg[1])
+                            for toks in row_toks if toks is not None
+                            for q in queries)
+                    mask.append(hit)
                 yield pdf[mask]
 
         base_score = F.lit(1.0)
@@ -3502,11 +3559,13 @@ class MongoFrame:
                 if fs.name not in seen_paths:
                     seen_paths.add(fs.name)
                     fspecs.append(fs)
-        # (path, term) pairs that need document frequencies
+        # (path, term) pairs that need document frequencies — per-path
+        # term lists (r11): each path's search analyzer decides which
+        # terms need a df on that path
         df_pairs = []
         seen_pairs = set()
-        for fss, terms, _mod in all_text:
-            for fs in fss:
+        for fss, terms_by_path, _mod in all_text:
+            for fs, terms in zip(fss, terms_by_path):
                 for t in dict.fromkeys(terms):
                     if (fs.name, t) not in seen_pairs:
                         seen_pairs.add((fs.name, t))
@@ -3560,7 +3619,7 @@ class MongoFrame:
             if arrow:
                 tdf = self._with_oracle_tokens(
                     bdf, fspecs,
-                    analyze=custom_an[0] if custom_an else None,
+                    analyze=self._ctx_index_fns(custom_an, fspecs),
                     extra_specs=ac_specs)
             else:
                 tdf = bdf.select(
@@ -3652,9 +3711,9 @@ class MongoFrame:
         # pass 2: per-clause BM25 in the interpreter's exact op order:
         # clause = sum over paths of (sum over terms of
         #   idf * (tf * (k1+1)) / (tf + k1*(1 - b + b*dl/avg)))
-        def clause_score(fss, terms):
+        def clause_score(fss, terms_by_path):
             cs = F.lit(0.0)
-            for fs in fss:
+            for fs, terms in zip(fss, terms_by_path):
                 tc = F.col(f"__rt_toks_{fs.name}")
                 dl = F.size(tc).cast("double")
                 avg = avg_len[fs.name]

@@ -611,21 +611,51 @@ def routes_default(index, op, spec) -> bool:
     return True
 
 
+class RoutedIndexCtx:
+    """Per-path analyzer resolution the routed ``$search`` compiler
+    stashes on the frame in "custom" mode (r11 — mixed analyzer pairs).
+    Each path resolves its OWN (index, search) analyzer pair from the
+    definition, so clauses whose paths declare different analyzers
+    route together: corpus token columns are produced per path by that
+    path's index-analyzer CPython fn (the oracle-fn Arrow pass — parity
+    by construction) and query terms analyze per (clause, path) with
+    the path's search analyzer, exactly the interpreter's
+    ``terms_for[p]`` semantics (mql/search.py ``_eval_operator``)."""
+
+    def __init__(self, index: "SearchIndex"):
+        self.index = index
+
+    def pair_names(self, path: str):
+        return self.index.text_analyzer_names(path)
+
+    def index_fn(self, path: str):
+        nm = self.index.text_analyzer_names(path)
+        return None if nm is None else self.index._analyzer_fn(nm[0])
+
+    def search_fn(self, path: str):
+        nm = self.index.text_analyzer_names(path)
+        return None if nm is None else self.index._analyzer_fn(nm[1])
+
+    def stats_key(self, path: str):
+        """Statistics-sidecar analyzer key for this path's INDEX
+        analyzer (``ops/text_index`` keying), or None when uncovered."""
+        nm = self.index.text_analyzer_names(path)
+        return None if nm is None else self.index.analyzer_key(nm[0])
+
+
 def text_route_analyzers(index, op, spec):
     """Routing mode for an operator tree under ``index`` (r10 analyzer
-    routing). Returns:
+    routing; r11 drops the one-pair restriction). Returns:
 
     - ``("default", None)`` — ``routes_default`` holds: the verified
       routed compilation is valid unchanged;
-    - ``("custom", (index_analyzer, search_analyzer))`` — the ONLY
-      deviation from the engine contract is that every ``text``/
-      ``phrase`` path (including inside compounds and translated
-      queryStrings) resolves to the SAME supported analyzer-name pair,
-      no text clause carries ``fuzzy`` (the expansion dictionary is
-      analyzer-bound) and every other clause stays at the default: the
-      routed compiler can run with query terms analyzed by the search
-      analyzer and corpus tokens produced by the index analyzer (the
-      oracle-fn Arrow pass — parity by construction);
+    - ``("custom", None)`` — every ``text``/``phrase`` path (including
+      inside compounds and translated queryStrings) resolves to SOME
+      supported analyzer pair (pairs may differ per path — the routed
+      compiler analyzes query terms per (clause, path) and produces
+      corpus tokens per path, see ``RoutedIndexCtx``), no text clause
+      carries ``fuzzy`` (the expansion dictionary is analyzer-bound)
+      and every other clause stays at the default;
     - ``("decline", None)`` — the interpreter executes the index-aware
       semantics (or raises the spec's loud error).
     """
@@ -637,14 +667,7 @@ def text_route_analyzers(index, op, spec):
             return ("decline", None)
     except ValueError:
         return ("decline", None)  # the interpreter raises the loud error
-    if not names:
-        # no text/phrase clauses deviate (e.g. an autocomplete-only
-        # tree): custom mode with the engine-contract pair — correct by
-        # construction, just via the Arrow token pass
-        return ("custom", ("lucene.standard", "lucene.standard"))
-    if len(names) != 1:
-        return ("decline", None)
-    return ("custom", next(iter(names)))
+    return ("custom", None)
 
 
 def _collect_text_analyzers(index, op, spec, names) -> bool:

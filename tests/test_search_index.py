@@ -971,15 +971,18 @@ class TestAnalyzerRouting:
         assert mf.last_exec_path == "routed:search_meta"
         assert rows[0]["count_total"] == 1  # only doc 2 has bare "spark"
 
-    def test_mixed_analyzer_paths_decline(self, spark, tmp_path):
+    def test_mixed_analyzer_paths_route(self, spark, tmp_path):
+        # r11: paths with DIFFERENT analyzer pairs in one clause route
+        # (per-(clause, path) terms + per-path corpus token fns)
         defn = {"mappings": {"fields": {
             "t": {"type": "string", "analyzer": "lucene.whitespace"},
             "u": {"type": "string"}}}}
         pipe = self._pipe({"text": {"query": "spark", "path": ["t", "u"]}})
         mf, rows, exp = self._run(spark, tmp_path, pipe, defn)
-        assert mf.last_exec_path != "routed:search_text"
+        assert mf.last_exec_path == "routed:search_text"
         assert [(r["_id"], r["s"]) for r in rows] == \
             [(e["_id"], e["s"]) for e in exp]
+        assert rows  # non-vacuous: whitespace path matches lowercase spark
 
     def test_fuzzy_under_custom_analyzer_declines_exact(
             self, spark, tmp_path):

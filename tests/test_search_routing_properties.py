@@ -333,11 +333,18 @@ _INDEX_DEFNS = [
     {"mappings": {"dynamic": True, "fields": {
         "body": {"type": "string", "analyzer": "lucene.simple"},
         "title": {"type": "string", "analyzer": "lucene.simple"}}}},
-    # MIXED pairs (declines to the interpreter) + token coverage
+    # MIXED pairs (r11: route with per-(clause, path) terms) + token
+    # coverage
     {"mappings": {"dynamic": True, "fields": {
         "body": {"type": "string", "analyzer": "lucene.keyword"},
         "title": {"type": "string"},
         "tag": {"type": "token"}}}},
+    # mixed pairs with different casing behavior per path, plus a
+    # per-path searchAnalyzer split
+    {"mappings": {"dynamic": True, "fields": {
+        "body": {"type": "string", "analyzer": "lucene.whitespace",
+                 "searchAnalyzer": "lucene.simple"},
+        "title": {"type": "string", "analyzer": "lucene.simple"}}}},
     # partial coverage: title unmapped (matches nothing), dynamic off
     {"mappings": {"fields": {
         "body": {"type": "string"},
@@ -382,3 +389,41 @@ class TestIndexDefinitionParity:
     def test_mixed_script_with_index(self, spark, unicode_backend,
                                      compound, defn):
         _parity_with_index(spark, unicode_backend, compound, defn)
+
+    def test_two_analyzer_text_shape_routes(self, spark, search_backend):
+        # r11 done-criterion: the two-analyzer text query shape no
+        # longer declines — and stays interpreter-exact (parity is
+        # asserted inside _parity_with_index via the routed result)
+        defn = {"mappings": {"dynamic": True, "fields": {
+            "body": {"type": "string", "analyzer": "lucene.whitespace"},
+            "title": {"type": "string", "analyzer": "lucene.simple"}}}}
+        pipe = [{"$search": {"text": {"query": "spark Engine",
+                                      "path": ["body", "title"]}}},
+                {"$limit": 10},
+                {"$project": {"_id": 1, "s": {"$meta": "searchScore"}}}]
+        mf = mongo_scan(spark, search_backend, "main", "posts",
+                        pipeline=pipe, search_index=defn)
+        rows = mf.df().collect()
+        assert mf.last_exec_path == "routed:search_text"
+        assert rows  # simple path lowercases "Engine" -> matches
+
+    def test_mixed_pairs_inside_compound_route(self, spark,
+                                               search_backend):
+        defn = {"mappings": {"dynamic": True, "fields": {
+            "body": {"type": "string", "analyzer": "lucene.whitespace"},
+            "title": {"type": "string"}}}}
+        compound = {
+            "must": [{"text": {"query": "spark", "path": "body"}}],
+            "should": [
+                {"text": {"query": "intro", "path": "title"}},
+                {"phrase": {"query": "spark engine",
+                            "path": ["body", "title"]}},
+            ],
+        }
+        _parity_with_index(spark, search_backend, compound, defn)
+        pipe = [{"$search": {"compound": compound}}, {"$limit": 10},
+                {"$project": {"_id": 1}}]
+        mf = mongo_scan(spark, search_backend, "main", "posts",
+                        pipeline=pipe, search_index=defn)
+        mf.df().collect()
+        assert mf.last_exec_path == "routed:search_text"

@@ -193,6 +193,41 @@ class TestAnalyzers:
         assert text_index.hit_count > h0
         assert warm == cold
 
+    def test_mixed_analyzer_paths_hit_per_path_keys(self, spark, tmp_path):
+        # r11: with per-path analyzer pairs, each path's sidecar keys by
+        # ITS index analyzer; a full hit needs both paths built
+        import pyarrow as pa
+
+        d = str(tmp_path)
+        pq.write_table(
+            pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "text": pa.array(["Spark IS fast", "merge time",
+                                        "spark vector"], pa.string()),
+                      "title": pa.array(["Vector Intro", "SPARK",
+                                         "other"], pa.string())}),
+            os.path.join(d, "documents.parquet"))
+        be = ParquetBackend(d, db_name="main", id_field="doc_id")
+        defn = {"mappings": {"dynamic": True, "fields": {
+            "text": {"type": "string", "analyzer": "lucene.whitespace"},
+            "title": {"type": "string", "analyzer": "lucene.simple"}}}}
+        pipe = [
+            {"$search": {"text": {"query": "spark vector",
+                                  "path": ["text", "title"]}}},
+            {"$limit": 5},
+            {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}},
+        ]
+        cold, mf = _rows(spark, be, pipe, search_index=defn)
+        assert mf.last_exec_path == "routed:search_text"
+        built = text_index.build_text_stats_index(
+            spark, be, "main", "documents", paths=["text", "title"],
+            search_index=defn)
+        assert built["text"].analyzer_key == "lucene.whitespace"
+        assert built["title"].analyzer_key == "lucene.simple"
+        h0 = text_index.hit_count
+        warm, _ = _rows(spark, be, pipe, search_index=defn)
+        assert text_index.hit_count > h0
+        assert warm == cold
+
     def test_custom_analyzer_key_hashes_spec(self):
         from duckdb_mongo_spark.mql.search_index import SearchIndex
 

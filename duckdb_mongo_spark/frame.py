@@ -1233,6 +1233,19 @@ class MongoFrame:
         if fs is None or is_list(fs.type) or not isinstance(fs.type, str):
             return None
         col = F.col(fs.name)
+        ctx = getattr(self, "_rt_analyzer", None)
+        lower = (ctx is not None and fs.type == "VARCHAR"
+                 and ctx.index.token_normalizer(
+                     cspec["path"]) == "lowercase")
+        if lower:
+            # r11: token normalizer "lowercase" — BOTH comparison sides
+            # lowercase through CPython (the oracle's semantics; JVM
+            # lower() diverges off-ASCII). __rt_lc_<name> holds the
+            # oracle-lowered stored value ([] when null — MISSING never
+            # matches), produced in the shared Arrow pass; registering
+            # the path here tells the token producers to emit it.
+            self._rt_lc_fs[fs.name] = fs
+            lc = F.col(f"__rt_lc_{fs.name}")
         numeric = fs.type in ("DOUBLE", "BIGINT", "INTEGER", "INT",
                               "FLOAT", "SMALLINT", "TINYINT", "HUGEINT")
 
@@ -1249,7 +1262,12 @@ class MongoFrame:
             if set(cspec) - {"path", "value", "score"}:
                 return None
             v = cspec.get("value")
-            return (col == F.lit(v), mod) if lit_ok(v) else None
+            if not lit_ok(v):
+                return None
+            if lower and isinstance(v, str):
+                return (F.arrays_overlap(
+                    lc, F.array(F.lit(v.lower()))), mod)
+            return col == F.lit(v), mod
         if cop == "range":
             if set(cspec) - {"path", "gt", "gte", "lt", "lte", "score"}:
                 return None
@@ -1259,6 +1277,24 @@ class MongoFrame:
                     lit_ok(v) and not isinstance(v, bool)
                     for v in bounds.values()):
                 return None
+            if lower and all(isinstance(v, str) for v in bounds.values()):
+                # Spark compares strings as UTF-8 bytes == code-point
+                # order == the oracle's compare_values on str — so the
+                # lowered-value comparison is divergence-free.
+                # NB: the HOF lambda must be strictly UNARY — pyspark
+                # reads a second (even defaulted) parameter as the
+                # element-index Column.
+                lowered = {b: v.lower() for b, v in bounds.items()}
+
+                def conj(x):
+                    c = None
+                    for b, v in lowered.items():
+                        lv = F.lit(v)
+                        cc = {"gt": x > lv, "gte": x >= lv,
+                              "lt": x < lv, "lte": x <= lv}[b]
+                        c = cc if c is None else (c & cc)
+                    return c
+                return F.exists(lc, conj), mod
             cond = None
             for b, v in bounds.items():
                 c = {"gt": col > F.lit(v), "gte": col >= F.lit(v),
@@ -1272,6 +1308,9 @@ class MongoFrame:
             if not isinstance(v, list) or not v \
                     or not all(lit_ok(x) for x in v):
                 return None
+            if lower and all(isinstance(x, str) for x in v):
+                return (F.arrays_overlap(
+                    lc, F.array(*[F.lit(x.lower()) for x in v])), mod)
             return col.isin(v), mod
         return None
 
@@ -2016,6 +2055,22 @@ class MongoFrame:
 
         return bdf.mapInPandas(kernel, schema=out_schema)
 
+    def _lc_specs(self):
+        """Extra Arrow-pass column specs for every lowercase-normalized
+        token path the current parse registered (r11): ``__rt_lc_<name>``
+        holds the ORACLE-lowered stored value(s) — one element for a
+        scalar path, the lowered elements for a list path, ``[]`` when
+        null (MISSING never matches). Rides the same mapInPandas pass as
+        the token columns."""
+        from duckdb_mongo_spark.schema.types import is_list
+
+        def _lower_fn(v):
+            return [v.lower()] if isinstance(v, str) else []
+
+        return [(f"__rt_lc_{fs.name}", fs.name, bool(is_list(fs.type)),
+                 _lower_fn)
+                for fs in getattr(self, "_rt_lc_fs", {}).values()]
+
     @staticmethod
     def _ctx_index_fns(ctx, fspecs):
         """Per-path index-analyzer fns for ``_with_oracle_tokens``
@@ -2386,13 +2441,17 @@ class MongoFrame:
             cols, toks_fs = [], []
             for pth, fs in zip(paths, fspecs):
                 norm = index.token_normalizer(pth)
-                if norm == "lowercase":
-                    return None  # walker declines; defensive
                 analyzed = index.text_analyzer_names(pth) is not None
                 if norm is None and analyzed and not allow:
                     return None  # interpreter raises the loud error
                 if norm == "none":
                     cols.append(fs.name)
+                elif norm == "lowercase":
+                    # r11: the pattern (as written) matches the
+                    # oracle-lowercased stored value — an Arrow-pass
+                    # column, since JVM lower() diverges off-ASCII
+                    self._rt_lc_fs[fs.name] = fs
+                    cols.append(f"__rt_lc_{fs.name}")
                 if allow and analyzed:
                     cols.append(f"__rt_toks_{fs.name}")
                     toks_fs.append(fs)
@@ -3007,6 +3066,7 @@ class MongoFrame:
                     except (ValueError, Unroutable):
                         return None
             return self._route_facet_meta(facet, coll_schema, fm)
+        self._rt_lc_fs = {}
         spec = self._expand_fuzzy_text(spec, coll_schema, fm)
         parsed = self._parse_search_clauses(spec, fm)
         if parsed is None:
@@ -3047,13 +3107,14 @@ class MongoFrame:
         self._routed_base_path = base.last_exec_path
         custom_an = getattr(self, "_rt_analyzer", None)
         ac_specs = self._ac_token_specs(phrase_clauses)
+        lc_specs = self._lc_specs()
         mb_known, mb_any = self._mb_lookup(fspecs)
 
         def matched_total(arrow, detect):
             tdf = (self._with_oracle_tokens(
                        bdf, fspecs,
                        analyze=self._ctx_index_fns(custom_an, fspecs),
-                       extra_specs=ac_specs)
+                       extra_specs=ac_specs + lc_specs)
                    if arrow
                    else bdf.select(
                        *bdf.columns,
@@ -3070,7 +3131,8 @@ class MongoFrame:
                 aggs += [self._nonascii_agg(fs) for fs in fspecs]
             return tdf.agg(*aggs).collect()[0].asDict()
 
-        use_arrow = mb_any or custom_an is not None or bool(ac_specs)
+        use_arrow = (mb_any or custom_an is not None
+                     or bool(ac_specs) or bool(lc_specs))
         stats = matched_total(use_arrow, detect=not use_arrow and not mb_known)
         if not use_arrow and not mb_known:
             self._mb_store(fspecs, stats)
@@ -3327,8 +3389,11 @@ class MongoFrame:
         range / in / exists) + ``$limit``: selection is one translated
         JVM condition, every match scores 1.0 (the oracle's constant),
         so the plan is a pushed filter + limit — no scoring pass at
-        all. Tie order among the equal scores is unspecified."""
+        all (lowercase-normalized token paths add one Arrow pass for
+        the oracle-lowered match column — r11). Tie order among the
+        equal scores is unspecified."""
         fm = {f.mongo_path: f for f in coll_schema.fields}
+        self._rt_lc_fs = {}
         got = self._search_filter_cond(clause, fm)
         if got is None:
             return None
@@ -3346,6 +3411,11 @@ class MongoFrame:
         )
         bdf = base.df()
         self._routed_base_path = base.last_exec_path
+        lc_specs = self._lc_specs()
+        drop_cols = []
+        if lc_specs:
+            bdf = self._with_oracle_tokens(bdf, [], extra_specs=lc_specs)
+            drop_cols = [s[0] for s in lc_specs]
         base_score = F.lit(1.0)
         if cmod is not None:
             mkind, v = cmod
@@ -3360,7 +3430,8 @@ class MongoFrame:
                 base_score = F.when(fx > 0.0, fx).otherwise(F.lit(0.0))
         scored = (bdf.where(cond)
                   .withColumn("__rt_score", base_score)
-                  .limit(limit))
+                  .limit(limit)
+                  .drop(*drop_cols))
         return scored, limit, "searchScore", "__rt_score"
 
     def _route_search_phrase(self, opspec, coll_schema, op="phrase"):
@@ -3515,6 +3586,7 @@ class MongoFrame:
             if sort_cols is None:
                 return None  # unsortable shape — interpreter (exact/loud)
             spec = {k: v for k, v in spec.items() if k != "sort"}
+        self._rt_lc_fs = {}
         spec = self._expand_fuzzy_text(spec, coll_schema, fm)
         parsed = self._parse_search_clauses(spec, fm)
         if parsed is None:
@@ -3608,8 +3680,9 @@ class MongoFrame:
         ac_specs = self._ac_token_specs(phrase_clauses)
         if ac_specs and count_spec is not None:
             return None  # count over per-path-gram clauses: interpreter
+        lc_specs = self._lc_specs()
         use_arrow = (bool(fspecs) and (mb_any or custom_an is not None)) \
-            or bool(ac_specs)
+            or bool(ac_specs) or bool(lc_specs)
 
         def build_frames(arrow):
             """(toks_df, stats_df, phrase col names, id->col map) for
@@ -3620,7 +3693,7 @@ class MongoFrame:
                 tdf = self._with_oracle_tokens(
                     bdf, fspecs,
                     analyze=self._ctx_index_fns(custom_an, fspecs),
-                    extra_specs=ac_specs)
+                    extra_specs=ac_specs + lc_specs)
             else:
                 tdf = bdf.select(
                     *bdf.columns,
@@ -3755,7 +3828,8 @@ class MongoFrame:
             .where(cond)
             .orderBy(*order)
             .limit(limit)
-            .drop(*[f"__rt_toks_{fs.name}" for fs in fspecs], *ph_names)
+            .drop(*[f"__rt_toks_{fs.name}" for fs in fspecs], *ph_names,
+                  *[s[0] for s in lc_specs])
         )
         return scored, limit, "searchScore", "__rt_score"
 

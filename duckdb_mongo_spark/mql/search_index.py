@@ -699,7 +699,8 @@ def _collect_text_analyzers(index, op, spec, names) -> bool:
                     (sop, sspec), = cl.items()
                     if sop in ("text", "phrase", "compound",
                                "queryString", "moreLikeThis",
-                               "autocomplete", "wildcard", "regex"):
+                               "autocomplete", "wildcard", "regex",
+                               "equals", "in", "range"):
                         if not _collect_text_analyzers(
                                 index, sop, sspec, names):
                             return False
@@ -753,15 +754,37 @@ def _collect_text_analyzers(index, op, spec, names) -> bool:
         allow = bool(spec.get("allowAnalyzedField"))
         for x in paths:
             norm = index.token_normalizer(x)
-            if norm == "lowercase":
-                return False  # pattern-vs-normalized-term: interpreter
             nm = index.text_analyzer_names(x)
+            # r11: normalizer "lowercase" routes too — the pattern (as
+            # written) matches the oracle-lowercased stored value via an
+            # Arrow-pass column (JVM lower() diverges off-ASCII)
             if allow:
                 if nm is not None:
                     names.add(nm)
             elif norm is None and nm is not None:
                 return False  # the interpreter raises the loud error
         return True
+    if op in ("equals", "in", "range"):
+        # r11: lowercase token normalizers on string constants route —
+        # both comparison sides lowercase through the oracle's own
+        # str.lower (the Arrow-pass match column + a CPython-lowered
+        # literal); everything else must match the engine default
+        if routes_default(index, op, spec):
+            return True
+        if op == "equals":
+            vals = [spec.get("value")]
+        elif op == "in":
+            vals = spec.get("value")
+            vals = vals if isinstance(vals, list) else []
+        else:
+            vals = [spec[b] for b in ("gt", "gte", "lt", "lte")
+                    if b in spec]
+        p = spec.get("path")
+        paths = ([p] if isinstance(p, str)
+                 else [x for x in p if isinstance(x, str)]
+                 if isinstance(p, list) else [])
+        return bool(paths) and all(
+            index.covers_value(x, v) for x in paths for v in vals)
     return routes_default(index, op, spec)
 
 

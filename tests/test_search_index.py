@@ -795,7 +795,8 @@ class TestScanLevel:
         assert mf.last_exec_path == "routed:search_text"
         assert [r["_id"] for r in rows] == [e["_id"] for e in exp] == [1]
 
-    def test_equals_lowercase_declines_but_correct(self, spark, tmp_path):
+    def test_equals_lowercase_routes_correct(self, spark, tmp_path):
+        # r11: lowercase-normalized equals ROUTES (was interpreter-only)
         defn = {"mappings": {"fields": {
             "t": {"type": "token", "normalizer": "lowercase"}}}}
         cols = {"_id": [1, 2], "t": ["Spark IS Fast", "other"],
@@ -805,7 +806,7 @@ class TestScanLevel:
                 {"$limit": 5},
                 {"$project": {"_id": 1}}]
         mf, rows, exp = self._run(spark, tmp_path, pipe, defn, cols)
-        assert mf.last_exec_path != "routed:search_text"
+        assert mf.last_exec_path == "routed:search_text"
         assert [r["_id"] for r in rows] == [e["_id"] for e in exp] == [1]
 
     def test_unmapped_path_declines_matches_nothing(self, spark, tmp_path):
@@ -1233,13 +1234,14 @@ class TestAnalyzedWildcardRouting:
         assert mf.last_exec_path == "routed:search_text"
         assert rows == [1]
 
-    def test_lowercase_normalizer_declines_exact(self, spark, tmp_path):
+    def test_lowercase_normalizer_routes_exact(self, spark, tmp_path):
+        # r11: lowercase-normalized wildcard ROUTES (was interpreter-only)
         defn = {"mappings": {"fields": {
             "sku": {"type": "token", "normalizer": "lowercase"}}}}
         mf, rows = self._run(spark, tmp_path,
                              {"wildcard": {"query": "ab-*", "path": "sku"}},
                              defn)
-        assert mf.last_exec_path != "routed:search_text"
+        assert mf.last_exec_path == "routed:search_text"
         assert rows == [1, 2, 3]  # stored terms lowered; pattern as written
 
     def test_analyzed_without_allow_raises(self, spark, tmp_path):
@@ -1251,3 +1253,120 @@ class TestAnalyzedWildcardRouting:
         with pytest.raises(Exception, match="allowAnalyzedField"):
             mongo_scan(spark, be, "main", "posts", pipeline=pipe,
                        search_index=self.STR).df().collect()
+
+
+class TestLowercaseNormalizerRouting:
+    """r11: ``normalizer: "lowercase"`` token paths ROUTE for
+    equals/in/range and wildcard/regex — both comparison sides
+    lowercase through the oracle's own CPython ``str.lower`` (an
+    Arrow-pass match column + CPython-lowered literals), so off-ASCII
+    case folding (İ, ß, Ş) matches the interpreter exactly where a JVM
+    ``lower()`` twin would diverge."""
+
+    COLS = {"_id": [1, 2, 3, 4, 5],
+            "t": ["spark is fast", "CAFÉ things", "İstanbul data",
+                  "plain row", "straße MAP"],
+            "tag": ["CAFÉ", "İstanbul", "Straße", "beta", None]}
+
+    DEFN = {"mappings": {"dynamic": True, "fields": {
+        "t": {"type": "string"},
+        "tag": {"type": "token", "normalizer": "lowercase"}}}}
+
+    def _run(self, spark, tmp_path, pipe):
+        from duckdb_mongo_spark.scan import mongo_scan
+
+        be = _pq_posts(tmp_path, self.COLS)
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe,
+                        search_index=self.DEFN)
+        rows = [r.asDict() for r in mf.df().collect()]
+        return mf, rows, _expected(be, pipe, self.DEFN)
+
+    @staticmethod
+    def _pipe(spec):
+        return [{"$search": spec}, {"$limit": 10},
+                {"$project": {"_id": 1, "s": {"$meta": "searchScore"}}}]
+
+    def _ids(self, rows):
+        return sorted(r["_id"] for r in rows)
+
+    def test_bare_equals_lowercase_routes(self, spark, tmp_path):
+        # 'İ'.lower() is 'i̇' (dotted) in CPython — the off-ASCII case
+        # a JVM lower() twin can get wrong
+        pipe = self._pipe({"equals": {"path": "tag", "value": "istanbul"}})
+        mf, rows, exp = self._run(spark, tmp_path, pipe)
+        assert mf.last_exec_path == "routed:search_text"
+        assert self._ids(rows) == sorted(e["_id"] for e in exp)
+
+    def test_equals_matches_case_folded(self, spark, tmp_path):
+        pipe = self._pipe({"equals": {"path": "tag", "value": "cafÉ"}})
+        mf, rows, exp = self._run(spark, tmp_path, pipe)
+        assert mf.last_exec_path == "routed:search_text"
+        assert self._ids(rows) == sorted(e["_id"] for e in exp) == [1]
+
+    def test_in_lowercase_routes(self, spark, tmp_path):
+        pipe = self._pipe({"in": {"path": "tag",
+                                  "value": ["STRASSE", "café", "BETA"]}})
+        mf, rows, exp = self._run(spark, tmp_path, pipe)
+        assert mf.last_exec_path == "routed:search_text"
+        # straße lowercases to itself (ß is already lowercase); STRASSE
+        # does NOT match it — exactly the oracle's str.lower semantics
+        assert self._ids(rows) == sorted(e["_id"] for e in exp) == [1, 4]
+
+    def test_range_lowercase_routes(self, spark, tmp_path):
+        pipe = self._pipe({"range": {"path": "tag",
+                                     "gte": "BETA", "lt": "t"}})
+        mf, rows, exp = self._run(spark, tmp_path, pipe)
+        assert mf.last_exec_path == "routed:search_text"
+        assert self._ids(rows) == sorted(e["_id"] for e in exp)
+        assert rows  # non-vacuous
+
+    def test_wildcard_lowercase_routes(self, spark, tmp_path):
+        pipe = self._pipe({"wildcard": {"path": "tag", "query": "caf*"}})
+        mf, rows, exp = self._run(spark, tmp_path, pipe)
+        assert mf.last_exec_path == "routed:search_text"
+        assert self._ids(rows) == sorted(e["_id"] for e in exp) == [1]
+
+    def test_regex_lowercase_routes(self, spark, tmp_path):
+        pipe = self._pipe({"regex": {"path": "tag", "query": "i.stanbul|i̇stanbul"}})
+        mf, rows, exp = self._run(spark, tmp_path, pipe)
+        assert mf.last_exec_path == "routed:search_text"
+        assert self._ids(rows) == sorted(e["_id"] for e in exp)
+
+    def test_compound_filter_lowercase_cond(self, spark, tmp_path):
+        pipe = self._pipe({"compound": {
+            "must": [{"text": {"query": "spark fast data", "path": "t"}}],
+            "filter": [{"in": {"path": "tag",
+                               "value": ["café", "ISTANBUL", "i̇stanbul"]}}],
+        }})
+        mf, rows, exp = self._run(spark, tmp_path, pipe)
+        assert mf.last_exec_path == "routed:search_text"
+        assert sorted((r["_id"], r["s"]) for r in rows) == \
+            sorted((e["_id"], e["s"]) for e in exp)
+        assert rows  # non-vacuous: İstanbul doc carries 'data'
+
+    def test_compound_mustnot_lowercase_wildcard(self, spark, tmp_path):
+        pipe = self._pipe({"compound": {
+            "must": [{"text": {"query": "spark row things", "path": "t"}}],
+            "mustNot": [{"wildcard": {"path": "tag", "query": "caf*"}}],
+        }})
+        mf, rows, exp = self._run(spark, tmp_path, pipe)
+        assert mf.last_exec_path == "routed:search_text"
+        assert sorted((r["_id"], r["s"]) for r in rows) == \
+            sorted((e["_id"], e["s"]) for e in exp)
+        # doc 1 (tag CAFÉ) matched the must text but the lowercase
+        # wildcard mustNot excludes it; docs 2 and 4 survive
+        assert self._ids(rows) == [2, 4]
+
+    def test_search_meta_count_with_lowercase_cond(self, spark, tmp_path):
+        from duckdb_mongo_spark.scan import mongo_scan
+
+        be = _pq_posts(tmp_path, self.COLS)
+        pipe = [{"$searchMeta": {"compound": {
+            "must": [{"text": {"query": "spark data things", "path": "t"}}],
+            "filter": [{"equals": {"path": "tag", "value": "café"}}],
+        }}}]
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe,
+                        search_index=self.DEFN)
+        rows = [r.asDict(recursive=True) for r in mf.df().collect()]
+        assert mf.last_exec_path == "routed:search_meta"
+        assert rows[0]["count_total"] == 1

@@ -1096,18 +1096,20 @@ class MongoFrame:
             ts.pop("fuzzy", None)
         if self._parse_search_clauses(stub, fm) is None:
             return spec
-        if getattr(self, "_rt_analyzer", None) is not None:
-            # r10 analyzer routing: the expansion dictionary below is
-            # built with the ENGINE-CONTRACT analyzer; under a custom
-            # index analyzer the vocabulary would mis-tokenize, so
-            # fuzzy stays with the index-aware interpreter
-            return spec
+        ctx = getattr(self, "_rt_analyzer", None)
+        if ctx is not None and any(
+                ctx.pair_names(fs.mongo_path) is None for fs in fuzzy_fs):
+            return spec  # uncovered fuzzy path — interpreter semantics
         base = MongoFrame(
             spark=self.spark, backend=self.backend, db=self.db,
             coll=self.coll, schema=coll_schema, schema_mode=self.schema_mode,
             num_partitions=self.num_partitions, direct=self.direct,
         )
-        tdf = self._with_oracle_tokens(base.df(), fuzzy_fs)
+        # r11: under a custom index analyzer the dictionary job
+        # tokenizes each path with ITS index analyzer (the vocabulary a
+        # Lucene fuzzy query expands against is the indexed terms)
+        tdf = self._with_oracle_tokens(
+            base.df(), fuzzy_fs, analyze=self._ctx_index_fns(ctx, fuzzy_fs))
         parts = [
             tdf.select(
                 F.explode(F.col(f"__rt_toks_{fs.name}")).alias("__t"),
@@ -1123,22 +1125,49 @@ class MongoFrame:
         vocab_by_path: dict = {}
         for r in rows:
             vocab_by_path.setdefault(r["__p"], set()).add(r["__t"])
+        exp_max = int(os.environ.get(
+            "SPARK_GRAFT_FUZZY_EXPANSIONS_MAX", "256"))
         for ts, qs, fss, me, pl in plan:
             vocab = sorted(set().union(
                 *[vocab_by_path.get(fs.name, set()) for fs in fss]))
-            qterms = [t for s in qs for t in _analyze(s)]
-            expanded = [t for qt in qterms for t in vocab
-                        if _within_edits(qt, t, me, pl)]
-            if not expanded:
-                return spec  # clause matches nothing — interpreter agrees
-            if len(expanded) > int(os.environ.get(
-                    "SPARK_GRAFT_FUZZY_EXPANSIONS_MAX", "256")):
-                # a very short query term within 2 edits of thousands of
-                # tokens would compile thousands of df aggregates into
-                # pass 1 — the interpreter is the better engine there
+            if ctx is None:
+                qterms = [t for s in qs for t in _analyze(s)]
+                expanded = [t for qt in qterms for t in vocab
+                            if _within_edits(qt, t, me, pl)]
+                if not expanded:
+                    return spec  # clause matches nothing — same either way
+                if len(expanded) > exp_max:
+                    # a very short query term within 2 edits of thousands
+                    # of tokens would compile thousands of df aggregates
+                    # into pass 1 — the interpreter is the better engine
+                    return spec
+                ts.pop("fuzzy")
+                ts["query"] = expanded
+                continue
+            # r11 custom mode: query terms AND expansions are per path
+            # (each path's search analyzer on the query, each path's
+            # index-analyzer vocabulary for the expansion — the
+            # interpreter's fuzzy_expand over terms_for[p]). The term
+            # lists ride an internal key the clause parser consumes
+            # verbatim: expanded terms are INDEX-analyzer tokens and
+            # must not be re-analyzed by the search analyzer (not
+            # idempotent for custom stacks). Expansion runs against the
+            # clause-union vocabulary — a term absent from one path has
+            # df=tf=0 there, contributing exactly 0.0, the oracle's
+            # per-path result.
+            expanded_by_path = []
+            for fs in fss:
+                sfn = ctx.search_fn(fs.mongo_path)
+                qterms = [t for s in qs for t in sfn(s)]
+                expanded_by_path.append(
+                    [t for qt in qterms for t in vocab
+                     if _within_edits(qt, t, me, pl)])
+            if not any(expanded_by_path):
+                return spec  # clause matches nothing — same either way
+            if sum(len(e) for e in expanded_by_path) > exp_max:
                 return spec
             ts.pop("fuzzy")
-            ts["query"] = expanded
+            ts["__expandedTermsByPath__"] = expanded_by_path
         return new_spec
 
     def _parse_text_clause(self, opspec, fm):
@@ -1156,6 +1185,14 @@ class MongoFrame:
         if not isinstance(opspec, dict) or "query" not in opspec \
                 or "path" not in opspec:
             return None
+        expanded_override = None
+        if "__expandedTermsByPath__" in opspec:
+            # r11: _expand_fuzzy_text's custom-analyzer rewrite carries
+            # per-path INDEX-analyzer term lists verbatim (re-analysis
+            # by the search analyzer is not idempotent for custom
+            # stacks) — internal key, never in user specs
+            opspec = dict(opspec)
+            expanded_override = opspec.pop("__expandedTermsByPath__")
         if set(opspec) - {"query", "path", "score"}:
             # r9: fuzzy needs the corpus term dictionary (interpreter
             # computes it; a routed expansion would be an unbounded
@@ -1185,6 +1222,10 @@ class MongoFrame:
         # multibyte corpora tokenize through _with_oracle_tokens. Under
         # analyzer routing each path's SEARCH analyzer replaces _analyze.
         ctx = getattr(self, "_rt_analyzer", None)
+        if expanded_override is not None:
+            if len(expanded_override) != len(fspecs):
+                return None
+            return fspecs, expanded_override, mod
         terms_by_path = []
         for pth in paths:
             analyze = ctx.search_fn(pth) if ctx is not None else _analyze
@@ -1464,6 +1505,8 @@ class MongoFrame:
                 t = d[seg]
             return ".".join(segs), t
 
+        ctx = getattr(self, "_rt_analyzer", None)
+
         def el_text(ospec):
             if not isinstance(ospec, dict) or "query" not in ospec \
                     or "path" not in ospec \
@@ -1477,15 +1520,12 @@ class MongoFrame:
                   else list(q) if isinstance(q, list) else None)
             if not qs or any(not isinstance(s, str) for s in qs):
                 return None
-            terms = [t for s in qs for t in _analyze(s)]
-            if not terms:
-                return None
             ps = ospec["path"]
             ps = ([ps] if isinstance(ps, str)
                   else list(ps) if isinstance(ps, list) else None)
             if not ps:
                 return None
-            esubs = []
+            esubs, terms_by_sub = [], []
             for p in ps:
                 st = subfield(p)
                 if st is None:
@@ -1494,7 +1534,17 @@ class MongoFrame:
                 if t != "VARCHAR" and not (is_list(t) and t[1] == "VARCHAR"):
                     return None
                 esubs.append((sub, t))
-            return (esubs, terms, emod)
+                # r11: each element subpath analyzes the query with ITS
+                # search analyzer (full dotted path resolves through the
+                # embeddedDocuments mapping) — the interpreter's
+                # per-path terms_for
+                an = ctx.search_fn(p) if ctx is not None else _analyze
+                if an is None:
+                    return None  # uncovered element path — interpreter
+                terms_by_sub.append([t2 for s in qs for t2 in an(s)])
+            if not any(terms_by_sub):
+                return None
+            return (esubs, terms_by_sub, emod)
 
         dense = getattr(self.backend, "dense_documents", False)
 
@@ -1506,6 +1556,15 @@ class MongoFrame:
             if not isinstance(cspec, dict) \
                     or not isinstance(cspec.get("path"), str):
                 return None
+            if ctx is not None:
+                # element conds compile engine-default semantics only;
+                # an index deviation (uncovered value -> matches
+                # nothing, lowercase normalizer) keeps the interpreter
+                from duckdb_mongo_spark.mql.search_index import \
+                    routes_default
+
+                if not routes_default(ctx.index, cop, cspec):
+                    return None
             cmod = self._parse_score_mod(cspec)  # value mods only
             if cmod == "unsupported":
                 return None
@@ -1678,9 +1737,12 @@ class MongoFrame:
         ``F.transform``, matched scores aggregated in element order
         (``F.aggregate`` left fold == the oracle's ``sum``) — so
         scoring adds NO shuffle, NO explode and NO join to the parent
-        plan. Multibyte element text declines to the interpreter (same
-        analyzer-parity stance as the parent text path). Returns None
-        to decline."""
+        plan. r11: multibyte element corpora and custom index analyzers
+        no longer decline — per-element token columns come from ONE
+        Arrow pass running the oracle's own analyzer fns
+        (``_with_element_tokens``), and the HOF scorer reads them by
+        element index. Returns ``(bdf, score, match)`` — ``bdf`` gains
+        the element-token columns in Arrow mode — or None to decline."""
         import math as _math
 
         from duckdb_mongo_spark.mql.search import _B, _K1
@@ -1688,6 +1750,7 @@ class MongoFrame:
 
         fs, tree = pe["fs"], pe["tree"]
         etexts = list(self._iter_etext_clauses(tree))
+        ctx = getattr(self, "_rt_analyzer", None)
 
         def el_tokens(el, sub, t):
             c = el
@@ -1704,45 +1767,93 @@ class MongoFrame:
                 F.split(F.lower(F.coalesce(c, F.lit(""))), "[^0-9a-z]+"),
                 lambda x: x != "")
 
-        idf, avg_len = {}, {}
-        if etexts:
-            # distinct text subpaths + (subpath, term) df pairs
-            subs, seen = [], set()
-            pairs, seen_p = [], set()
-            for esubs, terms, _m in etexts:
-                for sub, t in esubs:
-                    if sub not in seen:
-                        seen.add(sub)
-                        subs.append((sub, t))
-                    for term in dict.fromkeys(terms):
-                        if (sub, term) not in seen_p:
-                            seen_p.add((sub, term))
-                            pairs.append((sub, t, term))
-            elems = F.filter(F.coalesce(F.col(fs.name), F.array()),
-                             lambda e: e.isNotNull())
-            el_df = bdf.select(F.explode(elems).alias("__el"))
-            el = F.col("__el")
-            aggs = [F.count(F.lit(1)).alias("__n")]
-            for j, (sub, t) in enumerate(subs):
-                tc = el_tokens(el, sub, t)
-                aggs.append(F.sum(F.size(tc)).alias(f"__len_{j}"))
-                # multibyte detector over the raw element text
-                c = el
-                for seg in sub.split("."):
-                    c = c.getField(seg)
-                raw = (F.coalesce(F.array_join(c, ""), F.lit(""))
-                       if is_list(t) else F.coalesce(c, F.lit("")))
-                aggs.append(F.max(
-                    F.when(F.octet_length(raw) != F.length(raw), 1)
-                    .otherwise(0)).alias(f"__mb_{j}"))
-            for j, (sub, t, term) in enumerate(pairs):
-                tc = el_tokens(el, sub, t)
-                aggs.append(F.sum(
+        # distinct text subpaths + (subpath, term) df pairs — term
+        # lists are PER SUBPATH (r11: each element path's search
+        # analyzer tokenizes the query)
+        subs, seen = [], set()
+        pairs, seen_p = [], set()
+        for esubs, terms_by_sub, _m in etexts:
+            for (sub, t), terms in zip(esubs, terms_by_sub):
+                if sub not in seen:
+                    seen.add(sub)
+                    subs.append((sub, t))
+                for term in dict.fromkeys(terms):
+                    if (sub, term) not in seen_p:
+                        seen_p.add((sub, term))
+                        pairs.append((sub, t, term))
+        # r11 Arrow mode: custom index analyzers always; multibyte
+        # element corpora switch to it after detection below
+        use_arrow = ctx is not None and bool(subs)
+        seq = len(getattr(self, "_rt_eltok_cols", []))
+        tok_names = {sub: f"__rt_eltoks_{seq}_{j}"
+                     for j, (sub, _t) in enumerate(subs)}
+
+        def sub_specs():
+            from duckdb_mongo_spark.mql.search import _analyze
+
+            specs = []
+            for sub, _t in subs:
+                fn = (ctx.index_fn(f"{fs.mongo_path}.{sub}")
+                      if ctx is not None else _analyze)
+                if fn is None:
+                    return None  # uncovered element path — interpreter
+                specs.append((tok_names[sub], sub.split("."), fn))
+            return specs
+
+        def arrow_stats(tdf2):
+            el_df2 = tdf2.select(F.explode(F.arrays_zip(
+                *[F.col(tok_names[sub]) for sub, _t in subs])).alias("__z"))
+            aggs2 = [F.count(F.lit(1)).alias("__n")]
+            for j, (sub, _t) in enumerate(subs):
+                tc = F.col("__z").getField(tok_names[sub])
+                aggs2.append(F.sum(F.size(tc)).alias(f"__len_{j}"))
+            for j, (sub, _t, term) in enumerate(pairs):
+                tc = F.col("__z").getField(tok_names[sub])
+                aggs2.append(F.sum(
                     F.when(F.array_contains(tc, term), 1).otherwise(0)
                 ).alias(f"__df_{j}"))
-            stats = el_df.agg(*aggs).collect()[0].asDict()
-            if any(stats.get(f"__mb_{j}") for j in range(len(subs))):
-                return None  # multibyte element corpus: interpreter
+            return el_df2.agg(*aggs2).collect()[0].asDict()
+
+        idf, avg_len = {}, {}
+        if etexts:
+            stats = None
+            if not use_arrow:
+                elems0 = F.filter(F.coalesce(F.col(fs.name), F.array()),
+                                  lambda e: e.isNotNull())
+                el_df = bdf.select(F.explode(elems0).alias("__el"))
+                el = F.col("__el")
+                aggs = [F.count(F.lit(1)).alias("__n")]
+                for j, (sub, t) in enumerate(subs):
+                    tc = el_tokens(el, sub, t)
+                    aggs.append(F.sum(F.size(tc)).alias(f"__len_{j}"))
+                    # multibyte detector over the raw element text
+                    c = el
+                    for seg in sub.split("."):
+                        c = c.getField(seg)
+                    raw = (F.coalesce(F.array_join(c, ""), F.lit(""))
+                           if is_list(t) else F.coalesce(c, F.lit("")))
+                    aggs.append(F.max(
+                        F.when(F.octet_length(raw) != F.length(raw), 1)
+                        .otherwise(0)).alias(f"__mb_{j}"))
+                for j, (sub, t, term) in enumerate(pairs):
+                    tc = el_tokens(el, sub, t)
+                    aggs.append(F.sum(
+                        F.when(F.array_contains(tc, term), 1).otherwise(0)
+                    ).alias(f"__df_{j}"))
+                stats = el_df.agg(*aggs).collect()[0].asDict()
+                if any(stats.get(f"__mb_{j}") for j in range(len(subs))):
+                    # multibyte element corpus: recompute over the
+                    # oracle analyzer's token columns (r11 — was an
+                    # interpreter fallback)
+                    use_arrow = True
+                    stats = None
+            if use_arrow:
+                specs = sub_specs()
+                if specs is None:
+                    return None
+                bdf = self._with_element_tokens(bdf, fs, specs)
+                self._rt_eltok_cols.extend(n for n, _s, _f in specs)
+                stats = arrow_stats(bdf)
             n_el = stats["__n"] or 0
             for j, (sub, _t) in enumerate(subs):
                 avg_len[sub] = ((stats.get(f"__len_{j}") or 0) / n_el
@@ -1765,11 +1876,18 @@ class MongoFrame:
                 return F.when(fx > 0.0, fx).otherwise(F.lit(0.0))
             return F.lit(v)
 
-        def etext_score(el, esubs, terms):
+        def etext_score(el, idx, esubs, terms_by_sub):
             # the oracle's fold order: per path, per term (dups kept)
             cs = F.lit(0.0)
-            for sub, t in esubs:
-                tc = el_tokens(el, sub, t)
+            for (sub, t), terms in zip(esubs, terms_by_sub):
+                if use_arrow:
+                    # the token column aligns with the clause's
+                    # non-null element list — read by element index
+                    tc = F.element_at(
+                        F.col(tok_names[sub]),
+                        (idx + F.lit(1)).cast("int"))
+                else:
+                    tc = el_tokens(el, sub, t)
                 dl = F.size(tc).cast("double")
                 avg = avg_len.get(sub, 0.0)
                 if avg:
@@ -1791,20 +1909,20 @@ class MongoFrame:
                 cs = cs + pscore
             return cs
 
-        def build_el(tree, el):
+        def build_el(tree, el, idx):
             """(score, match) per element — ``_eval_compound`` order."""
             (must, should, filters, mustnot, msm,
              has_must, has_filter, _has_should) = tree
 
             def hs(kind, payload):
                 if kind == "etext":
-                    esubs, terms, emod = payload
-                    cs = etext_score(el, esubs, terms)
+                    esubs, terms_by_sub, emod = payload
+                    cs = etext_score(el, idx, esubs, terms_by_sub)
                     return cs > 0.0, apply_emod(cs, emod)
                 if kind == "econd":
                     cb, cmod = payload
                     return cb(el), apply_emod(F.lit(1.0), cmod)
-                s, m = build_el(payload, el)
+                s, m = build_el(payload, el, idx)
                 return m, s
 
             total, cond = F.lit(0.0), F.lit(True)
@@ -1835,8 +1953,8 @@ class MongoFrame:
         elems = F.filter(F.coalesce(F.col(fs.name), F.array()),
                          lambda e: e.isNotNull())
 
-        def pair_of(el):
-            s, m = build_el(tree, el)
+        def pair_of(el, idx):
+            s, m = build_el(tree, el, idx)
             return F.struct(s.alias("s"),
                             F.coalesce(m, F.lit(False)).alias("m"))
 
@@ -1855,7 +1973,7 @@ class MongoFrame:
                 base = base / n.cast("double")
         base = apply_emod(base, pe["outer"])
         match = n > 0
-        return F.when(match, base).otherwise(F.lit(0.0)), match
+        return bdf, F.when(match, base).otherwise(F.lit(0.0)), match
 
     def _route_geo_near(self, spec, coll_schema):
         """Distributed candidate selection for a stage-1 ``$geoNear``
@@ -2051,6 +2169,56 @@ class MongoFrame:
                             for v in pdf[src]]
                     else:
                         out[n] = [an(v) for v in pdf[src]]
+                yield out
+
+        return bdf.mapInPandas(kernel, schema=out_schema)
+
+    @staticmethod
+    def _with_element_tokens(bdf, fs, sub_specs):
+        """Per-ELEMENT token columns for one embeddedDocument clause
+        (r11): for each text subpath, an ``array<array<string>>``
+        column aligned with the clause's non-null element list, each
+        entry the ORACLE'S OWN analyzer output over that element's
+        subfield (``mql/search._field_tokens`` semantics: missing ->
+        [], list values flatten per element). One Arrow-batched
+        mapInPandas pass serves custom index analyzers AND multibyte
+        element corpora — both previously interpreter-only.
+
+        ``sub_specs``: ``(out_name, segs, fn)`` per text subpath."""
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            list(bdf.schema.fields)
+            + [T.StructField(
+                n, T.ArrayType(T.ArrayType(T.StringType())))
+               for n, _segs, _fn in sub_specs])
+        src = fs.name
+
+        def kernel(batches):
+            import numpy as np
+
+            def subval(el, segs):
+                v = el
+                for seg in segs:
+                    v = v.get(seg) if isinstance(v, dict) else None
+                return v
+
+            def toks(el, segs, fn):
+                v = subval(el, segs)
+                if isinstance(v, (list, np.ndarray)):
+                    return [t for x in v for t in fn(x)]
+                return fn(v)
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out = pdf.copy()
+                for n, segs, fn in sub_specs:
+                    out[n] = [
+                        [toks(el, segs, fn)
+                         for el in (arr if arr is not None else [])
+                         if el is not None]
+                        for arr in pdf[src]]
                 yield out
 
         return bdf.mapInPandas(kernel, schema=out_schema)
@@ -3653,11 +3821,13 @@ class MongoFrame:
         if embdoc_clauses:
             if count_spec is not None:
                 return None  # count over embedded clauses: interpreter
+            self._rt_eltok_cols = []
             for pe in embdoc_clauses:
-                cols = self._prepare_embedded_cols(pe, bdf)
-                if cols is None:
-                    return None  # multibyte element corpus — interpreter
-                embdoc_cols[id(pe)] = cols
+                prep = self._prepare_embedded_cols(pe, bdf)
+                if prep is None:
+                    return None  # uncovered element path — interpreter
+                bdf, s_col, m_col = prep
+                embdoc_cols[id(pe)] = (s_col, m_col)
         custom_an = getattr(self, "_rt_analyzer", None)
         # r11: a committed statistics sidecar (ops/text_index — the
         # local stand-in for the server-side Lucene index state the
@@ -3829,7 +3999,8 @@ class MongoFrame:
             .orderBy(*order)
             .limit(limit)
             .drop(*[f"__rt_toks_{fs.name}" for fs in fspecs], *ph_names,
-                  *[s[0] for s in lc_specs])
+                  *[s[0] for s in lc_specs],
+                  *getattr(self, "_rt_eltok_cols", []))
         )
         return scored, limit, "searchScore", "__rt_score"
 

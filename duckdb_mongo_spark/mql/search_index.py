@@ -653,9 +653,10 @@ def text_route_analyzers(index, op, spec):
       inside compounds and translated queryStrings) resolves to SOME
       supported analyzer pair (pairs may differ per path — the routed
       compiler analyzes query terms per (clause, path) and produces
-      corpus tokens per path, see ``RoutedIndexCtx``), no text clause
-      carries ``fuzzy`` (the expansion dictionary is analyzer-bound)
-      and every other clause stays at the default;
+      corpus tokens per path, see ``RoutedIndexCtx``; ``text.fuzzy``
+      expands against each path's index-analyzer vocabulary — r11) and
+      every other clause stays at the default or is a
+      lowercase-normalized cond/wildcard (Arrow-pass match columns);
     - ``("decline", None)`` — the interpreter executes the index-aware
       semantics (or raises the spec's loud error).
     """
@@ -677,8 +678,10 @@ def _collect_text_analyzers(index, op, spec, names) -> bool:
     if not isinstance(spec, dict):
         return False
     if op in ("text", "phrase"):
-        if op == "text" and "fuzzy" in spec:
-            return False
+        # (r11: text.fuzzy no longer declines here — the expansion
+        # dictionary builds with each path's INDEX analyzer and the
+        # per-path expansions ride the clause; an expansion that cannot
+        # proceed falls back at parse time, interpreter-exact)
         p = spec.get("path")
         paths = ([p] if isinstance(p, str)
                  else [x for x in p if isinstance(x, str)]
@@ -700,7 +703,8 @@ def _collect_text_analyzers(index, op, spec, names) -> bool:
                     if sop in ("text", "phrase", "compound",
                                "queryString", "moreLikeThis",
                                "autocomplete", "wildcard", "regex",
-                               "equals", "in", "range"):
+                               "equals", "in", "range",
+                               "embeddedDocument"):
                         if not _collect_text_analyzers(
                                 index, sop, sspec, names):
                             return False
@@ -763,6 +767,26 @@ def _collect_text_analyzers(index, op, spec, names) -> bool:
                     names.add(nm)
             elif norm is None and nm is not None:
                 return False  # the interpreter raises the loud error
+        return True
+    if op == "embeddedDocument":
+        # r11: routable when the path is mapped embeddedDocuments and
+        # the inner operator tree collects (inner text paths resolve
+        # their OWN analyzer pairs through the mapping; inner conds
+        # must hold the engine default — the element compiler has no
+        # lowercase machinery)
+        p = spec.get("path")
+        paths = ([p] if isinstance(p, str)
+                 else [x for x in p if isinstance(x, str)]
+                 if isinstance(p, list) else [])
+        if not paths or not all(
+                "embeddedDocuments" in index.types(x) for x in paths):
+            return False
+        inner = spec.get("operator")
+        if isinstance(inner, dict) and len(inner) == 1:
+            (iop, ispec), = inner.items()
+            if iop in ("equals", "in", "range", "exists"):
+                return routes_default(index, iop, ispec)
+            return _collect_text_analyzers(index, iop, ispec, names)
         return True
     if op in ("equals", "in", "range"):
         # r11: lowercase token normalizers on string constants route —

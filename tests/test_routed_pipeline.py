@@ -2355,7 +2355,9 @@ class TestEmbeddedDocumentRouting:
                                        "boost": {"value": 4}}}}}})
         assert got == {1: 12.0}
 
-    def test_multibyte_elements_decline_exactly(self, spark, tmp_path):
+    def test_multibyte_elements_route_exactly(self, spark, tmp_path):
+        # r11: multibyte element corpora ROUTE via the oracle-analyzer
+        # element-token Arrow pass (was an interpreter fallback)
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -2371,7 +2373,7 @@ class TestEmbeddedDocumentRouting:
             "path": "items",
             "operator": {"text": {"query": "яблоко",
                                   "path": "items.name"}}}},
-            routed=False)
+            routed=True)
         assert set(got) == {1}
 
     def test_fuzzy_inner_declines_exactly(self, spark, tmp_path):

@@ -985,17 +985,46 @@ class TestAnalyzerRouting:
             [(e["_id"], e["s"]) for e in exp]
         assert rows  # non-vacuous: whitespace path matches lowercase spark
 
-    def test_fuzzy_under_custom_analyzer_declines_exact(
+    def test_fuzzy_under_custom_analyzer_routes_exact(
             self, spark, tmp_path):
+        # r11: the expansion dictionary builds with the INDEX analyzer,
+        # so fuzzy routes under custom analyzers too
         defn = {"mappings": {"fields": {"t": {
             "type": "string", "analyzer": "lucene.simple"}}}}
         pipe = self._pipe({"text": {"query": "spurk", "path": "t",
                                     "fuzzy": {"maxEdits": 1}}})
         mf, rows, exp = self._run(spark, tmp_path, pipe, defn)
-        assert mf.last_exec_path != "routed:search_text"
-        assert [(r["_id"], r["s"]) for r in rows] == \
-            [(e["_id"], e["s"]) for e in exp]
+        assert mf.last_exec_path == "routed:search_text"
+        # equal-score ties have unspecified order on both paths
+        assert sorted((r["_id"], r["s"]) for r in rows) == \
+            sorted((e["_id"], e["s"]) for e in exp)
         assert rows  # simple analyzer: "spark" within 1 edit of "spurk"
+
+    def test_fuzzy_case_sensitive_whitespace_vocab(self, spark, tmp_path):
+        # whitespace analyzer keeps case: the vocabulary holds "Spark"
+        # verbatim and the lowercase query term "spark" IS within one
+        # edit... 0 edits? no — 'S' vs 's' is one substitution
+        defn = {"mappings": {"fields": {"t": {
+            "type": "string", "analyzer": "lucene.whitespace"}}}}
+        pipe = self._pipe({"text": {"query": "spark", "path": "t",
+                                    "fuzzy": {"maxEdits": 1}}})
+        mf, rows, exp = self._run(spark, tmp_path, pipe, defn)
+        assert mf.last_exec_path == "routed:search_text"
+        assert sorted((r["_id"], r["s"]) for r in rows) == \
+            sorted((e["_id"], e["s"]) for e in exp)
+        assert rows
+
+    def test_fuzzy_mixed_analyzer_paths_route(self, spark, tmp_path):
+        defn = {"mappings": {"fields": {
+            "t": {"type": "string", "analyzer": "lucene.whitespace"},
+            "u": {"type": "string", "analyzer": "lucene.simple"}}}}
+        pipe = self._pipe({"text": {"query": "sparki", "path": ["t", "u"],
+                                    "fuzzy": {"maxEdits": 2}}})
+        mf, rows, exp = self._run(spark, tmp_path, pipe, defn)
+        assert mf.last_exec_path == "routed:search_text"
+        assert sorted((r["_id"], r["s"]) for r in rows) == \
+            sorted((e["_id"], e["s"]) for e in exp)
+        assert rows
 
     def test_uncovered_path_declines(self, spark, tmp_path):
         defn = {"mappings": {"fields": {"t": {

@@ -427,3 +427,109 @@ class TestIndexDefinitionParity:
                         pipeline=pipe, search_index=defn)
         mf.df().collect()
         assert mf.last_exec_path == "routed:search_text"
+
+
+# ---------------------------------------------------------------------------
+# r11: embeddedDocument under index definitions — custom element
+# analyzers and multibyte element corpora route (were interpreter-only)
+
+
+_EMB_DEFNS = [
+    {"mappings": {"fields": {
+        "items": {"type": "embeddedDocuments", "fields": {
+            "name": {"type": "string", "analyzer": "lucene.whitespace"},
+            "qty": {"type": "number"}}},
+        "tag": {"type": "token"}}}},
+    {"mappings": {"fields": {
+        "items": {"type": "embeddedDocuments", "fields": {
+            "name": {"type": "string", "analyzer": "lucene.keyword"},
+            "qty": {"type": "number"}}}}}},
+    {"mappings": {"fields": {
+        "items": {"type": "embeddedDocuments", "fields": {
+            "name": {"type": "string", "analyzer": "lucene.simple",
+                     "searchAnalyzer": "lucene.whitespace"},
+            "qty": {"type": "number"}}}}}},
+]
+
+
+class TestEmbeddedUnderIndexParity:
+    @settings(max_examples=18, deadline=None)
+    @given(clause=_e_clause, defn=st.sampled_from(_EMB_DEFNS))
+    def test_embedded_custom_analyzer_parity(self, spark,
+                                             embedded_backend,
+                                             clause, defn):
+        from duckdb_mongo_spark.mql.search_index import attach_search_index
+
+        pipe = [{"$search": clause}, {"$limit": 15},
+                {"$addFields": {"score": {"$meta": "searchScore"}}},
+                {"$project": {"_id": 1, "score": 1}}]
+        mf = mongo_scan(spark, embedded_backend, "main", "posts",
+                        pipeline=pipe, search_index=defn)
+        got = sorted((r["_id"], r["score"]) for r in mf.df().collect())
+        docs = list(embedded_backend.iter_documents("main", "posts"))
+        ap = attach_search_index(pipe, defn, lambda c: [])
+        exp = sorted((d["_id"], d["score"]) for d in run_pipeline(docs, ap))
+        assert got == exp, (defn, clause, mf.last_exec_path)
+
+    def test_keyword_element_analyzer_routes_discriminating(
+            self, spark, embedded_backend):
+        # keyword treats the WHOLE element name as one term: the
+        # full-value query matches, the single word does not — the
+        # routed path must reproduce that, not the standard analyzer
+        from duckdb_mongo_spark.mql.search_index import attach_search_index
+
+        defn = _EMB_DEFNS[1]
+        for q, expect_rows in (("apple pear", None), ("apple", None)):
+            pipe = [{"$search": {"embeddedDocument": {
+                        "path": "items",
+                        "operator": {"text": {"query": q,
+                                              "path": "items.name"}}}}},
+                    {"$limit": 15},
+                    {"$project": {"_id": 1,
+                                  "score": {"$meta": "searchScore"}}}]
+            mf = mongo_scan(spark, embedded_backend, "main", "posts",
+                            pipeline=pipe, search_index=defn)
+            rows = sorted((r["_id"], r["score"])
+                          for r in mf.df().collect())
+            assert mf.last_exec_path == "routed:search_text"
+            docs = list(embedded_backend.iter_documents("main", "posts"))
+            ap = attach_search_index(pipe, defn, lambda c: [])
+            exp = sorted((d["_id"], d["score"])
+                         for d in run_pipeline(docs, ap))
+            assert rows == exp, q
+
+    def test_multibyte_elements_route(self, spark, tmp_path_factory):
+        # r10 declined multibyte element corpora to the interpreter;
+        # r11 swaps to the oracle-analyzer Arrow token columns
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = [
+            [{"name": "café спарк", "qty": 1},
+             {"name": "plain words", "qty": 2}],
+            [{"name": "ördek göl", "qty": 3}],
+            [],
+            None,
+            [{"name": "café café", "qty": 0}],
+        ]
+        items = pa.array(rows, type=pa.list_(pa.struct(
+            [("name", pa.string()), ("qty", pa.int64())])))
+        tmp = tmp_path_factory.mktemp("searchembmb")
+        pq.write_table(
+            pa.table({"_id": list(range(len(rows))), "items": items}),
+            str(tmp / "posts.parquet"))
+        be = ParquetBackend(str(tmp), db_name="main")
+        pipe = [{"$search": {"embeddedDocument": {
+                    "path": "items",
+                    "operator": {"text": {"query": "café göl",
+                                          "path": "items.name"}}}}},
+                {"$limit": 10},
+                {"$project": {"_id": 1,
+                              "score": {"$meta": "searchScore"}}}]
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        got = sorted((r["_id"], r["score"]) for r in mf.df().collect())
+        assert mf.last_exec_path == "routed:search_text"
+        docs = list(be.iter_documents("main", "posts"))
+        exp = sorted((d["_id"], d["score"]) for d in run_pipeline(docs, pipe))
+        assert got == exp
+        assert got  # non-vacuous

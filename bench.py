@@ -612,6 +612,11 @@ def _sf10_section(spark, qs, oracles, names, tables, iters=3,
             dk[name] = round(statistics.median(dsamples), 3)
             dk_samples[name] = dsamples
     out = {"total_sec": round(sum(timings.values()), 3), "queries": timings}
+    # r11 (r10 verdict #7): sample counts recorded per query — a
+    # single-sample DuckDB denominator is visible, never implicit
+    out["n_samples"] = {
+        n: {"spark": len(sp_samples.get(n, [])),
+            "duckdb": len(dk_samples.get(n, []))} for n in names}
     if dk:
         out["duckdb_total_sec"] = round(sum(dk.values()), 3)
         out["duckdb_queries"] = dk

@@ -111,8 +111,16 @@ def _install_lean_line_items(qs: dict, oracles: dict) -> None:
             {"$limit": 10},
             {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}},
         ]
-        return mongo_scan(spark, be, "main", "documents",
-                          pipeline=pipe).df()
+        # the COLD line must measure the per-query statistics recompute
+        # even after the cached line's warmup committed a sidecar for
+        # the same collection — kill-switch the lookup for this build
+        # (pass 1 executes eagerly inside df(), so the guard covers it)
+        os.environ["SPARK_GRAFT_TEXT_STATS_DISABLE"] = "1"
+        try:
+            return mongo_scan(spark, be, "main", "documents",
+                              pipeline=pipe).df()
+        finally:
+            os.environ.pop("SPARK_GRAFT_TEXT_STATS_DISABLE", None)
 
     qs["search_text_topk"] = _search_text
 
@@ -127,11 +135,19 @@ def _install_lean_line_items(qs: dict, oracles: dict) -> None:
     # server-side; the cold line keeps the per-query-recompute compare).
     def _search_text_cached(spark, sf_dir):
         from duckdb_mongo_spark.ops.text_index import build_text_stats_index
+        from duckdb_mongo_spark.scan import mongo_scan
 
         be = entry._pq_backend(sf_dir, id_field="doc_id")
         build_text_stats_index(spark, be, "main", "documents",
                                paths=["text"])
-        return _search_text(spark, sf_dir)
+        pipe = [
+            {"$search": {"text": {"query": "spark vector merge",
+                                  "path": "text"}}},
+            {"$limit": 10},
+            {"$project": {"doc_id": 1, "score": {"$meta": "searchScore"}}},
+        ]
+        return mongo_scan(spark, be, "main", "documents",
+                          pipeline=pipe).df()
 
     qs["search_text_topk_cached"] = _search_text_cached
     _t = entry._SHINGLE_TOKS_SQL

@@ -1918,7 +1918,24 @@ class MongoFrame:
                 if kind == "etext":
                     esubs, terms_by_sub, emod = payload
                     cs = etext_score(el, idx, esubs, terms_by_sub)
-                    return cs > 0.0, apply_emod(cs, emod)
+                    # containment hit instead of score > 0 (see
+                    # _build_compound): equivalent, and the interpreted
+                    # HOF has no subexpression elimination — a score
+                    # hit would evaluate the element BM25 twice
+                    h = F.lit(False)
+                    for (sub, t), terms in zip(esubs, terms_by_sub):
+                        if not terms:
+                            continue
+                        if use_arrow:
+                            tc = F.element_at(
+                                F.col(tok_names[sub]),
+                                (idx + F.lit(1)).cast("int"))
+                        else:
+                            tc = el_tokens(el, sub, t)
+                        h = h | F.arrays_overlap(
+                            tc, F.array(*[F.lit(x)
+                                          for x in dict.fromkeys(terms)]))
+                    return h, apply_emod(cs, emod)
                 if kind == "econd":
                     cb, cmod = payload
                     return cb(el), apply_emod(F.lit(1.0), cmod)
@@ -3112,7 +3129,14 @@ class MongoFrame:
                 if clause_score is None:
                     return self._overlap_cond(fss, terms), F.lit(0.0)
                 cs = clause_score(fss, terms)
-                return cs > 0.0, apply_mod(cs, mod)
+                # r11: the hit condition is term CONTAINMENT, not
+                # score > 0 — equivalent by the documented BM25 > 0 ⟺
+                # any-term-present identity (idf > 0, norm > 0), but a
+                # filter on the aliased score column forces Catalyst to
+                # substitute and re-evaluate the whole BM25 expression
+                # in the Filter (HOFs get no subexpression elimination)
+                # — measured 2.3x slower on the sf10 scoring pass
+                return self._overlap_cond(fss, terms), apply_mod(cs, mod)
             if kind == "cond":
                 ccol, cmod = payload
                 return ccol, apply_mod(F.lit(1.0), cmod)

@@ -18,9 +18,11 @@ property test):
 
 - whole-term match (Lucene regexes are implicitly anchored);
 - ``.`` matches EVERY character (the re path compiles DOTALL);
-- ``^`` ``$`` ``"`` are literal characters (Lucene has no anchors; the
-  quoted-string ``"..."`` simpleexp is unsupported in BOTH paths — a
-  documented deviation, escape the quote to match it);
+- ``^`` ``$`` are literal characters (Lucene has no anchors); the
+  quoted-string ``"..."`` simpleexp holds its characters verbatim to
+  the closing quote, repetition applying to the whole string (r11 —
+  closes the last documented dialect deviation; escape ``\\"`` for a
+  literal quote character);
 - ``(?`` raises (Python group extensions are not Lucene syntax);
 - ``<n-m>`` accepts any number of leading zeros (Lucene's
   ``makeDecimalInterval`` with ``digits=0``);
@@ -137,6 +139,19 @@ class _Parser:
             return ("char", ord(self.p[self.i - 1]))
         if c == "[":
             return self._char_class()
+        if c == '"':
+            # Lucene quoted string (r11): literal characters until the
+            # closing quote (no escapes inside, per RegExp.java); the
+            # whole string is one simpleexp, so repetition applies to
+            # it as a unit
+            j = self.p.find('"', self.i + 1)
+            if j < 0:
+                self.error("unterminated quoted string")
+            chars = [("char", ord(ch)) for ch in self.p[self.i + 1:j]]
+            self.i = j + 1
+            if not chars:
+                return ("eps",)
+            return chars[0] if len(chars) == 1 else ("concat", chars)
         if c == ".":
             self.i += 1
             return ("class", [(0, _MAX_CP)])

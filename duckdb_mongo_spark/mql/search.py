@@ -918,6 +918,19 @@ def _lucene_regex_source(pattern: str) -> str:
         if c == "[":
             in_class = True
             out.append("[")
+        elif c == '"':
+            # Lucene quoted string (r11): characters verbatim until the
+            # next '"' (no escapes inside — RegExp.java reads to the
+            # closing quote); grouped so postfix repetition applies to
+            # the WHOLE string, as in Lucene's grammar
+            j = pattern.find('"', i + 1)
+            if j < 0:
+                raise ValueError(
+                    f"$search regex: unterminated quoted string in "
+                    f"{pattern!r}")
+            out.append("(?:" + _re.escape(pattern[i + 1:j]) + ")")
+            i = j + 1
+            continue
         elif c in "~&#" or c == "<":
             raise ValueError(
                 f"$search regex: Lucene automaton operator {c!r} "

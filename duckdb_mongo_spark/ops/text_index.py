@@ -182,6 +182,8 @@ def cached_stats(backend, db, coll, mongo_path,
     building is an explicit index operation (``build_text_stats_index``),
     so the cold query path is unchanged."""
     global hit_count
+    if os.environ.get("SPARK_GRAFT_TEXT_STATS_DISABLE"):
+        return None  # benchmarking kill switch: force the live pass
     key = _cache_key(backend, db, coll, mongo_path, analyzer_key)
     idx = _CACHE.get(key)
     if idx is None and key[1] is not None and not isinstance(key[1], int):

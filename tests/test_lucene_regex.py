@@ -43,6 +43,14 @@ class TestSharedCore:
         ("x^y", ["x^y"], ["xy"]),        # ^ literal mid-pattern
         ("a$", ["a$"], ["a"]),           # $ literal (no anchors)
         ("()", [""], ["a"]),             # empty string
+        # r11: quoted-string simpleexp — characters verbatim, metas
+        # inert inside, repetition applies to the WHOLE string
+        ('"a.c"', ["a.c"], ["abc", "axc"]),
+        ('"ab*"', ["ab*"], ["a", "abb"]),
+        ('x"y|z"w', ["xy|zw"], ["xw", "xyw", "xzw"]),
+        ('"ab"+', ["ab", "abab"], ["", "a", "aba"]),
+        ('""', [""], ["a"]),             # empty quoted string
+        ('"~#<>"', ["~#<>"], ["~#<", ""]),  # automaton ops inert
     ]
 
     @pytest.mark.parametrize("pattern,yes,no", CASES)
@@ -327,3 +335,25 @@ class TestAlgebraicLaws:
         lang = {s for s in (str(v) for v in range(0, 100))
                 if LuceneRegex("<10-30>&1.").fullmatch(s)}
         assert lang == {str(v) for v in range(10, 20)}
+
+
+class TestQuotedString:
+    def test_unterminated_raises_both_paths(self):
+        with pytest.raises(ValueError, match="unterminated quoted"):
+            _lucene_regex_source('"abc')
+        with pytest.raises(LuceneRegexError, match="unterminated quoted"):
+            LuceneRegex('x"abc')
+
+    def test_quoted_with_automaton_ops_outside(self):
+        # quoted literal composes with the DFA-only operators
+        assert m('"a|b"&.{3}', "a|b")
+        assert not m('"a|b"&.{2}', "a|b")
+        assert m('~("ab")', "cd")
+        assert not m('~("ab")', "ab")
+
+    def test_quote_escape_still_literal(self):
+        # a backslash-escaped quote is the literal character, not a
+        # quoted-string opener (both paths)
+        assert m('\\"a', '"a')
+        rx = re.compile(_lucene_regex_source('\\"a'), re.DOTALL)
+        assert rx.fullmatch('"a')

@@ -337,8 +337,14 @@ def build_text_stats_index(spark, backend, db: str, coll: str,
     if search_index is not None:
         from duckdb_mongo_spark.mql.search_index import SearchIndex
 
-        index = (search_index if isinstance(search_index, SearchIndex)
-                 else SearchIndex(search_index))
+        if isinstance(search_index, SearchIndex):
+            index = search_index
+        else:
+            # synonym mappings are query-side rewrites with no bearing
+            # on corpus tokenization — strip them so the build API does
+            # not demand a synonym-collection resolver
+            index = SearchIndex({k: v for k, v in search_index.items()
+                                 if k != "synonyms"})
     bdf = None
     out = {}
     for path in paths:

@@ -124,6 +124,22 @@ def main() -> None:
         }}},
     ])
 
+    # 6. (r11) persistent statistics index: build once, then routed
+    #    text queries skip the per-query corpus-statistics pass — the
+    #    local stand-in for the server-side Lucene index state
+    from duckdb_mongo_spark.ops import text_index
+
+    text_index.build_text_stats_index(spark, be, "shop", "products",
+                                      paths=["desc"], search_index=INDEX)
+    h0 = text_index.hit_count
+    search("text: 'coffee grinder' (statistics-sidecar hit)", [
+        {"$search": {"text": {"query": "coffee grinder", "path": "desc"}}},
+        {"$limit": 3},
+        {"$project": {"name": 1, "score": {"$meta": "searchScore"}}},
+    ])
+    assert text_index.hit_count > h0, "expected a sidecar hit"
+    print("   (corpus-statistics pass served from the sidecar)")
+
     print("\nAll pipelines executed against the supplied Atlas index "
           "definition — no server required.")
 

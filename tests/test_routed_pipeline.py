@@ -1824,6 +1824,19 @@ class TestRegexRouting:
         got = self._run(spark, tmp_path,
                         {"regex": {"query": "abc@", "path": "sku"}})
         assert set(got) == {3}
+        # r11: quoted-string simpleexp — metas inert inside the quotes,
+        # repetition applies to the whole string; same via DFA operators
+        got = self._run(spark, tmp_path,
+                        {"regex": {"query": '"ABC-123-X"', "path": "sku"}})
+        assert set(got) == {1}
+        got = self._run(spark, tmp_path,
+                        {"regex": {"query": '"ABC-"[0-9]+"-X"',
+                                   "path": "sku"}})
+        assert set(got) == {1}
+        got = self._run(spark, tmp_path,
+                        {"regex": {"query": '~("ABC-123-X")&ABC@',
+                                   "path": "sku"}})
+        assert set(got) == {2}
 
     def test_regex_in_compound_and_mustnot(self, spark, tmp_path):
         got = self._run(spark, tmp_path, {"compound": {

@@ -3238,22 +3238,33 @@ class MongoFrame:
         if set(body) == {"facet"}:
             facet = body["facet"]
             if idx_payload is not None:
-                # r10: facets route only when the definition leaves the
-                # inner operator at the engine-contract default — facet
-                # bucket collection itself is index-independent here
-                # (the pinned facet_meta contract reads stored values)
+                # r10 (r11: custom analyzers route too): facet bucket
+                # collection is index-independent (the pinned
+                # facet_meta contract reads stored values); the INNER
+                # operator routes under the same analyzer gate as
+                # $search — default keeps the verified compilation,
+                # custom stashes the per-path ctx the facet matcher's
+                # clause parsers consult, anything else declines to the
+                # index-aware interpreter
                 from duckdb_mongo_spark.mql.search_index import (
-                    SearchIndex, Unroutable, rewrite_spec_tree,
-                    routes_default)
+                    RoutedIndexCtx, SearchIndex, Unroutable,
+                    rewrite_spec_tree, text_route_analyzers)
                 inner = facet.get("operator") if isinstance(facet, dict) \
                     else None
+                try:
+                    index = SearchIndex.from_payload(idx_payload)
+                except ValueError:
+                    return None  # interpreter raises the loud error
+                self._rt_analyzer = None
                 if isinstance(inner, dict) and len(inner) == 1:
                     try:
-                        index = SearchIndex.from_payload(idx_payload)
                         (iop, ispec), = inner.items()
                         iop, ispec = rewrite_spec_tree(iop, ispec, index)
-                        if not routes_default(index, iop, ispec):
+                        mode, _ = text_route_analyzers(index, iop, ispec)
+                        if mode == "decline":
                             return None
+                        self._rt_analyzer = (RoutedIndexCtx(index)
+                                             if mode == "custom" else None)
                         facet = {**facet, "operator": {iop: ispec}}
                     except (ValueError, Unroutable):
                         return None
@@ -3413,6 +3424,7 @@ class MongoFrame:
                 # single-operator facet (range/equals/phrase/...): a
                 # one-must compound matches the same docs
                 op = {"compound": {"must": [op]}}
+            self._rt_lc_fs = {}
             parsed = self._parse_search_clauses(dict(op), fm)
             if parsed is None:
                 return None
@@ -3491,6 +3503,8 @@ class MongoFrame:
                 F.lit("__doc").alias("f"), F.lit("").alias("k"))))
             return F.concat(*arrays)
 
+        custom_an = getattr(self, "_rt_analyzer", None)
+
         def run_counts(arrow):
             tdf = bdf
             match_cond = F.lit(True)
@@ -3502,15 +3516,30 @@ class MongoFrame:
                             seen.add(fs.name)
                             fspecs.append(fs)
                 phrase_clauses = list(self._iter_phrase_clauses(parsed))
-                for _k, (fss, _a, _b, _m) in phrase_clauses:
+                for _k, (fss, _a, _arg, _m) in phrase_clauses:
                     if _k in ("wc", "rx"):
-                        continue  # raw-value matching, no token cols
+                        # raw-value matching — EXCEPT index-mode
+                        # allowAnalyzedField, which matches the analyzed
+                        # token columns too (r11, as in the text route)
+                        if isinstance(_arg, dict):
+                            fss = _arg["toks_fs"]
+                        else:
+                            continue
+                    if _k == "auto" and len(_arg) > 2:
+                        continue  # index-mode autocomplete: own columns
                     for fs in fss:
                         if fs.name not in seen:
                             seen.add(fs.name)
                             fspecs.append(fs)
-                if fspecs:
-                    tdf = (self._with_oracle_tokens(bdf, fspecs) if arrow
+                ac_specs = self._ac_token_specs(phrase_clauses)
+                lc_specs = self._lc_specs()
+                if fspecs or ac_specs or lc_specs:
+                    tdf = (self._with_oracle_tokens(
+                               bdf, fspecs,
+                               analyze=self._ctx_index_fns(
+                                   custom_an, fspecs),
+                               extra_specs=ac_specs + lc_specs)
+                           if arrow
                            else bdf.select(
                                *bdf.columns,
                                *[self._tokens_of(fs)
@@ -3546,7 +3575,8 @@ class MongoFrame:
                     .collect())
             return rows
 
-        rows = run_counts(False)
+        force_arrow = custom_an is not None or bool(self._lc_specs())
+        rows = run_counts(force_arrow)
         if rows is None:
             rows = run_counts(True)  # multibyte corpus: oracle tokens
         by_facet: dict = {}

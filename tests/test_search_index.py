@@ -1399,3 +1399,69 @@ class TestLowercaseNormalizerRouting:
         rows = [r.asDict(recursive=True) for r in mf.df().collect()]
         assert mf.last_exec_path == "routed:search_meta"
         assert rows[0]["count_total"] == 1
+
+
+class TestFacetUnderCustomAnalyzers:
+    """r11: $searchMeta facets route when the inner operator needs
+    custom analyzer semantics (was: engine-contract definitions only).
+    Bucket collection reads stored values (index-independent); the
+    matcher consults the stashed per-path ctx."""
+
+    COLS = {"_id": [1, 2, 3, 4],
+            "t": ["Spark IS fast", "spark tools", "Duckdb rocks",
+                  "CAFÉ news"],
+            "cat": ["eng", "eng", "db", "press"],
+            "tag": ["CAFÉ", "Beta", "beta", "ALPHA"]}
+
+    DEFN = {"mappings": {"dynamic": True, "fields": {
+        "t": {"type": "string", "analyzer": "lucene.whitespace"},
+        "tag": {"type": "token", "normalizer": "lowercase"}}}}
+
+    def _meta(self, spark, tmp_path, operator):
+        from duckdb_mongo_spark.scan import mongo_scan
+
+        be = _pq_posts(tmp_path, self.COLS)
+        pipe = [{"$searchMeta": {"facet": {
+            "operator": operator,
+            "facets": {"by_cat": {"type": "string", "path": "cat"}},
+        }}}]
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe,
+                        search_index=self.DEFN)
+        rows = [r.asDict(recursive=True) for r in mf.df().collect()]
+        exp = _expected(be, pipe, self.DEFN)
+        return mf, rows, exp
+
+    def test_custom_analyzer_text_operator_routes(self, spark, tmp_path):
+        # whitespace analyzer: query "spark" matches ONLY the lowercase
+        # doc 2 ("Spark" keeps case and does not match)
+        mf, rows, exp = self._meta(
+            spark, tmp_path, {"text": {"query": "spark", "path": "t"}})
+        assert mf.last_exec_path == "routed:search_meta"
+        assert rows[0]["count_lowerBound"] == \
+            exp[0]["count"]["lowerBound"] == 1
+        import json as _json
+
+        got = _json.loads(rows[0]["facet_by_cat"])
+        assert got == exp[0]["facet"]["by_cat"]
+        assert got["buckets"] == [{"_id": "eng", "count": 1}]
+
+    def test_lowercase_cond_operator_routes(self, spark, tmp_path):
+        mf, rows, exp = self._meta(
+            spark, tmp_path,
+            {"in": {"path": "tag", "value": ["café", "BETA"]}})
+        assert mf.last_exec_path == "routed:search_meta"
+        assert rows[0]["count_lowerBound"] == \
+            exp[0]["count"]["lowerBound"] == 3
+
+    def test_compound_mixed_operator_routes(self, spark, tmp_path):
+        mf, rows, exp = self._meta(spark, tmp_path, {"compound": {
+            "should": [{"text": {"query": "spark fast tools rocks",
+                                 "path": "t"}}],
+            "mustNot": [{"equals": {"path": "tag", "value": "beta"}}],
+        }})
+        assert mf.last_exec_path == "routed:search_meta"
+        assert rows[0]["count_lowerBound"] == exp[0]["count"]["lowerBound"]
+        import json as _json
+
+        assert _json.loads(rows[0]["facet_by_cat"]) == \
+            exp[0]["facet"]["by_cat"]

@@ -3417,6 +3417,7 @@ class MongoFrame:
                 return None  # unknown facet type: interpreter raises
         op = facet_spec.get("operator")
         parsed = None
+        self._rt_lc_fs = {}  # per-parse registry; never stale state
         if op is not None:
             if not (isinstance(op, dict) and len(op) == 1):
                 return None
@@ -3424,7 +3425,6 @@ class MongoFrame:
                 # single-operator facet (range/equals/phrase/...): a
                 # one-must compound matches the same docs
                 op = {"compound": {"must": [op]}}
-            self._rt_lc_fs = {}
             parsed = self._parse_search_clauses(dict(op), fm)
             if parsed is None:
                 return None

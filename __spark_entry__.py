@@ -1537,27 +1537,32 @@ _register(
 def _q_interval_join(spark, sf_dir):
     """Point-in-interval range join (ops/joins.interval_join_points):
     clicks falling inside each user's daily error window, executed as a
-    bin-bucketed EQUI-join (intervals explode to time bins; a point owns
-    one bin) — never a BroadcastNestedLoopJoin."""
+    bin-bucketed EQUI-join — never a BroadcastNestedLoopJoin.
+
+    r12: the intervals are built PRE-BINNED — grouping on the 1-day bin
+    grid itself (time_bin == date_trunc('day') boundaries under the UTC
+    session) and passing ``iv_bin_col`` so the join keys ARE the
+    grouping attributes: Catalyst reuses the aggregation exchange and
+    the interval side reaches the join with zero extra shuffles (the
+    r11 shape paid a second exchange re-shuffling the exploded rows on
+    the derived bin key)."""
     from pyspark.sql import functions as F
 
-    from duckdb_mongo_spark.ops.joins import interval_join_points
+    from duckdb_mongo_spark.ops.joins import interval_join_points, time_bin
 
     _views(spark, sf_dir, "events")
     ev = spark.table("events")
     points = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    err = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
     intervals = (
-        ev.filter(F.col("event_type") == "error")
-        .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("d"))
+        err.groupBy("user_id", time_bin(err, "ts", 86400.0).alias("__bin"))
         .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
-        .select("user_id", "lo", "hi")
     )
-    # bin_width = the domain-known interval bound: the windows are
-    # day-truncated min..max, so a 1-day grid keeps the explode <= 2
-    # bins/interval (the 3600 default would shuffle up to 24x the
-    # interval side at scale; results are width-invariant)
+    # bin_width = the domain-known interval bound: day-grid windows, so
+    # each interval owns exactly one 1-day bin (iv_bin_col contract)
     out = interval_join_points(points, "ts", intervals, "lo", "hi",
-                               on=["user_id"], bin_width=86400.0)
+                               on=["user_id"], bin_width=86400.0,
+                               iv_bin_col="__bin")
     return out.select("event_id", "user_id", "ts", "lo", "hi").orderBy("event_id", "lo")
 
 

@@ -274,19 +274,22 @@ def _install_lean_line_items(qs: dict, oracles: dict) -> None:
     """
 
     def _interval_agg(spark, sf_dir):
-        from duckdb_mongo_spark.ops.joins import interval_join_points
+        from duckdb_mongo_spark.ops.joins import interval_join_points, time_bin
 
         entry._views(spark, sf_dir, "events")
         ev = spark.table("events")
         points = ev.filter(F.col("event_type") == "click").select(
             "event_id", "user_id", "ts")
-        intervals = (ev.filter(F.col("event_type") == "error")
-                     .groupBy("user_id",
-                              F.date_trunc("day", F.col("ts")).alias("d"))
-                     .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
-                     .select("user_id", "lo", "hi"))
+        # r12: pre-binned intervals (iv_bin_col) — the groupBy's hash
+        # partitioning (user_id, bin) IS the join distribution, so the
+        # interval side pays one exchange total (see q_interval_join)
+        err = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+        intervals = (err.groupBy("user_id",
+                                 time_bin(err, "ts", 86400.0).alias("__bin"))
+                     .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")))
         out = interval_join_points(points, "ts", intervals, "lo", "hi",
-                                   on=["user_id"], bin_width=86400.0)
+                                   on=["user_id"], bin_width=86400.0,
+                                   iv_bin_col="__bin")
         return out.agg(
             F.count(F.lit(1)).alias("n"),
             F.avg(F.unix_micros("lo")).alias("alo"),
@@ -888,9 +891,11 @@ def main() -> None:
             # _salt_tokens): verbatim replication would make every doc
             # 100-way identical and pair counts quadratic in the factor —
             # a degenerate corpus, not scale. DuckDB's span/LSH oracles
-            # run 30-220 s here, so: no DuckDB warm (columnar scans of a
-            # just-written file are already page-hot) and one DuckDB
-            # sample per query; Spark medians over 2.
+            # run 30-220 s here, so no DuckDB warm (columnar scans of a
+            # just-written file are already page-hot). r12 (r11 verdict
+            # #5): TWO DuckDB samples per query — a single-sample
+            # denominator swung the recorded ratio up to 5x between
+            # SCALE.md probes and the driver artifact.
             sf10d = _sf10_section(
                 spark, qs, oracles,
                 ["span_dedup", "dedup_minhash_lsh"],
@@ -899,7 +904,7 @@ def main() -> None:
                 out_env="SPARK_GRAFT_SF10J_DIR",
                 default_dir="/tmp/sf10_joins",
                 salt_text={"documents": "text"},
-                dk_iters=1, warm_dk=False)
+                dk_iters=2, warm_dk=False)
             if sf10d is not None:
                 out["sf10_dedup"] = sf10d
         except Exception as exc:  # noqa: BLE001 — scale evidence is auxiliary

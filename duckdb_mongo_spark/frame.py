@@ -552,6 +552,7 @@ class MongoFrame:
             return None
         (op, spec), = head.items()
         self._routed_count_meta = None
+        self._rt_highlight = None
         from duckdb_mongo_spark.schema.infer import resolve_schema
 
         if op == "$vectorSearch":
@@ -570,11 +571,14 @@ class MongoFrame:
                 body.pop("index", None)
                 index_payload = body.pop("__indexDefinition__", None)
                 if "highlight" in body:
-                    # r10: highlight renders passage arrays into the
-                    # searchHighlights meta — interpreter-only; routing
-                    # would silently yield null for a $meta the oracle
-                    # populates
-                    return None
+                    # r12: highlight rides the phrase/autocomplete/cond
+                    # fallback routes too — parsed from the original
+                    # spec, rendered over the survivors in _routed_tail
+                    hlp = self._parse_routed_highlight(spec)
+                    if hlp is None:
+                        return None
+                    self._rt_highlight = hlp
+                    body.pop("highlight")
                 if index_payload is not None and len(body) == 1:
                     # r10: same gate as _parse_search_clauses — the
                     # phrase/autocomplete/cond fallbacks route when the
@@ -2875,6 +2879,47 @@ class MongoFrame:
 
         return toks_df.mapInPandas(kernel, schema=out_schema), names
 
+    def _parse_routed_highlight(self, spec):
+        """Parse a $search body's ``highlight`` option for the routed
+        paths (r12, VERDICT r11 #7): returns ``(paths, maxChars,
+        maxNumPassages, sources)`` — the exact arguments the
+        interpreter's ``_doc_highlights`` takes (mql/search.py, the
+        module-pinned passage contract) — or None to DECLINE to the
+        interpreter (malformed spec / non-standard-analyzer path /
+        scoreDetails), where the interpreter raises the canonical loud
+        error. Passage selection is per-document with no corpus state,
+        so the routed plan renders it over the ≤ limit survivors in
+        ``_routed_tail`` via the interpreter's OWN function — parity by
+        construction."""
+        from duckdb_mongo_spark.mql.search import (
+            _collect_highlight_sources, _validate_highlight)
+
+        body = dict(spec)
+        body.pop("index", None)
+        index_payload = body.pop("__indexDefinition__", None)
+        hl = body.pop("highlight", None)
+        for k in ("tracking", "concurrent", "count", "sort"):
+            body.pop(k, None)
+        if body.pop("scoreDetails", False) or len(body) != 1:
+            return None
+        (op, opspec), = body.items()
+        try:
+            paths, mc, mp = _validate_highlight(hl)
+            index = None
+            if index_payload is not None:
+                from duckdb_mongo_spark.mql.search_index import SearchIndex
+
+                index = SearchIndex.from_payload(index_payload)
+                for p in paths:
+                    names = index.text_analyzer_names(p)
+                    if names != ("lucene.standard", "lucene.standard"):
+                        return None  # interpreter raises the pinned error
+            sources: dict = {}
+            _collect_highlight_sources(op, opspec, sources, index)
+        except ValueError:
+            return None
+        return paths, mc, mp, sources
+
     def _parse_search_clauses(self, spec, fm):
         """Shared $search/$searchMeta spec parse: a single ``text``
         operator or ``compound`` of routable clauses (text must/should;
@@ -3072,6 +3117,85 @@ class MongoFrame:
             return None
         return (text_must, text_should, cond_filters, mustnot, msm,
                 has_must, has_filter, has_should, count_spec)
+
+    def _raw_prefilter(self, parsed, max_terms: int = 16):
+        """Necessary-condition prefilter over the RAW string columns for
+        the pass-2 scored scan (r12, cold-path cost cut): the JVM
+        tokenizer is lowercase + split, so every token is a SUBSTRING of
+        ``lower(raw)`` — ``lower(col).contains(term)`` is implied by
+        term containment in the token array, and a conjunction of the
+        match condition's required text hits can be over-approximated on
+        the raw columns. Catalyst pushes the resulting filter below the
+        tokenize/score projections to the scan, so non-candidate rows
+        skip the regex split and the BM25 expression entirely (the exact
+        containment/score conditions still run on survivors — the
+        prefilter can only DROP rows the match condition would drop).
+
+        Soundness gates (returns None otherwise):
+        - JVM-tokenized pass only (callers check ``use_arrow`` is False
+          and no custom analyzer): a custom/oracle analyzer may emit
+          tokens that are not substrings of the raw value (stemming,
+          case folding off the JVM's tables).
+        - scalar string paths only — array paths would need a per-
+          element exists() for no measured win.
+        - anchored on clauses the match REQUIRES: every must text
+          clause (AND of per-clause term ORs), else the pure-should /
+          msm>=1 at-least-one rule over all-text should clauses.
+        - total term count <= ``max_terms``: a fuzzy expansion's
+          hundreds of contains() scans would cost more than the
+          tokenize they avoid."""
+        from duckdb_mongo_spark.schema.types import is_list
+
+        (text_must, text_should, _cf, _mn, msm,
+         has_must, has_filter, _hs, _cs) = parsed
+        budget = [max_terms]
+
+        def clause_prefilter(payload):
+            fss, terms_by_path, _mod = payload
+            c = None
+            for fs, terms in zip(fss, terms_by_path):
+                terms = [t for t in dict.fromkeys(terms) if t]
+                if not terms:
+                    continue
+                if is_list(fs.type):
+                    return None
+                budget[0] -= len(terms)
+                if budget[0] < 0:
+                    return None
+                low = F.lower(F.coalesce(F.col(fs.name), F.lit("")))
+                for t in terms:
+                    tc = low.contains(t)
+                    c = tc if c is None else (c | tc)
+            return c
+
+        if has_must:
+            parts = [clause_prefilter(p)
+                     for k, p in text_must if k == "text"]
+            parts = [p for p in parts if p is not None]
+            if not parts:
+                return None
+            out = parts[0]
+            for p in parts[1:]:
+                out = out & p
+            return out
+        # pure-should at-least-one rule (need = max(1, msm) without
+        # must/filter; msm alone still forces >= 1 text hit) — only
+        # sound when EVERY should clause is text (any other kind could
+        # carry the hit for a row the term filter would drop)
+        need = msm if has_filter else max(1, msm)
+        if text_should and need >= 1 \
+                and all(k == "text" for k, _p in text_should):
+            parts = []
+            for _k, p in text_should:
+                cp = clause_prefilter(p)
+                if cp is None:
+                    return None
+                parts.append(cp)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out | p
+            return out
+        return None
 
     @staticmethod
     def _overlap_cond(fss, terms_by_path):
@@ -3802,6 +3926,16 @@ class MongoFrame:
                 and next(iter(nxt)) == "$limit"):
             return None
         limit = int(nxt["$limit"])
+        if isinstance(spec, dict) and "highlight" in spec:
+            # r12: highlight routes — sources parsed from the ORIGINAL
+            # spec (pre fuzzy expansion, like the interpreter), passages
+            # rendered per survivor in _routed_tail; decline hands the
+            # interpreter its canonical loud error on bad specs
+            hlp = self._parse_routed_highlight(spec)
+            if hlp is None:
+                return None
+            self._rt_highlight = hlp
+            spec = {k: v for k, v in spec.items() if k != "highlight"}
         sort_cols = None
         if isinstance(spec, dict) and "sort" in spec:
             sort_cols = self._translate_search_sort(spec["sort"], fm)
@@ -4047,6 +4181,18 @@ class MongoFrame:
         # fallback (beyond that, ties are unspecified on both paths)
         order = list(sort_cols or [])
         order.append(F.col("__rt_score").desc())
+        # r12: raw-substring prefilter for the scored scan — sound only
+        # for the JVM tokenizer (token ⊆ lower(raw) by construction)
+        # and kept to the pure text/cond shape (phrase/near/embedded
+        # token columns ride a mapInPandas pass a filter cannot cross)
+        self._rt_prefiltered = False
+        if not use_arrow and custom_an is None and fspecs \
+                and not phrase_clauses and not embdoc_clauses \
+                and not has_near:
+            prefilt = self._raw_prefilter(parsed)
+            if prefilt is not None:
+                toks_df = toks_df.where(prefilt)
+                self._rt_prefiltered = True
         scored = (
             toks_df.withColumn("__rt_score", total)
             .where(cond)
@@ -4116,12 +4262,20 @@ class MongoFrame:
         from duckdb_mongo_spark.mql.interpreter import run_pipeline
 
         rows = scored.collect()  # bounded: <= limit
+        hl = getattr(self, "_rt_highlight", None)
+        if hl is not None:
+            from duckdb_mongo_spark.mql.search import _doc_highlights
         docs = []
         for r in rows:
             rd = r.asDict(recursive=True)
             s = rd.pop(score_col)
             doc = self._rebuild_doc(rd, coll_schema)
             meta = {meta_name: s}
+            if hl is not None:
+                # r12: per-document passage rendering via the
+                # interpreter's own _doc_highlights over the rebuilt doc
+                # (<= limit rows; no corpus state) — parity by function
+                meta["searchHighlights"] = _doc_highlights(doc, *hl)
             if getattr(self, "_routed_count_meta", None):
                 meta.update(self._routed_count_meta)
             doc[META_KEY] = meta

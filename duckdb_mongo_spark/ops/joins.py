@@ -203,6 +203,22 @@ def _bin(df: DataFrame, col: str, width: float, c: Column | None = None) -> Colu
     return F.floor(_num(df, col, c) / F.lit(float(width))).cast("long")
 
 
+def time_bin(df: DataFrame, t_col: str, width: float) -> Column:
+    """Bin index (BIGINT) of ``df[t_col]`` on the ``width``-second grid —
+    the same grid ``interval_join_points`` buckets on.
+
+    Purpose: build intervals PRE-BINNED. An interval table produced by
+    ``df.withColumn("__bin", time_bin(df, "ts", w)).groupBy(*keys,
+    "__bin").agg(min/max)`` can be handed to ``interval_join_points``
+    via ``iv_bin_col="__bin"`` — the aggregation's hash partitioning
+    (keys, bin) is then EXACTLY the join's required distribution, so
+    Catalyst reuses the aggregation exchange and the interval side
+    reaches the join with zero additional shuffles (vs two for the
+    generic explode path: one for the groupBy, one re-shuffle of the
+    exploded rows on the bin key)."""
+    return _bin(df, t_col, float(width))
+
+
 def _bin_seq(lo: Column, hi: Column, max_bins: int | None) -> Column:
     """``sequence(lo, hi)`` with two safety rails.
 
@@ -270,6 +286,7 @@ def interval_join_points(
     iv_suffix: str = "_iv",
     max_bins_per_interval: int | None = 10_000,
     broadcast: bool = False,
+    iv_bin_col: str | None = None,
 ) -> DataFrame:
     """Inner-join each point row to every interval row with
     ``lo <= t <= hi`` (and equal ``on`` keys), as an equi-join.
@@ -302,24 +319,73 @@ def interval_join_points(
     the hint bypasses AQE's size check, and an oversized build side
     fails on the driver instead of degrading. Default off — AQE still
     promotes the join to broadcast on its own when runtime stats allow.
+
+    ``iv_bin_col``: exchange-elision fast path for PRE-BINNED intervals.
+    Name a BIGINT column of ``intervals`` that already holds the
+    interval's (single) bin index on the ``bin_width`` grid — built with
+    ``time_bin`` and carried through the grouping, e.g.
+    ``groupBy(*on, time_bin(df, "ts", w).alias("__bin"))`` — and the
+    join keys become (on..., that attribute) verbatim: the upstream
+    aggregation's hash partitioning satisfies the join's distribution,
+    so Catalyst adds NO interval-side exchange (the generic path pays
+    two: the groupBy's, then a re-shuffle of the exploded rows on the
+    derived bin key). Contract — every interval fits its declared bin
+    (``floor(lo/w) == floor(hi/w) == iv_bin_col``) — is asserted per
+    row; intervals that span bins must use the explode path. Requires
+    an explicit ``bin_width``.
     """
     on = list(on or [])
+    if iv_bin_col is not None:
+        if bin_width is None:
+            raise ValueError("iv_bin_col requires an explicit bin_width")
+        if iv_bin_col not in intervals.columns:
+            raise ValueError(f"iv_bin_col {iv_bin_col!r} absent from intervals")
     w = (_auto_bin_width([(intervals, lo_col, hi_col)])
          if bin_width is None else float(bin_width))
     pt = points.withColumn("__pt_bin", _bin(points, t_col, w))
     # prefix-rename the interval side: both inputs frequently derive
     # from the same source frame (self-join), and attribute-based
     # conditions on shared lineage trip Spark's ambiguity check
-    iv = intervals.select([F.col(c).alias(f"__iv_{c}") for c in intervals.columns])
-    iv = iv.withColumn(
-        "__iv_bin",
-        F.explode(_bin_seq(
-            _bin(intervals, lo_col, w, F.col(f"__iv_{lo_col}")),
-            _bin(intervals, hi_col, w, F.col(f"__iv_{hi_col}")),
-            max_bins_per_interval,
-        )),
-    )
-    cond = [F.col("__pt_bin") == F.col("__iv_bin")]
+    if iv_bin_col is not None:
+        # Pre-binned: pure attribute aliases keep the projection
+        # alias-aware, so the upstream partitioning maps through. The
+        # single-bin contract rides the lo column (assert_true is NULL
+        # on success; fusing it into a JOIN-KEY column would make the
+        # key a derived expression and forfeit the exchange reuse this
+        # path exists for).
+        # null bounds: the explode path drops such rows (empty bin
+        # sequence) and the residual predicate here does the same — the
+        # guard must not fire on them, only on a WRONG bin declaration
+        guard = F.assert_true(
+            F.col(lo_col).isNull() | F.col(hi_col).isNull()
+            | ((F.col(iv_bin_col) == _bin(intervals, lo_col, w))
+               & (F.col(iv_bin_col) == _bin(intervals, hi_col, w))),
+            F.lit(
+                f"iv_bin_col {iv_bin_col!r} must equal floor(lo/bin_width)"
+                " and floor(hi/bin_width) for every row — an interval"
+                " spans bins (use the default explode path) or the bin"
+                " column was built on a different grid"
+            ),
+        )
+        lo_t = intervals.schema[lo_col].dataType
+        iv = intervals.select([
+            F.coalesce(guard.cast(lo_t), F.col(c)).alias(f"__iv_{c}")
+            if c == lo_col else F.col(c).alias(f"__iv_{c}")
+            for c in intervals.columns
+        ])
+        bin_key = F.col(f"__iv_{iv_bin_col}")
+    else:
+        iv = intervals.select([F.col(c).alias(f"__iv_{c}") for c in intervals.columns])
+        iv = iv.withColumn(
+            "__iv_bin",
+            F.explode(_bin_seq(
+                _bin(intervals, lo_col, w, F.col(f"__iv_{lo_col}")),
+                _bin(intervals, hi_col, w, F.col(f"__iv_{hi_col}")),
+                max_bins_per_interval,
+            )),
+        )
+        bin_key = F.col("__iv_bin")
+    cond = [F.col("__pt_bin") == bin_key]
     cond += [F.col(k) == F.col(f"__iv_{k}") for k in on]
     t_n = _num(points, t_col, F.col(t_col))
     cond.append(t_n >= _num(intervals, lo_col, F.col(f"__iv_{lo_col}")))

@@ -96,6 +96,17 @@ class AutoReconnect(Exception):
     the Spark task, which re-opens a fresh cursor."""
 
 
+class ExecutionTimeout(Exception):
+    """pymongo.errors.ExecutionTimeout stand-in (r12, VERDICT r11 #6):
+    the server killed the operation mid-cursor because it exceeded its
+    time budget — maxTimeMS on the operation, or server-side
+    operation-time enforcement. The backend propagates it UNCHANGED,
+    the same loud-failure contract as AutoReconnect: the task fails,
+    never a short read. Hermetic twin of the live suite's
+    ``test_cursor_timeout_is_loud`` (tests/test_live_mongo.py), which
+    drives the same shape against a real mongod via max_time_ms=1."""
+
+
 class FakeCollection:
     # server cursor-protocol knobs (mongod defaults); tests shrink
     # max_batch_bytes to force many getMore round trips on small data
@@ -115,8 +126,13 @@ class FakeCollection:
         # - kill_cursors_after: after that many getMore calls the server
         #   "times out" every open cursor (killCursors semantics); the
         #   following getMore raises CursorNotFound
+        # - exceed_time_limit_after: after that many getMore calls the
+        #   server aborts the OPERATION (maxTimeMS enforcement) — the
+        #   next getMore raises ExecutionTimeout and the cursor is
+        #   reaped (r12: the live suite's maxTimeMS shape, hermetic)
         self.fail_getmore_once = False
         self.kill_cursors_after: int | None = None
+        self.exceed_time_limit_after: int | None = None
         # per-call $sample stream counter: a real server serves a
         # DIFFERENT pseudo-random sample on every $sample, so the fake
         # must too (deterministic per (collection, call #) for tests)
@@ -145,6 +161,11 @@ class FakeCollection:
         if self.kill_cursors_after is not None \
                 and self.getmore_calls >= self.kill_cursors_after:
             self._open_cursors.clear()  # server-side cursor timeout
+        if self.exceed_time_limit_after is not None \
+                and self.getmore_calls >= self.exceed_time_limit_after:
+            self._open_cursors.pop(cid, None)  # op aborted: cursor reaped
+            raise ExecutionTimeout(
+                "operation exceeded time limit (maxTimeMS)")
         state = self._open_cursors.get(cid)
         if state is None:
             raise CursorNotFound(f"cursor id {cid} not found on server")

@@ -339,6 +339,108 @@ class TestIntervalJoins:
             assert "BroadcastNestedLoopJoin" not in p, p[:2000]
             assert "CartesianProduct" not in p, p[:2000]
 
+    def test_prebinned_matches_explode_path(self, clicks, errors, con):
+        # r12: iv_bin_col fast path — grouping on the bin grid itself
+        # and declaring the bin column must give the SAME rows as the
+        # generic explode path over equivalent intervals, and match SQL
+        from duckdb_mongo_spark.ops.joins import time_bin
+
+        base_iv = (
+            errors.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("d"))
+            .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+            .select("user_id", "lo", "hi")
+        )
+        generic = interval_join_points(
+            clicks, "ts", base_iv, "lo", "hi", on=["user_id"], bin_width=86400.0)
+        pre_iv = (
+            errors.groupBy("user_id", time_bin(errors, "ts", 86400.0).alias("__bin"))
+            .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        )
+        pre = interval_join_points(
+            clicks, "ts", pre_iv, "lo", "hi", on=["user_id"],
+            bin_width=86400.0, iv_bin_col="__bin")
+        key = lambda r: (r["event_id"], str(r["lo"]))  # noqa: E731
+        g = sorted((r["event_id"], str(r["lo"]), str(r["hi"]))
+                   for r in generic.collect())
+        p = sorted((r["event_id"], str(r["lo"]), str(r["hi"]))
+                   for r in pre.collect())
+        assert g == p and g  # same rows, non-vacuous
+        _check(pre.select("event_id", "user_id", "ts", "lo", "hi"), con, """
+            SELECT p.event_id, p.user_id, p.ts, i.lo, i.hi
+            FROM l p
+            JOIN (SELECT user_id, MIN(ts) AS lo, MAX(ts) AS hi
+                  FROM r GROUP BY user_id, date_trunc('day', ts)) i
+              ON p.user_id = i.user_id AND p.ts >= i.lo AND p.ts <= i.hi
+        """)
+
+    def test_prebinned_cuts_interval_side_exchange(self, clicks, errors, spark):
+        # the point of iv_bin_col: the groupBy's hash partitioning on
+        # (user_id, bin) satisfies the join distribution, so the plan
+        # carries exactly TWO hash exchanges (aggregation + point side);
+        # the generic explode path pays a third re-shuffling the
+        # exploded interval rows on the derived bin key. Broadcast is
+        # disabled for the assertion — on toy data AQE broadcasts the
+        # tiny interval side and no distribution requirement material-
+        # izes (also the right plan; tested in the broadcast-hint test).
+        import re
+
+        from duckdb_mongo_spark.ops.joins import time_bin
+
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            pre_iv = (
+                errors.groupBy("user_id", time_bin(errors, "ts", 86400.0).alias("__bin"))
+                .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+            )
+            pre = interval_join_points(
+                clicks, "ts", pre_iv, "lo", "hi", on=["user_id"],
+                bin_width=86400.0, iv_bin_col="__bin")
+            plan = pre._jdf.queryExecution().executedPlan().toString()
+            n = len(re.findall(r"Exchange hashpartitioning", plan))
+            assert n == 2, f"{n} exchanges\n{plan[:2500]}"
+            assert "BroadcastNestedLoopJoin" not in plan
+            base_iv = (
+                errors.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("d"))
+                .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+                .select("user_id", "lo", "hi")
+            )
+            generic = interval_join_points(
+                clicks, "ts", base_iv, "lo", "hi", on=["user_id"], bin_width=86400.0)
+            gplan = generic._jdf.queryExecution().executedPlan().toString()
+            gn = len(re.findall(r"Exchange hashpartitioning", gplan))
+            assert gn == 3, f"{gn} exchanges\n{gplan[:2500]}"
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+    def test_prebinned_contract_violation_fails_loudly(self, spark):
+        # a declared bin that the interval does not fit must raise, not
+        # silently lose cross-bin matches
+        pts = spark.createDataFrame([(1, 15.0)], "id int, t double")
+        iv = spark.createDataFrame(
+            [(0, 5.0, 25.0)], "b long, lo double, hi double")  # spans bins 0..2
+        with pytest.raises(Exception, match="iv_bin_col|spans bins"):
+            interval_join_points(
+                pts, "t", iv, "lo", "hi", bin_width=10.0, iv_bin_col="b"
+            ).collect()
+        # null bounds: dropped silently (explode-path parity), no raise
+        iv2 = spark.createDataFrame(
+            [(1, 12.0, 18.0), (0, None, 8.0)], "b long, lo double, hi double")
+        rows = interval_join_points(
+            pts, "t", iv2, "lo", "hi", bin_width=10.0, iv_bin_col="b"
+        ).collect()
+        assert len(rows) == 1 and rows[0].b == 1
+
+    def test_prebinned_rejects_bad_args(self, spark):
+        pts = spark.createDataFrame([(1, 5.0)], "id int, t double")
+        iv = spark.createDataFrame([(0, 1.0, 2.0)], "b long, lo double, hi double")
+        with pytest.raises(ValueError, match="absent"):
+            interval_join_points(pts, "t", iv, "lo", "hi",
+                                 bin_width=10.0, iv_bin_col="nope")
+        with pytest.raises(ValueError, match="explicit bin_width"):
+            interval_join_points(pts, "t", iv, "lo", "hi",
+                                 bin_width=None, iv_bin_col="b")
+
     def test_interval_broadcast_hint(self, clicks, errors):
         # r11: the broadcast opt-in keeps results identical and turns
         # the plan into a map-side BroadcastHashJoin (no point-side

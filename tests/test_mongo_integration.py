@@ -513,6 +513,24 @@ class TestCursorFaults:
         again = [d["_id"] for d in fake.find(DB, "batched")]
         assert again == list(range(500))
 
+    def test_execution_timeout_propagates_unchanged(self, fake):
+        # r12 (VERDICT r11 #6): the live suite's maxTimeMS shape,
+        # hermetic — the server aborts the op mid-cursor; the stream
+        # fails LOUDLY (never a short read) and the cursor is reaped
+        from duckdb_mongo_spark.testing.fake_mongo import ExecutionTimeout
+
+        coll = fake.client[DB]["batched"]
+        coll.exceed_time_limit_after = 3
+        got = []
+        with pytest.raises(ExecutionTimeout, match="time limit"):
+            for d in fake.find(DB, "batched"):
+                got.append(d)
+        assert 0 < len(got) < 500  # partial THEN loud, like live mongod
+        assert coll._open_cursors == {}  # server reaped the cursor
+        coll.exceed_time_limit_after = None
+        again = [d["_id"] for d in fake.find(DB, "batched")]
+        assert again == list(range(500))
+
     def test_clean_streams_unchanged(self, fake):
         # no-fault default: exactly the pre-r7 behavior
         got = [d["_id"] for d in fake.find(DB, "batched")]
@@ -573,6 +591,15 @@ class TestCursorFaultsThroughDatasource:
             self._scan(spark, fake).df().collect()
         assert "AutoReconnect" in str(ei.value) \
             or "connection reset" in str(ei.value)
+
+    def test_execution_timeout_fails_task_not_truncates(self, spark, fake):
+        coll = fake.client[DB]["batched_ds"]
+        coll.exceed_time_limit_after = 2
+        with pytest.raises(Exception) as ei:
+            self._scan(spark, fake).df().collect()
+        assert "ExecutionTimeout" in str(ei.value) \
+            or "time limit" in str(ei.value)
+        coll.exceed_time_limit_after = None
 
     def test_clean_retry_reads_complete_partition_set(self, spark, fake):
         # the documented retry unit: a fresh scan (fresh cursors per

@@ -438,6 +438,146 @@ class TestSearchTextRouting:
             sorted((e["score"], e["doc_id"]) for e in exp)
 
 
+class TestRawPrefilter:
+    """r12: the pass-2 raw-substring prefilter (frame._raw_prefilter) —
+    a necessary condition of the match pushed to the scan so
+    non-candidate rows skip tokenize+score. Sound only for the JVM
+    tokenizer (token ⊆ lower(raw)); every test checks BOTH that the
+    flag lands where expected and that results stay interpreter-exact.
+    """
+
+    DOCS = TestSearchTextRouting.DOCS
+
+    def _backend(self, tmp_path):
+        return TestSearchTextRouting._backend(self, tmp_path)
+
+    def _run(self, spark, be, pipe):
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        got = [r.asDict() for r in mf.df().collect()]
+        exp = _interpreter_rows(be, "main", "posts", pipe)
+        assert [g["_id"] for g in got] == [e["_id"] for e in exp]
+        return mf
+
+    def test_single_text_applies_prefilter(self, spark, tmp_path):
+        be = self._backend(tmp_path)
+        pipe = [{"$search": {"text": {"query": "spark engine",
+                                      "path": "body"}}},
+                {"$limit": 10}]
+        mf = self._run(spark, be, pipe)
+        assert mf.last_exec_path == "routed:search_text"
+        assert mf._rt_prefiltered is True
+
+    def test_must_with_mustnot_and_filter(self, spark, tmp_path):
+        # mustNot/filter only RESTRICT matches further — the must
+        # clause's term prefilter stays a necessary condition
+        be = self._backend(tmp_path)
+        pipe = [{"$search": {"compound": {
+                    "must": [{"text": {"query": "spark", "path": "title"}}],
+                    "mustNot": [{"text": {"query": "duck", "path": "body"}}],
+                    "filter": [{"range": {"path": "_id", "lte": 10}}]}}},
+                {"$limit": 10}]
+        mf = self._run(spark, be, pipe)
+        assert mf.last_exec_path == "routed:search_text"
+        assert mf._rt_prefiltered is True
+
+    def test_pure_should_or_prefilter(self, spark, tmp_path):
+        be = self._backend(tmp_path)
+        pipe = [{"$search": {"compound": {"should": [
+                    {"text": {"query": "duck", "path": "body"}},
+                    {"text": {"query": "rice", "path": "body"}}]}}},
+                {"$limit": 10}]
+        mf = self._run(spark, be, pipe)
+        assert mf.last_exec_path == "routed:search_text"
+        assert mf._rt_prefiltered is True
+
+    def test_should_with_filter_msm0_skips(self, spark, tmp_path):
+        # filter present + msm=0: a doc can match with ZERO should hits
+        # — a term prefilter would drop it, so none must be applied
+        be = self._backend(tmp_path)
+        pipe = [{"$search": {"compound": {
+                    "should": [{"text": {"query": "duck", "path": "body"}}],
+                    "filter": [{"range": {"path": "_id", "lte": 4}}]}}},
+                {"$limit": 10}]
+        mf = self._run(spark, be, pipe)
+        assert mf.last_exec_path == "routed:search_text"
+        assert mf._rt_prefiltered is False
+        # every filter-passing doc present even without the should term
+        got = {r._id for r in mongo_scan(
+            spark, be, "main", "posts", pipeline=pipe).df().collect()}
+        assert got == {1, 2, 3, 4}
+
+    def test_should_with_filter_msm1_applies(self, spark, tmp_path):
+        be = self._backend(tmp_path)
+        pipe = [{"$search": {"compound": {
+                    "should": [{"text": {"query": "duck", "path": "body"}}],
+                    "minimumShouldMatch": 1,
+                    "filter": [{"range": {"path": "_id", "lte": 4}}]}}},
+                {"$limit": 10}]
+        mf = self._run(spark, be, pipe)
+        assert mf.last_exec_path == "routed:search_text"
+        assert mf._rt_prefiltered is True
+
+    def test_multibyte_corpus_skips(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({"_id": [1, 2],
+                      "body": ["der GRÜNE Baum", "plain ascii text"]}),
+            str(tmp_path / "posts.parquet"))
+        be = ParquetBackend(str(tmp_path), db_name="main")
+        pipe = [{"$search": {"text": {"query": "grüne", "path": "body"}}},
+                {"$limit": 10}]
+        mf = self._run(spark, be, pipe)
+        assert mf.last_exec_path == "routed:search_text"
+        assert mf._rt_prefiltered is False  # oracle-analyzer Arrow pass
+
+    def test_array_path_skips(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({"_id": [1, 2],
+                      "tags": [["alpha beta"], ["gamma"]]}),
+            str(tmp_path / "posts.parquet"))
+        be = ParquetBackend(str(tmp_path), db_name="main")
+        pipe = [{"$search": {"text": {"query": "alpha", "path": "tags"}}},
+                {"$limit": 10}]
+        mf = self._run(spark, be, pipe)
+        assert mf.last_exec_path == "routed:search_text"
+        assert mf._rt_prefiltered is False
+
+    def test_term_budget_exceeded_skips(self, spark, tmp_path):
+        # past the 16-term budget the contains() chain would cost more
+        # than the tokenize it avoids — no prefilter, results exact
+        be = self._backend(tmp_path)
+        many = " ".join(f"term{i}" for i in range(17)) + " spark"
+        pipe = [{"$search": {"text": {"query": many, "path": "body"}}},
+                {"$limit": 10}]
+        mf = self._run(spark, be, pipe)
+        assert mf.last_exec_path == "routed:search_text"
+        assert mf._rt_prefiltered is False
+
+    def test_term_with_regex_special_chars_literal(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({"_id": [1, 2],
+                      "body": ["a+b (c) [d]", "no specials here"]}),
+            str(tmp_path / "posts.parquet"))
+        be = ParquetBackend(str(tmp_path), db_name="main")
+        # analyzer splits on non-alphanumeric, so query terms are plain;
+        # this guards contains() staying LITERAL (no regex injection)
+        pipe = [{"$search": {"text": {"query": "specials", "path": "body"}}},
+                {"$limit": 10}]
+        mf = self._run(spark, be, pipe)
+        assert mf.last_exec_path == "routed:search_text"
+        got = [r._id for r in mongo_scan(
+            spark, be, "main", "posts", pipeline=pipe).df().collect()]
+        assert got == [2]
+
+
 class TestRoutedTailDocumentRebuild:
     """The routed tail rebuilds documents the way the backend's
     iter_documents would emit them (round-6 advice): sparse backends
@@ -2032,9 +2172,11 @@ class TestTextFuzzyRouting:
                                   "fuzzy": {"maxEdits": 1}}})
         assert set(got) == {1}  # 1 edit from "привет"
 
-    def test_highlight_declines_routing_and_renders(self, spark, tmp_path):
-        # r10: highlight renders searchHighlights meta — interpreter-only
-        # (a routed run would yield null for the $meta). Decline + parity.
+    def test_highlight_routes_and_renders(self, spark, tmp_path):
+        # r10 declined highlight; r12 routes it (VERDICT r11 #7): the
+        # passage selection is per-document, so the routed tail renders
+        # searchHighlights via the interpreter's own _doc_highlights
+        # over the <= limit survivors. Routed + value parity.
         be = self._be(tmp_path)
         pipe = [{"$search": {"text": {"query": "spark", "path": "t"},
                              "highlight": {"path": "t"}}},
@@ -2043,7 +2185,7 @@ class TestTextFuzzyRouting:
                               "h": {"$meta": "searchHighlights"}}}]
         mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
         rows = mf.df().collect()
-        assert not mf.last_exec_path.startswith("routed")
+        assert mf.last_exec_path == "routed:search_text"
         def _norm(v):
             if hasattr(v, "asDict"):
                 v = v.asDict(recursive=True)
@@ -2061,6 +2203,48 @@ class TestTextFuzzyRouting:
         hits = [c["value"] for p in got[1] for c in p["texts"]
                 if c["type"] == "hit"]
         assert hits == ["spark"]
+
+    def test_highlight_rides_phrase_fallback_route(self, spark, tmp_path):
+        # r12: the phrase fallback route renders highlights too — the
+        # shared _routed_tail carries the parsed sources
+        be = self._be(tmp_path)
+        pipe = [{"$search": {"phrase": {"query": "spark is", "path": "t"},
+                             "highlight": {"path": "t"}}},
+                {"$limit": 5},
+                {"$project": {"_id": 1,
+                              "h": {"$meta": "searchHighlights"}}}]
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        rows = mf.df().collect()
+        assert mf.last_exec_path.startswith("routed")
+
+        def _norm(v):
+            if hasattr(v, "asDict"):
+                v = v.asDict(recursive=True)
+            if isinstance(v, list):
+                return [_norm(x) for x in v]
+            if isinstance(v, dict):
+                return {k: _norm(x) for k, x in v.items()}
+            return v
+
+        exp = {d["_id"]: _norm(d["h"])
+               for d in _interpreter_rows(be, "main", "posts", pipe)}
+        got = {r["_id"]: _norm(r["h"]) for r in rows}
+        assert got == exp and set(got) == {1}
+        hits = [c["value"] for p in got[1] for c in p["texts"]
+                if c["type"] == "hit"]
+        assert hits == ["spark", "is"]
+
+    def test_highlight_bad_spec_still_raises_loudly(self, spark, tmp_path):
+        # decline path: the interpreter raises its canonical error
+        be = self._be(tmp_path)
+        pipe = [{"$search": {"text": {"query": "spark", "path": "t"},
+                             "highlight": {"path": "t", "nope": 1}}},
+                {"$limit": 5}]
+        with pytest.raises(Exception, match="highlight"):
+            # the inference sample-run raises at scan construction
+            # already; a routed run must not swallow it either way
+            mongo_scan(spark, be, "main", "posts",
+                       pipeline=pipe).df().collect()
 
     def test_synonyms_raise_loudly(self, spark, tmp_path):
         import pyarrow as pa

@@ -373,6 +373,21 @@ class ParquetBackend(DocumentBackend):
 
         return gen()
 
+    def native_spark_paths(self, db, coll):
+        """Capability probe for ``MongoFrame._try_native_df`` (r12): the
+        physical parquet paths of a collection that Spark's OWN reader
+        can scan directly. A local columnar collection needs no
+        document-protocol detour — the native FileScan gives vectorized
+        decode, whole-stage codegen, and Catalyst filter pushdown /
+        column pruning for free, and a grouped aggregate becomes
+        Spark's distributed partial agg instead of the single-stream
+        ``$group`` interpreter. Returns None when the collection does
+        not exist (caller falls back to the engine scan paths)."""
+        if db != self.db_name:
+            return None
+        files = self._files(coll)
+        return files or None
+
     def _stream_head(self, coll, n):
         """First n rows via small arrow batches (no row-group materialize)."""
         import pyarrow.parquet as pq

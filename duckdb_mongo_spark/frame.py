@@ -476,6 +476,24 @@ class MongoFrame:
             )
 
             guard_single_stream_aggregate(self.backend, self.db, self.coll)
+            if (
+                self.direct is not True
+                and getattr(self.backend, "native_spark_paths", None) is not None
+                and not (
+                    len(planned.pipeline or []) == 1
+                    and next(iter(planned.pipeline[0])) == "$count"
+                )
+            ):
+                # r12: a pushed $group/$sort+$limit on a NATIVE-capable
+                # local backend is better served by _try_native_df
+                # (distributed partial agg / TakeOrderedAndProject) than
+                # by this branch's single-stream interpreter
+                # materialization; the bare $count keeps the
+                # metadata-count fast path here. (The guard above still
+                # fired driver-side first — frames the native path must
+                # decline, e.g. manual pipelines, would otherwise defer
+                # the guard to an unpatched executor re-import.)
+                return None
             cap = None if self.direct is True else DIRECT_AGG_MAX_ROWS
             if cap is not None and cap <= 0:
                 return None
@@ -503,6 +521,182 @@ class MongoFrame:
         return self.spark.createDataFrame(
             pa.Table.from_batches(batches), schema=spark_schema
         )
+
+    @staticmethod
+    def _native_cast_ok(have, want) -> bool:
+        """File type → declared type compatibility for the native scan:
+        identical, lossless numeric widening, or the NTZ→TZ timestamp
+        re-tag (value-identical under the engine's pinned UTC session).
+        Anything else declines — the arrow/interpreted paths own the
+        exotic casts, and a silent Spark cast could diverge from them."""
+        from pyspark.sql import types as T
+
+        if have == want:
+            return True
+        if isinstance(want, T.LongType) and isinstance(
+                have, (T.ByteType, T.ShortType, T.IntegerType)):
+            return True
+        if isinstance(want, T.DoubleType) and isinstance(have, T.FloatType):
+            return True
+        if isinstance(want, T.TimestampType) and isinstance(
+                have, T.TimestampNTZType):
+            return True
+        if isinstance(want, T.DateType) and isinstance(
+                have, (T.TimestampNTZType, T.TimestampType)):
+            # the midnight-UTC inference rule declares DATE for
+            # midnight-valued timestamp columns; Spark's cast takes the
+            # UTC date part, matching the arrow path's date32 cast on
+            # the values the rule admits
+            return True
+        if isinstance(want, T.ArrayType) and isinstance(have, T.ArrayType):
+            return MongoFrame._native_cast_ok(have.elementType, want.elementType)
+        return False
+
+    def _try_native_df(self) -> DataFrame | None:
+        """Native Spark scan fast path for LOCAL parquet collections
+        (r12): read the collection with Spark's OWN parquet reader and
+        express the frame's compiled semantics as DataFrame ops.
+
+        The Python-DataSource scan models the remote wire protocol
+        (per-partition cursors, A2/A3) — the right shape for a mongod,
+        but a detour for a local columnar file: it pays a fixed
+        plan/worker round trip per query (BASELINE.md "The
+        Python-DataSource floor") plus per-batch Arrow IPC, and a
+        pushed ``$group``/``$sort+$limit`` executes in the
+        single-stream Python interpreter. Here the plan is the one
+        Spark was built for: FileScan parquet (vectorized decode,
+        whole-stage codegen) with Catalyst doing the filter pushdown
+        and column pruning the engine planner would have hand-compiled
+        (``PushedFilters``/``ReadSchema`` in ``.explain``), grouped
+        aggregation as distributed partial agg (map-side combine), and
+        TopN as ``TakeOrderedAndProject``. At 100 TB this is exactly
+        the executor-parallel scan the datasource path approximates.
+
+        Qualification is conservative; any mismatch returns None and
+        the always-correct engine paths run instead:
+        - local parquet backend only (``native_spark_paths`` probe),
+          PERMISSIVE mode, no ObjectId columns, no dotted paths, file
+          types identical-or-losslessly-widenable to declared types;
+        - ``direct=False`` (the ledger's partitioned-datasource pin)
+          and explicit ``num_partitions`` keep the datasource path;
+        - manual ``pipeline :=`` / ``filter :=`` keep their routes;
+        - the ``__schema`` sentinel row is excluded exactly like
+          ``datasource._docs_for`` (string id column required).
+
+        EXPLAIN parity: ``scan_description()`` still renders the
+        compiled engine plan (A32) — this path changes the physical
+        strategy, not the logical contract, mirroring how Catalyst
+        picks a physical operator for a fixed logical plan.
+        """
+        if self.direct is not None or self.spark is None:
+            # direct=True forces in-process materialization; direct=False
+            # pins the partitioned Python-DataSource scan — both are
+            # explicit route pins the native path must respect
+            return None
+        if _os.environ.get("SPARK_GRAFT_NATIVE_SCAN", "1") == "0":
+            return None
+        if self.manual_pipeline is not None or self.manual_filter is not None:
+            return None
+        if self.num_partitions:  # explicit partition-count pin: datasource
+            return None
+        from duckdb_mongo_spark.schema.flatten import SchemaMode
+
+        if SchemaMode.parse(self.schema_mode) is not SchemaMode.PERMISSIVE:
+            return None
+        if getattr(self.schema, "objectid_columns", None):
+            return None
+        paths_fn = getattr(self.backend, "native_spark_paths", None)
+        if paths_fn is None:
+            return None
+        try:
+            files = paths_fn(self.db, self.coll)
+        except Exception:  # noqa: BLE001 — capability probe only
+            return None
+        if not files:
+            return None
+        from pyspark.sql import types as T
+
+        from duckdb_mongo_spark.schema.infer import SCHEMA_DOC_ID
+        from duckdb_mongo_spark.schema.types import to_spark_schema
+
+        try:
+            declared = to_spark_schema(self.schema.fields)
+        except Exception:  # noqa: BLE001 — unrenderable schema: engine path
+            return None
+        raw = self.spark.read.parquet(*files)
+        raw_types = {f.name: f.dataType for f in raw.schema.fields}
+        id_field = getattr(self.backend, "id_field", None)
+        sel = []
+        for f, sf in zip(self.schema.fields, declared.fields):
+            if "." in f.mongo_path:
+                return None  # nested flatten: interpreted path only
+            src = f.mongo_path
+            if f.name == "_id" and id_field:
+                src = id_field
+            have = raw_types.get(src)
+            if have is None:
+                sel.append(F.lit(None).cast(sf.dataType).alias(f.name))
+                continue
+            if not self._native_cast_ok(have, sf.dataType):
+                return None
+            col = F.col(src)
+            if have != sf.dataType:
+                col = col.cast(sf.dataType)
+            sel.append(col.alias(f.name))
+        df = raw
+        try:
+            has_sentinel = bool(self.backend._has_schema_doc(self.db, self.coll))
+        except Exception:  # noqa: BLE001
+            return None
+        if has_sentinel:
+            id_col = "_id" if "_id" in raw_types else id_field
+            if not id_col or not isinstance(raw_types.get(id_col), T.StringType):
+                return None
+            df = df.filter((F.col(id_col) != SCHEMA_DOC_ID)
+                           | F.col(id_col).isNull())
+        df = df.select(*sel)
+        # frame semantics as Spark ops — Catalyst pushes the filters
+        # into the FileScan and prunes unread columns
+        try:
+            for p in self._preds:
+                df = df.filter(_pred_to_column(p, self.schema))
+        except Exception:  # noqa: BLE001 — untranslatable pred (geo, …)
+            return None
+        if self._aggs is not None:
+            from duckdb_mongo_spark.pushdown.planner import _agg_result_field
+            from duckdb_mongo_spark.schema.types import to_spark_type
+
+            keys = list(self._group_keys or [])
+            aggcols = []
+            for a in self._aggs:
+                try:
+                    want = to_spark_type(_agg_result_field(a, self.schema).type)
+                except Exception:  # noqa: BLE001 — untypeable agg
+                    return None
+                if a.op == "count_star":
+                    col = F.count(F.lit(1))
+                elif a.op == "count":
+                    col = F.count(F.col(a.column))
+                elif a.op in ("sum", "min", "max", "avg"):
+                    # SQL null semantics throughout (sum of an all-null
+                    # group is NULL) — the engine's $group interpreter
+                    # and the DuckDB ledger oracles agree on this, so
+                    # the native agg must too
+                    col = {"sum": F.sum, "min": F.min, "max": F.max,
+                           "avg": F.avg}[a.op](F.col(a.column))
+                else:
+                    return None
+                aggcols.append(col.cast(want).alias(a.alias))
+            df = df.groupBy(*keys).agg(*aggcols) if keys else df.agg(*aggcols)
+        if self._projection is not None and self._aggs is None:
+            df = df.select(*[c for c in self._projection])
+        if self._order_by_id is not None:
+            df = df.orderBy(
+                F.col("_id").asc() if self._order_by_id == 1
+                else F.col("_id").desc())
+        if self._limit is not None:
+            df = df.limit(self._limit)
+        return df
 
     def _try_routed_pipeline(self) -> DataFrame | None:
         """Distributed routing for manual pipelines headed by a server-side
@@ -3118,7 +3312,9 @@ class MongoFrame:
         return (text_must, text_should, cond_filters, mustnot, msm,
                 has_must, has_filter, has_should, count_spec)
 
-    def _raw_prefilter(self, parsed, max_terms: int = 16):
+    def _raw_prefilter(self, parsed, max_terms: int = 16,
+                       dfs: dict | None = None, n_docs: int | None = None,
+                       max_frac: float = 0.3):
         """Necessary-condition prefilter over the RAW string columns for
         the pass-2 scored scan (r12, cold-path cost cut): the JVM
         tokenizer is lowercase + split, so every token is a SUBSTRING of
@@ -3143,7 +3339,16 @@ class MongoFrame:
           msm>=1 at-least-one rule over all-text should clauses.
         - total term count <= ``max_terms``: a fuzzy expansion's
           hundreds of contains() scans would cost more than the
-          tokenize they avoid."""
+          tokenize they avoid.
+        - SELECTIVE enough to pay for itself: the pass-1 statistics (or
+          the sidecar) carry each term's exact document frequency, so
+          the candidate fraction is bounded by sum(df)/N per anchor
+          clause (union bound; AND of must clauses takes the min).
+          Above ``max_frac`` the filter would scan every value's bytes
+          only to keep ~everything — measured +46% on a corpus where
+          96% of docs contain a query term — so it is skipped. This is
+          stats-driven planning, not a guess: the numbers come from the
+          same aggregate the scoring pass already requires."""
         from duckdb_mongo_spark.schema.types import is_list
 
         (text_must, text_should, _cf, _mn, msm,
@@ -3151,8 +3356,10 @@ class MongoFrame:
         budget = [max_terms]
 
         def clause_prefilter(payload):
+            """(Column, df_bound) for one text clause, or None."""
             fss, terms_by_path, _mod = payload
             c = None
+            bound = 0
             for fs, terms in zip(fss, terms_by_path):
                 terms = [t for t in dict.fromkeys(terms) if t]
                 if not terms:
@@ -3166,7 +3373,13 @@ class MongoFrame:
                 for t in terms:
                     tc = low.contains(t)
                     c = tc if c is None else (c | tc)
-            return c
+                    if dfs is not None:
+                        bound += dfs.get((fs.name, t), 0)
+            return (c, bound) if c is not None else None
+
+        def selective(bound):
+            return not (n_docs and dfs is not None
+                        and bound > max_frac * n_docs)
 
         if has_must:
             parts = [clause_prefilter(p)
@@ -3174,9 +3387,15 @@ class MongoFrame:
             parts = [p for p in parts if p is not None]
             if not parts:
                 return None
-            out = parts[0]
-            for p in parts[1:]:
-                out = out & p
+            # AND of necessary conditions: the TIGHTEST clause bounds
+            # the candidate set — keep only clauses that earn their scan
+            best = min(b for _c, b in parts)
+            if not selective(best):
+                return None
+            out = None
+            for c, b in parts:
+                if selective(b):
+                    out = c if out is None else (out & c)
             return out
         # pure-should at-least-one rule (need = max(1, msm) without
         # must/filter; msm alone still forces >= 1 text hit) — only
@@ -3191,9 +3410,12 @@ class MongoFrame:
                 if cp is None:
                     return None
                 parts.append(cp)
-            out = parts[0]
-            for p in parts[1:]:
-                out = out | p
+            # OR of the clauses: the union bound is the SUM of bounds
+            if not selective(sum(b for _c, b in parts)):
+                return None
+            out = parts[0][0]
+            for c, _b in parts[1:]:
+                out = out | c
             return out
         return None
 
@@ -4189,7 +4411,11 @@ class MongoFrame:
         if not use_arrow and custom_an is None and fspecs \
                 and not phrase_clauses and not embdoc_clauses \
                 and not has_near:
-            prefilt = self._raw_prefilter(parsed)
+            dfs_by_pair = {
+                (fs.name, t): int(stats.get(f"__df_{j}") or 0)
+                for j, (fs, t) in enumerate(df_pairs)}
+            prefilt = self._raw_prefilter(
+                parsed, dfs=dfs_by_pair, n_docs=n_docs)
             if prefilt is not None:
                 toks_df = toks_df.where(prefilt)
                 self._rt_prefiltered = True
@@ -4308,6 +4534,10 @@ class MongoFrame:
         if df is not None:
             self.last_exec_path = "direct"
         else:
+            native = self._try_native_df()
+            if native is not None:
+                self.last_exec_path = "native"
+                return native
             self.last_exec_path = "datasource"
             register_data_source(self.spark)
             df = (

@@ -106,15 +106,29 @@ class TestFindPath:
         assert "__schema" not in ids and len(ids) == 50
         assert sorted(map(tuple, d.collect())) == sorted(map(tuple, s.collect()))
 
-    def test_scan_cap_routes_to_datasource(self, spark, pq_root, monkeypatch):
+    def test_scan_cap_routes_to_native(self, spark, pq_root, monkeypatch):
+        # r12: past the broadcast-class cap the partitioned path for a
+        # LOCAL parquet collection is Spark's own FileScan (native),
+        # not the wire-protocol datasource
         monkeypatch.setattr(frame_mod, "DIRECT_SCAN_MAX_ROWS", 10)
         be = ParquetBackend(pq_root, id_field="k")
         f = _mf(spark, be, "c").select("k")
-        f.df()
-        assert f.last_exec_path == "datasource"
+        out = f.df()
+        assert f.last_exec_path == "native"
+        assert out.count() == 500
 
-    def test_disabled_cap_routes_to_datasource(self, spark, pq_root, monkeypatch):
+    def test_disabled_cap_routes_to_native(self, spark, pq_root, monkeypatch):
         monkeypatch.setattr(frame_mod, "DIRECT_SCAN_MAX_ROWS", 0)
+        be = ParquetBackend(pq_root, id_field="k")
+        f = _mf(spark, be, "c").select("k")
+        f.df()
+        assert f.last_exec_path == "native"
+
+    def test_native_disabled_env_routes_to_datasource(self, spark, pq_root,
+                                                      monkeypatch):
+        # the kill switch restores the pre-r12 partitioned route
+        monkeypatch.setattr(frame_mod, "DIRECT_SCAN_MAX_ROWS", 10)
+        monkeypatch.setenv("SPARK_GRAFT_NATIVE_SCAN", "0")
         be = ParquetBackend(pq_root, id_field="k")
         f = _mf(spark, be, "c").select("k")
         f.df()
@@ -134,30 +148,49 @@ class TestFindPath:
         f.df()
         assert f.last_exec_path == "datasource"
 
-    def test_spark_side_agg_takes_datasource_scan(self, spark, pq_root):
-        # when the aggregate stays in Spark (local profile), the scan
-        # feeds a distributed partial agg — direct materialization is
-        # excluded by design (and the scan is projection-pruned to the
-        # agg's input columns)
+    def test_spark_side_agg_takes_native_scan(self, spark, pq_root):
+        # r12: a grouped aggregate on a local parquet collection runs as
+        # Spark's distributed partial agg over the NATIVE FileScan (the
+        # datasource twin stays value-identical)
         be = ParquetBackend(pq_root, id_field="k")
         f = (_mf(spark, be, "c")
              .group_by("grp").agg(("sum", "v", "sv"), ("count_star", None, "n")))
         fd, fs, d, s = _both(f)
-        assert fd.last_exec_path == "datasource"
-        assert "projection" in fd.scan_description()
+        assert fd.last_exec_path == "native"
+        assert fs.last_exec_path == "datasource"
         norm = lambda rows: sorted((g, round(sv, 6), n) for g, sv, n in rows)
         assert norm(map(tuple, d.collect())) == norm(map(tuple, s.collect()))
 
-    def test_non_arrow_dialect_falls_back(self, spark, pq_root):
-        # $expr (substring comparison) is outside the arrow filter
-        # dialect — the direct path must defer to the datasource scan,
-        # whose interpreted path evaluates it
+    def test_native_sum_of_all_null_group_matches_engine(self, spark, tmp_path):
+        # the engine's $group uses SQL null semantics (all-null group
+        # sums to NULL; DuckDB-oracle-proven) — native must agree
+        root = tmp_path / "nulls"
+        root.mkdir()
+        pq.write_table(
+            pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                      "g": pa.array(["a", "a", "b"]),
+                      "v": pa.array([None, None, 5.0], pa.float64())}),
+            root / "c.parquet")
+        be = ParquetBackend(str(root), id_field="k")
+        f = (_mf(spark, be, "c")
+             .group_by("g").agg(("sum", "v", "sv"), ("avg", "v", "av")))
+        fd, fs, d, s = _both(f)
+        assert fd.last_exec_path == "native"
+        dd = {r["g"]: (r["sv"], r["av"]) for r in d.collect()}
+        ss = {r["g"]: (r["sv"], r["av"]) for r in s.collect()}
+        assert dd == ss
+        assert dd["a"] == (None, None)  # SQL nulls: sum NULL, avg NULL
+
+    def test_non_arrow_dialect_takes_native(self, spark, pq_root):
+        # $expr (substring comparison) is outside the ARROW filter
+        # dialect, but the native path translates the full residual
+        # pred algebra to Columns — values match the interpreted path
         be = ParquetBackend(pq_root, id_field="k")
         f = (_mf(spark, be, "c")
              .filter(C("grp").substring(1, 2) == "g1")
              .select("k", "grp"))
         fd, _, d, s = _both(f)
-        assert fd.last_exec_path == "datasource"
+        assert fd.last_exec_path == "native"
         assert sorted(map(tuple, d.collect())) == sorted(map(tuple, s.collect()))
 
 

@@ -446,10 +446,35 @@ class TestRawPrefilter:
     flag lands where expected and that results stay interpreter-exact.
     """
 
-    DOCS = TestSearchTextRouting.DOCS
+    # 10 docs; "zebra"/"quartz"/"onyx" are RARE (df 1, under the 30%
+    # selectivity gate), "common" appears everywhere (gate must skip).
+    # Every body has a UNIQUE (tf_common, dl) pair so single-term
+    # scores never tie (tie order is unspecified on both paths).
+    DOCS = {"_id": list(range(1, 11)),
+            "title": ["zebra crossing", "filler title", "filler words",
+                      "more filler", "plain title", "common things",
+                      "filler title", "other words", "more filler",
+                      "plain title"],
+            "body": ["zebra runs common",                    # tf1 dl3
+                     "a quartz pond x1 common",              # tf1 dl5
+                     "common a b c",                         # tf1 dl4
+                     "common a b c d e",                     # tf1 dl6
+                     "common x common",                      # tf2 dl3
+                     "common y z common",                    # tf2 dl4
+                     "common p q r s common",                # tf2 dl6
+                     "common common common w",               # tf3 dl4
+                     "onyx stone common q w e r",            # tf1 dl7
+                     "common t u v w x y z"]}                # tf1 dl8
 
     def _backend(self, tmp_path):
-        return TestSearchTextRouting._backend(self, tmp_path)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sub = tmp_path / "pf"
+        if not sub.exists():
+            sub.mkdir()
+            pq.write_table(pa.table(self.DOCS), str(sub / "posts.parquet"))
+        return ParquetBackend(str(sub), db_name="main")
 
     def _run(self, spark, be, pipe):
         mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
@@ -460,21 +485,43 @@ class TestRawPrefilter:
 
     def test_single_text_applies_prefilter(self, spark, tmp_path):
         be = self._backend(tmp_path)
-        pipe = [{"$search": {"text": {"query": "spark engine",
+        pipe = [{"$search": {"text": {"query": "zebra quartz",
                                       "path": "body"}}},
                 {"$limit": 10}]
         mf = self._run(spark, be, pipe)
         assert mf.last_exec_path == "routed:search_text"
         assert mf._rt_prefiltered is True
 
+    def test_common_term_skips_by_selectivity(self, spark, tmp_path):
+        # stats-driven gate: a term present in ~every doc would make
+        # the contains() scan pure overhead — no prefilter
+        be = self._backend(tmp_path)
+        pipe = [{"$search": {"text": {"query": "common", "path": "body"}}},
+                {"$limit": 10}]
+        mf = self._run(spark, be, pipe)
+        assert mf.last_exec_path == "routed:search_text"
+        assert mf._rt_prefiltered is False
+
     def test_must_with_mustnot_and_filter(self, spark, tmp_path):
         # mustNot/filter only RESTRICT matches further — the must
         # clause's term prefilter stays a necessary condition
         be = self._backend(tmp_path)
         pipe = [{"$search": {"compound": {
-                    "must": [{"text": {"query": "spark", "path": "title"}}],
-                    "mustNot": [{"text": {"query": "duck", "path": "body"}}],
+                    "must": [{"text": {"query": "zebra", "path": "title"}}],
+                    "mustNot": [{"text": {"query": "quartz", "path": "body"}}],
                     "filter": [{"range": {"path": "_id", "lte": 10}}]}}},
+                {"$limit": 10}]
+        mf = self._run(spark, be, pipe)
+        assert mf.last_exec_path == "routed:search_text"
+        assert mf._rt_prefiltered is True
+
+    def test_must_and_takes_tightest_clause(self, spark, tmp_path):
+        # one rare must clause + one ubiquitous must clause: the AND
+        # keeps the selective one and drops the non-selective scan
+        be = self._backend(tmp_path)
+        pipe = [{"$search": {"compound": {"must": [
+                    {"text": {"query": "zebra", "path": "body"}},
+                    {"text": {"query": "common", "path": "body"}}]}}},
                 {"$limit": 10}]
         mf = self._run(spark, be, pipe)
         assert mf.last_exec_path == "routed:search_text"
@@ -483,33 +530,46 @@ class TestRawPrefilter:
     def test_pure_should_or_prefilter(self, spark, tmp_path):
         be = self._backend(tmp_path)
         pipe = [{"$search": {"compound": {"should": [
-                    {"text": {"query": "duck", "path": "body"}},
-                    {"text": {"query": "rice", "path": "body"}}]}}},
+                    {"text": {"query": "zebra", "path": "body"}},
+                    {"text": {"query": "onyx", "path": "body"}}]}}},
                 {"$limit": 10}]
         mf = self._run(spark, be, pipe)
         assert mf.last_exec_path == "routed:search_text"
         assert mf._rt_prefiltered is True
+
+    def test_should_or_with_common_term_skips(self, spark, tmp_path):
+        # union bound: one rare + one ubiquitous should clause exceeds
+        # the gate — an OR prefilter would keep ~everything
+        be = self._backend(tmp_path)
+        pipe = [{"$search": {"compound": {"should": [
+                    {"text": {"query": "zebra", "path": "body"}},
+                    {"text": {"query": "common", "path": "body"}}]}}},
+                {"$limit": 10}]
+        mf = self._run(spark, be, pipe)
+        assert mf.last_exec_path == "routed:search_text"
+        assert mf._rt_prefiltered is False
 
     def test_should_with_filter_msm0_skips(self, spark, tmp_path):
         # filter present + msm=0: a doc can match with ZERO should hits
         # — a term prefilter would drop it, so none must be applied
         be = self._backend(tmp_path)
         pipe = [{"$search": {"compound": {
-                    "should": [{"text": {"query": "duck", "path": "body"}}],
+                    "should": [{"text": {"query": "zebra", "path": "body"}}],
                     "filter": [{"range": {"path": "_id", "lte": 4}}]}}},
                 {"$limit": 10}]
-        mf = self._run(spark, be, pipe)
+        # zero-score docs tie (order unspecified) — compare as sets
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        got = {r._id for r in mf.df().collect()}
+        exp = {d["_id"] for d in _interpreter_rows(be, "main", "posts", pipe)}
         assert mf.last_exec_path == "routed:search_text"
         assert mf._rt_prefiltered is False
         # every filter-passing doc present even without the should term
-        got = {r._id for r in mongo_scan(
-            spark, be, "main", "posts", pipeline=pipe).df().collect()}
-        assert got == {1, 2, 3, 4}
+        assert got == exp == {1, 2, 3, 4}
 
     def test_should_with_filter_msm1_applies(self, spark, tmp_path):
         be = self._backend(tmp_path)
         pipe = [{"$search": {"compound": {
-                    "should": [{"text": {"query": "duck", "path": "body"}}],
+                    "should": [{"text": {"query": "zebra", "path": "body"}}],
                     "minimumShouldMatch": 1,
                     "filter": [{"range": {"path": "_id", "lte": 4}}]}}},
                 {"$limit": 10}]

@@ -478,6 +478,7 @@ class MongoFrame:
             guard_single_stream_aggregate(self.backend, self.db, self.coll)
             if (
                 self.direct is not True
+                and self.manual_pipeline is None
                 and getattr(self.backend, "native_spark_paths", None) is not None
                 and not (
                     len(planned.pipeline or []) == 1

@@ -67,6 +67,11 @@ def pushdown_evidence(plan: str) -> str:
         # direct Arrow materialization (frame._try_direct_df): the pushed
         # scan executed in-process, the plan holds only its bounded result
         return "direct materialization (pushdown in scan_description)"
+    if re.search(r"FileScan parquet", plan):
+        # r12 native scan (frame._try_native_df) with no filter to push
+        # (e.g. whole-collection grouped agg) — column pruning is still
+        # visible in the scan's ReadSchema
+        return "native FileScan (ReadSchema pruned)"
     return "—"
 
 

@@ -95,6 +95,25 @@ def _install_lean_line_items(qs: dict, oracles: dict) -> None:
     qs["mongo_count_pushdown"] = _count
     oracles["mongo_count_pushdown"] = "SELECT COUNT(*) AS count FROM supplier"
 
+    # r12: the LEDGER entry pins direct=False so the driver oracle keeps
+    # proving the partitioned Python-DataSource scan (A2/A3/A4); the
+    # BENCH measures what a user gets by default — the engine picks the
+    # route (direct materialization at sf0.1, native FileScan at sf1+).
+    # Same query, same oracle; only the route pin is dropped.
+    def _filter_projection(spark, sf_dir):
+        from duckdb_mongo_spark.pushdown import C
+
+        mf = entry._mongo_frame(spark, sf_dir, "orders")
+        return (
+            mf.filter((C("o_totalprice") > 400000.0)
+                      & C("o_orderstatus").isin("O", "F"))
+            .select("o_orderkey", "o_custkey", "o_totalprice",
+                    "o_orderstatus")
+            .df()
+        )
+
+    qs["mongo_filter_projection"] = _filter_projection
+
     # r10: routed $search BM25 top-k as a first-class bench item — the
     # round's $search work had plan-shape evidence but no wall-clock
     # line. The DuckDB oracle is the same two-pass computation the

@@ -410,6 +410,8 @@ def interval_overlap_join(
     r_suffix: str = "_r",
     max_bins_per_interval: int | None = 10_000,
     broadcast: bool = False,
+    l_bin_col: str | None = None,
+    r_bin_col: str | None = None,
 ) -> DataFrame:
     """All (left, right) pairs whose closed intervals overlap —
     ``l_lo <= r_hi AND r_lo <= l_hi`` (+ equal ``on`` keys) — emitted
@@ -427,32 +429,87 @@ def interval_overlap_join(
     each side's lineage). ``broadcast=True`` hints the RIGHT side as the
     broadcast build (see ``interval_join_points`` for when that is
     safe).
+
+    ``l_bin_col`` / ``r_bin_col``: the PRE-BINNED fast path per side
+    (see ``interval_join_points.iv_bin_col`` / ``time_bin``) — a BIGINT
+    column already holding the side's single bin index skips that
+    side's explode and makes the join key the attribute itself, so an
+    upstream groupBy on (keys, bin) feeds the join with no extra
+    exchange. Single-bin contract asserted per row; a single-bin side
+    needs no canonical-bin dedup (a pair can share at most one bin),
+    and the rule stays correct when only one side declares it.
     """
     on = list(on or [])
+    for bc, df_, nm in ((l_bin_col, left, "left"), (r_bin_col, right, "right")):
+        if bc is not None:
+            if bin_width is None:
+                raise ValueError(f"{nm} bin col requires an explicit bin_width")
+            if bc not in df_.columns:
+                raise ValueError(f"bin col {bc!r} absent from {nm}")
     w = (_auto_bin_width([(left, l_lo, l_hi), (right, r_lo, r_hi)])
          if bin_width is None else float(bin_width))
-    lv = left.withColumn(
-        "__l_bin",
-        F.explode(_bin_seq(_bin(left, l_lo, w), _bin(left, l_hi, w), max_bins_per_interval)),
-    )
+
+    def _single_bin_guard(df_, bc, lo, hi):
+        return F.assert_true(
+            F.col(lo).isNull() | F.col(hi).isNull()
+            | ((F.col(bc) == _bin(df_, lo, w))
+               & (F.col(bc) == _bin(df_, hi, w))),
+            F.lit(
+                f"bin col {bc!r} must equal floor(lo/bin_width) and"
+                " floor(hi/bin_width) for every row — an interval spans"
+                " bins (use the default explode path) or the bin column"
+                " was built on a different grid"
+            ),
+        )
+
+    if l_bin_col is not None:
+        guard = _single_bin_guard(left, l_bin_col, l_lo, l_hi)
+        lo_t = left.schema[l_lo].dataType
+        lv = left.select([
+            F.coalesce(guard.cast(lo_t), F.col(c)).alias(c)
+            if c == l_lo else F.col(c)
+            for c in left.columns
+        ])
+        l_bin_key = F.col(l_bin_col)
+    else:
+        lv = left.withColumn(
+            "__l_bin",
+            F.explode(_bin_seq(_bin(left, l_lo, w), _bin(left, l_hi, w),
+                               max_bins_per_interval)),
+        )
+        l_bin_key = F.col("__l_bin")
     # prefix-rename the right side — see interval_join_points
-    rv = right.select([F.col(c).alias(f"__r_{c}") for c in right.columns])
-    rv = rv.withColumn(
-        "__r_bin",
-        F.explode(_bin_seq(
-            _bin(right, r_lo, w, F.col(f"__r_{r_lo}")),
-            _bin(right, r_hi, w, F.col(f"__r_{r_hi}")),
-            max_bins_per_interval,
-        )),
-    )
-    cond = [F.col("__l_bin") == F.col("__r_bin")]
+    if r_bin_col is not None:
+        guard = _single_bin_guard(right, r_bin_col, r_lo, r_hi)
+        lo_t = right.schema[r_lo].dataType
+        rv = right.select([
+            F.coalesce(guard.cast(lo_t), F.col(c)).alias(f"__r_{c}")
+            if c == r_lo else F.col(c).alias(f"__r_{c}")
+            for c in right.columns
+        ])
+        r_bin_key = F.col(f"__r_{r_bin_col}")
+    else:
+        rv = right.select([F.col(c).alias(f"__r_{c}") for c in right.columns])
+        rv = rv.withColumn(
+            "__r_bin",
+            F.explode(_bin_seq(
+                _bin(right, r_lo, w, F.col(f"__r_{r_lo}")),
+                _bin(right, r_hi, w, F.col(f"__r_{r_hi}")),
+                max_bins_per_interval,
+            )),
+        )
+        r_bin_key = F.col("__r_bin")
+    cond = [l_bin_key == r_bin_key]
     cond += [F.col(k) == F.col(f"__r_{k}") for k in on]
     cond.append(_num(left, l_lo, F.col(l_lo)) <= _num(right, r_hi, F.col(f"__r_{r_hi}")))
     cond.append(_num(right, r_lo, F.col(f"__r_{r_lo}")) <= _num(left, l_hi, F.col(l_hi)))
-    cond.append(
-        F.col("__l_bin")
-        == F.greatest(_bin(left, l_lo, w), _bin(right, r_lo, w, F.col(f"__r_{r_lo}")))
-    )
+    # canonical-bin dedup: a prebinned side's lo-bin IS its bin key by
+    # contract (and referencing the original lo attribute would reach
+    # through the guard projection Spark has already shadowed)
+    l_lo_bin = l_bin_key if l_bin_col is not None else _bin(left, l_lo, w)
+    r_lo_bin = (r_bin_key if r_bin_col is not None
+                else _bin(right, r_lo, w, F.col(f"__r_{r_lo}")))
+    cond.append(l_bin_key == F.greatest(l_lo_bin, r_lo_bin))
     dup = set(left.columns)
     joined = lv.join(F.broadcast(rv) if broadcast else rv, cond, "inner")
     return joined.select(

@@ -431,6 +431,53 @@ class TestIntervalJoins:
         ).collect()
         assert len(rows) == 1 and rows[0].b == 1
 
+    def test_overlap_prebinned_matches_explode_path(self, clicks, errors, spark):
+        # r12: l_bin_col/r_bin_col — both sides grouped on the bin grid
+        # give the same pairs as the generic explode path
+        from duckdb_mongo_spark.ops.joins import time_bin
+
+        def day_iv(df):
+            return (df.groupBy("user_id",
+                               time_bin(df, "ts", 86400.0).alias("__bin"))
+                    .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")))
+
+        lv, rv = day_iv(clicks), day_iv(errors)
+        generic = interval_overlap_join(
+            lv.drop("__bin"), "lo", "hi", rv.drop("__bin"), "lo", "hi",
+            on=["user_id"], bin_width=86400.0)
+        both = interval_overlap_join(
+            lv, "lo", "hi", rv, "lo", "hi", on=["user_id"],
+            bin_width=86400.0, l_bin_col="__bin", r_bin_col="__bin")
+        one = interval_overlap_join(
+            lv.drop("__bin"), "lo", "hi", rv, "lo", "hi", on=["user_id"],
+            bin_width=86400.0, r_bin_col="__bin")
+        key = lambda r: (r["user_id"], str(r["lo"]), str(r["lo_r"]))  # noqa: E731
+        g = sorted(map(key, generic.collect()))
+        assert g and g == sorted(map(key, both.collect()))
+        assert g == sorted(map(key, one.collect()))
+        # plan: both-prebinned carries only the two aggs' exchanges
+        # (fresh build under the conf — an executed plan is AQE-final)
+        import re
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            both2 = interval_overlap_join(
+                lv, "lo", "hi", rv, "lo", "hi", on=["user_id"],
+                bin_width=86400.0, l_bin_col="__bin", r_bin_col="__bin")
+            plan = both2._jdf.queryExecution().executedPlan().toString()
+            n = len(re.findall(r"Exchange hashpartitioning", plan))
+            assert n == 2, f"{n} exchanges\n{plan[:2500]}"
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+    def test_overlap_prebinned_contract_violation_raises(self, spark):
+        lv = spark.createDataFrame([(0, 5.0, 25.0)], "b long, lo double, hi double")
+        rv = spark.createDataFrame([(0, 1.0, 9.0)], "b long, lo double, hi double")
+        with pytest.raises(Exception, match="spans bins|bin col"):
+            interval_overlap_join(lv, "lo", "hi", rv, "lo", "hi",
+                                  bin_width=10.0, l_bin_col="b",
+                                  r_bin_col="b").collect()
+
     def test_prebinned_rejects_bad_args(self, spark):
         pts = spark.createDataFrame([(1, 5.0)], "id int, t double")
         iv = spark.createDataFrame([(0, 1.0, 2.0)], "b long, lo double, hi double")

@@ -615,6 +615,14 @@ class MongoFrame:
             return None
         if not files:
             return None
+        if (self._limit is not None and self._order_by_id is None
+                and self._aggs is None and len(files) > 1):
+            # unordered find+limit on a multi-file collection: the
+            # backend contract pins head to the name-ordered first file,
+            # but FileScan orders splits by size — WHICH rows surface
+            # would depend on the physical route (ADVICE r12); keep the
+            # deterministic engine path
+            return None
         from pyspark.sql import types as T
 
         from duckdb_mongo_spark.schema.infer import SCHEMA_DOC_ID
@@ -624,7 +632,12 @@ class MongoFrame:
             declared = to_spark_schema(self.schema.fields)
         except Exception:  # noqa: BLE001 — unrenderable schema: engine path
             return None
-        raw = self.spark.read.parquet(*files)
+        # mergeSchema: a directory collection whose part files drifted
+        # (columns present in only some files) must surface the union
+        # schema like the per-file arrow reader does — without it Spark
+        # infers from one footer and the other files' extra columns
+        # would silently read as NULL (ADVICE r12)
+        raw = self.spark.read.option("mergeSchema", "true").parquet(*files)
         raw_types = {f.name: f.dataType for f in raw.schema.fields}
         id_field = getattr(self.backend, "id_field", None)
         sel = []
@@ -3370,49 +3383,71 @@ class MongoFrame:
 
         (text_must, text_should, _cf, _mn, msm,
          has_must, has_filter, _hs, _cs) = parsed
-        budget = [max_terms]
 
-        def clause_prefilter(payload):
-            """(Column, df_bound) for one text clause, or None."""
+        def clause_terms(payload):
+            """[(field, dedup'd terms)] for one text clause, or None if
+            the clause is ineligible (array path)."""
             fss, terms_by_path, _mod = payload
-            c = None
-            bound = 0
+            pairs = []
             for fs, terms in zip(fss, terms_by_path):
                 terms = [t for t in dict.fromkeys(terms) if t]
                 if not terms:
                     continue
                 if is_list(fs.type):
                     return None
-                budget[0] -= len(terms)
-                if budget[0] < 0:
-                    return None
+                pairs.append((fs, terms))
+            return pairs or None
+
+        def clause_bound(pairs):
+            if dfs is None:
+                return 0
+            return sum(dfs.get((fs.name, t), 0)
+                       for fs, terms in pairs for t in terms)
+
+        def clause_cost(pairs):
+            return sum(len(terms) for _fs, terms in pairs)
+
+        def clause_col(pairs):
+            c = None
+            for fs, terms in pairs:
                 low = F.lower(F.coalesce(F.col(fs.name), F.lit("")))
                 for t in terms:
                     tc = low.contains(t)
                     c = tc if c is None else (c | tc)
-                    if dfs is not None:
-                        bound += dfs.get((fs.name, t), 0)
-            return (c, bound) if c is not None else None
+            return c
 
         def selective(bound):
             return not (n_docs and dfs is not None
                         and bound > max_frac * n_docs)
 
         if has_must:
-            parts = [clause_prefilter(p)
-                     for k, p in text_must if k == "text"]
-            parts = [p for p in parts if p is not None]
-            if not parts:
+            infos = []
+            for k, p in text_must:
+                if k != "text":
+                    continue
+                pairs = clause_terms(p)
+                if pairs is not None:
+                    infos.append((clause_bound(pairs), clause_cost(pairs),
+                                  pairs))
+            if not infos:
                 return None
             # AND of necessary conditions: the TIGHTEST clause bounds
             # the candidate set — keep only clauses that earn their scan
-            best = min(b for _c, b in parts)
+            best = min(b for b, _c, _p in infos)
             if not selective(best):
                 return None
+            # most-selective clauses spend the term budget first: with
+            # iteration-order spending a wide non-selective clause
+            # listed first could exhaust the budget and starve a cheap
+            # selective one (ADVICE r12)
             out = None
-            for c, b in parts:
-                if selective(b):
-                    out = c if out is None else (out & c)
+            budget = max_terms
+            for b, cost, pairs in sorted(infos, key=lambda t: (t[0], t[1])):
+                if not selective(b) or cost > budget:
+                    continue
+                budget -= cost
+                c = clause_col(pairs)
+                out = c if out is None else (out & c)
             return out
         # pure-should at-least-one rule (need = max(1, msm) without
         # must/filter; msm alone still forces >= 1 text hit) — only
@@ -3421,18 +3456,24 @@ class MongoFrame:
         need = msm if has_filter else max(1, msm)
         if text_should and need >= 1 \
                 and all(k == "text" for k, _p in text_should):
-            parts = []
+            # soundness needs EVERY should clause present in the OR, so
+            # the budget is all-or-nothing here — no ordering to fix
+            parts, total_cost, total_bound = [], 0, 0
             for _k, p in text_should:
-                cp = clause_prefilter(p)
-                if cp is None:
+                pairs = clause_terms(p)
+                if pairs is None:
                     return None
-                parts.append(cp)
-            # OR of the clauses: the union bound is the SUM of bounds
-            if not selective(sum(b for _c, b in parts)):
+                total_cost += clause_cost(pairs)
+                total_bound += clause_bound(pairs)
+                parts.append(pairs)
+            if total_cost > max_terms:
                 return None
-            out = parts[0][0]
-            for c, _b in parts[1:]:
-                out = out | c
+            # OR of the clauses: the union bound is the SUM of bounds
+            if not selective(total_bound):
+                return None
+            out = clause_col(parts[0])
+            for pairs in parts[1:]:
+                out = out | clause_col(pairs)
             return out
         return None
 

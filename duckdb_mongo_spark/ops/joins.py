@@ -332,7 +332,9 @@ def interval_join_points(
     derived bin key). Contract — every interval fits its declared bin
     (``floor(lo/w) == floor(hi/w) == iv_bin_col``) — is asserted per
     row; intervals that span bins must use the explode path. Requires
-    an explicit ``bin_width``.
+    an explicit ``bin_width``. The declared bin column is dropped from
+    the output (plumbing, not payload), so both paths produce the same
+    schema for otherwise-equivalent inputs.
     """
     on = list(on or [])
     if iv_bin_col is not None:
@@ -355,10 +357,18 @@ def interval_join_points(
         # path exists for).
         # null bounds: the explode path drops such rows (empty bin
         # sequence) and the residual predicate here does the same — the
-        # guard must not fire on them, only on a WRONG bin declaration
+        # guard must not fire on them, only on a WRONG bin declaration.
+        # A NULL bin with NON-null bounds is also a contract breach
+        # (time_bin is null iff its input is) — asserted non-null here,
+        # though NOTE Catalyst infers IsNotNull on the equi-join bin key
+        # and pushes it below this projection, so in the joined plan
+        # such rows are usually filtered out before the guard runs
+        # (dropped, not failed); the assert still fires wherever the
+        # projection is evaluated unfiltered.
         guard = F.assert_true(
             F.col(lo_col).isNull() | F.col(hi_col).isNull()
-            | ((F.col(iv_bin_col) == _bin(intervals, lo_col, w))
+            | (F.col(iv_bin_col).isNotNull()
+               & (F.col(iv_bin_col) == _bin(intervals, lo_col, w))
                & (F.col(iv_bin_col) == _bin(intervals, hi_col, w))),
             F.lit(
                 f"iv_bin_col {iv_bin_col!r} must equal floor(lo/bin_width)"
@@ -392,9 +402,12 @@ def interval_join_points(
     cond.append(t_n <= _num(intervals, hi_col, F.col(f"__iv_{hi_col}")))
     dup = set(points.columns)
     joined = pt.join(F.broadcast(iv) if broadcast else iv, cond, "inner")
+    # the declared bin column is plumbing, not payload — drop it so the
+    # prebinned and explode paths produce the SAME output schema
+    out_iv = [c for c in intervals.columns if c != iv_bin_col]
     return joined.select(
         *[F.col(c) for c in points.columns],
-        *[F.col(f"__iv_{c}").alias(c + iv_suffix if c in dup else c) for c in intervals.columns],
+        *[F.col(f"__iv_{c}").alias(c + iv_suffix if c in dup else c) for c in out_iv],
     )
 
 
@@ -437,7 +450,9 @@ def interval_overlap_join(
     upstream groupBy on (keys, bin) feeds the join with no extra
     exchange. Single-bin contract asserted per row; a single-bin side
     needs no canonical-bin dedup (a pair can share at most one bin),
-    and the rule stays correct when only one side declares it.
+    and the rule stays correct when only one side declares it. Declared
+    bin columns are dropped from the output (plumbing, not payload), so
+    every path combination produces the same schema.
     """
     on = list(on or [])
     for bc, df_, nm in ((l_bin_col, left, "left"), (r_bin_col, right, "right")):
@@ -450,9 +465,12 @@ def interval_overlap_join(
          if bin_width is None else float(bin_width))
 
     def _single_bin_guard(df_, bc, lo, hi):
+        # non-null bin asserted alongside the grid check; see the
+        # interval_join_points guard for the IsNotNull-pushdown caveat
         return F.assert_true(
             F.col(lo).isNull() | F.col(hi).isNull()
-            | ((F.col(bc) == _bin(df_, lo, w))
+            | (F.col(bc).isNotNull()
+               & (F.col(bc) == _bin(df_, lo, w))
                & (F.col(bc) == _bin(df_, hi, w))),
             F.lit(
                 f"bin col {bc!r} must equal floor(lo/bin_width) and"
@@ -510,11 +528,15 @@ def interval_overlap_join(
     r_lo_bin = (r_bin_key if r_bin_col is not None
                 else _bin(right, r_lo, w, F.col(f"__r_{r_lo}")))
     cond.append(l_bin_key == F.greatest(l_lo_bin, r_lo_bin))
-    dup = set(left.columns)
+    # declared bin columns are plumbing, not payload — drop them so all
+    # prebinned/explode path combinations share one output schema
+    out_l = [c for c in left.columns if c != l_bin_col]
+    out_r = [c for c in right.columns if c != r_bin_col]
+    dup = set(out_l)
     joined = lv.join(F.broadcast(rv) if broadcast else rv, cond, "inner")
     return joined.select(
-        *[F.col(c) for c in left.columns],
-        *[F.col(f"__r_{c}").alias(c + r_suffix if c in dup else c) for c in right.columns],
+        *[F.col(c) for c in out_l],
+        *[F.col(f"__r_{c}").alias(c + r_suffix if c in dup else c) for c in out_r],
     )
 
 

@@ -359,6 +359,7 @@ class TestIntervalJoins:
         pre = interval_join_points(
             clicks, "ts", pre_iv, "lo", "hi", on=["user_id"],
             bin_width=86400.0, iv_bin_col="__bin")
+        assert generic.columns == pre.columns  # bin col dropped (r13)
         key = lambda r: (r["event_id"], str(r["lo"]))  # noqa: E731
         g = sorted((r["event_id"], str(r["lo"]), str(r["hi"]))
                    for r in generic.collect())
@@ -426,10 +427,14 @@ class TestIntervalJoins:
         # null bounds: dropped silently (explode-path parity), no raise
         iv2 = spark.createDataFrame(
             [(1, 12.0, 18.0), (0, None, 8.0)], "b long, lo double, hi double")
-        rows = interval_join_points(
+        out = interval_join_points(
             pts, "t", iv2, "lo", "hi", bin_width=10.0, iv_bin_col="b"
-        ).collect()
-        assert len(rows) == 1 and rows[0].b == 1
+        )
+        # r13: the declared bin column is dropped from the output —
+        # prebinned and explode paths share one schema (ADVICE r12)
+        assert "b" not in out.columns
+        rows = out.collect()
+        assert len(rows) == 1 and rows[0].lo == 12.0
 
     def test_overlap_prebinned_matches_explode_path(self, clicks, errors, spark):
         # r12: l_bin_col/r_bin_col — both sides grouped on the bin grid
@@ -451,6 +456,7 @@ class TestIntervalJoins:
         one = interval_overlap_join(
             lv.drop("__bin"), "lo", "hi", rv, "lo", "hi", on=["user_id"],
             bin_width=86400.0, r_bin_col="__bin")
+        assert generic.columns == both.columns == one.columns  # r13
         key = lambda r: (r["user_id"], str(r["lo"]), str(r["lo_r"]))  # noqa: E731
         g = sorted(map(key, generic.collect()))
         assert g and g == sorted(map(key, both.collect()))

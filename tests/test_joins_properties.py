@@ -64,8 +64,9 @@ def _brute_asof(left, right, direction, tolerance):
 @settings(max_examples=12, deadline=None)
 @given(left=left_rows, right=right_rows,
        direction=st.sampled_from(["backward", "forward", "nearest"]),
-       tolerance=st.sampled_from([None, 0.0, 3.0]))
-def test_asof_matches_bruteforce(left, right, direction, tolerance):
+       tolerance=st.sampled_from([None, 0.0, 3.0]),
+       strategy=st.sampled_from(["window", "broadcast"]))
+def test_asof_matches_bruteforce(left, right, direction, tolerance, strategy):
     spark = _get_spark()
     # unique right (k,t) per operator contract; value encodes identity
     r3 = [(k, t, k * 1000 + t) for k, t in right]
@@ -78,9 +79,59 @@ def test_asof_matches_bruteforce(left, right, direction, tolerance):
     got = sorted(
         (r.k, r.t, r.v)
         for r in asof_join(ldf, rdf, on="t", by=["k"], direction=direction,
-                           tolerance=tolerance).collect()
+                           tolerance=tolerance, strategy=strategy).collect()
     )
     assert got == _brute_asof(left, r3, direction, tolerance)
+
+
+def _brute_asof_tb(left, right, direction):
+    """Brute asof with tie_break=max(v): among right rows tied on the
+    matched time, the greatest v is attached."""
+    out = []
+    for k, t in left:
+        if direction == "backward":
+            c = [(rt, rv) for rk, rt, rv in right if rk == k and rt <= t]
+            best = max(c) if c else None          # max rt, then max v
+        elif direction == "forward":
+            c = [(-rt, rv) for rk, rt, rv in right if rk == k and rt >= t]
+            best = max(c) if c else None          # min rt, then max v
+            best = (-best[0], best[1]) if best else None
+        else:  # nearest: min distance, backward wins, then max v
+            c = [((abs(rt - t), rt > t, rt), rv)
+                 for rk, rt, rv in right if rk == k]
+            if c:
+                mk = min(key for key, _v in c)
+                best = (mk[2], max(v for key, v in c if key == mk))
+            else:
+                best = None
+        out.append((k, t, best[1] if best else None))
+    return sorted(out)
+
+
+# NON-unique (k, t) on purpose: tie_break exists exactly for tied times
+right_rows_dup = st.lists(
+    st.tuples(keys, times, st.integers(min_value=0, max_value=3)),
+    min_size=0, max_size=8)
+
+
+@settings(max_examples=12, deadline=None)
+@given(left=left_rows, right=right_rows_dup,
+       direction=st.sampled_from(["backward", "forward", "nearest"]),
+       strategy=st.sampled_from(["window", "broadcast"]))
+def test_asof_tie_break_matches_bruteforce(left, right, direction, strategy):
+    spark = _get_spark()
+    ldf = spark.createDataFrame(left or [(99, 99)], "k int, t int")
+    rdf = spark.createDataFrame(right or [(99, 99, 0)], "k int, t int, v int")
+    if not left:
+        ldf = ldf.filter("k < 0")
+    if not right:
+        rdf = rdf.filter("k < 0")
+    got = sorted(
+        (r.k, r.t, r.v)
+        for r in asof_join(ldf, rdf, on="t", by=["k"], direction=direction,
+                           tie_break="v", strategy=strategy).collect()
+    )
+    assert got == _brute_asof_tb(left, right, direction)
 
 
 iv_rows = st.lists(

@@ -947,11 +947,16 @@ def main() -> None:
             # r10 (r9 advice #5): at-scale evidence for the temporal
             # joins — 10M events (100x sf0.1), replica-shifted user keys
             # keep join selectivity sf-invariant
+            # r13: n=5 medians — the asof_agg ratio sits at the ~4
+            # criterion line and a single DuckDB sample swinging
+            # 0.24-0.29 s was deciding it; five samples cost ~12 s of
+            # bench wall and make the recorded number sampling-stable
             sf10j = _sf10_section(
                 spark, qs, oracles,
                 ["q_asof_join", "q_interval_join",
                  "q_asof_join_agg", "q_interval_join_agg"],
                 ["events"],
+                iters=5,
                 out_env="SPARK_GRAFT_SF10J_DIR",
                 default_dir="/tmp/sf10_joins")
             if sf10j is not None:

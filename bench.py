@@ -272,19 +272,13 @@ def _install_lean_line_items(qs: dict, oracles: dict) -> None:
     # branch's two extra envelope scans would otherwise re-measure scan
     # floor this line already carries
     def _interval_lean(spark, sf_dir):
-        from duckdb_mongo_spark.ops.joins import interval_join_points, time_bin
+        from duckdb_mongo_spark.ops.joins import interval_join_points
 
         entry._views(spark, sf_dir, "events")
         ev = spark.table("events")
-        points = ev.filter(F.col("event_type") == "click").select(
-            "event_id", "user_id", "ts")
-        err = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
-        intervals = (err.groupBy("user_id",
-                                 time_bin(err, "ts", 86400.0).alias("__bin"))
-                     .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")))
-        out = interval_join_points(points, "ts", intervals, "lo", "hi",
-                                   on=["user_id"], bin_width=86400.0,
-                                   iv_bin_col="__bin")
+        out = interval_join_points(_iv_points(ev), "ts", _iv_envelopes(ev),
+                                   "lo", "hi", on=["user_id"],
+                                   bin_width=86400.0, iv_bin_col="__bin")
         return out.select("event_id", "user_id", "ts", "lo", "hi").orderBy(
             "event_id", "lo")
 
@@ -331,22 +325,17 @@ def _install_lean_line_items(qs: dict, oracles: dict) -> None:
     """
 
     def _interval_agg(spark, sf_dir):
-        from duckdb_mongo_spark.ops.joins import interval_join_points, time_bin
+        from duckdb_mongo_spark.ops.joins import interval_join_points
 
         entry._views(spark, sf_dir, "events")
         ev = spark.table("events")
-        points = ev.filter(F.col("event_type") == "click").select(
-            "event_id", "user_id", "ts")
         # r12: pre-binned intervals (iv_bin_col) — the groupBy's hash
         # partitioning (user_id, bin) IS the join distribution, so the
-        # interval side pays one exchange total (see q_interval_join)
-        err = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
-        intervals = (err.groupBy("user_id",
-                                 time_bin(err, "ts", 86400.0).alias("__bin"))
-                     .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")))
-        out = interval_join_points(points, "ts", intervals, "lo", "hi",
-                                   on=["user_id"], bin_width=86400.0,
-                                   iv_bin_col="__bin")
+        # interval side pays one exchange total (see q_interval_join);
+        # sides built by the SAME helpers the decomposition times
+        out = interval_join_points(_iv_points(ev), "ts", _iv_envelopes(ev),
+                                   "lo", "hi", on=["user_id"],
+                                   bin_width=86400.0, iv_bin_col="__bin")
         return out.agg(
             F.count(F.lit(1)).alias("n"),
             F.avg(F.unix_micros("lo")).alias("alo"),
@@ -701,6 +690,29 @@ def _sf10_section(spark, qs, oracles, names, tables, iters=3,
     return out
 
 
+def _iv_points(ev):
+    """Click points side of the bench interval shape — ONE definition
+    shared by the lean line item, the agg drain, and the decomposition,
+    so the decomposition provably measures components of the same query
+    whose wall it decomposes."""
+    from pyspark.sql import functions as F
+
+    return ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+
+
+def _iv_envelopes(ev):
+    """(user_id, day-bin) error envelopes, PRE-BINNED on the time_bin
+    grid (iv_bin_col contract) — the interval side of the bench shape."""
+    from pyspark.sql import functions as F
+
+    from duckdb_mongo_spark.ops.joins import time_bin
+
+    err = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    return (err.groupBy("user_id", time_bin(err, "ts", 86400.0).alias("__bin"))
+            .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")))
+
+
 def _interval_decomp(spark, d: str) -> dict:
     """Component walls of the q_interval_join_agg shape at the staged
     dir: the interval-side envelope aggregation drained alone, and the
@@ -712,23 +724,18 @@ def _interval_decomp(spark, d: str) -> dict:
     import __spark_entry__ as entry
     from pyspark.sql import functions as F
 
-    from duckdb_mongo_spark.ops.joins import time_bin
-
     entry._views(spark, d, "events")
     ev = spark.table("events")
 
     def _agg_only():
-        err = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
-        iv = (err.groupBy("user_id", time_bin(err, "ts", 86400.0).alias("__bin"))
-              .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")))
-        return iv.agg(F.count(F.lit(1)).alias("n"),
-                      F.avg(F.unix_micros("lo")).alias("a"))
+        return _iv_envelopes(ev).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.unix_micros("lo")).alias("a"))
 
     def _scan_only():
-        return (ev.filter(F.col("event_type") == "click")
-                .select("event_id", "user_id", "ts")
-                .agg(F.count(F.lit(1)).alias("n"),
-                     F.avg("event_id").alias("a")))
+        return _iv_points(ev).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("event_id").alias("a"))
 
     outd = {}
     for name, fn in (("intervals_agg_sec", _agg_only),

@@ -638,8 +638,14 @@ class MongoFrame:
         # (columns present in only some files) must surface the union
         # schema like the per-file arrow reader does — without it Spark
         # infers from one footer and the other files' extra columns
-        # would silently read as NULL (ADVICE r12)
-        raw = self.spark.read.option("mergeSchema", "true").parquet(*files)
+        # would silently read as NULL (ADVICE r12). INCOMPATIBLE drift
+        # (same column, conflicting types) makes the eager footer merge
+        # raise — that is a decline to the always-correct engine path,
+        # not an error, per this function's contract
+        try:
+            raw = self.spark.read.option("mergeSchema", "true").parquet(*files)
+        except Exception:  # noqa: BLE001 — qualification probe only
+            return None
         raw_types = {f.name: f.dataType for f in raw.schema.fields}
         id_field = getattr(self.backend, "id_field", None)
 

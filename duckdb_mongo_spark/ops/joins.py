@@ -97,7 +97,22 @@ def _asof_broadcast(
     packed = (right.groupBy(*[F.col(k) for k in by]).agg(hist)
               if by else right.groupBy().agg(hist))
     if by:
-        joined = left.join(F.broadcast(packed), on=by, how="left")
+        # NULL-SAFE key equality: the window path's partitionBy groups
+        # NULL by keys together (a null-key left row sees the null-key
+        # right history), so the broadcast path must too — a plain
+        # equi-join would silently drop those matches and
+        # strategy="auto" would change results with the row count.
+        # by columns are renamed first: both inputs frequently share
+        # lineage (slices of one frame) and attribute-qualified
+        # conditions would trip the ambiguity check.
+        ren = {k: f"__asof_by_{k}" for k in by}
+        packed = packed.select(
+            *[F.col(k).alias(ren[k]) for k in by], "__asof_hist")
+        cond = F.lit(True)
+        for k in by:
+            cond = cond & F.col(k).eqNullSafe(F.col(ren[k]))
+        joined = left.join(F.broadcast(packed), cond, "left").drop(
+            *ren.values())
     else:
         # packed is <= 1 row; a conditionless left join (not crossJoin)
         # keeps left rows when the right side is EMPTY
@@ -166,6 +181,10 @@ def asof_join(
 
     ``tolerance`` voids matches farther than the bound (seconds for
     timestamps). Right columns colliding with left names get ``suffix``.
+    NULL ``by`` keys GROUP TOGETHER (a null-key left row matches
+    null-key right history — the window partitionBy convention, kept
+    identical on every strategy); note SQL/DuckDB ``ON l.k = r.k``
+    equality would instead drop them — pre-filter if you want that.
     Among right rows tied on (by, on) exactly one is attached (window
     order among ties is arbitrary) — pre-aggregate the right side when
     the pick matters, or pass ``tie_break``; DuckDB's ASOF is likewise
@@ -433,8 +452,13 @@ def asof_self_join(
                 .select(*[F.col(c) for c in source.columns],
                         F.explode(sides).alias(_SIDE)))
     else:
+        # null-safe: a predicate evaluating to SQL NULL is "no match"
+        # (filter semantics) — without the coalesces, TRUE & NULL = NULL
+        # and assert_true treats NULL as failure, so a row matching only
+        # ONE predicate (the other unknown) would throw spuriously
         guard = F.assert_true(
-            ~(left_when & right_eff),
+            ~(F.coalesce(left_when, F.lit(False))
+              & F.coalesce(right_eff, F.lit(False))),
             F.lit("left_when and right_when both match a row — pass "
                   "overlapping=True to emit such rows on both sides"),
         )

@@ -210,6 +210,20 @@ class TestAsofTieBreakAndStrategies:
         rows = asof_join(left, empty, on="t", strategy="broadcast").collect()
         assert len(rows) == 5 and all(r.v is None for r in rows)
 
+    def test_broadcast_null_by_keys_group_together(self, spark):
+        # window partitionBy groups NULL keys; the broadcast equi-join
+        # must match via null-safe equality or auto would change
+        # results with the right side's row count (r13 review fix)
+        left = spark.createDataFrame(
+            [(None, 5.0), (1, 5.0)], "k int, t double")
+        right = spark.createDataFrame(
+            [(None, 3.0, "nullkey"), (1, 4.0, "one")],
+            "k int, t double, v string")
+        for strategy in ("window", "broadcast"):
+            rows = {r.k: r.v for r in asof_join(
+                left, right, on="t", by=["k"], strategy=strategy).collect()}
+            assert rows == {None: "nullkey", 1: "one"}, strategy
+
     def test_broadcast_null_left_time(self, spark):
         left = spark.createDataFrame([(1, None), (1, 5.0)], "k int, t double")
         right = spark.createDataFrame([(1, 3.0, "early")], "k int, t double, v string")
@@ -298,6 +312,22 @@ class TestAsofSelfJoin:
             asof_self_join(df, F.col("tag") == "both", F.col("tag") == "both",
                            on="t", left_cols=["tag"], right_cols=["tag"],
                            by=["k"]).collect()
+
+    def test_null_predicate_is_no_match_not_assert_failure(self, spark):
+        # a predicate evaluating to SQL NULL means "row doesn't match
+        # that side" — the disjointness guard must not fire on
+        # (NULL & TRUE) three-valued logic (r13 review fix)
+        from duckdb_mongo_spark.ops.joins import asof_self_join
+
+        df = spark.createDataFrame(
+            [(1, 5.0, None, "r"), (1, 9.0, 7.0, "q")],
+            "k int, t double, a double, b string")
+        out = asof_self_join(
+            df, F.col("a") > 0, F.col("b") == "r",
+            on="t", left_cols=["a"], right_cols=["b"], by=["k"]).collect()
+        # the a=NULL b="r" row is right-side only (left pred NULL, right
+        # TRUE — must not raise); the a=7.0 row probes and matches it
+        assert len(out) == 1 and out[0].t == 9.0 and out[0].b == "r"
 
     def test_overlapping_rows_act_as_both_sides(self, spark):
         from duckdb_mongo_spark.ops.joins import asof_self_join

@@ -134,6 +134,49 @@ def test_asof_tie_break_matches_bruteforce(left, right, direction, strategy):
     assert got == _brute_asof_tb(left, right, direction)
 
 
+# rows (k, t, tag, v): tag ∈ l/r/b/n decides side membership —
+# 'b' rows exercise the overlapping=True both-sides emission
+self_rows = st.lists(
+    st.tuples(keys, times, st.sampled_from(["l", "r", "b", "n"]),
+              st.integers(min_value=0, max_value=3)),
+    min_size=0, max_size=10)
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=self_rows,
+       direction=st.sampled_from(["backward", "forward", "nearest"]))
+def test_asof_self_join_matches_two_input(rows, direction):
+    """asof_self_join(source, lp, rp, overlapping=True) must equal
+    asof_join(source.filter(lp), source.filter(rp)) exactly — the
+    documented contract, including rows on BOTH sides."""
+    from pyspark.sql import functions as F
+
+    from duckdb_mongo_spark.ops.joins import asof_self_join
+
+    spark = _get_spark()
+    df = spark.createDataFrame(rows or [(0, 0, "n", 0)],
+                               "k int, t int, tag string, v int")
+    if not rows:
+        df = df.filter("k < 0")
+    lp = F.col("tag").isin("l", "b")
+    rp = F.col("tag").isin("r", "b")
+    got = sorted(
+        (r.k, r.t, r.t_right, r.v_r)
+        for r in asof_self_join(
+            df, lp, rp, on="t", left_cols=["v"], right_cols=["v"],
+            by=["k"], direction=direction, tie_break="v",
+            overlapping=True,
+        ).withColumnRenamed("v_right", "v_r").collect())
+    left = df.filter(lp).select("k", "t", "v")
+    right = df.filter(rp).select("k", "t", "v")
+    want = sorted(
+        (r.k, r.t, r.t_right, r.v_r)
+        for r in asof_join(left, right, on="t", by=["k"],
+                           direction=direction, tie_break="v")
+        .withColumnRenamed("v_right", "v_r").collect())
+    assert got == want
+
+
 iv_rows = st.lists(
     st.tuples(keys, times, st.integers(min_value=0, max_value=15)),
     min_size=0, max_size=6,

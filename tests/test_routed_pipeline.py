@@ -527,6 +527,21 @@ class TestRawPrefilter:
         assert mf.last_exec_path == "routed:search_text"
         assert mf._rt_prefiltered is True
 
+    def test_wide_clause_cannot_starve_selective_one(self, spark, tmp_path):
+        # r13 (ADVICE r12): the 16-term budget is spent on the most
+        # selective clauses FIRST — a wide non-selective clause listed
+        # first used to exhaust it in iteration order and disable the
+        # cheap selective clause entirely (no prefilter at all)
+        be = self._backend(tmp_path)
+        wide = "common " + " ".join(f"zz{i}" for i in range(16))  # 17 terms
+        pipe = [{"$search": {"compound": {"must": [
+                    {"text": {"query": wide, "path": "body"}},
+                    {"text": {"query": "zebra", "path": "body"}}]}}},
+                {"$limit": 10}]
+        mf = self._run(spark, be, pipe)
+        assert mf.last_exec_path == "routed:search_text"
+        assert mf._rt_prefiltered is True
+
     def test_pure_should_or_prefilter(self, spark, tmp_path):
         be = self._backend(tmp_path)
         pipe = [{"$search": {"compound": {"should": [

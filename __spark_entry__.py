@@ -1506,10 +1506,19 @@ def _q_asof_join(spark, sf_dir):
     pre-aggregation — the greatest-value pick rides the window sort
     itself, removing one exchange plus a groups≈rows hash aggregation
     from the plan (the oracle keeps the explicit GROUP BY: SQL ASOF
-    leaves tie-picks unspecified, so DuckDB must pre-aggregate)."""
+    leaves tie-picks unspecified, so DuckDB must pre-aggregate).
+
+    r14 (r13 verdict #6): ``asof_self_join`` joins the same tagged
+    union (shape='sj') — both sides as predicate slices of ONE scan,
+    the single-FileScan plan the bench agg line runs — so the
+    single-scan operator has its own driver-oracle row. A 1-in-5 user
+    stratum bounds the branch (oracle exposure, not a re-measure of
+    the full join the aj branch already carries); the bench keeps the
+    lean aj-only shape for per-round series comparability
+    (bench._install_lean_line_items convention)."""
     from pyspark.sql import functions as F
 
-    from duckdb_mongo_spark.ops.joins import asof_join
+    from duckdb_mongo_spark.ops.joins import asof_join, asof_self_join
 
     _views(spark, sf_dir, "events")
     ev = spark.table("events")
@@ -1518,20 +1527,43 @@ def _q_asof_join(spark, sf_dir):
         "user_id", "ts", F.col("value").alias("err_value"))
     out = asof_join(clicks, errors, on="ts", by=["user_id"],
                     tie_break="err_value")
-    return out.select("event_id", "user_id", "ts", "ts_right", "err_value").orderBy("event_id")
+    aj = out.select(F.lit("aj").alias("shape"), "event_id", "user_id",
+                    "ts", "ts_right", "err_value")
+    sl = F.col("user_id") % 5 == 0
+    sj = asof_self_join(
+        ev.filter(sl).withColumn("err_value", F.col("value")),
+        F.col("event_type") == "click",
+        F.col("event_type") == "error",
+        on="ts", left_cols=["event_id"], right_cols=["err_value"],
+        by=["user_id"], tie_break="err_value")
+    sjs = sj.select(F.lit("sj").alias("shape"), "event_id", "user_id",
+                    "ts", "ts_right", "err_value")
+    return aj.unionByName(sjs).orderBy("shape", "event_id")
 
 
 _register(
     "q_asof_join",
     _q_asof_join,
     """
-    SELECT l.event_id, l.user_id, l.ts, r.ts AS ts_right, r.err_value
-    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
-    ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS err_value
-                    FROM events WHERE event_type = 'error'
-                    GROUP BY user_id, ts) r
-      ON l.user_id = r.user_id AND l.ts >= r.ts
-    ORDER BY l.event_id
+    SELECT * FROM (
+      SELECT 'aj' AS shape, l.event_id, l.user_id, l.ts,
+             r.ts AS ts_right, r.err_value
+      FROM (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'click') l
+      ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS err_value
+                      FROM events WHERE event_type = 'error'
+                      GROUP BY user_id, ts) r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+      UNION ALL
+      SELECT 'sj', l.event_id, l.user_id, l.ts, r.ts, r.err_value
+      FROM (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'click' AND user_id % 5 = 0) l
+      ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS err_value
+                      FROM events
+                      WHERE event_type = 'error' AND user_id % 5 = 0
+                      GROUP BY user_id, ts) r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+    ) ORDER BY shape, event_id
     """,
 )
 

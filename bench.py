@@ -283,6 +283,34 @@ def _install_lean_line_items(qs: dict, oracles: dict) -> None:
             "event_id", "lo")
 
     qs["q_interval_join"] = _interval_lean
+
+    # r14: the LEDGER q_asof_join grew an asof_self_join branch (r13
+    # verdict #6 oracle exposure); the bench keeps the r13 aj-only
+    # shape so the per-query series stays comparable across rounds
+    def _asof_lean(spark, sf_dir):
+        from duckdb_mongo_spark.ops.joins import asof_join
+
+        entry._views(spark, sf_dir, "events")
+        ev = spark.table("events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts")
+        errors = ev.filter(F.col("event_type") == "error").select(
+            "user_id", "ts", F.col("value").alias("err_value"))
+        out = asof_join(clicks, errors, on="ts", by=["user_id"],
+                        tie_break="err_value")
+        return out.select("event_id", "user_id", "ts", "ts_right",
+                          "err_value").orderBy("event_id")
+
+    qs["q_asof_join"] = _asof_lean
+    oracles["q_asof_join"] = """
+    SELECT l.event_id, l.user_id, l.ts, r.ts AS ts_right, r.err_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS err_value
+                    FROM events WHERE event_type = 'error'
+                    GROUP BY user_id, ts) r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    ORDER BY l.event_id
+    """
     oracles["q_interval_join"] = """
     SELECT p.event_id, p.user_id, p.ts, i.lo, i.hi
     FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') p
@@ -351,6 +379,31 @@ def _install_lean_line_items(qs: dict, oracles: dict) -> None:
           GROUP BY user_id, date_trunc('day', ts)) i
       ON p.user_id = i.user_id AND p.ts >= i.lo AND p.ts <= i.hi
     """
+
+    # r14 (r13 verdict #1): the deployment-shape line — the SAME join
+    # and drain as q_interval_join_agg, but the (user, day) envelope
+    # table comes from the committed interval-envelope sidecar
+    # (ops/interval_index; fingerprint-checked no-op build inside the
+    # timed call, the search_text_topk_cached convention). The DuckDB
+    # oracle reads the SAME materialized parquet (path injected by the
+    # sf10 prepare hook after staging), so both engines measure only
+    # the query-time join: what a persistent envelope table amortizes
+    # away is exactly the sf10_iv_decomp agg floor.
+    def _interval_agg_sidecar(spark, sf_dir):
+        from duckdb_mongo_spark.ops.joins import interval_join_points
+
+        entry._views(spark, sf_dir, "events")
+        ev = spark.table("events")
+        out = interval_join_points(_iv_points(ev), "ts",
+                                   _iv_sidecar(spark, sf_dir))
+        return out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.unix_micros("lo")).alias("alo"),
+            F.avg("event_id").alias("ae"))
+
+    qs["q_interval_join_agg_sidecar"] = _interval_agg_sidecar
+    # oracle text is completed by _sf10_prepare_sidecar once the staged
+    # dir (and therefore the sidecar's committed data path) exists
 
     # r9: the ledgered sim_cosine_topk entry IS the lean GEMM shape now
     # (r8 verdict #3 — the HOF kernel is a pytest-only parity cross-check,
@@ -618,7 +671,8 @@ def _sf1_section(spark, qs, bench_queries, oracles, iters=5):
 
 def _sf10_section(spark, qs, oracles, names, tables, iters=3,
                   out_env="SPARK_GRAFT_SF10_DIR", default_dir="/tmp/sf10_docs",
-                  salt_text=None, dk_iters=None, warm_dk=True):
+                  salt_text=None, dk_iters=None, warm_dk=True,
+                  prepare=None):
     """Floor-amortization evidence (r4 verdict item 3): the text/dedup
     ops carry a fixed ~0.5 s mapInPandas+groupBy stage floor that at
     sf1's 6 MB corpus already exceeds DuckDB's entire sub-second query —
@@ -653,6 +707,11 @@ def _sf10_section(spark, qs, oracles, names, tables, iters=3,
     except Exception as exc:  # noqa: BLE001 — scale evidence is auxiliary
         print(f"# sf10 staging failed ({exc}); skipping", file=sys.stderr)
         return None
+    if prepare is not None:
+        # one-time per-staged-dir setup (e.g. commit the envelope
+        # sidecar and inject its path into the oracle SQL) — runs
+        # before the DuckDB connection registers/warms the oracles
+        prepare(spark, out_dir, oracles)
     con = _duckdb_connect(out_dir, oracles)
     dk_iters = iters if dk_iters is None else dk_iters
     for name in names:  # warm both engines
@@ -711,6 +770,124 @@ def _iv_envelopes(ev):
     err = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
     return (err.groupBy("user_id", time_bin(err, "ts", 86400.0).alias("__bin"))
             .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")))
+
+
+def _iv_sidecar(spark, sf_dir):
+    """Committed envelope sidecar for the staged events table — the
+    SAME spec as ``_iv_envelopes`` (error rows, (user_id, day) grid),
+    so the sidecar line measures the identical join with the
+    aggregation amortized to ingest time. Fingerprint-checked: after
+    the prepare hook's one-time build this is a no-op handle fetch."""
+    from pyspark.sql import functions as F
+
+    from duckdb_mongo_spark.ops.interval_index import (
+        build_interval_envelope_index,
+    )
+
+    import __spark_entry__ as entry
+
+    entry._views(spark, sf_dir, "events")
+    return build_interval_envelope_index(
+        spark.table("events"), "ts", ["user_id"], 86400.0,
+        predicate=F.col("event_type") == "error")
+
+
+def _sf10_prepare_sidecar(spark, out_dir, oracles) -> None:
+    """sf10 prepare hook: build/commit the envelope sidecar for the
+    staged dir and complete the sidecar line's oracle with the
+    committed parquet path — DuckDB then reads the SAME materialized
+    envelopes, so the comparison is query-time join vs query-time
+    join."""
+    idx = _iv_sidecar(spark, out_dir)
+    oracles["q_interval_join_agg_sidecar"] = f"""
+    SELECT COUNT(*) AS n, AVG(epoch_us(i.lo)) AS alo, AVG(p.event_id) AS ae
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') p
+    JOIN (SELECT user_id, lo, hi
+          FROM read_parquet('{idx.data_dir}/*.parquet')) i
+      ON p.user_id = i.user_id AND p.ts >= i.lo AND p.ts <= i.hi
+    """
+
+
+def _search_pass1_decomp(spark, d: str, sf10: dict) -> dict:
+    """Pass-1 wall of the cold $search line, measured directly: a
+    ``$searchMeta`` count over the same query/corpus runs EXACTLY the
+    live pass-1 job (JVM tokenize + one statistics aggregate row, plus
+    a one-column matched count) and nothing else — count specs bypass
+    the sidecar by design. Recorded next to the cold and sidecar-warm
+    medians so the artifact itself shows where the cold ratio lives."""
+    import statistics
+
+    import __spark_entry__ as entry
+    from duckdb_mongo_spark.scan import mongo_scan
+
+    be = entry._pq_backend(d, id_field="doc_id")
+    pipe = [{"$searchMeta": {"text": {"query": "spark vector merge",
+                                      "path": "text"},
+                             "count": {"type": "total"}}}]
+
+    def _pass1():
+        os.environ["SPARK_GRAFT_TEXT_STATS_DISABLE"] = "1"
+        try:
+            return mongo_scan(spark, be, "main", "documents",
+                              pipeline=pipe).df()
+        finally:
+            os.environ.pop("SPARK_GRAFT_TEXT_STATS_DISABLE", None)
+
+    _consume(_pass1())  # warm
+    ss = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _consume(_pass1())
+        ss.append(time.perf_counter() - t0)
+    q = sf10.get("queries", {})
+    return {
+        "pass1_stats_sec": round(statistics.median(ss), 3),
+        "cold_sec": q.get("search_text_topk"),
+        "sidecar_warm_sec": q.get("search_text_topk_cached"),
+    }
+
+
+def _asof_decomp(spark, d: str) -> dict:
+    """Component walls of the q_asof_join_agg shape at the staged dir
+    (r13 verdict #3/#7): the tagged single-scan projection drained with
+    NO shuffle, then the same rows drained through a full-row hash
+    exchange on user_id (repartition defeats partial-agg collapse).
+    recorded_wall - scan_plus_shuffle is the sort+window increment;
+    scan_plus_shuffle - tagged_scan is the shuffle increment — the
+    artifact then shows which term the >2 ratio lives in."""
+    import statistics
+
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    entry._views(spark, d, "events")
+    ev = spark.table("events")
+    base = ev.filter(
+        (F.col("event_type") == "click") | (F.col("event_type") == "error")
+    ).select("user_id", "ts", "event_id", "value")
+    drain = [F.count(F.lit(1)).alias("n"),
+             F.avg("event_id").alias("ae"),
+             F.avg(F.unix_micros("ts")).alias("ats"),
+             F.avg("value").alias("av")]
+
+    def _scan_only():
+        return base.agg(*drain)
+
+    def _scan_shuffle():
+        return base.repartition("user_id").agg(*drain)
+
+    outd = {}
+    for name, fn in (("tagged_scan_sec", _scan_only),
+                     ("scan_plus_shuffle_sec", _scan_shuffle)):
+        _consume(fn())  # warm
+        ss = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _consume(fn())
+            ss.append(time.perf_counter() - t0)
+        outd[name] = round(statistics.median(ss), 3)
+    return outd
 
 
 def _interval_decomp(spark, d: str) -> dict:
@@ -935,6 +1112,20 @@ def main() -> None:
                  "search_text_topk_cached"],
                 ["documents"])
             if sf10 is not None:
+                # r14 (r13 verdict #2/#7): in-artifact decomposition of
+                # the cold search line — pass-1 (tokenize + one corpus
+                # statistics aggregate) measured DIRECTLY via the
+                # public $searchMeta count surface (count specs always
+                # run the live pass-1 job), alongside the two recorded
+                # line items: cold = pass1 + scored scan; the cached
+                # (sidecar-warm) line is the deployment shape.
+                try:
+                    sf10["search_decomp"] = _search_pass1_decomp(
+                        spark, os.environ.get("SPARK_GRAFT_SF10_DIR",
+                                              "/tmp/sf10_docs"), sf10)
+                except Exception as exc:  # noqa: BLE001
+                    print(f"# search decomp failed: {exc}",
+                          file=sys.stderr)
                 out["sf10_text"] = sf10
         except Exception as exc:  # noqa: BLE001 — scale evidence is auxiliary
             print(f"# sf10 section failed: {exc}", file=sys.stderr)
@@ -961,11 +1152,13 @@ def main() -> None:
             sf10j = _sf10_section(
                 spark, qs, oracles,
                 ["q_asof_join", "q_interval_join",
-                 "q_asof_join_agg", "q_interval_join_agg"],
+                 "q_asof_join_agg", "q_interval_join_agg",
+                 "q_interval_join_agg_sidecar"],
                 ["events"],
                 iters=5,
                 out_env="SPARK_GRAFT_SF10J_DIR",
-                default_dir="/tmp/sf10_joins")
+                default_dir="/tmp/sf10_joins",
+                prepare=_sf10_prepare_sidecar)
             if sf10j is not None:
                 # r11 (r10 verdict #3): the per-10M-row slope is the
                 # number that survives a 100x scale-up — re-time the
@@ -1005,6 +1198,15 @@ def main() -> None:
                                               "/tmp/sf10_joins"))
                 except Exception as exc:  # noqa: BLE001
                     print(f"# interval decomp failed: {exc}",
+                          file=sys.stderr)
+                # r14 (r13 verdict #7): the same treatment for the asof
+                # line — scan / +shuffle / (+window = recorded - this)
+                try:
+                    sf10j["asof_decomp"] = _asof_decomp(
+                        spark, os.environ.get("SPARK_GRAFT_SF10J_DIR",
+                                              "/tmp/sf10_joins"))
+                except Exception as exc:  # noqa: BLE001
+                    print(f"# asof decomp failed: {exc}",
                           file=sys.stderr)
                 out["sf10_joins"] = sf10j
         except Exception as exc:  # noqa: BLE001 — scale evidence is auxiliary
@@ -1068,6 +1270,12 @@ def main() -> None:
         compact["sf10_joins_ratio"] = out["sf10_joins"]["per_query_ratio"]
     if "sf10_joins" in out and "interval_decomp" in out["sf10_joins"]:
         compact["sf10_iv_decomp"] = out["sf10_joins"]["interval_decomp"]
+    # r14 (r13 verdict #7): every >2 sf10 line carries its own
+    # decomposition in the driver-visible tail
+    if "sf10_joins" in out and "asof_decomp" in out["sf10_joins"]:
+        compact["sf10_asof_decomp"] = out["sf10_joins"]["asof_decomp"]
+    if "sf10_text" in out and "search_decomp" in out["sf10_text"]:
+        compact["sf10_search_decomp"] = out["sf10_text"]["search_decomp"]
     if "sf10_dedup" in out and "per_query_ratio" in out["sf10_dedup"]:
         compact["sf10_dedup_ratio"] = out["sf10_dedup"]["per_query_ratio"]
     # r13 (r12 verdict #4): the per-section n_samples dicts live in the

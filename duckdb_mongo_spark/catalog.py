@@ -331,9 +331,13 @@ def attached(alias: str) -> AttachedCatalog | None:
 def clear_cache() -> bool:
     for cat in _ATTACHED.values():
         cat.clear_cache()
+    from duckdb_mongo_spark.ops.interval_index import (
+        clear_interval_index_cache,
+    )
     from duckdb_mongo_spark.ops.text_index import clear_text_stats_cache
     from duckdb_mongo_spark.ops.vector_index import clear_vector_index_cache
 
     clear_vector_index_cache()
     clear_text_stats_cache()
+    clear_interval_index_cache()
     return True

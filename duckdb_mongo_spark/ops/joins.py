@@ -52,6 +52,41 @@ def _num(df: DataFrame, col: str, c: Column | None = None) -> Column:
     return c.cast("double")
 
 
+def _is_float(df: DataFrame, col: str) -> bool:
+    return df.schema[col].dataType.typeName() in ("float", "double")
+
+
+def _approx_row_bytes(dt) -> int:
+    """Schema-based per-row byte estimate (UnsafeRow-ish): fixed-width
+    types at their width, variable-width at Spark's own defaultSize
+    conventions (string 20, binary 100). Used only to GATE the asof
+    broadcast strategy — an estimate, not an accountant; see
+    ``asof_join(broadcast_bytes=)``."""
+    t = dt.typeName()
+    if t in ("long", "double", "timestamp", "timestamp_ntz", "date"):
+        return 8
+    if t in ("integer", "float"):
+        return 4
+    if t in ("short",):
+        return 2
+    if t in ("byte", "boolean"):
+        return 1
+    if t == "decimal":
+        return 16
+    if t == "string":
+        return 20
+    if t == "binary":
+        return 100
+    if t == "struct":
+        return 8 + sum(_approx_row_bytes(f.dataType) for f in dt.fields)
+    if t == "array":
+        return 8 + 16 * _approx_row_bytes(dt.elementType)
+    if t == "map":
+        return 8 + 16 * (_approx_row_bytes(dt.keyType)
+                         + _approx_row_bytes(dt.valueType))
+    return 16
+
+
 def _asof_broadcast(
     left: DataFrame,
     right: DataFrame,
@@ -151,6 +186,10 @@ def _asof_broadcast(
             .otherwise(F.when((f["__t"] - lt) < (lt - b["__t"]), f)
                        .otherwise(b))
         )
+    # a NaN probe time matches nothing (Spark's ordering would treat
+    # NaN as greater than every history time) — window-path parity; a
+    # NULL probe time already yields NULL through the filter lambdas
+    matched = F.when(~F.isnan(lt), matched)
     return joined.select(
         *[F.col(c) for c in left.columns],
         *[matched["__p"][c].alias(out_names[c]) for c in rcols],
@@ -169,6 +208,7 @@ def asof_join(
     tie_break: str | None = None,
     strategy: str = "window",
     broadcast_rows: int = 2_000_000,
+    broadcast_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Attach to each left row the single right row nearest in ``on``
     under ``direction``, matching equal ``by`` keys (left-outer: rows
@@ -214,9 +254,17 @@ def asof_join(
       broadcast join.
     - ``"auto"``: count the right side (one extra evaluation of its
       lineage — persist it first if that is expensive) and take
-      ``"broadcast"`` iff count <= ``broadcast_rows``, else
-      ``"window"``. The analog of Spark's own broadcast-vs-shuffle
-      join selection.
+      ``"broadcast"`` iff count <= ``broadcast_rows`` AND the
+      schema-estimated packed size (count x approximate row width) <=
+      ``broadcast_bytes`` (default 256 MiB) — the analog of Spark's own
+      broadcast-vs-shuffle selection, which is likewise byte-based. The
+      width estimate prices variable-width types at Spark's defaultSize
+      conventions (string 20 B); corpora of long strings should size
+      ``broadcast_rows``/``broadcast_bytes`` down accordingly.
+
+    NULL (and float NaN) ``on`` times match nothing on any strategy:
+    null/NaN-time right rows attach to no left row, null/NaN-time left
+    rows keep NULL right columns.
 
     Plan: shuffle (left ∪ right) once on ``by``, then window sort —
     no nested loop, no broadcast requirement; a skewed ``by`` key is one
@@ -286,11 +334,27 @@ def asof_join(
 
     # SQL/DuckDB ASOF semantics: a NULL time matches nothing — drop
     # null-time right rows (they could otherwise pair up through window
-    # null ordering) and null out matches for null-time left rows below
+    # null ordering) and null out matches for null-time left rows below.
+    # A float NaN time is normalized the same way (ADVICE r13): Spark's
+    # ordering places NaN greatest while the broadcast comparator treats
+    # it as unordered, so without this the strategies would diverge on
+    # NaN input — under the normalization a NaN time matches nothing on
+    # every strategy, property-tested.
     right = right.filter(F.col(on).isNotNull())
+    if _is_float(right, on):
+        right = right.filter(~F.isnan(F.col(on)))
 
     if strategy == "auto":
-        strategy = ("broadcast" if right.count() <= broadcast_rows
+        # row count alone ignores payload width (ADVICE r13) — a 2M-row
+        # right side of wide structs packs into multi-GB per-key history
+        # arrays; gate on estimated bytes too (schema-based width — an
+        # estimate, so size broadcast_rows/broadcast_bytes to your
+        # payload when the schema lies, e.g. long strings)
+        n = right.count()
+        width = sum(_approx_row_bytes(f.dataType)
+                    for f in right.schema.fields)
+        strategy = ("broadcast"
+                    if n <= broadcast_rows and n * width <= broadcast_bytes
                     else "window")
     if strategy == "broadcast":
         return _asof_broadcast(left, right, on, by, direction, tolerance,
@@ -321,8 +385,10 @@ def asof_join(
     unioned = l_tag.unionByName(r_tag)
     matched = _asof_pick(unioned, by, direction, tolerance,
                          on, r_ntz, tie_break is not None)
+    # a NULL (or NaN — _TIME is a double) left time matches nothing
+    t_ok = F.col(_TIME).isNotNull() & ~F.isnan(F.col(_TIME))
     picked = (
-        unioned.withColumn(_MATCH, F.when(F.col(_TIME).isNotNull(), matched))
+        unioned.withColumn(_MATCH, F.when(t_ok, matched))
         .filter(F.col(_SIDE) == 1)
     )
     return picked.select(
@@ -441,10 +507,12 @@ def asof_self_join(
     out_names = {c: (c + suffix if c in l_out else c) for c in rcols}
     r_ntz = source.schema[on].dataType.typeName() == "timestamp_ntz"
 
-    # NULL times: right rows match nothing (excluded from the payload
-    # side), left rows keep NULL payload (nulled below) — asof_join
-    # parity
+    # NULL (and float NaN) times: right rows match nothing (excluded
+    # from the payload side), left rows keep NULL payload (nulled
+    # below) — asof_join parity
     right_eff = right_when & F.col(on).isNotNull()
+    if _is_float(source, on):
+        right_eff = right_eff & ~F.isnan(F.col(on))
     if overlapping:
         sides = F.array_compact(F.array(
             F.when(left_when, F.lit(1)), F.when(right_eff, F.lit(0))))
@@ -483,8 +551,10 @@ def asof_self_join(
     )
     matched = _asof_pick(tagged, by, direction, tolerance,
                          on, r_ntz, tie_break is not None)
+    # a NULL (or NaN — _TIME is a double) probe time matches nothing
+    t_ok = F.col(_TIME).isNotNull() & ~F.isnan(F.col(_TIME))
     picked = (
-        tagged.withColumn(_MATCH, F.when(F.col(_TIME).isNotNull(), matched))
+        tagged.withColumn(_MATCH, F.when(t_ok, matched))
         .filter(F.col(_SIDE) == 1)
     )
     return picked.select(
@@ -569,14 +639,76 @@ def _auto_bin_width(pairs) -> float:
     return best if best > 0 else 3600.0
 
 
+def _resolve_iv(other: DataFrame, intervals, lo_col, hi_col, on,
+                bin_width, bin_col):
+    """Resolve an interval-side argument that may be an
+    ``IntervalIndex`` sidecar handle into (df, lo, hi, on, width, bin).
+    Explicit arguments must agree with the handle or be left at their
+    defaults — the committed sidecar's grid is authoritative."""
+    from duckdb_mongo_spark.ops.interval_index import IntervalIndex
+
+    if not isinstance(intervals, IntervalIndex):
+        return intervals, lo_col, hi_col, on, bin_width, bin_col
+    idx = intervals
+    if lo_col is not None and lo_col != idx.lo_col:
+        raise ValueError(f"lo_col {lo_col!r} != sidecar {idx.lo_col!r}")
+    if hi_col is not None and hi_col != idx.hi_col:
+        raise ValueError(f"hi_col {hi_col!r} != sidecar {idx.hi_col!r}")
+    if on is not None and list(on) != list(idx.on):
+        raise ValueError(f"on {list(on)!r} != sidecar {idx.on!r}")
+    if bin_col is not None and bin_col != idx.bin_col:
+        raise ValueError(f"bin col {bin_col!r} != sidecar {idx.bin_col!r}")
+    if bin_width is not None and bin_width not in (3600.0, idx.bin_width):
+        # 3600.0 is the signature default — treat it as "unspecified"
+        raise ValueError(
+            f"bin_width {bin_width!r} != sidecar {idx.bin_width!r}")
+    from pyspark.sql import SparkSession
+
+    spark = (getattr(other, "sparkSession", None)
+             or SparkSession.getActiveSession())
+    return (idx.df(spark), idx.lo_col, idx.hi_col,
+            list(idx.on), idx.bin_width, idx.bin_col)
+
+
+def _loud_null_bin_filter(df_, bc: str, lo: str, hi: str) -> DataFrame:
+    """Pre-join filter making a NULL declared bin with NON-null bounds
+    fail LOUDLY (contract breach: ``time_bin`` is null iff its input
+    is, so a correctly built bin column is never null on a bounded
+    interval). The grid-equality assert rides a deterministic
+    projection, but Catalyst infers ``IsNotNull`` on the equi-join bin
+    key and pushes it below any deterministic projection or filter —
+    and into the scan itself for translatable conjuncts — so such a row
+    would be silently DROPPED before that assert ever evaluates
+    (ADVICE r13). The always-true NONDETERMINISTIC conjunct pins this
+    filter: Catalyst neither combines other filters into a
+    nondeterministic one (CombineFilters requires a deterministic
+    child), pushes predicates through it, nor translates it into a
+    scan, so the assert evaluates on every scanned interval row BEFORE
+    any inferred null filter. (``rand() < -1`` would read nicer but
+    Spark 4 constant-folds impossible rand comparisons, and once the
+    condition is deterministic the inferred IsNotNull lands in the
+    SAME FilterExec, whose codegen hoists null checks to the front —
+    exactly the bypass again; ``monotonically_increasing_id() >= 0``
+    has no such folding rule.) A FilterExec passes its child's output
+    partitioning through unchanged, so the ``iv_bin_col``
+    exchange-reuse contract is unaffected (plan-pinned in
+    test_joins.py)."""
+    ok = F.col(lo).isNull() | F.col(hi).isNull() | F.col(bc).isNotNull()
+    loud = F.assert_true(ok, F.lit(
+        f"bin col {bc!r} is NULL on a row with non-null bounds — the "
+        "pre-binned contract requires every bounded interval to declare "
+        "its bin; build it with time_bin on the same grid")).isNull()
+    return df_.filter(loud & (F.monotonically_increasing_id() >= F.lit(0)))
+
+
 def interval_join_points(
     points: DataFrame,
     t_col: str,
-    intervals: DataFrame,
-    lo_col: str,
-    hi_col: str,
+    intervals,
+    lo_col: str | None = None,
+    hi_col: str | None = None,
     on: list[str] | None = None,
-    bin_width: float = 3600.0,
+    bin_width: float | None = 3600.0,
     iv_suffix: str = "_iv",
     max_bins_per_interval: int | None = 10_000,
     broadcast: bool = False,
@@ -629,7 +761,20 @@ def interval_join_points(
     an explicit ``bin_width``. The declared bin column is dropped from
     the output (plumbing, not payload), so both paths produce the same
     schema for otherwise-equivalent inputs.
+
+    ``intervals`` may also be an ``ops.interval_index.IntervalIndex``
+    handle (the durable materialized-envelope sidecar, r14): the join
+    reads the committed envelope parquet and takes ``lo_col`` /
+    ``hi_col`` / ``on`` / ``bin_width`` / ``iv_bin_col`` from the
+    handle — the sidecar's grid is authoritative (explicit arguments
+    must match it or be omitted). The per-query plan then contains no
+    envelope aggregation and no raw-source scan on the interval side.
     """
+    intervals, lo_col, hi_col, on, bin_width, iv_bin_col = _resolve_iv(
+        points, intervals, lo_col, hi_col, on, bin_width, iv_bin_col)
+    if lo_col is None or hi_col is None:
+        raise ValueError("lo_col and hi_col are required when intervals"
+                         " is a DataFrame")
     on = list(on or [])
     if iv_bin_col is not None:
         if bin_width is None:
@@ -653,12 +798,12 @@ def interval_join_points(
         # sequence) and the residual predicate here does the same — the
         # guard must not fire on them, only on a WRONG bin declaration.
         # A NULL bin with NON-null bounds is also a contract breach
-        # (time_bin is null iff its input is) — asserted non-null here,
-        # though NOTE Catalyst infers IsNotNull on the equi-join bin key
-        # and pushes it below this projection, so in the joined plan
-        # such rows are usually filtered out before the guard runs
-        # (dropped, not failed); the assert still fires wherever the
-        # projection is evaluated unfiltered.
+        # (time_bin is null iff its input is); Catalyst's inferred
+        # IsNotNull on the equi-join bin key would silently drop such a
+        # row below this projection, so that case is asserted by the
+        # pinned _loud_null_bin_filter below instead (r14, ADVICE r13).
+        intervals = _loud_null_bin_filter(intervals, iv_bin_col,
+                                          lo_col, hi_col)
         guard = F.assert_true(
             F.col(lo_col).isNull() | F.col(hi_col).isNull()
             | (F.col(iv_bin_col).isNotNull()
@@ -706,14 +851,14 @@ def interval_join_points(
 
 
 def interval_overlap_join(
-    left: DataFrame,
-    l_lo: str,
-    l_hi: str,
-    right: DataFrame,
-    r_lo: str,
-    r_hi: str,
+    left,
+    l_lo: str | None,
+    l_hi: str | None,
+    right,
+    r_lo: str | None = None,
+    r_hi: str | None = None,
     on: list[str] | None = None,
-    bin_width: float = 3600.0,
+    bin_width: float | None = 3600.0,
     r_suffix: str = "_r",
     max_bins_per_interval: int | None = 10_000,
     broadcast: bool = False,
@@ -747,7 +892,22 @@ def interval_overlap_join(
     and the rule stays correct when only one side declares it. Declared
     bin columns are dropped from the output (plumbing, not payload), so
     every path combination produces the same schema.
+
+    Either side may be an ``ops.interval_index.IntervalIndex`` handle
+    (the materialized-envelope sidecar); its grid supplies that side's
+    bounds/keys/bin, and when both sides are handles their grids must
+    agree.
     """
+    # resolve sidecar handles sequentially: the first handle's grid/keys
+    # become the arguments the second is validated against, so two
+    # handles with disagreeing grids raise rather than mis-join
+    sess = left if hasattr(left, "sparkSession") else right
+    left, l_lo, l_hi, on, bin_width, l_bin_col = _resolve_iv(
+        sess, left, l_lo, l_hi, on, bin_width, l_bin_col)
+    right, r_lo, r_hi, on, bin_width, r_bin_col = _resolve_iv(
+        left, right, r_lo, r_hi, on, bin_width, r_bin_col)
+    if l_lo is None or l_hi is None or r_lo is None or r_hi is None:
+        raise ValueError("lo/hi columns are required for DataFrame sides")
     on = list(on or [])
     for bc, df_, nm in ((l_bin_col, left, "left"), (r_bin_col, right, "right")):
         if bc is not None:
@@ -759,8 +919,9 @@ def interval_overlap_join(
          if bin_width is None else float(bin_width))
 
     def _single_bin_guard(df_, bc, lo, hi):
-        # non-null bin asserted alongside the grid check; see the
-        # interval_join_points guard for the IsNotNull-pushdown caveat
+        # non-null bin asserted alongside the grid check; the
+        # IsNotNull-pushdown bypass of THIS projection-riding assert is
+        # covered by _loud_null_bin_filter applied below (r14)
         return F.assert_true(
             F.col(lo).isNull() | F.col(hi).isNull()
             | (F.col(bc).isNotNull()
@@ -775,6 +936,7 @@ def interval_overlap_join(
         )
 
     if l_bin_col is not None:
+        left = _loud_null_bin_filter(left, l_bin_col, l_lo, l_hi)
         guard = _single_bin_guard(left, l_bin_col, l_lo, l_hi)
         lo_t = left.schema[l_lo].dataType
         lv = left.select([
@@ -792,6 +954,7 @@ def interval_overlap_join(
         l_bin_key = F.col("__l_bin")
     # prefix-rename the right side — see interval_join_points
     if r_bin_col is not None:
+        right = _loud_null_bin_filter(right, r_bin_col, r_lo, r_hi)
         guard = _single_bin_guard(right, r_bin_col, r_lo, r_hi)
         lo_t = right.schema[r_lo].dataType
         rv = right.select([

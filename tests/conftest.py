@@ -21,6 +21,11 @@ if "SPARK_GRAFT_TEXT_STATS_DIR" not in os.environ:
 
     os.environ["SPARK_GRAFT_TEXT_STATS_DIR"] = tempfile.mkdtemp(
         prefix="spark_graft_txt_test_")
+if "SPARK_GRAFT_INTERVAL_INDEX_DIR" not in os.environ:
+    import tempfile
+
+    os.environ["SPARK_GRAFT_INTERVAL_INDEX_DIR"] = tempfile.mkdtemp(
+        prefix="spark_graft_iv_test_")
 
 
 @pytest.fixture(scope="session")

@@ -254,6 +254,41 @@ class TestAsofTieBreakAndStrategies:
                         strategy="auto", broadcast_rows=0)
         assert "Window" in big._jdf.queryExecution().executedPlan().toString()
 
+    def test_nan_times_match_nothing_all_strategies(self, spark):
+        # r14 (ADVICE r13): float NaN times are normalized like NULL —
+        # NaN right rows attach to nobody, NaN left rows keep NULL
+        # payload — IDENTICALLY on window and broadcast, so
+        # strategy="auto" can never change results with the row count
+        nan = float("nan")
+        left = spark.createDataFrame(
+            [(1, nan), (1, 5.0), (1, 100.0)], "k int, t double")
+        right = spark.createDataFrame(
+            [(1, 3.0, "early"), (1, nan, "nants")],
+            "k int, t double, v string")
+        for strategy in ("window", "broadcast"):
+            for direction in ("backward", "forward", "nearest"):
+                rows = {str(r.t): r.v for r in asof_join(
+                    left, right, on="t", by=["k"], direction=direction,
+                    strategy=strategy).collect()}
+                assert rows["nan"] is None, (strategy, direction)
+                # 100.0 sits beyond every REAL right time: a forward
+                # probe must not fall through to the NaN right row
+                assert rows["100.0"] == (
+                    "early" if direction != "forward" else None
+                ), (strategy, direction)
+                assert rows["5.0"] == (
+                    "early" if direction != "forward" else None
+                ), (strategy, direction)
+
+    def test_auto_strategy_respects_byte_bound(self, clicks, errors):
+        # r14 (ADVICE r13): auto gates on estimated bytes, not rows
+        # alone — a row count under broadcast_rows with a byte estimate
+        # over broadcast_bytes must take the window path
+        big = asof_join(clicks, errors, on="ts", by=["user_id"],
+                        strategy="auto", broadcast_rows=10**9,
+                        broadcast_bytes=1)
+        assert "Window" in big._jdf.queryExecution().executedPlan().toString()
+
     def test_rejects_bad_strategy_args(self, spark):
         df = spark.createDataFrame([(1, 1.0, 2.0)], "k int, t double, v double")
         with pytest.raises(ValueError, match="strategy"):
@@ -328,6 +363,22 @@ class TestAsofSelfJoin:
         # the a=NULL b="r" row is right-side only (left pred NULL, right
         # TRUE — must not raise); the a=7.0 row probes and matches it
         assert len(out) == 1 and out[0].t == 9.0 and out[0].b == "r"
+
+    def test_nan_times_match_nothing(self, spark):
+        # r14: NaN parity with asof_join's normalization (ADVICE r13)
+        from duckdb_mongo_spark.ops.joins import asof_self_join
+
+        nan = float("nan")
+        src = spark.createDataFrame(
+            [("p", 1, nan, 0.0), ("p", 1, 5.0, 0.0),
+             ("c", 1, 3.0, 7.0), ("c", 1, nan, 9.0)],
+            "side string, k int, t double, v double")
+        out = asof_self_join(
+            src, F.col("side") == "p", F.col("side") == "c",
+            on="t", left_cols=["k"], right_cols=["v"], by=["k"])
+        rows = {str(r.t): r.v for r in out.collect()}
+        assert rows["nan"] is None
+        assert rows["5.0"] == 7.0
 
     def test_overlapping_rows_act_as_both_sides(self, spark):
         from duckdb_mongo_spark.ops.joins import asof_self_join
@@ -654,6 +705,38 @@ class TestIntervalJoins:
         assert "b" not in out.columns
         rows = out.collect()
         assert len(rows) == 1 and rows[0].lo == 12.0
+
+    def test_null_bin_nonnull_bounds_fails_loudly(self, spark):
+        # r14 (ADVICE r13 guard-bypass): Catalyst infers IsNotNull on
+        # the equi-join bin key and pushes it below the guard
+        # projection — without the pinned pre-join filter a NULL-bin
+        # row with non-null bounds would be silently DROPPED (row loss)
+        # instead of failing the contract loudly
+        pts = spark.createDataFrame([(1, 7, 15.0)], "id int, u int, t double")
+        iv = spark.createDataFrame(
+            [(7, 1, 12.0, 18.0), (7, None, 2.0, 8.0)],
+            "u int, b long, lo double, hi double")
+        with pytest.raises(Exception, match="NULL on a row with non-null"):
+            interval_join_points(
+                pts, "t", iv, "lo", "hi", on=["u"], bin_width=10.0,
+                iv_bin_col="b").collect()
+        lv = spark.createDataFrame(
+            [(7, 1, 12.0, 18.0), (7, None, 2.0, 8.0)],
+            "u int, b long, lo double, hi double")
+        rv = spark.createDataFrame(
+            [(7, 1, 13.0, 14.0)], "u int, b long, lo double, hi double")
+        with pytest.raises(Exception, match="NULL on a row with non-null"):
+            interval_overlap_join(
+                lv, "lo", "hi", rv, "lo", "hi", on=["u"], bin_width=10.0,
+                l_bin_col="b", r_bin_col="b").collect()
+        # null BOUNDS keep their explode-path silent-drop parity
+        ok = interval_join_points(
+            pts, "t",
+            spark.createDataFrame(
+                [(7, 1, 12.0, 18.0), (7, None, None, 8.0)],
+                "u int, b long, lo double, hi double"),
+            "lo", "hi", on=["u"], bin_width=10.0, iv_bin_col="b").collect()
+        assert len(ok) == 1 and ok[0].lo == 12.0
 
     def test_overlap_prebinned_matches_explode_path(self, clicks, errors, spark):
         # r12: l_bin_col/r_bin_col — both sides grouped on the bin grid

@@ -914,9 +914,18 @@ def _interval_decomp(spark, d: str) -> dict:
             F.count(F.lit(1)).alias("n"),
             F.avg("event_id").alias("a"))
 
+    def _sidecar_read():
+        # r14: the component the sidecar swaps in for the envelope
+        # aggregation — reading the committed envelope parquet, drained
+        # with the same value-forcing agg
+        return _iv_sidecar(spark, d).df(spark).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.unix_micros("lo")).alias("a"))
+
     outd = {}
     for name, fn in (("intervals_agg_sec", _agg_only),
-                     ("points_scan_sec", _scan_only)):
+                     ("points_scan_sec", _scan_only),
+                     ("sidecar_read_sec", _sidecar_read)):
         _consume(fn())  # warm
         ss = []
         for _ in range(2):

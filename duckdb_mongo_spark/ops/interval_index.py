@@ -129,9 +129,16 @@ class IntervalIndex:
     data_dir: str
     sidecar: str | None = None
     spec: str = field(default="", repr=False)
+    _df_memo: tuple | None = field(default=None, repr=False, compare=False)
 
     def df(self, spark) -> DataFrame:
-        return spark.read.parquet(self.data_dir)
+        # memoized per session: the committed version dir is immutable,
+        # so re-reading footers on every query is pure overhead
+        if self._df_memo is not None and self._df_memo[0] == id(spark):
+            return self._df_memo[1]
+        d = spark.read.parquet(self.data_dir)
+        object.__setattr__(self, "_df_memo", (id(spark), d))
+        return d
 
 
 def clear_interval_index_cache() -> int:

@@ -639,16 +639,47 @@ def _auto_bin_width(pairs) -> float:
     return best if best > 0 else 3600.0
 
 
+def _conf_bytes(spark, key: str, default: int) -> int:
+    """A byte-valued Spark conf ('10485760', '64MB', '-1') as int."""
+    try:
+        v = str(spark.conf.get(key)).strip().lower()
+    except Exception:
+        return default
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                   ("b", 1)):
+        if v.endswith(suf):
+            v, mult = v[: -len(suf)], m
+            break
+    try:
+        return int(v) * mult
+    except ValueError:
+        return default
+
+
 def _resolve_iv(other: DataFrame, intervals, lo_col, hi_col, on,
                 bin_width, bin_col):
     """Resolve an interval-side argument that may be an
-    ``IntervalIndex`` sidecar handle into (df, lo, hi, on, width, bin).
-    Explicit arguments must agree with the handle or be left at their
-    defaults — the committed sidecar's grid is authoritative."""
+    ``IntervalIndex`` sidecar handle into (df, lo, hi, on, width, bin,
+    handle-or-None). Explicit arguments must agree with the handle or
+    be left at their defaults — the committed sidecar's grid is
+    authoritative.
+
+    A resolved sidecar frame whose TRUE size (committed row count x
+    schema row width) exceeds the session's runtime broadcast policy
+    gets a ``shuffle_hash`` hint: Spark's compile-time broadcast
+    estimate for a parquet scan is the COMPRESSED file size, and a
+    narrow envelope table compresses well under the 10 MB static
+    threshold while hashing to hundreds of MB of JVM rows — the
+    broadcast plan this repo measured ~25% slower than the shuffled
+    hash join at 1.5M envelope rows. The sidecar's meta carries the
+    exact row count, so this is the same byte-based gate Spark's own
+    AQE applies, using better statistics than the scan estimate."""
     from duckdb_mongo_spark.ops.interval_index import IntervalIndex
 
     if not isinstance(intervals, IntervalIndex):
-        return intervals, lo_col, hi_col, on, bin_width, bin_col
+        return intervals, lo_col, hi_col, on, bin_width, bin_col, None
     idx = intervals
     if lo_col is not None and lo_col != idx.lo_col:
         raise ValueError(f"lo_col {lo_col!r} != sidecar {idx.lo_col!r}")
@@ -666,8 +697,15 @@ def _resolve_iv(other: DataFrame, intervals, lo_col, hi_col, on,
 
     spark = (getattr(other, "sparkSession", None)
              or SparkSession.getActiveSession())
-    return (idx.df(spark), idx.lo_col, idx.hi_col,
-            list(idx.on), idx.bin_width, idx.bin_col)
+    df = idx.df(spark)
+    est = idx.n_intervals * sum(
+        _approx_row_bytes(f.dataType) for f in df.schema.fields)
+    limit = _conf_bytes(spark, "spark.sql.autoBroadcastJoinThreshold",
+                        10 << 20)
+    if est > limit > 0:
+        df = df.hint("shuffle_hash")
+    return (df, idx.lo_col, idx.hi_col,
+            list(idx.on), idx.bin_width, idx.bin_col, idx)
 
 
 def _loud_null_bin_filter(df_, bc: str, lo: str, hi: str) -> DataFrame:
@@ -770,8 +808,9 @@ def interval_join_points(
     must match it or be omitted). The per-query plan then contains no
     envelope aggregation and no raw-source scan on the interval side.
     """
-    intervals, lo_col, hi_col, on, bin_width, iv_bin_col = _resolve_iv(
-        points, intervals, lo_col, hi_col, on, bin_width, iv_bin_col)
+    intervals, lo_col, hi_col, on, bin_width, iv_bin_col, _idx = \
+        _resolve_iv(points, intervals, lo_col, hi_col, on, bin_width,
+                    iv_bin_col)
     if lo_col is None or hi_col is None:
         raise ValueError("lo_col and hi_col are required when intervals"
                          " is a DataFrame")
@@ -902,9 +941,9 @@ def interval_overlap_join(
     # become the arguments the second is validated against, so two
     # handles with disagreeing grids raise rather than mis-join
     sess = left if hasattr(left, "sparkSession") else right
-    left, l_lo, l_hi, on, bin_width, l_bin_col = _resolve_iv(
+    left, l_lo, l_hi, on, bin_width, l_bin_col, _li = _resolve_iv(
         sess, left, l_lo, l_hi, on, bin_width, l_bin_col)
-    right, r_lo, r_hi, on, bin_width, r_bin_col = _resolve_iv(
+    right, r_lo, r_hi, on, bin_width, r_bin_col, _ri = _resolve_iv(
         left, right, r_lo, r_hi, on, bin_width, r_bin_col)
     if l_lo is None or l_hi is None or r_lo is None or r_hi is None:
         raise ValueError("lo/hi columns are required for DataFrame sides")

@@ -334,10 +334,12 @@ def clear_cache() -> bool:
     from duckdb_mongo_spark.ops.interval_index import (
         clear_interval_index_cache,
     )
+    from duckdb_mongo_spark.frame import clear_native_read_memo
     from duckdb_mongo_spark.ops.text_index import clear_text_stats_cache
     from duckdb_mongo_spark.ops.vector_index import clear_vector_index_cache
 
     clear_vector_index_cache()
     clear_text_stats_cache()
     clear_interval_index_cache()
+    clear_native_read_memo()
     return True

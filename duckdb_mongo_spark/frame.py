@@ -50,6 +50,59 @@ DIRECT_SCAN_MAX_CELLS = int(
 # multibyte (oracle-analyzer Arrow pass), repeat queries skip detection.
 _MB_CACHE: dict = {}
 
+# r14 (guide §7.3 driver-side planning / §6 listing caches): the native
+# scan's eager mergeSchema footer merge is per-query DRIVER work — every
+# part file's footer is read and unified before a single task runs. The
+# merged reader frame is pure metadata (a plan handle, not rows), so it
+# is memoized per (session, file set, stat fingerprint) exactly like
+# ParquetBackend._has_schema_doc: any file rewrite (size or mtime_ns
+# change) or a different file list misses and re-merges. Execution is
+# untouched — each query still builds a fresh plan on top and re-scans.
+_NATIVE_RAW_MEMO: dict = {}
+_NATIVE_RAW_MEMO_CAP = 256
+
+
+def _native_raw_parquet(spark, files):
+    """Memoized ``spark.read.option("mergeSchema").parquet(*files)``.
+    Raises whatever the underlying read raises (caller treats any
+    failure as a decline); never serves a frame for changed files."""
+    try:
+        fp = tuple(
+            (f, st.st_size, st.st_mtime_ns)
+            for f, st in ((f, _os.stat(f)) for f in files)
+        )
+    except OSError:
+        fp = None
+    key = (id(spark), fp)
+    if fp is not None:
+        got = _NATIVE_RAW_MEMO.get(key)
+        if got is not None:
+            return got
+    raw = spark.read.option("mergeSchema", "true").parquet(*files)
+    if fp is not None:
+        if len(_NATIVE_RAW_MEMO) >= _NATIVE_RAW_MEMO_CAP:
+            _NATIVE_RAW_MEMO.clear()
+        _NATIVE_RAW_MEMO[key] = raw
+    return raw
+
+
+def clear_native_read_memo() -> int:
+    """Drop the memoized native reader frames (wired into
+    ``catalog.clear_cache()``, A29)."""
+    n = len(_NATIVE_RAW_MEMO)
+    _NATIVE_RAW_MEMO.clear()
+    return n
+
+
+# r14 negative result (guide §1.2/§5, recorded so r15 does not re-try
+# it): persisting the cold $search path's shared token-projection
+# subtree (MEMORY_AND_DISK, pass-1 stats materializes, pass-2 reuses)
+# was measured WORSE at sf10 — 3.84 s vs 2.34 s median, interleaved
+# n=5 — because writing the wide token arrays into the block store
+# costs more than the second regex-free tokenize pass it saves. The
+# deployment-shape fix remains the BM25 stats sidecar (ops/text_index),
+# which the search_text_topk_cached line measures.
+
 
 def _fold(init, cols, op):
     """Left fold of Columns from ``init`` — the oracle's evaluation
@@ -450,6 +503,18 @@ class MongoFrame:
                 # on a 150k-row groupBy input, while pure
                 # filter/project/topn shapes win by 0.2-1.4 s)
                 return None
+            if (self._order_by_id is not None and self._limit is not None
+                    and self.direct is not True
+                    and getattr(self.backend, "native_spark_paths", None)
+                    is not None):
+                # r14: TopN on a native-capable LOCAL backend — the local
+                # pushdown profile keeps sort/limit in Spark, so this
+                # find-shape would materialize the WHOLE broadcast-class
+                # collection through the driver to keep k rows. FileScan
+                # + TakeOrderedAndProject (per-partition top-k) does the
+                # same work scan-parallel without the driver hop —
+                # the same reasoning as the r12 agg-shape decline below.
+                return None
             if self.direct is not True:
                 if DIRECT_SCAN_MAX_ROWS <= 0:
                     return None
@@ -643,7 +708,7 @@ class MongoFrame:
         # raise — that is a decline to the always-correct engine path,
         # not an error, per this function's contract
         try:
-            raw = self.spark.read.option("mergeSchema", "true").parquet(*files)
+            raw = _native_raw_parquet(self.spark, files)
         except Exception:  # noqa: BLE001 — qualification probe only
             return None
         raw_types = {f.name: f.dataType for f in raw.schema.fields}

@@ -179,22 +179,39 @@ def quality_score(col) -> Column:
     return F.round(0.3 * len_score + 0.3 * punct_score + 0.4 * sw_score, 6)
 
 
-def _language_id_from_toks(toks) -> Column:
-    """argmax over per-language marker counts from a MATERIALIZED
-    lowercase token array column; ties broken by language code order;
-    'und' when nothing matches."""
-    counts = {
+def _lang_marker_counts(toks) -> dict:
+    """Per-language marker-hit counts over a MATERIALIZED lowercase
+    token array column."""
+    return {
         lang: F.size(
             F.filter(toks, lambda t: F.array_contains(F.array(*[F.lit(m) for m in markers]), t))
         )
         for lang, markers in LANG_MARKERS.items()
     }
+
+
+def _language_id_from_counts(counts: dict) -> Column:
+    """argmax over per-language marker counts (dict of Columns); ties
+    broken by language code order; 'und' when nothing matches.
+
+    r14 (guide §4.1/§7.2): callers on hot paths should materialize the
+    counts as real columns first — each HOF lambda instance carries
+    fresh variable exprIds, so codegen subexpression elimination cannot
+    unify the repeated count subtrees, and the inline form evaluates
+    every count ~(2 + n_langs × n_langs-in-greatest) times per row."""
     langs = sorted(LANG_MARKERS)  # deterministic tie order
     best_count = F.greatest(*[counts[l] for l in langs])
     out = F.lit("und")
     for lang in reversed(langs):  # earlier langs win ties (applied last)
         out = F.when((counts[lang] > 0) & (counts[lang] == best_count), F.lit(lang)).otherwise(out)
     return out
+
+
+def _language_id_from_toks(toks) -> Column:
+    """argmax over per-language marker counts from a MATERIALIZED
+    lowercase token array column; ties broken by language code order;
+    'und' when nothing matches."""
+    return _language_id_from_counts(_lang_marker_counts(toks))
 
 
 def _lang_tokens(col) -> Column:
@@ -239,11 +256,24 @@ def with_analysis(df: DataFrame, col: str = "text") -> DataFrame:
         F.round(0.3 * len_score + 0.3 * punct_score + 0.4 * sw_score, 6).alias("quality"),
         _lang_tokens(col).alias("__lt"),
     )
-    return with_lt.select(
+    # r14: materialize each language's marker count ONCE as a column —
+    # distinct lambda exprIds defeat codegen subexpression elimination,
+    # so the inline argmax re-evaluated every count ~6x per row
+    # (plan-visible as repeated filter(...) trees under greatest())
+    lc = _lang_marker_counts(F.col("__lt"))
+    langs = sorted(LANG_MARKERS)
+    with_counts = with_lt.select(
         *stats,
         F.col("quality"),
-        _language_id_from_toks(F.col("__lt")).alias("lang_id"),
+        *[lc[l].alias(f"__lc_{l}") for l in langs],
         fingerprint(col).alias("fingerprint"),
+    )
+    return with_counts.select(
+        *stats,
+        F.col("quality"),
+        _language_id_from_counts(
+            {l: F.col(f"__lc_{l}") for l in langs}).alias("lang_id"),
+        F.col("fingerprint"),
     )
 
 

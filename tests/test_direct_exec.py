@@ -425,3 +425,92 @@ class TestResidualOnTop:
              .select("k", "grp", "v"))
         fd, _, d, s = _both(f)
         assert sorted(map(tuple, d.collect())) == sorted(map(tuple, s.collect()))
+
+
+class TestNativeReadMemo:
+    """r14: the native path's eager mergeSchema footer merge is memoized
+    per (session, file set, stat fingerprint) — pure plan metadata, so a
+    hit must serve the identical reader frame, a file rewrite must miss
+    (fresh merge, fresh data), and clear_cache() must drop it."""
+
+    def _grouped(self, spark, be):
+        # pushed $group on a native-capable local backend routes to
+        # _try_native_df (direct declines, r12)
+        return (_mf(spark, be, "c")
+                .group_by("grp").agg(("sum", "v", "sv"),
+                                     ("count_star", None, "n")))
+
+    def test_hit_rewrite_miss_and_clear(self, spark, tmp_path):
+        import time
+
+        root = tmp_path / "memo_pq"
+        root.mkdir()
+        table = pa.table({
+            "k": pa.array(range(100), pa.int64()),
+            "grp": pa.array([f"g{i % 2}" for i in range(100)]),
+            "v": pa.array([float(i) for i in range(100)], pa.float64()),
+        })
+        pq.write_table(table, root / "c.parquet")
+        frame_mod.clear_native_read_memo()
+
+        be = ParquetBackend(str(root), id_field="k")
+        f1 = self._grouped(spark, be)
+        r1 = {r["grp"]: r["n"] for r in f1.df().collect()}
+        assert f1.last_exec_path == "native"
+        assert r1 == {"g0": 50, "g1": 50}
+        assert len(frame_mod._NATIVE_RAW_MEMO) == 1
+        key, raw1 = next(iter(frame_mod._NATIVE_RAW_MEMO.items()))
+
+        # second build: memo hit — same reader frame object, same result
+        f2 = self._grouped(spark, be)
+        r2 = {r["grp"]: r["n"] for r in f2.df().collect()}
+        assert r2 == r1
+        assert len(frame_mod._NATIVE_RAW_MEMO) == 1
+        assert frame_mod._NATIVE_RAW_MEMO[key] is raw1
+
+        # rewrite the file (different rows AND size): stat fingerprint
+        # changes -> miss -> the fresh merge sees the new data
+        time.sleep(0.01)
+        table2 = pa.table({
+            "k": pa.array(range(40), pa.int64()),
+            "grp": pa.array(["g0"] * 40),
+            "v": pa.array([1.0] * 40, pa.float64()),
+        })
+        pq.write_table(table2, root / "c.parquet")
+        be2 = ParquetBackend(str(root), id_field="k")
+        f3 = self._grouped(spark, be2)
+        r3 = {r["grp"]: r["n"] for r in f3.df().collect()}
+        assert f3.last_exec_path == "native"
+        assert r3 == {"g0": 40}
+        assert len(frame_mod._NATIVE_RAW_MEMO) == 2
+
+        # A29: clear_cache() drops the memo
+        from duckdb_mongo_spark.catalog import clear_cache
+
+        clear_cache()
+        assert len(frame_mod._NATIVE_RAW_MEMO) == 0
+
+
+class TestTopNRoute:
+    def test_local_topn_routes_to_native(self, spark, pq_root):
+        # r14: TopN on a native-capable local backend takes FileScan +
+        # TakeOrderedAndProject instead of a whole-collection driver
+        # materialization; values identical to the datasource path
+        be = ParquetBackend(pq_root, id_field="k")
+        f = (_mf(spark, be, "c")
+             .order_by_id(descending=True).limit(7).select("_id", "v"))
+        fd, fs, d, s = _both(f)
+        assert fd.last_exec_path == "native"
+        assert fs.last_exec_path == "datasource"
+        assert d.schema == s.schema
+        assert list(map(tuple, d.collect())) == list(map(tuple, s.collect()))
+
+    def test_forced_direct_topn_still_direct(self, spark, pq_root):
+        be = ParquetBackend(pq_root, id_field="k")
+        f = replace(
+            _mf(spark, be, "c").order_by_id(descending=True).limit(7)
+            .select("_id", "v"),
+            direct=True)
+        out = f.df()
+        assert f.last_exec_path == "direct"
+        assert out.count() == 7

@@ -80,15 +80,21 @@ def mongo_scan(
         head_op = next(iter(pipeline[0])) if (
             pipeline and isinstance(pipeline[0], dict) and pipeline[0]
         ) else None
-        if head_op in ("$vectorSearch", "$search", "$geoNear") and not getattr(
-            backend, "is_remote", False
-        ):
+        if head_op in (
+            "$vectorSearch", "$search", "$geoNear", "$searchMeta"
+        ) and not getattr(backend, "is_remote", False):
             # Search-headed pipelines: run inference over a bounded PREFIX
             # of the collection, not the whole thing — these stages add the
             # same fields/metadata to every doc, so a prefix sample yields
             # the same output shape while keeping inference O(sample) on a
             # local backend (execution itself takes the distributed routed
-            # path in frame._try_routed_pipeline).
+            # path in frame._try_routed_pipeline). $searchMeta belongs here
+            # too (r14): its one output doc has the spec-determined shape
+            # ({"count": ...} / flattened facet columns) regardless of
+            # which rows fed it, so a prefix infers the identical schema —
+            # while the else-branch would interpret the WHOLE collection
+            # driver-side just to shape that one doc (measured ~40 s on a
+            # 500k-doc corpus vs ~0.1 s via the prefix).
             import itertools
 
             from duckdb_mongo_spark.mql.interpreter import run_pipeline
@@ -105,9 +111,27 @@ def mongo_scan(
                 list(pipeline) + [{"$limit": sample_size}],
                 collections=lambda c: backend.iter_documents(db, c),
             )
+            if head_op == "$searchMeta" and any(
+                isinstance(f, dict)
+                and not f.get("buckets", True)  # empty list, not absent
+                for doc in sample_docs
+                for f in (doc.get("facet") or {}).values()
+            ):
+                # A facet the prefix matched NO values for yields empty
+                # buckets, whose element type cannot be inferred — only
+                # the full run shapes it. Rare (the prefix must miss
+                # every faceted value); the O(collection) cost of the
+                # else-branch applies only here.
+                sample_docs = None
         else:
-            from duckdb_mongo_spark.datasource import guard_single_stream_aggregate
-            from duckdb_mongo_spark.pushdown.planner import _pipeline_parallelizable
+            sample_docs = None
+        if sample_docs is None:
+            from duckdb_mongo_spark.datasource import (
+                guard_single_stream_aggregate,
+            )
+            from duckdb_mongo_spark.pushdown.planner import (
+                _pipeline_parallelizable,
+            )
 
             if not _pipeline_parallelizable(pipeline):
                 # shape-changing pipelines interpret the whole collection

@@ -2807,3 +2807,71 @@ class TestMoreLikeThisRouting:
         with pytest.raises(Exception, match="no analyzable text"):
             mongo_scan(spark, be, "main", "posts",
                        pipeline=pipe).df().collect()
+
+
+class TestSearchMetaBoundedInference:
+    """r14: $searchMeta-headed pipelines infer their output schema from
+    a bounded PREFIX of the collection (the $search convention), not a
+    driver-side interpretation of the whole corpus — its one output doc
+    has the spec-determined shape regardless of which rows fed it. The
+    only exception: a facet the prefix matched no values for (empty
+    buckets carry no element type) falls back to the full run."""
+
+    N = 2500  # > sample_size * 10 = 1000: full iteration is detectable
+
+    def _counting_backend(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sub = tmp_path / "smb"
+        if not sub.exists():
+            sub.mkdir()
+            pq.write_table(
+                pa.table({
+                    "_id": list(range(self.N)),
+                    "t": ["spark row" if i % 3 == 0 else "other text"
+                          for i in range(self.N)],
+                    # value present ONLY past the 1000-doc prefix
+                    "kind": [None if i < 2000 else "late"
+                             for i in range(self.N)],
+                }),
+                str(sub / "posts.parquet"))
+
+        class CountingBackend(ParquetBackend):
+            consumed = 0
+
+            def iter_documents(self, db, coll, **kw):
+                for d in super().iter_documents(db, coll, **kw):
+                    CountingBackend.consumed += 1
+                    yield d
+
+        CountingBackend.consumed = 0
+        return CountingBackend(str(sub), db_name="main")
+
+    def test_count_meta_bounded_and_exact(self, spark, tmp_path):
+        be = self._counting_backend(tmp_path)
+        pipe = [{"$searchMeta": {"text": {"query": "spark", "path": "t"},
+                                 "count": {"type": "total"}}}]
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        # construction consumed only the bounded prefix (plus nothing
+        # for execution planning); the routed aggregate runs in Spark
+        assert type(be).consumed <= 1100, type(be).consumed
+        rows = [r.asDict() for r in mf.df().collect()]
+        assert mf.last_exec_path == "routed:search_meta"
+        # the count is corpus-wide (computed by the routed aggregate,
+        # not the inference prefix): ceil(2500/3) docs contain 'spark'
+        assert rows[0]["count_total"] == (self.N + 2) // 3
+
+    def test_empty_bucket_facet_falls_back_to_full(self, spark, tmp_path):
+        be = self._counting_backend(tmp_path)
+        # every 'kind' value sits past the prefix: the prefix run yields
+        # empty buckets -> full-collection inference shapes the schema
+        pipe = [{"$searchMeta": {"facet": {
+            "operator": {"text": {"query": "spark", "path": "t"}},
+            "facets": {"kindF": {"type": "string", "path": "kind"}}}}}]
+        mf = mongo_scan(spark, be, "main", "posts", pipeline=pipe)
+        assert type(be).consumed > 1100, type(be).consumed
+        rows = [r.asDict() for r in mf.df().collect()]
+        assert len(rows) == 1
+        buckets = rows[0].get("facet_kindF_buckets")
+        assert buckets and buckets[0]["_id"] == "late"

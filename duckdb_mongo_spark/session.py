@@ -29,6 +29,17 @@ def get_spark(app_name: str = "duckdb_mongo_spark", extra_conf: dict | None = No
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # PySpark 4's DataFrame-debugging wrapper makes EVERY Column/
+        # DataFrame API call pay ~4 py4j round trips (a conf.get, a
+        # PySparkCurrentOrigin set/clear pair around the real call) plus
+        # a Python stack walk, purely to enrich error messages with the
+        # user call site. Measured on the bench suite: query CONSTRUCTION
+        # drops 1.02 s -> 0.67 s with it off (expression-heavy builders
+        # like text analysis make ~1900 wrapped calls per build). Errors
+        # still carry the full Python traceback — only the JVM-side
+        # origin annotation is lost. Scale-neutral: this is driver-side
+        # per-API-call overhead, identical on a laptop and a cluster.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # Broadcast policy: keep the COMPILE-TIME threshold at Spark's
         # conservative 10 MB — the static estimate for a column-pruned
         # parquet scan is (file_size x pruned_fraction), which at sf1+

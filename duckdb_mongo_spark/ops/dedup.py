@@ -380,8 +380,10 @@ def minhash_signatures_arrow(
     )
     return agged.select(
         id_col,
+        # single-parse SQL form of lower(lpad(hex(v), 8, '0')) per slice —
+        # identical expression, one py4j round trip instead of ~5 each
         *[
-            F.lower(F.lpad(F.hex(F.col(f"__mhv_{i}")), 8, "0")).alias(f"minhash_{i}")
+            F.expr(f"lower(lpad(hex(`__mhv_{i}`), 8, '0'))").alias(f"minhash_{i}")
             for i in range(k)
         ],
     )
@@ -455,13 +457,16 @@ def simhash_arrow(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> 
     voted = per_row.groupBy(F.col("__sh_id").alias(id_col)).agg(
         *[F.sum(f"__v{b}").alias(f"__v{b}") for b in range(bits)]
     )
-    sim = sum(
-        [
-            F.when(F.col(f"__v{b}") > 0, F.lit(2 ** b).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
+    # one parsed SQL expression instead of ~140 chained Column ops: the
+    # when/otherwise fold is pure construction overhead driver-side (a
+    # py4j round trip per op), and the parser yields the IDENTICAL
+    # left-associated CASE-sum tree (integer adds — exact either way)
+    sim = F.expr(
+        "CAST(0 AS BIGINT) + " + " + ".join(
+            f"CASE WHEN `__v{b}` > 0 THEN CAST({2 ** b} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END"
             for b in range(bits)
-        ],
-        F.lit(0).cast("long"),
+        )
     )
     return voted.select(F.col(id_col), sim.alias("simhash"))
 

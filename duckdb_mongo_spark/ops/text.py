@@ -51,6 +51,38 @@ def _sp(n: int) -> str:
     return " " * n
 
 
+def _sql_str(s: str) -> str:
+    """Render a Python string as a Spark SQL string literal: backslash
+    and quote escaped, non-printing chars as ``\\uXXXX`` (the control
+    chars in the whitespace tables must survive the SQL parser)."""
+    out = []
+    for ch in s:
+        if ch == "\\":
+            out.append("\\\\")
+        elif ch == "'":
+            out.append("\\'")
+        elif 32 <= ord(ch) < 127:
+            out.append(ch)
+        else:
+            out.append(f"\\u{ord(ch):04X}")
+    return "'" + "".join(out) + "'"
+
+
+def _sql_name(c: str) -> str:
+    """Backtick-quote a column name for SQL-text expressions."""
+    return "`" + c.replace("`", "``") + "`"
+
+
+def _ws_tokens_text(c_sql: str) -> str:
+    """SQL text of ``ws_tokens`` over an already-rendered operand —
+    the parser yields the identical expression tree in ONE py4j round
+    trip where the Column composition pays one per operator (the
+    construction-cost rationale for every ``*_text`` helper here)."""
+    ws, sp = _sql_str(_WS_TO_SPACE), _sql_str(_sp(len(_WS_TO_SPACE)))
+    return (f"filter(split(translate({c_sql}, {ws}, {sp}), ' ', -1), "
+            "x -> x != '')")
+
+
 def ws_tokens(col) -> Column:
     """Whitespace tokens — EXACT equivalent of
     ``filter(split(c, '\\s+'), x -> x <> '')`` for every input (see
@@ -133,11 +165,58 @@ def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
     higher-order function touches it: Spark evaluates HOF lambda bodies
     per element, so an inline split/regexp expression inside a lambda
     would be recomputed per token (~10-50× slowdown on real documents).
-    """
+
+    For a string ``col`` the expressions are built as parsed SQL text —
+    one py4j round trip each instead of one per Column operator (~1900
+    per build for the full analysis bundle, ~0.1 s of pure driver-side
+    construction). The trees and results are identical; the paths are
+    pinned to each other in tests/test_ops.py."""
+    if not isinstance(col, str):
+        return _with_text_stats_cols(df, col)
+    df = ensure_min_parallelism(df)
+    base = list(df.columns)
+    c_sql = _sql_name(col)
+    toked = df.select(*base, F.expr(_ws_tokens_text(c_sql)).alias("__toks"))
+    seps = _PUNCT_NO_UNDERSCORE + _WS_TO_SPACE
+    word_runs = (
+        f"size(filter(split(translate({c_sql}, {_sql_str(seps)}, "
+        f"{_sql_str(_sp(len(seps)))}), ' ', -1), x -> x != ''))"
+    )
+    n_marks = (f"(length({c_sql}) - length(translate({c_sql}, "
+               f"{_sql_str(_PUNCT_NO_UNDERSCORE)}, '')))")
+    sw_arr = "array(" + ", ".join(_sql_str(w) for w in STOPWORDS_EN) + ")"
+    drop = _sql_str(_DIGITS + _PUNCT)
+    return toked.select(
+        *base,
+        F.expr("size(`__toks`)").alias("n_tokens"),
+        F.expr(f"{word_runs} + {n_marks}").alias("n_bpe_tokens"),
+        F.expr(
+            f"CASE WHEN length({c_sql}) > 0 THEN {n_marks} / "
+            f"length({c_sql}) ELSE 0.0D END"
+        ).alias("punct_ratio"),
+        F.expr(
+            "CASE WHEN size(`__toks`) > 0 THEN "
+            "size(filter(transform(`__toks`, x -> lower(x)), "
+            f"t -> array_contains({sw_arr}, translate(t, {drop}, '')))) "
+            "/ size(`__toks`) ELSE 0.0D END"
+        ).alias("stopword_ratio"),
+        F.expr(
+            "CASE WHEN size(`__toks`) > 0 THEN "
+            "aggregate(`__toks`, CAST(0 AS BIGINT), "
+            "(acc, t) -> acc + length(t)) / size(`__toks`) "
+            "ELSE 0.0D END"
+        ).alias("avg_token_len"),
+    )
+
+
+def _with_text_stats_cols(df: DataFrame, col) -> DataFrame:
+    """Column-input form of ``with_text_stats`` (the original Column-API
+    composition) — kept for callers passing a Column expression, and as
+    the parity anchor the SQL-text fast path is tested against."""
     sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
     df = ensure_min_parallelism(df)
     base = [F.col(c) for c in df.columns]
-    toked = df.select(*base, ws_tokens(F.col(col)).alias("__toks"))
+    toked = df.select(*base, ws_tokens(col).alias("__toks"))
     toks = F.col("__toks")
     return toked.select(
         *base,
@@ -244,9 +323,67 @@ def with_analysis(df: DataFrame, col: str = "text") -> DataFrame:
     """Full text-analysis bundle: stats + quality + language + fingerprint.
 
     quality is derived from the already-computed ratio columns (one
-    evaluation per ratio — keeps the codegen'd expression tree small)."""
+    evaluation per ratio — keeps the codegen'd expression tree small).
+    String ``col`` takes the SQL-text construction fast path (see
+    ``with_text_stats``); Column inputs keep the Column-API form, and
+    the two are parity-pinned in tests/test_ops.py."""
+    if not isinstance(col, str):
+        return _with_analysis_cols(df, col)
     out = with_text_stats(df, col)
-    n = F.length(F.col(col))
+    c_sql = _sql_name(col)
+    # identical arithmetic (and operator order) to the Column form:
+    # ((0.3*len_score + 0.3*punct_score) + 0.4*sw_score), all doubles
+    quality = (
+        f"round(0.3D * least(length({c_sql}) / 500.0D, 1.0D) + "
+        "0.3D * (1.0D - least(`punct_ratio` * 5.0D, 1.0D)) + "
+        "0.4D * least(`stopword_ratio` * 4.0D, 1.0D), 6)"
+    )
+    seps = _DIGITS + _PUNCT + _WS_TO_SPACE
+    lt = (
+        f"filter(split(translate(lower({c_sql}), {_sql_str(seps)}, "
+        f"{_sql_str(_sp(len(seps)))}), ' ', -1), x -> x != '')"
+    )
+    stats = list(out.columns)
+    with_lt = out.select(
+        *stats, F.expr(quality).alias("quality"), F.expr(lt).alias("__lt"))
+    # r14: materialize each language's marker count ONCE as a column —
+    # distinct lambda exprIds defeat codegen subexpression elimination,
+    # so the inline argmax re-evaluated every count ~6x per row
+    # (plan-visible as repeated filter(...) trees under greatest())
+    langs = sorted(LANG_MARKERS)
+    counts = {
+        lang: ("size(filter(`__lt`, t -> array_contains(array("
+               + ", ".join(_sql_str(m) for m in LANG_MARKERS[lang])
+               + "), t)))")
+        for lang in langs
+    }
+    fp = f"md5(concat_ws(' ', {_ws_tokens_text(f'lower({c_sql})')}))"
+    with_counts = with_lt.select(
+        *stats,
+        "quality",
+        *[F.expr(counts[l]).alias(f"__lc_{l}") for l in langs],
+        F.expr(fp).alias("fingerprint"),
+    )
+    # flat CASE == the nested when/otherwise argmax: first match wins in
+    # language-code order, 'und' when no marker hit
+    best = "greatest(" + ", ".join(f"`__lc_{l}`" for l in langs) + ")"
+    whens = " ".join(
+        f"WHEN `__lc_{l}` > 0 AND `__lc_{l}` = {best} THEN '{l}'"
+        for l in langs
+    )
+    return with_counts.select(
+        *stats,
+        "quality",
+        F.expr(f"CASE {whens} ELSE 'und' END").alias("lang_id"),
+        "fingerprint",
+    )
+
+
+def _with_analysis_cols(df: DataFrame, col) -> DataFrame:
+    """Column-input form of ``with_analysis`` (original Column-API
+    composition) — the parity anchor for the SQL-text fast path."""
+    out = _with_text_stats_cols(df, col)
+    n = F.length(col)
     len_score = F.least(n / F.lit(500.0), F.lit(1.0))
     punct_score = F.lit(1.0) - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0))
     sw_score = F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0))
@@ -256,10 +393,6 @@ def with_analysis(df: DataFrame, col: str = "text") -> DataFrame:
         F.round(0.3 * len_score + 0.3 * punct_score + 0.4 * sw_score, 6).alias("quality"),
         _lang_tokens(col).alias("__lt"),
     )
-    # r14: materialize each language's marker count ONCE as a column —
-    # distinct lambda exprIds defeat codegen subexpression elimination,
-    # so the inline argmax re-evaluated every count ~6x per row
-    # (plan-visible as repeated filter(...) trees under greatest())
     lc = _lang_marker_counts(F.col("__lt"))
     langs = sorted(LANG_MARKERS)
     with_counts = with_lt.select(

@@ -486,6 +486,24 @@ class TestTextAnalysis:
         assert a == b
         assert a["d1"] == a["d2"]
 
+    def test_sql_text_path_matches_column_path(self, docs):
+        """The r14 SQL-text construction fast path (string ``col``) must
+        be value- AND schema-identical to the Column-API composition it
+        replaces — both for the stats bundle and the full analysis."""
+        fast = text.with_analysis(docs, "text")
+        slow = text._with_analysis_cols(docs, F.col("text"))
+        assert fast.schema == slow.schema
+        key = lambda r: r["doc_id"]  # noqa: E731
+        for a, b in zip(sorted(fast.collect(), key=key),
+                        sorted(slow.collect(), key=key)):
+            assert a == b
+        fast_s = text.with_text_stats(docs, "text")
+        slow_s = text._with_text_stats_cols(docs, F.col("text"))
+        assert fast_s.schema == slow_s.schema
+        for a, b in zip(sorted(fast_s.collect(), key=key),
+                        sorted(slow_s.collect(), key=key)):
+            assert a == b
+
 
 class TestMultimodal:
     def test_attach_and_fake_decode(self, spark):

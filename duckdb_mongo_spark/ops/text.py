@@ -54,18 +54,44 @@ def _sp(n: int) -> str:
 def _sql_str(s: str) -> str:
     """Render a Python string as a Spark SQL string literal: backslash
     and quote escaped, non-printing chars as ``\\uXXXX`` (the control
-    chars in the whitespace tables must survive the SQL parser)."""
+    chars in the whitespace tables must survive the SQL parser).
+
+    Spark's string unescape consumes EXACTLY four hex digits per
+    ``\\u``, so astral (non-BMP) chars are emitted as a UTF-16
+    surrogate pair — two ``\\uXXXX`` escapes the JVM string layer
+    recombines (ADVICE r14; a 5-6 digit escape would silently decode
+    to a different string)."""
     out = []
     for ch in s:
+        cp = ord(ch)
         if ch == "\\":
             out.append("\\\\")
         elif ch == "'":
             out.append("\\'")
-        elif 32 <= ord(ch) < 127:
+        elif 32 <= cp < 127:
             out.append(ch)
+        elif cp > 0xFFFF:
+            hi, lo = divmod(cp - 0x10000, 0x400)
+            out.append(f"\\u{0xD800 + hi:04X}\\u{0xDC00 + lo:04X}")
         else:
-            out.append(f"\\u{ord(ch):04X}")
+            out.append(f"\\u{cp:04X}")
     return "'" + "".join(out) + "'"
+
+
+def _sql_text_ok(df: DataFrame) -> bool:
+    """True when the session parses string literals with the default
+    escape rules the ``*_text`` fast paths are written against. With
+    ``spark.sql.parser.escapedStringLiterals=true`` (legacy Hive
+    compat) the ``\\uXXXX`` / ``\\\\`` / ``\\'`` escapes in the
+    translate tables would parse LITERALLY and silently change
+    tokenization (ADVICE r14) — callers must fall back to the
+    Column-API composition, which is immune to parser confs."""
+    try:
+        return str(df.sparkSession.conf.get(
+            "spark.sql.parser.escapedStringLiterals", "false"
+        )).lower() != "true"
+    except Exception:
+        return False
 
 
 def _sql_name(c: str) -> str:
@@ -171,8 +197,9 @@ def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
     per build for the full analysis bundle, ~0.1 s of pure driver-side
     construction). The trees and results are identical; the paths are
     pinned to each other in tests/test_ops.py."""
-    if not isinstance(col, str):
-        return _with_text_stats_cols(df, col)
+    if not isinstance(col, str) or not _sql_text_ok(df):
+        return _with_text_stats_cols(
+            df, F.col(col) if isinstance(col, str) else col)
     df = ensure_min_parallelism(df)
     base = list(df.columns)
     c_sql = _sql_name(col)
@@ -327,8 +354,9 @@ def with_analysis(df: DataFrame, col: str = "text") -> DataFrame:
     String ``col`` takes the SQL-text construction fast path (see
     ``with_text_stats``); Column inputs keep the Column-API form, and
     the two are parity-pinned in tests/test_ops.py."""
-    if not isinstance(col, str):
-        return _with_analysis_cols(df, col)
+    if not isinstance(col, str) or not _sql_text_ok(df):
+        return _with_analysis_cols(
+            df, F.col(col) if isinstance(col, str) else col)
     out = with_text_stats(df, col)
     c_sql = _sql_name(col)
     # identical arithmetic (and operator order) to the Column form:

@@ -39,6 +39,13 @@ def get_spark(app_name: str = "duckdb_mongo_spark", extra_conf: dict | None = No
         # still carry the full Python traceback — only the JVM-side
         # origin annotation is lost. Scale-neutral: this is driver-side
         # per-API-call overhead, identical on a laptop and a cluster.
+        # CAVEAT (ADVICE r14): PySpark caches is_debugging_enabled()
+        # PROCESS-WIDE on the first wrapped Column/DataFrame call
+        # against whatever session is then active — the saving only
+        # applies when a get_spark() session makes that first call, and
+        # once cached false it disables origin capture for every other
+        # session in the process. Perf/observability only, never
+        # correctness.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # Broadcast policy: keep the COMPILE-TIME threshold at Spark's
         # conservative 10 MB — the static estimate for a column-pruned

@@ -486,6 +486,58 @@ class TestTextAnalysis:
         assert a == b
         assert a["d1"] == a["d2"]
 
+    @pytest.fixture(scope="class")
+    def tricky_docs(self, spark):
+        """Inputs that would expose ``_sql_str`` escaping bugs (ADVICE
+        r14): NULL text, quotes, backslashes, multibyte and non-BMP
+        (astral) chars, and literal ``\\uXXXX``-looking sequences."""
+        rows = [
+            ("t1", None),
+            ("t2", "it's a 'quoted' doc"),
+            ("t3", "back\\slash and \\\\double, plus \\u0041 literal"),
+            ("t4", "café naïve 中文 words"),
+            ("t5", "astral \U0001F600 emoji and \U00010348 gothic"),
+            ("t6", "tabs\tand\nnewlines\x0band\fcontrols\r end"),
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_sql_text_path_matches_column_path_tricky(self, tricky_docs):
+        key = lambda r: r["doc_id"]  # noqa: E731
+        fast = text.with_analysis(tricky_docs, "text")
+        slow = text._with_analysis_cols(tricky_docs, F.col("text"))
+        assert fast.schema == slow.schema
+        for a, b in zip(sorted(fast.collect(), key=key),
+                        sorted(slow.collect(), key=key)):
+            assert a == b
+
+    def test_sql_str_round_trips_through_parser(self, spark):
+        # every char class _sql_str must escape, round-tripped through
+        # the live SQL parser — including an astral char (surrogate
+        # pair) and a string that LOOKS like an escape
+        cases = ["", "'", "\\", "\\\\", "\\u0041", "a'b\\c",
+                 "\t\n\x0b\f\r", "é中", "\U0001F600",
+                 "mix 'q' \\ \U00010348 \n end"]
+        for s in cases:
+            got = spark.sql(
+                f"SELECT {text._sql_str(s)} AS v").collect()[0]["v"]
+            assert got == s, repr(s)
+
+    def test_sql_text_falls_back_on_escaped_string_literals(self, docs,
+                                                            spark):
+        # with the legacy parser conf on, the string fast path must
+        # route to the conf-immune Column composition (ADVICE r14)
+        key = "spark.sql.parser.escapedStringLiterals"
+        old = spark.conf.get(key, "false")
+        try:
+            spark.conf.set(key, "true")
+            out = text.with_analysis(docs, "text")
+            ref = text._with_analysis_cols(docs, F.col("text"))
+            k = lambda r: r["doc_id"]  # noqa: E731
+            assert sorted(out.collect(), key=k) == \
+                sorted(ref.collect(), key=k)
+        finally:
+            spark.conf.set(key, old)
+
     def test_sql_text_path_matches_column_path(self, docs):
         """The r14 SQL-text construction fast path (string ``col``) must
         be value- AND schema-identical to the Column-API composition it

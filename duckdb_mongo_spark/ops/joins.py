@@ -87,6 +87,24 @@ def _approx_row_bytes(dt) -> int:
     return 16
 
 
+def _estimate_rows(df: DataFrame, width: int) -> int:
+    """Row-count estimate for ``asof_join(strategy="auto")`` from the
+    optimized logical plan's statistics — NO job runs (r14 residual:
+    auto previously paid an eager ``count()`` of the right lineage).
+    The plan's ``rowCount`` when it carries one, else
+    ``sizeInBytes / width`` with the same 8-byte row overhead Spark's
+    own estimator charges. For file sources ``sizeInBytes`` is the
+    COMPRESSED on-disk size, so this can UNDERestimate rows by the
+    compression ratio — the gate then errs toward broadcast; size
+    ``broadcast_rows``/``broadcast_bytes`` down for heavily-compressed
+    corpora (the docstring's existing width-estimate caveat)."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    rc = stats.rowCount()
+    if rc.isDefined():
+        return int(str(rc.get()))
+    return int(str(stats.sizeInBytes())) // max(1, width)
+
+
 def _asof_broadcast(
     left: DataFrame,
     right: DataFrame,
@@ -252,15 +270,20 @@ def asof_join(
       device); probe cost is O(per-key history) per left row, and the
       build side must fit in executor memory — the same contract as any
       broadcast join.
-    - ``"auto"``: count the right side (one extra evaluation of its
-      lineage — persist it first if that is expensive) and take
-      ``"broadcast"`` iff count <= ``broadcast_rows`` AND the
-      schema-estimated packed size (count x approximate row width) <=
-      ``broadcast_bytes`` (default 256 MiB) — the analog of Spark's own
-      broadcast-vs-shuffle selection, which is likewise byte-based. The
-      width estimate prices variable-width types at Spark's defaultSize
-      conventions (string 20 B); corpora of long strings should size
-      ``broadcast_rows``/``broadcast_bytes`` down accordingly.
+    - ``"auto"``: estimate the right side's row count from the
+      optimized plan's statistics (rowCount when present, else
+      sizeInBytes / schema row width — NO extra job; r14's eager
+      ``count()`` removed) and take ``"broadcast"`` iff estimated rows
+      <= ``broadcast_rows`` AND the schema-estimated packed size
+      (rows x approximate row width) <= ``broadcast_bytes`` (default
+      256 MiB) — the analog of Spark's own broadcast-vs-shuffle
+      selection, which is likewise statistics-byte-based. Both terms
+      are ESTIMATES (file sizeInBytes is compressed; the width prices
+      variable-width types at Spark's defaultSize conventions, string
+      20 B) — a wrong guess costs performance, never correctness (the
+      strategies are bit-identical, property-tested); size
+      ``broadcast_rows``/``broadcast_bytes`` down for compressed
+      corpora of long strings.
 
     NULL (and float NaN) ``on`` times match nothing on any strategy:
     null/NaN-time right rows attach to no left row, null/NaN-time left
@@ -349,10 +372,12 @@ def asof_join(
         # right side of wide structs packs into multi-GB per-key history
         # arrays; gate on estimated bytes too (schema-based width — an
         # estimate, so size broadcast_rows/broadcast_bytes to your
-        # payload when the schema lies, e.g. long strings)
-        n = right.count()
+        # payload when the schema lies, e.g. long strings). r15: rows
+        # come from plan STATISTICS, not an eager count() — auto no
+        # longer evaluates the right lineage an extra time.
         width = sum(_approx_row_bytes(f.dataType)
                     for f in right.schema.fields)
+        n = _estimate_rows(right, 8 + width)
         strategy = ("broadcast"
                     if n <= broadcast_rows and n * width <= broadcast_bytes
                     else "window")

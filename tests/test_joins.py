@@ -254,6 +254,23 @@ class TestAsofTieBreakAndStrategies:
                         strategy="auto", broadcast_rows=0)
         assert "Window" in big._jdf.queryExecution().executedPlan().toString()
 
+    def test_auto_strategy_runs_no_eager_job(self, spark, clicks, errors):
+        # r15 (r14 verdict #6): auto sizes the right side from plan
+        # STATISTICS — constructing and planning the join must launch
+        # zero Spark jobs (r14's auto paid an eager count() here)
+        sc = spark.sparkContext
+        group = "asof-auto-no-job-probe"
+        sc.setJobGroup(group, "auto strategy must not run an eager job")
+        try:
+            out = asof_join(clicks, errors, on="ts", by=["user_id"],
+                            strategy="auto")
+            out._jdf.queryExecution().executedPlan()  # plan, don't run
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.job.description", None)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        assert list(jobs) == [], f"auto strategy launched jobs: {jobs}"
+
     def test_nan_times_match_nothing_all_strategies(self, spark):
         # r14 (ADVICE r13): float NaN times are normalized like NULL —
         # NaN right rows attach to nobody, NaN left rows keep NULL

@@ -263,6 +263,34 @@ class TestJoinFastPath:
         finally:
             spark.conf.set(key, old)
 
+    def test_bucketed_sidecar_elides_envelope_exchange(self, spark,
+                                                       points, idx):
+        # r15 (r14 verdict #1): the envelopes are written BUCKETED on
+        # (bin, keys) and read through a session-scoped catalog table,
+        # so the shuffled-hash join plans NO envelope-side exchange —
+        # only the point side shuffles (2 Exchanges → 1, measured ~12%
+        # off the sf10 wall). Forcing the SHJ route (threshold below
+        # the envelope estimate) must leave exactly one hash exchange,
+        # with the bucketed scan engaged.
+        import re
+
+        assert idx.bucket and idx.bucket["n"] >= 1
+        assert idx.bucket["cols"] == [idx.bin_col, *idx.on]
+        key = "spark.sql.autoBroadcastJoinThreshold"
+        old = spark.conf.get(key)
+        try:
+            spark.conf.set(key, "100")
+            out = interval_join_points(points, "ts", idx)
+            plan = out._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set(key, old)
+        n = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n == 1, f"{n} hash exchanges\n{plan[:2500]}"
+        assert "ShuffledHashJoin" in plan, plan[:2500]
+        assert "Bucketed: true" in plan, plan[:2500]
+        # and the registered table survives in-session re-reads
+        assert spark.catalog.tableExists(idx._table_name())
+
     def test_time_range_pruning_reads_subset(self, spark, idx):
         # the files are range-partitioned and sorted on the bin — a
         # bin-bounded predicate must be pushable to the scan

@@ -848,14 +848,23 @@ def _search_pass1_decomp(spark, d: str, sf10: dict) -> dict:
     }
 
 
-def _asof_decomp(spark, d: str) -> dict:
+def _asof_decomp(spark, d: str, qs: dict | None = None) -> dict:
     """Component walls of the q_asof_join_agg shape at the staged dir
     (r13 verdict #3/#7): the tagged single-scan projection drained with
     NO shuffle, then the same rows drained through a full-row hash
     exchange on user_id (repartition defeats partial-agg collapse).
     recorded_wall - scan_plus_shuffle is the sort+window increment;
     scan_plus_shuffle - tagged_scan is the shuffle increment — the
-    artifact then shows which term the >2 ratio lives in."""
+    artifact then shows which term the >2 ratio lives in.
+
+    r15 (r14 verdict #3): also prices the RAW (non-agg) line's driver
+    drain — the SAME lean query computed through the noop sink (every
+    column evaluated, result discarded) vs the recorded ``toArrow()``
+    drain; ``drain_sec`` is the delta, i.e. pure result
+    materialization + single-socket IPC of the ~2M-row result, not
+    operator cost. The full-result drain is the line's CONTRACT (a
+    bounded TakeOrdered drain would change what it measures), so the
+    decomposition prices it instead of hiding it."""
     import statistics
 
     import __spark_entry__ as entry
@@ -887,6 +896,27 @@ def _asof_decomp(spark, d: str) -> dict:
             _consume(fn())
             ss.append(time.perf_counter() - t0)
         outd[name] = round(statistics.median(ss), 3)
+    lean = qs.get("q_asof_join") if qs else None
+    if lean is not None:
+        def _noop():
+            lean(spark, d).write.format("noop").mode("overwrite").save()
+
+        def _arrow():
+            _consume(lean(spark, d))
+
+        walls = {}
+        for name, fn in (("raw_noop_sec", _noop),
+                         ("raw_toarrow_sec", _arrow)):
+            fn()  # warm
+            ss = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn()
+                ss.append(time.perf_counter() - t0)
+            walls[name] = round(statistics.median(ss), 3)
+        outd["raw_noop_sec"] = walls["raw_noop_sec"]
+        outd["drain_sec"] = round(
+            max(0.0, walls["raw_toarrow_sec"] - walls["raw_noop_sec"]), 3)
     return outd
 
 
@@ -1213,7 +1243,7 @@ def main() -> None:
                 try:
                     sf10j["asof_decomp"] = _asof_decomp(
                         spark, os.environ.get("SPARK_GRAFT_SF10J_DIR",
-                                              "/tmp/sf10_joins"))
+                                              "/tmp/sf10_joins"), qs)
                 except Exception as exc:  # noqa: BLE001
                     print(f"# asof decomp failed: {exc}",
                           file=sys.stderr)
@@ -1300,6 +1330,27 @@ def main() -> None:
                     mins[eng] = v if mins[eng] is None else min(mins[eng], v)
     if mins["spark"] is not None:
         compact["sf10_min_n"] = mins
+    # r15 (r14 verdict #5): opt-in core-scaling evidence. The sf0.1
+    # headline suite is driver/plan-floor dominated, so c8-vs-c32 there
+    # says nothing about parallel paths; the sf10 sections ARE timed at
+    # the env's core count (the whole session is local[$SPARK_GRAFT_CPUS])
+    # — surface their ABSOLUTE Spark seconds for three representative
+    # heavy lines so two artifacts at different $SPARK_GRAFT_CPUS are
+    # directly comparable on data-proportional work. Additions-only:
+    # nothing existing moves, and the key only appears when the env
+    # gate is set.
+    if os.environ.get("SPARK_GRAFT_SCALING_SECTION"):
+        secs = {}
+        for sect, names in (("sf10_text", ("text_analysis",)),
+                            ("sf10_dedup", ("dedup_minhash_lsh",)),
+                            ("sf10_joins", ("q_asof_join_agg",))):
+            q = out.get(sect, {}).get("queries", {})
+            for n in names:
+                if n in q:
+                    secs[n] = q[n]
+        if secs:
+            compact["sf10_scaling"] = {
+                "cpus": int(os.environ["SPARK_GRAFT_CPUS"]), "sec": secs}
     detail_line = json.dumps(out)
     final_line = json.dumps(compact, separators=(",", ":"))
     if detail_line != final_line:

@@ -52,6 +52,7 @@ def test_bench_stdout_is_one_json_line():
                "vs_duckdb", "vs_duckdb_paired", "vs_duckdb_trimmed",
                "vs_duckdb_floor",
                "sf1_vs_duckdb", "sf1_paired", "sf1_trimmed", "sf10_text_ratio",
-               "sf10_sim_ratio", "sf10_joins_ratio", "sf10_dedup_ratio"}
+               "sf10_sim_ratio", "sf10_joins_ratio", "sf10_dedup_ratio",
+               "sf10_scaling"}
     assert set(out) <= allowed, f"final line must stay compact: {set(out) - allowed}"
     assert all(isinstance(v, (int, float)) for v in out["queries"].values())

@@ -2471,18 +2471,20 @@ class MongoFrame:
         oracle's own analyzer rather than a JVM twin."""
         from duckdb_mongo_spark.schema.types import is_list
 
+        # empty-token drop via array_remove, not a filter lambda: HOFs
+        # are CodegenFallback (interpreted per element) while
+        # array_remove is codegen'd; identical tokens — split never
+        # yields NULL elements (the one input class where they differ)
         col = F.col(fs.name)
         if is_list(fs.type):
             return F.flatten(F.transform(
                 F.coalesce(col, F.array()),
-                lambda s: F.filter(
+                lambda s: F.array_remove(
                     F.split(F.lower(F.coalesce(s, F.lit(""))),
-                            "[^0-9a-z]+"),
-                    lambda x: x != ""),
+                            "[^0-9a-z]+"), ""),
             ))
-        return F.filter(
-            F.split(F.lower(F.coalesce(col, F.lit(""))), "[^0-9a-z]+"),
-            lambda x: x != "")
+        return F.array_remove(
+            F.split(F.lower(F.coalesce(col, F.lit(""))), "[^0-9a-z]+"), "")
 
     @staticmethod
     def _with_oracle_tokens(bdf, fspecs, analyze=None, extra_specs=None):

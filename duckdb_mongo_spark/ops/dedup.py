@@ -47,9 +47,13 @@ def _norm_tokens(col):
     import string
 
     seps = string.punctuation + "\t\n\x0b\f\r"
-    return F.filter(
+    # empty-token drop via array_remove, not a filter lambda: HOFs are
+    # CodegenFallback (interpreted per element) while array_remove is
+    # codegen'd; identical output — split never yields NULL elements
+    # (the one input class where the two differ). See ops/text.py r15.
+    return F.array_remove(
         F.split(F.translate(F.lower(col), seps, " " * len(seps)), " ", -1),
-        lambda x: x != F.lit(""),
+        "",
     )
 
 

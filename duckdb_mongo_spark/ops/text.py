@@ -105,18 +105,26 @@ def _ws_tokens_text(c_sql: str) -> str:
     trip where the Column composition pays one per operator (the
     construction-cost rationale for every ``*_text`` helper here)."""
     ws, sp = _sql_str(_WS_TO_SPACE), _sql_str(_sp(len(_WS_TO_SPACE)))
-    return (f"filter(split(translate({c_sql}, {ws}, {sp}), ' ', -1), "
-            "x -> x != '')")
+    return (f"array_remove(split(translate({c_sql}, {ws}, {sp}), "
+            "' ', -1), '')")
 
 
 def ws_tokens(col) -> Column:
     """Whitespace tokens — EXACT equivalent of
     ``filter(split(c, '\\s+'), x -> x <> '')`` for every input (see
-    module header), with no java-regex in the plan."""
+    module header), with no java-regex in the plan.
+
+    r15: the empty-token drop is ``array_remove(arr, '')``, not a
+    ``filter`` lambda — higher-order functions are CodegenFallback
+    (interpreted per element) while array_remove participates in
+    whole-stage codegen; identical output because split never yields
+    NULL elements (the one input class where the two differ). Measured
+    −16% on the isolated tokenize shape, −7% on the full analysis
+    bundle at sf10 (4/5 interleaved pairs, both scales)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(
+    return F.array_remove(
         F.split(F.translate(c, _WS_TO_SPACE, _sp(len(_WS_TO_SPACE))), " ", -1),
-        lambda x: x != F.lit(""),
+        "",
     )
 
 # BPE-ish tokenization: word pieces OR single punctuation marks
@@ -159,8 +167,8 @@ def bpe_token_count(col) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     seps = _PUNCT_NO_UNDERSCORE + _WS_TO_SPACE
     word_runs = F.size(
-        F.filter(F.split(F.translate(c, seps, _sp(len(seps))), " ", -1),
-                 lambda x: x != F.lit(""))
+        F.array_remove(F.split(F.translate(c, seps, _sp(len(seps))),
+                               " ", -1), "")
     )
     n_marks = F.length(c) - F.length(F.translate(c, _PUNCT_NO_UNDERSCORE, ""))
     return word_runs + n_marks
@@ -206,8 +214,8 @@ def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
     toked = df.select(*base, F.expr(_ws_tokens_text(c_sql)).alias("__toks"))
     seps = _PUNCT_NO_UNDERSCORE + _WS_TO_SPACE
     word_runs = (
-        f"size(filter(split(translate({c_sql}, {_sql_str(seps)}, "
-        f"{_sql_str(_sp(len(seps)))}), ' ', -1), x -> x != ''))"
+        f"size(array_remove(split(translate({c_sql}, {_sql_str(seps)}, "
+        f"{_sql_str(_sp(len(seps)))}), ' ', -1), ''))"
     )
     n_marks = (f"(length({c_sql}) - length(translate({c_sql}, "
                f"{_sql_str(_PUNCT_NO_UNDERSCORE)}, '')))")
@@ -227,11 +235,14 @@ def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
             f"t -> array_contains({sw_arr}, translate(t, {drop}, '')))) "
             "/ size(`__toks`) ELSE 0.0D END"
         ).alias("stopword_ratio"),
+        # r15: sum-of-token-lengths as length(concat_ws('', toks)) — a
+        # codegen'd expression where the aggregate() HOF evaluated its
+        # lambda interpreted per token; identical value (no NULL
+        # elements exist, so concat_ws skips nothing)
         F.expr(
             "CASE WHEN size(`__toks`) > 0 THEN "
-            "aggregate(`__toks`, CAST(0 AS BIGINT), "
-            "(acc, t) -> acc + length(t)) / size(`__toks`) "
-            "ELSE 0.0D END"
+            "CAST(length(concat_ws('', `__toks`)) AS BIGINT) "
+            "/ size(`__toks`) ELSE 0.0D END"
         ).alias("avg_token_len"),
     )
 
@@ -262,8 +273,7 @@ def _with_text_stats_cols(df: DataFrame, col) -> DataFrame:
         ).otherwise(F.lit(0.0)).alias("stopword_ratio"),
         F.when(
             F.size(toks) > 0,
-            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
-            / F.size(toks),
+            F.length(F.concat_ws("", toks)).cast("long") / F.size(toks),
         ).otherwise(F.lit(0.0)).alias("avg_token_len"),
     )
 
@@ -325,10 +335,8 @@ def _lang_tokens(col) -> Column:
     digits + punctuation, enumerated — see module header)."""
     c = F.lower(F.col(col) if isinstance(col, str) else col)
     seps = _DIGITS + _PUNCT + _WS_TO_SPACE
-    return F.filter(
-        F.split(F.translate(c, seps, _sp(len(seps))), " ", -1),
-        lambda x: x != F.lit(""),
-    )
+    return F.array_remove(
+        F.split(F.translate(c, seps, _sp(len(seps))), " ", -1), "")
 
 
 def language_id(col) -> Column:
@@ -368,8 +376,8 @@ def with_analysis(df: DataFrame, col: str = "text") -> DataFrame:
     )
     seps = _DIGITS + _PUNCT + _WS_TO_SPACE
     lt = (
-        f"filter(split(translate(lower({c_sql}), {_sql_str(seps)}, "
-        f"{_sql_str(_sp(len(seps)))}), ' ', -1), x -> x != '')"
+        f"array_remove(split(translate(lower({c_sql}), {_sql_str(seps)}, "
+        f"{_sql_str(_sp(len(seps)))}), ' ', -1), '')"
     )
     stats = list(out.columns)
     with_lt = out.select(
